@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (NOT product code).
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+
+Loads each <name>.parquet the Verify main dumped, runs the matching
+oracle SQL from oracle_sql.json in DuckDB against views over the same
+parquet tables, sorts columns by name + rows, and compares values.
+"""
+import sys, json, glob, os
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    # sort columns by name, then rows; stringify values for comparison
+    df = df[sorted(df.columns)]
+    rows = [tuple(str(v) for v in r) for r in df.itertuples(index=False)]
+    return sorted(rows)
+
+n_pass = n_fail = 0
+for d in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+    except Exception as e:
+        print(f"FAIL {name}: cannot read spark output: {e}")
+        n_fail += 1
+        continue
+    if name not in oracles:
+        print(f"ROWS {name}: rows={len(got)} (no oracle)")
+        continue
+    try:
+        want = con.sql(oracles[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle errored: {e}")
+        n_fail += 1
+        continue
+    if sorted(got.columns) != sorted(want.columns):
+        print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+        n_fail += 1
+        continue
+    cg, cw = canon(got), canon(want)
+    if cg == cw:
+        print(f"PASS {name}: rows={len(got)}")
+        n_pass += 1
+    else:
+        n_fail += 1
+        diff = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
+        print(f"FAIL {name}: rows spark={len(cg)} duck={len(cw)}; first diffs:")
+        for i in diff:
+            print(f"  spark[{i}]={cg[i]}")
+            print(f"  duck [{i}]={cw[i]}")
+        if len(cg) != len(cw) and cg and cw:
+            print(f"  spark[0]={cg[0]}\n  duck [0]={cw[0]}")
+print(f"== {n_pass} pass, {n_fail} fail ==")
+sys.exit(1 if n_fail else 0)

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the local[32] test harness but with settings chosen for
+  * cluster scale: AQE on (runtime re-planning, skew-join handling,
+  * partition coalescing), a modest shuffle-partition default that AQE
+  * can coalesce further, and UTC timestamps so results are stable
+  * across environments (the driver oracle runs in UTC too).
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to any builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session with `cores` threads; shuffle partitions sized to the
+    * core count (not the 200 default, which just fragments small data —
+    * on a real cluster this is set to ~2-3x total executor cores and AQE
+    * coalesces from there).
+    */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-series) join — an operator Spark lacks natively.
+  *
+  * For each left row, attach the most recent right row with
+  * `right.ts <= left.ts` and matching key (a right row at exactly
+  * `left.ts` counts). The reference has no such operator (SURVEY.md
+  * §2.2); this is part of the mandated analytics surface.
+  *
+  * Strategy: rather than a range join (O(|L|·|R|) per key before
+  * pruning), union both sides and compute a running `last(_, ignoreNulls)`
+  * over one (key, time) sort — a single shuffle and an O(n log n) sort
+  * per key. This is the plan that survives 100 TB: the shuffle is on the
+  * join key (same as any equi-join would need) and no intermediate pair
+  * blow-up exists. Skewed keys are handled by AQE skew-split since the
+  * window partition is the shuffle partition.
+  *
+  * Requirement: right must be unique per (key, ts) — pre-aggregate with
+  * e.g. `max_by` if not (ties inside the right at one instant are
+  * otherwise ambiguous in ANY as-of semantics, including DuckDB's).
+  */
+object AsOfJoin {
+
+  /** @param rightPayload right columns to carry (must not collide with
+    *                     left column names)
+    */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightPayload.intersect(leftCols).isEmpty,
+      s"right payload collides with left columns: ${rightPayload.intersect(leftCols)}")
+
+    val payloadStruct: Column = struct(rightPayload.map(col): _*)
+    val r = right.select(
+      col(rightKey).cast("long").as("__k"),
+      col(rightTs).as("__ts"),
+      payloadStruct.as("__rp"),
+      lit(0).as("__side"),
+      lit(null).cast(left.schema).as("__lp"))
+    val rpType = r.schema("__rp").dataType
+    val l = left.select(
+      col(leftKey).cast("long").as("__k"),
+      col(leftTs).as("__ts"),
+      lit(null).cast(rpType).as("__rp"),
+      lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__lp"))
+
+    // At equal timestamps the right row sorts first (side 0 < 1) so it is
+    // visible to a left row at the same instant — `<=` as-of semantics.
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = r.unionByName(l)
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val leftOut = leftCols.map(c => col("__lp").getField(c).as(c))
+    val rightOut = rightPayload.map(c => col("__match").getField(c).as(c))
+    joined.select(leftOut ++ rightOut: _*)
+  }
+}

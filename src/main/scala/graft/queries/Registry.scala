@@ -1,0 +1,11 @@
+package graft.queries
+
+/** Master query registry — everything the driver verifies and benches. */
+object Registry {
+  def all: Seq[GQuery] =
+    Relational.all ++ Windows.all ++ SetOpsScalar.all
+
+  def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+
+  def headline: Seq[GQuery] = all.filter(_.headline)
+}

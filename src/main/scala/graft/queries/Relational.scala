@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scan/filter/project, joins of every flavor,
+  * aggregation incl. distinct / rollup / cube (SURVEY.md §2.2).
+  *
+  * Scale notes baked into each plan:
+  *  - dimension joins broadcast explicitly (region/nation/supplier/tiers);
+  *  - fact-fact joins shuffle on their keys and rely on AQE for skew;
+  *  - every aggregate is a hash aggregate with map-side partials (free
+  *    from Catalyst once expressed as groupBy.agg);
+  *  - filters/projections sit directly on the parquet scan so pushdown
+  *    and column pruning engage.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: full-scan hash aggregate. */
+  val q01 = GQuery("q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }.copy(headline = true)
+
+  /** Filter + project + top-N: predicate and both referenced columns push
+    * into the parquet scan; ORDER BY ... LIMIT becomes TakeOrdered (no
+    * full sort materialization). */
+  val q02 = GQuery("q02_filter_project",
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice * (1 - l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_quantity > 45
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |ORDER BY revenue DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** Star join through broadcast dims: lineitem ⋈ supplier ⋈ nation ⋈
+    * region, revenue per nation. All three dims broadcast — zero shuffle
+    * on the fact side until the final aggregate. */
+  val q03 = GQuery("q03_broadcast_join",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }.copy(headline = true)
+
+  /** Fact-fact semi join (TPC-H Q4 flavor): orders that have ≥1 line item
+    * shipped >90 days after the order date, counted per priority.
+    * The semi join shuffles both facts on orderkey — the scalable shape,
+    * since neither side is broadcastable at 100 TB. */
+  val q04 = GQuery("q04_semijoin_facts",
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    orders.join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }.copy(headline = true)
+
+  /** Left-semi join: customers that placed at least one high-value order,
+    * per market segment. */
+  val q05 = GQuery("q05_semi_join",
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join: customers with no high-value order, per nation
+    * (nation broadcast). */
+  val q06 = GQuery("q06_anti_join",
+    """SELECT n_name, count(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Theta self-join: distinct nation pairs within a region (equi part
+    * hash-joins on regionkey; `<` is the theta residual). */
+  val q07 = GQuery("q07_theta_self_join",
+    """SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS regionkey
+      |FROM nation n1 JOIN nation n2
+      |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      |ORDER BY nation_a, nation_b""".stripMargin) { (s, dir) =>
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("k1"), col("n_name").as("nation_a"), col("n_regionkey").as("regionkey"))
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("k2"), col("n_name").as("nation_b"), col("n_regionkey").as("r2"))
+    n1.join(n2, col("regionkey") === col("r2") && col("k1") < col("k2"))
+      .select(col("nation_a"), col("nation_b"), col("regionkey"))
+      .orderBy(col("nation_a"), col("nation_b"))
+  }
+
+  /** Range (interval) join: parts bucketed into price tiers via a
+    * broadcast nested-loop join against a tiny tier table — the classic
+    * "bin the range, broadcast the bins" shape. */
+  val q08 = GQuery("q08_range_join",
+    """SELECT t.tier AS tier, count(*) AS n_parts, round(avg(p_retailprice), 3) AS avg_price
+      |FROM part
+      |JOIN (VALUES (0, 900.0, 920.0), (1, 920.0, 940.0), (2, 940.0, 960.0),
+      |             (3, 960.0, 980.0), (4, 980.0, 1000.0)) t(tier, lo, hi)
+      |  ON p_retailprice >= t.lo AND p_retailprice < t.hi
+      |GROUP BY t.tier
+      |ORDER BY tier""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val tiers = Seq((0, 900.0, 920.0), (1, 920.0, 940.0), (2, 940.0, 960.0),
+      (3, 960.0, 980.0), (4, 980.0, 1000.0)).toDF("tier", "lo", "hi")
+    Tables.part(s, dir)
+      .join(broadcast(tiers), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 3).as("avg_price"))
+      .orderBy(col("tier"))
+  }
+
+  /** As-of join: for every purchase event, the most recent prior (or
+    * simultaneous) view by the same user. Right side pre-aggregated to
+    * one row per (user, ts) so the as-of match is well-defined. See
+    * [[graft.operators.AsOfJoin]] for the union+window plan. */
+  val q09 = GQuery("q09_asof_join",
+    """WITH v AS (
+      |  SELECT user_id, ts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts, round(value, 3) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id AS purchase_id, p.user_id AS user_id,
+      |  p.purchase_value AS purchase_value, v.view_id AS view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        round(col("value"), 3).as("purchase_value"))
+    AsOfJoin.leftAsOf(purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTs = "ts", rightTs = "v_ts",
+        rightPayload = Seq("view_id"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_value"), col("view_id"))
+      .orderBy(col("purchase_id"))
+  }.copy(headline = true)
+
+  /** Distinct aggregation (Catalyst expands to a two-phase plan with a
+    * partial distinct before the shuffle). */
+  val q10 = GQuery("q10_distinct_agg",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Approximate distinct via HyperLogLog++ — the 100 TB answer to
+    * count(DISTINCT). Estimates differ across engines, so the driver
+    * does a rows-only check; exactness is covered by q10. */
+  val q10b = GQuery.rowsOnly("q10b_approx_distinct") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_n_part"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP hierarchy totals; NULL group markers coalesced to 'ALL' on
+    * both sides so ordering/hashing is stable. */
+  val q11 = GQuery("q11_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** CUBE over order status × priority. */
+  val q12 = GQuery("q12_cube",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12)
+}
