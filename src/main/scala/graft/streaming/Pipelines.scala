@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming analytics over the engine's event schema
+  * (SURVEY.md §2.2 "Streaming" rows): watermarks, tumbling/sliding/
+  * session windows, stateful sessionization, streaming dedup.
+  *
+  * All operators work identically on batch frames (Spark's unified
+  * model), which is how their DuckDB-checkable batch twins in
+  * graft.queries verify the same logic.
+  */
+object Pipelines {
+
+  /** Tumbling (or sliding, when `slide` differs) event-time window
+    * counts with a watermark: late rows beyond `delay` are dropped —
+    * semantics the reference cannot express (it forwards timestamps
+    * untouched, src/Consumer.coffee:96). */
+  def windowedCounts(events: DataFrame, tsCol: String, delay: String,
+                     windowDur: String, slide: Option[String] = None,
+                     keyCols: Seq[String] = Nil): DataFrame = {
+    val win = slide match {
+      case Some(sl) => window(col(tsCol), windowDur, sl)
+      case None => window(col(tsCol), windowDur)
+    }
+    events.withWatermark(tsCol, delay)
+      .groupBy(win +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n"): _*)
+  }
+
+  /** Session windows via the built-in `session_window` (gap-based). */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, delay: String,
+                       gap: String, keyCol: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming exact dedup: state bounded by the watermark horizon —
+    * the 100 TB-safe form of `dropDuplicates`. */
+  def streamingDedup(df: DataFrame, tsCol: String, delay: String,
+                     keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----
+
+  final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                              n_events: Int, value_sum: Double)
+
+  /** Custom stateful sessionization: emits a session when `gapMs` of
+    * event-time silence passes (enforced via event-time timeout, so state
+    * size is bounded by watermark + gap, not by history). The reference's
+    * only state is a pair of counters (SURVEY.md §2.2); this is the
+    * general replacement. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 watermarkDelay: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def flush(uid: Long, st: SessionState): SessionOut =
+      SessionOut(uid, st.start, st.last, st.n, st.sum)
+
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(flush(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            for ((ts, v) <- sorted) {
+              if (st == null) st = SessionState(ts, ts, 1, v)
+              else if (ts - st.last > gapMs) {
+                closed += flush(uid, st)
+                st = SessionState(ts, ts, 1, v)
+              } else st = SessionState(st.start, ts, st.n + 1, st.sum + v)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leftAsOf picks most recent right row at-or-before left ts, per key") {
+    val left = Seq(
+      (1L, 100L, "a"), (1L, 205L, "b"), (1L, 300L, "c"),
+      (2L, 150L, "d"),
+      (3L, 50L, "e")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 301L, 30.0),
+      (2L, 149L, 40.0)).toDF("rk", "rt", "rv")
+
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .orderBy("k", "t")
+      .select($"k", $"t", $"tag", $"rv").as[(Long, Long, String, Option[Double])]
+      .collect().toSeq
+
+    assert(out === Seq(
+      (1L, 100L, "a", Some(10.0)),   // exact-tie: right at same ts counts
+      (1L, 205L, "b", Some(20.0)),   // most recent earlier
+      (1L, 300L, "c", Some(20.0)),   // 301 is in the future → still 200
+      (2L, 150L, "d", Some(40.0)),   // per-key isolation
+      (3L, 50L, "e", None)))         // no right row → null
+  }
+
+  test("collision between right payload and left column names is rejected") {
+    val l = Seq((1L, 1L, "x")).toDF("k", "t", "rv")
+    val r = Seq((1L, 1L, 1.0)).toDF("rk", "rt", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt", Seq("rv"))
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.streaming.Pipelines
+import graft.streaming.Pipelines.{SessionEvent, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Event-time streaming semantics: watermark late-data drop, tumbling
+  * windows, stateful sessionization, bounded-state dedup. */
+class StreamingPipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("tumbling window counts with watermark drops late rows") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val counts = Pipelines.windowedCounts(
+      in.toDF().toDF("ts", "uid"), "ts", delay = "10 minutes", windowDur = "5 minutes")
+
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L), (ts(1), 1L), (ts(4), 2L), (ts(6), 1L))
+      q.processAllAvailable()
+      // advance watermark far past the first windows so they finalize
+      in.addData((ts(40), 9L))
+      q.processAllAvailable()
+      // a very late row for the first window must be dropped
+      in.addData((ts(2), 3L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window_start, n FROM win_out ORDER BY window_start")
+        .as[(Timestamp, Long)].collect().toSeq
+      assert(rows.contains((ts(0), 3L)))   // 10:00-10:05 → 3 rows, late row NOT added
+      assert(rows.contains((ts(5), 1L)))   // 10:05-10:10 → 1 row
+    } finally q.stop()
+  }
+
+  test("sliding windows emit overlapping buckets") {
+    val batch = Seq((ts(0), 1L), (ts(4), 1L), (ts(7), 1L)).toDF("ts", "uid")
+    val out = Pipelines.windowedCounts(batch, "ts", "0 seconds", "10 minutes",
+        slide = Some("5 minutes"))
+      .orderBy("window_start")
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    // 09:55-10:05 sees 2; 10:00-10:10 sees 3; 10:05-10:15 sees 1
+    assert(out.map(_._3) === Seq(2L, 3L, 1L))
+  }
+
+  test("session_window groups by gap (batch twin of streaming path)") {
+    val batch = Seq(
+      (ts(0), 7L), (ts(1), 7L), (ts(2), 7L),   // session 1
+      (ts(20), 7L), (ts(21), 7L),              // session 2 (gap 18 min > 5)
+      (ts(0), 8L)                              // other user
+    ).toDF("ts", "uid")
+    val out = Pipelines.sessionWindowAgg(batch, "ts", "0 seconds", "5 minutes", "uid")
+      .orderBy("uid", "session_start")
+      .select("uid", "n_events").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((7L, 3L), (7L, 2L), (8L, 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions after the gap") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val sessions = Pipelines.sessionize(in.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val base = ts(0).getTime
+      in.addData(SessionEvent(1L, base, 1.0), SessionEvent(1L, base + 10000, 2.0))
+      q.processAllAvailable()
+      // 10 minutes later: closes user 1's first session via timeout/new data
+      in.addData(SessionEvent(1L, base + 600000, 5.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(1L, base + 1800000, 7.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT user_id, n_events, value_sum FROM sess_out ORDER BY start_ms")
+        .as[(Long, Int, Double)].collect().toSeq
+      assert(out.nonEmpty)
+      assert(out.head === ((1L, 2, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark emits each key once") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val deduped = Pipelines.streamingDedup(
+      in.toDF().toDF("ts", "uid"), "ts", "10 minutes", Seq("uid"))
+
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      in.addData((ts(3), 1L), (ts(3), 3L))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT uid FROM dedup_out").as[Long].collect().toSeq
+      assert(n.sorted === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
