@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, shingle
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every pairwise stage goes through an inverted-index /
+  * bucket join (shuffle keyed on shingle, LSH band bucket, or simhash
+  * band) so candidate generation is linear in data + output, never the
+  * O(n²) cross join. Frequent-shingle skew is controllable with
+  * `maxDocFreq` (drop join keys that occur in too many docs — the
+  * standard stop-shingle trick).
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per normalized-content
+    * fingerprint. Plain hash aggregate — one shuffle on the fingerprint. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingle-set) pairs: distinct word n-grams per document. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("id"), array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(n))))).as("shset"))
+
+  /** All-pairs shingle Jaccard ≥ `minJaccard` via inverted-index join:
+    * explode shingles, self-join on the shingle (equi-shuffle join),
+    * count shared shingles per pair, then Jaccard from set sizes.
+    * `maxDocFreq`: optionally drop shingles appearing in more docs than
+    * this before the join (skew control at scale; changes candidate
+    * generation only for pairs whose every shared shingle is frequent). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJaccard: Double = 0.8,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val sizes = sets.select(col("id"), size(col("shset")).as("sz"))
+    val ex0 = sets.select(col("id"), explode(col("shset")).as("s"))
+    val ex = maxDocFreq match {
+      case Some(maxDf) =>
+        val rare = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDf).select("s")
+        ex0.join(rare, "s")
+      case None => ex0
+    }
+    val shared = ex.select(col("id").as("id_a"), col("s"))
+      .join(ex.select(col("id").as("id_b"), col("s")), "s")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash seeds: hash_k(shingle) = md5(k || '|' || shingle); the
+    * signature element k is the lexicographic min — engine-portable
+    * (md5 is identical everywhere), no RNG state. */
+  def minhashCol(seed: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    s => md5(concat(lit(s"$seed|"), s))
+
+  /** MinHash signatures: K columns m0..m{K-1} per doc. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val ex = shingleSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("shset")).as("s"))
+    val aggs = (0 until k).map(i => min(minhashCol(i)(col("s"))).as(s"m$i"))
+    ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the K-element signature into `bands`
+    * groups of K/bands rows, bucket = md5(concat(band rows)), join on
+    * (band, bucket). Probability a pair with Jaccard j becomes a
+    * candidate: 1 - (1 - j^(K/bands))^bands. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, k: Int = 9, bands: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*)).as("bucket"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash-LSH near-dedup: LSH candidates verified with true shingle
+    * Jaccard. The verify join only touches candidate pairs. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 9, bands: Int = 3,
+                   minJaccard: Double = 0.8): DataFrame = {
+    val cands = lshCandidates(df, idCol, textCol, n, k, bands)
+    val sets = shingleSets(df, idCol, textCol, n)
+    cands
+      .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash as a bit string, built from md5 nibbles so the exact
+    * same signature is computable in any engine with md5 — no
+    * engine-specific hash. Bit b of token t = bit (b mod 4) of hex nibble
+    * (b div 4) of md5(t); signature bit = majority vote over tokens
+    * (ties → 1). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    // one row per (token, nibble index 0..15)
+    val nib = tok.select(col("id"), col("h"), explode(sequence(lit(0), lit(15))).as("i"))
+      .withColumn("v", expr("instr('0123456789abcdef', substr(h, i + 1, 1)) - 1"))
+    // one row per (token, bit 0..63); vote +1/-1
+    val bits = nib.select(col("id"), col("i"), col("v"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("b", col("i") * 4 + col("j"))
+      .withColumn("vote", when(expr("(v >> j) & 1") === 1, 1).otherwise(-1))
+    val sig = bits.groupBy(col("id"), col("b"))
+      .agg(sum(col("vote")).as("score"))
+      .withColumn("bit", when(col("score") >= 0, lit("1")).otherwise(lit("0")))
+    sig.groupBy("id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("b"), col("bit"))))
+        .getField("bit")).as("simhash64"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication over `documents` (SURVEY.md §2.2 extension rows):
+  * exact, all-pairs shingle Jaccard, MinHash+LSH, SimHash. Oracles are
+  * generated from the same constants as the Spark plans (shingle width,
+  * seeds, band layout) so both engines compute the identical algorithm.
+  */
+object DedupQueries {
+
+  private val N = 3          // shingle width (words)
+  private val K = 9          // minhash signature length
+  private val Bands = 3      // LSH bands (rows = K / Bands)
+  private val MinJ = 0.8
+
+  /** Shared oracle CTEs: tokenized docs + distinct shingle sets. */
+  private val shingleCtes =
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS shset
+       |  FROM tok WHERE len(ws) >= $N),
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+       |sz AS (SELECT doc_id, len(shset) AS sz FROM sh)""".stripMargin
+
+  val q23 = GQuery("q23_dedup_exact",
+    """SELECT lang,
+      |  count(*) AS n_docs,
+      |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import graft.functions.TextFunctions
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+
+  /** All-pairs n-gram Jaccard ≥ 0.8 through the inverted-index join. */
+  val q24 = GQuery("q24_jaccard_pairs",
+    s"""WITH $shingleCtes,
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM shared
+       |JOIN sz sa ON sa.doc_id = id_a
+       |JOIN sz sb ON sb.doc_id = id_b
+       |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", N, MinJ)
+      .orderBy(col("id_a"), col("id_b"))
+  }.copy(headline = true)
+
+  /** MinHash + LSH banding, then exact-Jaccard verification of the
+    * candidates only. */
+  val q25 = {
+    val rows = K / Bands
+    val minhashAggs = (0 until K)
+      .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(",\n    ")
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || ")
+      s"md5($parts) AS b$b"
+    }.mkString(", ")
+    val bandMatch = (0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+    GQuery("q25_minhash_lsh",
+      s"""WITH $shingleCtes,
+         |mh AS (
+         |  SELECT doc_id,
+         |    $minhashAggs
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (SELECT doc_id, $bandCols FROM mh),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($bandMatch)),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+         |      (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))) AS j
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard
+         |FROM verified WHERE j >= $MinJ
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text", N, K, Bands, MinJ)
+        .orderBy(col("id_a"), col("id_b"))
+    }.copy(headline = true)
+  }
+
+  /** Portable 64-bit SimHash signatures (md5-nibble construction). */
+  val q26 = GQuery("q26_simhash",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |nib AS (
+      |  SELECT doc_id, md5(w) AS h, i FROM tok, range(16) t(i)),
+      |bits AS (
+      |  SELECT doc_id, i * 4 + j AS b,
+      |    CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(i AS INT) + 1, 1)) - 1) >> j) & 1 = 1
+      |         THEN 1 ELSE -1 END AS vote
+      |  FROM nib, range(4) u(j)),
+      |sig AS (
+      |  SELECT doc_id, b, CASE WHEN sum(vote) >= 0 THEN '1' ELSE '0' END AS bit
+      |  FROM bits GROUP BY doc_id, b)
+      |SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash64
+      |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash64"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q23, q24, q25, q26)
+}

@@ -3,7 +3,9 @@ package graft.queries
 /** Master query registry — everything the driver verifies and benches. */
 object Registry {
   def all: Seq[GQuery] =
-    Relational.all ++ Windows.all ++ SetOpsScalar.all
+    Relational.all ++ Windows.all ++ SetOpsScalar.all ++
+      DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 

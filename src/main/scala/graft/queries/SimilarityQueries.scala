@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (array<float>, dim 64): exact
+  * brute-force cosine top-k and the sign-LSH bucketed approximation.
+  * The dot products are fully unrolled (same IEEE summation order in
+  * Spark and DuckDB → bit-identical cosines).
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val K = 5
+  private val NQueries = 5   // query set: vec_id < 5
+  private val Bits = 8
+
+  private def cosSql = VectorFunctions.cosineSql("qv", "cv", Dim)
+
+  val q31 = GQuery("q31_cosine_topk",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, corpus_id, round($cosSql, 6) AS cosine
+       |  FROM q, c WHERE corpus_id <> query_id),
+       |rk AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id) AS INT) AS rn
+       |  FROM scored)
+       |SELECT query_id, corpus_id, cosine, rn FROM rk WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding", k = K, dim = Dim)
+      .orderBy(col("query_id"), col("rn"))
+  }.copy(headline = true)
+
+  val q32 = {
+    val qb = VectorFunctions.signBucketSql("qv", Bits)
+    val cb = VectorFunctions.signBucketSql("cv", Bits)
+    GQuery("q32_lsh_topk",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, $qb AS bucket
+         |           FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS cv, $cb AS bucket
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, corpus_id, round($cosSql, 6) AS cosine
+         |  FROM q JOIN c USING (bucket) WHERE corpus_id <> query_id),
+         |rk AS (
+         |  SELECT query_id, corpus_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS INT) AS rn
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cosine, rn FROM rk WHERE rn <= $K
+         |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.signLshTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < NQueries),
+          idCol = "vec_id", vecCol = "embedding", k = K, dim = Dim, bits = Bits)
+        .orderBy(col("query_id"), col("rn"))
+    }.copy(headline = true)
+  }
+
+  /** Per-label embedding stats (norm via the unrolled dot). */
+  val q33 = GQuery("q33_embedding_stats",
+    s"""SELECT label,
+       |  count(*) AS n_vecs,
+       |  round(avg(sqrt(${VectorFunctions.dotSql("embedding", "embedding", Dim)})), 4) AS avg_norm
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(sqrt(VectorFunctions.dotUnrolled(col("embedding"), col("embedding"), Dim))), 4)
+          .as("avg_norm"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[GQuery] = Seq(q31, q32, q33)
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents`: language ID, quality scoring, token
+  * counting, fingerprinting. Oracle SQL is generated from the same
+  * stopword tables / formulas as the Column implementations.
+  */
+object TextQueries {
+
+  private def listSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val hitsSql: String => String = { lang =>
+    val words = TextFunctions.LangStopwords.toMap.apply(lang)
+    s"len(list_filter(ws, x -> list_contains(${listSql(words)}, x)))"
+  }
+
+  /** Stopword-table language ID with fixed tie priority en>de>es>fr. */
+  val q27 = GQuery("q27_langid",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS lang_meta,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang_meta,
+       |    ${hitsSql("en")} AS s_en,
+       |    ${hitsSql("de")} AS s_de,
+       |    ${hitsSql("es")} AS s_es,
+       |    ${hitsSql("fr")} AS s_fr
+       |  FROM t)
+       |SELECT doc_id, lang_meta,
+       |  CASE
+       |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+       |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+       |    WHEN s_fr > 0 THEN 'fr'
+       |    ELSE 'unknown' END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("lang_meta"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cheap composite quality score (length sweet-spot + stopword density
+    * + word-length sanity). */
+  val q28 = GQuery("q28_quality_score",
+    s"""WITH t AS (
+       |  SELECT doc_id, text, n_chars,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_chars,
+       |    len(ws) AS n_tok,
+       |    CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0
+       |         WHEN n_chars < 100 THEN n_chars / 100.0
+       |         ELSE 5000.0 / n_chars END AS len_score,
+       |    least(CASE WHEN len(ws) > 0
+       |      THEN len(list_filter(ws, x -> list_contains(${listSql(TextFunctions.EnStopwords)}, x))) * 1.0 / len(ws)
+       |      ELSE 0.0 END * 5.0, 1.0) AS stop_score,
+       |    CASE WHEN len(ws) > 0 AND length(text) * 1.0 / len(ws) BETWEEN 3.0 AND 10.0
+       |         THEN 1.0 ELSE 0.5 END AS wl_score
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       |  round((len_score + stop_score + wl_score) / 3.0, 4) AS quality
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Whitespace + BPE-ish token counts. */
+  val q29 = GQuery("q29_token_count",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpeish
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content + bag fingerprints. */
+  val q30 = GQuery("q30_fingerprint",
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS bag_fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.bagFingerprint(col("text")).as("bag_fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q27, q28, q29, q30)
+}
