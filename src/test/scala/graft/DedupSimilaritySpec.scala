@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized content") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() === 4)  // 1&4 merge
+    val merged = out.where(col("n_copies") === 2).head()
+    assert(merged.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("jaccard pairs finds near-dups above threshold, via inverted index") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 4L)))  // exact dup → jaccard 1.0
+    assert(pairs.contains((1L, 2L)))  // near dup (6/8 shared trigrams)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates verify to the same pairs as exact jaccard") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDedup(docs, "doc_id", "text", 3, 9, 3, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))       // LSH never invents pairs
+    assert(lsh.contains((1L, 4L)))    // identical docs always collide
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated") {
+    def hamming(a: String, b: String): Int = a.zip(b).count(p => p._1 != p._2)
+    val sigs = Dedup.simhash(docs.where(col("doc_id") < 5), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash64")).toMap
+    assert(sigs(1L).length === 64)
+    assert(sigs(1L) === sigs(4L))
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3, dim = 3)
+      .orderBy("rn").select("corpus_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 2L, 3L))  // 0.994 > 0.0 > -1.0
+  }
+
+  test("sign-LSH top-k only searches the query's bucket") {
+    val out = Similarity.signLshTopK(vecs, vecs.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3, dim = 3, bits = 3)
+      .select("corpus_id").as[Long].collect().toSeq
+    // vec 3 has a different sign bucket (negative dim 1) → pruned;
+    // vecs 1,2 share the all-non-negative bucket
+    assert(out.toSet === Set(1L, 2L))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / counts / fingerprints") {
+    val df = Seq("  the quick  brown fox  ").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.bpeishTokenCount(lit("don't stop2")).as("bpe"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.fingerprint(lit("THE QUICK BROWN FOX")).as("fp2")).head()
+    assert(r.getAs[Int]("n") === 4)
+    // don / ' / t / stop / 2 → 5
+    assert(r.getAs[Int]("bpe") === 5)
+    assert(r.getAs[String]("fp") === r.getAs[String]("fp2"))
+  }
+
+  test("langId picks the language with most stopword hits, en wins ties") {
+    val df = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("der hund und die katze ist ein tier", "de"),
+      ("el perro y la casa de los gatos que", "es"),
+      ("xyzzy plugh qwerty", "unknown")).toDF("text", "expect")
+    val out = df.select(TextFunctions.langId(col("text")).as("got"), col("expect"))
+      .where(col("got") =!= col("expect")).count()
+    assert(out === 0)
+  }
+
+  test("multimodal: SQL withMeta and per-partition FakeCodec agree exactly") {
+    val blobs = Seq((1L, "hello world"), (2L, "some other doc"))
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("blob"))
+    val viaSql = Multimodal.withMeta(blobs, "blob", "txt")
+      .select(col("id"), col("meta.width"), col("meta.height"),
+        col("meta.n_bytes"), col("meta.checksum"))
+      .as[(Long, Int, Int, Long, String)].collect().toSet
+    val viaPartitions = Multimodal.decodePartitions(blobs, "blob", "id", "txt")
+      .select(col("id"), col("width"), col("height"), col("n_bytes"), col("checksum"))
+      .as[(Long, Int, Int, Long, String)].collect().toSet
+    assert(viaSql === viaPartitions)
+  }
+
+  test("frame sampling emits stride-spaced indices bounded by pseudo frame count") {
+    val blobs = Seq((1L, "x" * 10)).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("blob"))
+    val frames = Multimodal.sampleFrames(blobs, "blob", "id", stride = 2)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(frames === Seq(0, 2, 4, 6, 8, 10))  // n_frames = 10 % 32 + 1 = 11
+  }
+}
