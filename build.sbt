@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Many whole-stage-codegen classes across a long query session exhaust
+  // the default 240m code cache, pushing the JVM back to the interpreter
+  // mid-run; give codegen room + allow flushing.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+) ++ sys.env.get("GRAFT_JVM_LOG").map(f =>
+  s"-Xlog:gc*,safepoint=info:file=$f:time,uptime").toSeq

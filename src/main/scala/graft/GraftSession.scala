@@ -18,6 +18,9 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // testdata's events.ts is TIMESTAMP(NANOS) which Spark cannot read
+    // natively; read as long (Tables.events converts to micros timestamp)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
   /** Local session with `cores` threads; shuffle partitions sized to the

@@ -70,13 +70,26 @@ object Dedup {
   def minhashCol(seed: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     s => md5(concat(lit(s"$seed|"), s))
 
-  /** MinHash signatures: K columns m0..m{K-1} per doc. */
+  /** MinHash signatures as an ordered K-element array column `sig`.
+    *
+    * Long-format aggregation — (id, seed, shingle-hash) rows grouped
+    * twice — rather than K wide `min(...)` aggregates: a K-wide aggregate
+    * generates enormous whole-stage-codegen methods (slow to compile,
+    * too big to JIT), while this shape keeps every generated method small
+    * and both aggregates enjoy map-side partials. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
     val ex = shingleSets(df, idCol, textCol, n)
       .select(col("id"), explode(col("shset")).as("s"))
-    val aggs = (0 until k).map(i => min(minhashCol(i)(col("s"))).as(s"m$i"))
-    ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val hashed = ex
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("s"))
+      .select(col("id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("s"))).as("h"))
+    hashed.groupBy(col("id"), col("seed"))
+      .agg(min(col("h")).as("m"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("seed"), col("m"))))
+        .getField("m").as("sig"))
   }
 
   /** LSH candidate pairs: band the K-element signature into `bands`
@@ -90,7 +103,7 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*)).as("bucket"))
+        md5(concat_ws("", slice(col("sig"), b * rows + 1, rows))).as("bucket"))
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

@@ -30,7 +30,7 @@ object Similarity {
     val pairs = c.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
     val scored = pairs.withColumn("cosine",
-      round(cosineUnrolled(col("qv"), col("cv"), dim), 6))
+      round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -52,7 +52,7 @@ object Similarity {
     val pairs = c.join(broadcast(q), Seq("bucket"))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
     val scored = pairs.withColumn("cosine",
-      round(cosineUnrolled(col("qv"), col("cv"), dim), 6))
+      round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -71,7 +71,7 @@ object Similarity {
     c.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
       .join(c.select(col("id").as("id_b"), col("v").as("vb"), col("bucket")), Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosineUnrolled(col("va"), col("vb"), dim), 6))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

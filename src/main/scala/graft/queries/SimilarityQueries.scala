@@ -75,7 +75,7 @@ object SimilarityQueries {
     Tables.embeddings(s, dir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(sqrt(VectorFunctions.dotUnrolled(col("embedding"), col("embedding"), Dim))), 4)
+        round(avg(VectorFunctions.norm(col("embedding"))), 4)
           .as("avg_norm"))
       .orderBy(col("label"))
   }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.JsonSerde
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based laws (SURVEY.md §5.2 #3): serde round-trips, filter
+  * composition, dedup idempotence — plain ScalaCheck generators sampled
+  * with fixed seeds (scalatest bridge artifact isn't available offline).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+
+  test("to_json ∘ from_json = id on generated payloads") {
+    val schema = new StructType().add("source", "string").add("count", "long")
+    for (recs <- samples(Gen.listOfN(20, Gen.zip(word, Gen.chooseNum(0L, 1000L))), 5)) {
+      val json = recs.map { case (s, c) => s"""{"source":"$s","count":$c}""" }
+      val round = JsonSerde.encode(
+        JsonSerde.decode(json.toDF("value"), schema, JsonSerde.FailFast).select("value.*"))
+      assert(round.as[String].collect().toSeq === json)
+    }
+  }
+
+  test("filter(p) ∘ filter(q) ≡ filter(p && q)") {
+    for (xs <- samples(Gen.listOfN(30, Gen.chooseNum(-100, 100)), 5)) {
+      val df = xs.toDF("x")
+      val a = df.filter(col("x") > 0).filter(col("x") % 2 === 0)
+        .as[Int].collect().sorted.toSeq
+      val b = df.filter(col("x") > 0 && col("x") % 2 === 0)
+        .as[Int].collect().sorted.toSeq
+      assert(a === b)
+    }
+  }
+
+  test("exact dedup is idempotent and keeps one row per distinct content") {
+    for (docs <- samples(Gen.listOfN(12, doc), 5)) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Dedup.exact(df, "doc_id", "text")
+      assert(once.count() ===
+        docs.map(_.trim.toLowerCase.replaceAll("\\s+", " ")).distinct.size)
+      val reps = once.select(col("keep_id").as("doc_id")).join(df, "doc_id")
+      assert(Dedup.exact(reps, "doc_id", "text").count() === once.count())
+    }
+  }
+
+  test("fingerprint ignores case/whitespace, distinguishes content") {
+    for ((a, b) <- samples(Gen.zip(doc, doc), 8)) {
+      val r = Seq((a, b)).toDF("a", "b").select(
+        (TextFunctions.fingerprint(col("a")) ===
+          TextFunctions.fingerprint(upper(concat(lit("  "), col("a"))))).as("same"),
+        (TextFunctions.fingerprint(col("a")) ===
+          TextFunctions.fingerprint(col("b"))).as("cross")).head()
+      assert(r.getAs[Boolean]("same"))
+      assert(r.getAs[Boolean]("cross") === (
+        a.trim.toLowerCase.replaceAll("\\s+", " ") ==
+          b.trim.toLowerCase.replaceAll("\\s+", " ")))
+    }
+  }
+}
