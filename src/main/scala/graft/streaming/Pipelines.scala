@@ -50,6 +50,14 @@ object Pipelines {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static join: enrich a stream against a (broadcastable) batch
+    * dimension — the streaming analog of the q03 star join. The static
+    * side is re-read per micro-batch, so dimension updates are picked up
+    * without restarting the query. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----
 
   final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)
