@@ -5,7 +5,7 @@ object Registry {
   def all: Seq[GQuery] =
     Relational.all ++ Windows.all ++ SetOpsScalar.all ++
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ UdafQueries.all
+      MultimodalQueries.all ++ UdafQueries.all ++ Relational2.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 
