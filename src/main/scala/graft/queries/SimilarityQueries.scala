@@ -66,6 +66,26 @@ object SimilarityQueries {
     }.copy(headline = true)
   }
 
+  /** q31 via the native codegen'd [[graft.plans.CosineSim]] expression —
+    * same oracle as q31 (identical summation order), demonstrating the
+    * custom-Expression rung and its fused single-loop plan. */
+  val q31b = GQuery("q31b_cosine_topk_native",
+    q31.oracle.get) { (s, dir) =>
+    graft.plans.CosineSim.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id"))
+    c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(call_function("cosine_sim", col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Per-label embedding stats (norm via the unrolled dot). */
   val q33 = GQuery("q33_embedding_stats",
     s"""SELECT label,
@@ -80,5 +100,5 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  val all: Seq[GQuery] = Seq(q31, q32, q33)
+  val all: Seq[GQuery] = Seq(q31, q31b, q32, q33)
 }

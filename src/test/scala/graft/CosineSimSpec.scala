@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.plans.CosineSim
+import org.apache.spark.sql.functions._
+
+/** Native expression vs higher-order-function implementation: identical
+  * results (same summation order), registered via both the imperative
+  * path and SQL. */
+class CosineSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+    (Array(0f, 0f, 0f), Array(1f, 1f, 1f)),      // zero norm → 0.0
+    (Array(1f, 0f), Array(1f, 0f))).toDF("a", "b")
+
+  test("native CosineSim equals the HOF cosine bit-for-bit") {
+    CosineSim.register(spark)
+    val out = vecs.select(
+      call_function("cosine_sim", col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+    assert(out(1)._1 === 0.0)
+  }
+
+  test("registered function is callable from SQL") {
+    CosineSim.register(spark)
+    vecs.createOrReplaceTempView("cs_vecs")
+    val r = spark.sql("SELECT cosine_sim(a, b) AS c FROM cs_vecs WHERE size(a) = 2")
+      .as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("interpreted eval path (no codegen) agrees too") {
+    CosineSim.register(spark)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val r = vecs.select(call_function("cosine_sim", col("a"), col("b")).as("c"))
+        .as[Double].collect()
+      assert(math.abs(r(0) - 0.9746318461970762) < 1e-12)
+      assert(r(1) === 0.0)
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
