@@ -21,6 +21,10 @@ object GraftSession {
     // testdata's events.ts is TIMESTAMP(NANOS) which Spark cannot read
     // natively; read as long (Tables.events converts to micros timestamp)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // static conf — must be set at session build; bucketed-table tests
+    // and any saveAsTable land here instead of ./spark-warehouse
+    .config("spark.sql.warehouse.dir",
+      sys.props.getOrElse("graft.warehouse.dir", "file:/tmp/graft-warehouse"))
     .config("spark.ui.enabled", "false")
 
   /** Local session with `cores` threads; shuffle partitions sized to the

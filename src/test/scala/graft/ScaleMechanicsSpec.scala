@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.sources.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Mechanics that only matter at scale, proven on the plan level:
+  * salted joins produce correct results; bucketed tables join without
+  * a shuffle. */
+class ScaleMechanicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted equi-join matches plain join results on skewed data") {
+    // one hot key (90%), several cold ones
+    val left = ((1 to 900).map(_ => ("hot", 1)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val right = Seq(("hot", 10.0), ("k1", 1.0), ("k2", 2.0)).toDF("rk", "w")
+    val plain = left.join(right, col("k") === col("rk"))
+      .groupBy("k").agg(sum(col("v") * col("w")).as("s"))
+      .as[(String, Double)].collect().toSet
+    val salted = SkewJoin.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+      .groupBy("k").agg(sum(col("v") * col("w")).as("s"))
+      .as[(String, Double)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("salted aggregation is exact for sum/count") {
+    val df = ((1 to 1000).map(_ => ("hot", 2.0)) ++ Seq(("cold", 5.0))).toDF("k", "v")
+    val hot = SkewJoin.saltedSumCount(df, "k", "v", salts = 16)
+      .where(col("k") === "hot").head()
+    assert(hot.getAs[Double]("sum_value") === 2000.0)
+    assert(hot.getAs[Long]("n_rows") === 1000L)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "pa")
+    val b = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "pb")
+    Files.writeBucketed(a, "bkt_a", 4, Seq("id"))
+    Files.writeBucketed(b, "bkt_b", 4, Seq("id"))
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() === 1000)
+  }
+}
