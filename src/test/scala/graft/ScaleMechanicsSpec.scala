@@ -34,6 +34,14 @@ class ScaleMechanicsSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // fresh in-memory catalogs don't know about locations left by prior
+    // JVMs — clear both the tables and their directories
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "pa")
     val b = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "pb")
     Files.writeBucketed(a, "bkt_a", 4, Seq("id"))
