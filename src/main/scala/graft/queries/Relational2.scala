@@ -83,5 +83,22 @@ object Relational2 {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val all: Seq[GQuery] = Seq(q38, q39, q40, q41)
+  /** The streaming window operator run in batch mode (unified model):
+    * oracle-gates `Pipelines.windowedCounts`' window-bucketing logic.
+    * Note: in a batch plan the watermark node is eliminated, so the
+    * late-drop path is NOT exercised here — that behavior is asserted
+    * by StreamingPipelinesSpec's watermark test. */
+  val q42 = GQuery("q42_event_time_windows",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    graft.streaming.Pipelines.windowedCounts(
+        Tables.events(s, dir), "ts", delay = "0 seconds",
+        windowDur = "1 hour", keyCols = Seq("event_type"))
+      .select(col("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val all: Seq[GQuery] = Seq(q38, q39, q40, q41, q42)
 }
