@@ -101,5 +101,27 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q27, q28, q29, q30)
+  /** TF-IDF top-3 terms per doc, fully oracle-checked (ln and the
+    * integer tf/df make the score deterministic across engines). */
+  val q43 = GQuery("q43_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id AS doc, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc, term, tf * ln(n_docs * 1.0 / df) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |rk AS (
+      |  SELECT doc, term, tfidf,
+      |    CAST(row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS INT) AS rn
+      |  FROM scored)
+      |SELECT doc, term, round(tfidf, 6) AS tfidf, rn
+      |FROM rk WHERE rn <= 3 ORDER BY doc, rn""".stripMargin) { (s, dir) =>
+    graft.operators.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+      .orderBy(col("doc"), col("rn"))
+  }
+
+  val all: Seq[GQuery] = Seq(q27, q28, q29, q30, q43)
 }
