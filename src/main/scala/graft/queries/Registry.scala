@@ -5,7 +5,8 @@ object Registry {
   def all: Seq[GQuery] =
     Relational.all ++ Windows.all ++ SetOpsScalar.all ++
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ UdafQueries.all ++ Relational2.all
+      MultimodalQueries.all ++ UdafQueries.all ++ Relational2.all ++
+      SamplingQueries.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 
