@@ -27,6 +27,11 @@ object AsOfJoin {
 
   /** @param rightPayload right columns to carry (must not collide with
     *                     left column names)
+    * @param toleranceMs  optional max age: a right row older than this
+    *                     many milliseconds before the left timestamp is
+    *                     treated as no-match (payload nulled) — the
+    *                     "as-of within" variant every time-series store
+    *                     offers
     */
   def leftAsOf(
       left: DataFrame,
@@ -35,7 +40,8 @@ object AsOfJoin {
       rightKey: String,
       leftTs: String,
       rightTs: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightPayload.intersect(leftCols).isEmpty,
       s"right payload collides with left columns: ${rightPayload.intersect(leftCols)}")
@@ -60,12 +66,29 @@ object AsOfJoin {
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // carry the matched right row's timestamp so tolerance can be applied
     val joined = r.unionByName(l)
       .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .withColumn("__match_ts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+
+    // tolerance units: milliseconds for timestamp columns, the column's
+    // own units for numeric time columns
+    val isTimestamp = joined.schema("__ts").dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def asNum(c: org.apache.spark.sql.Column) =
+      if (isTimestamp) c.cast("double") * 1000.0 else c.cast("double")
+    val withTol = toleranceMs match {
+      case Some(tol) => joined.withColumn("__match",
+        when(col("__match_ts").isNotNull &&
+          asNum(col("__ts")) - asNum(col("__match_ts")) <= tol.toDouble,
+          col("__match")).otherwise(lit(null).cast(joined.schema("__match").dataType)))
+      case None => joined
+    }
 
     val leftOut = leftCols.map(c => col("__lp").getField(c).as(c))
     val rightOut = rightPayload.map(c => col("__match").getField(c).as(c))
-    joined.select(leftOut ++ rightOut: _*)
+    withTol.select(leftOut ++ rightOut: _*)
   }
 }

@@ -28,6 +28,18 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 50L, "e", None)))         // no right row → null
   }
 
+  test("tolerance nulls out matches older than the window") {
+    val left = Seq((1L, 100L, "a"), (1L, 300L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, 1.0)).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("rv"),
+        toleranceMs = Some(10L))
+      .orderBy("t").select($"t", $"rv").as[(Long, Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      (100L, Some(1.0)),   // age 5 ≤ 10 → kept
+      (300L, None)))       // age 205 > 10 → nulled
+  }
+
   test("collision between right payload and left column names is rejected") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "rv")
     val r = Seq((1L, 1L, 1.0)).toDF("rk", "rt", "rv")
