@@ -100,5 +100,34 @@ object Relational2 {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  val all: Seq[GQuery] = Seq(q38, q39, q40, q41, q42)
+  /** The gap-based `session_window` operator in batch mode, oracle-gated
+    * against the classic lag/cumsum sessionization SQL: same boundaries
+    * (start = first event, end = last event + gap), same membership
+    * (event merges while it lands before the running end). */
+  val q46 = GQuery("q46_session_windows",
+    """WITH s AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    graft.streaming.Pipelines.sessionWindowAgg(
+        Tables.events(s, dir), "ts", delay = "0 seconds",
+        gap = "30 minutes", keyCol = "user_id")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val all: Seq[GQuery] = Seq(q38, q39, q40, q41, q42, q46)
 }
