@@ -32,6 +32,9 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // Zero-vector convention: cos(0,0) = 1.0 (identical inputs are fully
+  // similar), cos(0,y≠0) = 0.0. This makes the FoldSelfCosine rewrite
+  // (cosine_sim(x,x) → 1.0) exact for EVERY input, not just non-zero ones.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -42,8 +45,11 @@ case class CosineSim(left: Expression, right: Expression)
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom > 0) dot / denom else 0.0
+    if (na == 0 && nb == 0) 1.0
+    else {
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom > 0) dot / denom else 0.0
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -59,7 +65,7 @@ case class CosineSim(left: Expression, right: Expression)
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
          |double $den = Math.sqrt($na) * Math.sqrt($nb);
-         |${ev.value} = $den > 0 ? $dot / $den : 0.0;
+         |${ev.value} = ($na == 0 && $nb == 0) ? 1.0 : ($den > 0 ? $dot / $den : 0.0);
        """.stripMargin
     })
 
@@ -84,11 +90,31 @@ object CosineSim {
       FunctionIdentifier(fnName), info, builder)
 }
 
+/** Optimizer rule: `cosine_sim(x, x)` is identically 1.0 under the
+  * expression's zero-vector convention — fold the self-comparison to a
+  * null-preserving constant instead of running the fused loop per row.
+  * Demonstrates the `Rule[LogicalPlan]` extension rung on a rewrite
+  * with a real payoff (the diagonal of any self-join similarity
+  * matrix). Exact for every input by construction. */
+object FoldSelfCosine extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSim(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal.create(null, DoubleType), Literal(1.0))
+    }
+}
+
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the
   * SparkSessionExtensions route for cluster-wide installation. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(CosineSim.fnName),
       new ExpressionInfo(classOf[CosineSim].getName, CosineSim.fnName),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectOptimizerRule(_ => FoldSelfCosine)
+  }
 }

@@ -44,6 +44,24 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("FoldSelfCosine rewrites cosine_sim(x,x) to a constant") {
+    CosineSim.register(spark)
+    import graft.plans.FoldSelfCosine
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ FoldSelfCosine
+    try {
+      val df = vecs.select(call_function("cosine_sim", col("a"), col("a")).as("c"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosine_sim"),
+        s"expected the self-cosine to fold away, got:\n$optimized")
+      // exact for every input, including the zero vector
+      assert(df.as[Double].collect().toSeq === Seq(1.0, 1.0, 1.0))
+      // and still exactly what the un-optimized expression computes
+      spark.experimental.extraOptimizations = before
+      assert(df.as[Double].collect().toSeq === Seq(1.0, 1.0, 1.0))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
