@@ -33,5 +33,27 @@ object SerdeQueries {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q47)
+  /** Fixed-size overlapping word chunks (size 20, overlap 5) over
+    * documents — the training-data chunking staple. */
+  val q48 = GQuery("q48_chunking",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws, unnest(range(0, len(ws), 15)) AS start
+      |  FROM t WHERE len(ws) > 0)
+      |SELECT doc_id,
+      |  CAST(start / 15 AS INT) AS chunk_id,
+      |  array_to_string(ws[start + 1 : start + 20], ' ') AS chunk,
+      |  CAST(least(20, len(ws) - start) AS INT) AS n_words
+      |FROM c
+      |WHERE start = 0 OR len(ws) - start > 5
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    graft.operators.Chunking.chunkWords(
+        Tables.documents(s, dir), "doc_id", "text", size = 20, overlap = 5)
+      .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"), col("n_words"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q47, q48)
 }
