@@ -22,10 +22,18 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity in [-1, 1]; 0 for zero-norm inputs. */
+  /** Cosine similarity in [-1, 1]. Zero-vector convention — shared with the
+    * native [[graft.plans.CosineSim]] expression: cos(0,0) = 1.0 (identical
+    * inputs are fully similar), cos(0, y≠0) = 0.0. The denominator is
+    * `sqrt(|a|²·|b|²)` (one sqrt of the product, not a product of sqrts) so
+    * that for a == b the result is EXACTLY 1.0 — IEEE-754 guarantees
+    * `sqrt(fl(x·x)) == |x|` absent over/underflow — keeping the
+    * FoldSelfCosine optimizer rule an identity rewrite. */
   def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom > 0, dot(a, b) / denom).otherwise(0.0)
+    val na = normSq(a); val nb = normSq(b)
+    when(na === 0.0 && nb === 0.0, lit(1.0))
+      .when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / sqrt(na * nb))
   }
 
   /** Explicit fully-unrolled dot product for a KNOWN dimension — the
@@ -36,9 +44,12 @@ object VectorFunctions {
     (1 to dim).map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduceLeft(_ + _)
 
-  def cosineUnrolled(a: Column, b: Column, dim: Int): Column =
-    dotUnrolled(a, b, dim) /
-      (sqrt(dotUnrolled(a, a, dim)) * sqrt(dotUnrolled(b, b, dim)))
+  def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
+    val na = dotUnrolled(a, a, dim); val nb = dotUnrolled(b, b, dim)
+    when(na === 0.0 && nb === 0.0, lit(1.0))
+      .when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dotUnrolled(a, b, dim) / sqrt(na * nb))
+  }
 
   /** DuckDB SQL text for the same unrolled dot product (1-based list
     * indexing there too). */
@@ -46,8 +57,15 @@ object VectorFunctions {
     (1 to dim).map(i =>
       s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
-  def cosineSql(a: String, b: String, dim: Int): String =
-    s"(${dotSql(a, b, dim)}) / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+  /** Same zero-vector convention and single-sqrt denominator as [[cosine]]
+    * so DuckDB reproduces Spark's doubles bit-for-bit. */
+  def cosineSql(a: String, b: String, dim: Int): String = {
+    val naa = s"(${dotSql(a, a, dim)})"
+    val nbb = s"(${dotSql(b, b, dim)})"
+    s"""CASE WHEN $naa = 0 AND $nbb = 0 THEN CAST(1.0 AS DOUBLE)
+       | WHEN $naa = 0 OR $nbb = 0 THEN CAST(0.0 AS DOUBLE)
+       | ELSE (${dotSql(a, b, dim)}) / sqrt($naa * $nbb) END""".stripMargin.replace("\n", "")
+  }
 
   /** Sign-bit LSH bucket over the first `bits` dimensions: a cheap,
     * deterministic coarse quantizer ('1' if dim ≥ 0 else '0', concatenated).

@@ -32,13 +32,19 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  // Zero-vector convention: cos(0,0) = 1.0 (identical inputs are fully
-  // similar), cos(0,y≠0) = 0.0. This makes the FoldSelfCosine rewrite
-  // (cosine_sim(x,x) → 1.0) exact for EVERY input, not just non-zero ones.
+  // Zero-vector convention (shared with VectorFunctions.cosine): cos(0,0)
+  // = 1.0 (identical inputs are fully similar), cos(0,y≠0) = 0.0. The
+  // denominator is sqrt(na·nb) — one sqrt of the product — so for x == x
+  // (dot == na == nb) the result is EXACTLY 1.0, since IEEE-754's correctly
+  // rounded sqrt gives sqrt(fl(s·s)) == s absent over/underflow. That makes
+  // the FoldSelfCosine rewrite (cosine_sim(x,x) → 1.0) an identity for
+  // every input. Mismatched vector lengths are an error, never truncated.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"cosine_sim: vector length mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -46,10 +52,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
     if (na == 0 && nb == 0) 1.0
-    else {
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom > 0) dot / denom else 0.0
-    }
+    else if (na == 0 || nb == 0) 0.0
+    else dot / math.sqrt(na * nb)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,15 +61,20 @@ case class CosineSim(left: Expression, right: Expression)
       val (n, dot, na, nb, i, den) = (ctx.freshName("n"), ctx.freshName("dot"),
         ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"), ctx.freshName("den"))
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double x = (double) $a.getFloat($i);
          |  double y = (double) $b.getFloat($i);
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
-         |double $den = Math.sqrt($na) * Math.sqrt($nb);
-         |${ev.value} = ($na == 0 && $nb == 0) ? 1.0 : ($den > 0 ? $dot / $den : 0.0);
+         |double $den = Math.sqrt($na * $nb);
+         |${ev.value} = ($na == 0 && $nb == 0) ? 1.0
+         |  : (($na == 0 || $nb == 0) ? 0.0 : $dot / $den);
        """.stripMargin
     })
 
@@ -90,12 +99,15 @@ object CosineSim {
       FunctionIdentifier(fnName), info, builder)
 }
 
-/** Optimizer rule: `cosine_sim(x, x)` is identically 1.0 under the
-  * expression's zero-vector convention — fold the self-comparison to a
-  * null-preserving constant instead of running the fused loop per row.
-  * Demonstrates the `Rule[LogicalPlan]` extension rung on a rewrite
-  * with a real payoff (the diagonal of any self-join similarity
-  * matrix). Exact for every input by construction. */
+/** Optimizer rule: `cosine_sim(x, x)` is identically 1.0 — fold the
+  * self-comparison to a null-preserving constant instead of running the
+  * fused loop per row. Demonstrates the `Rule[LogicalPlan]` extension
+  * rung on a rewrite with a real payoff (the diagonal of any self-join
+  * similarity matrix). Exact for every input: zero vectors hit the
+  * cos(0,0)=1 convention, and non-zero x gives dot==na==nb so
+  * dot/sqrt(na·nb) == s²/sqrt(fl(s²·s²)) == 1.0 exactly under IEEE-754
+  * correctly-rounded sqrt (absent over/underflow, impossible for
+  * float-typed inputs summed in double). */
 object FoldSelfCosine extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}

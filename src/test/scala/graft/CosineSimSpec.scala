@@ -44,6 +44,42 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("zero-vector convention agrees between native and HOF paths") {
+    CosineSim.register(spark)
+    val zv = Seq(
+      (Array(0f, 0f), Array(0f, 0f)), // cos(0,0)  = 1.0
+      (Array(0f, 0f), Array(3f, 4f)), // cos(0,y)  = 0.0
+      (Array(3f, 4f), Array(0f, 0f)), // cos(x,0)  = 0.0
+      (Array(3f, 4f), Array(3f, 4f))  // self       = exactly 1.0
+    ).toDF("a", "b")
+    val out = zv.select(
+      call_function("cosine_sim", col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1.0, 0.0, 0.0, 1.0))
+    assert(out.map(_._2).toSeq === Seq(1.0, 0.0, 0.0, 1.0))
+  }
+
+  test("self-cosine is exactly 1.0 (single-sqrt denominator)") {
+    CosineSim.register(spark)
+    // values chosen so norm² is not a perfect FP square
+    val v = Seq(Tuple1(Array(0.1f, 0.2f, 0.7f, 1.3f))).toDF("a")
+    val n = v.select(call_function("cosine_sim", col("a"), col("a"))).as[Double].head()
+    val h = v.select(VectorFunctions.cosine(col("a"), col("a"))).as[Double].head()
+    assert(n === 1.0 && h === 1.0)
+  }
+
+  test("native cosine_sim raises on vector length mismatch") {
+    CosineSim.register(spark)
+    val bad = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(call_function("cosine_sim", col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("length mismatch")))
+  }
+
   test("FoldSelfCosine rewrites cosine_sim(x,x) to a constant") {
     CosineSim.register(spark)
     import graft.plans.FoldSelfCosine
