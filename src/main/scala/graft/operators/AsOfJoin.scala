@@ -45,17 +45,26 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(rightPayload.intersect(leftCols).isEmpty,
       s"right payload collides with left columns: ${rightPayload.intersect(leftCols)}")
+    // Keys keep their native type (string/uuid/numeric all partition and
+    // compare correctly); a silent cast would NULL out non-numeric keys
+    // and collapse every row into one window partition. The two sides
+    // must already agree on the key type — casting is the caller's call.
+    val lkType = left.schema(leftKey).dataType
+    val rkType = right.schema(rightKey).dataType
+    require(lkType == rkType,
+      s"as-of join key types must match: $leftKey is ${lkType.simpleString}, " +
+        s"$rightKey is ${rkType.simpleString} — cast explicitly before joining")
 
     val payloadStruct: Column = struct(rightPayload.map(col): _*)
     val r = right.select(
-      col(rightKey).cast("long").as("__k"),
+      col(rightKey).as("__k"),
       col(rightTs).as("__ts"),
       payloadStruct.as("__rp"),
       lit(0).as("__side"),
       lit(null).cast(left.schema).as("__lp"))
     val rpType = r.schema("__rp").dataType
     val l = left.select(
-      col(leftKey).cast("long").as("__k"),
+      col(leftKey).as("__k"),
       col(leftTs).as("__ts"),
       lit(null).cast(rpType).as("__rp"),
       lit(1).as("__side"),

@@ -33,58 +33,125 @@ object Dedup {
 
   /** All-pairs shingle Jaccard ≥ `minJaccard` via inverted-index join:
     * explode shingles, self-join on the shingle (equi-shuffle join),
-    * count shared shingles per pair, then Jaccard from set sizes.
-    * `maxDocFreq`: optionally drop shingles appearing in more docs than
-    * this before the join (skew control at scale; changes candidate
-    * generation only for pairs whose every shared shingle is frequent). */
+    * then exact Jaccard per pair.
+    *
+    * `maxDocFreq` (finite by default — one ubiquitous stop-shingle would
+    * otherwise make the self-join key quadratic at scale): shingles
+    * appearing in more docs than this are dropped from CANDIDATE
+    * GENERATION only; every emitted pair's Jaccard is verified against
+    * the full shingle sets, so scores are exact. The recall tradeoff is
+    * precisely: a pair is missed iff every shingle it shares is
+    * frequent — near-identical docs always share rare shingles unless
+    * the whole corpus is near-identical.
+    *
+    * The shingle index feeds several consumers (frequency census,
+    * self-join, verification), so it is persisted MEMORY_AND_DISK:
+    * partition-local executor storage that scales with the cluster. At
+    * 100 TB the equivalent move is materializing the index to a table
+    * once and reading it back — same plan shape. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.8,
-                   maxDocFreq: Option[Int] = None): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n).cache()
-    val sizes = sets.select(col("id"), size(col("shset")).as("sz"))
+                   maxDocFreq: Option[Int] = Some(10000)): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex0 = sets.select(col("id"), explode(col("shset")).as("s"))
-    val ex = maxDocFreq match {
+    maxDocFreq match {
+      case None =>
+        // Exact count-based path: shared-shingle counts ARE the
+        // intersection, so no arrays travel with the pair stream.
+        val sizes = sets.select(col("id"), size(col("shset")).as("sz"))
+        val shared = ex0.select(col("id").as("id_a"), col("s"))
+          .join(ex0.select(col("id").as("id_b"), col("s")), "s")
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter"))
+        shared
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .where(col("jaccard") >= minJaccard)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       case Some(maxDf) =>
-        val rare = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDf).select("s")
-        ex0.join(rare, "s")
-      case None => ex0
+        // Frequency-capped candidate generation with EXACT output scores.
+        // true_inter = rare_inter + |freq_a ∩ freq_b|, so whenever either
+        // doc holds no frequent shingle the rare-only count already IS
+        // the exact intersection — those pairs are scored and emitted
+        // straight from the count aggregate (the fast path; on a corpus
+        // with no stop-shingles this is every pair). Only pairs where
+        // BOTH docs contain frequent shingles are ambiguous; they are
+        // prefiltered by the upper bound rare_inter + min(nf_a, nf_b)
+        // and the survivors verified against the full sets.
+        // The FREQUENT set is tiny by construction (≤ occurrences/maxDf
+        // shingles), so it's applied via anti/inner joins that AQE
+        // broadcasts at runtime — the big index never shuffles for it.
+        val freq = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("s")
+        val ex = ex0.join(freq, Seq("s"), "left_anti")
+        val nFreq = ex0.join(freq, "s").groupBy("id").agg(count(lit(1)).as("n_freq"))
+        val sizes = sets.select(col("id"), size(col("shset")).as("sz"))
+          .join(nFreq, Seq("id"), "left")
+          .select(col("id"), col("sz"),
+            coalesce(col("n_freq"), lit(0L)).as("n_freq"))
+        val shared = ex.select(col("id").as("id_a"), col("s"))
+          .join(ex.select(col("id").as("id_b"), col("s")), "s")
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter_rare"))
+        val scored = shared
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"),
+            col("n_freq").as("nf_a")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"),
+            col("n_freq").as("nf_b")), "id_b")
+        // ub_inter = rare_inter + min(nf): when either nf is 0 this IS
+        // the exact intersection, so one bound-filter handles both cases
+        // and the array join below only ever sees bound-passing pairs
+        // (output-sized, not candidate-sized).
+        val ubInter = col("inter_rare") + least(col("nf_a"), col("nf_b"))
+        val ubJ = ubInter.cast("double") / (col("sz_a") + col("sz_b") - ubInter)
+        scored
+          .where(ubJ >= minJaccard)
+          .select("id_a", "id_b")
+          .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
+          .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
+          .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("set_a")) + size(col("set_b")) - col("inter")))
+          .where(col("jaccard") >= minJaccard)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }
-    val shared = ex.select(col("id").as("id_a"), col("s"))
-      .join(ex.select(col("id").as("id_b"), col("s")), "s")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash seeds: hash_k(shingle) = md5(k || '|' || shingle); the
-    * signature element k is the lexicographic min — engine-portable
-    * (md5 is identical everywhere), no RNG state. */
-  def minhashCol(seed: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    s => md5(concat(lit(s"$seed|"), s))
-
-  /** MinHash signatures as an ordered K-element array column `sig`.
+  /** MinHash signatures as an ordered K-element `array<long>` column `sig`.
     *
-    * Long-format aggregation — (id, seed, shingle-hash) rows grouped
-    * twice — rather than K wide `min(...)` aggregates: a K-wide aggregate
-    * generates enormous whole-stage-codegen methods (slow to compile,
-    * too big to JIT), while this shape keeps every generated method small
-    * and both aggregates enjoy map-side partials. */
+    * Each shingle is md5-hashed ONCE; the K per-seed hash values are
+    * derived arithmetically from the digest's two 48-bit halves:
+    * h_k = a + (k+1)·b  (a, b < 2^48, so the sum stays inside signed 64
+    * bits for k up to ~16000 — identical wrap-free arithmetic in every
+    * engine, no RNG state). This halves-or-better the hashing cost vs
+    * one md5 per (seed, shingle) while keeping the classic universal
+    * a + k·b hash family.
+    *
+    * Long-format aggregation — (id, seed, h) rows grouped twice — rather
+    * than K wide `min(...)` aggregates: a K-wide aggregate generates
+    * enormous whole-stage-codegen methods (slow to compile, too big to
+    * JIT), while this shape keeps every generated method small and both
+    * aggregates enjoy map-side partials. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
+    require(k <= 16000, "k too large for overflow-free 48-bit hash derivation")
     val ex = shingleSets(df, idCol, textCol, n)
       .select(col("id"), explode(col("shset")).as("s"))
-    val hashed = ex
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("s"))
+    val halves = ex
+      .withColumn("h128", md5(col("s")))
+      .select(col("id"),
+        conv(substring(col("h128"), 1, 12), 16, 10).cast("long").as("ha"),
+        conv(substring(col("h128"), 13, 12), 16, 10).cast("long").as("hb"))
+    val hashed = halves
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"),
+        col("ha"), col("hb"))
       .select(col("id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit("|"), col("s"))).as("h"))
+        (col("ha") + (col("seed") + 1) * col("hb")).as("h"))
     hashed.groupBy(col("id"), col("seed"))
       .agg(min(col("h")).as("m"))
       .groupBy(col("id"))
@@ -103,7 +170,8 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("", slice(col("sig"), b * rows + 1, rows))).as("bucket"))
+        md5(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))).as("bucket"))
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

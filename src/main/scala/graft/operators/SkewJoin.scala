@@ -15,15 +15,37 @@ import org.apache.spark.sql.functions._
   * (key, salt). Each hot key now spreads over `salts` partitions.
   * Cost: right side is duplicated `salts`× — use only when
   * |right| · salts ≪ |left|'s hot-key mass.
+  *
+  * The salt is content-derived — pmod(hash(payload) + partition id,
+  * salts) — never `monotonically_increasing_id()`/`rand()`: a
+  * nondeterministic salt changes row lineage between stage retries,
+  * which can double- or zero-count rows when a post-shuffle stage is
+  * recomputed. Identical rows within one input partition share a salt;
+  * that costs a little spread on pathological constant data, nothing on
+  * real data.
   */
 object SkewJoin {
+
+  /** Join types where salting is sound. Replicating the right side
+    * `salts`× would emit unmatched right rows once per salt under
+    * right/full-outer (and misstate right-side existence checks), so
+    * only left-oriented types are accepted. */
+  private val saltableJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+
+  private def saltCol(df: DataFrame, salts: Int) =
+    pmod(hash(df.columns.map(col) :+ spark_partition_id(): _*), lit(salts))
 
   def saltedEquiJoin(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
                      salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val salted = left.withColumn("__salt_l",
-      (abs(hash(monotonically_increasing_id())) % salts).cast("int"))
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(saltableJoinTypes.map(_.replace("_", "")).contains(jt),
+      s"saltedEquiJoin supports inner/left/left_semi/left_anti, got '$joinType' " +
+        "(right/full outer would duplicate unmatched right rows once per salt)")
+    val salted = left.withColumn("__salt_l", saltCol(left, salts))
     val replicated = right.withColumn("__salt_r",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,
@@ -37,8 +59,7 @@ object SkewJoin {
     * For algebraic aggregates (sum/count/min/max) this is exact. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      salts: Int): DataFrame =
-    df.withColumn("__salt",
-        (abs(hash(monotonically_increasing_id())) % salts).cast("int"))
+    df.withColumn("__salt", saltCol(df, salts))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

@@ -63,19 +63,27 @@ object DedupQueries {
     * candidates only. */
   val q25 = {
     val rows = K / Bands
+    // Same hash family as Dedup.minhashSignatures: md5 once per shingle,
+    // h_k = a + (k+1)·b over the digest's two 48-bit halves.
     val minhashAggs = (0 until K)
-      .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(",\n    ")
+      .map(i => s"min(ha + ${i + 1} * hb) AS m$i").mkString(",\n    ")
     val bandCols = (0 until Bands).map { b =>
-      val parts = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || ")
+      val parts = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
       s"md5($parts) AS b$b"
     }.mkString(", ")
     val bandMatch = (0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
     GQuery("q25_minhash_lsh",
       s"""WITH $shingleCtes,
+         |exh AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS ha,
+         |    CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS hb
+         |  FROM ex),
          |mh AS (
          |  SELECT doc_id,
          |    $minhashAggs
-         |  FROM ex GROUP BY doc_id),
+         |  FROM exh GROUP BY doc_id),
          |bands AS (SELECT doc_id, $bandCols FROM mh),
          |cand AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b

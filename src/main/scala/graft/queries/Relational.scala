@@ -221,6 +221,39 @@ object Relational {
       .orderBy(col("purchase_id"))
   }.copy(headline = true)
 
+  /** String-keyed as-of join: same semantics as q09 but the join key is
+    * a string ('u<user_id>') — guards the operator's native-key-type
+    * handling (a numeric cast would NULL these keys and silently match
+    * across users). */
+  val q09b = GQuery("q09b_asof_join_string_key",
+    """WITH v AS (
+      |  SELECT concat('u', CAST(user_id AS VARCHAR)) AS ukey, ts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY ukey, ts),
+      |p AS (
+      |  SELECT event_id AS purchase_id, concat('u', CAST(user_id AS VARCHAR)) AS ukey,
+      |    ts, round(value, 3) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id AS purchase_id, p.ukey AS ukey,
+      |  p.purchase_value AS purchase_value, v.view_id AS view_id
+      |FROM p ASOF LEFT JOIN v ON p.ukey = v.ukey AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(concat(lit("u"), col("user_id").cast("string")).as("v_ukey"),
+        col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        concat(lit("u"), col("user_id").cast("string")).as("ukey"),
+        col("ts"), round(col("value"), 3).as("purchase_value"))
+    AsOfJoin.leftAsOf(purchases, views,
+        leftKey = "ukey", rightKey = "v_ukey",
+        leftTs = "ts", rightTs = "v_ts",
+        rightPayload = Seq("view_id"))
+      .select(col("purchase_id"), col("ukey"), col("purchase_value"), col("view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Distinct aggregation (Catalyst expands to a two-phase plan with a
     * partial distinct before the shuffle). */
   val q10 = GQuery("q10_distinct_agg",
@@ -288,5 +321,5 @@ object Relational {
   }
 
   val all: Seq[GQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q10, q10b, q11, q12)
 }

@@ -86,13 +86,16 @@ object SetOpsScalar {
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("pairs"))
+      // One fused traversal instead of transform + aggregate + filter:
+      // l_quantity is integer-valued (1..50), so doubled sums are exact
+      // doubles and traversal order cannot change any output bit.
       .select(col("l_orderkey"),
-        expr("transform(pairs, p -> p.l_quantity)").as("qtys"))
-      .select(col("l_orderkey"),
-        size(col("qtys")).as("n_lines"),
-        round(expr("aggregate(transform(qtys, q -> q * 2.0D), 0.0D, (acc, x) -> acc + x)"), 2)
-          .as("doubled_sum"),
-        size(expr("filter(qtys, q -> q > 25)")).as("n_big"))
+        size(col("pairs")).as("n_lines"),
+        expr("""aggregate(pairs, named_struct('s', 0.0D, 'c', 0),
+                (acc, p) -> named_struct('s', acc.s + p.l_quantity * 2.0D,
+                                         'c', acc.c + IF(p.l_quantity > 25, 1, 0)))""").as("sc"))
+      .select(col("l_orderkey"), col("n_lines"),
+        round(col("sc.s"), 2).as("doubled_sum"), col("sc.c").as("n_big"))
       .orderBy(col("l_orderkey"))
       .limit(1000)
   }

@@ -33,7 +33,7 @@ object syntax {
 
     def nearDupPairs(idCol: String, textCol: String, n: Int = 3,
                      minJaccard: Double = 0.8,
-                     maxDocFreq: Option[Int] = None): DataFrame =
+                     maxDocFreq: Option[Int] = Some(10000)): DataFrame =
       Dedup.jaccardPairs(df, idCol, textCol, n, minJaccard, maxDocFreq)
 
     def minhashNearDups(idCol: String, textCol: String, n: Int = 3,

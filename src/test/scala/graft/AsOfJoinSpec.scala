@@ -40,6 +40,28 @@ class AsOfJoinSpec extends SparkSpec {
       (300L, None)))       // age 205 > 10 → nulled
   }
 
+  test("string keys join in their native type (no numeric cast)") {
+    // "u1"/"u10" would both cast to NULL under the old numeric-key cast,
+    // silently cross-matching users; native string keys keep them apart.
+    val left = Seq(
+      ("u1", 100L, "a"), ("u10", 100L, "b")).toDF("k", "t", "tag")
+    val right = Seq(
+      ("u1", 50L, 1.0), ("u10", 60L, 2.0)).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .orderBy("k").select($"k", $"rv").as[(String, Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(("u1", Some(1.0)), ("u10", Some(2.0))))
+  }
+
+  test("mismatched key types are rejected up front") {
+    val l = Seq((1L, 1L, "x")).toDF("k", "t", "tag")
+    val r = Seq(("1", 1L, 1.0)).toDF("rk", "rt", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt", Seq("rv"))
+    }
+    assert(e.getMessage.contains("key types must match"))
+  }
+
   test("collision between right payload and left column names is rejected") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "rv")
     val r = Seq((1L, 1L, 1.0)).toDF("rk", "rt", "rv")

@@ -29,6 +29,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("maxDocFreq caps candidate generation but keeps exact scores") {
+    // every doc shares the stop-shingle "a a a"; docs 1/2 also share rare
+    // content. With the cap, the stop-shingle contributes no candidates
+    // (linear join), yet the emitted pair's jaccard uses the FULL sets.
+    val stopDocs = Seq(
+      (1L, "a a a unique text one two three four"),
+      (2L, "a a a unique text one two three five"),
+      (3L, "a a a something else entirely different here"),
+      (4L, "a a a other words with nothing shared across")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(stopDocs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = Some(2))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    val exact = Dedup.jaccardPairs(stopDocs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = None)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    // the surviving pair scores identically in both modes (full-set verify)
+    assert(capped.toSet.subsetOf(exact.toSet))
+    assert(capped.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+    val cappedJ = capped.find { case (a, b, _) => (a, b) == (1L, 2L) }.get._3
+    val exactJ = exact.find { case (a, b, _) => (a, b) == (1L, 2L) }.get._3
+    assert(cappedJ === exactJ)
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact jaccard") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -25,6 +25,32 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salting is deterministic across repeated runs") {
+    val left = ((1 to 500).map(i => ("hot", i)) ++ (1 to 50).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val right = Seq(("hot", 10.0), ("k1", 1.0)).toDF("rk", "w")
+    def run() = SkewJoin.saltedEquiJoin(left, right, "k", "rk", salts = 4)
+      .orderBy("k", "v").collect().toSeq
+    assert(run() === run())
+    def agg() = SkewJoin.saltedSumCount(left.withColumn("v", col("v").cast("double")),
+      "k", "v", salts = 4).orderBy("k").collect().toSeq
+    assert(agg() === agg())
+  }
+
+  test("salted join rejects right/full outer join types") {
+    val l = Seq(("a", 1)).toDF("k", "v")
+    val r = Seq(("a", 2.0)).toDF("rk", "w")
+    Seq("right", "full_outer", "full").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedEquiJoin(l, r, "k", "rk", salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("saltedEquiJoin supports"))
+    }
+    // left-oriented types pass validation and run
+    assert(SkewJoin.saltedEquiJoin(l, r, "k", "rk", 4, "left_semi").count() === 1)
+    assert(SkewJoin.saltedEquiJoin(l, r, "k", "rk", 4, "left_anti").count() === 0)
+  }
+
   test("salted aggregation is exact for sum/count") {
     val df = ((1 to 1000).map(_ => ("hot", 2.0)) ++ Seq(("cold", 5.0))).toDF("k", "v")
     val hot = SkewJoin.saltedSumCount(df, "k", "v", salts = 16)
