@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,93 @@ object Similarity {
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
     val scored = pairs.withColumn("cosine",
       round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: learn `nlist` centroids with
+    * a few deterministic Lloyd iterations, assign every corpus vector to
+    * its nearest centroid (the inverted list), and let each query score
+    * only the lists of its `nprobe` nearest centroids — ~nprobe/nlist of
+    * the corpus per query instead of all of it.
+    *
+    * Scale shape: training touches only a hash-sample (`trainMod` keeps
+    * 1/trainMod of the corpus); each Lloyd step is one broadcast join +
+    * one (cluster, dim) aggregate; only the nlist×dim centroid matrix is
+    * ever collected (same driver footprint as any k-means impl). The
+    * corpus is assigned ONCE — at 100 TB you'd persist the assignment as
+    * a partitioned table and reuse it across query batches. Probing is a
+    * broadcast equi-join on the centroid id.
+    *
+    * Deterministic: seeding is by md5(id) order, iteration count fixed,
+    * per-dimension means rounded to 6 dp so float summation order cannot
+    * flip an assignment. Learned centroids adapt to clustered real-world
+    * embeddings where fixed sign-planes cannot. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String,
+              k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 5, trainMod: Int = 1,
+              excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe <= nlist, "nprobe must be ≤ nlist")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv"))
+    val train = (if (trainMod > 1)
+      c.where(pmod(abs(hash(col("corpus_id"))), lit(trainMod)) === 0) else c)
+
+    def dist2(v: Column, cent: Column): Column =
+      aggregate(zip_with(v, cent, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+
+    // nearest-centroid assignment against a broadcast centroid frame
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("corpus_id")).orderBy(col("d2"), col("cid"))
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("d2", dist2(col("cv"), col("cent")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("corpus_id"), col("cv"), col("cid"))
+    }
+
+    // deterministic seeding: the nlist vectors with smallest md5(id)
+    import spark.implicits._
+    var centroids: DataFrame = train
+      .withColumn("h", md5(col("corpus_id").cast("string")))
+      .orderBy("h").limit(nlist)
+      .select(col("cv").as("cent"), col("h"))
+      .withColumn("cid", row_number().over(Window.orderBy(col("h"))) - 1)
+      .drop("h")
+    for (_ <- 1 to iters) {
+      val assigned = assign(train, centroids)
+      // per-dimension mean, rounded so summation order can't leak in
+      val next = assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(round(avg(col("x")), 6).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("cent"))
+      // collect only the nlist×dim matrix; broadcast it back out
+      val mat = next.select(col("cid"), col("cent"))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      centroids = mat.toSeq.toDF("cid", "cent")
+    }
+
+    val indexed = assign(c, centroids)  // corpus → inverted lists, once
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv0"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("qv0"), col("cent")))
+      .withColumn("pr", row_number().over(wq))
+      .where(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv0"), col("cid"))
+    val pairs = indexed.join(broadcast(probes), Seq("cid"))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val scored = pairs.withColumn("cosine",
+      round(cosine(col("qv0"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rn", row_number().over(w))

@@ -86,6 +86,20 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** IVF (learned k-means centroids) approximate top-k — the
+    * clustered-data alternative to fixed sign-planes. Centroid training
+    * involves float means whose exact values are engine-specific, so the
+    * driver does a rows-only check (like q10b); recall and determinism
+    * are asserted against brute force in `LshRecallSpec`. */
+  val q32b = GQuery.rowsOnly("q32b_ivf_topk") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding", k = K, dim = Dim,
+        nlist = 16, nprobe = 4, iters = 3)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Per-label embedding stats (norm via the unrolled dot). */
   val q33 = GQuery("q33_embedding_stats",
     s"""SELECT label,
@@ -100,5 +114,5 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  val all: Seq[GQuery] = Seq(q31, q31b, q32, q33)
+  val all: Seq[GQuery] = Seq(q31, q31b, q32, q32b, q33)
 }

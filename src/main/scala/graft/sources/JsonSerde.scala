@@ -46,6 +46,30 @@ object JsonSerde {
       from_json(col("value").cast("string"), withCorrupt, opts).as("value"): _*)
   }
 
+  /** Infer the payload schema from a sample of raw frames — the on-ramp
+    * for schemaless topics (the reference's normal user never declares a
+    * schema; README.md:31-34 just JSON.parses whatever arrives).
+    *
+    * Runs Spark's distributed JSON schema inference over up to
+    * `sampleRows` values — one extra batch pass over the sample, done
+    * once up front, never per-record. For a streaming topic, point this
+    * at a bounded batch read of the same topic
+    * (`spark.read.format("kafka")... limit(n)`), then decode the stream
+    * with the inferred schema; pair with [[Permissive]] decode so later
+    * drift lands in the dead-letter column instead of failing the job. */
+  def inferSchema(raw: DataFrame, sampleRows: Int = 1000): StructType = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val sample = raw.select(col("value").cast("string").as("v"))
+      .where(col("v").isNotNull).limit(sampleRows).as[String]
+    spark.read.json(sample).schema
+  }
+
+  /** [[decode]] with the schema inferred from the frame sample itself. */
+  def decodeInferred(raw: DataFrame, mode: Mode = Permissive,
+                     sampleRows: Int = 1000): DataFrame =
+    decode(raw, inferSchema(raw, sampleRows), mode)
+
   /** Serialize payload columns to a JSON `value` column; key/partition
     * columns (if named) ride along for the Kafka sink. */
   def encode(df: DataFrame, keyCol: Option[String] = None,

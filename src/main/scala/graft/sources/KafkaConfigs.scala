@@ -24,6 +24,8 @@ object Options {
   *                      the reference's 16-message fetch window
   *                      (src/Consumer.coffee:57) and pull-loop backpressure
   * @param extra         passthrough `kafka.*` options
+  * @param topicPattern  regex subscription (Spark `subscribePattern`) —
+  *                      mutually exclusive with `topics`
   */
 final case class ConsumerConfig(
     host: String,
@@ -31,15 +33,21 @@ final case class ConsumerConfig(
     groupId: String,
     fromOffset: Option[String] = None,
     maxPerTrigger: Option[Long] = None,
-    extra: Map[String, String] = Map.empty) {
-  require(topics.nonEmpty, "No `topic` in options")
+    extra: Map[String, String] = Map.empty,
+    topicPattern: Option[String] = None) {
+  require(topics.nonEmpty || topicPattern.isDefined, "No `topic` in options")
+  require(topics.isEmpty || topicPattern.isEmpty,
+    "`topic` and `topicPattern` are mutually exclusive")
 
   /** Options for `spark.readStream.format("kafka")`. */
   def readerOptions: Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> host,
-      "subscribe" -> topics.mkString(","),
       "kafka.group.id" -> groupId) ++
+      (topicPattern match {
+        case Some(p) => Map("subscribePattern" -> p)
+        case None => Map("subscribe" -> topics.mkString(","))
+      }) ++
       fromOffset.map(o => "startingOffsets" ->
         (if (o == "beginning") "earliest" else o)) ++
       maxPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString) ++
@@ -47,19 +55,25 @@ final case class ConsumerConfig(
 }
 
 object ConsumerConfig {
-  /** Dynamic-options constructor mirroring the reference ctor contract. */
+  /** Dynamic-options constructor mirroring the reference ctor contract;
+    * `topicPattern` (regex) is accepted in place of `topic`. */
   def fromOptions(options: Map[String, Any]): ConsumerConfig = {
-    Seq("host", "topic", "groupId").foreach(Options.require(options, _))
-    val topics = options("topic") match {
-      case s: String => Seq(s)
-      case xs: Seq[_] => xs.map(_.toString)
-      case other => Seq(other.toString)
+    Seq("host", "groupId").foreach(Options.require(options, _))
+    val pattern = options.get("topicPattern").map(_.toString)
+    if (pattern.isEmpty) Options.require(options, "topic")
+    // both present → the case-class exclusivity require fires
+    val topics = options.get("topic") match {
+      case Some(s: String) => Seq(s)
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case Some(other) => Seq(other.toString)
+      case None => Seq.empty[String]
     }
     ConsumerConfig(
       host = options("host").toString,
       topics = topics,
       groupId = options("groupId").toString,
-      fromOffset = options.get("fromOffset").map(_.toString))
+      fromOffset = options.get("fromOffset").map(_.toString),
+      topicPattern = pattern)
   }
 }
 

