@@ -31,9 +31,12 @@ object VectorFunctions {
     * FoldSelfCosine optimizer rule an identity rewrite. */
   def cosine(a: Column, b: Column): Column = {
     val na = normSq(a); val nb = normSq(b)
-    when(na === 0.0 && nb === 0.0, lit(1.0))
-      .when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dot(a, b) / sqrt(na * nb))
+    val denom = sqrt(na * nb)
+    // hot path first: one condition + one division (HOF folds are
+    // interpreted, so the branch shape sets the per-row fold count);
+    // denom == 0 means at least one zero vector — 1.0 iff both are.
+    when(denom > 0, dot(a, b) / denom)
+      .otherwise(when(na === nb, lit(1.0)).otherwise(lit(0.0)))
   }
 
   /** Explicit fully-unrolled dot product for a KNOWN dimension — the
@@ -46,9 +49,9 @@ object VectorFunctions {
 
   def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
     val na = dotUnrolled(a, a, dim); val nb = dotUnrolled(b, b, dim)
-    when(na === 0.0 && nb === 0.0, lit(1.0))
-      .when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dotUnrolled(a, b, dim) / sqrt(na * nb))
+    val denom = sqrt(na * nb)
+    when(denom > 0, dotUnrolled(a, b, dim) / denom)
+      .otherwise(when(na === nb, lit(1.0)).otherwise(lit(0.0)))
   }
 
   /** DuckDB SQL text for the same unrolled dot product (1-based list

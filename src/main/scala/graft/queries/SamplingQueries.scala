@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Sampling
+import graft.functions.TextFunctions
+import graft.operators.{Packing, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling surface — reproducible in any engine with md5
@@ -36,5 +37,48 @@ object SamplingQueries {
       .orderBy(col("lang"), col("split"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45)
+  /** Sequence packing into fixed token-budget shards via the two-phase
+    * distributed prefix sum (see [[graft.operators.Packing]]); the
+    * oracle recomputes it with DuckDB's sequential window — integer
+    * token sums make the two bit-identical. */
+  val q49 = {
+    val MaxTok = 4096L
+    GQuery("q49_pack_shards",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |packed AS (
+         |  SELECT doc_id, n_tokens,
+         |    ${Packing.shardIdSql("doc_id", "n_tokens", MaxTok)} AS shard_id
+         |  FROM toks)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / $MaxTok, 4) AS fill_ratio
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val packed = Packing.packByTokenBudget(toks, "doc_id", "n_tokens", MaxTok)
+      Packing.shardSummary(packed, "n_tokens", MaxTok)
+        .orderBy(col("shard_id"))
+    }
+  }
+
+  /** Weighted training mixture: per-language keep rates applied through
+    * the same deterministic hash buckets (en 80%, de 40%, rest 10%). */
+  val q50 = GQuery("q50_mixture_sample",
+    s"""SELECT lang, count(*) AS n_docs
+       |FROM documents
+       |WHERE $bkt < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40 ELSE 10 END
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 80, "de" -> 40), defaultPct = 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[GQuery] = Seq(q44, q45, q49, q50)
 }

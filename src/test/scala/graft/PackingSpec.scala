@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+import java.security.MessageDigest
+
+/** The distributed two-phase prefix sum must agree exactly with a
+  * sequential driver-side pack over the same md5 ordering. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("packByTokenBudget equals a sequential pack (any partition count)") {
+    val docs = (1L to 500L).map(i => (i, (i % 37 + 3))).toDF("id", "n_tok")
+    val maxTok = 100L
+
+    // sequential ground truth in plain Scala
+    val seqShards = (1L to 500L).map(i => (i, i % 37 + 3))
+      .sortBy { case (i, _) => md5hex(i.toString) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, t)) => (id, cum / maxTok, cum + t) }
+      .drop(1)
+      .map { case (id, shard, _) => id -> shard }.toMap
+
+    for (parts <- Seq(1, 7, 32)) {
+      val out = Packing.packByTokenBudget(docs, "id", "n_tok", maxTok, parts)
+        .select(col("id"), col("shard_id")).as[(Long, Long)].collect().toMap
+      assert(out === seqShards, s"mismatch at parts=$parts")
+    }
+  }
+
+  test("shard summary fills shards to the token budget") {
+    val docs = (1L to 300L).map(i => (i, 10L)).toDF("id", "n_tok")
+    val packed = Packing.packByTokenBudget(docs, "id", "n_tok", 100L, parts = 8)
+    val summary = Packing.shardSummary(packed, "n_tok", 100L).collect()
+    // 300 docs × 10 tokens / 100-token shards → 30 shards, all exactly full
+    assert(summary.length === 30)
+    assert(summary.forall(_.getAs[Long]("sum_tokens") === 100L))
+    assert(summary.forall(_.getAs[Double]("fill_ratio") === 1.0))
+  }
+}
