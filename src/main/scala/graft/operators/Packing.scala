@@ -36,28 +36,44 @@ object Packing {
                         maxTokens: Long, parts: Int = 32): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     val keyed = df
+      .withColumn("__t", col(tokenCol).cast("long"))
       .withColumn("__h", md5(col(idCol).cast("string")))
       .repartitionByRange(parts, col("__h"))
       .sortWithinPartitions("__h")
       .withColumn("__pid", spark_partition_id())
 
-    // per-partition token totals → exclusive prefix offsets (tiny frame:
-    // one row per partition; the window over it is trivially cheap)
+    // per-partition token totals → exclusive prefix offsets. The census
+    // is map-side partial-aggregated, so its shuffle moves one row per
+    // partition; the window over that tiny frame is trivially cheap.
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val offsets = keyed.groupBy(col("__pid"))
-      .agg(sum(col(tokenCol)).as("__ptot"))
+      .agg(sum(col("__t")).as("__ptot"))
       .withColumn("__offset", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__offset"))
 
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__h"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    keyed
-      .join(broadcast(offsets), "__pid")
-      .withColumn("__start",
-        col("__offset") + coalesce(sum(col(tokenCol)).over(wIn), lit(0L)))
+    // Running sum WITHIN each sorted partition. A Window.partitionBy(pid)
+    // would re-shuffle the full data by pid even though rows are already
+    // partition-local, so this is the one genuinely per-partition
+    // imperative step: a mapPartitions prefix sum over rows the broadcast
+    // join delivered in sorted order (BHJ preserves streamed-side order).
+    val joined = keyed.join(broadcast(offsets), "__pid")
+    val outSchema = joined.schema
+      .add("__start", org.apache.spark.sql.types.LongType, nullable = false)
+    val tIdx = joined.schema.fieldIndex("__t")
+    val offIdx = joined.schema.fieldIndex("__offset")
+    val withStart = joined.mapPartitions { rows =>
+      var cum = -1L
+      rows.map { r =>
+        if (cum < 0) cum = r.getLong(offIdx)
+        val start = cum
+        cum += r.getLong(tIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    withStart
       .withColumn("shard_id", floor(col("__start") / maxTokens))
-      .drop("__h", "__pid", "__offset", "__start")
+      .drop("__t", "__h", "__pid", "__offset", "__start")
   }
 
   /** DuckDB SQL fragment computing the same shard id with a sequential

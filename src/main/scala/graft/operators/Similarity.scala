@@ -126,48 +126,49 @@ object Similarity {
       aggregate(zip_with(v, cent, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
 
-    // nearest-centroid assignment against a broadcast centroid frame
-    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("corpus_id")).orderBy(col("d2"), col("cid"))
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("d2", dist2(col("cv"), col("cent")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+    // Centroids live driver-side between steps (an nlist×dim matrix, the
+    // k-means state every implementation keeps), so nearest-centroid
+    // assignment is a PURE MAP: an argmin over literal centroid vectors —
+    // array_min over (d2, cid) structs — with no join, no window, and no
+    // shuffle of the vector column. Ties break to the smaller cid.
+    def distStructs(v: Column, cents: Array[(Int, Array[Double])]): Column =
+      array(cents.map { case (cid, cent) =>
+        struct(dist2(v, typedLit(cent.toSeq)).as("d2"), lit(cid).as("cid"))
+      }: _*)
+    def assign(vecs: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+      vecs.withColumn("cid", array_min(distStructs(col("cv"), cents)).getField("cid"))
         .select(col("corpus_id"), col("cv"), col("cid"))
-    }
 
     // deterministic seeding: the nlist vectors with smallest md5(id)
     import spark.implicits._
-    var centroids: DataFrame = train
+    var centroids: Array[(Int, Array[Double])] = train
       .withColumn("h", md5(col("corpus_id").cast("string")))
       .orderBy("h").limit(nlist)
-      .select(col("cv").as("cent"), col("h"))
-      .withColumn("cid", row_number().over(Window.orderBy(col("h"))) - 1)
-      .drop("h")
+      .select(col("h"), col("cv")).as[(String, Seq[Double])].collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i, v.toArray) }
     for (_ <- 1 to iters) {
       val assigned = assign(train, centroids)
       // per-dimension mean, rounded so summation order can't leak in
-      val next = assigned
+      centroids = assigned
         .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(round(avg(col("x")), 6).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .getField("m").as("cent"))
-      // collect only the nlist×dim matrix; broadcast it back out
-      val mat = next.select(col("cid"), col("cent"))
         .as[(Int, Seq[Double])].collect().sortBy(_._1)
-      centroids = mat.toSeq.toDF("cid", "cent")
+        .map { case (cid, v) => (cid, v.toArray) }
     }
 
     val indexed = assign(c, centroids)  // corpus → inverted lists, once
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("qv0"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("qv0"), col("cent")))
-      .withColumn("pr", row_number().over(wq))
-      .where(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv0"), col("cid"))
+    // nprobe nearest centroids per query: sort the same literal distance
+    // array, slice, explode — again a pure map
+    val probes = q
+      .withColumn("pc", explode(slice(
+        array_sort(distStructs(col("qv0"), centroids)), 1, nprobe)))
+      .select(col("query_id"), col("qv0"), col("pc.cid").as("cid"))
     val pairs = indexed.join(broadcast(probes), Seq("cid"))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
     val scored = pairs.withColumn("cosine",
