@@ -199,6 +199,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs: every document gets
+    * a `cluster_rep` — the smallest id reachable through the dup graph —
+    * so "keep one per cluster" is `where(id === cluster_rep)`. Docs in no
+    * pair are their own singleton cluster.
+    *
+    * Algorithm: iterative min-label propagation (the hash-min step of
+    * the MapReduce connected-components family): each round every vertex
+    * takes the min of its own label and its neighbors' labels — one
+    * equi-join + one aggregate per round, converging in O(cluster
+    * diameter) rounds (near-dup clusters are dense, so 2-4 in practice;
+    * `maxIters` bounds pathological chains). The driver loop only checks
+    * a convergence COUNT per round — cluster state never leaves the
+    * executors. */
+  def dupClusters(docs: DataFrame, idCol: String,
+                  pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // The pair graph may be an expensive pipeline (e.g. jaccardPairs) —
+    // materialize it ONCE; every iteration joins against this copy. The
+    // iteration runs over the PAIR-GRAPH VERTICES only (docs that have a
+    // near-dup — a small derived set even at full scale), so each round
+    // is a pair of joins on a frame the size of the dup population, not
+    // the corpus; the corpus is touched once at the end.
+    // localCheckpoint (not just persist) on every iterative frame: it
+    // TRUNCATES the logical plan, which otherwise doubles per round
+    // (labels feeds both the propagation join and the update join) and
+    // drives optimizer time exponential. On a multi-node cluster the
+    // durable variant is checkpoint(dir) — same shape, fault-tolerant.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so sum(rep) strictly decreases while
+    // anything changes — a one-aggregate convergence probe, no self-join
+    var prevSum = Option(labels.agg(sum(col("rep"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("rep_d")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("rep_d")).as("nbr_min"))
+        .select(col("src").as("id"), col("nbr_min"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val curSum = Option(next.agg(sum(col("rep"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+      it += 1
+    }
+    // singletons (no pair) are their own cluster
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("cluster_rep"))
+  }
+
   /** 64-bit SimHash as a bit string, built from md5 nibbles so the exact
     * same signature is computable in any engine with md5 — no
     * engine-specific hash. Bit b of token t = bit (b mod 4) of hex nibble

@@ -103,6 +103,39 @@ object DedupQueries {
     }.copy(headline = true)
   }
 
+  /** Near-dup clusters: connected components over the q24 pair graph;
+    * the oracle recomputes reachability with a recursive CTE. Output is
+    * the keep-list view every dedup pipeline ends with. */
+  val q51 = GQuery("q51_dedup_clusters",
+    s"""WITH RECURSIVE $shingleCtes,
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, rep) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, min(rep) AS cluster_rep,
+       |  CAST(count(*) OVER (PARTITION BY min(rep)) AS BIGINT) AS cluster_size
+       |FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", N, MinJ)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
+    Dedup.dupClusters(docs, "doc_id", pairs)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   /** Portable 64-bit SimHash signatures (md5-nibble construction). */
   val q26 = GQuery("q26_simhash",
     """WITH tok AS (
@@ -125,5 +158,5 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q23, q24, q25, q26)
+  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51)
 }

@@ -36,6 +36,11 @@ object syntax {
                      maxDocFreq: Option[Int] = Some(10000)): DataFrame =
       Dedup.jaccardPairs(df, idCol, textCol, n, minJaccard, maxDocFreq)
 
+    def nearDupClusters(idCol: String, textCol: String, n: Int = 3,
+                        minJaccard: Double = 0.8): DataFrame =
+      Dedup.dupClusters(df, idCol,
+        Dedup.jaccardPairs(df, idCol, textCol, n, minJaccard))
+
     def minhashNearDups(idCol: String, textCol: String, n: Int = 3,
                         k: Int = 9, bands: Int = 3,
                         minJaccard: Double = 0.8): DataFrame =

@@ -62,6 +62,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.contains((1L, 4L)))    // identical docs always collide
   }
 
+  test("dupClusters: min-label propagation spans chains, singletons keep themselves") {
+    import graft.operators.Dedup
+    // chain 1-2, 2-3, 3-4 (diameter 3 forces multiple rounds); 5-6 pair; 7 alone
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("simhash: identical docs equal; near-dups closer than unrelated") {
     def hamming(a: String, b: String): Int = a.zip(b).count(p => p._1 != p._2)
     val sigs = Dedup.simhash(docs.where(col("doc_id") < 5), "doc_id", "text")
