@@ -199,6 +199,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one word n-gram with the benchmark/eval set — the standard
+    * guard against test-set leakage in pretraining corpora.
+    *
+    * Scale shape: the benchmark shingle vocabulary is small (eval sets
+    * are thousands of rows, not billions), so it is distinct-ed and
+    * BROADCAST against the exploded corpus index — no shuffle of the
+    * corpus at all; the per-doc hit count is one map-side-combined
+    * aggregate. */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchIdCol: String,
+                         benchTextCol: String, n: Int = 3): DataFrame = {
+    val bsh = shingleSets(bench, benchIdCol, benchTextCol, n)
+      .select(explode(col("shset")).as("s")).distinct()
+    val hits = shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("shset")).as("s"))
+      .join(broadcast(bsh), "s")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over near-duplicate pairs: every document gets
     * a `cluster_rep` — the smallest id reachable through the dup graph —
     * so "keep one per cluster" is `where(id === cluster_rep)`. Docs in no

@@ -136,6 +136,28 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination: docs sharing any trigram with the
+    * stand-in benchmark slice (doc_id % 97 == 0) get flagged. */
+  val q52 = GQuery("q52_decontaminate",
+    s"""WITH $shingleCtes,
+       |bsh AS (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT unnest(shset) AS s FROM sh WHERE doc_id % 97 = 0)),
+       |hits AS (
+       |  SELECT e.doc_id, count(*) AS n_hits
+       |  FROM ex e JOIN bsh USING (s)
+       |  GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  coalesce(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    Dedup.contaminationFlags(docs, "doc_id", "text", bench, "doc_id", "text", N)
+      .orderBy(col("doc_id"))
+  }
+
   /** Portable 64-bit SimHash signatures (md5-nibble construction). */
   val q26 = GQuery("q26_simhash",
     """WITH tok AS (
@@ -158,5 +180,5 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51)
+  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51, q52)
 }

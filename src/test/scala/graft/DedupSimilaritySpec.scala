@@ -73,6 +73,20 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("contaminationFlags: docs sharing a benchmark n-gram get flagged, others not") {
+    import graft.operators.Dedup
+    val bench = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "some training text with the secret benchmark answer inside it"),
+      (2L, "completely unrelated content about other things entirely"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.contaminationFlags(corpus, "doc_id", "text", bench, "bid", "btext")
+      .orderBy("doc_id")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toSeq
+    assert(out === Seq(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("simhash: identical docs equal; near-dups closer than unrelated") {
     def hamming(a: String, b: String): Int = a.zip(b).count(p => p._1 != p._2)
     val sigs = Dedup.simhash(docs.where(col("doc_id") < 5), "doc_id", "text")
