@@ -54,6 +54,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters equals union-find on random graphs") {
+    val nVerts = 30
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(1L, nVerts.toLong), Gen.chooseNum(1L, nVerts.toLong)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    for (edges <- samples(edgeGen, 5)) {
+      // driver-side union-find ground truth (min id as representative)
+      val parent = scala.collection.mutable.Map((1L to nVerts).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = (1L to nVerts).map(i => i -> find(i)).toMap
+
+      val verts = (1L to nVerts).map(Tuple1(_)).toDF("id")
+      val pairsDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val out = Dedup.dupClusters(verts, "id", pairsDf)
+        .as[(Long, Long)].collect().toMap
+      assert(out === truth)
+    }
+  }
+
   test("fingerprint ignores case/whitespace, distinguishes content") {
     for ((a, b) <- samples(Gen.zip(doc, doc), 8)) {
       val r = Seq((a, b)).toDF("a", "b").select(
