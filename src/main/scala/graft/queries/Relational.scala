@@ -50,9 +50,13 @@ object Relational {
   /** Filter + project + top-N: predicate and both referenced columns push
     * into the parquet scan; ORDER BY ... LIMIT becomes TakeOrdered (no
     * full sort materialization). */
+  // revenue rounding is floor(x*100 + 0.5)/100 on BOTH engines: engine
+  // round() differs on half-ULP boundaries (Spark HALF_UP said 8285.43
+  // where DuckDB's round of the same double said 8285.42 at sf0.001);
+  // pure double arithmetic is bit-identical everywhere.
   val q02 = GQuery("q02_filter_project",
     """SELECT l_orderkey, l_linenumber,
-      |  round(l_extendedprice * (1 - l_discount), 2) AS revenue
+      |  floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue
       |FROM lineitem
       |WHERE l_quantity > 45
       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -64,7 +68,8 @@ object Relational {
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+        (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5) / 100)
+          .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(100)
   }
