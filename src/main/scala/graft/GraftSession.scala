@@ -21,6 +21,12 @@ object GraftSession {
     // testdata's events.ts is TIMESTAMP(NANOS) which Spark cannot read
     // natively; read as long (Tables.events converts to micros timestamp)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // static conf — the default generated-code cache holds only 100
+    // entries; a workload of ~50 multi-stage queries compiles ~500
+    // codegen units, so the default thrashes and EVERY run pays full
+    // janino recompilation (5-8x steady-state cost). Size it to hold the
+    // whole workload once.
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
     // static conf — must be set at session build; bucketed-table tests
     // and any saveAsTable land here instead of ./spark-warehouse
     .config("spark.sql.warehouse.dir",

@@ -23,13 +23,24 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle-set) pairs: distinct word n-grams per document. */
+  /** (id, shingle-set) pairs: distinct word n-grams per document.
+    * The (id, text) projection is fanned out first: shingling is
+    * interpreted higher-order-function work many times the input size,
+    * and must not stay fused into a one-task scan of a small file. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ws"))
+    FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
       .where(size(col("ws")) >= n)
+      // the when-guard makes the expression TOTAL: predicate pushdown +
+      // codegen subexpression elimination can evaluate it on rows the
+      // size filter would discard (sequence(0, size-n) turns descending
+      // for short rows and slice(…, 0, …) throws); the guarded branch is
+      // never taken for surviving rows, `where` stays authoritative
       .select(col("id"), array_distinct(
-        transform(sequence(lit(0), size(col("ws")) - n),
-          i => concat_ws(" ", slice(col("ws"), i + 1, lit(n))))).as("shset"))
+        when(size(col("ws")) >= n,
+          transform(sequence(lit(0), size(col("ws")) - n),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))
+          .otherwise(slice(col("ws"), 1, 0))).as("shset"))
 
   /** All-pairs shingle Jaccard ≥ `minJaccard` via inverted-index join:
     * explode shingles, self-join on the shingle (equi-shuffle join),
@@ -224,6 +235,27 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Exact-substring decontamination: flag every document whose text
+    * contains ANY of the probe strings verbatim (the GPT-3/Pile-style
+    * "exact overlap" check, complementing the n-gram overlap of
+    * [[contaminationFlags]] — a probe hits even when tokenization
+    * differs).
+    *
+    * Scale shape: eval-set probes are small by construction, so they are
+    * collected into ONE array row and broadcast (a 1-row broadcast
+    * nested loop); the corpus does a single pass with a short-circuiting
+    * `exists` per row — no shuffle, no explosion. For probe sets beyond
+    * broadcast size the n-gram path is the right tool. */
+  def substringContamination(docs: DataFrame, idCol: String, textCol: String,
+                             probes: DataFrame, probeCol: String): DataFrame = {
+    val parr = probes
+      .agg(array_sort(collect_list(col(probeCol))).as("__probes"))
+    docs.select(col(idCol), col(textCol).as("__text"))
+      .crossJoin(broadcast(parr))
+      .select(col(idCol),
+        exists(col("__probes"), p => col("__text").contains(p)).as("contaminated"))
+  }
+
   /** Connected components over near-duplicate pairs: every document gets
     * a `cluster_rep` — the smallest id reachable through the dup graph —
     * so "keep one per cluster" is `where(id === cluster_rep)`. Docs in no
@@ -243,18 +275,23 @@ object Dedup {
     // materialize it ONCE; every iteration joins against this copy. The
     // iteration runs over the PAIR-GRAPH VERTICES only (docs that have a
     // near-dup — a small derived set even at full scale), so each round
-    // is a pair of joins on a frame the size of the dup population, not
-    // the corpus; the corpus is touched once at the end.
+    // is one join + one aggregate on a frame the size of the dup
+    // population, not the corpus; the corpus is touched once at the end.
     // localCheckpoint (not just persist) on every iterative frame: it
     // TRUNCATES the logical plan, which otherwise doubles per round
-    // (labels feeds both the propagation join and the update join) and
-    // drives optimizer time exponential. On a multi-node cluster the
+    // (labels feeds both the propagation join and the self-label union)
+    // and drives optimizer time exponential. On a multi-node cluster the
     // durable variant is checkpoint(dir) — same shape, fault-tolerant.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // init rep(v) = min(v ∪ neighbors): the first hash-min propagation
+    // round folded into one aggregate over the symmetric edge list (every
+    // vertex appears as src). Dense near-dup clusters (cliques) converge
+    // here already, so the loop usually runs once just to confirm.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("rep"))
       .localCheckpoint(true)
     // labels only ever decrease, so sum(rep) strictly decreases while
     // anything changes — a one-aggregate convergence probe, no self-join
@@ -263,14 +300,16 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
+      // min over neighbors' labels ∪ own label: one shuffle join on the
+      // edge list plus a union with the self-labels, folded by one
+      // map-side-partial min aggregate (vs join + agg + second update
+      // join in the naive form).
       val prop = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("rep_d")), "dst")
-        .groupBy(col("src"))
-        .agg(min(col("rep_d")).as("nbr_min"))
-        .select(col("src").as("id"), col("nbr_min"))
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
+        .select(col("src").as("id"), col("rep_d").as("rep"))
+      val next = prop.unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
       val curSum = Option(next.agg(sum(col("rep"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -291,8 +330,8 @@ object Dedup {
     * (b div 4) of md5(t); signature bit = majority vote over tokens
     * (ties → 1). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val tok = FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(TextFunctions.tokens(col("__text"))).as("w"))
       .withColumn("h", md5(col("w")))
     // one row per (token, nibble index 0..15)
     val nib = tok.select(col("id"), col("h"), explode(sequence(lit(0), lit(15))).as("i"))

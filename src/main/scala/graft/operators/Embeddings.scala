@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column preparation: L2 normalization and deterministic
+  * symmetric int8 quantization — the storage/serving transforms an
+  * embedding pipeline applies after generation (normalize for cosine =
+  * dot, quantize 4× smaller for ANN index shipping).
+  *
+  * Per-row maps only (no shuffle); outputs are integer-exact so any
+  * engine reproduces them bit-for-bit. Double-precision math throughout
+  * (`x * (127 / maxabs)` evaluated in the same order everywhere).
+  */
+object Embeddings {
+
+  /** x / |x|₂ as array<double>; zero vectors stay zero. */
+  def l2Normalize(v: Column): Column = {
+    val n = graft.functions.VectorFunctions.norm(v)
+    when(n > 0, transform(v, x => x.cast("double") / n))
+      .otherwise(transform(v, x => x.cast("double")))
+  }
+
+  /** Symmetric int8 quantization of `vecCol`: scale = 127 / max|x|,
+    * q_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. Emits the id, the
+    * rounded scale denominator, and integer checksums of the quantized
+    * vector (sum and L1) — order-independent, engine-exact. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    FanOut(df.select(col(idCol), col(vecCol).as("__v")))
+      .withColumn("__maxabs",
+        array_max(transform(col("__v"), x => abs(x.cast("double")))))
+      .withColumn("__scale",
+        when(col("__maxabs") > 0, lit(127.0) / col("__maxabs")).otherwise(lit(0.0)))
+      .withColumn("__q", transform(col("__v"),
+        x => floor(x.cast("double") * col("__scale") + lit(0.5)).cast("long")))
+      .select(col(idCol),
+        round(col("__maxabs"), 6).as("max_abs"),
+        aggregate(col("__q"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+        aggregate(col("__q"), lit(0L), (acc, q) => acc + abs(q)).as("q_l1"))
+}

@@ -25,7 +25,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String,
                      k: Int, dim: Int, excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val c = FanOut(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val pairs = c.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
@@ -45,8 +45,8 @@ object Similarity {
                   idCol: String, vecCol: String,
                   k: Int, dim: Int, bits: Int = 8,
                   excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), bits).as("bucket"))
+    val c = FanOut(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
     val pairs = c.join(broadcast(q), Seq("bucket"))
@@ -69,8 +69,8 @@ object Similarity {
                             idCol: String, vecCol: String,
                             k: Int, dim: Int, bits: Int = 8,
                             excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), bits).as("bucket"))
+    val c = FanOut(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket")))
     val flips = (0 until bits).map { i =>
       val pre = if (i > 0) substring(col("b0"), 1, i) else lit("")
       val bit = when(substring(col("b0"), i + 1, 1) === "1", "0").otherwise("1")
@@ -117,8 +117,8 @@ object Similarity {
               excludeSelf: Boolean = true): DataFrame = {
     require(nprobe <= nlist, "nprobe must be ≤ nlist")
     val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("corpus_id"),
-      transform(col(vecCol), _.cast("double")).as("cv"))
+    val c = FanOut(corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv")))
     val train = (if (trainMod > 1)
       c.where(pmod(abs(hash(col("corpus_id"))), lit(trainMod)) === 0) else c)
 
@@ -186,8 +186,8 @@ object Similarity {
     * of MinHash candidate generation. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          dim: Int, threshold: Double, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
+    val c = FanOut(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits).as("bucket")))
     c.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
       .join(c.select(col("id").as("id_b"), col("v").as("vb"), col("bucket")), Seq("bucket"))
       .where(col("id_a") < col("id_b"))

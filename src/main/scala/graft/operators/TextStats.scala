@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators for training-data quality pipelines:
+  * repetition signals (the Gopher/C4 family of quality filters),
+  * winnowing document fingerprints (the MOSS scheme), and corpus-level
+  * n-gram counts.
+  *
+  * Scale design: per-document metrics explode to (doc, gram) rows and
+  * aggregate back — both aggregates are map-side partial, shuffles are
+  * keyed on (doc, gram) / doc so data distributes evenly; corpus-level
+  * counts are the classic word-count shape (partial agg then one shuffle
+  * keyed on the gram). All hashing is md5-derived so any engine
+  * reproduces the exact values.
+  */
+object TextStats {
+
+  /** Positional word n-grams — NOT deduplicated, with 0-based position:
+    * (id, pos, s). The raw stream repetition and fingerprint operators
+    * consume. */
+  def posShingles(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
+      .where(size(col("ws")) >= n)
+      // when-guard for totality under predicate pushdown — see
+      // [[Dedup.shingleSets]]
+      .select(col("id"), posexplode(
+        when(size(col("ws")) >= n,
+          transform(sequence(lit(0), size(col("ws")) - n),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))
+          .otherwise(slice(col("ws"), 1, 0))))
+      .toDF("id", "pos", "s")
+
+  /** Per-document repetition quality signals (the Gopher-style filters):
+    * token count, distinct-token fraction, and the fraction of all
+    * bigrams taken by the single most frequent bigram. High top-bigram
+    * fraction or low distinct fraction flags boilerplate/spam for
+    * pretraining-corpus filtering. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
+      .where(size(col("ws")) >= 1)
+      .select(col("id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("ws"))).cast("double") /
+          size(col("ws")), 4).as("frac_distinct"))
+    val bigram = posShingles(df, idCol, textCol, 2)
+      .groupBy(col("id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(round(max(col("c")).cast("double") /
+        sum(col("c")).cast("double"), 4).as("top_bigram_frac"))
+    base.join(bigram, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("frac_distinct"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * positional n-gram (48-bit md5 prefix), slide a window of `w`
+    * consecutive hashes, keep the min of each window; a document's
+    * fingerprint set is the distinct selected hashes. Guarantees any
+    * shared run of ≥ n + w - 1 tokens yields a shared fingerprint —
+    * positional near-dup detection that whole-set Jaccard can't give.
+    *
+    * One window pass per document partition (keyed shuffle on doc id),
+    * then a per-doc aggregate — no pairwise work. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, w: Int = 4): DataFrame = {
+    val hashed = posShingles(df, idCol, textCol, n)
+      .withColumn("h", conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val m = Window.partitionBy(col("id"))
+    hashed
+      .withColumn("fp", min(col("h")).over(win))
+      .withColumn("n_pos", count(lit(1)).over(m))
+      .where(col("pos") <= col("n_pos") - w)   // only full windows
+      .groupBy(col("id"))
+      .agg(countDistinct(col("fp")).as("n_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+  }
+
+  /** Corpus-level top-k n-grams by occurrence (positional, not
+    * per-doc-distinct): the word-count shape — map-side partial count,
+    * one shuffle on the gram, deterministic (count desc, gram) top-k. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame =
+    posShingles(df, idCol, textCol, n)
+      .groupBy(col("s")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("s"))
+      .limit(k)
+}

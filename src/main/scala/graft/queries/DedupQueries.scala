@@ -158,6 +158,23 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring decontamination: 64-char prefixes of the stand-in
+    * benchmark slice as verbatim probes (complement of q52's n-gram
+    * overlap — see [[graft.operators.Dedup.substringContamination]]). */
+  val q53 = GQuery("q53_substring_decontam",
+    """WITH probes AS (
+      |  SELECT substr(text, 1, 64) AS probe FROM documents WHERE doc_id % 97 = 0)
+      |SELECT d.doc_id,
+      |  EXISTS (SELECT 1 FROM probes p WHERE contains(d.text, p.probe)) AS contaminated
+      |FROM documents d
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val probes = docs.where(col("doc_id") % 97 === 0)
+      .select(substring(col("text"), 1, 64).as("probe"))
+    Dedup.substringContamination(docs, "doc_id", "text", probes, "probe")
+      .orderBy(col("doc_id"))
+  }
+
   /** Portable 64-bit SimHash signatures (md5-nibble construction). */
   val q26 = GQuery("q26_simhash",
     """WITH tok AS (
@@ -180,5 +197,5 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51, q52)
+  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51, q52, q53)
 }

@@ -80,5 +80,24 @@ object SamplingQueries {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q49, q50)
+  /** Deterministic k-per-group sample: the md5-ordered first 20 docs of
+    * every language — RNG-free group-wise subsampling (the per-stratum
+    * counterpart of q50's rate-based mixture). */
+  val q57 = GQuery("q57_group_sample",
+    """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20
+      |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+      .where(col("rn") <= 20)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57)
 }

@@ -114,5 +114,32 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  val all: Seq[GQuery] = Seq(q31, q31b, q32, q32b, q33)
+  /** Deterministic symmetric int8 quantization of the embedding column
+    * (see [[graft.operators.Embeddings.quantizeInt8]]) — integer
+    * checksums make the float→int8 transform engine-exact. */
+  val q55 = GQuery("q55_quantize_int8",
+    """WITH mx AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, embedding, maxabs,
+      |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+      |  FROM mx),
+      |qv AS (
+      |  SELECT vec_id, round(maxabs, 6) AS max_abs,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
+      |  FROM sc)
+      |SELECT vec_id, max_abs,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+      |FROM qv
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    graft.operators.Embeddings.quantizeInt8(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q31, q31b, q32, q32b, q33, q55)
 }

@@ -123,5 +123,80 @@ object TextQueries {
       .orderBy(col("doc"), col("rn"))
   }
 
-  val all: Seq[GQuery] = Seq(q27, q28, q29, q30, q43)
+  /** Shared oracle CTE: whitespace tokens per document. */
+  private val tokCte =
+    """tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents)""".stripMargin
+
+  /** Gopher-style repetition quality signals (see
+    * [[graft.operators.TextStats.repetitionStats]]). */
+  val q54 = GQuery("q54_repetition_stats",
+    s"""WITH $tokCte,
+       |base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS frac_distinct
+       |  FROM tok WHERE len(ws) >= 1),
+       |big AS (
+       |  SELECT doc_id,
+       |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+       |  FROM tok WHERE len(ws) >= 2),
+       |cnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+       |tb AS (
+       |  SELECT doc_id,
+       |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens, b.frac_distinct,
+       |  coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
+       |FROM base b LEFT JOIN tb USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("frac_distinct"),
+        col("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (see
+    * [[graft.operators.TextStats.winnowingFingerprints]]): n=3, w=4. */
+  val q56 = GQuery("q56_winnowing",
+    s"""WITH $tokCte,
+       |pos AS (
+       |  SELECT doc_id, u.pos AS pos, m, u.s AS s FROM (
+       |    SELECT doc_id, len(ws) - 2 AS m,
+       |      unnest([{'pos': i, 's': ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]}
+       |              for i in range(1, len(ws) - 1)]) AS u
+       |    FROM tok WHERE len(ws) >= 3)),
+       |fp AS (
+       |  SELECT doc_id, pos, m,
+       |    min(CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT))
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM pos),
+       |kept AS (SELECT doc_id, fp FROM fp WHERE pos <= m - 3)
+       |SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+       |  min(fp) AS min_fp, max(fp) AS max_fp
+       |FROM kept GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.winnowingFingerprints(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4)
+      .select(col("id").as("doc_id"), col("n_fp"), col("min_fp"), col("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level top-25 trigrams — the word-count shape (see
+    * [[graft.operators.TextStats.topNgrams]]). */
+  val q58 = GQuery("q58_top_ngrams",
+    s"""WITH $tokCte,
+       |tri AS (
+       |  SELECT unnest(
+       |    [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] for i in range(1, len(ws) - 1)]) AS s
+       |  FROM tok WHERE len(ws) >= 3)
+       |SELECT s, count(*) AS n_occurrences
+       |FROM tri GROUP BY s
+       |ORDER BY n_occurrences DESC, s LIMIT 25""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.topNgrams(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, k = 25)
+  }
+
+  val all: Seq[GQuery] = Seq(q27, q28, q29, q30, q43, q54, q56, q58)
 }

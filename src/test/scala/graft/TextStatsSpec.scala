@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Dedup, Embeddings, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: repetition stats, winnowing fingerprints, corpus
+  * n-grams, exact-substring decontamination, int8 quantization. */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: boilerplate scores high top-bigram fraction") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),         // one bigram dominates
+      (2L, "each word here appears exactly once okay"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("frac_distinct"),
+          r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(!out.contains(3L))                        // empty doc dropped
+    assert(out(1L)._1 === 8L)
+    assert(out(1L)._2 === 0.25)                      // 2 distinct / 8
+    // "now buy" appears 3 of 7 bigrams; "buy now" 4 of 7
+    assert(out(1L)._3 === round4(4.0 / 7))
+    assert(out(2L)._2 === 1.0)
+    assert(out(2L)._3 === round4(1.0 / 6))
+  }
+
+  private def round4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
+  test("winnowing guarantee: docs sharing a run of >= n+w-1 tokens share a fingerprint") {
+    val shared = "alpha bravo charlie delta echo foxtrot"  // 6 tokens = n+w-1
+    val docs = Seq(
+      (1L, s"unrelated prefix words here $shared and trailing junk"),
+      (2L, s"totally other opening tokens $shared plus different tail"),
+      (3L, "nothing in common with either document at all")).toDF("doc_id", "text")
+    val fps = TextStats.winnowingFingerprints(docs, "doc_id", "text", n = 3, w = 4)
+    // recompute the selected fingerprint SETS per doc for the overlap check
+    val hashed = TextStats.posShingles(docs, "doc_id", "text", 3)
+      .withColumn("h", conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long"))
+      .collect().groupBy(_.getAs[Long]("id"))
+      .map { case (id, rows) =>
+        val hs = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("h")).toVector
+        id -> hs.sliding(4).filter(_.size == 4).map(_.min).toSet
+      }
+    assert((hashed(1L) intersect hashed(2L)).nonEmpty)
+    assert((hashed(1L) intersect hashed(3L)).isEmpty)
+    // operator output agrees with the recomputation
+    val out = fps.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_fp")).toMap
+    assert(out(1L) === hashed(1L).size && out(2L) === hashed(2L).size)
+  }
+
+  test("topNgrams counts positional occurrences, deterministic order") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),   // "a b c" x3 (positions), "b c a" x2, "c a b" x2
+      (2L, "a b c only once")).toDF("doc_id", "text")
+    val out = TextStats.topNgrams(docs, "doc_id", "text", n = 3, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out.head === ("a b c", 4L))               // 3 in doc1 + 1 in doc2
+    assert(out(1)._2 === 2L)
+  }
+
+  test("substringContamination flags verbatim probe hits only") {
+    val probes = Seq("secret eval passage", "another probe").toDF("probe")
+    val docs = Seq(
+      (1L, "contains the secret eval passage inside"),
+      (2L, "secret eval but not the full phrase"),
+      (3L, "another probe appears here")).toDF("doc_id", "text")
+    val out = Dedup.substringContamination(docs, "doc_id", "text", probes, "probe")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("quantizeInt8: extreme element maps to ±127, zero vector to all zeros") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("max_abs"), r.getAs[Long]("q_sum"), r.getAs[Long]("q_l1"))).toMap
+    // scale = 127; q = (64, -127, 32) → sum -31, l1 223
+    assert(out(1L) === ((1.0, -31L, 223L)))
+    assert(out(2L) === ((0.0, 0L, 0L)))
+  }
+
+  test("l2Normalize: unit norm afterwards; zero vector unchanged") {
+    val vecs = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+        Embeddings.l2Normalize(col("embedding")).as("nv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(math.abs(out(1L).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(out(2L) === Seq(0.0, 0.0))
+  }
+}
