@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokens with empties dropped. */
+  // array_remove(split(...)) over a filter() lambda: identical result
+  // (split never yields nulls), but array_remove is a codegen'd native
+  // expression while higher-order filter is interpreted — this sits in
+  // the hot path of every tokenize-heavy operator
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    array_remove(split(text, " "), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
