@@ -115,30 +115,39 @@ object Similarity {
               k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 5, trainMod: Int = 1,
               excludeSelf: Boolean = true): DataFrame = {
-    require(nprobe <= nlist, "nprobe must be ≤ nlist")
+    val centroids = ivfTrain(corpus, idCol, vecCol, nlist, iters, trainMod)
+    ivfProbe(ivfAssign(corpus, idCol, vecCol, centroids), centroids,
+      queries, idCol, vecCol, k, nprobe, excludeSelf)
+  }
+
+  private def dist2(v: Column, cent: Column): Column =
+    aggregate(zip_with(v, cent, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  // Centroids live driver-side between steps (an nlist×dim matrix, the
+  // k-means state every implementation keeps), so nearest-centroid
+  // assignment is a PURE MAP: an argmin over literal centroid vectors —
+  // array_min over (d2, cid) structs — with no join, no window, and no
+  // shuffle of the vector column. Ties break to the smaller cid.
+  private def distStructs(v: Column, cents: Array[(Int, Array[Double])]): Column =
+    array(cents.map { case (cid, cent) =>
+      struct(dist2(v, typedLit(cent.toSeq)).as("d2"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Train IVF centroids: deterministic Lloyd k-means (md5-ordered
+    * seeding, fixed iteration count, 6-dp-rounded means so float
+    * summation order cannot flip an assignment). Returns the nlist×dim
+    * centroid matrix — the persistable "index model": at scale, train
+    * once on a hash-sample, store the matrix, and reuse it across every
+    * query batch and incremental corpus assignment. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, iters: Int = 5,
+               trainMod: Int = 1): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     val c = FanOut(corpus.select(col(idCol).as("corpus_id"),
       transform(col(vecCol), _.cast("double")).as("cv")))
     val train = (if (trainMod > 1)
       c.where(pmod(abs(hash(col("corpus_id"))), lit(trainMod)) === 0) else c)
-
-    def dist2(v: Column, cent: Column): Column =
-      aggregate(zip_with(v, cent, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-
-    // Centroids live driver-side between steps (an nlist×dim matrix, the
-    // k-means state every implementation keeps), so nearest-centroid
-    // assignment is a PURE MAP: an argmin over literal centroid vectors —
-    // array_min over (d2, cid) structs — with no join, no window, and no
-    // shuffle of the vector column. Ties break to the smaller cid.
-    def distStructs(v: Column, cents: Array[(Int, Array[Double])]): Column =
-      array(cents.map { case (cid, cent) =>
-        struct(dist2(v, typedLit(cent.toSeq)).as("d2"), lit(cid).as("cid"))
-      }: _*)
-    def assign(vecs: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
-      vecs.withColumn("cid", array_min(distStructs(col("cv"), cents)).getField("cid"))
-        .select(col("corpus_id"), col("cv"), col("cid"))
-
     // deterministic seeding: the nlist vectors with smallest md5(id)
     import spark.implicits._
     var centroids: Array[(Int, Array[Double])] = train
@@ -148,7 +157,8 @@ object Similarity {
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i, v.toArray) }
     for (_ <- 1 to iters) {
-      val assigned = assign(train, centroids)
+      val assigned = train.withColumn("cid",
+        array_min(distStructs(col("cv"), centroids)).getField("cid"))
       // per-dimension mean, rounded so summation order can't leak in
       centroids = assigned
         .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
@@ -159,8 +169,28 @@ object Similarity {
         .as[(Int, Seq[Double])].collect().sortBy(_._1)
         .map { case (cid, v) => (cid, v.toArray) }
     }
+    centroids
+  }
 
-    val indexed = assign(c, centroids)  // corpus → inverted lists, once
+  /** Assign every corpus vector to its nearest centroid — the inverted
+    * list build, (corpus_id, cv, cid). Pure map, no shuffle: at 100 TB
+    * this frame is written ONCE as a table partitioned by `cid` and read
+    * back per query batch instead of recomputed. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[(Int, Array[Double])]): DataFrame =
+    FanOut(corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv")))
+      .withColumn("cid", array_min(distStructs(col("cv"), centroids)).getField("cid"))
+      .select(col("corpus_id"), col("cv"), col("cid"))
+
+  /** Probe a built IVF index: each query scores only the inverted lists
+    * of its `nprobe` nearest centroids (a broadcast equi-join on cid —
+    * ~nprobe/nlist of the corpus per query). */
+  def ivfProbe(indexed: DataFrame, centroids: Array[(Int, Array[Double])],
+               queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nprobe: Int = 4,
+               excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe <= centroids.length, "nprobe must be ≤ nlist")
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("qv0"))
     // nprobe nearest centroids per query: sort the same literal distance

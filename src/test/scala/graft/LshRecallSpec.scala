@@ -51,4 +51,24 @@ class LshRecallSpec extends SparkSpec {
       .orderBy("query_id", "rn").collect().toSeq
     assert(run() === run())
   }
+
+  test("IVF split API (train/assign/probe) equals the monolithic ivfTopK and reuses one index across query batches") {
+    val mono = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        K, 64, nlist = 8, nprobe = 2, iters = 3)
+      .orderBy("query_id", "rn").collect().toSeq
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    val index = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .cache()  // the persisted-index stand-in
+    val split = Similarity.ivfProbe(index, cents, queries, "vec_id", "embedding",
+        K, nprobe = 2)
+      .orderBy("query_id", "rn").collect().toSeq
+    assert(split === mono)
+    // second batch against the SAME index — no retrain, no reassign
+    val batch2 = Similarity.ivfProbe(index, cents,
+        emb.filter(col("vec_id") >= 20 && col("vec_id") < 30),
+        "vec_id", "embedding", K, nprobe = 2)
+      .groupBy("query_id").count().collect()
+    assert(batch2.length === 10 && batch2.forall(_.getLong(1) === K))
+    index.unpersist()
+  }
 }
