@@ -50,6 +50,41 @@ object Pipelines {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Incremental ingestion dedup against a persistent fingerprint store:
+    * each micro-batch is deduped within itself, anti-joined against the
+    * store (docs already ingested in ANY earlier batch or run), handed
+    * to `sink`, and its new fingerprints appended to the store.
+    *
+    * This is the cross-run complement of [[streamingDedup]]:
+    * `dropDuplicatesWithinWatermark` bounds state to the watermark
+    * horizon, while the store carries the full ingestion history as a
+    * TABLE (partitioned parquet — scales with the cluster, not executor
+    * state). Delivery is at-least-once: a crash between `sink` and the
+    * store append can re-emit a batch's docs; land the sink idempotently
+    * (same fingerprint key) for exactly-once end-to-end. */
+  def dedupAgainstStore(textCol: String, storePath: String)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    // the foreachBatch body: stream.writeStream.foreachBatch(this)
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val fp = batch
+        .withColumn("fingerprint",
+          graft.functions.TextFunctions.fingerprint(col(textCol)))
+        .dropDuplicates("fingerprint")
+      val store =
+        if (new java.io.File(storePath).exists)
+          spark.read.parquet(storePath)
+        else spark.emptyDataFrame.withColumn("fingerprint", lit(""))
+          .select(col("fingerprint")).limit(0)
+      val fresh = fp.join(store, Seq("fingerprint"), "left_anti")
+        .persist()
+      sink(fresh.drop("fingerprint"))
+      fresh.select("fingerprint").write.mode("append").parquet(storePath)
+      fresh.unpersist()
+      ()
+    }
+  }
+
   /** Stream-static join: enrich a stream against a (broadcastable) batch
     * dimension — the streaming analog of the q03 star join. The static
     * side is re-read per micro-batch, so dimension updates are picked up

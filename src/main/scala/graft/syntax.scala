@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Embeddings, Similarity, TextStats}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
@@ -76,5 +76,25 @@ object syntax {
 
     def withTokenCount(textCol: String): DataFrame =
       df.withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+
+    // ---- round-3 corpus statistics & decontamination ----
+    def repetitionStats(idCol: String, textCol: String): DataFrame =
+      TextStats.repetitionStats(df, idCol, textCol)
+
+    def winnowingFingerprints(idCol: String, textCol: String,
+                              n: Int = 3, w: Int = 4): DataFrame =
+      TextStats.winnowingFingerprints(df, idCol, textCol, n, w)
+
+    def decontaminateNgrams(idCol: String, textCol: String,
+                            bench: DataFrame, benchIdCol: String,
+                            benchTextCol: String, n: Int = 3): DataFrame =
+      Dedup.contaminationFlags(df, idCol, textCol, bench, benchIdCol, benchTextCol, n)
+
+    def decontaminateSubstrings(idCol: String, textCol: String,
+                                probes: DataFrame, probeCol: String): DataFrame =
+      Dedup.substringContamination(df, idCol, textCol, probes, probeCol)
+
+    def quantizeInt8(idCol: String, vecCol: String): DataFrame =
+      Embeddings.quantizeInt8(df, idCol, vecCol)
   }
 }

@@ -99,4 +99,34 @@ class StreamingPipelinesSpec extends SparkSpec {
       assert(n.sorted === Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("dedupAgainstStore drops repeats within a batch, across batches, and across restarts") {
+    implicit val sc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("fpstore").toFile
+    store.delete()  // foreachBatch body creates it on first append
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def body = Pipelines.dedupAgainstStore("text", store.getAbsolutePath) { fresh =>
+      seen ++= fresh.select("doc_id").as[Long].collect()
+    }
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream.foreachBatch(body).start()
+    try {
+      in.addData((1L, "alpha text"), (2L, "beta text"), (3L, "alpha  TEXT"))
+      q.processAllAvailable()                       // 3 normalizes like 1 → dropped
+      assert(seen.sorted === Seq(1L, 2L))
+      in.addData((4L, "beta text"), (5L, "gamma text"))
+      q.processAllAvailable()                       // 4 is a cross-batch repeat of 2
+      assert(seen.sorted === Seq(1L, 2L, 5L))
+    } finally q.stop()
+
+    // a brand-new query (restart) still sees the persisted store
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = in2.toDF().toDF("doc_id", "text").writeStream.foreachBatch(body).start()
+    try {
+      in2.addData((6L, "gamma text"), (7L, "delta text"))
+      q2.processAllAvailable()
+      assert(seen.sorted === Seq(1L, 2L, 5L, 7L))
+    } finally q2.stop()
+  }
 }
