@@ -59,6 +59,33 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(hot.getAs[Long]("n_rows") === 1000L)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At scale this is the row-level runtime pruning that keeps a fact
+    // scan from shuffling rows a selective dim filter will discard. The
+    // thresholds are lowered only because the local fixture is tiny; the
+    // optimizer rule and plan shape are exactly the production ones.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.01"
+      val lineitem = Tables.lineitem(spark, dir)
+      val sel = Tables.orders(spark, dir).where(col("o_orderkey") % 997 === 0)
+      val j = lineitem.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(sum(col("l_quantity")).as("q"))
+      val planStr = j.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("might_contain") || planStr.contains("bloom_filter"),
+        s"expected an injected bloom runtime filter in:\n$planStr")
+      assert(j.head().getAs[Double]("q") > 0)  // and it still computes
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // fresh in-memory catalogs don't know about locations left by prior
     // JVMs — clear both the tables and their directories
