@@ -235,6 +235,40 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-filter variant of [[contaminationFlags]] for benchmark
+    * vocabularies too large to broadcast exactly: build a Bloom sketch
+    * over the benchmark shingles (`fpp` false-positive rate), prefilter
+    * the exploded corpus index with `mightContain` — output-sized, not
+    * corpus-sized — then remove the sketch's false positives with the
+    * exact join. Flags are IDENTICAL to the exact path; only the plan
+    * changes: the corpus side entering the (possibly shuffle) join is
+    * already pruned to near-hits, so at 100 TB the join moves ~hits
+    * rows instead of the whole index. The sketch UDF is a coarse
+    * prefilter only — correctness never depends on it. */
+  def contaminationFlagsBloom(docs: DataFrame, idCol: String, textCol: String,
+                              bench: DataFrame, benchIdCol: String,
+                              benchTextCol: String, n: Int = 3,
+                              fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    val bsh = shingleSets(bench, benchIdCol, benchTextCol, n)
+      .select(explode(col("shset")).as("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbes = math.max(bsh.count(), 64L)   // sketch sizing
+    val bloom = bsh.stat.bloomFilter("s", nProbes, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    val hits = shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("shset")).as("s"))
+      .where(mightContain(col("s")))      // sketch prefilter, output-sized
+      .join(bsh, "s")                     // exact verify kills false positives
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Exact-substring decontamination: flag every document whose text
     * contains ANY of the probe strings verbatim (the GPT-3/Pile-style
     * "exact overlap" check, complementing the n-gram overlap of

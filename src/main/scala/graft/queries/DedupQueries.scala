@@ -158,6 +158,19 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-sketch decontamination: same flags as q52 by construction
+    * (sketch prefilter + exact verify — see
+    * [[graft.operators.Dedup.contaminationFlagsBloom]]), so it shares
+    * q52's oracle; what changes is the plan: the corpus index is pruned
+    * to near-hits BEFORE any join, the shape that survives benchmark
+    * vocabularies too big to broadcast. */
+  val q59 = GQuery("q59_decontaminate_bloom", q52.oracle.get) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    Dedup.contaminationFlagsBloom(docs, "doc_id", "text", bench, "doc_id", "text", N)
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-substring decontamination: 64-char prefixes of the stand-in
     * benchmark slice as verbatim probes (complement of q52's n-gram
     * overlap — see [[graft.operators.Dedup.substringContamination]]). */
@@ -197,5 +210,5 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51, q52, q53)
+  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51, q52, q53, q59)
 }

@@ -71,6 +71,21 @@ class TextStatsSpec extends SparkSpec {
     assert(out === Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("bloom-prefiltered contamination flags equal the exact path") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "some training text with the secret benchmark answer inside it"),
+      (2L, "completely unrelated content about other things entirely"),
+      (3L, "")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val exact = rows(Dedup.contaminationFlags(corpus, "doc_id", "text", bench, "bid", "btext"))
+    val bloom = rows(Dedup.contaminationFlagsBloom(corpus, "doc_id", "text", bench, "bid", "btext"))
+    assert(bloom === exact)
+  }
+
   test("quantizeInt8: extreme element maps to ±127, zero vector to all zeros") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
