@@ -26,6 +26,21 @@ object Relational2 {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Scale twin of q38: `approx_percentile` (a mergeable t-digest-style
+    * sketch, map-side partial like any aggregate) in place of the exact
+    * sort-based percentile — the default at 100 TB, where exact
+    * percentiles force a per-group sort of everything. Rows-only:
+    * sketch estimates are engine-specific by nature. */
+  val q38b = GQuery.rowsOnly("q38b_approx_percentiles") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 3).as("p50"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 3).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Pivot: order counts by priority × status as columns. */
   val q39 = GQuery("q39_pivot",
     """SELECT o_orderpriority,
@@ -129,5 +144,5 @@ object Relational2 {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  val all: Seq[GQuery] = Seq(q38, q39, q40, q41, q42, q46)
+  val all: Seq[GQuery] = Seq(q38, q38b, q39, q40, q41, q42, q46)
 }

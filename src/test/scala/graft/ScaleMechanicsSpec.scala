@@ -86,6 +86,22 @@ class ScaleMechanicsSpec extends SparkSpec {
     }
   }
 
+  test("filters and projections reach the parquet scan (pushdown + column pruning)") {
+    val dir = "/root/testdata/sf0.01"
+    val df = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec found"))
+    // predicate pushed into the reader, not evaluated post-scan only
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    // 2-column projection must not read the other 14 columns
+    val read = scan.requiredSchema.fieldNames.toSet
+    assert(read === Set("l_orderkey", "l_quantity"), s"over-read: $read")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // fresh in-memory catalogs don't know about locations left by prior
     // JVMs — clear both the tables and their directories
