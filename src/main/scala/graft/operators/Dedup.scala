@@ -235,6 +235,44 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** SimHash near-duplicate pairs: all (id_a < id_b) whose 64-bit
+    * signatures differ in at most `maxHamming` bits.
+    *
+    * Pigeonhole banding: the signature splits into maxHamming+1
+    * contiguous bands, and any pair within the budget must agree EXACTLY
+    * on at least one band — so candidates come from an equi-join on
+    * (band index, band bits), linear in data + matches like the MinHash
+    * banding, never all-pairs. Candidates are verified with the native
+    * [[graft.plans.HammingDist]] expression (fused codegen byte loop).
+    * Complements Jaccard/MinHash: SimHash distance is a corpus-free
+    * per-doc signature, so the pairing needs no shingle index. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    graft.plans.HammingDist.register(df.sparkSession)
+    val b = maxHamming + 1
+    val bounds = (0 to b).map(i => 1 + i * 64 / b)   // 1-based band starts
+    val sigs = simhash(df, idCol, textCol)
+    val bandCols = (0 until b).map { i =>
+      struct(lit(i).as("band"),
+        substring(col("simhash64"), bounds(i), bounds(i + 1) - bounds(i)).as("key"))
+    }
+    val banded = sigs
+      .select(col("id"), col("simhash64"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash64"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
+    banded.select(col("id").as("id_a"), col("simhash64").as("sig_a"),
+        col("band"), col("key"))
+      .join(banded.select(col("id").as("id_b"), col("simhash64").as("sig_b"),
+        col("band"), col("key")), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()   // multi-band matches once
+      .withColumn("hamming",
+        call_function(graft.plans.HammingDist.fnName, col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Bloom-filter variant of [[contaminationFlags]] for benchmark
     * vocabularies too large to broadcast exactly: build a Bloom sketch
     * over the benchmark shingles (`fpp` false-positive rate), prefilter

@@ -127,6 +127,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(CosineSim.fnName),
       new ExpressionInfo(classOf[CosineSim].getName, CosineSim.fnName),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier(HammingDist.fnName),
+      new ExpressionInfo(classOf[HammingDist].getName, HammingDist.fnName),
+      (children: Seq[Expression]) => HammingDist(children.head, children(1))))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

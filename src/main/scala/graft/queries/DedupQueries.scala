@@ -210,5 +210,46 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51, q52, q53, q59)
+  /** SimHash near-dup pairs (hamming ≤ 3) via pigeonhole banding +
+    * native `hamming_dist` verify (see
+    * [[graft.operators.Dedup.simhashNearDups]]). The oracle recomputes
+    * the q26 signatures, the same 4×16-bit band candidate join, and the
+    * hamming via a filtered list comprehension. */
+  val q60 = {
+    val bandMatch = (0 until 4)
+      .map(i => s"substr(a.simhash64, ${1 + i * 16}, 16) = substr(b.simhash64, ${1 + i * 16}, 16)")
+      .mkString(" OR ")
+    GQuery("q60_simhash_pairs",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |nib AS (
+         |  SELECT doc_id, md5(w) AS h, i FROM tok, range(16) t(i)),
+         |bits AS (
+         |  SELECT doc_id, i * 4 + j AS b,
+         |    CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(i AS INT) + 1, 1)) - 1) >> j) & 1 = 1
+         |         THEN 1 ELSE -1 END AS vote
+         |  FROM nib, range(4) u(j)),
+         |sig AS (
+         |  SELECT doc_id, b, CASE WHEN sum(vote) >= 0 THEN '1' ELSE '0' END AS bit
+         |  FROM bits GROUP BY doc_id, b),
+         |sigs AS (
+         |  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash64
+         |  FROM sig GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash64 AS sa, b.simhash64 AS sb
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandMatch))
+         |SELECT id_a, id_b, CAST(len(
+         |    [i for i in range(1, 65) if substr(sa, i, 1) <> substr(sb, i, 1)]
+         |  ) AS INTEGER) AS hamming
+         |FROM cand
+         |WHERE len([i for i in range(1, 65) if substr(sa, i, 1) <> substr(sb, i, 1)]) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60)
 }

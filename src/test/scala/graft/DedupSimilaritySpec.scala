@@ -96,6 +96,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
   }
 
+  test("native hamming_dist: codegen result, zero distance, length mismatch") {
+    graft.plans.HammingDist.register(spark)
+    val df = Seq(("0101", "0101"), ("0101", "1101"), ("0000", "1111"))
+      .toDF("a", "b")
+      .select(call_function("hamming_dist", col("a"), col("b")).as("d"))
+    assert(df.as[Int].collect().toSeq === Seq(0, 1, 4))
+    val e = intercept[Exception] {
+      Seq(("01", "010")).toDF("a", "b")
+        .select(call_function("hamming_dist", col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause.getMessage.contains("length mismatch"))
+  }
+
+  test("simhashNearDups pairs exact dups at hamming 0, not unrelated docs") {
+    val pairs = Dedup.simhashNearDups(docs.where(col("doc_id") =!= 5L),
+        "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) === 0)                      // exact dup
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))  // unrelated
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),
