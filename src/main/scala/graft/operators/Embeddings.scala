@@ -21,6 +21,22 @@ object Embeddings {
       .otherwise(transform(v, x => x.cast("double")))
   }
 
+  /** Element-wise mean pooling of vectors per group — chunk embeddings
+    * back to a document vector, label centroids, etc. Long-format
+    * aggregation ((key, pos, x) rows, map-side partial) rather than a
+    * dim-wide aggregate: no K-wide codegen pathology, one shuffle keyed
+    * (key, pos) that distributes evenly. Means are rounded so float
+    * summation order cannot leak engine-specific ulps. */
+  def meanPool(df: DataFrame, keyCol: String, vecCol: String,
+               roundTo: Int = 4): DataFrame =
+    FanOut(df.select(col(keyCol).as("key"), col(vecCol).as("__v")))
+      .select(col("key"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("key"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), roundTo).as("m"))
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .getField("m").as("pooled"))
+
   /** Symmetric int8 quantization of `vecCol`: scale = 127 / max|x|,
     * q_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. Emits the id, the
     * rounded scale denominator, and integer checksums of the quantized

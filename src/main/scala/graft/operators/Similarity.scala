@@ -210,6 +210,67 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** Maximal Marginal Relevance (MMR) diversity re-rank: from each
+    * query's top-`m` candidate pool, greedily pick `k` maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-picked — the standard
+    * diversity selection for curation/retrieval (near-identical
+    * candidates stop crowding out coverage).
+    *
+    * Scale shape: the pool per query is small by construction (m in the
+    * tens-hundreds, from any top-k operator), so the greedy O(k·m·dim)
+    * loop is a per-ROW typed map over (query, pooled candidates) —
+    * embarrassingly parallel across queries, no shuffle beyond the pool
+    * collect. This is the one genuinely imperative per-row computation
+    * in the similarity family, hence a typed Dataset map rather than a
+    * Column expression. Deterministic: ties break to smaller corpus_id.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String,
+              k: Int, m: Int, dim: Int, lambda: Double = 0.7,
+              excludeSelf: Boolean = true): DataFrame = {
+    require(k <= m, "k must be ≤ m (the candidate pool size)")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(corpus, queries, idCol, vecCol, m, dim, excludeSelf)
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")), "corpus_id")
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        col("rn"), col("corpus_id"), col("cosine"), col("cv")))).as("cands"))
+      .as[(Long, Seq[(Int, Long, Double, Seq[Float])])]
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 && nb == 0) 1.0 else if (na == 0 || nb == 0) 0.0
+      else dot / math.sqrt(na * nb)
+    }
+    pool.flatMap { case (qid, cands) =>
+      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+      val picked = Seq.newBuilder[(Long, Long, Double, Int)]
+      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        val best = remaining.minBy { case (_, cid, rel, cv) =>
+          val penalty =
+            if (pickedVecs.isEmpty) 0.0
+            else pickedVecs.iterator.map(pv => cos(cv, pv)).max
+          (-(lambda * rel - (1 - lambda) * penalty), cid)   // max score, min id
+        }
+        picked += ((qid, best._2,
+          math.rint((lambda * best._3 - (1 - lambda) * (if (pickedVecs.isEmpty) 0.0
+            else pickedVecs.iterator.map(pv => cos(best._4, pv)).max)) * 1e6) / 1e6,
+          rank))
+        pickedVecs += best._4
+        remaining -= best
+        rank += 1
+      }
+      picked.result()
+    }.toDF("query_id", "corpus_id", "mmr_score", "rank")
+  }
+
   /** Exact near-duplicate pairs by embedding cosine ≥ threshold, via the
     * bucket join (both sides same corpus). Approximate recall (pairs
     * crossing a bucket boundary are missed) — the embedding-space analog

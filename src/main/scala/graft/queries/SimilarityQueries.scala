@@ -141,5 +141,33 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q31, q31b, q32, q32b, q33, q55)
+  /** Element-wise mean pooling per label (see
+    * [[graft.operators.Embeddings.meanPool]]), emitted long-format
+    * (label, pos, m) so the oracle compares scalars, not lists. */
+  val q61 = GQuery("q61_mean_pool",
+    """SELECT label, u.pos - 1 AS pos, round(avg(CAST(u.x AS DOUBLE)), 4) AS m
+      |FROM (
+      |  SELECT label, unnest(
+      |    [{'pos': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
+      |  FROM embeddings)
+      |GROUP BY label, u.pos
+      |ORDER BY label, pos""".stripMargin) { (s, dir) =>
+    graft.operators.Embeddings.meanPool(Tables.embeddings(s, dir), "label", "embedding")
+      .select(col("key").as("label"), posexplode(col("pooled")).as(Seq("pos", "m")))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  /** MMR diversity re-rank over the brute-force pool (see
+    * [[graft.operators.Similarity.mmrTopK]]). Rows-only: the greedy
+    * trajectory is not ANSI-SQL-expressible (DuckDB has no recursive
+    * argmax over a growing selected set); determinism + diversity
+    * properties are spec-asserted instead. */
+  val q62 = GQuery.rowsOnly("q62_mmr_rerank") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = K, m = 50, dim = Dim, lambda = 0.7)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[GQuery] = Seq(q31, q31b, q32, q32b, q33, q55, q61, q62)
 }

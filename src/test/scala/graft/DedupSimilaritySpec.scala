@@ -124,6 +124,21 @@ class DedupSimilaritySpec extends SparkSpec {
     (2L, Array(0.0f, 1.0f, 0.0f)),
     (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
 
+  test("MMR re-rank: pure relevance keeps the duplicate, diversity swaps it out") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.9f, 0.0f)),   // a — most relevant
+      (2L, Array(1.0f, 0.9f, 0.0f)),   // exact duplicate of a
+      (3L, Array(1.0f, 1.0f, 1.0f))    // diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    val query = Seq((100L, Array(1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    def picks(lambda: Double) =
+      Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+          k = 2, m = 3, dim = 3, lambda = lambda)
+        .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    assert(picks(1.0) === Seq(1L, 2L))   // relevance only → dup survives
+    assert(picks(0.5) === Seq(1L, 3L))   // diversity penalty evicts the dup
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
         "vec_id", "embedding", k = 3, dim = 3)
