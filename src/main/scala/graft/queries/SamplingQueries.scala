@@ -99,5 +99,74 @@ object SamplingQueries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57)
+  /** Capstone: the composed curation pipeline every piece above serves —
+    * near-dup clustering (keep one doc per cluster), exact-substring
+    * decontamination against the stand-in benchmark slice, then
+    * token-budget packing of the survivors into training shards. One
+    * oracle assembles the proven q51/q53/q49 SQL and hash-checks the
+    * whole composition end-to-end. */
+  val q63 = {
+    val MaxTok = 4096L
+    GQuery("q63_curation_pipeline",
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS shset
+         |  FROM tok WHERE len(ws) >= 3),
+         |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shset) AS sz FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM shared
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, rep) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+         |clus AS (SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id),
+         |probes AS (
+         |  SELECT substr(text, 1, 64) AS probe FROM documents WHERE doc_id % 97 = 0),
+         |kept AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN clus ON clus.doc_id = d.doc_id
+         |  WHERE clus.cluster_rep = d.doc_id
+         |    AND NOT EXISTS (SELECT 1 FROM probes p WHERE contains(d.text, p.probe))),
+         |packed AS (
+         |  SELECT doc_id, n_tokens,
+         |    ${Packing.shardIdSql("doc_id", "n_tokens", MaxTok)} AS shard_id
+         |  FROM kept)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / $MaxTok, 4) AS fill_ratio
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      import graft.operators.{Dedup, Packing}
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dupClusters(docs, "doc_id",
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))
+      val probes = docs.where(col("doc_id") % 97 === 0)
+        .select(substring(col("text"), 1, 64).as("probe"))
+      val contam = Dedup.substringContamination(docs, "doc_id", "text", probes, "probe")
+      val kept = docs.join(clusters, "doc_id").join(contam, "doc_id")
+        .where(col("cluster_rep") === col("doc_id") && !col("contaminated"))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val packed = Packing.packByTokenBudget(kept, "doc_id", "n_tokens", MaxTok)
+      Packing.shardSummary(packed, "n_tokens", MaxTok)
+        .orderBy(col("shard_id"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57, q63)
 }
