@@ -83,6 +83,15 @@ object Packing {
        | ROWS UNBOUNDED PRECEDING) - $tokenCol) / $maxTokens) AS BIGINT)"""
       .stripMargin.replace("\n", "")
 
+  /** Write packed rows as a shard-partitioned parquet layout
+    * (`outDir/shard_id=N/...`) — the on-disk form a training loader
+    * consumes. The repartition on shard_id makes each shard directory
+    * the output of (roughly) one task: no small-file spray, and a
+    * reader pulling one shard touches one directory. */
+  def writeShards(packed: DataFrame, outDir: String): Unit =
+    packed.repartition(col("shard_id"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(outDir)
+
   /** Per-shard packing summary: document count, token sum, fill ratio. */
   def shardSummary(packed: DataFrame, tokenCol: String,
                    maxTokens: Long): DataFrame =

@@ -31,6 +31,21 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("writeShards lands a shard_id-partitioned layout that round-trips") {
+    val docs = (1L to 40L).map(i => (i, 100L + i)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packByTokenBudget(docs, "doc_id", "n_tokens", maxTokens = 1000L)
+    val out = java.nio.file.Files.createTempDirectory("shards").toFile
+    Packing.writeShards(packed, out.getAbsolutePath)
+    val dirs = out.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("shard_id=")))
+    val back = spark.read.parquet(out.getAbsolutePath)
+    assert(back.count() === 40)
+    // partition-pruned single-shard read sees only that shard's docs
+    val one = back.where(col("shard_id") === 0).select("doc_id").as[Long].collect().toSet
+    val expect = packed.where(col("shard_id") === 0).select("doc_id").as[Long].collect().toSet
+    assert(one === expect && one.nonEmpty)
+  }
+
   test("shard summary fills shards to the token budget") {
     val docs = (1L to 300L).map(i => (i, 10L)).toDF("id", "n_tok")
     val packed = Packing.packByTokenBudget(docs, "id", "n_tok", 100L, parts = 8)
