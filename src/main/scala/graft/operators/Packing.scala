@@ -33,7 +33,8 @@ object Packing {
     *                 real cluster ~2-3× total cores
     */
   def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
-                        maxTokens: Long, parts: Int = 32): DataFrame = {
+                        maxTokens: Long, parts: Int = 32,
+                        keepStart: Boolean = false): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     val keyed = df
       .withColumn("__t", col(tokenCol).cast("long"))
@@ -71,9 +72,10 @@ object Packing {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    withStart
+    val out = withStart
       .withColumn("shard_id", floor(col("__start") / maxTokens))
-      .drop("__t", "__h", "__pid", "__offset", "__start")
+      .drop("__t", "__h", "__pid", "__offset")
+    if (keepStart) out else out.drop("__start")
   }
 
   /** DuckDB SQL fragment computing the same shard id with a sequential
@@ -82,6 +84,33 @@ object Packing {
     s"""CAST(floor((sum($tokenCol) OVER (ORDER BY md5(CAST($idCol AS VARCHAR))
        | ROWS UNBOUNDED PRECEDING) - $tokenCol) / $maxTokens) AS BIGINT)"""
       .stripMargin.replace("\n", "")
+
+  /** Packing WITH intra-document splitting: the token stream is cut
+    * every `maxTokens` exactly, so a document straddling a boundary
+    * contributes its head to one shard and its tail to the next —
+    * every shard is exactly full except the last (the semantics of
+    * concat-then-chunk tokenizer packing). Emits one row per
+    * (document, shard) overlap: `shard_id`, `tokens_in_shard`, and the
+    * document's `start_offset`. Pure integer arithmetic on top of the
+    * same two-phase prefix sum as [[packByTokenBudget]], then a
+    * per-row sequence/explode over the (few) shards each document
+    * touches — all exact, engine-portable. */
+  def packWithSplitting(df: DataFrame, idCol: String, tokenCol: String,
+                        maxTokens: Long, parts: Int = 32): DataFrame = {
+    val packed = packByTokenBudget(df, idCol, tokenCol, maxTokens, parts,
+      keepStart = true)
+    packed
+      .where(col(tokenCol) > 0)   // zero-token docs occupy no shard
+      .withColumn("__end", col("__start") + col(tokenCol).cast("long"))
+      .withColumn("shard_id", explode(sequence(
+        floor(col("__start") / maxTokens),
+        floor((col("__end") - 1) / maxTokens))))
+      .withColumn("tokens_in_shard",
+        least(col("__end"), (col("shard_id") + 1) * maxTokens) -
+          greatest(col("__start"), col("shard_id") * maxTokens))
+      .withColumn("start_offset", col("__start"))
+      .drop("__start", "__end")
+  }
 
   /** Write packed rows as a shard-partitioned parquet layout
     * (`outDir/shard_id=N/...`) — the on-disk form a training loader

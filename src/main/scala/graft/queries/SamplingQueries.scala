@@ -168,5 +168,43 @@ object SamplingQueries {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57, q63)
+  /** Packing with intra-document splitting (see
+    * [[graft.operators.Packing.packWithSplitting]]): the token stream
+    * cut exactly every 4096, straddling docs split across shards —
+    * every shard's token sum is exactly 4096 except the last. The
+    * oracle recomputes the sequential prefix sum and the per-doc shard
+    * range with integer arithmetic. */
+  val q64 = {
+    val B = 4096L
+    GQuery("q64_pack_split",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start
+         |  FROM toks),
+         |sp AS (
+         |  SELECT doc_id, n_tokens, start,
+         |    unnest([s for s in range(start // $B, (start + n_tokens - 1) // $B + 1)]) AS shard_id
+         |  FROM st WHERE n_tokens > 0)
+         |SELECT shard_id, count(*) AS n_segments,
+         |  CAST(sum(least(start + n_tokens, (shard_id + 1) * $B) -
+         |           greatest(start, shard_id * $B)) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packWithSplitting(toks, "doc_id", "n_tokens", B)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("tokens_in_shard")).as("sum_tokens"))
+        .orderBy(col("shard_id"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57, q63, q64)
 }

@@ -46,6 +46,22 @@ class PackingSpec extends SparkSpec {
     assert(one === expect && one.nonEmpty)
   }
 
+  test("packWithSplitting fills every shard exactly except the last; no tokens lost") {
+    val docs = (1L to 25L).map(i => (i, 70L + i * 13 % 50)).toDF("doc_id", "n_tokens")
+    val B = 256L
+    val segs = Packing.packWithSplitting(docs, "doc_id", "n_tokens", B)
+    val perShard = segs.groupBy("shard_id")
+      .agg(sum(col("tokens_in_shard")).as("t"))
+      .orderBy("shard_id").as[(Long, Long)].collect().toSeq
+    val totalTokens = docs.agg(sum(col("n_tokens"))).as[Long].head()
+    assert(perShard.map(_._2).sum === totalTokens)                 // conservation
+    assert(perShard.init.forall(_._2 === B), s"not full: $perShard") // exact fill
+    assert(perShard.last._2 === totalTokens - B * perShard.init.size)
+    // a straddling doc appears in consecutive shards with split counts
+    val multi = segs.groupBy("doc_id").count().where(col("count") > 1)
+    assert(multi.count() > 0)
+  }
+
   test("shard summary fills shards to the token budget") {
     val docs = (1L to 300L).map(i => (i, 10L)).toDF("id", "n_tok")
     val packed = Packing.packByTokenBudget(docs, "id", "n_tok", 100L, parts = 8)
