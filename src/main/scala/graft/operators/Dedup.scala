@@ -174,18 +174,25 @@ object Dedup {
     * groups of K/bands rows, bucket = md5(concat(band rows)), join on
     * (band, bucket). Probability a pair with Jaccard j becomes a
     * candidate: 1 - (1 - j^(K/bands))^bands. */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, k: Int = 9, bands: Int = 3): DataFrame = {
+  /** Band a (id, sig) frame into (id, sig, band, bucket) rows —
+    * bucket = md5 over the band's signature slice. */
+  def lshBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))).as("bucket"))
     }
-    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    sigs.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, k: Int = 9, bands: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val banded = lshBuckets(sigs, k, bands).drop("sig")
     banded.select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))

@@ -85,6 +85,60 @@ object Pipelines {
     }
   }
 
+  /** Incremental NEAR-dup ingestion: the approximate sibling of
+    * [[dedupAgainstStore]]. Each micro-batch is MinHash-signed and
+    * banded; a batch document is dropped when any band bucket collides
+    * with the store (or an earlier in-batch doc) AND the signature
+    * agreement — the standard MinHash Jaccard estimate, here exact
+    * agreement fraction over k components — reaches `minEstJaccard`.
+    * Survivors go to `sink` and their banded signatures append to the
+    * store: only (id, sig, band, bucket) rows persist, never text, so
+    * the store is ~k longs per document regardless of doc size.
+    *
+    * Documents shorter than `n` tokens have no signature and always
+    * pass (nothing to estimate against). At-least-once like
+    * [[dedupAgainstStore]]. */
+  def nearDupAgainstStore(idCol: String, textCol: String, storePath: String,
+                          n: Int = 3, k: Int = 9, bands: Int = 3,
+                          minEstJaccard: Double = 0.8)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    import graft.operators.Dedup
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val banded = Dedup.lshBuckets(
+        Dedup.minhashSignatures(batch, idCol, textCol, n, k), k, bands)
+        .persist()
+      val store =
+        if (new java.io.File(storePath).exists) spark.read.parquet(storePath)
+        else banded.limit(0)
+      def sigAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k
+      // vs store: any banded collision with estimated jaccard ≥ θ
+      val dupVsStore = banded
+        .join(store.select(col("sig").as("sig_o"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .where(sigAgree(col("sig"), col("sig_o")) >= minEstJaccard)
+        .select("id")
+      // within the batch: same test, keep the smaller id of a dup pair
+      val dupInBatch = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+          col("band"), col("bucket"))
+        .join(banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+          col("band"), col("bucket")), Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b") &&
+          sigAgree(col("sig_a"), col("sig_b")) >= minEstJaccard)
+        .select(col("id_b").as("id"))
+      val dups = dupVsStore.unionByName(dupInBatch).distinct()
+      val fresh = batch.join(dups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        .persist()
+      sink(fresh)
+      banded.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .write.mode("append").parquet(storePath)
+      fresh.unpersist(); banded.unpersist()
+      ()
+    }
+  }
+
   /** Stream-static join: enrich a stream against a (broadcastable) batch
     * dimension — the streaming analog of the q03 star join. The static
     * side is re-read per micro-batch, so dimension updates are picked up

@@ -129,4 +129,29 @@ class StreamingPipelinesSpec extends SparkSpec {
       assert(seen.sorted === Seq(1L, 2L, 5L, 7L))
     } finally q2.stop()
   }
+
+  test("nearDupAgainstStore drops near-duplicates across batches, keeps novel docs") {
+    implicit val sc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("lshstore").toFile
+    store.delete()
+    val base = "the quick brown fox jumps over the lazy dog every single day"
+    val nearDup = base + " indeed"              // shingle jaccard 10/11 vs base
+    val novel = "completely different material about entirely other topics here now"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def body = Pipelines.nearDupAgainstStore("doc_id", "text",
+        store.getAbsolutePath, minEstJaccard = 0.5) { fresh =>
+      seen ++= fresh.select("doc_id").as[Long].collect()
+    }
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream.foreachBatch(body).start()
+    try {
+      in.addData((1L, base), (2L, base))        // in-batch exact dup → keep 1
+      q.processAllAvailable()
+      assert(seen.sorted === Seq(1L))
+      in.addData((3L, nearDup), (4L, novel))    // 3 near-dups stored 1; 4 is new
+      q.processAllAvailable()
+      assert(seen.sorted === Seq(1L, 4L))
+    } finally q.stop()
+  }
 }
