@@ -16,6 +16,14 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Loads are deliberately NOT wrapped in [[graft.operators.FanOut]]:
+    * a blanket repartition-above-scan changes every plan — measured
+    * here, it suppresses runtime bloom-filter injection (the optimizer
+    * pattern doesn't fire through a Repartition) and adds an exchange
+    * to queries whose scan stage is cheap columnar codegen anyway.
+    * Fan-out belongs at the OPERATOR level, directly under the
+    * explode/score pipelines whose scan-stage compute dwarfs the scan
+    * (shingling, simhash, cosine) — which is where it is applied. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
