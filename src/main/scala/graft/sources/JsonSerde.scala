@@ -70,6 +70,24 @@ object JsonSerde {
                      sampleRows: Int = 1000): DataFrame =
     decode(raw, inferSchema(raw, sampleRows), mode)
 
+  /** Split a [[Permissive]]-decoded frame into (good, dead-letter):
+    * good rows carry the typed payload with the corrupt column removed;
+    * dead-letter rows keep the envelope plus the RAW malformed text for
+    * replay/repair. The production topology: good → the pipeline,
+    * dead-letter → a DLQ sink — one bad producer never fails 100 TB of
+    * work, and nothing is silently dropped (the reference fail-stops
+    * instead, src/Consumer.coffee:106-107). Works identically on batch
+    * and streaming frames (both sides of the split are plain filters). */
+  def splitDlq(decoded: DataFrame): (DataFrame, DataFrame) = {
+    val corrupt = col(s"value.$CorruptCol")
+    val present = decoded.columns.filter(envelopeCols.contains).map(col).toSeq
+    val good = decoded.where(corrupt.isNull)
+      .withColumn("value", col("value").dropFields(CorruptCol))
+    val bad = decoded.where(corrupt.isNotNull)
+      .select(present :+ corrupt.as("raw"): _*)
+    (good, bad)
+  }
+
   /** Serialize payload columns to a JSON `value` column; key/partition
     * columns (if named) ride along for the Kafka sink. */
   def encode(df: DataFrame, keyCol: Option[String] = None,

@@ -75,6 +75,25 @@ class DuplexParitySpec extends SparkSpec {
     assert(dead.select(JsonSerde.CorruptCol).as[String].head() === "{not json!")
   }
 
+  test("splitDlq routes good rows typed and dead-letter rows with raw text + envelope") {
+    val raw = Seq(
+      ("t", 0, 7L, """{"source":"origin","count":1,"index":1,"timeout":5}"""),
+      ("t", 0, 8L, "{not json!"),
+      ("t", 1, 9L, """{"source":"other","count":2,"index":2,"timeout":5}"""))
+      .toDF("topic", "partition", "offset", "value")
+    val (good, bad) = JsonSerde.splitDlq(
+      JsonSerde.decode(raw, schema, JsonSerde.Permissive))
+    assert(good.count() === 2)
+    // corrupt column stripped from the good payload struct
+    assert(!good.select(col("value.*")).columns.contains(JsonSerde.CorruptCol))
+    assert(good.select(col("value.source")).as[String].collect().sorted
+      === Seq("origin", "other"))
+    // dead letter keeps envelope + raw malformed text for replay
+    val dl = bad.select(col("topic"), col("offset"), col("raw"))
+      .as[(String, Long, String)].head()
+    assert(dl === (("t", 8L, "{not json!")))
+  }
+
   test("encode serializes whole row to JSON value; key/partition columns honored") {
     val df = Seq((1L, "origin", "k1", 3)).toDF("count", "source", "k", "p")
     val enc = JsonSerde.encode(df, keyCol = Some("k"), partitionCol = Some("p"))
