@@ -35,6 +35,35 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(col(keyCol), 100) < testPct, "test").otherwise("train"))
 
+  /** Temperature (α) mixture reweighting — the multilingual-pretraining
+    * sampling scheme (sampling distribution p_s ∝ n_s^α flattens the
+    * head, lifts the tail for α < 1). Data-driven two-pass shape:
+    * aggregate per-stratum counts (one tiny frame), derive each
+    * stratum's keep rate `min(1, T·p_s / n_s)` for a corpus target of
+    * `targetFraction`·total rows, broadcast the rates back, keep rows
+    * through the deterministic hash buckets (10 000 of them, threshold
+    * = round(rate, 4)·10⁴ so the double math is engine-portable).
+    *
+    * α is fixed at 0.5 (√n): IEEE sqrt is correctly rounded in every
+    * engine, so thresholds are bit-reproducible; generic pow(n, α) is
+    * not correctly rounded and could differ in the last ulp across
+    * engines — callers needing other α should precompute rates. */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                        targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1)
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val weighted = counts.withColumn("__w", sqrt(col("__n").cast("double")))
+    val tot = weighted.agg(sum(col("__n")).as("__tot"), sum(col("__w")).as("__wsum"))
+    val rates = weighted.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetFraction) * col("__tot") * (col("__w") / col("__wsum")) / col("__n")))
+      .withColumn("__thr", round(col("__rate"), 4) * 10000)
+      .select(col(stratumCol), col("__thr"))
+    df.join(broadcast(rates), stratumCol)
+      .where(hashBucket(col(keyCol), 10000) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Stratified deterministic sample: per-stratum percentage keep. */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
                        pctByStratum: Map[String, Int],

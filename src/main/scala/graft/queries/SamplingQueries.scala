@@ -206,5 +206,28 @@ object SamplingQueries {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57, q63, q64)
+  /** Temperature (α=0.5) mixture reweighting by source (see
+    * [[graft.operators.Sampling.temperatureSample]]): per-source keep
+    * rates derived from the corpus counts themselves (two-pass), rows
+    * kept through the deterministic hash buckets. */
+  val q65 = GQuery("q65_temperature_mixture",
+    """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+      |tot AS (SELECT sum(n) AS tot, sum(w) AS wsum FROM w),
+      |rates AS (
+      |  SELECT source,
+      |    round(least(1.0, 0.5 * tot * (w / wsum) / n), 4) * 10000 AS thr
+      |  FROM w, tot),
+      |kept AS (
+      |  SELECT d.source FROM documents d JOIN rates USING (source)
+      |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000) < thr)
+      |SELECT source, count(*) AS n_kept FROM kept
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "source",
+        targetFraction = 0.5)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57, q63, q64, q65)
 }

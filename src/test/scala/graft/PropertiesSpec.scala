@@ -79,6 +79,24 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("temperature sampling flattens the mixture: tail keep-rate > head keep-rate") {
+    import graft.operators.Sampling
+    // head source 10x the tail source
+    val df = ((1L to 2000L).map(i => (i, "head")) ++ (2001L to 2200L).map(i => (i, "tail")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(df, "doc_id", "source", targetFraction = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val rateHead = kept("head").toDouble / 2000
+    val rateTail = kept("tail").toDouble / 200
+    assert(rateTail > rateHead, s"tail $rateTail should exceed head $rateHead")
+    val total = kept.values.sum.toDouble / 2200
+    assert(total > 0.35 && total < 0.65, s"kept fraction $total far from target 0.5")
+    // deterministic: identical result on rerun
+    val again = Sampling.temperatureSample(df, "doc_id", "source", 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again === kept)
+  }
+
   test("fingerprint ignores case/whitespace, distinguishes content") {
     for ((a, b) <- samples(Gen.zip(doc, doc), 8)) {
       val r = Seq((a, b)).toDF("a", "b").select(
