@@ -14,6 +14,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Pipelines {
 
+  /** Store existence resolved through Hadoop's FileSystem so the check
+    * works for ANY scheme the cluster can read (hdfs://, s3a://, file:,
+    * bare local paths) — `java.io.File.exists` is local-only and would
+    * silently disable cross-run dedup on exactly the filesystems a
+    * 100 TB deployment uses. */
+  private def storeExists(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p)
+  }
+
   /** Tumbling (or sliding, when `slide` differs) event-time window
     * counts with a watermark: late rows beyond `delay` are dropped —
     * semantics the reference cannot express (it forwards timestamps
@@ -72,7 +84,7 @@ object Pipelines {
           graft.functions.TextFunctions.fingerprint(col(textCol)))
         .dropDuplicates("fingerprint")
       val store =
-        if (new java.io.File(storePath).exists)
+        if (storeExists(spark, storePath))
           spark.read.parquet(storePath)
         else spark.emptyDataFrame.withColumn("fingerprint", lit(""))
           .select(col("fingerprint")).limit(0)
@@ -109,7 +121,7 @@ object Pipelines {
         Dedup.minhashSignatures(batch, idCol, textCol, n, k), k, bands)
         .persist()
       val store =
-        if (new java.io.File(storePath).exists) spark.read.parquet(storePath)
+        if (storeExists(spark, storePath)) spark.read.parquet(storePath)
         else banded.limit(0)
       def sigAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),

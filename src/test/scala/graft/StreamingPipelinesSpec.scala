@@ -105,7 +105,9 @@ class StreamingPipelinesSpec extends SparkSpec {
     val store = java.nio.file.Files.createTempDirectory("fpstore").toFile
     store.delete()  // foreachBatch body creates it on first append
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def body = Pipelines.dedupAgainstStore("text", store.getAbsolutePath) { fresh =>
+    // `file:` URI: java.io.File can't resolve it, Hadoop FileSystem must —
+    // proves the store check works on generic filesystems (hdfs://, s3a://)
+    def body = Pipelines.dedupAgainstStore("text", "file:" + store.getAbsolutePath) { fresh =>
       seen ++= fresh.select("doc_id").as[Long].collect()
     }
 
@@ -139,7 +141,7 @@ class StreamingPipelinesSpec extends SparkSpec {
     val novel = "completely different material about entirely other topics here now"
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
     def body = Pipelines.nearDupAgainstStore("doc_id", "text",
-        store.getAbsolutePath, minEstJaccard = 0.5) { fresh =>
+        "file:" + store.getAbsolutePath, minEstJaccard = 0.5) { fresh =>
       seen ++= fresh.select("doc_id").as[Long].collect()
     }
 
