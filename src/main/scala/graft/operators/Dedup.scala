@@ -46,6 +46,29 @@ object Dedup {
     * explode shingles, self-join on the shingle (equi-shuffle join),
     * then exact Jaccard per pair.
     *
+    * The shingle index feeds several consumers (frequency census,
+    * self-join, verification), so it is persisted MEMORY_AND_DISK:
+    * partition-local executor storage that scales with the cluster.
+    * Spark's CacheManager dedups plan-identical persists, so repeated
+    * calls over the same input in one session share ONE cached copy;
+    * for explicit lifecycle control (long-running services, or reusing
+    * a written-once index table at 100 TB) build the index yourself and
+    * call [[jaccardPairsFromSets]] — this wrapper never unpersists. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJaccard: Double = 0.8,
+                   maxDocFreq: Option[Int] = Some(10000)): DataFrame =
+    jaccardPairsFromSets(
+      shingleSets(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      minJaccard, maxDocFreq)
+
+  /** [[jaccardPairs]] over a pre-built `(id, shset)` index — the caller
+    * owns the index lifecycle (persist/unpersist, or a materialized
+    * table read back from storage). This is the reuse point for
+    * pipelines that run several shingle analyses over one corpus
+    * (pairing, clustering, the curation capstone): build the index
+    * once, feed it everywhere, release it when done.
+    *
     * `maxDocFreq` (finite by default — one ubiquitous stop-shingle would
     * otherwise make the self-join key quadratic at scale): shingles
     * appearing in more docs than this are dropped from CANDIDATE
@@ -53,18 +76,9 @@ object Dedup {
     * the full shingle sets, so scores are exact. The recall tradeoff is
     * precisely: a pair is missed iff every shingle it shares is
     * frequent — near-identical docs always share rare shingles unless
-    * the whole corpus is near-identical.
-    *
-    * The shingle index feeds several consumers (frequency census,
-    * self-join, verification), so it is persisted MEMORY_AND_DISK:
-    * partition-local executor storage that scales with the cluster. At
-    * 100 TB the equivalent move is materializing the index to a table
-    * once and reading it back — same plan shape. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, minJaccard: Double = 0.8,
-                   maxDocFreq: Option[Int] = Some(10000)): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * the whole corpus is near-identical. */
+  def jaccardPairsFromSets(sets: DataFrame, minJaccard: Double = 0.8,
+                           maxDocFreq: Option[Int] = Some(10000)): DataFrame = {
     val ex0 = sets.select(col("id"), explode(col("shset")).as("s"))
     maxDocFreq match {
       case None =>
@@ -149,10 +163,14 @@ object Dedup {
     * JIT), while this shape keeps every generated method small and both
     * aggregates enjoy map-side partials. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
+                        n: Int, k: Int): DataFrame =
+    minhashSignaturesFromSets(shingleSets(df, idCol, textCol, n), k)
+
+  /** [[minhashSignatures]] over a pre-built `(id, shset)` index
+    * (caller-owned lifecycle — see [[jaccardPairsFromSets]]). */
+  def minhashSignaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
     require(k <= 16000, "k too large for overflow-free 48-bit hash derivation")
-    val ex = shingleSets(df, idCol, textCol, n)
-      .select(col("id"), explode(col("shset")).as("s"))
+    val ex = sets.select(col("id"), explode(col("shset")).as("s"))
     val halves = ex
       .withColumn("h128", md5(col("s")))
       .select(col("id"),
@@ -204,9 +222,20 @@ object Dedup {
     * Jaccard. The verify join only touches candidate pairs. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 9, bands: Int = 3,
-                   minJaccard: Double = 0.8): DataFrame = {
-    val cands = lshCandidates(df, idCol, textCol, n, k, bands)
-    val sets = shingleSets(df, idCol, textCol, n)
+                   minJaccard: Double = 0.8): DataFrame =
+    minhashDedupFromSets(shingleSets(df, idCol, textCol, n), k, bands, minJaccard)
+
+  /** [[minhashDedup]] over a pre-built `(id, shset)` index
+    * (caller-owned lifecycle — see [[jaccardPairsFromSets]]). */
+  def minhashDedupFromSets(sets: DataFrame, k: Int = 9, bands: Int = 3,
+                           minJaccard: Double = 0.8): DataFrame = {
+    val sigs = minhashSignaturesFromSets(sets, k)
+    val banded = lshBuckets(sigs, k, bands).drop("sig")
+    val cands = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     cands
       .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
@@ -297,9 +326,18 @@ object Dedup {
     val spark = docs.sparkSession
     val bsh = shingleSets(bench, benchIdCol, benchTextCol, n)
       .select(explode(col("shset")).as("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist only for the duration of the two EAGER index-build actions
+    // (count + bloomFilter scan), then release before returning: a
+    // never-unpersisted cache would accumulate across calls in a
+    // long-lived session. The returned plan's exact-verify join
+    // recomputes bsh once at materialization — the bench side is small
+    // by construction, and the leak-free lifecycle is worth one extra
+    // pass over it. The Bloom broadcast itself is released by Spark's
+    // ContextCleaner once the returned DataFrame is unreachable.
+    bsh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nProbes = math.max(bsh.count(), 64L)   // sketch sizing
     val bloom = bsh.stat.bloomFilter("s", nProbes, fpp)
+    bsh.unpersist(blocking = false)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
     val hits = shingleSets(docs, idCol, textCol, n)
@@ -332,7 +370,12 @@ object Dedup {
     docs.select(col(idCol), col(textCol).as("__text"))
       .crossJoin(broadcast(parr))
       .select(col(idCol),
-        exists(col("__probes"), p => col("__text").contains(p)).as("contaminated"))
+        // coalesce: `contains` null-propagates through `exists` for
+        // null-text docs; the SQL EXISTS semantics this mirrors yield
+        // false there, and downstream `!contaminated` filters (q63)
+        // must keep such docs, not drop them as NULL would
+        coalesce(exists(col("__probes"), p => col("__text").contains(p)),
+          lit(false)).as("contaminated"))
   }
 
   /** Connected components over near-duplicate pairs: every document gets
@@ -415,16 +458,20 @@ object Dedup {
     // one row per (token, nibble index 0..15)
     val nib = tok.select(col("id"), col("h"), explode(sequence(lit(0), lit(15))).as("i"))
       .withColumn("v", expr("instr('0123456789abcdef', substr(h, i + 1, 1)) - 1"))
-    // one row per (token, bit 0..63); vote +1/-1
-    val bits = nib.select(col("id"), col("i"), col("v"),
-        explode(sequence(lit(0), lit(3))).as("j"))
-      .withColumn("b", col("i") * 4 + col("j"))
-      .withColumn("vote", when(expr("(v >> j) & 1") === 1, 1).otherwise(-1))
-    val sig = bits.groupBy(col("id"), col("b"))
-      .agg(sum(col("vote")).as("score"))
-      .withColumn("bit", when(col("score") >= 0, lit("1")).otherwise(lit("0")))
-    sig.groupBy("id")
-      .agg(concat_ws("", array_sort(collect_list(struct(col("b"), col("bit"))))
-        .getField("bit")).as("simhash64"))
+    // The nibble's 4 bit-votes aggregate as 4 narrow sums per (id,
+    // nibble) — arithmetic on the nibble value instead of a 4× explode
+    // to one-row-per-bit (which made this the highest rows-per-input-
+    // byte operator in the repo). vote_j = ±1 per token, so
+    // score_j = 2·Σbit_j − n_tokens; the sign test (≥ 0) is unchanged.
+    val voteSums = (0 to 3).map(j =>
+      (sum(expr(s"(v >> $j) & 1")) * 2 - count(lit(1))).as(s"s$j"))
+    val scores = nib.groupBy(col("id"), col("i"))
+      .agg(voteSums.head, voteSums.tail: _*)
+    val nibBits = scores.select(col("id"), col("i"),
+      concat((0 to 3).map(j =>
+        when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("bits4"))
+    nibBits.groupBy("id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("i"), col("bits4"))))
+        .getField("bits4")).as("simhash64"))
   }
 }

@@ -153,8 +153,10 @@ object SamplingQueries {
          |ORDER BY shard_id""".stripMargin) { (s, dir) =>
       import graft.operators.{Dedup, Packing}
       val docs = Tables.documents(s, dir)
+      // same persisted pair graph as q24/q51 (plan-identical → one
+      // cached copy per session); the capstone composes, not recomputes
       val clusters = Dedup.dupClusters(docs, "doc_id",
-        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))
+        DedupQueries.sharedPairs(s, dir))
       val probes = docs.where(col("doc_id") % 97 === 0)
         .select(substring(col("text"), 1, 64).as("probe"))
       val contam = Dedup.substringContamination(docs, "doc_id", "text", probes, "probe")
