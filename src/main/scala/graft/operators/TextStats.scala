@@ -42,21 +42,37 @@ object TextStats {
     * fraction or low distinct fraction flags boilerplate/spam for
     * pretraining-corpus filtering. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+    // ONE tokenize pass: the doc-level stats (token count, distinct
+    // fraction) ride along the bigram explode as grouping keys — they
+    // are functionally dependent on id, so the shuffle keys stay (id,
+    // bigram) / id shaped. A separate `base` branch would tokenize the
+    // corpus twice (two full scans at 100 TB). explode_outer keeps
+    // bigram-less docs (single-token) as a null row so they surface
+    // with top_bigram_frac = 0 without a corpus-side join.
+    val toks = FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
       .where(size(col("ws")) >= 1)
       .select(col("id"),
         size(col("ws")).cast("long").as("n_tokens"),
-        round(size(array_distinct(col("ws"))).cast("double") /
-          size(col("ws")), 4).as("frac_distinct"))
-    val bigram = posShingles(df, idCol, textCol, 2)
-      .groupBy(col("id"), col("s")).agg(count(lit(1)).as("c"))
-      .groupBy(col("id"))
-      .agg(round(max(col("c")).cast("double") /
-        sum(col("c")).cast("double"), 4).as("top_bigram_frac"))
-    base.join(bigram, Seq("id"), "left")
-      .select(col("id"), col("n_tokens"), col("frac_distinct"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        // when-guard for totality under pushdown/CSE — see posShingles
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(0), size(col("ws")) - 2),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(2)))))
+          .otherwise(slice(col("ws"), 1, 0)).as("bigrams"))
+    toks
+      .select(col("id"), col("n_tokens"), col("n_distinct"),
+        explode_outer(col("bigrams")).as("s"))
+      .groupBy(col("id"), col("n_tokens"), col("n_distinct"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"), col("n_tokens"), col("n_distinct"))
+      .agg(max(when(col("s").isNotNull, col("c"))).as("top"),
+        sum(when(col("s").isNotNull, col("c"))).as("tot"))
+      .select(col("id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("frac_distinct"),
+        coalesce(round(col("top").cast("double") / col("tot"), 4), lit(0.0))
+          .as("top_bigram_frac"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
