@@ -26,7 +26,16 @@ object Embeddings {
     * aggregation ((key, pos, x) rows, map-side partial) rather than a
     * dim-wide aggregate: no K-wide codegen pathology, one shuffle keyed
     * (key, pos) that distributes evenly. Means are rounded so float
-    * summation order cannot leak engine-specific ulps. */
+    * summation order cannot leak engine-specific ulps.
+    *
+    * Rounding caveat: `round(avg(x), roundTo)` masks summation-order
+    * differences ONLY while the mean sits away from a rounding
+    * boundary; a mean within an ulp of the half-way point can still
+    * round differently across engines (Spark's distributed sum vs a
+    * sequential one). Exact-hash comparisons of pooled vectors are
+    * therefore probabilistic-but-not-guaranteed at the chosen
+    * precision — use a tolerance-based compare where that risk is
+    * unacceptable. */
   def meanPool(df: DataFrame, keyCol: String, vecCol: String,
                roundTo: Int = 4): DataFrame =
     FanOut(df.select(col(keyCol).as("key"), col(vecCol).as("__v")))

@@ -232,16 +232,21 @@ object Similarity {
     require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // ids cast to long and vectors to array<double> so the typed encoder
+    // below accepts ANY integral id / float-or-double vector input (the
+    // IVF family hands around array<double>) instead of imposing an
+    // undocumented Long/Float contract on callers
     val pool = bruteForceTopK(corpus, queries, idCol, vecCol, m, dim, excludeSelf)
       .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")), "corpus_id")
-      .groupBy(col("query_id"))
+      .groupBy(col("query_id").cast("long").as("query_id"))
       .agg(array_sort(collect_list(struct(
-        col("rn"), col("corpus_id"), col("cosine"), col("cv")))).as("cands"))
-      .as[(Long, Seq[(Int, Long, Double, Seq[Float])])]
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        col("rn"), col("corpus_id").cast("long").as("corpus_id"), col("cosine"),
+        transform(col("cv"), _.cast("double")).as("cv")))).as("cands"))
+      .as[(Long, Seq[(Int, Long, Double, Seq[Double])])]
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length && i < b.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
+        val x = a(i); val y = b(i)
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       if (na == 0 && nb == 0) 1.0 else if (na == 0 || nb == 0) 0.0
@@ -250,7 +255,7 @@ object Similarity {
     pool.flatMap { case (qid, cands) =>
       val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
       val picked = Seq.newBuilder[(Long, Long, Double, Int)]
-      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
       var rank = 1
       while (rank <= k && remaining.nonEmpty) {
         val best = remaining.minBy { case (_, cid, rel, cv) =>

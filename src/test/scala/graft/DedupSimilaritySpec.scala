@@ -139,6 +139,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(picks(0.5) === Seq(1L, 3L))   // diversity penalty evicts the dup
   }
 
+  test("MMR re-rank accepts int ids and double vectors (IVF-family frames)") {
+    val corpus = Seq(
+      (1, Array(1.0, 0.9, 0.0)),
+      (2, Array(1.0, 0.9, 0.0)),
+      (3, Array(1.0, 1.0, 1.0))).toDF("vec_id", "embedding")
+    val query = Seq((100, Array(1.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+        k = 2, m = 3, dim = 3, lambda = 0.5)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 3L))
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
         "vec_id", "embedding", k = 3, dim = 3)

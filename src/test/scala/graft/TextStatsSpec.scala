@@ -60,15 +60,18 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1)._2 === 2L)
   }
 
-  test("substringContamination flags verbatim probe hits only") {
+  test("substringContamination flags verbatim probe hits only; null text is clean") {
     val probes = Seq("secret eval passage", "another probe").toDF("probe")
     val docs = Seq(
       (1L, "contains the secret eval passage inside"),
       (2L, "secret eval but not the full phrase"),
-      (3L, "another probe appears here")).toDF("doc_id", "text")
+      (3L, "another probe appears here"),
+      (4L, null)).toDF("doc_id", "text")
     val out = Dedup.substringContamination(docs, "doc_id", "text", probes, "probe")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(out === Map(1L -> true, 2L -> false, 3L -> true))
+    // 4: SQL EXISTS semantics — null text is FALSE (not NULL), so a
+    // downstream `!contaminated` keep-filter retains the doc
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
   test("bloom-prefiltered contamination flags equal the exact path") {
