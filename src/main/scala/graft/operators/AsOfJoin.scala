@@ -32,6 +32,11 @@ object AsOfJoin {
     *                     treated as no-match (payload nulled) — the
     *                     "as-of within" variant every time-series store
     *                     offers
+    * @param inner        drop left rows with no as-of match instead of
+    *                     keeping them with a null payload — DuckDB's
+    *                     `ASOF JOIN` default (its LEFT variant is this
+    *                     operator's default). A tolerance-expired match
+    *                     counts as no-match here too.
     */
   def leftAsOf(
       left: DataFrame,
@@ -41,7 +46,8 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String],
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None,
+      inner: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightPayload.intersect(leftCols).isEmpty,
       s"right payload collides with left columns: ${rightPayload.intersect(leftCols)}")
@@ -96,8 +102,9 @@ object AsOfJoin {
       case None => joined
     }
 
+    val matched = if (inner) withTol.where(col("__match").isNotNull) else withTol
     val leftOut = leftCols.map(c => col("__lp").getField(c).as(c))
     val rightOut = rightPayload.map(c => col("__match").getField(c).as(c))
-    withTol.select(leftOut ++ rightOut: _*)
+    matched.select(leftOut ++ rightOut: _*)
   }
 }

@@ -259,6 +259,34 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** INNER as-of join — DuckDB's `ASOF JOIN` default: purchases with no
+    * prior view are dropped, not null-padded (q09 keeps them). */
+  val q09c = GQuery("q09c_asof_join_inner",
+    """WITH v AS (
+      |  SELECT user_id, ts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts, round(value, 3) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id AS purchase_id, p.user_id AS user_id,
+      |  p.purchase_value AS purchase_value, v.view_id AS view_id
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        round(col("value"), 3).as("purchase_value"))
+    AsOfJoin.leftAsOf(purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTs = "ts", rightTs = "v_ts",
+        rightPayload = Seq("view_id"), inner = true)
+      .select(col("purchase_id"), col("user_id"), col("purchase_value"), col("view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Distinct aggregation (Catalyst expands to a two-phase plan with a
     * partial distinct before the shuffle). */
   val q10 = GQuery("q10_distinct_agg",
@@ -326,5 +354,5 @@ object Relational {
   }
 
   val all: Seq[GQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q10, q10b, q11, q12)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q10, q10b, q11, q12)
 }

@@ -40,6 +40,20 @@ class AsOfJoinSpec extends SparkSpec {
       (300L, None)))       // age 205 > 10 → nulled
   }
 
+  test("inner as-of drops unmatched left rows, including tolerance-expired ones") {
+    val left = Seq(
+      (1L, 100L, "a"), (1L, 300L, "b"),
+      (3L, 50L, "e")).toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, 1.0)).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("rv"),
+        toleranceMs = Some(10L), inner = true)
+      .orderBy("t").select($"t", $"rv").as[(Long, Double)]
+      .collect().toSeq
+    // (1,300) had a match but it expired (age 205 > 10); (3,50) never
+    // matched — inner semantics drop both instead of null-padding
+    assert(out === Seq((100L, 1.0)))
+  }
+
   test("string keys join in their native type (no numeric cast)") {
     // "u1"/"u10" would both cast to NULL under the old numeric-key cast,
     // silently cross-matching users; native string keys keep them apart.
