@@ -322,22 +322,32 @@ object Dedup {
   def contaminationFlagsBloom(docs: DataFrame, idCol: String, textCol: String,
                               bench: DataFrame, benchIdCol: String,
                               benchTextCol: String, n: Int = 3,
-                              fpp: Double = 0.001): DataFrame = {
+                              fpp: Double = 0.001): DataFrame =
+    contaminationFlagsBloomManaged(docs, idCol, textCol,
+      bench, benchIdCol, benchTextCol, n, fpp)._1
+
+  /** [[contaminationFlagsBloom]] with an explicit resource lifecycle:
+    * returns the flags frame plus a `release` thunk that drops the
+    * persisted benchmark-shingle cache and the Bloom broadcast blocks.
+    * Call `release()` after the flags are materialized (written/counted)
+    * — a long-lived service that flags many corpora against many
+    * benchmark sets would otherwise accumulate one cached frame +
+    * broadcast per DISTINCT benchmark input (identical inputs dedup via
+    * the CacheManager). Re-materializing the frame after `release()`
+    * stays correct: the cache recomputes and the broadcast re-ships. */
+  def contaminationFlagsBloomManaged(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, fpp: Double = 0.001): (DataFrame, () => Unit) = {
     val spark = docs.sparkSession
+    // persisted through the index build AND the exact-verify join: the
+    // three consumers (count, bloomFilter scan, verify) must not each
+    // recompute the bench shingle pipeline
     val bsh = shingleSets(bench, benchIdCol, benchTextCol, n)
       .select(explode(col("shset")).as("s")).distinct()
-    // persist only for the duration of the two EAGER index-build actions
-    // (count + bloomFilter scan), then release before returning: a
-    // never-unpersisted cache would accumulate across calls in a
-    // long-lived session. The returned plan's exact-verify join
-    // recomputes bsh once at materialization — the bench side is small
-    // by construction, and the leak-free lifecycle is worth one extra
-    // pass over it. The Bloom broadcast itself is released by Spark's
-    // ContextCleaner once the returned DataFrame is unreachable.
-    bsh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nProbes = math.max(bsh.count(), 64L)   // sketch sizing
     val bloom = bsh.stat.bloomFilter("s", nProbes, fpp)
-    bsh.unpersist(blocking = false)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
     val hits = shingleSets(docs, idCol, textCol, n)
@@ -345,11 +355,12 @@ object Dedup {
       .where(mightContain(col("s")))      // sketch prefilter, output-sized
       .join(bsh, "s")                     // exact verify kills false positives
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
-    docs.select(col(idCol).as("id"))
+    val flags = docs.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    (flags, () => { bsh.unpersist(blocking = false); bloomB.unpersist() })
   }
 
   /** Exact-substring decontamination: flag every document whose text

@@ -169,5 +169,30 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[GQuery] = Seq(q31, q31b, q32, q32b, q33, q55, q61, q62)
+  /** Embedding-cosine near-duplicate pairs (see
+    * [[graft.operators.Similarity.cosineNearDupPairs]]): all same-bucket
+    * pairs with cosine ≥ τ — the embedding-space member of the dedup
+    * family (exact / Jaccard / MinHash / SimHash / cosine). τ = 0.3
+    * because the synthetic embeddings are near-orthogonal (max pairwise
+    * cosine ≈ 0.5); a real corpus would use ~0.95. The oracle recomputes
+    * the sign buckets and the unrolled dot product exactly. */
+  val q66 = {
+    val Tau = 0.3
+    val ab = VectorFunctions.signBucketSql("a.embedding", Bits)
+    val bb = VectorFunctions.signBucketSql("b.embedding", Bits)
+    GQuery("q66_cosine_near_dups",
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${VectorFunctions.cosineSql("a.embedding", "b.embedding", Dim)}, 6) AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < b.vec_id AND $ab = $bb)
+         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= $Tau
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dim = Dim, threshold = Tau, bits = Bits)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66)
 }

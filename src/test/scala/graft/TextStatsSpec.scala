@@ -89,6 +89,22 @@ class TextStatsSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("managed bloom flags: release() drops the cache, frame stays correct") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "some training text with the secret benchmark answer inside it"),
+      (2L, "completely unrelated content about other things entirely")).toDF("doc_id", "text")
+    val (flags, release) = Dedup.contaminationFlagsBloomManaged(
+      corpus, "doc_id", "text", bench, "bid", "btext")
+    def read() = flags.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toSeq
+    assert(read() === Seq(1L -> true, 2L -> false))
+    release()
+    // re-materialization after release recomputes and stays correct
+    assert(read() === Seq(1L -> true, 2L -> false))
+  }
+
   test("quantizeInt8: extreme element maps to ±127, zero vector to all zeros") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
