@@ -228,8 +228,17 @@ object Dedup {
   /** [[minhashDedup]] over a pre-built `(id, shset)` index
     * (caller-owned lifecycle — see [[jaccardPairsFromSets]]). */
   def minhashDedupFromSets(sets: DataFrame, k: Int = 9, bands: Int = 3,
+                           minJaccard: Double = 0.8): DataFrame =
+    minhashDedupFromSigs(minhashSignaturesFromSets(sets, k), sets, k, bands,
+      minJaccard)
+
+  /** [[minhashDedup]] over BOTH pre-built artifacts — the `(id, sig)`
+    * signature table and the `(id, shset)` index (a pipeline typically
+    * materializes the signatures once per corpus next to the shingle
+    * index and re-bands/queries them many times). */
+  def minhashDedupFromSigs(sigs: DataFrame, sets: DataFrame,
+                           k: Int = 9, bands: Int = 3,
                            minJaccard: Double = 0.8): DataFrame = {
-    val sigs = minhashSignaturesFromSets(sets, k)
     val banded = lshBuckets(sigs, k, bands).drop("sig")
     val cands = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
