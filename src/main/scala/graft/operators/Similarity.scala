@@ -146,8 +146,13 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = FanOut(corpus.select(col(idCol).as("corpus_id"),
       transform(col(vecCol), _.cast("double")).as("cv")))
+    // Persist the training sample: seeding + every Lloyd iteration is its
+    // own job, and without this each one re-scans and re-casts the source
+    // (iters+1 full reads). The sample is the k-means working set every
+    // real IVF build holds resident; released before returning.
     val train = (if (trainMod > 1)
       c.where(pmod(abs(hash(col("corpus_id"))), lit(trainMod)) === 0) else c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic seeding: the nlist vectors with smallest md5(id)
     import spark.implicits._
     var centroids: Array[(Int, Array[Double])] = train
@@ -159,16 +164,19 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = train.withColumn("cid",
         array_min(distStructs(col("cv"), centroids)).getField("cid"))
-      // per-dimension mean, rounded so summation order can't leak in
-      centroids = assigned
+      // per-dimension mean, rounded so summation order can't leak in.
+      // ONE shuffle per iteration: collect the (cid, pos, mean) cells
+      // (nlist×dim rows — same driver-side footprint as the centroid
+      // matrix itself) and assemble arrays here instead of a second
+      // groupBy+collect_list job.
+      val cells = assigned
         .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(round(avg(col("x")), 6).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .getField("m").as("cent"))
-        .as[(Int, Seq[Double])].collect().sortBy(_._1)
-        .map { case (cid, v) => (cid, v.toArray) }
+        .as[(Int, Int, Double)].collect()
+      centroids = cells.groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (cid, xs) => (cid, xs.sortBy(_._2).map(_._3)) }
     }
+    train.unpersist(blocking = false)
     centroids
   }
 
