@@ -86,4 +86,25 @@ object TextFunctions {
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
   }
+
+  /** PII-style redaction patterns, applied in order (most specific
+    * first, so an email is tagged `<email>` before the digit rule can
+    * eat its domain digits). Tag names must themselves be digit-free —
+    * a later pattern must never match inside an earlier tag (`<ipv4>`
+    * would become `<ipv<number>>`). RE2-compatible regexes only, so the
+    * same patterns run verbatim in Spark, DuckDB, and Go/Rust
+    * scrubbers. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "number" -> "\\d+")
+
+  /** Regex scrub (the C4-style PII pass): each pattern match is
+    * replaced by its `<name>` tag. Pure per-row map — codegen'd
+    * regexp_replace chain, no shuffle, trivially linear at 100 TB. */
+  def redact(text: Column,
+             patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (acc, (name, p)) =>
+      regexp_replace(acc, p, s"<$name>")
+    }
 }

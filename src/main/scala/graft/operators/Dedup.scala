@@ -23,6 +23,29 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-level exact SPAN dedup (the C4/RefinedWeb line-dedup move,
+    * span unit = `w`-word chunk): every chunk keeps only its first
+    * occurrence in the corpus — smallest (doc id, position) — and each
+    * document is rebuilt from its surviving chunks. Catches boilerplate
+    * shared across otherwise-distinct documents, which whole-document
+    * dedup cannot. One shuffle keyed on the chunk string (row_number
+    * over tiny per-chunk groups), one keyed on doc id to reassemble.
+    * Documents under `w` words, or left with no surviving chunks,
+    * vanish from the output. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 w: Int = 5): DataFrame = {
+    val first = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("id"), col("pos"))
+    TextStats.posChunks(df, idCol, textCol, w)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(first))
+      .where(col("rn") === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("s"))))
+            .getField("s")).as("dedup_text"))
+  }
+
   /** (id, shingle-set) pairs: distinct word n-grams per document.
     * The (id, text) projection is fanned out first: shingling is
     * interpreted higher-order-function work many times the input size,

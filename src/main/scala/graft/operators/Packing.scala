@@ -42,28 +42,39 @@ object Packing {
       .repartitionByRange(parts, col("__h"))
       .sortWithinPartitions("__h")
       .withColumn("__pid", spark_partition_id())
+    val out = runningStart(keyed)
+      .withColumn("shard_id", floor(col("__start") / maxTokens))
+      .drop("__t", "__h", "__pid", "__offset")
+    if (keepStart) out else out.drop("__start")
+  }
 
-    // per-partition token totals → exclusive prefix offsets. The census
-    // is map-side partial-aggregated, so its shuffle moves one row per
-    // partition; the window over that tiny frame is trivially cheap.
+  /** The two-phase distributed prefix sum (see object doc). `keyed`
+    * must already be range-partitioned AND sorted in the intended global
+    * order, carrying `__t` (long value) and `__pid`
+    * (spark_partition_id()); appends `__start`, the exclusive global
+    * running sum, without ever forming a single-partition window.
+    *
+    * Per-partition totals are map-side partial-aggregated (one row per
+    * partition), prefix-summed in a trivially small window, and
+    * broadcast back; the within-partition running sum is the one
+    * genuinely imperative step — a mapPartitions pass over rows the
+    * broadcast join delivers still in sorted order (BHJ preserves
+    * streamed-side order). A Window.partitionBy(pid) instead would
+    * re-shuffle the full data by pid even though rows are already
+    * partition-local. Leaves `__offset` behind for the caller to drop. */
+  private[operators] def runningStart(keyed: DataFrame): DataFrame = {
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val offsets = keyed.groupBy(col("__pid"))
       .agg(sum(col("__t")).as("__ptot"))
       .withColumn("__offset", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__offset"))
-
-    // Running sum WITHIN each sorted partition. A Window.partitionBy(pid)
-    // would re-shuffle the full data by pid even though rows are already
-    // partition-local, so this is the one genuinely per-partition
-    // imperative step: a mapPartitions prefix sum over rows the broadcast
-    // join delivered in sorted order (BHJ preserves streamed-side order).
     val joined = keyed.join(broadcast(offsets), "__pid")
     val outSchema = joined.schema
       .add("__start", org.apache.spark.sql.types.LongType, nullable = false)
     val tIdx = joined.schema.fieldIndex("__t")
     val offIdx = joined.schema.fieldIndex("__offset")
-    val withStart = joined.mapPartitions { rows =>
+    joined.mapPartitions { rows =>
       var cum = -1L
       rows.map { r =>
         if (cum < 0) cum = r.getLong(offIdx)
@@ -72,10 +83,6 @@ object Packing {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    val out = withStart
-      .withColumn("shard_id", floor(col("__start") / maxTokens))
-      .drop("__t", "__h", "__pid", "__offset")
-    if (keepStart) out else out.drop("__start")
   }
 
   /** DuckDB SQL fragment computing the same shard id with a sequential

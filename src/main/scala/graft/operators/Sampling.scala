@@ -73,4 +73,31 @@ object Sampling {
     }
     df.where(hashBucket(col(keyCol), 100) < pctCol)
   }
+
+  /** Quality-ordered selection under a global token budget: order
+    * documents by (`priorityCol` desc, id) and keep the maximal prefix
+    * whose running token sum stays ≤ `budget` — "spend the compute on
+    * the best data first", the data-selection step after scoring.
+    * Appends `cum_tokens`, the inclusive running sum in selection
+    * order.
+    *
+    * The global order is a range-partitioned parallel sort and the
+    * running sum is the two-phase [[Packing.runningStart]] prefix sum,
+    * so no stage ever sees a single-partition window; token counts are
+    * integers, making the result bit-identical to a sequential pass in
+    * any engine. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+                        priorityCol: String, budget: Long,
+                        parts: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val keyed = df
+      .withColumn("__t", col(tokenCol).cast("long"))
+      .repartitionByRange(parts, col(priorityCol).desc, col(idCol))
+      .sortWithinPartitions(col(priorityCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    Packing.runningStart(keyed)
+      .withColumn("cum_tokens", col("__start") + col("__t"))
+      .where(col("cum_tokens") <= budget)
+      .drop("__t", "__pid", "__offset", "__start")
+  }
 }

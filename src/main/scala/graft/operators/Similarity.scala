@@ -299,4 +299,39 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    * semantic dedup. Cluster with the IVF k-means ([[ivfTrain]] /
+    * [[ivfAssign]]), then within each cluster evict every vector that
+    * has a same-cluster neighbor with cosine ≥ `tau` and a smaller id
+    * (deterministic min-id representative — single pass, no iteration;
+    * the paper's keep-one-per-ε-group with a fixed tie-break). Returns
+    * every vector as (vec_id, cid, kept).
+    *
+    * 100 TB story: pairwise work is confined within clusters — the
+    * candidate join is keyed on cid, so total compare cost is
+    * Σ|cluster|² with nlist sized ∝ N to bound cluster sizes (the
+    * paper's setting; k-means balance keeps the cid shuffle from
+    * skewing). The assignment frame feeds three consumers, so it is
+    * persisted; Spark's CacheManager dedups plan-identical persists —
+    * same caller-owned lifecycle as [[Dedup.jaccardPairs]]. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, iters: Int = 5, tau: Double = 0.97,
+               trainMod: Int = 1): DataFrame = {
+    val centroids = ivfTrain(emb, idCol, vecCol, nlist, iters, trainMod)
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cid"), col("corpus_id").as("id_a"),
+      col("cv").as("va"))
+    val b = assigned.select(col("cid"), col("corpus_id").as("id_b"),
+      col("cv").as("vb"))
+    val evicted = a.join(b, Seq("cid"))
+      .where(col("id_b") < col("id_a"))
+      .where(round(cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("id_a")).distinct()
+    assigned.join(evicted,
+        assigned("corpus_id") === evicted("id_a"), "left_outer")
+      .select(col("corpus_id").as("vec_id"), col("cid"),
+        col("id_a").isNull.as("kept"))
+  }
 }

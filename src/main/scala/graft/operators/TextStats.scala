@@ -109,4 +109,103 @@ object TextStats {
       .groupBy(col("s")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("s"))
       .limit(k)
+
+  /** Non-overlapping `w`-word chunks with 0-based chunk position:
+    * (id, pos, s). Only full chunks — a trailing remainder shorter than
+    * `w` words is dropped, and documents under `w` words vanish. The
+    * span unit for corpus-level exact-span dedup and duplicated-span
+    * quality signals. */
+  def posChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int): DataFrame =
+    FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
+      .where(size(col("ws")) >= w)
+      // when-guard for totality under pushdown/CSE — see posShingles
+      .select(col("id"), posexplode(
+        when(size(col("ws")) >= w,
+          transform(
+            sequence(lit(0), floor(size(col("ws")) / w).cast("int") - 1),
+            j => concat_ws(" ", slice(col("ws"), j * w + 1, lit(w)))))
+          .otherwise(slice(col("ws"), 1, 0))))
+      .toDF("id", "pos", "s")
+
+  /** Cross-document duplicated-span fraction (the corpus-level cousin of
+    * the Gopher duplicate-n-gram signals, which are within-document):
+    * per document, the fraction of its `w`-word chunks that occur more
+    * than once ANYWHERE in the corpus. High fractions flag boilerplate
+    * and template families that per-doc repetition stats cannot see.
+    *
+    * One shuffle keyed on the chunk string (per-chunk census groups are
+    * tiny, so the unordered window is bounded), one keyed on doc id —
+    * both even; never pairwise. */
+  def dupChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 5): DataFrame = {
+    val census = Window.partitionBy(col("s"))
+    posChunks(df, idCol, textCol, w)
+      .withColumn("c", count(lit(1)).over(census))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("frac_dup_chunks",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+  }
+
+  /** EXACT corpus heavy hitters — every `n`-gram with ≥ `minCount`
+    * occurrences, with exact counts — via a count-min-sketch candidate
+    * pass. Pass 1 builds a depth×width CM sketch: d cell rows per
+    * occurrence, map-side partial-aggregated down to ≤ d·w cells — the
+    * only driver-held state (like the IVF centroid matrix). Pass 2
+    * probes the sketch per occurrence as a pure map over broadcast
+    * literal arrays, keeps occurrences whose estimate reaches
+    * `minCount`, and exact-counts only the survivors. CM never
+    * underestimates, so the candidate set is a superset of the true
+    * heavy hitters and the final exact filter makes the output EXACT.
+    *
+    * 100 TB story: the exact q58-style count shuffles the FULL
+    * vocabulary (unbounded at web scale); this shuffles two tiny
+    * things — the d·w sketch cells and the candidate occurrences —
+    * at the cost of reading the corpus twice, the standard
+    * sketch-then-verify trade. */
+  def heavyHitters(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minCount: Long,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 2 && width >= 2, "need depth, width >= 2")
+    val grams = posShingles(df, idCol, textCol, n).select(col("s"))
+    val cellCols = (0 until depth).map(r =>
+      struct(lit(r).as("r"), pmod(xxhash64(lit(r), col("s")), lit(width.toLong)).as("cell")))
+    val cells = grams
+      .select(explode(array(cellCols: _*)).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    val sketch = Array.fill(depth)(new Array[Long](width))
+    cells.foreach(row =>
+      sketch(row.getInt(0))(row.getLong(1).toInt) = row.getLong(2))
+    val est = least((0 until depth).map(r =>
+      element_at(typedLit(sketch(r).toSeq),
+        (pmod(xxhash64(lit(r), col("s")), lit(width.toLong)) + 1).cast("int"))): _*)
+    grams.where(est >= minCount)
+      .groupBy(col("s")).agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") >= minCount)
+  }
+
+  /** First-failing-rule quality cascade — the Gopher-style rule stack
+    * over [[repetitionStats]] signals: token-count bounds, minimum
+    * distinct-token fraction, maximum top-bigram fraction. Emits every
+    * document with its verdict and the FIRST rule it failed (real
+    * pipelines keep per-rule drop tallies and audit samples, so drops
+    * are annotated, not discarded). Same shuffle shape as
+    * [[repetitionStats]]; the cascade itself is a pure map. */
+  def qualityCascade(df: DataFrame, idCol: String, textCol: String,
+                     minTokens: Long = 15, maxTokens: Long = 100000,
+                     minFracDistinct: Double = 0.35,
+                     maxTopBigramFrac: Double = 0.1): DataFrame =
+    repetitionStats(df, idCol, textCol)
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("n_tokens") > maxTokens, lit("too_long"))
+          .when(col("frac_distinct") < minFracDistinct, lit("low_diversity"))
+          .when(col("top_bigram_frac") > maxTopBigramFrac, lit("repetitive"))
+          .otherwise(lit("")))
+      .withColumn("keep", col("reason") === "")
 }

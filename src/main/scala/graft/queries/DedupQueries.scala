@@ -292,5 +292,33 @@ object DedupQueries {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60)
+  /** Corpus-level exact span dedup (see
+    * [[graft.operators.Dedup.chunkDedup]]): 5-word chunks keep only
+    * their first (doc_id, pos) occurrence; documents are rebuilt from
+    * surviving chunks. */
+  val q68 = GQuery("q68_chunk_dedup",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': j, 's': array_to_string(ws[(j*5+1):(j*5+5)], ' ')}
+       |              for j in range(0, len(ws) // 5)]) AS u
+       |    FROM tok WHERE len(ws) >= 5)),
+       |k AS (
+       |  SELECT doc_id, pos, s,
+       |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+       |  FROM ch)
+       |SELECT doc_id, count(*) AS n_kept_chunks,
+       |  string_agg(s, ' ' ORDER BY pos) AS dedup_text
+       |FROM k WHERE rn = 1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", w = 5)
+      .select(col("id").as("doc_id"), col("n_kept_chunks"), col("dedup_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68)
 }

@@ -230,5 +230,30 @@ object SamplingQueries {
       .orderBy(col("source"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57, q63, q64, q65)
+  /** Quality-ordered selection under a 15k-token budget (see
+    * [[graft.operators.Sampling.tokenBudgetSelect]]): score with the
+    * q28 quality formula, keep the best-first maximal prefix. The
+    * oracle's sequential window equals the engine's two-phase prefix
+    * sum exactly (integer token counts). */
+  val q70 = GQuery("q70_token_budget",
+    s"""WITH ${TextQueries.qualityCte},
+       |r AS (
+       |  SELECT doc_id, n_tokens, quality,
+       |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, n_tokens, quality, cum_tokens
+       |FROM r WHERE cum_tokens <= 15000
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    Sampling.tokenBudgetSelect(scored, "doc_id", "n_tokens", "quality",
+        budget = 15000)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70)
 }

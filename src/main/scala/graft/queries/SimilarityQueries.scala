@@ -194,5 +194,18 @@ object SimilarityQueries {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66)
+  /** SemDeDup over the embeddings table (see
+    * [[graft.operators.Similarity.semDedup]]). τ = 0.3 because the
+    * synthetic embeddings are near-orthogonal (like q66); a real corpus
+    * would use ~0.95+. Rows-only by design (k-means clustering is not
+    * ANSI-SQL-expressible); `SemDeDupSpec` proves the eviction rule
+    * sound and complete against a brute-force check. */
+  val q72 = GQuery.rowsOnly("q72_semdedup") { (s, dir) =>
+    Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, iters = 5, tau = 0.3)
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72)
 }

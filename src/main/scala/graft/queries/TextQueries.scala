@@ -47,8 +47,11 @@ object TextQueries {
 
   /** Cheap composite quality score (length sweet-spot + stopword density
     * + word-length sanity). */
-  val q28 = GQuery("q28_quality_score",
-    s"""WITH t AS (
+  /** Shared oracle CTE chain ending in
+    * `q(doc_id, n_tokens, quality)` — the q28 score, reused by the
+    * token-budget selection (q70). */
+  private[queries] val qualityCte: String =
+    s"""t AS (
        |  SELECT doc_id, text, n_chars,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
        |  FROM documents),
@@ -63,10 +66,16 @@ object TextQueries {
        |      ELSE 0.0 END * 5.0, 1.0) AS stop_score,
        |    CASE WHEN len(ws) > 0 AND length(text) * 1.0 / len(ws) BETWEEN 3.0 AND 10.0
        |         THEN 1.0 ELSE 0.5 END AS wl_score
-       |  FROM t)
-       |SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
-       |  round((len_score + stop_score + wl_score) / 3.0, 4) AS quality
-       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       |    round((len_score + stop_score + wl_score) / 3.0, 4) AS quality
+       |  FROM c)""".stripMargin
+
+  val q28 = GQuery("q28_quality_score",
+    s"""WITH $qualityCte
+       |SELECT doc_id, n_tokens, quality
+       |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -198,5 +207,103 @@ object TextQueries {
       n = 3, k = 25)
   }
 
-  val all: Seq[GQuery] = Seq(q27, q28, q29, q30, q43, q54, q56, q58)
+  /** EXACT heavy hitters through a count-min candidate pass (see
+    * [[graft.operators.TextStats.heavyHitters]]): bigrams with ≥ 40
+    * occurrences. The sketch is engine-internal; the oracle is the
+    * plain exact threshold count the operator provably equals. */
+  val q58b = GQuery("q58b_heavy_hitters",
+    s"""WITH $tokCte,
+       |big AS (
+       |  SELECT unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS s
+       |  FROM tok WHERE len(ws) >= 2)
+       |SELECT s, count(*) AS n_occurrences
+       |FROM big GROUP BY s HAVING count(*) >= 40
+       |ORDER BY n_occurrences DESC, s""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.heavyHitters(Tables.documents(s, dir),
+        "doc_id", "text", n = 2, minCount = 40)
+      .orderBy(col("n_occurrences").desc, col("s"))
+  }
+
+  /** Cross-document duplicated-span fraction (see
+    * [[graft.operators.TextStats.dupChunkStats]]): 5-word chunks. */
+  val q67 = GQuery("q67_dup_chunks",
+    s"""WITH $tokCte,
+       |ch AS (
+       |  SELECT doc_id, unnest([array_to_string(ws[(j*5+1):(j*5+5)], ' ')
+       |                         for j in range(0, len(ws) // 5)]) AS s
+       |  FROM tok WHERE len(ws) >= 5),
+       |cen AS (SELECT s, count(*) AS c FROM ch GROUP BY s)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |    AS frac_dup_chunks
+       |FROM ch JOIN cen USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.dupChunkStats(Tables.documents(s, dir),
+        "doc_id", "text", w = 5)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("frac_dup_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** First-failing-rule quality cascade (see
+    * [[graft.operators.TextStats.qualityCascade]]); thresholds sit
+    * inside the fixture's signal ranges so all verdicts occur. */
+  val q69 = GQuery("q69_quality_cascade",
+    s"""WITH $tokCte,
+       |base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS frac_distinct
+       |  FROM tok WHERE len(ws) >= 1),
+       |big AS (
+       |  SELECT doc_id,
+       |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+       |  FROM tok WHERE len(ws) >= 2),
+       |cnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+       |tb AS (
+       |  SELECT doc_id,
+       |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+       |  FROM cnt GROUP BY doc_id),
+       |sig AS (
+       |  SELECT b.doc_id, b.n_tokens, b.frac_distinct,
+       |    coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
+       |  FROM base b LEFT JOIN tb USING (doc_id)),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN n_tokens < 15 THEN 'too_short'
+       |         WHEN n_tokens > 100000 THEN 'too_long'
+       |         WHEN frac_distinct < 0.35 THEN 'low_diversity'
+       |         WHEN top_bigram_frac > 0.1 THEN 'repetitive'
+       |         ELSE '' END AS reason
+       |  FROM sig)
+       |SELECT doc_id, n_tokens, frac_distinct, top_bigram_frac, reason,
+       |  reason = '' AS keep
+       |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.qualityCascade(Tables.documents(s, dir),
+        "doc_id", "text", minTokens = 15, maxTokens = 100000,
+        minFracDistinct = 0.35, maxTopBigramFrac = 0.1)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("frac_distinct"),
+        col("top_bigram_frac"), col("reason"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII-style regex redaction over `events.props` (the corpus-scrub
+    * pass); oracle SQL is generated from the SAME pattern table as the
+    * Column chain — RE2-compatible patterns run verbatim in both. */
+  val q71 = {
+    val chain = TextFunctions.PiiPatterns.foldLeft("props") {
+      case (acc, (name, p)) => s"regexp_replace($acc, '$p', '<$name>', 'g')"
+    }
+    GQuery("q71_redact",
+      s"""SELECT event_id, $chain AS redacted
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          TextFunctions.redact(col("props")).as("redacted"))
+        .orderBy(col("event_id"))
+    }
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71)
 }

@@ -1,0 +1,140 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus operators: chunk-level span dedup, cross-doc
+  * duplicated-span stats, count-min heavy hitters, quality cascade,
+  * PII redaction, token-budget selection, SemDeDup. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsDir = "/root/testdata/sf0.001"
+
+  test("posChunks: full non-overlapping chunks only; short docs vanish") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // 7 tokens, w=3 -> 2 chunks, remainder dropped
+      (2L, "x y"),             // shorter than w -> vanishes
+      (3L, "p q r")).toDF("doc_id", "text")
+    val out = TextStats.posChunks(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSet === Set((1L, 0, "a b c"), (1L, 1, "d e f"), (3L, 0, "p q r")))
+  }
+
+  test("chunkDedup: every chunk keeps exactly its first (doc, pos) occurrence") {
+    val docs = Seq(
+      (1L, "one two three four five six"),    // chunks: "one two three", "four five six"
+      (2L, "one two three seven eight nine"), // first chunk is a dup of doc 1's
+      (3L, "four five six four five six")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_kept_chunks"), r.getAs[String]("dedup_text"))).toMap
+    assert(out(1L) === ((2L, "one two three four five six")))
+    assert(out(2L) === ((1L, "seven eight nine")))
+    assert(!out.contains(3L)) // both of doc 3's chunks first occurred in doc 1
+  }
+
+  test("heavyHitters equals the exact threshold count — even with a tiny sketch forcing collisions") {
+    val docs = Tables.documents(spark, docsDir)
+    val exact = TextStats.posShingles(docs, "doc_id", "text", 2)
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (width <- Seq(1024, 2)) { // width=2: every gram collides
+      val hh = TextStats.heavyHitters(docs, "doc_id", "text",
+          n = 2, minCount = 5, depth = 4, width = width)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(hh === exact, s"width=$width")
+    }
+  }
+
+  test("qualityCascade: first failing rule wins, in declared order") {
+    val docs = Seq(
+      (1L, "short doc"),                                   // too_short
+      (2L, ("w " * 50).trim),                              // 50 tokens, 1 distinct -> low_diversity
+      (3L, "a b " * 10 + (1 to 30).map("u" + _).mkString(" ")), // repetitive bigram, diverse enough
+      (4L, (1 to 40).map("v" + _).mkString(" "))).toDF("doc_id", "text") // clean
+    val out = TextStats.qualityCascade(docs, "doc_id", "text",
+        minTokens = 15, maxTokens = 100000,
+        minFracDistinct = 0.35, maxTopBigramFrac = 0.1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) === (("too_short", false)))
+    assert(out(2L) === (("low_diversity", false)))
+    assert(out(3L)._1 === "repetitive")
+    assert(out(4L) === (("", true)))
+  }
+
+  test("redact: specific patterns fire before the digit rule") {
+    val rows = Seq(
+      "mail me at jane.doe+x@example.com today",
+      "server 10.0.255.1 port 8080",
+      "no pii here").toDF("t")
+    val out = rows.select(TextFunctions.redact(col("t")).as("r"))
+      .as[String].collect()
+    assert(out(0) === "mail me at <email> today")
+    assert(out(1) === "server <ip> port <number>")
+    assert(out(2) === "no pii here")
+  }
+
+  test("tokenBudgetSelect equals a sequential best-first prefix scan") {
+    val scored = Tables.documents(spark, docsDir).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val budget = 8000L
+    val got = Sampling.tokenBudgetSelect(scored, "doc_id", "n_tokens",
+        "quality", budget)
+      .select(col("doc_id"), col("cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // sequential reference: sort driver-side, accumulate, cut at budget
+    val seq = scored.select(col("doc_id"), col("n_tokens").cast("long"),
+        col("quality")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val want = scala.collection.mutable.Map[Long, Long]()
+    seq.foreach { case (id, t, _) =>
+      cum += t
+      if (cum <= budget) want(id) = cum
+    }
+    assert(got === want.toMap)
+    assert(got.nonEmpty && got.size < seq.length) // budget actually binds
+  }
+
+  test("semDedup: evicted iff a smaller-id same-cluster neighbor reaches tau") {
+    // synthetic clusters with planted duplicates: four well-separated
+    // directions, several exact/near copies of each
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val vecs = (0 until 40).map { i =>
+      val b = base(i % 4)
+      val jitter = if (i < 20) 0f else 0.05f * (i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) =>
+        x + (if (d == (i % 4 + 1) % 4) jitter else 0f) })
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val tau = 0.97
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+        nlist = 4, iters = 3, tau = tau)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"),
+        r.getAs[Boolean]("kept")))
+    assert(out.length === 40)
+    assert(out.exists(!_._3) && out.exists(_._3))
+    val byId = vecs.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val cidOf = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (id, cid, kept) =>
+      val hasSmallerNeighbor = out.exists { case (o, ocid, _) =>
+        o < id && ocid == cid && cos(byId(o), byId(id)) >= tau
+      }
+      assert(kept === !hasSmallerNeighbor, s"vec $id in cluster $cid")
+    }
+  }
+}
