@@ -319,8 +319,17 @@ object Similarity {
                nlist: Int = 16, iters: Int = 5, tau: Double = 0.97,
                trainMod: Int = 1): DataFrame = {
     val centroids = ivfTrain(emb, idCol, vecCol, nlist, iters, trainMod)
-    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    semDedupAssigned(
+      ivfAssign(emb, idCol, vecCol, centroids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      tau)
+  }
+
+  /** [[semDedup]] over a pre-built [[ivfAssign]] frame
+    * (corpus_id, cv, cid) — the caller owns the index lifecycle (a
+    * pipeline trains/assigns once per corpus and both the ANN and the
+    * semantic-dedup passes read the same stored index). */
+  def semDedupAssigned(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.select(col("cid"), col("corpus_id").as("id_a"),
       col("cv").as("va"))
     val b = assigned.select(col("cid"), col("corpus_id").as("id_b"),
