@@ -97,6 +97,28 @@ class PropertiesSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("chunkDedup is idempotent: after span dedup every surviving chunk is unique") {
+    val docs = samples(Gen.listOfN(15, word), 12).zipWithIndex
+      .map { case (ws, i) =>
+        // force cross-doc duplicate spans by recycling a small word pool
+        (i.toLong, ws.map(w => "w" + (w.hashCode.abs % 7)).mkString(" "))
+      }.toDF("doc_id", "text")
+    val once = Dedup.chunkDedup(docs, "doc_id", "text", 3)
+    val twice = Dedup.chunkDedup(
+      once.select(col("id").as("doc_id"), col("dedup_text").as("text")),
+      "doc_id", "text", 3)
+    val a = once.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val b = twice.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // caveat: a doc's kept chunks re-chunk identically because every
+    // kept chunk is exactly w words, so pass 2 sees the same spans —
+    // all now globally unique
+    assert(b === a)
+    // and the first pass really removed something on this fixture
+    val rawChunks = graft.operators.TextStats
+      .posChunks(docs, "doc_id", "text", 3).count()
+    assert(a.map(_._2).sum < rawChunks)
+  }
+
   test("fingerprint ignores case/whitespace, distinguishes content") {
     for ((a, b) <- samples(Gen.zip(doc, doc), 8)) {
       val r = Seq((a, b)).toDF("a", "b").select(
