@@ -74,6 +74,35 @@ object Sampling {
     df.where(hashBucket(col(keyCol), 100) < pctCol)
   }
 
+  /** Epoch-based mixture replication — the LLaMA/GPT-style data
+    * schedule ("2.4 epochs of source A, 0.5 of B"): each row appears
+    * floor(e) times, plus one extra copy for a deterministic
+    * hash-selected (e − floor(e)) fraction of keys. e < 1 downsamples,
+    * e > 1 upsamples; strata absent from `epochs` get `defaultEpochs`.
+    * Emits a 0-based `rep` copy index.
+    *
+    * Pure map + explode with per-stratum literal thresholds — ZERO
+    * shuffles at any scale, and exactly reproducible in any engine
+    * (integer thresholds are precomputed driver-side, so both engines
+    * compare the same integers; no float boundary in the plan). */
+  def epochMixture(df: DataFrame, idCol: String, stratumCol: String,
+                   epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+                   buckets: Int = 10000): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0),
+      "epochs must be >= 0")
+    def lits(f: Double => Int) =
+      epochs.foldLeft(lit(f(defaultEpochs))) { case (acc, (s, e)) =>
+        when(col(stratumCol) === s, lit(f(e))).otherwise(acc) }
+    val nreps = lits(e => math.ceil(e).toInt)
+    val fullreps = lits(e => math.floor(e).toInt)
+    val thr = lits(e => math.round((e - math.floor(e)) * buckets).toInt)
+    df.where(nreps > 0)
+      .withColumn("rep",
+        explode(sequence(lit(0L), nreps.cast("long") - 1)))
+      .where(col("rep") < fullreps.cast("long") ||
+        hashBucket(col(idCol), buckets) < thr)
+  }
+
   /** Quality-ordered selection under a global token budget: order
     * documents by (`priorityCol` desc, id) and keep the maximal prefix
     * whose running token sum stays ≤ `budget` — "spend the compute on

@@ -38,6 +38,31 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that actually move the loss. Same broadcast + per-query
+    * window shape as [[bruteForceTopK]] with the label inequality
+    * pushed into the join condition, so same-label pairs are pruned
+    * before any dot product is computed. At scale, swap the broadcast
+    * brute-force stage for [[ivfProbe]] candidates and keep the label
+    * filter + window unchanged. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val c = FanOut(corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"), col(labelCol).as("c_label")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("q_label"))
+    val pairs = c.join(broadcast(q), col("c_label") =!= col("q_label"))
+    val scored = pairs.withColumn("cosine",
+      round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
   /** Approximate top-k: only corpus vectors in the query's sign-LSH
     * bucket are scored. Deterministic (no RNG), so results are exactly
     * reproducible in any engine. */

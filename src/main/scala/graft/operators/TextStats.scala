@@ -189,6 +189,35 @@ object TextStats {
       .where(col("n_occurrences") >= minCount)
   }
 
+  /** Unigram language-model scoring (the CCNet/KenLM-style perplexity
+    * quality filter, reduced to its unigram core): train add-one-
+    * smoothed token probabilities on the corpus census, score each
+    * document by its mean token log-probability. Low scores flag
+    * gibberish / vocabulary-outlier documents.
+    *
+    * 100 TB story: the census is word-count shaped; the LM itself is
+    * the top-`maxVocab` census rows BROADCAST back against the token
+    * stream (left join), so the corpus never shuffles for scoring —
+    * out-of-vocabulary tokens fall to the smoothing floor 1/(N+V),
+    * exactly the role of the unk bucket in a real LM. Reads the corpus
+    * twice (census pass + scoring pass), the same train-then-apply
+    * trade as [[heavyHitters]]. N and V are two driver scalars. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     maxVocab: Int = 1 << 20): DataFrame = {
+    val toks = FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(TextFunctions.tokens(col("__text"))).as("tok"))
+    val census = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = census.agg(sum(col("c")), count(lit(1))).head()
+    val denom = (totals.getLong(0) + totals.getLong(1)).toDouble
+    val lm = census.orderBy(col("c").desc, col("tok")).limit(maxVocab)
+    toks.join(broadcast(lm), Seq("tok"), "left_outer")
+      .withColumn("lp",
+        log((coalesce(col("c"), lit(0L)) + 1).cast("double") / denom))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lp")), 4).as("avg_logprob"))
+  }
+
   /** First-failing-rule quality cascade — the Gopher-style rule stack
     * over [[repetitionStats]] signals: token-count bounds, minimum
     * distinct-token fraction, maximum top-bigram fraction. Emits every

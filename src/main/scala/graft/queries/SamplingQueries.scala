@@ -255,5 +255,37 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70)
+  /** Epoch-based mixture replication (see
+    * [[graft.operators.Sampling.epochMixture]]): 2.4 epochs of src0,
+    * 1.5 of src1, 0.5 of src2, 0.25 of src3, 1.0 elsewhere. The oracle
+    * replays the same integer thresholds with a lateral range unnest. */
+  val q75 = {
+    val epochs = Seq("src0" -> 2.4, "src1" -> 1.5, "src2" -> 0.5,
+      "src3" -> 0.25)
+    val default = 1.0
+    val buckets = 10000
+    def caseSql(f: Double => Int): String =
+      epochs.map { case (s, e) => s"WHEN '$s' THEN ${f(e)}" }
+        .mkString("CASE source ", " ", s" ELSE ${f(default)} END")
+    val nreps = caseSql(e => math.ceil(e).toInt)
+    val fullreps = caseSql(e => math.floor(e).toInt)
+    val thr = caseSql(e => math.round((e - math.floor(e)) * buckets).toInt)
+    GQuery("q75_epoch_mixture",
+      s"""WITH p AS (
+         |  SELECT doc_id, source, $nreps AS nreps, $fullreps AS fullreps,
+         |    $thr AS thr
+         |  FROM documents)
+         |SELECT doc_id, source, t.rep AS rep
+         |FROM p, LATERAL UNNEST(range(0, p.nreps)) AS t(rep)
+         |WHERE t.rep < fullreps OR ${Sampling.hashBucketSql("doc_id", buckets)} < thr
+         |ORDER BY doc_id, rep""".stripMargin) { (s, dir) =>
+      Sampling.epochMixture(Tables.documents(s, dir), "doc_id", "source",
+          epochs.toMap, default, buckets)
+        .select(col("doc_id"), col("source"), col("rep"))
+        .orderBy(col("doc_id"), col("rep"))
+    }
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75)
 }

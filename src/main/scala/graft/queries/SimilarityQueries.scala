@@ -86,6 +86,31 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Hard-negative mining (see
+    * [[graft.operators.Similarity.hardNegatives]]): per query, top-k
+    * most-similar vectors with a DIFFERENT label. */
+  val q74 = GQuery("q74_hard_negatives",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS c_label
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, corpus_id, round($cosSql, 6) AS cosine
+       |  FROM q, c WHERE c_label <> q_label),
+       |rk AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id) AS INT) AS rn
+       |  FROM scored)
+       |SELECT query_id, corpus_id, cosine, rn FROM rk WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(
+        corpus = emb, queries = emb.filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** The trained IVF index — centroid matrix + persisted cid-assigned
     * corpus — shared by q32b (ANN probe) and q72 (SemDeDup). Trained
     * once per (session, dir) and memoized, exactly as a real pipeline
@@ -228,5 +253,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[GQuery] =
-    Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72)
+    Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74)
 }

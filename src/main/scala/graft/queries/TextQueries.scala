@@ -287,6 +287,26 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM quality scoring (see
+    * [[graft.operators.TextStats.unigramLogProb]]): add-one-smoothed
+    * corpus unigram probabilities, per-doc mean log-prob. The fixture
+    * vocabulary fits maxVocab, so the broadcast-LM path equals the
+    * oracle's full join exactly. */
+  val q73 = GQuery("q73_unigram_logprob",
+    s"""WITH $tokCte,
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tok),
+       |cen AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cen)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(avg(ln(CAST(c + 1 AS DOUBLE) / (n + v))), 4) AS avg_logprob
+       |FROM tk JOIN cen USING (tok) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.unigramLogProb(Tables.documents(s, dir),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-style regex redaction over `events.props` (the corpus-scrub
     * pass); oracle SQL is generated from the SAME pattern table as the
     * Column chain — RE2-compatible patterns run verbatim in both. */
@@ -305,5 +325,5 @@ object TextQueries {
   }
 
   val all: Seq[GQuery] =
-    Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71)
+    Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73)
 }

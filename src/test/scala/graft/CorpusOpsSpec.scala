@@ -102,6 +102,72 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < seq.length) // budget actually binds
   }
 
+  test("unigramLogProb: vocabulary outliers score lower; capped vocab falls to the floor") {
+    val docs = Seq(
+      (1L, "the the the the the"),             // most common token
+      (2L, "zyxq the the the the")).toDF("doc_id", "text") // one rare token
+    val out = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(out(2L) < out(1L)) // rare token drags the mean log-prob down
+    // maxVocab=1: every non-top token takes the smoothing floor 1/(N+V)
+    val capped = TextStats.unigramLogProb(docs, "doc_id", "text", maxVocab = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(capped(1L) === out(1L))  // top-1 token ("the") unaffected
+    assert(capped(2L) < out(2L))    // OOV floor < smoothed count for "zyxq"
+  }
+
+  test("hardNegatives: top-k closest vectors, never the query's own label") {
+    val emb = Tables.embeddings(spark, docsDir)
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "label", k = 4)
+      .join(emb.select(col("vec_id").as("corpus_id"),
+        col("label").as("c_label")), "corpus_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+      .collect()
+    assert(out.length === 12) // 3 queries x k
+    out.foreach(r => assert(
+      r.getAs[Int]("c_label") !== r.getAs[Int]("q_label")))
+    // equals brute-force top-k restricted to different-label corpus rows
+    val brute = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = emb.count().toInt, dim = 64)
+      .join(emb.select(col("vec_id").as("corpus_id"), col("label").as("cl")), "corpus_id")
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .where(col("cl") =!= col("ql"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id"))
+    val expect = brute.withColumn("rn2", row_number().over(w))
+      .where(col("rn2") <= 4)
+      .select(col("query_id"), col("corpus_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = out.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"))).toSet
+    assert(got === expect)
+  }
+
+  test("epochMixture: copy counts equal floor(e)·n plus the hash-thresholded residual") {
+    val df = (0L until 400L).map(i => (i, "s" + (i % 4))).toDF("doc_id", "source")
+    val epochs = Map("s0" -> 2.5, "s1" -> 1.0, "s2" -> 0.3, "s3" -> 0.0)
+    val out = Sampling.epochMixture(df, "doc_id", "source", epochs)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected residuals from the same md5 buckets, computed brute-force
+    def residual(src: String, frac: Double): Long =
+      df.where(col("source") === src)
+        .where(Sampling.hashBucket(col("doc_id"), 10000) <
+          math.round(frac * 10000).toInt).count()
+    assert(counts("s0") === 2 * 100 + residual("s0", 0.5))
+    assert(counts("s1") === 100)
+    assert(counts("s2") === residual("s2", 0.3))
+    assert(!counts.contains("s3"))             // zero epochs -> dropped
+    // deterministic on rerun
+    val again = Sampling.epochMixture(df, "doc_id", "source", epochs)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
   test("semDedup: evicted iff a smaller-id same-cluster neighbor reaches tau") {
     // synthetic clusters with planted duplicates: four well-separated
     // directions, several exact/near copies of each
