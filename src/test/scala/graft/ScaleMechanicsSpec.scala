@@ -122,4 +122,21 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n${joined.queryExecution.executedPlan}")
     assert(joined.count() === 1000)
   }
+
+  test("epochMixture and redact plans contain zero shuffle exchanges") {
+    val df = (0L until 100L).map(i => (i, "s" + (i % 3), s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val mixed = graft.operators.Sampling.epochMixture(
+      df, "doc_id", "source", Map("s0" -> 2.5, "s1" -> 0.5))
+    val scrubbed = df.select(
+      graft.functions.TextFunctions.redact(col("text")).as("r"))
+    for ((name, plan) <- Seq("epochMixture" -> mixed, "redact" -> scrubbed)) {
+      val shuffles = plan.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"$name must be a pure map at any scale, got:\n${plan.queryExecution.executedPlan}")
+    }
+    assert(mixed.count() > 0)
+  }
 }
