@@ -324,6 +324,43 @@ object TextQueries {
     }
   }
 
+  /** Corpus data card: the per-source summary every dataset release
+    * ships — doc/token counts, mean quality, language mix, exact-dup
+    * rate (fingerprint census over the WHOLE corpus, re-aggregated per
+    * source). Composes the quality, langid, and fingerprint machinery
+    * under one oracle. */
+  val q76 = GQuery("q76_corpus_stats",
+    s"""WITH $qualityCte,
+       |fp AS (
+       |  SELECT doc_id, source, lang,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM documents),
+       |cen AS (SELECT f, count(*) AS c FROM fp GROUP BY f)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(avg(quality), 4) AS avg_quality,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       |FROM fp JOIN cen USING (f) JOIN q USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val fp = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      TextFunctions.fingerprint(col("text")).as("f"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+    fp.withColumn("c", count(lit(1)).over(cw))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73)
+    Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
+      q76)
 }

@@ -62,6 +62,34 @@ object Pipelines {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming ingestion curation — the per-row subset of the batch
+    * curation stack, composed streaming-safe: PII redaction (pure map),
+    * row-computable quality rules (token count and distinct-token
+    * fraction via array expressions — no aggregation), then
+    * watermark-bounded exact dedup on the post-redaction fingerprint.
+    * The only state is the dedup store, bounded by the watermark
+    * horizon. Rules that need corpus aggregation (top-bigram fraction,
+    * cross-doc spans, LM scores) stay in the batch cascade —
+    * [[graft.operators.TextStats.qualityCascade]]. Works identically
+    * on batch frames (unified model). */
+  def curateStream(df: DataFrame, tsCol: String, delay: String,
+                   textCol: String, minTokens: Int = 15,
+                   minFracDistinct: Double = 0.35): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens(col("__clean"))
+    df.withColumn("__clean", TextFunctions.redact(col(textCol)))
+      .withColumn("__nt", size(toks))
+      .withColumn("__fd",
+        when(col("__nt") > 0,
+          size(array_distinct(toks)).cast("double") / col("__nt"))
+          .otherwise(lit(0.0)))
+      .where(col("__nt") >= minTokens && col("__fd") >= minFracDistinct)
+      .withColumn("__fp", TextFunctions.fingerprint(col("__clean")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__nt", "__fd", "__fp")
+  }
+
   /** Incremental ingestion dedup against a persistent fingerprint store:
     * each micro-batch is deduped within itself, anti-joined against the
     * store (docs already ingested in ANY earlier batch or run), handed

@@ -156,4 +156,30 @@ class StreamingPipelinesSpec extends SparkSpec {
       assert(seen.sorted === Seq(1L, 4L))
     } finally q.stop()
   }
+
+  test("curateStream redacts, drops low-quality rows, and dedups post-redaction copies") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val good = "the quick brown fox jumps over one lazy dog near the old stone bridge today"
+    val curated = Pipelines.curateStream(
+      in.toDF().toDF("ts", "id", "text"), "ts", "10 minutes", "text",
+      minTokens = 10, minFracDistinct = 0.5)
+
+    val q = curated.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 1L, s"ping 10.0.0.1 about $good"),
+        (ts(1), 2L, "too short"),                      // fails minTokens
+        (ts(2), 3L, ("spam " * 20).trim),              // fails distinct fraction
+        (ts(3), 4L, s"ping 10.99.4.7 about $good"))    // same text after redaction
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, __clean FROM curate_out ORDER BY id")
+        .as[(Long, String)].collect()
+      // low-quality rows gone; the two phone-variant copies collapse to
+      // one because dedup keys on the POST-redaction fingerprint
+      assert(rows.map(_._1).toSeq === Seq(1L))
+      assert(rows.head._2 === s"ping <ip> about $good")
+    } finally q.stop()
+  }
 }
