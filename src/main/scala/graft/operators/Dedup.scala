@@ -28,23 +28,23 @@ object Dedup {
     * occurrence in the corpus — smallest (doc id, position) — and each
     * document is rebuilt from its surviving chunks. Catches boilerplate
     * shared across otherwise-distinct documents, which whole-document
-    * dedup cannot. One shuffle keyed on the chunk string (row_number
-    * over tiny per-chunk groups), one keyed on doc id to reassemble.
-    * Documents under `w` words, or left with no surviving chunks,
-    * vanish from the output. */
+    * dedup cannot. First-occurrence selection is a map-side-partial
+    * `min(struct(id, pos))` AGGREGATE, not a per-chunk window: the
+    * heavy-hitter chunks this operator exists to remove would otherwise
+    * pile every occurrence onto one window task. One shuffle keyed on
+    * the chunk string, one keyed on doc id to reassemble. Documents
+    * under `w` words, or left with no surviving chunks, vanish. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-                 w: Int = 5): DataFrame = {
-    val first = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("s")).orderBy(col("id"), col("pos"))
+                 w: Int = 5): DataFrame =
     TextStats.posChunks(df, idCol, textCol, w)
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(first))
-      .where(col("rn") === 1)
+      .groupBy(col("s"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .select(col("first.id").as("id"), col("first.pos").as("pos"), col("s"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept_chunks"),
         concat_ws(" ",
           array_sort(collect_list(struct(col("pos"), col("s"))))
             .getField("s")).as("dedup_text"))
-  }
 
   /** (id, shingle-set) pairs: distinct word n-grams per document.
     * The (id, text) projection is fanned out first: shingling is

@@ -135,14 +135,15 @@ object TextStats {
     * than once ANYWHERE in the corpus. High fractions flag boilerplate
     * and template families that per-doc repetition stats cannot see.
     *
-    * One shuffle keyed on the chunk string (per-chunk census groups are
-    * tiny, so the unordered window is bounded), one keyed on doc id —
-    * both even; never pairwise. */
+    * The census is a map-side-partial count joined back on the chunk
+    * string (a per-chunk window would pile every occurrence of a
+    * boilerplate heavy-hitter chunk onto one task); the re-aggregation
+    * shuffles on doc id — both keyed shuffles even, never pairwise. */
   def dupChunkStats(df: DataFrame, idCol: String, textCol: String,
                     w: Int = 5): DataFrame = {
-    val census = Window.partitionBy(col("s"))
-    posChunks(df, idCol, textCol, w)
-      .withColumn("c", count(lit(1)).over(census))
+    val chunks = posChunks(df, idCol, textCol, w)
+    val census = chunks.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    chunks.join(census, Seq("s"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
@@ -206,9 +207,19 @@ object TextStats {
                      maxVocab: Int = 1 << 20): DataFrame = {
     val toks = FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), explode(TextFunctions.tokens(col("__text"))).as("tok"))
+    // The census feeds the totals ACTION and the broadcast LM in the
+    // returned plan; persisting it keeps the train pass at one corpus
+    // scan (the totals action materializes the cache, the lm subtree
+    // reads it back). The returned plan references the cache, so the
+    // lifecycle is the caller's — same convention as jaccardPairs;
+    // plan-identity caching dedups repeated calls in one session.
     val census = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = census.agg(sum(col("c")), count(lit(1))).head()
-    val denom = (totals.getLong(0) + totals.getLong(1)).toDouble
+    // empty corpus: sum(c) is NULL and no row ever reaches the scorer —
+    // any positive denominator keeps the (never-evaluated) log total
+    val denom = (if (totals.isNullAt(0)) 1L
+                 else totals.getLong(0) + totals.getLong(1)).toDouble
     val lm = census.orderBy(col("c").desc, col("tok")).limit(maxVocab)
     toks.join(broadcast(lm), Seq("tok"), "left_outer")
       .withColumn("lp",

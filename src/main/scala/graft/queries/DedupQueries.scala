@@ -49,15 +49,14 @@ object DedupQueries {
     * (session, dir) is the equivalent move — and mirrors a real curation
     * pipeline, which materializes the cluster table once per corpus and
     * has every downstream consumer read it. */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val clusterCache = new SessionCache[org.apache.spark.sql.DataFrame]
 
   private[queries] def sharedClusters(s: org.apache.spark.sql.SparkSession,
                                       dir: String): org.apache.spark.sql.DataFrame =
-    clusterCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ =>
+    clusterCache.get(s, dir) {
       Dedup.dupClusters(Tables.documents(s, dir), "doc_id", sharedPairs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Shared oracle CTEs: tokenized docs + distinct shingle sets. */
   private val shingleCtes =

@@ -118,20 +118,19 @@ object SimilarityQueries {
     * training is EAGER (Lloyd iterations collect), so plan-identity
     * caching cannot dedup repeated calls and memoization is the
     * session-local equivalent of the stored index. */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[(Int, Array[Double])], org.apache.spark.sql.DataFrame)]()
+  private val ivfCache = new SessionCache[
+    (Array[(Int, Array[Double])], org.apache.spark.sql.DataFrame)]
 
   private def sharedIvf(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[(Int, Array[Double])], org.apache.spark.sql.DataFrame) =
-    ivfCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ => {
+    ivfCache.get(s, dir) {
         val cents = Similarity.ivfTrain(Tables.embeddings(s, dir),
           "vec_id", "embedding", nlist = 16, iters = 3)
         val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir),
             "vec_id", "embedding", cents)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (cents, assigned)
-      })
+      }
 
   /** IVF (learned k-means centroids) approximate top-k — the
     * clustered-data alternative to fixed sign-planes. Centroid training

@@ -76,15 +76,18 @@ object Pipelines {
                    textCol: String, minTokens: Int = 15,
                    minFracDistinct: Double = 0.35): DataFrame = {
     import graft.functions.TextFunctions
-    val toks = TextFunctions.tokens(col("__clean"))
-    df.withColumn("__clean", TextFunctions.redact(col(textCol)))
+    val toks = TextFunctions.tokens(col(textCol))
+    // REPLACE the text column with its redacted form — emitting the
+    // scrubbed value beside the raw one would defeat the scrub (any
+    // consumer reading the natural column would get the PII back)
+    df.withColumn(textCol, TextFunctions.redact(col(textCol)))
       .withColumn("__nt", size(toks))
       .withColumn("__fd",
         when(col("__nt") > 0,
           size(array_distinct(toks)).cast("double") / col("__nt"))
           .otherwise(lit(0.0)))
       .where(col("__nt") >= minTokens && col("__fd") >= minFracDistinct)
-      .withColumn("__fp", TextFunctions.fingerprint(col("__clean")))
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__nt", "__fd", "__fp")

@@ -107,16 +107,17 @@ class PropertiesSpec extends SparkSpec {
     val twice = Dedup.chunkDedup(
       once.select(col("id").as("doc_id"), col("dedup_text").as("text")),
       "doc_id", "text", 3)
-    val a = once.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val aRows = once.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val b = twice.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     // caveat: a doc's kept chunks re-chunk identically because every
     // kept chunk is exactly w words, so pass 2 sees the same spans —
     // all now globally unique
-    assert(b === a)
+    assert(b === aRows.toSet)
     // and the first pass really removed something on this fixture
+    // (sum over the ROW ARRAY — a Set of counts would collapse ties)
     val rawChunks = graft.operators.TextStats
       .posChunks(docs, "doc_id", "text", 3).count()
-    assert(a.map(_._2).sum < rawChunks)
+    assert(aRows.map(_._2).sum < rawChunks)
   }
 
   test("fingerprint ignores case/whitespace, distinguishes content") {

@@ -174,12 +174,15 @@ class StreamingPipelinesSpec extends SparkSpec {
         (ts(2), 3L, ("spam " * 20).trim),              // fails distinct fraction
         (ts(3), 4L, s"ping 10.99.4.7 about $good"))    // same text after redaction
       q.processAllAvailable()
-      val rows = spark.sql("SELECT id, __clean FROM curate_out ORDER BY id")
+      val rows = spark.sql("SELECT id, text FROM curate_out ORDER BY id")
         .as[(Long, String)].collect()
-      // low-quality rows gone; the two phone-variant copies collapse to
-      // one because dedup keys on the POST-redaction fingerprint
+      // low-quality rows gone; the two address-variant copies collapse
+      // to one because dedup keys on the POST-redaction fingerprint —
+      // and the output's text column IS the redacted form (the raw
+      // column must not survive curation)
       assert(rows.map(_._1).toSeq === Seq(1L))
       assert(rows.head._2 === s"ping <ip> about $good")
+      assert(spark.table("curate_out").columns.count(_ == "text") === 1)
     } finally q.stop()
   }
 }
