@@ -286,6 +286,101 @@ object SamplingQueries {
     }
   }
 
+  /** Capstone v2 — the ROUND-4 curation stack composed end-to-end:
+    * quality cascade (first-failing-rule keep) → corpus-level span
+    * dedup (rebuild docs from first-occurrence 5-word chunks) →
+    * token-budget selection of the best-quality survivors → packing
+    * into training shards. One oracle assembles the proven
+    * q69/q68/q70/q49 SQL and hash-checks the whole composition.
+    * Chunk first-occurrence is encoded as min(doc_id·10⁶ + pos) — the
+    * same lexicographic (id, pos) order as the engine's min(struct). */
+  val q77 = {
+    val MaxTok = 2048L
+    val Budget = 15000L
+    val C = 1000000L
+    GQuery("q77_curation_v2",
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS frac_distinct
+         |  FROM tok WHERE len(ws) >= 1),
+         |big AS (
+         |  SELECT doc_id,
+         |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+         |  FROM tok WHERE len(ws) >= 2),
+         |cnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+         |tb AS (
+         |  SELECT doc_id,
+         |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+         |  FROM cnt GROUP BY doc_id),
+         |keepdocs AS (
+         |  SELECT b.doc_id FROM base b LEFT JOIN tb USING (doc_id)
+         |  WHERE b.n_tokens >= 15 AND b.frac_distinct >= 0.35
+         |    AND coalesce(tb.top_bigram_frac, 0.0) <= 0.1),
+         |ch AS (
+         |  SELECT t.doc_id, u.pos AS pos, u.s AS s FROM (
+         |    SELECT doc_id,
+         |      unnest([{'pos': j, 's': array_to_string(ws[(j*5+1):(j*5+5)], ' ')}
+         |              for j in range(0, len(ws) // 5)]) AS u
+         |    FROM tok JOIN keepdocs USING (doc_id) WHERE len(ws) >= 5) t(doc_id, u)),
+         |firsts AS (SELECT s, min(doc_id * $C + pos) AS fk FROM ch GROUP BY s),
+         |dd AS (
+         |  SELECT doc_id, count(*) AS n_kept_chunks
+         |  FROM ch JOIN firsts ON ch.s = firsts.s AND ch.doc_id * $C + ch.pos = firsts.fk
+         |  GROUP BY doc_id),
+         |q AS (
+         |  SELECT d.doc_id,
+         |    round((
+         |      (CASE WHEN d.n_chars BETWEEN 100 AND 5000 THEN 1.0
+         |            WHEN d.n_chars < 100 THEN d.n_chars / 100.0
+         |            ELSE 5000.0 / d.n_chars END) +
+         |      least(CASE WHEN len(t.ws) > 0
+         |        THEN len(list_filter(t.ws, x -> list_contains(${TextQueries.stopListSql}, x))) * 1.0 / len(t.ws)
+         |        ELSE 0.0 END * 5.0, 1.0) +
+         |      (CASE WHEN len(t.ws) > 0 AND length(d.text) * 1.0 / len(t.ws) BETWEEN 3.0 AND 10.0
+         |            THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality
+         |  FROM documents d JOIN tok t USING (doc_id)),
+         |scored AS (
+         |  SELECT dd.doc_id, CAST(dd.n_kept_chunks * 5 AS BIGINT) AS n_toks, q.quality
+         |  FROM dd JOIN q USING (doc_id)),
+         |sel AS (
+         |  SELECT doc_id, n_toks, quality FROM (
+         |    SELECT *, sum(n_toks) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM scored) WHERE cum <= $Budget),
+         |packed AS (
+         |  SELECT doc_id, n_toks,
+         |    ${Packing.shardIdSql("doc_id", "n_toks", MaxTok)} AS shard_id
+         |  FROM sel)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+         |  round(CAST(sum(n_toks) AS DOUBLE) / $MaxTok, 4) AS fill_ratio
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      import graft.operators.{Dedup, Packing, TextStats}
+      val docs = Tables.documents(s, dir)
+      val kept = TextStats.qualityCascade(docs, "doc_id", "text",
+          minTokens = 15, maxTokens = 100000,
+          minFracDistinct = 0.35, maxTopBigramFrac = 0.1)
+        .where(col("keep")).select(col("id").as("doc_id"))
+      val dd = Dedup.chunkDedup(docs.join(kept, "doc_id"),
+        "doc_id", "text", w = 5)
+      val scored = dd.select(col("id").as("doc_id"),
+          (col("n_kept_chunks") * 5).cast("long").as("n_toks"))
+        .join(docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text"), col("n_chars"))
+            .as("quality")), "doc_id")
+      val sel = Sampling.tokenBudgetSelect(scored, "doc_id", "n_toks",
+          "quality", budget = Budget)
+        .drop("cum_tokens")
+      val packed = Packing.packByTokenBudget(sel, "doc_id", "n_toks", MaxTok)
+      Packing.shardSummary(packed, "n_toks", MaxTok)
+        .orderBy(col("shard_id"))
+    }
+  }
+
   val all: Seq[GQuery] =
-    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75)
+    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77)
 }

@@ -13,6 +13,10 @@ object TextQueries {
   private def listSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB list literal of the English stopword table (shared with the
+    * q77 capstone's inline quality formula). */
+  private[queries] val stopListSql: String = listSql(TextFunctions.EnStopwords)
+
   private val hitsSql: String => String = { lang =>
     val words = TextFunctions.LangStopwords.toMap.apply(lang)
     s"len(list_filter(ws, x -> list_contains(${listSql(words)}, x)))"
