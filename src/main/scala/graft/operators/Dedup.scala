@@ -36,7 +36,13 @@ object Dedup {
     * under `w` words, or left with no surviving chunks, vanish. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  w: Int = 5): DataFrame =
-    TextStats.posChunks(df, idCol, textCol, w)
+    chunkDedupFromTokens(TextStats.tokenized(df, idCol, textCol), w)
+
+  /** [[chunkDedup]] over a pre-built [[TextStats.tokenized]] frame —
+    * lets a pipeline running several token-family operators reuse one
+    * corpus scan (see TextStats). */
+  def chunkDedupFromTokens(toks: DataFrame, w: Int = 5): DataFrame =
+    TextStats.posChunksFromTokens(toks, w)
       .groupBy(col("s"))
       .agg(min(struct(col("id"), col("pos"))).as("first"))
       .select(col("first.id").as("id"), col("first.pos").as("pos"), col("s"))
@@ -51,8 +57,14 @@ object Dedup {
     * interpreted higher-order-function work many times the input size,
     * and must not stay fused into a one-task scan of a small file. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
+    shingleSetsFromTokens(TextStats.tokenized(df, idCol, textCol), n)
+
+  /** [[shingleSets]] over a pre-built [[TextStats.tokenized]] frame:
+    * when the token frame is persisted, the dedup family's shingle
+    * index and the text family's stats derive from ONE corpus
+    * scan+tokenize. */
+  def shingleSetsFromTokens(toks: DataFrame, n: Int): DataFrame =
+    toks
       .where(size(col("ws")) >= n)
       // the when-guard makes the expression TOTAL: predicate pushdown +
       // codegen subexpression elimination can evaluate it on rows the

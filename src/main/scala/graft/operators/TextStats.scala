@@ -16,16 +16,36 @@ import org.apache.spark.sql.functions._
   * counts are the classic word-count shape (partial agg then one shuffle
   * keyed on the gram). All hashing is md5-derived so any engine
   * reproduces the exact values.
+  *
+  * Every operator comes in two forms: `f(df, idCol, textCol, …)` scans
+  * and tokenizes the corpus itself, and `fFromTokens(toks, …)` consumes
+  * a pre-built [[tokenized]] `(id, ws)` frame. At 100 TB the tokenize
+  * pass IS the dominant cost of this family, so a pipeline running
+  * several of these operators should materialize [[tokenized]] once
+  * (persist locally, or write it as a table) and feed the `FromTokens`
+  * forms — one corpus scan instead of one per operator.
   */
 object TextStats {
+
+  /** The shared tokenized projection `(id, ws)` — one corpus scan +
+    * tokenize that every operator in this family (and
+    * [[Dedup.shingleSets]]) derives from. No length filter here: each
+    * consumer applies its own `size(ws) >= n` bound so the frame is
+    * reusable across n. */
+  def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
 
   /** Positional word n-grams — NOT deduplicated, with 0-based position:
     * (id, pos, s). The raw stream repetition and fingerprint operators
     * consume. */
   def posShingles(df: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
-    FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
+    posShinglesFromTokens(tokenized(df, idCol, textCol), n)
+
+  /** [[posShingles]] over a pre-built [[tokenized]] frame. */
+  def posShinglesFromTokens(toks: DataFrame, n: Int): DataFrame =
+    toks
       .where(size(col("ws")) >= n)
       // when-guard for totality under predicate pushdown — see
       // [[Dedup.shingleSets]]
@@ -41,7 +61,11 @@ object TextStats {
     * bigrams taken by the single most frequent bigram. High top-bigram
     * fraction or low distinct fraction flags boilerplate/spam for
     * pretraining-corpus filtering. */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionStatsFromTokens(tokenized(df, idCol, textCol))
+
+  /** [[repetitionStats]] over a pre-built [[tokenized]] frame. */
+  def repetitionStatsFromTokens(toks0: DataFrame): DataFrame = {
     // ONE tokenize pass: the doc-level stats (token count, distinct
     // fraction) ride along the bigram explode as grouping keys — they
     // are functionally dependent on id, so the shuffle keys stay (id,
@@ -49,8 +73,7 @@ object TextStats {
     // corpus twice (two full scans at 100 TB). explode_outer keeps
     // bigram-less docs (single-token) as a null row so they surface
     // with top_bigram_frac = 0 without a corpus-side join.
-    val toks = FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
+    val toks = toks0
       .where(size(col("ws")) >= 1)
       .select(col("id"),
         size(col("ws")).cast("long").as("n_tokens"),
@@ -85,8 +108,12 @@ object TextStats {
     * One window pass per document partition (keyed shuffle on doc id),
     * then a per-doc aggregate — no pairwise work. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
-                            n: Int = 3, w: Int = 4): DataFrame = {
-    val hashed = posShingles(df, idCol, textCol, n)
+                            n: Int = 3, w: Int = 4): DataFrame =
+    winnowingFromTokens(tokenized(df, idCol, textCol), n, w)
+
+  /** [[winnowingFingerprints]] over a pre-built [[tokenized]] frame. */
+  def winnowingFromTokens(toks: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val hashed = posShinglesFromTokens(toks, n)
       .withColumn("h", conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long"))
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -105,7 +132,11 @@ object TextStats {
     * one shuffle on the gram, deterministic (count desc, gram) top-k. */
   def topNgrams(df: DataFrame, idCol: String, textCol: String,
                 n: Int, k: Int): DataFrame =
-    posShingles(df, idCol, textCol, n)
+    topNgramsFromTokens(tokenized(df, idCol, textCol), n, k)
+
+  /** [[topNgrams]] over a pre-built [[tokenized]] frame. */
+  def topNgramsFromTokens(toks: DataFrame, n: Int, k: Int): DataFrame =
+    posShinglesFromTokens(toks, n)
       .groupBy(col("s")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("s"))
       .limit(k)
@@ -117,8 +148,11 @@ object TextStats {
     * quality signals. */
   def posChunks(df: DataFrame, idCol: String, textCol: String,
                 w: Int): DataFrame =
-    FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), TextFunctions.tokens(col("__text")).as("ws"))
+    posChunksFromTokens(tokenized(df, idCol, textCol), w)
+
+  /** [[posChunks]] over a pre-built [[tokenized]] frame. */
+  def posChunksFromTokens(toks: DataFrame, w: Int): DataFrame =
+    toks
       .where(size(col("ws")) >= w)
       // when-guard for totality under pushdown/CSE — see posShingles
       .select(col("id"), posexplode(
@@ -140,8 +174,12 @@ object TextStats {
     * boilerplate heavy-hitter chunk onto one task); the re-aggregation
     * shuffles on doc id — both keyed shuffles even, never pairwise. */
   def dupChunkStats(df: DataFrame, idCol: String, textCol: String,
-                    w: Int = 5): DataFrame = {
-    val chunks = posChunks(df, idCol, textCol, w)
+                    w: Int = 5): DataFrame =
+    dupChunkStatsFromTokens(tokenized(df, idCol, textCol), w)
+
+  /** [[dupChunkStats]] over a pre-built [[tokenized]] frame. */
+  def dupChunkStatsFromTokens(toks: DataFrame, w: Int = 5): DataFrame = {
+    val chunks = posChunksFromTokens(toks, w)
     val census = chunks.groupBy(col("s")).agg(count(lit(1)).as("c"))
     chunks.join(census, Seq("s"))
       .groupBy(col("id"))
@@ -169,9 +207,15 @@ object TextStats {
     * sketch-then-verify trade. */
   def heavyHitters(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minCount: Long,
-                   depth: Int = 4, width: Int = 1024): DataFrame = {
+                   depth: Int = 4, width: Int = 1024): DataFrame =
+    heavyHittersFromTokens(tokenized(df, idCol, textCol), n, minCount,
+      depth, width)
+
+  /** [[heavyHitters]] over a pre-built [[tokenized]] frame. */
+  def heavyHittersFromTokens(toks: DataFrame, n: Int, minCount: Long,
+                             depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 2 && width >= 2, "need depth, width >= 2")
-    val grams = posShingles(df, idCol, textCol, n).select(col("s"))
+    val grams = posShinglesFromTokens(toks, n).select(col("s"))
     val cellCols = (0 until depth).map(r =>
       struct(lit(r).as("r"), pmod(xxhash64(lit(r), col("s")), lit(width.toLong)).as("cell")))
     val cells = grams
@@ -200,13 +244,19 @@ object TextStats {
     * the top-`maxVocab` census rows BROADCAST back against the token
     * stream (left join), so the corpus never shuffles for scoring —
     * out-of-vocabulary tokens fall to the smoothing floor 1/(N+V),
-    * exactly the role of the unk bucket in a real LM. Reads the corpus
-    * twice (census pass + scoring pass), the same train-then-apply
-    * trade as [[heavyHitters]]. N and V are two driver scalars. */
+    * exactly the role of the unk bucket in a real LM. Reads the token
+    * stream twice (census pass + scoring pass), the same
+    * train-then-apply trade as [[heavyHitters]] — both passes read the
+    * shared tokenized frame when the caller persists it. N and V are
+    * two driver scalars. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
-                     maxVocab: Int = 1 << 20): DataFrame = {
-    val toks = FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), explode(TextFunctions.tokens(col("__text"))).as("tok"))
+                     maxVocab: Int = 1 << 20): DataFrame =
+    unigramLogProbFromTokens(tokenized(df, idCol, textCol), maxVocab)
+
+  /** [[unigramLogProb]] over a pre-built [[tokenized]] frame. */
+  def unigramLogProbFromTokens(toks0: DataFrame,
+                               maxVocab: Int = 1 << 20): DataFrame = {
+    val toks = toks0.select(col("id"), explode(col("ws")).as("tok"))
     // The census feeds the totals ACTION and the broadcast LM in the
     // returned plan; persisting it keeps the train pass at one corpus
     // scan (the totals action materializes the cache, the lm subtree
@@ -240,7 +290,15 @@ object TextStats {
                      minTokens: Long = 15, maxTokens: Long = 100000,
                      minFracDistinct: Double = 0.35,
                      maxTopBigramFrac: Double = 0.1): DataFrame =
-    repetitionStats(df, idCol, textCol)
+    qualityCascadeFromTokens(tokenized(df, idCol, textCol),
+      minTokens, maxTokens, minFracDistinct, maxTopBigramFrac)
+
+  /** [[qualityCascade]] over a pre-built [[tokenized]] frame. */
+  def qualityCascadeFromTokens(toks: DataFrame,
+                               minTokens: Long = 15, maxTokens: Long = 100000,
+                               minFracDistinct: Double = 0.35,
+                               maxTopBigramFrac: Double = 0.1): DataFrame =
+    repetitionStatsFromTokens(toks)
       .withColumn("reason",
         when(col("n_tokens") < minTokens, lit("too_short"))
           .when(col("n_tokens") > maxTokens, lit("too_long"))

@@ -24,7 +24,7 @@ object DedupQueries {
     * at 100 TB and reading them back. */
   private[queries] def sharedSets(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
-    Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", N)
+    Dedup.shingleSetsFromTokens(TextQueries.sharedToks(s, dir), N)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private[queries] def sharedPairs(s: org.apache.spark.sql.SparkSession,
@@ -313,7 +313,7 @@ object DedupQueries {
        |  string_agg(s, ' ' ORDER BY pos) AS dedup_text
        |FROM k WHERE rn = 1
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", w = 5)
+    Dedup.chunkDedupFromTokens(TextQueries.sharedToks(s, dir), w = 5)
       .select(col("id").as("doc_id"), col("n_kept_chunks"), col("dedup_text"))
       .orderBy(col("doc_id"))
   }

@@ -361,12 +361,13 @@ object SamplingQueries {
          |ORDER BY shard_id""".stripMargin) { (s, dir) =>
       import graft.operators.{Dedup, Packing, TextStats}
       val docs = Tables.documents(s, dir)
-      val kept = TextStats.qualityCascade(docs, "doc_id", "text",
+      val toks = TextQueries.sharedToks(s, dir)
+      val kept = TextStats.qualityCascadeFromTokens(toks,
           minTokens = 15, maxTokens = 100000,
           minFracDistinct = 0.35, maxTopBigramFrac = 0.1)
         .where(col("keep")).select(col("id").as("doc_id"))
-      val dd = Dedup.chunkDedup(docs.join(kept, "doc_id"),
-        "doc_id", "text", w = 5)
+      val dd = Dedup.chunkDedupFromTokens(
+        toks.join(kept.withColumnRenamed("doc_id", "id"), "id"), w = 5)
       val scored = dd.select(col("id").as("doc_id"),
           (col("n_kept_chunks") * 5).cast("long").as("n_toks"))
         .join(docs.select(col("doc_id"),

@@ -142,6 +142,18 @@ object TextQueries {
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
       |  FROM documents)""".stripMargin
 
+  /** ONE persisted corpus scan+tokenize `(id, ws)` shared by the whole
+    * token family (q54/q56/q58/q58b/q67/q68/q69/q73/q77) and, through
+    * [[graft.operators.Dedup.shingleSetsFromTokens]], the dedup
+    * family's shingle index. Plan-identical construction → the
+    * CacheManager serves every query from one cached copy per session —
+    * the single-session analog of materializing the token table once
+    * per corpus and deriving every downstream operator from it. */
+  private[queries] def sharedToks(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.TextStats.tokenized(Tables.documents(s, dir), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Gopher-style repetition quality signals (see
     * [[graft.operators.TextStats.repetitionStats]]). */
   val q54 = GQuery("q54_repetition_stats",
@@ -163,7 +175,7 @@ object TextQueries {
        |  coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
        |FROM base b LEFT JOIN tb USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    graft.operators.TextStats.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+    graft.operators.TextStats.repetitionStatsFromTokens(sharedToks(s, dir))
       .select(col("id").as("doc_id"), col("n_tokens"), col("frac_distinct"),
         col("top_bigram_frac"))
       .orderBy(col("doc_id"))
@@ -190,8 +202,7 @@ object TextQueries {
        |  min(fp) AS min_fp, max(fp) AS max_fp
        |FROM kept GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    graft.operators.TextStats.winnowingFingerprints(
-        Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4)
+    graft.operators.TextStats.winnowingFromTokens(sharedToks(s, dir), n = 3, w = 4)
       .select(col("id").as("doc_id"), col("n_fp"), col("min_fp"), col("max_fp"))
       .orderBy(col("doc_id"))
   }
@@ -207,8 +218,7 @@ object TextQueries {
        |SELECT s, count(*) AS n_occurrences
        |FROM tri GROUP BY s
        |ORDER BY n_occurrences DESC, s LIMIT 25""".stripMargin) { (s, dir) =>
-    graft.operators.TextStats.topNgrams(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, k = 25)
+    graft.operators.TextStats.topNgramsFromTokens(sharedToks(s, dir), n = 3, k = 25)
   }
 
   /** EXACT heavy hitters through a count-min candidate pass (see
@@ -223,8 +233,8 @@ object TextQueries {
        |SELECT s, count(*) AS n_occurrences
        |FROM big GROUP BY s HAVING count(*) >= 40
        |ORDER BY n_occurrences DESC, s""".stripMargin) { (s, dir) =>
-    graft.operators.TextStats.heavyHitters(Tables.documents(s, dir),
-        "doc_id", "text", n = 2, minCount = 40)
+    graft.operators.TextStats.heavyHittersFromTokens(sharedToks(s, dir),
+        n = 2, minCount = 40)
       .orderBy(col("n_occurrences").desc, col("s"))
   }
 
@@ -243,8 +253,7 @@ object TextQueries {
        |    AS frac_dup_chunks
        |FROM ch JOIN cen USING (s)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    graft.operators.TextStats.dupChunkStats(Tables.documents(s, dir),
-        "doc_id", "text", w = 5)
+    graft.operators.TextStats.dupChunkStatsFromTokens(sharedToks(s, dir), w = 5)
       .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         col("frac_dup_chunks"))
       .orderBy(col("doc_id"))
@@ -283,8 +292,8 @@ object TextQueries {
        |SELECT doc_id, n_tokens, frac_distinct, top_bigram_frac, reason,
        |  reason = '' AS keep
        |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    graft.operators.TextStats.qualityCascade(Tables.documents(s, dir),
-        "doc_id", "text", minTokens = 15, maxTokens = 100000,
+    graft.operators.TextStats.qualityCascadeFromTokens(sharedToks(s, dir),
+        minTokens = 15, maxTokens = 100000,
         minFracDistinct = 0.35, maxTopBigramFrac = 0.1)
       .select(col("id").as("doc_id"), col("n_tokens"), col("frac_distinct"),
         col("top_bigram_frac"), col("reason"), col("keep"))
@@ -305,8 +314,7 @@ object TextQueries {
        |  round(avg(ln(CAST(c + 1 AS DOUBLE) / (n + v))), 4) AS avg_logprob
        |FROM tk JOIN cen USING (tok) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    graft.operators.TextStats.unigramLogProb(Tables.documents(s, dir),
-        "doc_id", "text")
+    graft.operators.TextStats.unigramLogProbFromTokens(sharedToks(s, dir))
       .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
       .orderBy(col("doc_id"))
   }
