@@ -315,6 +315,93 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Quality-aware canonical selection within near-dup clusters: keep
+    * the HIGHEST-quality document of each cluster (min id breaks ties)
+    * instead of [[dupClusters]]' min-id representative — the real
+    * curation policy ("of these near-duplicates, keep the best copy,
+    * not the first-crawled one").
+    *
+    * The winner is a map-side-partial `min(struct(-quality, id))`
+    * aggregate per cluster joined back on the cluster key — NOT a
+    * per-cluster window, so a pathological boilerplate mega-cluster
+    * never piles onto one task. Two keyed shuffles (cluster key, then
+    * the join), both linear.
+    *
+    * @param clusters `(idCol, repCol)` cluster map (e.g. [[dupClusters]])
+    * @param quality  `(idCol, qualityCol)` per-doc score
+    */
+  def canonicalPerCluster(clusters: DataFrame, quality: DataFrame,
+                          idCol: String, repCol: String,
+                          qualityCol: String): DataFrame = {
+    val scored = clusters.join(quality, idCol)
+    val best = scored.groupBy(col(repCol))
+      .agg(min(struct((-col(qualityCol)).as("nq"), col(idCol).as("bid")))
+        .as("best"))
+      .select(col(repCol), col("best.bid").as("__best_id"))
+    scored.join(best, repCol)
+      .select(col(idCol), col(repCol), col(qualityCol),
+        (col(idCol) === col("__best_id")).as("keep"))
+  }
+
+  /** Continuous contamination score — the graded cousin of
+    * [[contaminationFlags]]: per document, the FRACTION of its distinct
+    * `n`-gram shingles that appear anywhere in the benchmark set, with
+    * `contaminated` = rounded fraction ≥ `minFrac`. Real
+    * decontamination uses a threshold (WebText/GPT-3 style 13-gram
+    * overlap rules), not any-hit: one shared boilerplate phrase should
+    * not nuke a long document.
+    *
+    * Same scale shape as the boolean variant: the benchmark vocabulary
+    * is broadcast (the corpus never shuffles for the probe), the hit
+    * count is a keyed per-doc aggregate.
+    *
+    * @param ids       one row per corpus document: `(id)` — keeps docs
+    *                  too short to shingle in the output with frac 0
+    * @param sets      `(id, shset)` corpus shingle index ([[shingleSets]])
+    * @param benchSets `(id, shset)` benchmark shingle index
+    */
+  def contaminationFraction(ids: DataFrame, sets: DataFrame,
+                            benchSets: DataFrame,
+                            minFrac: Double = 0.2): DataFrame = {
+    val bsh = benchSets.select(explode(col("shset")).as("s")).distinct()
+    val hits = sets.select(col("id"), explode(col("shset")).as("s"))
+      .join(broadcast(bsh), "s")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    ids
+      .join(sets.select(col("id"), size(col("shset")).as("n_grams")),
+        Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0)).cast("long").as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("frac_contaminated",
+        coalesce(round(col("n_hits") / nullif(col("n_grams"), lit(0L)), 4),
+          lit(0.0)))
+      .withColumn("contaminated", col("frac_contaminated") >= minFrac)
+  }
+
+  /** WITHIN-document span dedup: every `w`-word chunk keeps only its
+    * first occurrence inside its OWN document (the C4 "discard
+    * repeated paragraphs within a page" move — corpus-level span dedup
+    * is [[chunkDedup]]). Grouped on (doc, chunk) then doc — both keyed
+    * shuffles distribute evenly; no corpus-wide census is needed, so
+    * unlike [[chunkDedup]] this is embarrassingly parallel per document. */
+  def intraDocChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 5): DataFrame =
+    intraDocChunkDedupFromTokens(TextStats.tokenized(df, idCol, textCol), w)
+
+  /** [[intraDocChunkDedup]] over a pre-built [[TextStats.tokenized]]
+    * frame. */
+  def intraDocChunkDedupFromTokens(toks: DataFrame, w: Int = 5): DataFrame =
+    TextStats.posChunksFromTokens(toks, w)
+      .groupBy(col("id"), col("s"))
+      .agg(min(col("pos")).as("pos"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("s"))))
+            .getField("s")).as("dedup_text"))
+
   /** SimHash near-duplicate pairs: all (id_a < id_b) whose 64-bit
     * signatures differ in at most `maxHamming` bits.
     *

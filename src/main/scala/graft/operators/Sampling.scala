@@ -103,6 +103,61 @@ object Sampling {
         hashBucket(col(idCol), buckets) < thr)
   }
 
+  /** DSIR-style importance weighting for data selection (Xie et al.,
+    * arXiv:2302.03169, reduced to its hashed-n-gram core): featurize
+    * each document as hashed bigram buckets, fit add-one-smoothed
+    * bucket distributions for the TARGET slice (rows where `target` is
+    * true — the high-quality / in-domain exemplar set) and the RAW
+    * corpus, and score each document by its summed per-feature
+    * log-likelihood ratio `Σ log p_target(b) / p_raw(b)`. High scores
+    * mark documents that look like the target domain; feeding them to
+    * [[tokenBudgetSelect]] or a rate-based sampler is importance
+    * resampling.
+    *
+    * 100 TB story: the feature census is word-count shaped over at most
+    * `buckets` keys; the fitted log-ratio table (≤ `buckets` rows) is
+    * BROADCAST back against the feature stream, so the corpus shuffles
+    * only for the per-doc aggregate, keyed on doc id. Totals stay
+    * in-plan as a 1-row broadcast — no driver action. Bucket hashing is
+    * md5-derived (first 48 bits mod `buckets`), so any engine
+    * reproduces the exact weights.
+    *
+    * Caveat (shared with meanPool): `dsir_logweight` is a rounded sum
+    * of doubles; a value within an ulp of the 4-dp boundary can round
+    * differently across engines' summation orders. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  target: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "need buckets >= 2")
+    val feats = FanOut(df.select(col(idCol).as("id"),
+        col(textCol).as("__text"), target.cast("boolean").as("__t")))
+      .select(col("id"), col("__t"),
+        graft.functions.TextFunctions.tokens(col("__text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      // when-guard for totality under pushdown/CSE — see
+      // [[TextStats.posShingles]]
+      .select(col("id"), col("__t"), explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(0), size(col("ws")) - 2),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(2)))))
+          .otherwise(slice(col("ws"), 1, 0))).as("g"))
+      .select(col("id"), col("__t"),
+        (conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long")
+          % buckets).as("b"))
+    val census = feats.groupBy(col("b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = census.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lw = census.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + lit(1.0)) / (col("nt") + lit(buckets.toLong))) -
+          log((col("cr") + lit(1.0)) / (col("nr") + lit(buckets.toLong))))
+          .as("w"))
+    feats.join(broadcast(lw), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("w")), 4).as("dsir_logweight"))
+  }
+
   /** Quality-ordered selection under a global token budget: order
     * documents by (`priorityCol` desc, id) and keep the maximal prefix
     * whose running token sum stays ≤ `budget` — "spend the compute on

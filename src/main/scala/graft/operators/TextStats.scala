@@ -279,6 +279,34 @@ object TextStats {
         round(avg(col("lp")), 4).as("avg_logprob"))
   }
 
+  /** Robust length-outlier filter: flag documents whose `lenCol`
+    * deviates from the corpus MEDIAN by more than `k` MADs (median
+    * absolute deviation) — the robust-statistics cousin of the fixed
+    * min/max length rules in [[qualityCascade]]; medians don't move
+    * when the corpus already contains the junk being hunted, unlike
+    * mean/stddev. Emits `robust_z` = |x − median| / MAD (null when
+    * MAD = 0) and the flag.
+    *
+    * Two-pass: median of the length, then median of the absolute
+    * deviations; each scalar is a 1-row broadcast back into the plan,
+    * so the corpus never shuffles. Spark's exact `median` aggregates
+    * per-VALUE counts — bounded by the length domain (not the corpus),
+    * so fine at 100 TB for integer lengths; for unbounded continuous
+    * columns use `percentile_approx` instead. */
+  def lengthOutliers(df: DataFrame, idCol: String, lenCol: String,
+                     k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df.select(col(idCol).as("id"), col(lenCol).cast("double").as("x"))
+    val med = base.agg(median(col("x")).as("med"))
+    val dev = base.crossJoin(broadcast(med))
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = dev.agg(median(col("ad")).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("id"), col("x").cast("long").as(lenCol),
+        round(col("ad") / nullif(col("mad"), lit(0.0)), 4).as("robust_z"),
+        (col("ad") > lit(k) * col("mad")).as("is_outlier"))
+  }
+
   /** First-failing-rule quality cascade — the Gopher-style rule stack
     * over [[repetitionStats]] signals: token-count bounds, minimum
     * distinct-token fraction, maximum top-bigram fraction. Emits every

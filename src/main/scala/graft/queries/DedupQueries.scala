@@ -318,6 +318,106 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware canonical selection within near-dup clusters (see
+    * [[graft.operators.Dedup.canonicalPerCluster]]): of each q51
+    * cluster, keep the highest-quality copy (q28's score), min doc_id
+    * on ties — reuses the shared cluster map and scores every document
+    * with its verdict. */
+  val q78 = GQuery("q78_canonical_dedup",
+    s"""WITH RECURSIVE $shingleCtes,
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, rep) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id),
+       |${TextQueries.qualityCte},
+       |r AS (
+       |  SELECT cl.doc_id AS doc_id, cl.cluster_rep, q.quality,
+       |    row_number() OVER (PARTITION BY cl.cluster_rep
+       |                       ORDER BY q.quality DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN q USING (doc_id))
+       |SELECT doc_id, cluster_rep, quality, rn = 1 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val quality = Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))
+        .as("quality"))
+    Dedup.canonicalPerCluster(
+        sharedClusters(s, dir).select(col("doc_id"), col("cluster_rep")),
+        quality, "doc_id", "cluster_rep", "quality")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Continuous contamination score (see
+    * [[graft.operators.Dedup.contaminationFraction]]): fraction of each
+    * doc's distinct trigrams found in the q52 stand-in benchmark slice
+    * (doc_id % 97 = 0), thresholded at 0.2. Reuses the shared shingle
+    * index for BOTH sides. */
+  val q79 = GQuery("q79_contamination_frac",
+    s"""WITH $shingleCtes,
+       |bsh AS (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT unnest(shset) AS s FROM sh WHERE doc_id % 97 = 0)),
+       |hits AS (
+       |  SELECT e.doc_id, count(*) AS n_hits
+       |  FROM ex e JOIN bsh USING (s) GROUP BY e.doc_id),
+       |base AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(z.sz, 0) AS BIGINT) AS n_grams,
+       |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM documents d
+       |  LEFT JOIN sz z USING (doc_id)
+       |  LEFT JOIN hits h ON h.doc_id = d.doc_id)
+       |SELECT doc_id, n_grams, n_hits,
+       |  coalesce(round(n_hits * 1.0 / nullif(n_grams, 0), 4), 0.0)
+       |    AS frac_contaminated,
+       |  coalesce(round(n_hits * 1.0 / nullif(n_grams, 0), 4), 0.0) >= 0.2
+       |    AS contaminated
+       |FROM base ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.contaminationFraction(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        sharedSets(s, dir),
+        sharedSets(s, dir).where(col("id") % 97 === 0),
+        minFrac = 0.2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document span dedup (see
+    * [[graft.operators.Dedup.intraDocChunkDedup]]): 5-word chunks keep
+    * their first occurrence per DOCUMENT (q68 is the corpus-level
+    * variant). */
+  val q82 = GQuery("q82_intradoc_dedup",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': j, 's': array_to_string(ws[(j*5+1):(j*5+5)], ' ')}
+       |              for j in range(0, len(ws) // 5)]) AS u
+       |    FROM tok WHERE len(ws) >= 5)),
+       |k AS (
+       |  SELECT doc_id, s, min(pos) AS pos FROM ch GROUP BY doc_id, s)
+       |SELECT doc_id, count(*) AS n_kept_chunks,
+       |  string_agg(s, ' ' ORDER BY pos) AS dedup_text
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.intraDocChunkDedupFromTokens(TextQueries.sharedToks(s, dir), w = 5)
+      .select(col("id").as("doc_id"), col("n_kept_chunks"), col("dedup_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68)
+    Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82)
 }

@@ -382,6 +382,42 @@ object SamplingQueries {
     }
   }
 
+  /** DSIR importance weights (see
+    * [[graft.operators.Sampling.dsirWeights]]): hashed-bigram
+    * log-likelihood ratio of the `source = 'src0'` target slice vs the
+    * raw corpus, 4096 buckets. The oracle replays the identical
+    * featurize → smoothed-ratio → per-doc sum pipeline. */
+  val q80 = GQuery("q80_dsir_weights",
+    """WITH big AS (
+      |  SELECT doc_id, source,
+      |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 2),
+      |feat AS (
+      |  SELECT doc_id,
+      |    (('0x' || substr(md5(g), 1, 12))::BIGINT % 4096) AS b,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t
+      |  FROM big),
+      |cen AS (
+      |  SELECT b, CAST(sum(t) AS BIGINT) AS ct, count(*) AS cr
+      |  FROM feat GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+      |  FROM cen),
+      |lw AS (
+      |  SELECT b, ln((ct + 1.0) / (nt + 4096)) - ln((cr + 1.0) / (nr + 4096)) AS w
+      |  FROM cen CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_feats, round(sum(w), 4) AS dsir_logweight
+      |FROM feat JOIN lw USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        target = col("source") === "src0", buckets = 4096)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77)
+    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80)
 }

@@ -372,7 +372,25 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Robust median/MAD length-outlier filter (see
+    * [[graft.operators.TextStats.lengthOutliers]]): flag docs whose
+    * n_chars is > 3 MADs from the corpus median. */
+  val q81 = GQuery("q81_length_outliers",
+    """WITH b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents),
+      |m AS (SELECT median(x) AS med FROM b),
+      |d AS (SELECT doc_id, x, abs(x - med) AS ad FROM b CROSS JOIN m),
+      |m2 AS (SELECT median(ad) AS mad FROM d)
+      |SELECT doc_id, CAST(x AS BIGINT) AS n_chars,
+      |  round(ad / nullif(mad, 0), 4) AS robust_z,
+      |  ad > 3.0 * mad AS is_outlier
+      |FROM d CROSS JOIN m2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.lengthOutliers(
+        Tables.documents(s, dir), "doc_id", "n_chars", k = 3.0)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76)
+      q76, q81)
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation operators: quality-aware canonical selection,
+  * graded contamination, within-doc span dedup, DSIR importance
+  * weights, robust length outliers. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsDir = "/root/testdata/sf0.001"
+
+  test("canonicalPerCluster: exactly one keeper per cluster, and it has max quality (min id on ties)") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1
+      (4L, 4L),                       // singleton
+      (5L, 5L), (6L, 5L)              // tie on quality -> min id wins
+    ).toDF("doc_id", "cluster_rep")
+    val quality = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (4L, 0.1),
+      (5L, 0.7), (6L, 0.7)).toDF("doc_id", "quality")
+    val out = Dedup.canonicalPerCluster(clusters, quality,
+        "doc_id", "cluster_rep", "quality")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> false))
+  }
+
+  test("canonicalPerCluster on real clusters: one keeper per cluster; keeper quality is the cluster max") {
+    val docs = Tables.documents(spark, docsDir)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val clusters = Dedup.dupClusters(docs, "doc_id",
+      Dedup.jaccardPairsFromSets(sets, 0.8))
+    val quality = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val out = Dedup.canonicalPerCluster(clusters, quality,
+      "doc_id", "cluster_rep", "quality").cache()
+    val perCluster = out.groupBy("cluster_rep")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+        max(col("quality")).as("maxq"),
+        max(when(col("keep"), col("quality"))).as("keptq"))
+      .collect()
+    assert(perCluster.nonEmpty)
+    perCluster.foreach { r =>
+      assert(r.getAs[Long]("n_keep") === 1L, s"cluster ${r.get(0)}")
+      assert(r.getAs[Double]("keptq") === r.getAs[Double]("maxq"))
+    }
+    out.unpersist()
+  }
+
+  test("contaminationFraction: graded score, [0,1], consistent with the any-hit boolean") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // bench doc
+      (2L, "a b c d x y z w"),    // partial overlap with bench
+      (3L, "p q r s t u"),        // clean
+      (4L, "a")                   // too short to shingle -> frac 0
+    ).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val out = Dedup.contaminationFraction(
+        docs.select(col("doc_id").as("id")), sets,
+        sets.where(col("id") === 1L), minFrac = 0.2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("frac_contaminated"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(out(1L) === ((4L, 4L, 1.0, true)))        // bench vs itself
+    assert(out(2L) === ((6L, 2L, 0.3333, true)))     // "a b c", "b c d" hit
+    assert(out(3L) === ((4L, 0L, 0.0, false)))
+    assert(out(4L) === ((0L, 0L, 0.0, false)))
+    out.values.foreach(v => assert(v._3 >= 0.0 && v._3 <= 1.0))
+  }
+
+  test("intraDocChunkDedup: dedups within a doc only; idempotent") {
+    val docs = Seq(
+      (1L, "x y z x y z a b c"),     // repeated chunk inside one doc
+      (2L, "x y z q r s")            // same chunk in ANOTHER doc survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocChunkDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_kept_chunks"), r.getAs[String]("dedup_text")))).toMap
+    assert(out(1L) === ((2L, "x y z a b c")))
+    assert(out(2L) === ((2L, "x y z q r s")))   // cross-doc dup untouched
+    // idempotence: running again over the deduped text changes nothing
+    val again = Dedup.intraDocChunkDedup(
+        Dedup.intraDocChunkDedup(docs, "doc_id", "text", 3)
+          .select(col("id").as("doc_id"), col("dedup_text").as("text")),
+        "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_kept_chunks"), r.getAs[String]("dedup_text")))).toMap
+    assert(again === out)
+  }
+
+  test("dsirWeights: target-slice docs score higher on average than the rest") {
+    val docs = Tables.documents(spark, docsDir)
+    val w = Sampling.dsirWeights(docs, "doc_id", "text",
+        target = col("source") === "src0", buckets = 4096)
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+    val avg2 = w.groupBy(col("source") === "src0")
+      .agg(avg(col("dsir_logweight")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg2(true) > avg2(false),
+      s"target mean ${avg2(true)} should exceed non-target ${avg2(false)}")
+  }
+
+  test("lengthOutliers: extremes flagged, bulk not; robust_z null only when MAD=0") {
+    val lens = Seq.tabulate(99)(i => (i.toLong, 100L + (i % 11))) :+ (999L, 100000L)
+    val df = lens.toDF("doc_id", "n_chars")
+    val out = TextStats.lengthOutliers(df, "doc_id", "n_chars", k = 3.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    assert(out(999L) === true)
+    assert(out.count(_._2) === 1)   // only the planted extreme
+    // constant column -> MAD 0 -> no flags, z null
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id", "n_chars")
+    val czero = TextStats.lengthOutliers(const, "doc_id", "n_chars")
+      .collect()
+    czero.foreach { r =>
+      assert(!r.getAs[Boolean]("is_outlier"))
+      assert(r.isNullAt(r.fieldIndex("robust_z")))
+    }
+  }
+}
