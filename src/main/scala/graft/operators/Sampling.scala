@@ -126,12 +126,21 @@ object Sampling {
     * of doubles; a value within an ulp of the 4-dp boundary can round
     * differently across engines' summation orders. */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  target: Column, buckets: Int = 4096): DataFrame = {
+                  target: Column, buckets: Int = 4096): DataFrame =
+    dsirWeightsFromTokens(
+      FanOut(df.select(col(idCol).as("id"), col(textCol).as("__text"),
+          target.cast("boolean").as("__t")))
+        .select(col("id"), col("__t"),
+          graft.functions.TextFunctions.tokens(col("__text")).as("ws")),
+      buckets)
+
+  /** [[dsirWeights]] over a pre-built frame `(id, __t, ws)` — join the
+    * target flag onto [[TextStats.tokenized]] (a doc-level broadcast
+    * join, BEFORE the feature explode) to reuse one corpus tokenize
+    * pass across the token family. */
+  def dsirWeightsFromTokens(toks: DataFrame, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "need buckets >= 2")
-    val feats = FanOut(df.select(col(idCol).as("id"),
-        col(textCol).as("__text"), target.cast("boolean").as("__t")))
-      .select(col("id"), col("__t"),
-        graft.functions.TextFunctions.tokens(col("__text")).as("ws"))
+    val feats = toks
       .where(size(col("ws")) >= 2)
       // when-guard for totality under pushdown/CSE — see
       // [[TextStats.posShingles]]
@@ -143,19 +152,29 @@ object Sampling {
       .select(col("id"), col("__t"),
         (conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long")
           % buckets).as("b"))
-    val census = feats.groupBy(col("b"))
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
+    // One explode pass: per-(doc, bucket) occurrence counts feed BOTH
+    // the census (train) and the per-doc scoring (apply) — persisted so
+    // the apply pass reads this compact frame instead of re-exploding
+    // the corpus. Returned plan references the cache: lifecycle is the
+    // caller's, plan-identity caching dedups repeated calls (same
+    // convention as unigramLogProb's census).
+    val docFeats = feats
+      .groupBy(col("id"), col("__t"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val census = docFeats.groupBy(col("b"))
+      .agg(sum(when(col("__t"), col("n")).otherwise(0L)).as("ct"),
+        sum(col("n")).as("cr"))
     val tot = census.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     val lw = census.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("ct") + lit(1.0)) / (col("nt") + lit(buckets.toLong))) -
           log((col("cr") + lit(1.0)) / (col("nr") + lit(buckets.toLong))))
           .as("w"))
-    feats.join(broadcast(lw), "b")
+    docFeats.join(broadcast(lw), "b")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_feats"),
-        round(sum(col("w")), 4).as("dsir_logweight"))
+      .agg(sum(col("n")).as("n_feats"),
+        round(sum(col("n") * col("w")), 4).as("dsir_logweight"))
   }
 
   /** Quality-ordered selection under a global token budget: order

@@ -420,8 +420,13 @@ object SamplingQueries {
       |SELECT doc_id, count(*) AS n_feats, round(sum(w), 4) AS dsir_logweight
       |FROM feat JOIN lw USING (b)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Sampling.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
-        target = col("source") === "src0", buckets = 4096)
+    val flags = Tables.documents(s, dir).select(col("doc_id").as("id"),
+      (col("source") === "src0").as("__t"))
+    Sampling.dsirWeightsFromTokens(
+        TextQueries.sharedToks(s, dir)
+          .join(broadcast(flags), "id")
+          .select(col("id"), col("__t"), col("ws")),
+        buckets = 4096)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
   }
