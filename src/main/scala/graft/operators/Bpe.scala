@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge induction (the Sennrich et al. 2016
+  * subword-tokenizer training core).
+  *
+  * Scale design: BPE trains on the WORD CENSUS (word → occurrence
+  * count), not the token stream — so the corpus is read once for the
+  * census (the word-count shuffle every other census operator here
+  * uses), and every merge iteration runs over a frame whose size is
+  * the VOCABULARY (bounded: ~millions of rows at web scale, regardless
+  * of corpus bytes). Each iteration:
+  *
+  *   1. explode adjacent symbol pairs from each word's current
+  *      segmentation, weighted by word count — map-side-combined
+  *      aggregate, one shuffle keyed on the pair;
+  *   2. take the most frequent pair (deterministic ties: count desc,
+  *      then (left, right) asc) — a driver-held scalar like the IVF
+  *      centroid matrix / CM sketch;
+  *   3. fuse that pair in every word's segmentation with a greedy
+  *      left-to-right `aggregate` fold (non-overlapping, standard BPE
+  *      application order) — a pure map.
+  *
+  * The iterating frame is localCheckpoint'd per merge, truncating the
+  * otherwise exponentially nesting HOF lineage (same move as
+  * [[Dedup.dupClusters]]); on a multi-node cluster use durable
+  * checkpointing. Word segmentations use the `</w>` end-of-word marker
+  * so merges never cross word boundaries.
+  */
+object Bpe {
+
+  /** Initial segmentation: each character a symbol, `</w>` appended. */
+  private def initSeq(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit("</w>")))
+
+  /** Greedy left-to-right fuse of adjacent (l, r) into l+r. The last
+    * element is read under a lazy `when` size guard (CaseWhen branches
+    * evaluate lazily) so ANSI element_at never sees an empty array. */
+  private def fuse(seq: Column, l: String, r: String): Column =
+    aggregate(seq, array().cast("array<string>"), (acc, x) => {
+      val last = when(size(acc) > 0, element_at(acc, -1))
+      when(last === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x)))
+    })
+
+  /** Train `nMerges` BPE merges over the corpus; returns the ordered
+    * merge table (rank, left, right, pair_count) — the artifact a
+    * tokenizer ships. Stops early when no remaining pair reaches
+    * `minPairCount`. */
+  def trainMerges(df: DataFrame, idCol: String, textCol: String,
+                  nMerges: Int, minPairCount: Long = 2L): DataFrame =
+    trainMergesFromTokens(TextStats.tokenized(df, idCol, textCol),
+      nMerges, minPairCount)
+
+  /** [[trainMerges]] over a pre-built [[TextStats.tokenized]] frame.
+    *
+    * The corpus contributes exactly ONE distributed pass (the word
+    * census shuffle). The merge loop itself runs driver-side over the
+    * collected census — the design every production BPE trainer uses:
+    * merge-loop state is vocabulary-sized (`maxVocab` word
+    * segmentations ≈ tens of MB for a multi-million-word web
+    * vocabulary), independent of corpus bytes, the same driver-held-
+    * state pattern as the IVF centroid matrix and the CM sketch. A
+    * per-merge Spark job would pay plan compilation per iteration for
+    * a frame that fits in one task. `maxVocab` truncates to the most
+    * frequent words (min-frequency truncation, standard in BPE
+    * training). */
+  def trainMergesFromTokens(toks: DataFrame, nMerges: Int,
+                            minPairCount: Long = 2L,
+                            maxVocab: Int = 1 << 22): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = toks.sparkSession
+    // corpus → word census: the single corpus-sized shuffle
+    val census: Array[(Array[String], Long)] = toks
+      .select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>",
+        r.getLong(1)))
+    val seqs = census.map(_._1.toBuffer)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < seqs.length) {
+        val s = seqs(i); val c = census(i)._2
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // deterministic argmax: count desc, then (l, r) asc
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (c < minPairCount) exhausted = true
+        else {
+          merges += ((rank, l, r, c))
+          seqs.foreach { s =>
+            var j = 0
+            while (j < s.length - 1) {
+              if (s(j) == l && s(j + 1) == r) {   // greedy left-to-right
+                s(j) = l + r
+                s.remove(j + 1)
+              }
+              j += 1
+            }
+          }
+          rank += 1
+        }
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a trained merge table to text: tokenize, segment each word,
+    * replay the merges in rank order (greedy left-to-right, the same
+    * [[fuse]] fold as training), and emit per-document subword counts.
+    * The merge table is a driver-held literal chain (like the IVF
+    * centroid matrix) — the corpus never shuffles for application; the
+    * per-doc aggregate is the only exchange. Merge chains beyond a few
+    * hundred ranks should precompute a vocabulary and use a trie-based
+    * codegen expression instead. */
+  def applyMerges(toks: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seg0 = transform(col("ws"), w => initSeq(w))
+    val segN = merges.foldLeft(seg0) { case (acc, (l, r)) =>
+      transform(acc, s => fuse(s, l, r))
+    }
+    toks
+      .where(size(col("ws")) >= 1)
+      .select(col("id"), explode(segN).as("seq"))
+      .select(col("id"), size(col("seq")).as("n"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_subwords"))
+  }
+}

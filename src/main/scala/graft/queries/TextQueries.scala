@@ -390,7 +390,18 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed BPE merge induction (see
+    * [[graft.operators.Bpe.trainMergesFromTokens]]): 50 merges trained
+    * on the corpus word census. Iterative argmax has no single-query
+    * SQL oracle (rows-only check); `BpeSpec` proves the algorithm
+    * against the hand-computed Sennrich corpus. */
+  val q83 = GQuery.rowsOnly("q83_bpe_merges") { (s, dir) =>
+    graft.operators.Bpe.trainMergesFromTokens(sharedToks(s, dir),
+        nMerges = 50)
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81)
+      q76, q81, q83)
 }

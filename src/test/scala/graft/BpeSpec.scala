@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Bpe, TextStats}
+import org.apache.spark.sql.functions._
+
+/** BPE merge induction against the hand-computable Sennrich corpus. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic example: low×5, lower×2, newest×6, widest×3
+  private def corpus = Seq(
+    (1L, Seq.fill(5)("low").mkString(" ")),
+    (2L, Seq.fill(2)("lower").mkString(" ")),
+    (3L, Seq.fill(6)("newest").mkString(" ")),
+    (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+
+  test("trainMerges reproduces the hand-computed Sennrich merges in order") {
+    val got = Bpe.trainMerges(corpus, "doc_id", "text", nMerges = 5)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    // ties at 9 ((e,s),(s,t),(t,</w>)) break lexicographically; then the
+    // merged symbols cascade: es+t, est+</w>, then the l-o-w family at 7
+    assert(got.toSeq === Seq(
+      (0, "e", "s", 9L),
+      (1, "es", "t", 9L),
+      (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L),
+      (4, "lo", "w", 7L)))
+  }
+
+  test("trainMerges stops early when no pair reaches minPairCount") {
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(tiny, "doc_id", "text",
+      nMerges = 10, minPairCount = 2)
+    assert(got.count() === 0)   // every pair occurs once
+  }
+
+  test("applyMerges replays training segmentation: known subword counts") {
+    val doc = Seq((1L, "low lower newest")).toDF("doc_id", "text")
+    val toks = TextStats.tokenized(doc, "doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"))
+    val out = Bpe.applyMerges(toks, merges).collect()
+    assert(out.length === 1)
+    // low -> [low, </w>]; lower -> [low, e, r, </w>]; newest -> [n, e, w, est</w>]
+    assert(out(0).getAs[Long]("n_words") === 3L)
+    assert(out(0).getAs[Long]("n_subwords") === (2L + 4L + 4L))
+  }
+}
