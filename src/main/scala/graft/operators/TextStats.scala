@@ -279,6 +279,33 @@ object TextStats {
         round(avg(col("lp")), 4).as("avg_logprob"))
   }
 
+  /** Out-of-vocabulary rate per group: the fraction of token
+    * OCCURRENCES not covered by the top-`vocabSize` corpus vocabulary
+    * (by count desc, token asc — deterministic) — the statistic that
+    * sizes a tokenizer's vocab and flags domain drift between sources.
+    *
+    * Census is word-count shaped; the vocabulary is a broadcast
+    * left-anti-style membership (left join + null check) against the
+    * token stream, so the corpus shuffles only for the per-group
+    * aggregate. Same train/apply double read as [[unigramLogProb]] —
+    * share the [[tokenized]] frame. */
+  def oovRate(toks: DataFrame, groups: DataFrame, groupCol: String,
+              vocabSize: Int): DataFrame = {
+    val stream = toks
+      .join(groups, "id")
+      .select(col(groupCol), explode(col("ws")).as("tok"))
+    val vocab = toks.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    stream.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens"), 4))
+  }
+
   /** Robust length-outlier filter: flag documents whose `lenCol`
     * deviates from the corpus MEDIAN by more than `k` MADs (median
     * absolute deviation) — the robust-statistics cousin of the fixed

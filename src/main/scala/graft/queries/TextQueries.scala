@@ -401,7 +401,30 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** Per-source out-of-vocabulary rate against the corpus top-20
+    * vocabulary (see [[graft.operators.TextStats.oovRate]]) — the
+    * tokenizer-sizing / domain-drift statistic that pairs with the BPE
+    * trainer. */
+  val q84 = GQuery("q84_oov_rate",
+    s"""WITH $tokCte,
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tok),
+       |cen AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |voc AS (SELECT tok FROM cen ORDER BY c DESC, tok LIMIT 20),
+       |st AS (SELECT d.source, t.tok FROM tk t JOIN documents d USING (doc_id))
+       |SELECT source, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+       |    AS oov_rate
+       |FROM st LEFT JOIN voc v USING (tok)
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.oovRate(
+        sharedToks(s, dir),
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("source")),
+        "source", vocabSize = 20)
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83)
+      q76, q81, q83, q84)
 }
