@@ -59,7 +59,7 @@ object DedupQueries {
     }
 
   /** Shared oracle CTEs: tokenized docs + distinct shingle sets. */
-  private val shingleCtes =
+  private[queries] val shingleCtes =
     s"""tok AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
        |  FROM documents),

@@ -424,7 +424,98 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-document quality-signal feature assembly — the wide table a
+    * fasttext/logreg quality CLASSIFIER trains on: composite heuristic
+    * score (q28), repetition signals (q54), unigram-LM log-prob (q73),
+    * corpus-duplicated-span fraction (q67), and benchmark-contamination
+    * fraction (q79), one row per document under ONE oracle. Every
+    * signal derives from the shared token/shingle caches, so the
+    * assembly is five keyed aggregates + doc-id left joins — at scale,
+    * exactly the feature-store materialization a curation pipeline
+    * writes once and trains many models from. */
+  val q85 = GQuery("q85_quality_features",
+    s"""WITH ${DedupQueries.shingleCtes},
+       |$qualityCte,
+       |base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS frac_distinct
+       |  FROM tok WHERE len(ws) >= 1),
+       |big AS (
+       |  SELECT doc_id,
+       |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+       |  FROM tok WHERE len(ws) >= 2),
+       |cntb AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+       |tb AS (
+       |  SELECT doc_id,
+       |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+       |  FROM cntb GROUP BY doc_id),
+       |rep AS (
+       |  SELECT b.doc_id, b.n_tokens, b.frac_distinct,
+       |    coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
+       |  FROM base b LEFT JOIN tb USING (doc_id)),
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tok),
+       |cen_lm AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cen_lm),
+       |lm AS (
+       |  SELECT doc_id, round(avg(ln(CAST(c + 1 AS DOUBLE) / (n + v))), 4) AS avg_logprob
+       |  FROM tk JOIN cen_lm USING (tok) CROSS JOIN tot GROUP BY doc_id),
+       |ch AS (
+       |  SELECT doc_id, unnest([array_to_string(ws[(j*5+1):(j*5+5)], ' ')
+       |                         for j in range(0, len(ws) // 5)]) AS s
+       |  FROM tok WHERE len(ws) >= 5),
+       |cen_ch AS (SELECT s, count(*) AS c FROM ch GROUP BY s),
+       |dc AS (
+       |  SELECT doc_id,
+       |    round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |      AS frac_dup_chunks
+       |  FROM ch JOIN cen_ch USING (s) GROUP BY doc_id),
+       |bsh AS (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT unnest(shset) AS s FROM sh WHERE doc_id % 97 = 0)),
+       |hits AS (
+       |  SELECT e.doc_id, count(*) AS n_hits
+       |  FROM ex e JOIN bsh USING (s) GROUP BY e.doc_id),
+       |cf AS (
+       |  SELECT d.doc_id,
+       |    coalesce(round(coalesce(h.n_hits, 0) * 1.0
+       |      / nullif(coalesce(z.sz, 0), 0), 4), 0.0) AS frac_contaminated
+       |  FROM documents d
+       |  LEFT JOIN sz z USING (doc_id)
+       |  LEFT JOIN hits h ON h.doc_id = d.doc_id)
+       |SELECT d.doc_id, q.quality, rep.n_tokens, rep.frac_distinct,
+       |  rep.top_bigram_frac, lm.avg_logprob, dc.frac_dup_chunks,
+       |  cf.frac_contaminated
+       |FROM documents d
+       |JOIN q USING (doc_id)
+       |LEFT JOIN rep USING (doc_id)
+       |LEFT JOIN lm USING (doc_id)
+       |LEFT JOIN dc USING (doc_id)
+       |LEFT JOIN cf USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.{Dedup, TextStats}
+    val docs = Tables.documents(s, dir)
+    val toks = sharedToks(s, dir)
+    val rep = TextStats.repetitionStatsFromTokens(toks)
+      .withColumnRenamed("id", "doc_id")
+    val lm = TextStats.unigramLogProbFromTokens(toks)
+      .select(col("id").as("doc_id"), col("avg_logprob"))
+    val dc = TextStats.dupChunkStatsFromTokens(toks, w = 5)
+      .select(col("id").as("doc_id"), col("frac_dup_chunks"))
+    val cf = Dedup.contaminationFraction(
+        docs.select(col("doc_id").as("id")),
+        DedupQueries.sharedSets(s, dir),
+        DedupQueries.sharedSets(s, dir).where(col("id") % 97 === 0))
+      .select(col("id").as("doc_id"), col("frac_contaminated"))
+    docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(dc, Seq("doc_id"), "left")
+      .join(cf, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84)
+      q76, q81, q83, q84, q85)
 }

@@ -31,6 +31,18 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packByTokenBudget plans no RangePartitioning and keeps its local sort") {
+    val docs = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "n_tok")
+    val s = Packing.packByTokenBudget(docs, "id", "n_tok", 50L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // a RangePartitioner would sample-re-execute the upstream pipeline
+    assert(!s.contains("rangepartitioning"), s)
+    // the partition-local sort feeding the prefix-sum mapPartitions must
+    // survive optimization (EliminateSorts strips sorts below join
+    // children — regression guard for the post-join placement)
+    assert(s.contains("Sort ["), s)
+  }
+
   test("writeShards lands a shard_id-partitioned layout that round-trips") {
     val docs = (1L to 40L).map(i => (i, 100L + i)).toDF("doc_id", "n_tokens")
     val packed = Packing.packByTokenBudget(docs, "doc_id", "n_tokens", maxTokens = 1000L)
