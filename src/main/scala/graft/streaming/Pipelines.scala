@@ -93,6 +93,47 @@ object Pipelines {
       .drop("__nt", "__fd", "__fp")
   }
 
+  /** Sliding-window corpus-quality monitor — the observability twin of
+    * [[curateStream]] (ingest → curate → MONITOR closes the streaming
+    * curation loop): per (event-time window, source), document count,
+    * mean composite quality, mean token count, and an approximate
+    * distinct-fingerprint count giving the in-window exact-dup rate
+    * (`1 − distinct/n`). A quality or dup-rate step change per source
+    * is the standard alarm for a broken upstream feed.
+    *
+    * Scale/state: every aggregate is map-side partial;
+    * `approx_count_distinct` keeps constant HLL state per (window,
+    * source) where exact distinct would buffer every fingerprint; total
+    * state is bounded by the watermark horizon × source count. Works
+    * identically on batch frames (unified model), which is how the spec
+    * asserts exact window contents. */
+  def qualityMonitorStream(df: DataFrame, tsCol: String, delay: String,
+                           textCol: String, sourceCol: String,
+                           windowDur: String = "5 minutes",
+                           slide: Option[String] = None): DataFrame = {
+    import graft.functions.TextFunctions
+    val win = slide match {
+      case Some(sl) => window(col(tsCol), windowDur, sl)
+      case None => window(col(tsCol), windowDur)
+    }
+    df.withColumn("__q",
+        TextFunctions.qualityScore(col(textCol), length(col(textCol))))
+      .withColumn("__nt", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .groupBy(win, col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__q")), 4).as("avg_quality"),
+        round(avg(col("__nt")), 2).as("avg_tokens"),
+        approx_count_distinct(col("__fp")).as("approx_distinct"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(sourceCol),
+        col("n_docs"), col("avg_quality"), col("avg_tokens"),
+        col("approx_distinct"),
+        round(lit(1.0) - col("approx_distinct") / col("n_docs"), 4)
+          .as("dup_rate_est"))
+  }
+
   /** Incremental ingestion dedup against a persistent fingerprint store:
     * each micro-batch is deduped within itself, anti-joined against the
     * store (docs already ingested in ANY earlier batch or run), handed

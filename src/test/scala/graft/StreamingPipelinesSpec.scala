@@ -185,4 +185,45 @@ class StreamingPipelinesSpec extends SparkSpec {
       assert(spark.table("curate_out").columns.count(_ == "text") === 1)
     } finally q.stop()
   }
+
+  test("qualityMonitorStream: per-(window, source) stats with in-window dup-rate; late rows dropped") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val textA = "the quick brown fox jumps over the lazy dog near a stone bridge"
+    val textB = "a completely different document with many unique and varied words inside"
+    val mon = Pipelines.qualityMonitorStream(
+      in.toDF().toDF("ts", "source", "text"), "ts", delay = "10 minutes",
+      textCol = "text", sourceCol = "source", windowDur = "5 minutes")
+
+    val q = mon.writeStream.format("memory").queryName("mon_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), "web", textA),
+        (ts(1), "web", textA),     // exact dup within the window
+        (ts(2), "web", textB),
+        (ts(3), "books", textB))
+      q.processAllAvailable()
+      in.addData((ts(40), "web", textA))   // advance watermark, finalize
+      q.processAllAvailable()
+      in.addData((ts(2), "web", textB))    // late: must NOT change the closed window
+      q.processAllAvailable()
+      val rows = spark.sql(
+          """SELECT source, n_docs, approx_distinct, dup_rate_est
+            |FROM mon_out WHERE window_start = '2024-01-01 10:00:00'
+            |ORDER BY source""".stripMargin)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(rows === Seq(
+        ("books", 1L, 1L, 0.0),
+        ("web", 3L, 2L, round4(1.0 - 2.0 / 3))))
+      // quality/token stats exist and are sane
+      val stats = spark.sql(
+          "SELECT avg_quality, avg_tokens FROM mon_out WHERE source = 'books'")
+        .as[(Double, Double)].head()
+      assert(stats._1 > 0.0 && stats._1 <= 1.0)
+      assert(stats._2 === 11.0)
+    } finally q.stop()
+  }
+
+  private def round4(d: Double): Double = math.rint(d * 10000) / 10000
 }
