@@ -40,8 +40,19 @@ object Embeddings {
                roundTo: Int = 4): DataFrame =
     FanOut(df.select(col(keyCol).as("key"), col(vecCol).as("__v")))
       .select(col("key"), posexplode(col("__v")).as(Seq("pos", "x")))
+      // each element quantized to a 1e-6 fixed-point LONG before the
+      // sum: integer sums are order-independent, so the rounded mean is
+      // bit-identical in any engine and any partitioning — a double sum
+      // rounds differently near 4-dp boundaries depending on summation
+      // order (observed: q61 diverged from the oracle at sf0.001). The
+      // 1e-6 grid is below fp32 embedding noise.
       .groupBy(col("key"), col("pos"))
-      .agg(round(avg(col("x").cast("double")), roundTo).as("m"))
+      .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      // `=== 0` normalizes IEEE −0.0 (DuckDB's round keeps it, Spark's
+      // BigDecimal round does not; stringified compares then diverge)
+      .withColumn("__m", round(col("s") / (col("n") * 1e6), roundTo))
+      .withColumn("m", when(col("__m") === 0.0, lit(0.0)).otherwise(col("__m")))
       .groupBy(col("key"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .getField("m").as("pooled"))

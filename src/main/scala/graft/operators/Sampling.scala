@@ -166,15 +166,25 @@ object Sampling {
       .agg(sum(when(col("__t"), col("n")).otherwise(0L)).as("ct"),
         sum(col("n")).as("cr"))
     val tot = census.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    // per-bucket log-ratio quantized to a 1e-4 fixed-point LONG: the
+    // per-doc sum is then integer-exact, so the rounded weight is
+    // bit-identical across engines/partitionings (a double sum rounds
+    // differently near 4-dp boundaries depending on summation order).
+    // 1e-4 grid because ln differs by an ulp across libm
+    // implementations — see [[TextStats.unigramLogProbFromTokens]].
     val lw = census.crossJoin(broadcast(tot))
       .select(col("b"),
-        (log((col("ct") + lit(1.0)) / (col("nt") + lit(buckets.toLong))) -
+        round((log((col("ct") + lit(1.0)) / (col("nt") + lit(buckets.toLong))) -
           log((col("cr") + lit(1.0)) / (col("nr") + lit(buckets.toLong))))
-          .as("w"))
+          * 1e4).cast("long").as("wq"))
     docFeats.join(broadcast(lw), "b")
       .groupBy(col("id"))
       .agg(sum(col("n")).as("n_feats"),
-        round(sum(col("n") * col("w")), 4).as("dsir_logweight"))
+        round(sum(col("n") * col("wq")) / 1e4, 4).as("__w"))
+      // `=== 0` normalizes IEEE −0.0 — see [[Embeddings.meanPool]]
+      .withColumn("dsir_logweight",
+        when(col("__w") === 0.0, lit(0.0)).otherwise(col("__w")))
+      .drop("__w")
   }
 
   /** Quality-ordered selection under a global token budget: order

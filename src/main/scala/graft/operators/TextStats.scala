@@ -271,12 +271,24 @@ object TextStats {
     val denom = (if (totals.isNullAt(0)) 1L
                  else totals.getLong(0) + totals.getLong(1)).toDouble
     val lm = census.orderBy(col("c").desc, col("tok")).limit(maxVocab)
+    // per-token log-prob quantized to a 1e-4 fixed-point LONG before the
+    // per-doc sum: integer sums are order-independent, so the rounded
+    // mean is bit-identical across engines/partitionings (a double
+    // average rounds differently near 4-dp boundaries depending on
+    // summation order). The grid is 1e-4, not 1e-6, because ln itself
+    // differs by an ulp across libm implementations — a coarser grid
+    // makes a quantization-boundary hit ~100x rarer while staying far
+    // below filtering precision.
     toks.join(broadcast(lm), Seq("tok"), "left_outer")
-      .withColumn("lp",
-        log((coalesce(col("c"), lit(0L)) + 1).cast("double") / denom))
+      .withColumn("lq",
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") / denom)
+          * 1e4).cast("long"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("lp")), 4).as("avg_logprob"))
+        sum(col("lq")).as("__s"))
+      .withColumn("avg_logprob",
+        round(col("__s") / (col("n_tokens") * 1e4), 4))
+      .drop("__s")
   }
 
   /** Out-of-vocabulary rate per group: the fraction of token

@@ -415,11 +415,17 @@ object SamplingQueries {
       |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
       |  FROM cen),
       |lw AS (
-      |  SELECT b, ln((ct + 1.0) / (nt + 4096)) - ln((cr + 1.0) / (nr + 4096)) AS w
-      |  FROM cen CROSS JOIN tot)
-      |SELECT doc_id, count(*) AS n_feats, round(sum(w), 4) AS dsir_logweight
-      |FROM feat JOIN lw USING (b)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |  SELECT b, CAST(round((ln((ct + 1.0) / (nt + 4096))
+      |    - ln((cr + 1.0) / (nr + 4096))) * 10000) AS BIGINT) AS wq
+      |  FROM cen CROSS JOIN tot),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_feats,
+      |    round(sum(wq) / 10000.0, 4) AS w0
+      |  FROM feat JOIN lw USING (b)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_feats,
+      |  CASE WHEN w0 = 0 THEN 0.0 ELSE w0 END AS dsir_logweight
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val flags = Tables.documents(s, dir).select(col("doc_id").as("id"),
       (col("source") === "src0").as("__t"))
     Sampling.dsirWeightsFromTokens(

@@ -191,12 +191,16 @@ object SimilarityQueries {
     * [[graft.operators.Embeddings.meanPool]]), emitted long-format
     * (label, pos, m) so the oracle compares scalars, not lists. */
   val q61 = GQuery("q61_mean_pool",
-    """SELECT label, u.pos - 1 AS pos, round(avg(CAST(u.x AS DOUBLE)), 4) AS m
+    """SELECT label, pos, CASE WHEN m0 = 0 THEN 0.0 ELSE m0 END AS m
       |FROM (
-      |  SELECT label, unnest(
-      |    [{'pos': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
-      |  FROM embeddings)
-      |GROUP BY label, u.pos
+      |  SELECT label, u.pos - 1 AS pos,
+      |    round(sum(CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT))
+      |      / (count(*) * 1000000.0), 4) AS m0
+      |  FROM (
+      |    SELECT label, unnest(
+      |      [{'pos': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
+      |    FROM embeddings)
+      |  GROUP BY label, u.pos)
       |ORDER BY label, pos""".stripMargin) { (s, dir) =>
     graft.operators.Embeddings.meanPool(Tables.embeddings(s, dir), "label", "embedding")
       .select(col("key").as("label"), posexplode(col("pooled")).as(Seq("pos", "m")))

@@ -311,7 +311,8 @@ object TextQueries {
        |cen AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cen)
        |SELECT doc_id, count(*) AS n_tokens,
-       |  round(avg(ln(CAST(c + 1 AS DOUBLE) / (n + v))), 4) AS avg_logprob
+       |  round(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + v)) * 10000)
+       |    AS BIGINT)) / (count(*) * 10000.0), 4) AS avg_logprob
        |FROM tk JOIN cen USING (tok) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     graft.operators.TextStats.unigramLogProbFromTokens(sharedToks(s, dir))
@@ -457,7 +458,9 @@ object TextQueries {
        |cen_lm AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cen_lm),
        |lm AS (
-       |  SELECT doc_id, round(avg(ln(CAST(c + 1 AS DOUBLE) / (n + v))), 4) AS avg_logprob
+       |  SELECT doc_id,
+       |    round(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + v)) * 10000)
+       |      AS BIGINT)) / (count(*) * 10000.0), 4) AS avg_logprob
        |  FROM tk JOIN cen_lm USING (tok) CROSS JOIN tot GROUP BY doc_id),
        |ch AS (
        |  SELECT doc_id, unnest([array_to_string(ws[(j*5+1):(j*5+5)], ' ')
