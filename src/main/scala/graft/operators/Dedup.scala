@@ -63,19 +63,18 @@ object Dedup {
     * when the token frame is persisted, the dedup family's shingle
     * index and the text family's stats derive from ONE corpus
     * scan+tokenize. */
-  def shingleSetsFromTokens(toks: DataFrame, n: Int): DataFrame =
+  def shingleSetsFromTokens(toks: DataFrame, n: Int): DataFrame = {
+    graft.plans.WordNgrams.register(toks.sparkSession)
     toks
       .where(size(col("ws")) >= n)
-      // the when-guard makes the expression TOTAL: predicate pushdown +
-      // codegen subexpression elimination can evaluate it on rows the
-      // size filter would discard (sequence(0, size-n) turns descending
-      // for short rows and slice(…, 0, …) throws); the guarded branch is
-      // never taken for surviving rows, `where` stays authoritative
+      // native codegen n-gram expression — total by construction (short
+      // rows yield an empty array), so the historical when-guard against
+      // pushdown/CSE evaluating a partial expression on too-short rows
+      // is no longer needed
       .select(col("id"), array_distinct(
-        when(size(col("ws")) >= n,
-          transform(sequence(lit(0), size(col("ws")) - n),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))
-          .otherwise(slice(col("ws"), 1, 0))).as("shset"))
+        call_function(graft.plans.WordNgrams.fnName,
+          col("ws"), lit(n), lit(1))).as("shset"))
+  }
 
   /** All-pairs shingle Jaccard ≥ `minJaccard` via inverted-index join:
     * explode shingles, self-join on the shingle (equi-shuffle join),

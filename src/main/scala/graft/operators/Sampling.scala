@@ -140,15 +140,12 @@ object Sampling {
     * pass across the token family. */
   def dsirWeightsFromTokens(toks: DataFrame, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "need buckets >= 2")
+    graft.plans.WordNgrams.register(toks.sparkSession)
     val feats = toks
       .where(size(col("ws")) >= 2)
-      // when-guard for totality under pushdown/CSE — see
-      // [[TextStats.posShingles]]
       .select(col("id"), col("__t"), explode(
-        when(size(col("ws")) >= 2,
-          transform(sequence(lit(0), size(col("ws")) - 2),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(2)))))
-          .otherwise(slice(col("ws"), 1, 0))).as("g"))
+        call_function(graft.plans.WordNgrams.fnName,
+          col("ws"), lit(2), lit(1))).as("g"))
       .select(col("id"), col("__t"),
         (conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long")
           % buckets).as("b"))

@@ -44,17 +44,17 @@ object TextStats {
     posShinglesFromTokens(tokenized(df, idCol, textCol), n)
 
   /** [[posShingles]] over a pre-built [[tokenized]] frame. */
-  def posShinglesFromTokens(toks: DataFrame, n: Int): DataFrame =
+  def posShinglesFromTokens(toks: DataFrame, n: Int): DataFrame = {
+    graft.plans.WordNgrams.register(toks.sparkSession)
     toks
       .where(size(col("ws")) >= n)
-      // when-guard for totality under predicate pushdown — see
-      // [[Dedup.shingleSets]]
+      // native codegen n-gram expression — total by construction, so no
+      // when-guard against pushdown/CSE evaluation on short rows needed
       .select(col("id"), posexplode(
-        when(size(col("ws")) >= n,
-          transform(sequence(lit(0), size(col("ws")) - n),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))
-          .otherwise(slice(col("ws"), 1, 0))))
+        call_function(graft.plans.WordNgrams.fnName,
+          col("ws"), lit(n), lit(1))))
       .toDF("id", "pos", "s")
+  }
 
   /** Per-document repetition quality signals (the Gopher-style filters):
     * token count, distinct-token fraction, and the fraction of all
@@ -73,16 +73,14 @@ object TextStats {
     // corpus twice (two full scans at 100 TB). explode_outer keeps
     // bigram-less docs (single-token) as a null row so they surface
     // with top_bigram_frac = 0 without a corpus-side join.
+    graft.plans.WordNgrams.register(toks0.sparkSession)
     val toks = toks0
       .where(size(col("ws")) >= 1)
       .select(col("id"),
         size(col("ws")).cast("long").as("n_tokens"),
         size(array_distinct(col("ws"))).as("n_distinct"),
-        // when-guard for totality under pushdown/CSE — see posShingles
-        when(size(col("ws")) >= 2,
-          transform(sequence(lit(0), size(col("ws")) - 2),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(2)))))
-          .otherwise(slice(col("ws"), 1, 0)).as("bigrams"))
+        call_function(graft.plans.WordNgrams.fnName,
+          col("ws"), lit(2), lit(1)).as("bigrams"))
     toks
       .select(col("id"), col("n_tokens"), col("n_distinct"),
         explode_outer(col("bigrams")).as("s"))
@@ -151,17 +149,16 @@ object TextStats {
     posChunksFromTokens(tokenized(df, idCol, textCol), w)
 
   /** [[posChunks]] over a pre-built [[tokenized]] frame. */
-  def posChunksFromTokens(toks: DataFrame, w: Int): DataFrame =
+  def posChunksFromTokens(toks: DataFrame, w: Int): DataFrame = {
+    graft.plans.WordNgrams.register(toks.sparkSession)
     toks
       .where(size(col("ws")) >= w)
-      // when-guard for totality under pushdown/CSE — see posShingles
+      // stride = n gives the non-overlapping full chunks
       .select(col("id"), posexplode(
-        when(size(col("ws")) >= w,
-          transform(
-            sequence(lit(0), floor(size(col("ws")) / w).cast("int") - 1),
-            j => concat_ws(" ", slice(col("ws"), j * w + 1, lit(w)))))
-          .otherwise(slice(col("ws"), 1, 0))))
+        call_function(graft.plans.WordNgrams.fnName,
+          col("ws"), lit(w), lit(w))))
       .toDF("id", "pos", "s")
+  }
 
   /** Cross-document duplicated-span fraction (the corpus-level cousin of
     * the Gopher duplicate-n-gram signals, which are within-document):
