@@ -126,4 +126,28 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(out(1L).map(x => x * x).sum - 1.0) < 1e-12)
     assert(out(2L) === Seq(0.0, 0.0))
   }
+
+  test("WordNgrams native expression matches the HOF formula for all (n, stride)") {
+    graft.plans.WordNgrams.register(spark)
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x"),
+      (3L, ""),
+      (4L, "p q r s")).toDF("doc_id", "text")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    for (n <- 1 to 4; stride <- Seq(1, 2, n)) {
+      val native = toks.select(col("id"),
+          call_function(graft.plans.WordNgrams.fnName,
+            col("ws"), lit(n), lit(stride)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = toks.select(col("id"),
+          when(size(col("ws")) >= n,
+            transform(
+              sequence(lit(0), floor((size(col("ws")) - n) / stride).cast("int")),
+              i => concat_ws(" ", slice(col("ws"), i * stride + 1, lit(n)))))
+            .otherwise(slice(col("ws"), lit(1), lit(0))).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native === hof, s"n=$n stride=$stride")
+    }
+  }
 }
