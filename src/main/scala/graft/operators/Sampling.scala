@@ -64,6 +64,30 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Token-weighted temperature mixture: the [[temperatureSample]]
+    * schedule with strata sized by TOKEN sums instead of row counts —
+    * pretraining mixtures budget tokens, and a stratum of few huge
+    * documents should not be overweighted the way a row-count schedule
+    * would. p_s ∝ √T_s; keep rate = min(1, f·T_tot·(w_s/Σw)/T_s);
+    * same deterministic md5 buckets and α = 0.5 exactness argument. */
+  def temperatureSampleByTokens(df: DataFrame, keyCol: String,
+                                stratumCol: String, tokenCol: String,
+                                targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1)
+    val counts = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__n"))
+    val weighted = counts.withColumn("__w", sqrt(col("__n").cast("double")))
+    val tot = weighted.agg(sum(col("__n")).as("__tot"), sum(col("__w")).as("__wsum"))
+    val rates = weighted.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetFraction) * col("__tot") * (col("__w") / col("__wsum")) / col("__n")))
+      .withColumn("__thr", round(col("__rate"), 4) * 10000)
+      .select(col(stratumCol), col("__thr"))
+    df.join(broadcast(rates), stratumCol)
+      .where(hashBucket(col(keyCol), 10000) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Stratified deterministic sample: per-stratum percentage keep. */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
                        pctByStratum: Map[String, Int],

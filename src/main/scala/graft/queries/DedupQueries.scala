@@ -418,6 +418,44 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Split-leakage audit: near-dup pairs that STRADDLE the q45
+    * train/test split — the held-out set is contaminated through
+    * near-duplicates even after exact dedup, the classic eval-leakage
+    * failure. Composes the shared pair graph with the deterministic
+    * split; (train,test)+(test,train) counts are the leakage. */
+  val q86 = GQuery("q86_split_leakage",
+    s"""WITH $shingleCtes,
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${graft.operators.Sampling.hashBucketSql("doc_id", 100)} < 10
+       |      THEN 'test' ELSE 'train' END AS split
+       |  FROM documents)
+       |SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs
+       |FROM pr
+       |JOIN sp sa ON sa.doc_id = pr.id_a
+       |JOIN sp sb ON sb.doc_id = pr.id_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val split = graft.operators.Sampling.trainTestSplit(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 10)
+    sharedPairs(s, dir)
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82)
+    Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86)
 }

@@ -437,6 +437,39 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-weighted temperature mixture (see
+    * [[graft.operators.Sampling.temperatureSampleByTokens]]): strata
+    * sized by token sums, not row counts — the budget pretraining
+    * mixtures actually schedule. Reports kept docs AND kept tokens per
+    * source. */
+  val q87 = GQuery("q87_token_mixture",
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |cnt AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n FROM tk GROUP BY source),
+      |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot, sum(w) AS wsum FROM w),
+      |rates AS (
+      |  SELECT source,
+      |    round(least(1.0, 0.5 * tot * (w / wsum) / n), 4) * 10000 AS thr
+      |  FROM w, tot),
+      |kept AS (
+      |  SELECT t.source, t.n_tokens FROM tk t JOIN rates USING (source)
+      |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000) < thr)
+      |SELECT source, count(*) AS n_kept,
+      |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val tk = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.temperatureSampleByTokens(tk, "doc_id", "source", "n_tokens",
+        targetFraction = 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80)
+    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87)
 }

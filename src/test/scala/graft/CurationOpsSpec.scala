@@ -106,6 +106,26 @@ class CurationOpsSpec extends SparkSpec {
       s"target mean ${avg2(true)} should exceed non-target ${avg2(false)}")
   }
 
+  test("temperatureSampleByTokens: tail stratum keeps a larger fraction than the head") {
+    val docs = ((1 to 400).map(i => (i.toLong, "big", 100L)) ++
+      (1 to 20).map(i => (1000L + i, "small", 100L)))
+      .toDF("doc_id", "source", "n_toks")
+    val kept = Sampling.temperatureSampleByTokens(
+        docs, "doc_id", "source", "n_toks", targetFraction = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigFrac = kept.getOrElse("big", 0L).toDouble / 400
+    val smallFrac = kept.getOrElse("small", 0L).toDouble / 20
+    assert(smallFrac > bigFrac,
+      s"temperature should flatten: small=$smallFrac big=$bigFrac")
+    // determinism: same call, same keep set
+    val again = Sampling.temperatureSampleByTokens(
+        docs, "doc_id", "source", "n_toks", targetFraction = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === kept)
+  }
+
   test("lengthOutliers: extremes flagged, bulk not; robust_z null only when MAD=0") {
     val lens = Seq.tabulate(99)(i => (i.toLong, 100L + (i % 11))) :+ (999L, 100000L)
     val df = lens.toDF("doc_id", "n_chars")
