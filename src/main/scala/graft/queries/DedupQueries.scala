@@ -456,6 +456,61 @@ object DedupQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Leakage-SAFE split — the fix for what q86 measures: hash the
+    * near-dup CLUSTER representative instead of the doc id, so every
+    * near-duplicate family lands in one split and cross-split near-dup
+    * pairs are zero BY CONSTRUCTION (the audit columns prove it: only
+    * same-split pair rows exist). Pure composition: q45's
+    * trainTestSplit keyed on q51's cluster map. */
+  val q88 = GQuery("q88_leakage_safe_split",
+    s"""WITH RECURSIVE $shingleCtes,
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(id, rep) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${graft.operators.Sampling.hashBucketSql("cluster_rep", 100)} < 10
+       |      THEN 'test' ELSE 'train' END AS split
+       |  FROM cl),
+       |straddle AS (
+       |  SELECT count(*) AS n FROM pr
+       |  JOIN sp sa ON sa.doc_id = pr.id_a
+       |  JOIN sp sb ON sb.doc_id = pr.id_b
+       |  WHERE sa.split <> sb.split)
+       |SELECT split, count(*) AS n_docs,
+       |  (SELECT n FROM straddle) AS n_cross_split_pairs
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    val sp = graft.operators.Sampling.trainTestSplit(
+        sharedClusters(s, dir).select(col("doc_id"), col("cluster_rep")),
+        "cluster_rep", 10)
+      .select(col("doc_id"), col("split"))
+    val straddle = sharedPairs(s, dir)
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .where(col("split_a") =!= col("split_b"))
+      .agg(count(lit(1)).as("n_cross_split_pairs"))
+    sp.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(straddle))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86)
+    Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
+      q88)
 }
