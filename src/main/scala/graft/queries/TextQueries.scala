@@ -495,6 +495,14 @@ object TextQueries {
        |LEFT JOIN dc USING (doc_id)
        |LEFT JOIN cf USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    qualityFeatures(s, dir).orderBy(col("doc_id"))
+  }
+
+  /** The q85 feature frame (unordered) — shared with the learned
+    * quality classifier (q89). */
+  private[queries] def qualityFeatures(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import graft.operators.{Dedup, TextStats}
     val docs = Tables.documents(s, dir)
     val toks = sharedToks(s, dir)
@@ -515,10 +523,42 @@ object TextQueries {
       .join(lm, Seq("doc_id"), "left")
       .join(dc, Seq("doc_id"), "left")
       .join(cf, Seq("doc_id"), "left")
-      .orderBy(col("doc_id"))
+  }
+
+  /** Learned quality classifier (see
+    * [[graft.operators.QualityClassifier]]): logistic regression over
+    * the q85 feature frame against the q69 cascade verdicts as weak
+    * labels, scoring every document. Rows-only (MLlib training is not
+    * single-query SQL); `QualityClassifierSpec` asserts AUC and
+    * determinism. Real pipelines swap the weak labels for a curated
+    * seed set — the plumbing is identical. */
+  private val clsCache = new SessionCache[org.apache.spark.sql.DataFrame]
+
+  val q89 = GQuery.rowsOnly("q89_quality_classifier") { (s, dir) =>
+    // Training is EAGER (LBFGS driver loop), so like the IVF index and
+    // the cluster map the scored frame is memoized per (session, dir) —
+    // a real pipeline trains the model once per corpus and every
+    // consumer reads the scores table.
+    clsCache.get(s, dir) {
+      val labels = graft.operators.TextStats
+        .qualityCascadeFromTokens(sharedToks(s, dir))
+        .select(col("id").as("doc_id"),
+          col("keep").cast("int").as("label_keep"))
+      // the five-way signal join is materialized so the LBFGS gradient
+      // passes and the scoring pass read a narrow frame, not the plan
+      val feats = qualityFeatures(s, dir).join(labels, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.QualityClassifier.trainAndScore(feats, "doc_id",
+          Seq("quality", "n_tokens", "frac_distinct", "top_bigram_frac",
+            "avg_logprob", "frac_dup_chunks", "frac_contaminated"),
+          "label_keep", maxIter = 15)
+        .select(col("doc_id"), col("label_keep"), col("prob_keep"),
+          col("pred_keep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.orderBy(col("doc_id"))
   }
 
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84, q85)
+      q76, q81, q83, q84, q85, q89)
 }
