@@ -76,31 +76,41 @@ object Bpe {
     require(nMerges > 0, "nMerges must be positive")
     val spark = toks.sparkSession
     // corpus → word census: the single corpus-sized shuffle
+    // code-POINT segmentation (matching applyMerges' substr semantics) —
+    // split("") would cut UTF-16 surrogate pairs in half and emit
+    // malformed symbols for non-BMP text (emoji, CJK extensions)
+    def symbols(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     val census: Array[(Array[String], Long)] = toks
       .select(explode(col("ws")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(maxVocab)
       .collect()
-      .map(r => (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>",
-        r.getLong(1)))
+      .map(r => (symbols(r.getString(0)) :+ "</w>", r.getLong(1)))
     val seqs = census.map(_._1.toBuffer)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 0
-    var exhausted = false
-    while (rank < nMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // INCREMENTAL pair counts (the production-trainer design): built
+    // once, then each merge touches only the pairs around its own fuse
+    // sites — full recounting per merge would be O(nMerges × corpus
+    // symbols) driver work, infeasible at 32k merges on a web vocab.
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def bump(k: (String, String), d: Long): Unit = {
+      val n = counts.getOrElse(k, 0L) + d
+      if (n <= 0L) counts.remove(k) else counts(k) = n
+    }
+    {
       var i = 0
       while (i < seqs.length) {
         val s = seqs(i); val c = census(i)._2
         var j = 0
-        while (j < s.length - 1) {
-          val k = (s(j), s(j + 1))
-          counts(k) = counts.getOrElse(k, 0L) + c
-          j += 1
-        }
+        while (j < s.length - 1) { bump((s(j), s(j + 1)), c); j += 1 }
         i += 1
       }
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
       if (counts.isEmpty) exhausted = true
       else {
         // deterministic argmax: count desc, then (l, r) asc
@@ -108,15 +118,24 @@ object Bpe {
         if (c < minPairCount) exhausted = true
         else {
           merges += ((rank, l, r, c))
-          seqs.foreach { s =>
+          val lr = l + r
+          var i = 0
+          while (i < seqs.length) {
+            val s = seqs(i); val cw = census(i)._2
             var j = 0
             while (j < s.length - 1) {
               if (s(j) == l && s(j + 1) == r) {   // greedy left-to-right
-                s(j) = l + r
+                bump((l, r), -cw)
+                if (j > 0) { bump((s(j - 1), l), -cw); bump((s(j - 1), lr), cw) }
+                if (j + 2 < s.length) {
+                  bump((r, s(j + 2)), -cw); bump((lr, s(j + 2)), cw)
+                }
+                s(j) = lr
                 s.remove(j + 1)
               }
               j += 1
             }
+            i += 1
           }
           rank += 1
         }

@@ -333,9 +333,14 @@ object Dedup {
                           idCol: String, repCol: String,
                           qualityCol: String): DataFrame = {
     val scored = clusters.join(quality, idCol)
+    // coalesce before negation: a NULL quality must sort LAST (never
+    // canonical over a scored copy — and matching the oracle's
+    // NULLS-LAST DESC), but Spark's struct ordering puts a null field
+    // FIRST under min
     val best = scored.groupBy(col(repCol))
-      .agg(min(struct((-col(qualityCol)).as("nq"), col(idCol).as("bid")))
-        .as("best"))
+      .agg(min(struct(
+        (-coalesce(col(qualityCol), lit(Double.NegativeInfinity))).as("nq"),
+        col(idCol).as("bid"))).as("best"))
       .select(col(repCol), col("best.bid").as("__best_id"))
     scored.join(best, repCol)
       .select(col(idCol), col(repCol), col(qualityCol),

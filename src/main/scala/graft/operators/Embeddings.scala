@@ -25,17 +25,12 @@ object Embeddings {
     * back to a document vector, label centroids, etc. Long-format
     * aggregation ((key, pos, x) rows, map-side partial) rather than a
     * dim-wide aggregate: no K-wide codegen pathology, one shuffle keyed
-    * (key, pos) that distributes evenly. Means are rounded so float
-    * summation order cannot leak engine-specific ulps.
+    * (key, pos) that distributes evenly.
     *
-    * Rounding caveat: `round(avg(x), roundTo)` masks summation-order
-    * differences ONLY while the mean sits away from a rounding
-    * boundary; a mean within an ulp of the half-way point can still
-    * round differently across engines (Spark's distributed sum vs a
-    * sequential one). Exact-hash comparisons of pooled vectors are
-    * therefore probabilistic-but-not-guaranteed at the chosen
-    * precision — use a tolerance-based compare where that risk is
-    * unacceptable. */
+    * Determinism: each element is quantized to a 1e-6 fixed-point LONG
+    * before the sum, so the rounded mean is bit-identical in any
+    * engine and any partitioning (integer sums are order-independent);
+    * null elements are skipped, matching `avg` semantics. */
   def meanPool(df: DataFrame, keyCol: String, vecCol: String,
                roundTo: Int = 4): DataFrame =
     FanOut(df.select(col(keyCol).as("key"), col(vecCol).as("__v")))
@@ -48,7 +43,7 @@ object Embeddings {
       // 1e-6 grid is below fp32 embedding noise.
       .groupBy(col("key"), col("pos"))
       .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"),
-        count(lit(1)).as("n"))
+        count(col("x")).as("n"))   // count(x): skip nulls like avg would
       // `=== 0` normalizes IEEE −0.0 (DuckDB's round keeps it, Spark's
       // BigDecimal round does not; stringified compares then diverge)
       .withColumn("__m", round(col("s") / (col("n") * 1e6), roundTo))

@@ -29,8 +29,9 @@ object Packing {
   /** Assign each row a `shard_id` by token-budget packing.
     *
     * @param tokenCol integer token count per document
-    * @param parts    range partitions for the distributed sort — on a
-    *                 real cluster ~2-3× total cores
+    * @param parts    partitions for the bucketed prefix sum (8
+    *                 contiguous hash-range buckets each) — on a real
+    *                 cluster ~2-3× total cores
     */
   def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
                         maxTokens: Long, parts: Int = 32,

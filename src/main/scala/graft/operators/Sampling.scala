@@ -49,9 +49,20 @@ object Sampling {
     * not correctly rounded and could differ in the last ulp across
     * engines — callers needing other α should precompute rates. */
   def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
-                        targetFraction: Double): DataFrame = {
+                        targetFraction: Double): DataFrame =
+    temperatureSampleBySize(df, keyCol, stratumCol, targetFraction,
+      count(lit(1)))
+
+  /** The shared √-size schedule: stratum sizes come from `sizeAgg`
+    * (row count for [[temperatureSample]], token sum for
+    * [[temperatureSampleByTokens]]); one implementation so the
+    * rate/threshold quantization cannot drift between the two. */
+  private def temperatureSampleBySize(df: DataFrame, keyCol: String,
+                                      stratumCol: String,
+                                      targetFraction: Double,
+                                      sizeAgg: Column): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1)
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(col(stratumCol)).agg(sizeAgg.as("__n"))
     val weighted = counts.withColumn("__w", sqrt(col("__n").cast("double")))
     val tot = weighted.agg(sum(col("__n")).as("__tot"), sum(col("__w")).as("__wsum"))
     val rates = weighted.crossJoin(broadcast(tot))
@@ -72,21 +83,9 @@ object Sampling {
     * same deterministic md5 buckets and α = 0.5 exactness argument. */
   def temperatureSampleByTokens(df: DataFrame, keyCol: String,
                                 stratumCol: String, tokenCol: String,
-                                targetFraction: Double): DataFrame = {
-    require(targetFraction > 0 && targetFraction <= 1)
-    val counts = df.groupBy(col(stratumCol))
-      .agg(sum(col(tokenCol).cast("long")).as("__n"))
-    val weighted = counts.withColumn("__w", sqrt(col("__n").cast("double")))
-    val tot = weighted.agg(sum(col("__n")).as("__tot"), sum(col("__w")).as("__wsum"))
-    val rates = weighted.crossJoin(broadcast(tot))
-      .withColumn("__rate", least(lit(1.0),
-        lit(targetFraction) * col("__tot") * (col("__w") / col("__wsum")) / col("__n")))
-      .withColumn("__thr", round(col("__rate"), 4) * 10000)
-      .select(col(stratumCol), col("__thr"))
-    df.join(broadcast(rates), stratumCol)
-      .where(hashBucket(col(keyCol), 10000) < col("__thr"))
-      .drop("__thr")
-  }
+                                targetFraction: Double): DataFrame =
+    temperatureSampleBySize(df, keyCol, stratumCol, targetFraction,
+      sum(col(tokenCol).cast("long")))
 
   /** Stratified deterministic sample: per-stratum percentage keep. */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
@@ -146,9 +145,10 @@ object Sampling {
     * md5-derived (first 48 bits mod `buckets`), so any engine
     * reproduces the exact weights.
     *
-    * Caveat (shared with meanPool): `dsir_logweight` is a rounded sum
-    * of doubles; a value within an ulp of the 4-dp boundary can round
-    * differently across engines' summation orders. */
+    * Determinism: per-bucket log-ratios are quantized to 1e-4
+    * fixed-point LONGs before the per-doc sum, so `dsir_logweight` is
+    * bit-identical across engines and partitionings (integer sums are
+    * order-independent; the coarse grid absorbs libm ln ulps). */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   target: Column, buckets: Int = 4096): DataFrame =
     dsirWeightsFromTokens(

@@ -70,6 +70,34 @@ object DedupQueries {
        |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
        |sz AS (SELECT doc_id, len(shset) AS sz FROM sh)""".stripMargin
 
+  /** Shared oracle CTE suffix over [[shingleCtes]]: the exact-Jaccard
+    * pair graph -> `pr(id_a, id_b)`. */
+  private val pairCtes =
+    s"""shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ)""".stripMargin
+
+  /** [[pairCtes]] + the recursive cluster map -> `cl(doc_id,
+    * cluster_rep)`; requires `WITH RECURSIVE`. One definition serves
+    * q51/q78/q88 so the cluster semantics cannot drift between
+    * oracles. */
+  private val clusterCtes =
+    s"""$pairCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(id, rep) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id)""".stripMargin
+
   val q23 = GQuery("q23_dedup_exact",
     """SELECT lang,
       |  count(*) AS n_docs,
@@ -150,25 +178,10 @@ object DedupQueries {
     * the keep-list view every dedup pipeline ends with. */
   val q51 = GQuery("q51_dedup_clusters",
     s"""WITH RECURSIVE $shingleCtes,
-       |shared AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT id_a, id_b FROM shared
-       |  JOIN sz sa ON sa.doc_id = id_a
-       |  JOIN sz sb ON sb.doc_id = id_b
-       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(id, rep) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id)
-       |SELECT id AS doc_id, min(rep) AS cluster_rep,
-       |  CAST(count(*) OVER (PARTITION BY min(rep)) AS BIGINT) AS cluster_size
-       |FROM reach GROUP BY id
+       |$clusterCtes
+       |SELECT doc_id, cluster_rep,
+       |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+       |FROM cl
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
     sharedClusters(s, dir)
@@ -325,23 +338,7 @@ object DedupQueries {
     * with its verdict. */
   val q78 = GQuery("q78_canonical_dedup",
     s"""WITH RECURSIVE $shingleCtes,
-       |shared AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT id_a, id_b FROM shared
-       |  JOIN sz sa ON sa.doc_id = id_a
-       |  JOIN sz sb ON sb.doc_id = id_b
-       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(id, rep) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
-       |cl AS (SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id),
+       |$clusterCtes,
        |${TextQueries.qualityCte},
        |r AS (
        |  SELECT cl.doc_id AS doc_id, cl.cluster_rep, q.quality,
@@ -425,15 +422,7 @@ object DedupQueries {
     * split; (train,test)+(test,train) counts are the leakage. */
   val q86 = GQuery("q86_split_leakage",
     s"""WITH $shingleCtes,
-       |shared AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pr AS (
-       |  SELECT id_a, id_b FROM shared
-       |  JOIN sz sa ON sa.doc_id = id_a
-       |  JOIN sz sb ON sb.doc_id = id_b
-       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
+       |$pairCtes,
        |sp AS (
        |  SELECT doc_id,
        |    CASE WHEN ${graft.operators.Sampling.hashBucketSql("doc_id", 100)} < 10
@@ -464,23 +453,7 @@ object DedupQueries {
     * trainTestSplit keyed on q51's cluster map. */
   val q88 = GQuery("q88_leakage_safe_split",
     s"""WITH RECURSIVE $shingleCtes,
-       |shared AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pr AS (
-       |  SELECT id_a, id_b FROM shared
-       |  JOIN sz sa ON sa.doc_id = id_a
-       |  JOIN sz sb ON sb.doc_id = id_b
-       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pr
-       |  UNION ALL SELECT id_b, id_a FROM pr),
-       |reach(id, rep) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
-       |cl AS (SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id),
+       |$clusterCtes,
        |sp AS (
        |  SELECT doc_id,
        |    CASE WHEN ${graft.operators.Sampling.hashBucketSql("cluster_rep", 100)} < 10

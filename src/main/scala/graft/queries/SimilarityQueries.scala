@@ -195,7 +195,7 @@ object SimilarityQueries {
       |FROM (
       |  SELECT label, u.pos - 1 AS pos,
       |    round(sum(CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT))
-      |      / (count(*) * 1000000.0), 4) AS m0
+      |      / (count(u.x) * 1000000.0), 4) AS m0
       |  FROM (
       |    SELECT label, unnest(
       |      [{'pos': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u

@@ -37,6 +37,25 @@ class BpeSpec extends SparkSpec {
     assert(got.count() === 0)   // every pair occurs once
   }
 
+  test("non-BMP text: training segments by code points, so train and apply agree") {
+    val docs = Seq((1L, Seq.fill(3)("😀ok").mkString(" ")))
+      .toDF("doc_id", "text")   // the 😀 emoji is a surrogate pair
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", nMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    // no merge may contain a lone surrogate half
+    merges.foreach { case (l, r) =>
+      Seq(l, r).foreach(sym => assert(!sym.exists(Character.isSurrogate)
+        || sym.codePoints().count() * 2 == sym.length, s"malformed symbol in ($l, $r)"))
+    }
+    // applying the trained merges reproduces one fused token stream:
+    // 😀 o k </w> under 3 merges collapses fully -> 1 subword per word
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val out = Bpe.applyMerges(toks, merges.toSeq).collect()
+    assert(out(0).getAs[Long]("n_words") === 3L)
+    assert(out(0).getAs[Long]("n_subwords") === 3L)
+  }
+
   test("applyMerges replays training segmentation: known subword counts") {
     val doc = Seq((1L, "low lower newest")).toDF("doc_id", "text")
     val toks = TextStats.tokenized(doc, "doc_id", "text")

@@ -30,6 +30,30 @@ class CurationOpsSpec extends SparkSpec {
       4L -> true, 5L -> true, 6L -> false))
   }
 
+  test("canonicalPerCluster: NULL quality never beats a scored copy; all-null cluster falls back to min id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_rep")
+    val quality = Seq((1L, Some(0.4)), (2L, None), (3L, None), (4L, None))
+      .toDF("doc_id", "quality")
+    val out = Dedup.canonicalPerCluster(clusters, quality,
+        "doc_id", "cluster_rep", "quality")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(out === Map(1L -> true, 2L -> false,   // scored copy wins
+      3L -> true, 4L -> false))                   // all-null: min id
+  }
+
+  test("meanPool skips null elements like avg (count per element, not per row)") {
+    val df = Seq(
+      (1L, Seq[java.lang.Float](2.0f, 1.0f)),
+      (1L, Seq[java.lang.Float](null, 3.0f))).toDF("label", "embedding")
+    val out = graft.operators.Embeddings.meanPool(df, "label", "embedding")
+      .collect()
+    assert(out.length === 1)
+    // pos 0: mean of {2.0} = 2.0 (null skipped); pos 1: mean of {1,3} = 2.0
+    assert(out(0).getAs[Seq[Double]]("pooled") === Seq(2.0, 2.0))
+  }
+
   test("canonicalPerCluster on real clusters: one keeper per cluster; keeper quality is the cluster max") {
     val docs = Tables.documents(spark, docsDir)
     val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
