@@ -343,6 +343,63 @@ object TextStats {
         (col("ad") > lit(k) * col("mad")).as("is_outlier"))
   }
 
+  /** Interpolated bigram LM scoring — one order above
+    * [[unigramLogProb]], the closer analog of the CCNet/KenLM
+    * perplexity filter: each within-document bigram (w1, w2) scores
+    * `log(λ·p(w2|w1) + (1−λ)·p(w2))` with add-one-smoothed conditional
+    * and unigram probabilities trained on the corpus census; a
+    * document's score is its mean over bigram positions. Catches
+    * word-salad documents whose unigram mix looks normal.
+    *
+    * Same scale shape as the unigram: two word-count-shaped censuses
+    * (unigram + bigram), both top-`maxVocab` BROADCAST against the
+    * bigram stream, corpus shuffles only for the per-doc aggregate.
+    * Per-position log-probs quantize to the 1e-4 fixed-point grid
+    * before the sum (order-independent, libm-ulp-proof — see
+    * [[unigramLogProbFromTokens]]). */
+  def bigramLogProbFromTokens(toks0: DataFrame, lambda: Double = 0.7,
+                              maxVocab: Int = 1 << 20): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    graft.plans.WordNgrams.register(toks0.sparkSession)
+    val toks = toks0.select(col("id"), explode(col("ws")).as("tok"))
+    val uniCensus = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = uniCensus.agg(sum(col("cu")), count(lit(1))).head()
+    val denomU = (if (totals.isNullAt(0)) 1L
+                  else totals.getLong(0) + totals.getLong(1)).toDouble
+    val vocabV = (if (totals.isNullAt(0)) 1L else totals.getLong(1)).toDouble
+    val uni = uniCensus.orderBy(col("cu").desc, col("tok")).limit(maxVocab)
+    val bigrams = toks0
+      .where(size(col("ws")) >= 2)
+      .select(col("id"), explode(
+        call_function(graft.plans.WordNgrams.fnName,
+          col("ws"), lit(2), lit(1))).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val biCensus = bigrams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("g")).limit(maxVocab)
+    // p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); p(w2) = (c(w2) + 1) / (N + V)
+    bigrams
+      .join(broadcast(biCensus), Seq("g"), "left_outer")
+      .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("cu1"))),
+        Seq("w1"), "left_outer")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("cu2"))),
+        Seq("w2"), "left_outer")
+      .withColumn("pb",
+        (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cu1"), lit(0L)).cast("double") + vocabV))
+      .withColumn("pu",
+        (coalesce(col("cu2"), lit(0L)) + 1).cast("double") / denomU)
+      .withColumn("lq",
+        round(log(lit(lambda) * col("pb") + lit(1 - lambda) * col("pu"))
+          * 1e4).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lq")).as("__s"))
+      .withColumn("avg_logprob2",
+        round(col("__s") / (col("n_bigrams") * 1e4), 4))
+      .drop("__s")
+  }
+
   /** First-failing-rule quality cascade — the Gopher-style rule stack
     * over [[repetitionStats]] signals: token-count bounds, minimum
     * distinct-token fraction, maximum top-bigram fraction. Emits every

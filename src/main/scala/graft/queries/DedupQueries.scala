@@ -483,7 +483,46 @@ object DedupQueries {
       .orderBy(col("split"))
   }
 
+  /** Per-document near-dup neighbor stats: how many ≥ MinJ neighbors
+    * each doc has and the strongest one — the per-doc "duplication
+    * pressure" signal (a doc with many high-Jaccard neighbors is
+    * boilerplate even before clustering). Symmetric explode of the
+    * shared pair graph + one doc-keyed aggregate. */
+  val q91 = GQuery("q91_neardup_stats",
+    s"""WITH $shingleCtes,
+       |$pairCtes,
+       |jp AS (
+       |  SELECT id_a, id_b,
+       |    round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |  FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
+       |sym AS (
+       |  SELECT id_a AS doc_id, jaccard FROM jp
+       |  UNION ALL SELECT id_b, jaccard FROM jp),
+       |st AS (
+       |  SELECT doc_id, count(*) AS nn, max(jaccard) AS mx
+       |  FROM sym GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(st.nn, 0) AS BIGINT) AS n_neighbors,
+       |  coalesce(st.mx, 0.0) AS max_jaccard
+       |FROM documents d LEFT JOIN st USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val pairs = sharedPairs(s, dir)
+    val sym = pairs.select(col("id_a").as("doc_id"), col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("jaccard")))
+    val stats = sym.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"), max(col("jaccard")).as("max_jaccard"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88)
+      q88, q91)
 }

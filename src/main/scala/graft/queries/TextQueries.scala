@@ -558,7 +558,46 @@ object TextQueries {
     }.orderBy(col("doc_id"))
   }
 
+  /** Interpolated bigram-LM scoring (see
+    * [[graft.operators.TextStats.bigramLogProbFromTokens]]): λ = 0.7
+    * conditional + 0.3 unigram backoff, add-one smoothed, trained on
+    * the corpus censuses. Fixture vocab/bigram counts fit maxVocab, so
+    * the broadcast-LM path equals the oracle's full join exactly; the
+    * 1.0 − λ arithmetic happens IN both engines so the IEEE double
+    * matches. */
+  val q90 = GQuery("q90_bigram_logprob",
+    s"""WITH $tokCte,
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tok),
+       |cenu AS (SELECT tok, count(*) AS cu FROM tk GROUP BY tok),
+       |tot AS (SELECT sum(cu) AS n, count(*) AS v FROM cenu),
+       |big AS (
+       |  SELECT doc_id,
+       |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+       |  FROM tok WHERE len(ws) >= 2),
+       |cenb AS (SELECT g, count(*) AS cb FROM big GROUP BY g),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(
+       |      0.7 * ((coalesce(cb.cb, 0) + 1.0)
+       |             / (coalesce(u1.cu, 0) + v))
+       |      + (1.0 - 0.7) * ((coalesce(u2.cu, 0) + 1.0) / (n + v))) * 10000)
+       |      AS BIGINT) AS lq
+       |  FROM (SELECT doc_id, g, split_part(g, ' ', 1) AS w1,
+       |          split_part(g, ' ', 2) AS w2 FROM big) b
+       |  LEFT JOIN cenb cb USING (g)
+       |  LEFT JOIN cenu u1 ON u1.tok = b.w1
+       |  LEFT JOIN cenu u2 ON u2.tok = b.w2
+       |  CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(sum(lq) / (count(*) * 10000.0), 4) AS avg_logprob2
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.bigramLogProbFromTokens(sharedToks(s, dir),
+        lambda = 0.7)
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logprob2"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84, q85, q89)
+      q76, q81, q83, q84, q85, q89, q90)
 }

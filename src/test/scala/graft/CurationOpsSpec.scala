@@ -130,6 +130,23 @@ class CurationOpsSpec extends SparkSpec {
       s"target mean ${avg2(true)} should exceed non-target ${avg2(false)}")
   }
 
+  test("bigramLogProb: same unigrams, incoherent bigrams -> lower score") {
+    // both docs share the unigram distribution {a x4, b x4}; doc 1's
+    // bigrams are the corpus-dominant pattern, doc 2 mixes rare ones
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a a b b a b b a"),
+      (3L, "a b a b a b a b")).toDF("doc_id", "text")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val out = TextStats.bigramLogProbFromTokens(toks, lambda = 0.7)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob2")))).toMap
+    assert(out(1L)._1 === 7L)
+    assert(out(1L)._2 === out(3L)._2)          // identical docs, identical score
+    assert(out(1L)._2 > out(2L)._2,
+      s"coherent ${out(1L)._2} should beat incoherent ${out(2L)._2}")
+  }
+
   test("temperatureSampleByTokens: tail stratum keeps a larger fraction than the head") {
     val docs = ((1 to 400).map(i => (i.toLong, "big", 100L)) ++
       (1 to 20).map(i => (1000L + i, "small", 100L)))
