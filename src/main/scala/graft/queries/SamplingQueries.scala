@@ -470,6 +470,28 @@ object SamplingQueries {
       .orderBy(col("source"))
   }
 
+  /** Capstone v3 — model-in-the-loop curation: the q89 classifier's
+    * keep-probability (not the heuristic score) prioritizes the
+    * token-budget selection, then shards are packed. Rows-only (the
+    * MLlib stage has no SQL oracle); `CurationV3Spec` asserts the
+    * budget/packing laws and that selection follows the model's
+    * ordering. */
+  val q92 = GQuery.rowsOnly("q92_curation_v3") { (s, dir) =>
+    val Budget = 100000L
+    val MaxTok = 2048L
+    val scored = TextQueries.q89.run(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_toks")),
+        "doc_id")
+      .where(col("pred_keep"))
+    val sel = Sampling.tokenBudgetSelect(scored, "doc_id", "n_toks",
+      "prob_keep", budget = Budget)
+    val packed = Packing.packByTokenBudget(
+      sel.drop("cum_tokens"), "doc_id", "n_toks", MaxTok)
+    Packing.shardSummary(packed, "n_toks", MaxTok)
+      .orderBy(col("shard_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87)
+    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92)
 }
