@@ -479,11 +479,15 @@ object SamplingQueries {
   val q92 = GQuery.rowsOnly("q92_curation_v3") { (s, dir) =>
     val Budget = 100000L
     val MaxTok = 2048L
+    // persisted: tokenBudgetSelect's range sampling re-executes its
+    // child once per materialization — the scored frame is 4 narrow
+    // columns per kept doc (same move as q77's scored table)
     val scored = TextQueries.q89.run(s, dir)
       .join(Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_toks")),
         "doc_id")
       .where(col("pred_keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sel = Sampling.tokenBudgetSelect(scored, "doc_id", "n_toks",
       "prob_keep", budget = Budget)
     val packed = Packing.packByTokenBudget(

@@ -517,12 +517,16 @@ object TextQueries {
         DedupQueries.sharedSets(s, dir),
         DedupQueries.sharedSets(s, dir).where(col("id") % 97 === 0))
       .select(col("id").as("doc_id"), col("frac_contaminated"))
+    // persisted: the five-way join is the feature-store table both q85
+    // and the classifier read; plan-identical construction → one cached
+    // copy per session (narrow: 8 columns per doc)
     docs.select(col("doc_id"),
         TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
       .join(rep, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
       .join(dc, Seq("doc_id"), "left")
       .join(cf, Seq("doc_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Learned quality classifier (see
