@@ -155,7 +155,7 @@ object Similarity {
   // array_min over (d2, cid) structs — with no join, no window, and no
   // shuffle of the vector column. Ties break to the smaller cid.
   private def distStructs(v: Column, cents: Array[(Int, Array[Double])]): Column =
-    array(cents.map { case (cid, cent) =>
+    array(cents.toIndexedSeq.map { case (cid, cent) =>
       struct(dist2(v, typedLit(cent.toSeq)).as("d2"), lit(cid).as("cid"))
     }: _*)
 

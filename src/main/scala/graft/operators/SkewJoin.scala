@@ -35,7 +35,8 @@ object SkewJoin {
       "left_semi", "leftsemi", "left_anti", "leftanti")
 
   private def saltCol(df: DataFrame, salts: Int) =
-    pmod(hash(df.columns.map(col) :+ spark_partition_id(): _*), lit(salts))
+    pmod(hash((df.columns.toIndexedSeq.map(col) :+ spark_partition_id()): _*),
+      lit(salts))
 
   def saltedEquiJoin(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
