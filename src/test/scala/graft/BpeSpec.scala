@@ -56,6 +56,60 @@ class BpeSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_subwords") === 3L)
   }
 
+  test("incremental pair counting equals a naive full recount on random corpora") {
+    // naive reference: recount all pairs from scratch each merge
+    def naiveTrain(words: Seq[(String, Long)], nMerges: Int): Seq[(String, String, Long)] = {
+      val seqs = words.map { case (w, c) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+          .toBuffer :+ "</w>", c)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var go = true
+      while (out.length < nMerges && go) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        seqs.foreach { case (s, c) =>
+          (0 until s.length - 1).foreach { j =>
+            counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + c
+          }
+        }
+        if (counts.isEmpty) go = false
+        else {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          if (c < 2L) go = false
+          else {
+            out += ((l, r, c))
+            seqs.foreach { case (s, _) =>
+              var j = 0
+              while (j < s.length - 1) {
+                if (s(j) == l && s(j + 1) == r) { s(j) = l + r; s.remove(j + 1) }
+                j += 1
+              }
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 30) {
+      val alphabet = "ab" + (if (trial % 3 == 0) "c" else "")
+      val words = (1 to 8).map { _ =>
+        val w = (1 to (1 + rng.nextInt(5)))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+        (w, (1 + rng.nextInt(4)).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val docs = words.zipWithIndex.map { case ((w, c), i) =>
+        (i.toLong, Seq.fill(c.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Bpe.trainMerges(docs, "doc_id", "text", nMerges = 10)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+          r.getAs[Long]("pair_count"))).toSeq
+      val want = naiveTrain(words, 10)
+      assert(got === want, s"trial $trial corpus=$words")
+    }
+  }
+
   test("applyMerges replays training segmentation: known subword counts") {
     val doc = Seq((1L, "low lower newest")).toDF("doc_id", "text")
     val toks = TextStats.tokenized(doc, "doc_id", "text")
