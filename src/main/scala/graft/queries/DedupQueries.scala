@@ -522,7 +522,31 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster-size histogram: how much of the corpus sits in
+    * duplicate families of each size — the shape that decides whether
+    * dedup is worth a full pass (a heavy tail of big clusters) or
+    * nearly a no-op. Two keyed aggregates over the shared cluster
+    * map. */
+  val q94 = GQuery("q94_cluster_size_hist",
+    s"""WITH RECURSIVE $shingleCtes,
+       |$clusterCtes,
+       |cs AS (
+       |  SELECT cluster_rep, count(*) AS cluster_size
+       |  FROM cl GROUP BY cluster_rep)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+    sharedClusters(s, dir)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
+      .orderBy(col("cluster_size"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91)
+      q88, q91, q94)
 }

@@ -601,7 +601,33 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source type-token ratio (lexical diversity / Heaps-law point):
+    * distinct tokens vs occurrences per source — the vocabulary-richness
+    * column of a data card. Word-count shape: one (source, tok)-keyed
+    * partial-distinct aggregate. */
+  val q93 = GQuery("q93_type_token_ratio",
+    s"""WITH $tokCte,
+       |tk AS (
+       |  SELECT d.source, t.tok
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+       |  JOIN documents d USING (doc_id))
+       |SELECT source, count(*) AS n_tokens,
+       |  count(DISTINCT tok) AS n_types,
+       |  round(count(DISTINCT tok) * 1.0 / count(*), 4) AS type_token_ratio
+       |FROM tk GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    sharedToks(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id").as("id"),
+        col("source")), "id")
+      .select(col("source"), explode(col("ws")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      .withColumn("type_token_ratio",
+        round(col("n_types") / col("n_tokens"), 4))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84, q85, q89, q90)
+      q76, q81, q83, q84, q85, q89, q90, q93)
 }
