@@ -52,6 +52,44 @@ object Embeddings {
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .getField("m").as("pooled"))
 
+  /** Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    * (Achlioptas 2003: E[⟨y_a, y_b⟩] = ⟨x_a, x_b⟩, distortion
+    * O(1/√dimOut)): y_j = (Σ_i sign(j,i)·x_i) / √dimOut. The cheap
+    * dimensionality-reduction front end for ANN — 64-dim → 16-dim cuts
+    * every downstream dot product 4× while approximately preserving
+    * geometry. The sign matrix is the deterministic md5-derived
+    * constant from [[graft.plans.JlProject.signs]].
+    *
+    * A pure per-row map (no shuffle) through the native codegen
+    * [[graft.plans.JlProjectExpr]] expression (the unrolled Column
+    * tree blows the 64 KB codegen method limit at 64×16); summation
+    * order is i ascending, reproducible in any engine. Emits long
+    * format (id, j, y) rounded to 6 dp. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                dimIn: Int, dimOut: Int): DataFrame = {
+    graft.plans.JlProject.register(df.sparkSession)
+    FanOut(df.select(col(idCol), col(vecCol).as("__v")))
+      .select(col(idCol),
+        posexplode(call_function(graft.plans.JlProject.fnName,
+          col("__v"), lit(dimIn), lit(dimOut))).as(Seq("j", "__y")))
+      .withColumn("__r", round(col("__y"), 6))
+      // `=== 0.0` also matches −0.0: normalizes the IEEE negative zero a
+      // tiny negative sum rounds to (DuckDB's round keeps it, Spark's
+      // drops it — same divergence documented at meanPool)
+      .select(col(idCol), col("j"),
+        when(col("__r") === 0.0, lit(0.0)).otherwise(col("__r")).as("y"))
+  }
+
+  /** DuckDB SQL for one [[jlProject]] output coordinate (same sign
+    * literals, same left-fold order — cross-engine bit parity). */
+  def jlProjectSql(vec: String, dimIn: Int, dimOut: Int, j: Int): String = {
+    val signs = graft.plans.JlProject.signs(dimOut, dimIn)
+    val sum = (1 to dimIn)
+      .map(i => s"(CAST($vec[$i] AS DOUBLE) * ${signs(j)(i - 1).toDouble})")
+      .mkString(" + ")
+    s"(($sum) / sqrt(${dimOut.toDouble}))"
+  }
+
   /** Symmetric int8 quantization of `vecCol`: scale = 127 / max|x|,
     * q_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. Emits the id, the
     * rounded scale denominator, and integer checksums of the quantized

@@ -309,6 +309,150 @@ object Similarity {
     }.toDF("query_id", "corpus_id", "mmr_score", "rank")
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the vector is split into
+    * `m` subspaces of `dim/m` dims and each subspace gets its own
+    * `ksub`-centroid k-means codebook, so a vector compresses to `m`
+    * small codes (m bytes for ksub ≤ 256 — 32× smaller than 64 floats)
+    * while distances remain computable from the codes alone.
+    *
+    * All `m` codebooks train TOGETHER: the corpus explodes once to
+    * (id, sub, subvector) rows and every Lloyd iteration is ONE
+    * assignment map + ONE (sub, cid, pos) mean aggregate for all
+    * subspaces — iterations cost the same shuffle count as [[ivfTrain]]
+    * regardless of `m`. Only the m×ksub×(dim/m) = dim×ksub cell matrix
+    * is ever collected (the codebook every PQ impl holds driver-side).
+    *
+    * Deterministic like [[ivfTrain]]: md5(id)-ordered seeding, fixed
+    * iteration count, 6-dp-rounded means; empty cells keep their
+    * previous centroid. Returns codebooks(sub)(cid) = centroid. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 5,
+              trainMod: Int = 1): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = FanOut(corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv")))
+    val sample = (if (trainMod > 1)
+      c.where(pmod(abs(hash(col("corpus_id"))), lit(trainMod)) === 0) else c)
+    // one explode to (id, sub, sv) — the per-subspace working set; persisted
+    // because seeding + every Lloyd step is its own job (same rationale as
+    // ivfTrain's training-sample persist); released before returning.
+    val subs = sample
+      .select(col("corpus_id"), posexplode(array(
+        (0 until m).map(s => slice(col("cv"), s * dsub + 1, dsub)): _*))
+        .as(Seq("sub", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic seeding: the ksub subvectors with smallest md5(id),
+    // per subspace (same ksub documents seed every subspace)
+    val seeds = subs
+      .withColumn("h", md5(col("corpus_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("h"), col("corpus_id"))))
+      .where(col("rn") <= ksub)
+      .select(col("sub"), col("rn"), col("sv"))
+      .as[(Int, Int, Seq[Double])].collect()
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m) { s =>
+        seeds.filter(_._1 == s).sortBy(_._2).map(_._3.toArray)
+      }
+    for (_ <- 1 to iters) {
+      // nearest-centroid per (sub, sv) row: a chained CASE on `sub`, each
+      // branch an argmin over that subspace's literal centroids — pure map
+      val assign = (1 until m).foldLeft(
+        when(col("sub") === 0,
+          array_min(distStructs(col("sv"), books(0).zipWithIndex.map(_.swap)))
+            .getField("cid"))) { (acc, s) =>
+        acc.when(col("sub") === s,
+          array_min(distStructs(col("sv"), books(s).zipWithIndex.map(_.swap)))
+            .getField("cid"))
+      }
+      val cells = subs.withColumn("cid", assign)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos").agg(round(avg(col("x")), 6).as("mn"))
+        .as[(Int, Int, Int, Double)].collect()
+      val byCell = cells.groupBy(t => (t._1, t._2))
+      books = Array.tabulate(m) { s =>
+        Array.tabulate(ksub) { cid =>
+          byCell.get((s, cid))
+            .map(_.sortBy(_._3).map(_._4))
+            .getOrElse(books(s)(cid))   // empty cell: keep previous centroid
+        }
+      }
+    }
+    subs.unpersist(blocking = false)
+    books
+  }
+
+  /** Encode every corpus vector to its `m` PQ codes — a pure map (argmin
+    * over literal centroids per subspace), no shuffle. Keeps the exact
+    * vector alongside the codes for the re-rank stage; at 100 TB the
+    * (id, codes) projection alone is the in-memory ANN index (m bytes a
+    * vector) and the exact vectors stay in cold parquet, fetched only
+    * for the `refine` candidates. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    FanOut(corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv")))
+      .withColumn("codes", array((0 until m).map { s =>
+        array_min(distStructs(slice(col("cv"), s * dsub + 1, dsub),
+          codebooks(s).zipWithIndex.map(_.swap))).getField("cid")
+      }: _*))
+      .select(col("corpus_id"), col("cv"), col("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus, with
+    * exact re-rank: each query precomputes its m×ksub table of
+    * subspace distances to every centroid (a pure map over literal
+    * codebooks), the tables broadcast with the queries, and every
+    * corpus row is scored by `m` TABLE LOOKUPS — no float math touches
+    * the corpus vector until the top-`refine` ADC candidates per query
+    * are rescored with the exact cosine. The production IVF-PQ shape:
+    * scan compressed codes, refine a tiny candidate set from cold
+    * storage.
+    *
+    * 100 TB story: the scored frame is (codes, broadcast tables) —
+    * the corpus shuffles nothing and reads m ints per row instead of
+    * dim floats; `refine` bounds the exact-vector fetch per query. */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+             queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, refine: Int = 50,
+             excludeSelf: Boolean = true): DataFrame = {
+    require(refine >= k, "refine pool must be ≥ k")
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val q = queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("qv"))
+      .withColumn("tabs", array((0 until m).map { s =>
+        array(codebooks(s).toIndexedSeq.map { cent =>
+          dist2(slice(col("qv"), s * dsub + 1, dsub), typedLit(cent.toSeq))
+        }: _*)
+      }: _*))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("tabs"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduceLeft(_ + _)
+    val pairs = encoded.join(broadcast(q),
+      if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("corpus_id"))
+    val cand = pairs.withColumn("adc", adc)
+      .withColumn("arn", row_number().over(wAdc))
+      .where(col("arn") <= refine)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand.withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wCos))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine ≥ threshold, via the
     * bucket join (both sides same corpus). Approximate recall (pairs
     * crossing a bucket boundary are missed) — the embedding-space analog
@@ -322,6 +466,56 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
       .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Near-duplicate pairs by cosine over SPARSE vectors in long format
+    * (id, feature, weight) — the weighted bag-of-words sibling of
+    * [[graft.operators.Dedup.jaccardPairs]] (which compares sets;
+    * this compares counts, so 'the the the…' spam and genuine reuse
+    * separate). Weights must be integral (e.g. hashed term frequencies
+    * from [[TfIdf.hashedTf]]): dot products and norms are then LONG
+    * sums — order-independent — and the single double division +
+    * sqrt at the end is bit-identical in any engine.
+    *
+    * Features with document frequency > `maxDocFreq` are dropped
+    * BEFORE norms and dots (cosine in the pruned feature space — the
+    * classic stop-feature cut), which is also what bounds the work:
+    * the pair candidates come from an inverted-index self-join keyed
+    * on feature, so per-feature fan-out is ≤ maxDocFreq² and the
+    * corpus never goes all-pairs. One df census + one feature-keyed
+    * join + one (id_a, id_b) aggregate — the jaccardPairs shuffle
+    * shape with weighted dots instead of overlap counts.
+    *
+    * The pruned vector frame feeds three consumers (norms + both join
+    * sides), so it is persisted MEMORY_AND_DISK; like
+    * [[graft.operators.Dedup.jaccardPairs]], plan-identity caching
+    * dedups repeated calls in a session and a long-running service
+    * should materialize the hashed vectors as a table instead. */
+  def sparseCosineNearDups(vectors: DataFrame, idCol: String,
+                           featCol: String, weightCol: String,
+                           tau: Double, maxDocFreq: Long = 10000): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(featCol).as("f"),
+      col(weightCol).cast("long").as("w"))
+    // df census over the (already aggregated) long-format vectors; the
+    // keep-list is vocabulary-sized → broadcast, corpus never reshuffles
+    val keep = v.groupBy("f").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select(col("f"))
+    val kept = v.join(broadcast(keep), Seq("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = kept.groupBy(col("id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val dots = kept.select(col("f"), col("id").as("id_a"), col("w").as("wa"))
+      .join(kept.select(col("f"), col("id").as("id_b"), col("w").as("wb")), Seq("f"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), Seq("id_b"))
+      .withColumn("cosine", round(col("dot").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")), 6))
+      .where(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 

@@ -29,6 +29,31 @@ object TfIdf {
       .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
   }
 
+  /** Feature-hashed term-frequency vectors in long format
+    * (id, f, tf): each token maps to one of `buckets` features by
+    * md5 (first 16 bits mod buckets — the same cross-engine-exact
+    * bucketing as [[Sampling]]), counts aggregated per (doc, bucket).
+    * The hashing-trick bag-of-words: a FIXED feature space regardless
+    * of vocabulary, so downstream consumers (sparse cosine, linear
+    * models) never need a vocabulary broadcast. One map + one
+    * (id, f)-keyed aggregate, partials map-side combined.
+    *
+    * Input is a pre-tokenized `(id, ws)` frame
+    * ([[TextStats.tokenized]]) so the corpus-wide token pass is
+    * shared with every other token consumer. */
+  def hashedTf(toks: DataFrame, buckets: Int): DataFrame =
+    toks.select(col("id"), explode(col("ws")).as("term"))
+      .select(col("id"),
+        (conv(substring(md5(col("term")), 1, 4), 16, 10)
+          .cast("int") % buckets).as("f"))
+      .groupBy(col("id"), col("f"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** DuckDB SQL for the same md5 feature bucket (cross-engine parity
+    * with [[hashedTf]]). */
+  def hashedBucketSql(term: String, buckets: Int): String =
+    s"(('0x' || substr(md5($term), 1, 4))::INT % $buckets)"
+
   /** Top-k highest-tfidf terms per document (deterministic tie-break on
     * the term itself). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

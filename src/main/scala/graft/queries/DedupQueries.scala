@@ -546,7 +546,51 @@ object DedupQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** Hashed-TF sparse cosine near-dup pairs (see
+    * [[graft.operators.Similarity.sparseCosineNearDups]] over
+    * [[graft.operators.TfIdf.hashedTf]] vectors): the WEIGHTED
+    * bag-of-words member of the near-dup family — Jaccard (q24) sees
+    * shingle sets, this sees term counts, so reordered or
+    * count-skewed reuse scores differently. Weights are integer term
+    * frequencies, so dots and norms are order-independent long sums
+    * and the oracle reproduces the single final division exactly. */
+  val q96 = {
+    val Buckets = 1024
+    val Cap = 10000
+    val Tau = 0.9
+    val b = graft.operators.TfIdf.hashedBucketSql("t.term", Buckets)
+    GQuery("q96_sparse_cosine_pairs",
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, $b AS f, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM tok) t
+         |  GROUP BY 1, 2),
+         |keep AS (SELECT f FROM tf GROUP BY f HAVING count(*) <= $Cap),
+         |kt AS (SELECT tf.* FROM tf JOIN keep USING (f)),
+         |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kt GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+         |  FROM kt a JOIN kt b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(dot AS DOUBLE) /
+         |          sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cosine
+         |  FROM dots
+         |  JOIN norms na ON na.doc_id = id_a
+         |  JOIN norms nb ON nb.doc_id = id_b)
+         |SELECT id_a, id_b, cosine FROM sc WHERE cosine >= $Tau
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity.sparseCosineNearDups(
+          graft.operators.TfIdf.hashedTf(TextQueries.sharedToks(s, dir), Buckets),
+          "id", "f", "tf", tau = Tau, maxDocFreq = Cap)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94)
+      q88, q91, q94, q96)
 }

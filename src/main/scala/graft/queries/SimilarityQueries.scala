@@ -255,6 +255,61 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** The trained PQ index — codebooks + encoded corpus — memoized per
+    * (session, dir) like [[sharedIvf]]: train once, every consumer
+    * reads the stored codes. Training is EAGER (Lloyd collects), so
+    * plan-identity caching cannot dedup it. */
+  private val pqCache = new SessionCache[
+    (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame)]
+
+  private def sharedPq(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame) =
+    pqCache.get(s, dir) {
+      val books = Similarity.pqTrain(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dim = Dim, m = 8, ksub = 16, iters = 3)
+      val enc = Similarity.pqEncode(Tables.embeddings(s, dir),
+          "vec_id", "embedding", books)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (books, enc)
+    }
+
+  /** Product-quantization ADC top-k with exact re-rank (see
+    * [[graft.operators.Similarity.pqTopK]]) — the compressed-index
+    * member of the ANN family (brute / sign-LSH / IVF / PQ): corpus
+    * scanned as m=8 code bytes per vector, exact vectors touched only
+    * for the top-`refine` candidates. Rows-only like q32b (k-means
+    * float means are engine-specific); recall and determinism are
+    * asserted in `PqSpec`. */
+  val q95 = GQuery.rowsOnly("q95_pq_topk") { (s, dir) =>
+    val (books, enc) = sharedPq(s, dir)
+    Similarity.pqTopK(enc, books,
+        Tables.embeddings(s, dir).filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding", k = K, refine = 50)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Johnson–Lindenstrauss ±1 random projection 64 → 16 dims (see
+    * [[graft.operators.Embeddings.jlProject]]). The sign matrix is a
+    * deterministic md5-derived constant, so the oracle inlines the SAME
+    * ±1 literals with the same left-fold summation order — bit parity,
+    * no approximation in the CHECK (the approximation is in what the
+    * projection preserves, asserted separately in `JlSpec`). */
+  val q97 = {
+    val DimOut = 16
+    val structs = (0 until DimOut).map { j =>
+      s"{'j': $j, 'y': ${graft.operators.Embeddings.jlProjectSql("embedding", Dim, DimOut, j)}}"
+    }.mkString(", ")
+    GQuery("q97_jl_project",
+      s"""SELECT vec_id, j, CASE WHEN y0 = 0 THEN 0.0 ELSE y0 END AS y FROM (
+         |  SELECT vec_id, u.j AS j, round(u.y, 6) AS y0 FROM (
+         |    SELECT vec_id, unnest([$structs]) AS u FROM embeddings))
+         |ORDER BY vec_id, j""".stripMargin) { (s, dir) =>
+      graft.operators.Embeddings.jlProject(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dimIn = Dim, dimOut = DimOut)
+        .orderBy(col("vec_id"), col("j"))
+    }
+  }
+
   val all: Seq[GQuery] =
-    Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74)
+    Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97)
 }
