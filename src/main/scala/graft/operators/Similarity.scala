@@ -347,18 +347,20 @@ object Similarity {
         (0 until m).map(s => slice(col("cv"), s * dsub + 1, dsub)): _*))
         .as(Seq("sub", "sv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic seeding: the ksub subvectors with smallest md5(id),
-    // per subspace (same ksub documents seed every subspace)
+    // deterministic seeding: the subvectors of the ksub docs with
+    // smallest md5(id) (the same docs seed every subspace). Each doc
+    // carries m rows sharing one h, so the ksub·m smallest (h, sub)
+    // rows are exactly those docs × all subspaces — a distributed
+    // TakeOrdered (like ivfTrain's seeding), not a per-sub window
+    // sort of the whole training set.
     val seeds = subs
       .withColumn("h", md5(col("corpus_id").cast("string")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("sub")).orderBy(col("h"), col("corpus_id"))))
-      .where(col("rn") <= ksub)
-      .select(col("sub"), col("rn"), col("sv"))
-      .as[(Int, Int, Seq[Double])].collect()
+      .orderBy(col("h"), col("sub")).limit(ksub * m)
+      .select(col("h"), col("sub"), col("sv"))
+      .as[(String, Int, Seq[Double])].collect()
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m) { s =>
-        seeds.filter(_._1 == s).sortBy(_._2).map(_._3.toArray)
+        seeds.filter(_._2 == s).sortBy(_._1).map(_._3.toArray)
       }
     for (_ <- 1 to iters) {
       // nearest-centroid per (sub, sv) row: a chained CASE on `sub`, each
@@ -388,6 +390,35 @@ object Similarity {
     books
   }
 
+  // the m PQ codes of a (double) vector column: per subspace, argmin
+  // over that subspace's literal centroids — a pure map
+  private def pqCodes(v: Column,
+                      codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks(0)(0).length
+    array(codebooks.indices.map { s =>
+      array_min(distStructs(slice(v, s * dsub + 1, dsub),
+        codebooks(s).zipWithIndex.map(_.swap))).getField("cid")
+    }: _*)
+  }
+
+  // ADC score from a per-query table column and a corpus code column:
+  // m array lookups, summed
+  private def adcScore(tabs: Column, codes: Column, m: Int): Column =
+    (0 until m).map { s =>
+      element_at(element_at(tabs, s + 1), element_at(codes, s + 1) + 1)
+    }.reduceLeft(_ + _)
+
+  // per-query ADC table: tabs(s)(c) = ||qv_sub_s − codebook(s)(c)||²
+  private def adcTables(qv: Column,
+                        codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks(0)(0).length
+    array(codebooks.indices.map { s =>
+      array(codebooks(s).toIndexedSeq.map { cent =>
+        dist2(slice(qv, s * dsub + 1, dsub), typedLit(cent.toSeq))
+      }: _*)
+    }: _*)
+  }
+
   /** Encode every corpus vector to its `m` PQ codes — a pure map (argmin
     * over literal centroids per subspace), no shuffle. Keeps the exact
     * vector alongside the codes for the re-rank stage; at 100 TB the
@@ -395,17 +426,11 @@ object Similarity {
     * vector) and the exact vectors stay in cold parquet, fetched only
     * for the `refine` candidates. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
+               codebooks: Array[Array[Array[Double]]]): DataFrame =
     FanOut(corpus.select(col(idCol).as("corpus_id"),
       transform(col(vecCol), _.cast("double")).as("cv")))
-      .withColumn("codes", array((0 until m).map { s =>
-        array_min(distStructs(slice(col("cv"), s * dsub + 1, dsub),
-          codebooks(s).zipWithIndex.map(_.swap))).getField("cid")
-      }: _*))
+      .withColumn("codes", pqCodes(col("cv"), codebooks))
       .select(col("corpus_id"), col("cv"), col("codes"))
-  }
 
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus, with
     * exact re-rank: each query precomputes its m×ksub table of
@@ -426,23 +451,63 @@ object Similarity {
              excludeSelf: Boolean = true): DataFrame = {
     require(refine >= k, "refine pool must be ≥ k")
     val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val q = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), _.cast("double")).as("qv"))
-      .withColumn("tabs", array((0 until m).map { s =>
-        array(codebooks(s).toIndexedSeq.map { cent =>
-          dist2(slice(col("qv"), s * dsub + 1, dsub), typedLit(cent.toSeq))
-        }: _*)
-      }: _*))
-    val adc = (0 until m).map { s =>
-      element_at(element_at(col("tabs"), s + 1),
-        element_at(col("codes"), s + 1) + 1)
-    }.reduceLeft(_ + _)
+      .withColumn("tabs", adcTables(col("qv"), codebooks))
     val pairs = encoded.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("corpus_id"))
-    val cand = pairs.withColumn("adc", adc)
+    val cand = pairs.withColumn("adc", adcScore(col("tabs"), col("codes"), m))
+      .withColumn("arn", row_number().over(wAdc))
+      .where(col("arn") <= refine)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand.withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wCos))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
+  /** PQ codes attached to an [[ivfAssign]]-ed corpus — the combined
+    * IVF-PQ index (corpus_id, cv, cid, codes): coarse quantizer for
+    * list pruning + fine quantizer for in-list scanning. A pure map
+    * over the assignment frame; at 100 TB the (id, cid, codes)
+    * projection is the whole resident index (~m bytes + a cid per
+    * vector) while exact vectors stay in cold storage. */
+  def ivfPqEncode(assigned: DataFrame,
+                  codebooks: Array[Array[Array[Double]]]): DataFrame =
+    assigned.withColumn("codes", pqCodes(col("cv"), codebooks))
+
+  /** IVF-PQ approximate top-k — the production ANN serving shape
+    * (FAISS `IVFPQ`): each query probes only its `nprobe` nearest
+    * inverted lists (the IVF cut: ~nprobe/nlist of the corpus), scans
+    * those lists by ADC table lookups on the PQ codes (the compression
+    * cut: no float math, m ints per row), and exact-reranks the top
+    * `refine` candidates by cosine. Both cuts compose: per-query work
+    * is (nprobe/nlist)·N table lookups + `refine` exact dots.
+    *
+    * The join is a broadcast equi-join on cid carrying each query's
+    * precomputed ADC table — the corpus side never shuffles. */
+  def ivfPqTopK(indexed: DataFrame, centroids: Array[(Int, Array[Double])],
+                codebooks: Array[Array[Array[Double]]],
+                queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, nprobe: Int = 4, refine: Int = 50,
+                excludeSelf: Boolean = true): DataFrame = {
+    require(refine >= k, "refine pool must be ≥ k")
+    require(nprobe <= centroids.length, "nprobe must be ≤ nlist")
+    val m = codebooks.length
+    val probes = queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("qv"))
+      .withColumn("tabs", adcTables(col("qv"), codebooks))
+      .withColumn("pc", explode(slice(
+        array_sort(distStructs(col("qv"), centroids)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("tabs"), col("pc.cid").as("cid"))
+    val pairs = indexed.join(broadcast(probes), Seq("cid"))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("corpus_id"))
+    val cand = pairs.withColumn("adc", adcScore(col("tabs"), col("codes"), m))
       .withColumn("arn", row_number().over(wAdc))
       .where(col("arn") <= refine)
     val wCos = Window.partitionBy(col("query_id"))

@@ -42,7 +42,20 @@ object TfIdf {
     * ([[TextStats.tokenized]]) so the corpus-wide token pass is
     * shared with every other token consumer. */
   def hashedTf(toks: DataFrame, buckets: Int): DataFrame =
-    toks.select(col("id"), explode(col("ws")).as("term"))
+    hashedTfFromTerms(
+      toks.select(col("id"), explode(col("ws")).as("term")), buckets)
+
+  /** [[hashedTf]] over an already-exploded `(id, term)` occurrence
+    * frame — the hook for richer feature units (word n-grams via
+    * [[graft.plans.WordNgrams]], chunks, skip-grams). Feature-unit
+    * choice is the SCALE lever of every sparse-similarity consumer:
+    * the per-feature document frequency — hence the inverted-index
+    * join fan-out — is set by how selective the unit is, not by the
+    * bucket count (hashing a tiny unigram vocabulary into many
+    * buckets still yields df ≈ N stop-features; 3-gram units keep df
+    * small on any natural corpus). */
+  def hashedTfFromTerms(terms: DataFrame, buckets: Int): DataFrame =
+    terms
       .select(col("id"),
         (conv(substring(md5(col("term")), 1, 4), 16, 10)
           .cast("int") % buckets).as("f"))
@@ -53,6 +66,39 @@ object TfIdf {
     * with [[hashedTf]]). */
   def hashedBucketSql(term: String, buckets: Int): String =
     s"(('0x' || substr(md5($term), 1, 4))::INT % $buckets)"
+
+  /** Dense document embedding from hashed term counts: the JL ±1 sign
+    * projection ([[graft.plans.JlProject.signs]]) applied directly to
+    * the SPARSE [[hashedTf]] vector — y_j = (Σ_f sign(j,f)·tf_f)/√dimOut
+    * — without ever materializing the `buckets`-wide dense vector. The
+    * cheap model-free text embedding: hash + project, then the dense
+    * ANN stack (cosine near-dups, IVF, PQ) applies to plain text.
+    *
+    * Per (doc, feature) row: one sign-array lookup per output dim, then
+    * a (id, j)-keyed LONG sum — map-side combined, order-independent,
+    * so y (an integer over √dimOut) is bit-exact in any engine. Long
+    * format (id, j, y). */
+  def hashedDocEmbedding(vectors: DataFrame, buckets: Int,
+                         dimOut: Int): DataFrame = {
+    val signs = graft.plans.JlProject.signs(dimOut, buckets)
+    val contribs = (0 until dimOut).map { j =>
+      element_at(typedLit(signs(j).toSeq), col("f") + 1) * col("tf")
+    }
+    vectors.select(col("id"),
+        posexplode(array(contribs: _*)).as(Seq("j", "c")))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("id"), col("j"),
+        (col("s").cast("double") / lit(math.sqrt(dimOut.toDouble))).as("y"))
+  }
+
+  /** DuckDB SQL fragment for one [[hashedDocEmbedding]] contribution:
+    * sign-list literal indexed by the feature column. */
+  def docEmbeddingSignSql(f: String, buckets: Int, dimOut: Int,
+                          j: Int): String = {
+    val signs = graft.plans.JlProject.signs(dimOut, buckets)
+    signs(j).mkString("([", ", ", s"])[$f + 1]")
+  }
 
   /** Top-k highest-tfidf terms per document (deterministic tie-break on
     * the term itself). */

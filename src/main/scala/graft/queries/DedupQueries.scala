@@ -546,18 +546,26 @@ object DedupQueries {
       .orderBy(col("cluster_size"))
   }
 
-  /** Hashed-TF sparse cosine near-dup pairs (see
+  /** Hashed n-gram-count sparse cosine near-dup pairs (see
     * [[graft.operators.Similarity.sparseCosineNearDups]] over
-    * [[graft.operators.TfIdf.hashedTf]] vectors): the WEIGHTED
-    * bag-of-words member of the near-dup family — Jaccard (q24) sees
-    * shingle sets, this sees term counts, so reordered or
-    * count-skewed reuse scores differently. Weights are integer term
-    * frequencies, so dots and norms are order-independent long sums
-    * and the oracle reproduces the single final division exactly. */
+    * [[graft.operators.TfIdf.hashedTfFromTerms]] vectors): the
+    * WEIGHTED member of the near-dup family — Jaccard (q24) sees
+    * shingle SETS, this sees shingle COUNTS, so repetition-skewed
+    * reuse scores differently. Weights are integer counts, so dots
+    * and norms are order-independent long sums and the oracle
+    * reproduces the single final division exactly.
+    *
+    * Features are hashed word TRIGRAMS, not unigrams: this fixture's
+    * vocabulary is ~31 words, so every unigram feature occurs in
+    * nearly every doc and the inverted-index join degenerates to
+    * all-pairs (measured: 448M pair-rows at sf0.1, 28 s). Trigram
+    * units make the feature space selective (3.8M pair-rows, df ≤
+    * 62) — the feature-unit choice, not the bucket count, is what
+    * keeps sparse similarity linear (see SCALE.md). */
   val q96 = {
-    val Buckets = 1024
+    val Buckets = 65536    // full 16-bit md5 prefix — no folding
     val Cap = 10000
-    val Tau = 0.9
+    val Tau = 0.8
     val b = graft.operators.TfIdf.hashedBucketSql("t.term", Buckets)
     GQuery("q96_sparse_cosine_pairs",
       s"""WITH tok AS (
@@ -565,7 +573,10 @@ object DedupQueries {
          |  FROM documents),
          |tf AS (
          |  SELECT doc_id, $b AS f, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(ws) AS term FROM tok) t
+         |  FROM (SELECT doc_id,
+         |          unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+         |                  for i in range(1, len(ws) - 1)]) AS term
+         |        FROM tok WHERE len(ws) >= 3) t
          |  GROUP BY 1, 2),
          |keep AS (SELECT f FROM tf GROUP BY f HAVING count(*) <= $Cap),
          |kt AS (SELECT tf.* FROM tf JOIN keep USING (f)),
@@ -583,8 +594,13 @@ object DedupQueries {
          |  JOIN norms nb ON nb.doc_id = id_b)
          |SELECT id_a, id_b, cosine FROM sc WHERE cosine >= $Tau
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.plans.WordNgrams.register(s)
+      val grams = TextQueries.sharedToks(s, dir)
+        .where(size(col("ws")) >= 3)
+        .select(col("id"), explode(call_function(
+          graft.plans.WordNgrams.fnName, col("ws"), lit(3), lit(1))).as("term"))
       graft.operators.Similarity.sparseCosineNearDups(
-          graft.operators.TfIdf.hashedTf(TextQueries.sharedToks(s, dir), Buckets),
+          graft.operators.TfIdf.hashedTfFromTerms(grams, Buckets),
           "id", "f", "tf", tau = Tau, maxDocFreq = Cap)
         .orderBy(col("id_a"), col("id_b"))
     }

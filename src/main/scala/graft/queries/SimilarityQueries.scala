@@ -310,6 +310,25 @@ object SimilarityQueries {
     }
   }
 
+  /** IVF-PQ top-k (see [[graft.operators.Similarity.ivfPqTopK]]) — the
+    * two approximation cuts composed, FAISS-IVFPQ style: IVF list
+    * pruning (~nprobe/nlist of the corpus) × PQ compressed scan (m
+    * table lookups per candidate) + exact re-rank. Reuses BOTH shared
+    * indexes: the memoized IVF assignment and the memoized PQ
+    * codebooks — the stored-index reuse a real serving pipeline does.
+    * Rows-only like q32b/q95; recall asserted in PqJlSparseSpec. */
+  val q99 = GQuery.rowsOnly("q99_ivfpq_topk") { (s, dir) =>
+    val (cents, assigned) = sharedIvf(s, dir)
+    val (books, _) = sharedPq(s, dir)
+    Similarity.ivfPqTopK(Similarity.ivfPqEncode(assigned, books),
+        cents, books,
+        Tables.embeddings(s, dir).filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding",
+        k = K, nprobe = 4, refine = 50)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97)
+    Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
+      q99)
 }

@@ -627,7 +627,43 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Model-free dense text embedding (see
+    * [[graft.operators.TfIdf.hashedDocEmbedding]]): hashed term counts
+    * JL-projected to 16 dims — the on-ramp from plain text into the
+    * dense ANN stack. Long-format output; y is an integer sum over
+    * √16 = 4, so the oracle (same md5 buckets, same sign-list
+    * literals) is bit-exact with no rounding at all. */
+  val q98 = {
+    val Buckets = 256
+    val DimOut = 16
+    val b = graft.operators.TfIdf.hashedBucketSql("t.term", Buckets)
+    val structs = (0 until DimOut).map { j =>
+      val sgn = graft.operators.TfIdf.docEmbeddingSignSql("f", Buckets, DimOut, j)
+      s"{'j': $j, 'c': $sgn * tf}"
+    }.mkString(", ")
+    GQuery("q98_hashed_doc_embedding",
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, $b AS f, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM tok) t
+         |  GROUP BY 1, 2),
+         |con AS (
+         |  SELECT doc_id, u.j AS j, u.c AS c
+         |  FROM (SELECT doc_id, unnest([$structs]) AS u FROM tf))
+         |SELECT doc_id, j, CAST(sum(c) AS DOUBLE) / sqrt(16.0) AS y
+         |FROM con GROUP BY doc_id, j
+         |ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
+      graft.operators.TfIdf.hashedDocEmbedding(
+          graft.operators.TfIdf.hashedTf(sharedToks(s, dir), Buckets),
+          buckets = Buckets, dimOut = DimOut)
+        .select(col("id").as("doc_id"), col("j"), col("y"))
+        .orderBy(col("doc_id"), col("j"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84, q85, q89, q90, q93)
+      q76, q81, q83, q84, q85, q89, q90, q93, q98)
 }

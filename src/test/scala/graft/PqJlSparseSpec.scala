@@ -68,6 +68,30 @@ class PqJlSparseSpec extends SparkSpec {
     assert(codes.forall(_ == 0), "ksub=1 must encode every vector to code 0")
   }
 
+  test("IVF-PQ composes the two cuts: recall within the IVF envelope, deterministic") {
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents).cache()
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", Dim, m = 8, ksub = 16, iters = 3)
+    val indexed = Similarity.ivfPqEncode(assigned, books).cache()
+    val truth = resultSet(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", K, Dim))
+    val ivfOnly = resultSet(Similarity.ivfProbe(assigned, cents, queries,
+      "vec_id", "embedding", K, nprobe = 4))
+    val ivfPq = resultSet(Similarity.ivfPqTopK(indexed, cents, books, queries,
+      "vec_id", "embedding", K, nprobe = 4, refine = 100))
+    val ivfPq2 = resultSet(Similarity.ivfPqTopK(indexed, cents, books, queries,
+      "vec_id", "embedding", K, nprobe = 4, refine = 100))
+    val rIvf = (ivfOnly & truth).size.toDouble / truth.size
+    val rIvfPq = (ivfPq & truth).size.toDouble / truth.size
+    info(f"recall@$K ivf(exact-scan)=$rIvf%.3f ivf-pq(adc+refine)=$rIvfPq%.3f")
+    assert(ivfPq == ivfPq2, "IVF-PQ must be deterministic")
+    // PQ only reorders WITHIN the probed lists, so IVF's list recall is
+    // the ceiling; a wide refine pool should recover most of it
+    assert(rIvfPq <= rIvf + 1e-9)
+    assert(rIvfPq >= 0.5 * rIvf,
+      s"ADC+refine lost too much of the IVF envelope: $rIvfPq vs $rIvf")
+    indexed.unpersist(); assigned.unpersist()
+  }
+
   // ------------------------------------------------------------------ JL
 
   test("jlProject approximately preserves squared norms (JL distortion)") {
@@ -123,6 +147,30 @@ class PqJlSparseSpec extends SparkSpec {
     // doc 4 vs doc 1: dot = 2+1+1 = 4, |1|² = 4+1+1 = 6, |4|² = 3
     val expect = math.rint(4.0 / math.sqrt(18.0) * 1e6) / 1e6
     assert(pairs((1L, 4L)) == expect, s"count-weighted cosine: ${pairs((1L, 4L))} want $expect")
+  }
+
+  test("hashedDocEmbedding is the sign-weighted count sum (hand-check) and exact-dup docs coincide") {
+    val toks = Seq(
+      (1L, Seq("alpha", "beta", "alpha")),
+      (2L, Seq("beta", "alpha", "alpha")),   // same multiset → identical embedding
+      (3L, Seq("gamma"))
+    ).toDF("id", "ws")
+    val out = TfIdf.hashedDocEmbedding(TfIdf.hashedTf(toks, 256), 256, 16)
+      .select(col("id").cast("long"), col("j"), col("y"))
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    assert(out(1L) == out(2L), "same token multiset must embed identically")
+    assert(out(1L) != out(3L))
+    // hand-check doc 3: single token "gamma", tf = 1 → y_j = sign(j, f)/4
+    val signs = graft.plans.JlProject.signs(16, 256)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("gamma".getBytes("UTF-8"))
+      .take(2).map(b => f"$b%02x").mkString
+    val f = Integer.parseInt(hex, 16) % 256
+    val expect = (0 until 16).map(j => signs(j)(f) / 4.0)
+    assert(out(3L) == expect, s"${out(3L)} != $expect")
   }
 
   test("sparseCosineNearDups drops features above maxDocFreq from the pruned space") {
