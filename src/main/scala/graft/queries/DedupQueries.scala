@@ -606,7 +606,55 @@ object DedupQueries {
     }
   }
 
+  /** Duplication centrality: damped PageRank over the symmetrized
+    * near-dup pair graph (see [[graft.operators.GraphOps.pageRank]]) —
+    * q91's neighbor count made transitive. The oracle replays the 3
+    * iterations as chained CTEs; the fixed-point contribution
+    * quantization makes every iteration's doubles bit-identical across
+    * engines, so the final column needs NO rounding. Damping constants
+    * are rendered from the same Scala doubles the operator uses
+    * (1 − 0.85 is 0.15000000000000002 in IEEE — a hand-written 0.15
+    * literal would diverge). */
+  val q100 = {
+    val Damping = 0.85
+    val Iters = 3
+    def iterCtes(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""c$i AS (
+         |  SELECT ed.dst AS id,
+         |    sum(CAST(round($prev.p / dg.deg * 1e12) AS BIGINT)) AS s
+         |  FROM ed JOIN dg USING (src) JOIN $prev ON $prev.id = ed.src
+         |  GROUP BY ed.dst),
+         |p$i AS (
+         |  SELECT d.doc_id AS id,
+         |    ${1 - Damping} / (SELECT n FROM nn) +
+         |      $Damping * (CAST(coalesce(c$i.s, 0) AS DOUBLE) / 1e12) AS p
+         |  FROM documents d LEFT JOIN c$i ON c$i.id = d.doc_id)""".stripMargin
+    }
+    GQuery("q100_dup_pagerank",
+      s"""WITH $shingleCtes,
+         |$pairCtes,
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |p0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS p
+         |       FROM documents),
+         |${(1 to Iters).map(iterCtes).mkString(",\n")}
+         |SELECT id AS doc_id, p AS pagerank FROM p$Iters
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = sharedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.GraphOps.pageRank(
+          Tables.documents(s, dir).select(col("doc_id").as("id")),
+          edges, iters = Iters, damping = Damping)
+        .select(col("id").as("doc_id"), col("p").as("pagerank"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96)
+      q88, q91, q94, q96, q100)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** PageRank over pair graphs: hand-computed values, determinism, and
+  * ordering properties. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // path 1—2—3 (symmetrized) plus isolated vertex 4
+  private def fixture = {
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    (vertices, edges)
+  }
+
+  private def ranks(iters: Int): Map[Long, Double] = {
+    val (v, e) = fixture
+    GraphOps.pageRank(v, e, iters = iters)
+      .select(col("id"), col("p")).as[(Long, Double)].collect().toMap
+  }
+
+  test("one iteration matches the hand computation") {
+    // deg: 1→1, 2→2, 3→1; p0 = 1/4 each
+    // contributions: v1 ← p0(2)/2 = 0.125; v2 ← p0(1)/1 + p0(3)/1 = 0.5;
+    //                v3 ← 0.125; v4 ← nothing
+    // p1(v) = 0.15/4 + 0.85·s
+    val p = ranks(1)
+    assert(math.abs(p(1L) - (0.15 / 4 + 0.85 * 0.125)) < 1e-9)
+    assert(math.abs(p(2L) - (0.15 / 4 + 0.85 * 0.5)) < 1e-9)
+    assert(math.abs(p(3L) - (0.15 / 4 + 0.85 * 0.125)) < 1e-9)
+    assert(math.abs(p(4L) - 0.15 / 4) < 1e-9)
+  }
+
+  test("iterated ranks order center > leaves > isolated, stay positive, and are deterministic") {
+    val p = ranks(3)
+    val p2 = ranks(3)
+    assert(p == p2, "bit-identical across runs")
+    assert(p(2L) > p(1L) && p(1L) > p(4L))
+    assert(p(1L) == p(3L), "symmetric leaves must tie exactly")
+    assert(p.values.forall(_ > 0))
+  }
+
+  test("isolated vertices keep exactly the teleport mass at any depth") {
+    assert(ranks(4)(4L) == (1 - 0.85) / 4)
+  }
+}
