@@ -63,6 +63,40 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** Contrastive training triplets: for each anchor (query), its
+    * nearest SAME-label neighbor (the positive) paired with its top-k
+    * most-similar DIFFERENT-label neighbors ([[hardNegatives]]) and the
+    * per-pair margin pos_cosine − neg_cosine — the (anchor, positive,
+    * hard-negative) table a contrastive/embedding trainer consumes,
+    * assembled with the loss-relevant margin already attached.
+    *
+    * Two label-pruned broadcast top-k passes (the [[bruteForceTopK]]
+    * shape) joined on the anchor — at scale, swap either pass for
+    * [[ivfProbe]]/[[ivfPqTopK]] candidates and keep the join; the
+    * anchor-keyed join is query-set-sized, never corpus-sized. */
+  def contrastiveTriplets(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, labelCol: String,
+                          kNeg: Int): DataFrame = {
+    val c = FanOut(corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"), col(labelCol).as("c_label")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("q_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    val pos = c.join(broadcast(q),
+        col("c_label") === col("q_label") && col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("corpus_id").as("pos_id"),
+        col("cosine").as("pos_cosine"))
+    val neg = hardNegatives(corpus, queries, idCol, vecCol, labelCol, kNeg)
+      .select(col("query_id"), col("corpus_id").as("neg_id"),
+        col("cosine").as("neg_cosine"), col("rn").as("neg_rank"))
+    pos.join(neg, "query_id")
+      .withColumn("margin", col("pos_cosine") - col("neg_cosine"))
+  }
+
   /** Approximate top-k: only corpus vectors in the query's sign-LSH
     * bucket are scored. Deterministic (no RNG), so results are exactly
     * reproducible in any engine. */

@@ -130,6 +130,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(HammingDist.fnName),
       new ExpressionInfo(classOf[HammingDist].getName, HammingDist.fnName),
       (children: Seq[Expression]) => HammingDist(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier(WordNgrams.fnName),
+      new ExpressionInfo(classOf[WordNgrams].getName, WordNgrams.fnName),
+      WordNgrams.builder))
+    ext.injectFunction((FunctionIdentifier(JlProject.fnName),
+      new ExpressionInfo(classOf[JlProjectExpr].getName, JlProject.fnName),
+      JlProject.builder))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

@@ -104,7 +104,7 @@ object JlProject {
   }
 
   private val info = new ExpressionInfo(classOf[JlProjectExpr].getName, fnName)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.length == 3, s"$fnName expects (vec, dimIn, dimOut)")
     (children(1), children(2)) match {
       case (Literal(dIn: Int, IntegerType), Literal(dOut: Int, IntegerType)) =>

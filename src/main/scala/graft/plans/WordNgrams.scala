@@ -84,7 +84,7 @@ object WordNgrams {
   val fnName = "word_ngrams"
 
   private val info = new ExpressionInfo(classOf[WordNgrams].getName, fnName)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.length == 3, s"$fnName expects (arr, n, stride)")
     (children(1), children(2)) match {
       case (Literal(n: Int, IntegerType), Literal(s: Int, IntegerType)) =>

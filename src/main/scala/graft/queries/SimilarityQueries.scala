@@ -328,7 +328,47 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Contrastive triplet assembly (see
+    * [[graft.operators.Similarity.contrastiveTriplets]]): anchor +
+    * nearest same-label positive + top-k hard negatives + margin — the
+    * training-pair product of the similarity family. The margin is a
+    * single subtraction of two already-rounded cosines, so the oracle
+    * reproduces it exactly with no extra rounding. */
+  val q101 = GQuery("q101_contrastive_triplets",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS c_label
+       |      FROM embeddings),
+       |ps AS (
+       |  SELECT query_id, corpus_id, round($cosSql, 6) AS cosine
+       |  FROM q JOIN c ON c_label = q_label AND corpus_id <> query_id),
+       |pos AS (
+       |  SELECT query_id, corpus_id AS pos_id, cosine AS pos_cosine FROM (
+       |    SELECT query_id, corpus_id, cosine,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, corpus_id) AS rn
+       |    FROM ps) WHERE rn = 1),
+       |ns AS (
+       |  SELECT query_id, corpus_id, round($cosSql, 6) AS cosine
+       |  FROM q JOIN c ON c_label <> q_label),
+       |neg AS (
+       |  SELECT query_id, corpus_id AS neg_id, cosine AS neg_cosine,
+       |    CAST(rn AS INT) AS neg_rank FROM (
+       |    SELECT query_id, corpus_id, cosine,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, corpus_id) AS rn
+       |    FROM ns) WHERE rn <= $K)
+       |SELECT query_id, pos_id, pos_cosine, neg_id, neg_cosine, neg_rank,
+       |  pos_cosine - neg_cosine AS margin
+       |FROM pos JOIN neg USING (query_id)
+       |ORDER BY query_id, neg_rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.contrastiveTriplets(emb, emb.filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", kNeg = K)
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99)
+      q99, q101)
 }

@@ -92,6 +92,26 @@ class PqJlSparseSpec extends SparkSpec {
     indexed.unpersist(); assigned.unpersist()
   }
 
+  test("contrastiveTriplets: positive shares the anchor label, negatives never do, margin is the cosine gap") {
+    val labels = emb.select(col("vec_id").cast("long"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val rows = Similarity.contrastiveTriplets(emb, queries,
+        "vec_id", "embedding", "label", kNeg = 3)
+      .select(col("query_id").cast("long"), col("pos_id").cast("long"),
+        col("neg_id").cast("long"), col("pos_cosine"), col("neg_cosine"),
+        col("margin"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, pid, nid, pc, nc, m) =>
+      assert(labels(pid) == labels(qid), s"positive $pid must share label of $qid")
+      assert(labels(nid) != labels(qid), s"negative $nid must differ in label from $qid")
+      assert(pid != qid, "positive is never the anchor itself")
+      assert(m == pc - nc)
+    }
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1),
+      "exactly one positive per anchor")
+  }
+
   // ------------------------------------------------------------------ JL
 
   test("jlProject approximately preserves squared norms (JL distortion)") {
