@@ -234,4 +234,41 @@ object Sampling {
       .where(col("cum_tokens") <= budget)
       .drop("__t", "__pid", "__offset", "__start")
   }
+
+  /** Weighted Bernoulli subsample — the RESAMPLING half of importance
+    * weighting (DSIR-style scores, quality scores): doc i is kept with
+    * probability p_i ∝ w_i, scaled so the expected kept fraction is
+    * `fracNum/fracDen` (docs with p_i ≥ 1 are always kept). The
+    * per-doc coin is md5-derived like every sampler here, so the same
+    * doc gets the same verdict in any engine, any run.
+    *
+    * The acceptance test is EXACT INTEGER arithmetic end to end:
+    * weights quantize to the 1e-4 grid (w4 = round(w·1e4), negatives
+    * clamp to 0), the coin is the first 48 md5 bits (u48), and
+    *   keep ⟺ u48 · Σw4 · fracDen < w4_i · N · fracNum · 2^48
+    * evaluated in decimal(38,0) — no float appears anywhere, so the
+    * kept set is bit-reproducible and scale-invariant in the weights
+    * (w → c·w changes both sides identically). Headroom: at N = 10¹¹
+    * docs both sides stay < 10³¹ ≪ 10³⁸.
+    *
+    * One pass for (Σw4, N) as a 1-row broadcast, one pure-map pass for
+    * the verdicts — no shuffle of the corpus. Emits every row with its
+    * `kept` flag (filter on it to materialize the sample; keeping the
+    * flags makes the decision auditable, like `qualityCascade`). */
+  def weightedBernoulliSample(df: DataFrame, idCol: String, weightCol: String,
+                              fracNum: Int, fracDen: Int): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0, "target fraction must be >= 0")
+    val dec = "decimal(38,0)"
+    val base = df.select(col(idCol),
+      greatest(round(col(weightCol) * 1e4).cast("long"), lit(0L)).as("w4"),
+      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+        .cast("long").as("u48"))
+    val tot = base.agg(sum(col("w4")).as("sw4"), count(lit(1)).as("n"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("kept",
+        col("u48").cast(dec) * col("sw4").cast(dec) * lit(fracDen).cast(dec) <
+          col("w4").cast(dec) * col("n").cast(dec) * lit(fracNum).cast(dec) *
+            lit(281474976710656L).cast(dec))   // 2^48
+      .select(col(idCol), col("w4"), col("kept"))
+  }
 }

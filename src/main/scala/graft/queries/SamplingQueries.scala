@@ -496,6 +496,34 @@ object SamplingQueries {
       .orderBy(col("shard_id"))
   }
 
+  /** Quality-weighted Bernoulli subsample (see
+    * [[graft.operators.Sampling.weightedBernoulliSample]]): keep docs
+    * with probability ∝ the q28 quality score, expected fraction 1/2 —
+    * the resampling half of importance weighting. The acceptance test
+    * is pure integer arithmetic (decimal(38,0) / HUGEINT), so the
+    * kept flags hash-match with no float anywhere. */
+  val q102 = GQuery("q102_weighted_sample",
+    s"""WITH ${TextQueries.qualityCte},
+       |w AS (
+       |  SELECT doc_id,
+       |    greatest(CAST(round(quality * 1e4) AS BIGINT), 0) AS w4,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u48
+       |  FROM q),
+       |tw AS (SELECT sum(w4) AS sw4, count(*) AS n FROM w)
+       |SELECT doc_id, w4,
+       |  (CAST(u48 AS HUGEINT) * CAST(sw4 AS HUGEINT) * 2) <
+       |    (CAST(w4 AS HUGEINT) * CAST(n AS HUGEINT) * 1 *
+       |     CAST(281474976710656 AS HUGEINT)) AS kept
+       |FROM w, tw
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val weighted = Tables.documents(s, dir).select(col("doc_id"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    Sampling.weightedBernoulliSample(weighted, "doc_id", "quality",
+        fracNum = 1, fracDen = 2)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92)
+    Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
+      q102)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Integer-exact weighted Bernoulli sampling: laws the pure-integer
+  * acceptance test must satisfy. */
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flags(rows: Seq[(Long, Double)], num: Int, den: Int): Map[Long, Boolean] =
+    Sampling.weightedBernoulliSample(rows.toDF("id", "w"), "id", "w", num, den)
+      .select(col("id").cast("long"), col("kept"))
+      .as[(Long, Boolean)].collect().toMap
+
+  private val uniform = (1L to 2000L).map(_ -> 1.0)
+
+  test("uniform weights keep ≈ the target fraction, deterministically") {
+    val k = flags(uniform, 1, 2)
+    val k2 = flags(uniform, 1, 2)
+    assert(k == k2)
+    val frac = k.values.count(identity).toDouble / k.size
+    assert(math.abs(frac - 0.5) < 0.05, s"kept fraction $frac far from 1/2")
+  }
+
+  test("scale invariance: w → 3·w yields the identical kept set") {
+    val rows = (1L to 500L).map(i => i -> (0.1 + (i % 7) * 0.05))
+    assert(flags(rows, 1, 2) == flags(rows.map { case (i, w) => i -> w * 3 }, 1, 2))
+  }
+
+  test("zero or negative weight is never kept; p ≥ 1 weight always is") {
+    // one doc holds ~all the mass: its p = w4·N·num/(Σw4·den) ≥ 1
+    val rows = Seq(1L -> 1000.0, 2L -> 0.0, 3L -> -5.0, 4L -> 0.0001)
+    val k = flags(rows, 1, 2)
+    assert(k(1L), "p >= 1 doc must always be kept")
+    assert(!k(2L) && !k(3L), "non-positive weights are never kept")
+  }
+
+  test("per-doc monotonicity: raising only your own weight never evicts you") {
+    // keep ⟺ u·S < w·N·2⁴⁸/den·num: raising w_i by Δ scales the RHS by
+    // (w+Δ)/w but the LHS only by (S+Δ)/S — strictly smaller whenever
+    // other docs hold weight — so doc i's verdict can only improve
+    val base = (1L to 200L).map(i => i -> 1.0)
+    val keptBase = flags(base, 1, 2)
+    val keptBoost = flags(base.map { case (i, w) =>
+      i -> (if (i == 7L) 50.0 else w) }, 1, 2)
+    if (keptBase(7L)) assert(keptBoost(7L))
+  }
+}
