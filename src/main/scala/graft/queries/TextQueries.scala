@@ -663,7 +663,27 @@ object TextQueries {
     }
   }
 
+  /** Sketch-first vocabulary sizes (see
+    * [[graft.operators.Sketches]]): per-source distinct-token HLL
+    * estimates plus the corpus-wide estimate obtained by UNIONING the
+    * per-source sketches — the incremental-statistics path (the
+    * report never re-reads the corpus). Rows-only like q10b
+    * (DataSketches HLL ≠ DuckDB's sketch); `SketchSpec` asserts the
+    * lossless-merge law and a ±5% accuracy bound vs exact. */
+  val q103 = GQuery.rowsOnly("q103_sketch_vocab") { (s, dir) =>
+    val sk = graft.operators.Sketches.tokenSketchBySource(
+        sharedToks(s, dir),
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("source")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sk.select(col("key").as("source"),
+        round(col("estimate"), 2).as("est_distinct_tokens"))
+      .unionAll(graft.operators.Sketches.unionEstimate(sk)
+        .select(lit("__all__").as("source"),
+          round(col("estimate"), 2).as("est_distinct_tokens")))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84, q85, q89, q90, q93, q98)
+      q76, q81, q83, q84, q85, q89, q90, q93, q98, q103)
 }
