@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches (Apache DataSketches HLL, built
@@ -47,8 +47,4 @@ object Sketches {
       toks.join(sources, "id")
         .select(col("source"), explode(col("ws")).as("tok")),
       "source", "tok")
-
-  /** Round an estimate for stable display (estimates are deterministic
-    * doubles; rounding only compacts the output). */
-  def estimateCol(c: Column): Column = round(c, 2)
 }

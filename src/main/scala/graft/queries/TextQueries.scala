@@ -683,7 +683,68 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Exact phrase search (see
+    * [[graft.operators.Search.phraseOccurrences]]): per-doc occurrence
+    * counts of a fixed 3-word phrase via positional-posting
+    * intersection. The oracle counts the equivalent trigram equality —
+    * `SearchSpec` proves the postings path ≡ the n-gram path on the
+    * whole corpus. */
+  val q104 = {
+    val Phrase = Seq("big", "order", "scan")
+    GQuery("q104_phrase_search",
+      s"""WITH $tokCte,
+         |tri AS (
+         |  SELECT doc_id,
+         |    unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+         |            for i in range(1, len(ws) - 1)]) AS g
+         |  FROM tok WHERE len(ws) >= 3)
+         |SELECT doc_id, count(*) AS n_occurrences
+         |FROM tri WHERE g = '${Phrase.mkString(" ")}'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Search.phraseOccurrences(
+          graft.operators.Search.positionalPostings(sharedToks(s, dir)), Phrase)
+        .select(col("id").as("doc_id"), col("n_occurrences"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** BM25 ranked retrieval (see [[graft.operators.Search.bm25]]):
+    * top-20 docs for a 3-term query. Scores are 1e-4 fixed-point sums
+    * (ln-ulp-absorbing, order-free), so the oracle — same formula with
+    * derived constants rendered from the SAME Scala doubles — matches
+    * bit-for-bit with no output rounding. */
+  val q105 = {
+    val Terms = Seq("dup", "sort", "batch")
+    val K1 = 1.2
+    val B = 0.75
+    val K = 20
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    GQuery("q105_bm25",
+      s"""WITH $tokCte,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM tok),
+         |tf AS (
+         |  SELECT doc_id, t.tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+         |  WHERE t.tok IN ($termList) GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |tot AS (SELECT count(*) AS n, sum(len) AS sl FROM lens),
+         |parts AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(((ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |        * (tf * ${K1 + 1}))
+         |      / (tf + $K1 * (${1 - B} + $B * len / (CAST(sl AS DOUBLE) / n))))
+         |      * 1e4) AS BIGINT) AS part4
+         |  FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), tot)
+         |SELECT doc_id, sum(part4) / 1e4 AS score
+         |FROM parts GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin) { (s, dir) =>
+      graft.operators.Search.bm25(sharedToks(s, dir), Terms, k1 = K1, b = B)
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(K)
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84, q85, q89, q90, q93, q98, q103)
+      q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q105)
 }

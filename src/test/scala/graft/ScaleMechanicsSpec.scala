@@ -139,4 +139,41 @@ class ScaleMechanicsSpec extends SparkSpec {
     }
     assert(mixed.count() > 0)
   }
+
+  test("PQ encode is a pure map and the ADC scan's corpus side never shuffles before scoring") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val books = graft.operators.Similarity.pqTrain(
+      emb, "vec_id", "embedding", dim = 64, m = 4, ksub = 4, iters = 1)
+    val enc = graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    // the executedPlan string includes the adaptive wrapper's inner plan
+    val encStr = enc.queryExecution.executedPlan.toString
+    // FanOut may repartition a tiny local file for scan parallelism (a
+    // no-op at real scale by construction); nothing else may shuffle
+    assert("Exchange".r.findAllIn(encStr).length <= 1,
+      s"pqEncode must be map-only beyond FanOut:\n$encStr")
+    val top = graft.operators.Similarity.pqTopK(enc, books,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3, refine = 10)
+    val planStr = top.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastNestedLoopJoin") ||
+      planStr.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin") && !planStr.contains("CartesianProduct"),
+      s"corpus must never sort-merge or cartesian for ADC:\n$planStr")
+    assert(top.count() > 0)
+  }
+
+  test("sparse cosine pair join is keyed on the hashed feature (no cartesian, broadcastable df-cap)") {
+    val toks = (1L to 50L)
+      .map(i => (i, Seq("w" + i, "w" + (i + 1), "shared")))
+      .toDF("id", "ws")
+    val pairs = graft.operators.Similarity.sparseCosineNearDups(
+      graft.operators.TfIdf.hashedTf(toks, 65536), "id", "f", "tf",
+      tau = 0.0, maxDocFreq = 10000)
+    val planStr = pairs.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join on the feature:\n$planStr")
+    assert(pairs.count() > 0)
+  }
 }

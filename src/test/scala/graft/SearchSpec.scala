@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+/** Search-index operators: postings-based phrase matching proved
+  * against the n-gram path on the real corpus, and BM25 ranking laws
+  * on a hand-built corpus. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val toks = graft.operators.TextStats
+    .tokenized(Tables.documents(spark, dir), "doc_id", "text").cache()
+
+  test("phrase occurrences via postings ≡ trigram-equality counts over the whole corpus") {
+    graft.plans.WordNgrams.register(spark)
+    val phrase = Seq("big", "order", "scan")
+    val viaPostings = Search.phraseOccurrences(
+        Search.positionalPostings(toks), phrase)
+      .select(col("id").cast("long"), col("n_occurrences"))
+      .as[(Long, Long)].collect().toMap
+    val viaNgrams = toks
+      .select(col("id"), explode(call_function(
+        graft.plans.WordNgrams.fnName, col("ws"), lit(3), lit(1))).as("g"))
+      .where(col("g") === phrase.mkString(" "))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .select(col("id").cast("long"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaPostings == viaNgrams)
+    assert(viaPostings.nonEmpty, "fixture phrase must occur")
+  }
+
+  test("phrase matching requires adjacency and order") {
+    val t = Seq(
+      (1L, Seq("a", "b", "c")),      // match
+      (2L, Seq("a", "x", "b", "c")), // a not adjacent — b c alone no match
+      (3L, Seq("c", "b", "a")),      // reversed
+      (4L, Seq("a", "b", "a", "b", "c")) // one match at pos 2
+    ).toDF("id", "ws")
+    val hits = Search.phraseOccurrences(
+        Search.positionalPostings(t), Seq("a", "b", "c"))
+      .select(col("id").cast("long"), col("n_occurrences"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 4L -> 1L))
+  }
+
+  test("BM25: rarer query terms dominate; longer docs with equal tf score lower") {
+    // 10 docs with "common", only 1 with "rare"
+    val docs = (1L to 10L).map { i =>
+      val base = Seq("common") ++ Seq.fill(5)("filler" + i)
+      (i, if (i == 1) base :+ "rare" else base)
+    }.toDF("id", "ws")
+    val scores = Search.bm25(docs, Seq("common", "rare"))
+      .select(col("id").cast("long"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L), "doc with the rare term must outrank")
+    // same tf, different doc length → shorter doc scores higher. The
+    // corpus needs enough q-free docs that idf("q") stays positive
+    // (RSJ idf is negative once df > N/2, which would flip the law)
+    val lenDocs = (Seq(
+      (1L, Seq("q", "p")),
+      (2L, Seq("q") ++ Seq.fill(30)("pad"))) ++
+      (3L to 10L).map(i => i -> Seq("other", "words"))).toDF("id", "ws")
+    val s2 = Search.bm25(lenDocs, Seq("q"))
+      .select(col("id").cast("long"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(s2(1L) > s2(2L), "length normalization must penalize the padded doc")
+  }
+
+  test("BM25 touches only matching docs and is deterministic") {
+    val a = Search.bm25(toks, Seq("dup", "sort"))
+    val b = Search.bm25(toks, Seq("dup", "sort"))
+    val ra = a.select(col("id").cast("long"), col("score")).as[(Long, Double)].collect().toMap
+    val rb = b.select(col("id").cast("long"), col("score")).as[(Long, Double)].collect().toMap
+    assert(ra == rb)
+    val matching = toks.where(arrays_overlap(col("ws"),
+      typedLit(Seq("dup", "sort")))).count()
+    assert(ra.size == matching, "exactly the docs containing ≥1 query term are scored")
+  }
+}
