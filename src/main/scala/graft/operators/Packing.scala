@@ -143,6 +143,33 @@ object Packing {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** [[packByTokenBudget]] in an EXPLICIT global order
+    * (orderCol DESC, idCol) — curriculum packing: order the corpus by a
+    * difficulty/quality signal and cut shards along that order, so a
+    * training loader reading shards in sequence sees the curriculum.
+    * Shard boundaries respect the order exactly: every doc in shard i
+    * has orderCol ≥ every doc in shard i+1 (up to ties).
+    *
+    * A non-uniform order key cannot use the arithmetic hash buckets,
+    * so this is the RangePartitioner + pid-keyed prefix-sum path
+    * ([[runningStart]]) — one sampling pass of the input per
+    * materialization; feed it a MATERIALIZED narrow frame (id, tokens,
+    * order), as the q77 capstone does for its scored frame. */
+  def packByOrder(df: DataFrame, idCol: String, tokenCol: String,
+                  orderCol: String, maxTokens: Long, parts: Int = 32,
+                  keepStart: Boolean = false): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val keyed = df
+      .withColumn("__t", col(tokenCol).cast("long"))
+      .repartitionByRange(parts, col(orderCol).desc, col(idCol))
+      .sortWithinPartitions(col(orderCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val out = runningStart(keyed)
+      .withColumn("shard_id", floor(col("__start") / maxTokens))
+      .drop("__t", "__pid", "__offset")
+    if (keepStart) out else out.drop("__start")
+  }
+
   /** DuckDB SQL fragment computing the same shard id with a sequential
     * window (`exprs` must use the same idCol/tokenCol names). */
   def shardIdSql(idCol: String, tokenCol: String, maxTokens: Long): String =

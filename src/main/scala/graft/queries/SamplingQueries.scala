@@ -523,7 +523,43 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum shards (see [[graft.operators.Packing.packByOrder]]):
+    * the corpus packed in quality-DESCENDING order, so shard 0 is the
+    * best data and a loader reading shards in sequence sees the
+    * curriculum. Per-shard summary carries the exact 1e-4 fixed-point
+    * quality sum (order-free integer) instead of a float average, so
+    * the whole row hash-matches. */
+  val q106 = {
+    val MaxTok = 4096L
+    GQuery("q106_curriculum_shards",
+      s"""WITH ${TextQueries.qualityCte},
+         |packed AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    CAST(floor((sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens) / $MaxTok) AS BIGINT)
+         |      AS shard_id
+         |  FROM q)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CAST(round(quality * 1e4) AS BIGINT)) AS BIGINT) AS q4_sum,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / $MaxTok, 4) AS fill_ratio
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+      Packing.packByOrder(docs, "doc_id", "n_tokens", "quality", MaxTok)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(round(col("quality") * 1e4).cast("long")).as("q4_sum"))
+        .withColumn("fill_ratio",
+          round(col("sum_tokens").cast("double") / MaxTok, 4))
+        .orderBy(col("shard_id"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102)
+      q102, q106)
 }

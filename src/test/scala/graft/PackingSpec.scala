@@ -83,4 +83,33 @@ class PackingSpec extends SparkSpec {
     assert(summary.forall(_.getAs[Long]("sum_tokens") === 100L))
     assert(summary.forall(_.getAs[Double]("fill_ratio") === 1.0))
   }
+
+  test("packByOrder: shards respect the curriculum order and equal a sequential pack") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val packed = Packing.packByOrder(docs, "doc_id", "n_tokens", "quality", 4096L)
+      .cache()
+    // curriculum law: min quality of shard i >= max quality of shard i+1
+    val stats = packed.groupBy(col("shard_id"))
+      .agg(min(col("quality")).as("mn"), max(col("quality")).as("mx"))
+      .orderBy(col("shard_id")).collect()
+    assert(stats.length > 1, "fixture must span several shards")
+    stats.sliding(2).foreach { w =>
+      assert(w(0).getAs[Double]("mn") >= w(1).getAs[Double]("mx") - 1e-12,
+        s"curriculum violated between shards ${w(0)} and ${w(1)}")
+    }
+    // exact equivalence with a sequential driver-side pack
+    val ordered = docs.orderBy(col("quality").desc, col("doc_id"))
+      .select(col("doc_id").cast("long"), col("n_tokens"))
+      .as[(Long, Long)].collect()
+    var cum = 0L
+    val expect = ordered.map { case (id, t) =>
+      val s = cum / 4096L; cum += t; id -> s
+    }.toMap
+    val got = packed.select(col("doc_id").cast("long"), col("shard_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    packed.unpersist()
+  }
 }
