@@ -39,6 +39,26 @@ object Search {
     }.groupBy(col("id")).agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    * rankings: score(d) = Σ_r 1/(k + rank_r(d)), the standard way to
+    * merge heterogeneous retrievers (BM25 × dense ANN) without score
+    * calibration. Each input carries (id, rn); docs missing from a
+    * ranking simply contribute nothing.
+    *
+    * Engine-exact: each part is quantized to round(1e9/(k+rn)) — an
+    * integer — so the per-doc sum is order-independent at any ranker
+    * count and the final score (sum/1e9) is one exact division.
+    * Ranker outputs are top-N-sized, so the union + keyed sum is
+    * candidate-sized work, not corpus-sized. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    rankings.map(_.select(col("id"),
+        round(lit(1e9) / (col("rn") + k)).cast("long").as("rrf9")))
+      .reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg((sum(col("rrf9")) / lit(1e9)).as("rrf_score"))
+  }
+
   /** BM25 ranked retrieval (Robertson–Spärck Jones):
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen)).
     * Only the query terms' postings are touched (an `isin` filter

@@ -633,7 +633,10 @@ object TextQueries {
     * dense ANN stack. Long-format output; y is an integer sum over
     * √16 = 4, so the oracle (same md5 buckets, same sign-list
     * literals) is bit-exact with no rounding at all. */
-  val q98 = {
+  /** Shared oracle CTE chain for the hashed doc embedding (q98, q107):
+    * ends in `emb(doc_id, j, s)` where `s` is the EXACT integer
+    * sign-weighted count sum (y = s / √16). */
+  private val hashedEmbCtes: String = {
     val Buckets = 256
     val DimOut = 16
     val b = graft.operators.TfIdf.hashedBucketSql("t.term", Buckets)
@@ -641,26 +644,29 @@ object TextQueries {
       val sgn = graft.operators.TfIdf.docEmbeddingSignSql("f", Buckets, DimOut, j)
       s"{'j': $j, 'c': $sgn * tf}"
     }.mkString(", ")
-    GQuery("q98_hashed_doc_embedding",
-      s"""WITH tok AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         |  FROM documents),
-         |tf AS (
-         |  SELECT doc_id, $b AS f, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(ws) AS term FROM tok) t
-         |  GROUP BY 1, 2),
-         |con AS (
-         |  SELECT doc_id, u.j AS j, u.c AS c
-         |  FROM (SELECT doc_id, unnest([$structs]) AS u FROM tf))
-         |SELECT doc_id, j, CAST(sum(c) AS DOUBLE) / sqrt(16.0) AS y
-         |FROM con GROUP BY doc_id, j
-         |ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
-      graft.operators.TfIdf.hashedDocEmbedding(
-          graft.operators.TfIdf.hashedTf(sharedToks(s, dir), Buckets),
-          buckets = Buckets, dimOut = DimOut)
-        .select(col("id").as("doc_id"), col("j"), col("y"))
-        .orderBy(col("doc_id"), col("j"))
-    }
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, $b AS f, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS term FROM tok) t
+       |  GROUP BY 1, 2),
+       |con AS (
+       |  SELECT doc_id, u.j AS j, u.c AS c
+       |  FROM (SELECT doc_id, unnest([$structs]) AS u FROM tf)),
+       |emb AS (SELECT doc_id, j, sum(c) AS s FROM con GROUP BY doc_id, j)""".stripMargin
+  }
+
+  val q98 = GQuery("q98_hashed_doc_embedding",
+    s"""WITH $hashedEmbCtes
+       |SELECT doc_id, j, CAST(s AS DOUBLE) / sqrt(16.0) AS y
+       |FROM emb
+       |ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
+    graft.operators.TfIdf.hashedDocEmbedding(
+        graft.operators.TfIdf.hashedTf(sharedToks(s, dir), 256),
+        buckets = 256, dimOut = 16)
+      .select(col("id").as("doc_id"), col("j"), col("y"))
+      .orderBy(col("doc_id"), col("j"))
   }
 
   /** Sketch-first vocabulary sizes (see
@@ -744,7 +750,102 @@ object TextQueries {
     }
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (see
+    * [[graft.operators.Search.rrfFuse]]): BM25 over query TERMS fused
+    * with dense cosine against an EXAMPLE DOC's hashed embedding — the
+    * engine's full retrieval stack (postings ranking × dense
+    * similarity) composed the way production search merges retrievers.
+    * Every stage is engine-exact: BM25 parts and RRF parts are
+    * fixed-point integers, the dense cosine runs on the INTEGER
+    * embedding sums (y·4), and each top-100 ranking is a distributed
+    * TakeOrdered followed by a 100-row window. */
+  val q107 = {
+    val Terms = Seq("dup", "sort", "batch")
+    val K1 = 1.2; val B = 0.75
+    val QDoc = 0L; val RrfK = 60; val TopN = 100; val K = 20
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    GQuery("q107_hybrid_retrieval",
+      s"""WITH $hashedEmbCtes,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM tok),
+         |btf AS (
+         |  SELECT doc_id, t.tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+         |  WHERE t.tok IN ($termList) GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+         |tot AS (SELECT count(*) AS n, sum(len) AS sl FROM lens),
+         |bparts AS (
+         |  SELECT btf.doc_id,
+         |    CAST(round(((ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |        * (tf * ${K1 + 1}))
+         |      / (tf + $K1 * (${1 - B} + $B * len / (CAST(sl AS DOUBLE) / n))))
+         |      * 1e4) AS BIGINT) AS part4
+         |  FROM btf JOIN dft USING (term) JOIN lens USING (doc_id), tot),
+         |bm AS (SELECT doc_id, sum(part4) / 1e4 AS score FROM bparts GROUP BY doc_id),
+         |bmr AS (
+         |  SELECT doc_id, rn FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY score DESC, doc_id) AS INT) AS rn FROM bm)
+         |  WHERE rn <= $TopN),
+         |qv AS (SELECT j, s AS sq FROM emb WHERE doc_id = $QDoc),
+         |ndt AS (SELECT doc_id, sum(s * s) AS n2 FROM emb GROUP BY doc_id),
+         |dd AS (
+         |  SELECT e.doc_id, sum(e.s * qv.sq) AS dot
+         |  FROM emb e JOIN qv USING (j) WHERE e.doc_id <> $QDoc
+         |  GROUP BY e.doc_id),
+         |dsc AS (
+         |  SELECT dd.doc_id,
+         |    round(CAST(dot AS DOUBLE) /
+         |      sqrt(CAST(ndt.n2 * (SELECT sum(sq * sq) FROM qv) AS DOUBLE)), 6)
+         |      AS cosine
+         |  FROM dd JOIN ndt USING (doc_id) WHERE ndt.n2 > 0),
+         |dr AS (
+         |  SELECT doc_id, rn FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY cosine DESC, doc_id) AS INT) AS rn FROM dsc)
+         |  WHERE rn <= $TopN),
+         |u AS (
+         |  SELECT doc_id, CAST(round(1e9 / (rn + $RrfK)) AS BIGINT) AS rrf9 FROM bmr
+         |  UNION ALL
+         |  SELECT doc_id, CAST(round(1e9 / (rn + $RrfK)) AS BIGINT) FROM dr)
+         |SELECT doc_id, sum(rrf9) / 1e9 AS rrf_score
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT $K""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = sharedToks(s, dir)
+      // BM25 side: distributed TakeOrdered to top-100, then a window
+      // over only those 100 rows assigns ranks (never a global sort
+      // window over the full match set)
+      val bm = graft.operators.Search.bm25(toks, Terms, k1 = K1, b = B)
+      val bmr = bm.orderBy(col("score").desc, col("id")).limit(TopN)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))))
+        .select(col("id"), col("rn"))
+      // dense side: integer embedding sums (y·4 is exact), sparse-dot
+      // cosine vs the example doc — the q96/q98 machinery
+      val emb = graft.operators.TfIdf.hashedDocEmbedding(
+          graft.operators.TfIdf.hashedTf(toks, 256), 256, 16)
+        .select(col("id"), col("j"), (col("y") * 4).cast("long").as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qv = emb.where(col("id") === QDoc).select(col("j"), col("s").as("sq"))
+      val nq = qv.agg(sum(col("sq") * col("sq")).as("nq"))
+      val nd = emb.groupBy(col("id")).agg(sum(col("s") * col("s")).as("nd"))
+      val dsc = emb.where(col("id") =!= QDoc).join(broadcast(qv), "j")
+        .groupBy(col("id")).agg(sum(col("s") * col("sq")).as("dot"))
+        .join(nd, "id").crossJoin(broadcast(nq))
+        .where(col("nd") > 0)
+        .withColumn("cosine", round(col("dot").cast("double") /
+          sqrt((col("nd") * col("nq")).cast("double")), 6))
+      val dr = dsc.orderBy(col("cosine").desc, col("id")).limit(TopN)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cosine").desc, col("id"))))
+        .select(col("id"), col("rn"))
+      graft.operators.Search.rrfFuse(Seq(bmr, dr), RrfK)
+        .orderBy(col("rrf_score").desc, col("id")).limit(K)
+        .select(col("id").as("doc_id"), col("rrf_score"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q105)
+      q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q105, q107)
 }

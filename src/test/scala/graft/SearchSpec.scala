@@ -69,6 +69,20 @@ class SearchSpec extends SparkSpec {
     assert(s2(1L) > s2(2L), "length normalization must penalize the padded doc")
   }
 
+  test("RRF: appearing in both rankings beats the same best rank in one; parts are exact integers") {
+    val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rn")
+    val r2 = Seq((20L, 1), (40L, 2)).toDF("id", "rn")
+    val fused = Search.rrfFuse(Seq(r1, r2), k = 60)
+      .select(col("id").cast("long"), col("rrf_score"))
+      .as[(Long, Double)].collect().toMap
+    // doc 20 (ranks 2 and 1) must beat doc 10 (rank 1 only)
+    assert(fused(20L) > fused(10L))
+    // exact values: round(1e9/61)=16393443, round(1e9/62)=16129032
+    assert(fused(10L) == 16393443 / 1e9)
+    assert(fused(20L) == (16129032L + 16393443L) / 1e9)
+    assert(fused.keySet == Set(10L, 20L, 30L, 40L))
+  }
+
   test("BM25 touches only matching docs and is deterministic") {
     val a = Search.bm25(toks, Seq("dup", "sort"))
     val b = Search.bm25(toks, Seq("dup", "sort"))
