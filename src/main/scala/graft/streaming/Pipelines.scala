@@ -280,4 +280,40 @@ object Pipelines {
           }
       }
   }
+
+  /** Incremental distinct-count sketching: each micro-batch appends one
+    * HLL sketch row per key ([[graft.operators.Sketches.distinctSketch]])
+    * to a persistent store; any later report — per key or corpus-wide —
+    * is a lossless sketch UNION over the KB-sized store, never a
+    * re-scan of ingested data. The streaming face of the
+    * [[graft.operators.Sketches]] pattern.
+    *
+    * Delivery: at-least-once batch REPLAYS are harmless BY CONSTRUCTION
+    * — HLL union is idempotent (A ∪ A = A), so a re-appended batch
+    * sketch cannot change any report (asserted in `SketchSpec`). This
+    * is stronger than [[dedupAgainstStore]]'s contract, which needs an
+    * idempotent sink; here the store itself absorbs replays. */
+  def sketchStream(keyCol: String, valueCol: String, storePath: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.Sketches.distinctSketch(batch, keyCol, valueCol)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(storePath)
+      ()
+    }
+
+  /** Report over a [[sketchStream]] store: per-key distinct estimates
+    * (sketches unioned across batches) plus the corpus-wide
+    * `__all__` row. */
+  def sketchReport(spark: org.apache.spark.sql.SparkSession,
+                   storePath: String): DataFrame = {
+    val store = spark.read.parquet(storePath)
+    val perKey = store.groupBy(col("key"))
+      .agg(hll_union_agg(col("sketch"), false).as("merged"))
+      .select(col("key"), hll_sketch_estimate(col("merged")).as("estimate"))
+    perKey.unionAll(
+      graft.operators.Sketches.unionEstimate(
+          store.select(col("sketch")))
+        .select(lit("__all__").as("key"), col("estimate")))
+  }
 }

@@ -40,6 +40,45 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("sketchStream: batch-appended sketches report like one scan, and replays are absorbed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("skstore").toFile
+    store.delete()
+    val in = MemoryStream[(String, String)]
+    val q = in.toDF().toDF("src", "tok").writeStream
+      .foreachBatch(graft.streaming.Pipelines.sketchStream(
+        "src", "tok", store.getAbsolutePath))
+      .start()
+    val batch1 = Seq(("a", "x"), ("a", "y"), ("b", "x"))
+    val batch2 = Seq(("a", "y"), ("a", "z"), ("b", "w"))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def report() = graft.streaming.Pipelines
+      .sketchReport(spark, store.getAbsolutePath)
+      .as[(String, Double)].collect().toMap
+    val fromStore = report()
+    // the incremental report equals a single whole-data sketch pass
+    val whole = graft.operators.Sketches.distinctSketch(
+        (batch1 ++ batch2).toDF("src", "tok"), "src", "tok")
+      .select(col("key"), col("estimate")).as[(String, Double)].collect().toMap
+    assert(fromStore("a") == whole("a") && fromStore("b") == whole("b"))
+    assert(fromStore("a") == 3.0 && fromStore("b") == 2.0,
+      s"small-cardinality HLL is exact: $fromStore")
+    assert(fromStore("__all__") == 4.0)
+    // at-least-once replay: re-append batch 2's sketch rows — every
+    // estimate must be unchanged (HLL union is idempotent)
+    graft.operators.Sketches.distinctSketch(
+        batch2.toDF("src", "tok"), "src", "tok")
+      .withColumn("batch_id", lit(99L))
+      .write.mode("append").parquet(store.getAbsolutePath)
+    assert(report() == fromStore, "duplicate batch sketch changed a report")
+  }
+
   test("estimates are within ±5% of exact distinct counts per source") {
     val srcs = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), col("source"))
