@@ -19,13 +19,19 @@ object GraphOps {
     * mass (the simplified formulation; no dangling redistribution) —
     * fine for signals, where only the ordering matters.
     *
-    * Engine-exact determinism (the [[Embeddings.meanPool]] idiom):
-    * each edge contribution p(u)/deg(u) is quantized to a 1e-12
-    * fixed-point LONG before the per-vertex sum — integer sums are
-    * order-independent, so each iteration's ranks are bit-identical
-    * in any engine at any partitioning, and an oracle can replay the
-    * iterations as plain SQL (both sides round only at the very end,
-    * or not at all).
+    * Engine-exact determinism (the [[Embeddings.meanPool]] idiom): the
+    * iteration runs on the RANK MASS r = p·N (r₀ = 1, r' =
+    * (1−d) + d·Σ r(u)/deg(u)), and each edge contribution r(u)/deg(u)
+    * is quantized to a 1e-6 fixed-point LONG before the per-vertex
+    * sum — integer sums are order-independent, so each iteration's
+    * ranks are bit-identical in any engine at any partitioning, and an
+    * oracle can replay the iterations as plain SQL. Working on r, not
+    * p, keeps the grid RELATIVE: r is O(1) per vertex at any corpus
+    * size (an absolute grid on p = O(1/N) would round every
+    * contribution to zero at large N and collapse the signal to
+    * teleport mass). Headroom: a vertex's contribution sum is bounded
+    * by the total mass N, so longs hold to N ≈ 9·10¹². p = r/N is one
+    * exact division at the end.
     *
     * Scale shape: the canonical distributed PageRank — per iteration,
     * ONE join of the edge list against the vertex-sized (id, p) table
@@ -45,21 +51,20 @@ object GraphOps {
     val n = v.select(count(lit(1)).as("n"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var p = v.crossJoin(broadcast(n))
-      .select(col("id"), (lit(1.0) / col("n")).as("p"))
+    var r = v.select(col("id"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
       val contrib = e.join(deg, "src")
-        .join(p.select(col("id").as("src"), col("p")), "src")
+        .join(r.select(col("id").as("src"), col("r")), "src")
         .select(col("dst").as("id"),
-          round(col("p") / col("deg") * lit(1e12)).cast("long").as("c"))
+          round(col("r") / col("deg") * lit(1e6)).cast("long").as("c"))
       val sums = contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
-      p = v.crossJoin(broadcast(n))
-        .join(sums, Seq("id"), "left")
+      r = v.join(sums, Seq("id"), "left")
         .select(col("id"),
-          (lit(1 - damping) / col("n") +
-            lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") / lit(1e12)))
-            .as("p"))
+          (lit(1 - damping) +
+            lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") / lit(1e6)))
+            .as("r"))
     }
-    p
+    r.crossJoin(broadcast(n))
+      .select(col("id"), (col("r") / col("n")).as("p"))
   }
 }

@@ -248,8 +248,10 @@ object Sampling {
     *   keep ⟺ u48 · Σw4 · fracDen < w4_i · N · fracNum · 2^48
     * evaluated in decimal(38,0) — no float appears anywhere, so the
     * kept set is bit-reproducible and scale-invariant in the weights
-    * (w → c·w changes both sides identically). Headroom: at N = 10¹¹
-    * docs both sides stay < 10³¹ ≪ 10³⁸.
+    * (w → c·w changes both sides identically). Σw4 is summed AS
+    * decimal(38,0) (per-row values fit long; the total need not —
+    * a long sum would wrap negative and keep everything silently).
+    * Headroom: at N = 10¹¹ docs both sides stay < 10³¹ ≪ 10³⁸.
     *
     * One pass for (Σw4, N) as a 1-row broadcast, one pure-map pass for
     * the verdicts — no shuffle of the corpus. Emits every row with its
@@ -263,10 +265,10 @@ object Sampling {
       greatest(round(col(weightCol) * 1e4).cast("long"), lit(0L)).as("w4"),
       conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
         .cast("long").as("u48"))
-    val tot = base.agg(sum(col("w4")).as("sw4"), count(lit(1)).as("n"))
+    val tot = base.agg(sum(col("w4").cast(dec)).as("sw4"), count(lit(1)).as("n"))
     base.crossJoin(broadcast(tot))
       .withColumn("kept",
-        col("u48").cast(dec) * col("sw4").cast(dec) * lit(fracDen).cast(dec) <
+        col("u48").cast(dec) * col("sw4") * lit(fracDen).cast(dec) <
           col("w4").cast(dec) * col("n").cast(dec) * lit(fracNum).cast(dec) *
             lit(281474976710656L).cast(dec))   // 2^48
       .select(col(idCol), col("w4"), col("kept"))

@@ -396,6 +396,12 @@ object Similarity {
       Array.tabulate(m) { s =>
         seeds.filter(_._2 == s).sortBy(_._1).map(_._3.toArray)
       }
+    // a sample smaller than ksub seeds fewer centroids; the codebooks
+    // simply shrink (codes stay dense in [0, kEff)) — same graceful
+    // degradation as ivfTrain, instead of an out-of-bounds fallback in
+    // the update loop below
+    val kEff = books(0).length
+    require(kEff > 0, "pqTrain needs a non-empty training sample")
     for (_ <- 1 to iters) {
       // nearest-centroid per (sub, sv) row: a chained CASE on `sub`, each
       // branch an argmin over that subspace's literal centroids — pure map
@@ -413,7 +419,7 @@ object Similarity {
         .as[(Int, Int, Int, Double)].collect()
       val byCell = cells.groupBy(t => (t._1, t._2))
       books = Array.tabulate(m) { s =>
-        Array.tabulate(ksub) { cid =>
+        Array.tabulate(kEff) { cid =>
           byCell.get((s, cid))
             .map(_.sortBy(_._3).map(_._4))
             .getOrElse(books(s)(cid))   // empty cell: keep previous centroid
@@ -453,6 +459,26 @@ object Similarity {
     }: _*)
   }
 
+  // shared tail of pqTopK / ivfPqTopK: keep each query's top-`refine`
+  // candidates by ADC distance, rescore those exactly by cosine, emit
+  // top-k — one definition so the refine/tie-break semantics cannot
+  // drift between the two ANN paths. `pairs` carries (query_id,
+  // corpus_id, qv, cv, tabs, codes).
+  private def adcRefineTopK(pairs: DataFrame, m: Int,
+                            k: Int, refine: Int): DataFrame = {
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("corpus_id"))
+    val cand = pairs.withColumn("adc", adcScore(col("tabs"), col("codes"), m))
+      .withColumn("arn", row_number().over(wAdc))
+      .where(col("arn") <= refine)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand.withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wCos))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
   /** Encode every corpus vector to its `m` PQ codes — a pure map (argmin
     * over literal centroids per subspace), no shuffle. Keeps the exact
     * vector alongside the codes for the re-rank stage; at 100 TB the
@@ -490,17 +516,7 @@ object Similarity {
       .withColumn("tabs", adcTables(col("qv"), codebooks))
     val pairs = encoded.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("corpus_id"))
-    val cand = pairs.withColumn("adc", adcScore(col("tabs"), col("codes"), m))
-      .withColumn("arn", row_number().over(wAdc))
-      .where(col("arn") <= refine)
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    cand.withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(wCos))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+    adcRefineTopK(pairs, m, k, refine)
   }
 
   /** PQ codes attached to an [[ivfAssign]]-ed corpus — the combined
@@ -539,17 +555,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("tabs"), col("pc.cid").as("cid"))
     val pairs = indexed.join(broadcast(probes), Seq("cid"))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("corpus_id"))
-    val cand = pairs.withColumn("adc", adcScore(col("tabs"), col("codes"), m))
-      .withColumn("arn", row_number().over(wAdc))
-      .where(col("arn") <= refine)
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    cand.withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(wCos))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+    adcRefineTopK(pairs, m, k, refine)
   }
 
   /** Exact near-duplicate pairs by embedding cosine ≥ threshold, via the

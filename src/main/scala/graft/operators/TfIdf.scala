@@ -54,13 +54,19 @@ object TfIdf {
     * bucket count (hashing a tiny unigram vocabulary into many
     * buckets still yields df ≈ N stop-features; 3-gram units keep df
     * small on any natural corpus). */
-  def hashedTfFromTerms(terms: DataFrame, buckets: Int): DataFrame =
+  def hashedTfFromTerms(terms: DataFrame, buckets: Int): DataFrame = {
+    // the bucket comes from 16 md5 bits, so a larger request would
+    // silently top out at 65536 occupied features (and skew occupancy
+    // for non-divisors) — fail loudly instead
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (16 md5 bits), got $buckets")
     terms
       .select(col("id"),
         (conv(substring(md5(col("term")), 1, 4), 16, 10)
           .cast("int") % buckets).as("f"))
       .groupBy(col("id"), col("f"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** DuckDB SQL for the same md5 feature bucket (cross-engine parity
     * with [[hashedTf]]). */

@@ -44,15 +44,24 @@ case class JlProjectExpr(child: Expression, dimIn: Int, dimOut: Int)
     case _ => false
   }
 
+  // a null ELEMENT nulls the whole projection (reading the slot as a
+  // primitive would silently treat it as garbage/0 — the null-element
+  // class meanPool handles by skipping; a projection can't skip, so it
+  // propagates)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < dimIn) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
     val out = new Array[Any](dimOut)
     val fl = isFloat
     var j = 0
     while (j < dimOut) {
       val row = signs(j)
       var s = 0.0
-      var i = 0
+      i = 0
       while (i < dimIn) {
         val x = if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
         s += row(i) * x
@@ -64,22 +73,32 @@ case class JlProjectExpr(child: Expression, dimIn: Int, dimOut: Int)
     new GenericArrayData(out)
   }
 
+  override def nullable: Boolean = true
+
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val signsRef = ctx.addReferenceObj("signs", signs, "int[][]")
-      val (out, s, i, j) = (ctx.freshName("out"), ctx.freshName("s"),
-        ctx.freshName("i"), ctx.freshName("j"))
+      val (out, s, i, j, anyNull) = (ctx.freshName("out"), ctx.freshName("s"),
+        ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("anyNull"))
       val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
-         |Object[] $out = new Object[$dimOut];
-         |for (int $j = 0; $j < $dimOut; $j++) {
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $dimIn; $i++) {
-         |    $s += $signsRef[$j][$i] * ($get);
-         |  }
-         |  $out[$j] = Double.valueOf($s / ${scale}D);
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $dimIn; $i++) {
+         |  if ($a.isNullAt($i)) { $anyNull = true; break; }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  Object[] $out = new Object[$dimOut];
+         |  for (int $j = 0; $j < $dimOut; $j++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dimIn; $i++) {
+         |      $s += $signsRef[$j][$i] * ($get);
+         |    }
+         |    $out[$j] = Double.valueOf($s / ${scale}D);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

@@ -619,16 +619,16 @@ object DedupQueries {
     val Damping = 0.85
     val Iters = 3
     def iterCtes(i: Int): String = {
-      val prev = s"p${i - 1}"
+      val prev = s"r${i - 1}"
       s"""c$i AS (
          |  SELECT ed.dst AS id,
-         |    sum(CAST(round($prev.p / dg.deg * 1e12) AS BIGINT)) AS s
+         |    sum(CAST(round($prev.r / dg.deg * 1e6) AS BIGINT)) AS s
          |  FROM ed JOIN dg USING (src) JOIN $prev ON $prev.id = ed.src
          |  GROUP BY ed.dst),
-         |p$i AS (
+         |r$i AS (
          |  SELECT d.doc_id AS id,
-         |    ${1 - Damping} / (SELECT n FROM nn) +
-         |      $Damping * (CAST(coalesce(c$i.s, 0) AS DOUBLE) / 1e12) AS p
+         |    ${1 - Damping} +
+         |      $Damping * (CAST(coalesce(c$i.s, 0) AS DOUBLE) / 1e6) AS r
          |  FROM documents d LEFT JOIN c$i ON c$i.id = d.doc_id)""".stripMargin
     }
     GQuery("q100_dup_pagerank",
@@ -638,10 +638,10 @@ object DedupQueries {
          |       UNION ALL SELECT id_b, id_a FROM pr),
          |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
          |nn AS (SELECT count(*) AS n FROM documents),
-         |p0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS p
-         |       FROM documents),
+         |r0 AS (SELECT doc_id AS id, 1.0 AS r FROM documents),
          |${(1 to Iters).map(iterCtes).mkString(",\n")}
-         |SELECT id AS doc_id, p AS pagerank FROM p$Iters
+         |SELECT id AS doc_id, r / (SELECT n FROM nn) AS pagerank
+         |FROM r$Iters
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val pairs = sharedPairs(s, dir)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

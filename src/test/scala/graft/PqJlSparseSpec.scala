@@ -132,6 +132,19 @@ class PqJlSparseSpec extends SparkSpec {
     assert(meanAbsErr < 0.5, s"mean distortion too large: $meanAbsErr")
   }
 
+  test("jl_project nulls the projection when any element is null (never reads garbage)") {
+    graft.plans.JlProject.register(spark)
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 3.0, 4.0))
+    ).toDF("id", "v")
+    val out = df.select(col("id"), call_function(
+        graft.plans.JlProject.fnName, col("v"), lit(4), lit(4)).as("y"))
+      .select(col("id"), col("y").isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(!out(1L) && out(2L))
+  }
+
   test("jlProject is the sign-matrix linear map (hand-check one coordinate)") {
     val signs = graft.plans.JlProject.signs(16, Dim)
     val v = emb.orderBy(col("vec_id")).select(col("embedding"))
