@@ -239,6 +239,49 @@ object Similarity {
     centroids
   }
 
+  /** Persist a trained IVF centroid matrix as a (cid, cent) parquet
+    * table — the stored "index model" the docstrings promise: train
+    * once, save, and every later session [[ivfLoad]]s instead of
+    * retraining. KB-sized regardless of corpus size. */
+  def ivfSave(spark: org.apache.spark.sql.SparkSession,
+              centroids: Array[(Int, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back an [[ivfSave]]d centroid matrix, bit-identical to the
+    * trained one (doubles round-trip parquet exactly). */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
+              path: String): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("cid"), col("cent"))
+      .as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map { case (cid, c) => (cid, c.toArray) }
+  }
+
+  /** Persist trained PQ codebooks as (sub, cid, cent) parquet; the PQ
+    * sibling of [[ivfSave]]. */
+  def pqSave(spark: org.apache.spark.sql.SparkSession,
+             codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, cid) => (s, cid, cent.toSeq) }
+    }.toSeq.toDF("sub", "cid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back [[pqSave]]d codebooks, bit-identical. */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession,
+             path: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("sub"), col("cid"), col("cent"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3.toArray) }
+  }
+
   /** Assign every corpus vector to its nearest centroid — the inverted
     * list build, (corpus_id, cv, cid). Pure map, no shuffle: at 100 TB
     * this frame is written ONCE as a table partitioned by `cid` and read

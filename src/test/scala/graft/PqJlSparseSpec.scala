@@ -112,6 +112,28 @@ class PqJlSparseSpec extends SparkSpec {
       "exactly one positive per anchor")
   }
 
+  test("IVF and PQ index models round-trip parquet bit-identically; a loaded index probes identically") {
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", Dim, m = 4, ksub = 8, iters = 2)
+    val dir1 = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.ivfSave(spark, cents, dir1)
+    Similarity.pqSave(spark, books, dir2)
+    val cents2 = Similarity.ivfLoad(spark, dir1)
+    val books2 = Similarity.pqLoad(spark, dir2)
+    assert(cents.map { case (c, v) => (c, v.toSeq) }.toSeq ==
+      cents2.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq ==
+      books2.map(_.map(_.toSeq).toSeq).toSeq)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents).cache()
+    val a = resultSet(Similarity.ivfProbe(assigned, cents, queries,
+      "vec_id", "embedding", K, nprobe = 3))
+    val b = resultSet(Similarity.ivfProbe(assigned, cents2, queries,
+      "vec_id", "embedding", K, nprobe = 3))
+    assert(a == b, "a loaded index must probe identically to the trained one")
+    assigned.unpersist()
+  }
+
   // ------------------------------------------------------------------ JL
 
   test("jlProject approximately preserves squared norms (JL distortion)") {
