@@ -133,4 +133,59 @@ class PropertiesSpec extends SparkSpec {
           b.trim.toLowerCase.replaceAll("\\s+", " ")))
     }
   }
+
+  test("sparseCosineNearDups ≡ naive in-memory hashed-count cosine on random corpora") {
+    val docsGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(1L, 1000L), Gen.listOfN(10, word)))
+      .map(_.distinctBy(_._1))
+    def bucket(term: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 4096)
+    }
+    for (docs <- samples(docsGen, 10)) {
+      val df = docs.toDF("id", "ws")
+      val got = graft.operators.Similarity.sparseCosineNearDups(
+          graft.operators.TfIdf.hashedTf(df, 4096), "id", "f", "tf",
+          tau = 0.0, maxDocFreq = 100000)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"), col("cosine"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      // naive reimplementation with the same md5 feature hashing
+      val vecs = docs.map { case (id, ws) =>
+        id -> ws.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+      }.toMap
+      val want = (for {
+        a <- vecs.keys; b <- vecs.keys if a < b
+        dot = vecs(a).keysIterator.filter(vecs(b).contains)
+          .map(f => vecs(a)(f) * vecs(b)(f)).sum
+        if dot > 0
+      } yield {
+        val na = vecs(a).values.map(v => v * v).sum
+        val nb = vecs(b).values.map(v => v * v).sum
+        (a, b) -> math.rint(dot / math.sqrt((na * nb).toDouble) * 1e6) / 1e6
+      }).toMap
+      assert(got == want, s"docs=$docs")
+    }
+  }
+
+  test("pageRank conserves mass up to teleport leakage on random symmetric graphs") {
+    val edgeGen = Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(1L, 10L)))
+      .map(_.filter(e => e._1 != e._2).distinct)
+    for (pairs <- samples(edgeGen, 8) if pairs.nonEmpty) {
+      val vertices = (1L to 10L).toDF("id")
+      val edges = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+      val connected = (pairs ++ pairs.map(_.swap)).map(_._1).toSet
+      val p = graft.operators.GraphOps.pageRank(vertices, edges, iters = 2)
+        .select(col("id").cast("long"), col("p")).as[(Long, Double)].collect().toMap
+      // every vertex holds at least the teleport floor; total mass =
+      // teleport + damped mass of contributing (non-isolated) vertices
+      assert(p.values.forall(_ >= (1 - 0.85) / 10 - 1e-9))
+      val iso = (1L to 10L).filterNot(connected)
+      iso.foreach(v => assert(p(v) == (1 - 0.85) / 10))
+      val total = p.values.sum * 10   // back to rank mass
+      val bound = 10 * (1 - 0.85) + 0.85 * 10
+      assert(total <= bound + 1e-6, s"mass created: $total > $bound")
+    }
+  }
 }
