@@ -281,6 +281,61 @@ object Pipelines {
       }
   }
 
+  /** Trending-term detection, stage 1 (streaming-safe): per event-time
+    * window, each term's in-window count joined against a static
+    * baseline census — the raw material for "what is spiking right
+    * now" (a boilerplate burst, a crawler loop, a new domain).
+    * Tokenize + explode is stateless, the windowed count is a standard
+    * watermark-bounded aggregate, and the baseline joins in as a
+    * static vocabulary-sized broadcast — the stream never shuffles
+    * against anything unbounded. Baseline = a stored
+    * [[graft.operators.TextStats.topNgrams]]-style census (s,
+    * n_occurrences), refreshed offline at 100 TB.
+    *
+    * Lift needs the per-window token TOTAL — a second aggregate over
+    * the same stream, which one streaming query cannot chain — so lift
+    * is [[withTrendLift]], applied per materialized window in
+    * `foreachBatch` (or directly in batch mode, which is how the spec
+    * asserts exact values).
+    *
+    * `minCount` trims the per-window long tail at the source (smaller
+    * state/output); note that raising it above 1 makes stage 2's
+    * win_total — and so the lift denominator — a truncated-tail
+    * approximation. Default 1 = exact. */
+  def trendingTermCounts(df: DataFrame, tsCol: String, delay: String,
+                         textCol: String, baseline: DataFrame,
+                         windowDur: String = "5 minutes",
+                         minCount: Long = 1): DataFrame = {
+    val baseTot = baseline.agg(sum(col("n_occurrences")).as("base_total"))
+    df.withWatermark(tsCol, delay)
+      .select(col(tsCol), explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(window(col(tsCol), windowDur), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .join(broadcast(baseline.select(col("s").as("term"),
+        col("n_occurrences").as("base_n"))), Seq("term"), "left_outer")
+      .crossJoin(broadcast(baseTot))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("term"), col("n"),
+        col("base_n"), col("base_total"))
+  }
+
+  /** Trending-term detection, stage 2 (batch / per-foreachBatch): adds
+    * the per-window token total and the exact lift
+    * (n / win_total) / (base_n / base_total). Terms absent from the
+    * baseline get a null lift — the "brand new term" signal consumers
+    * alert on separately. One window-keyed aggregate + broadcast back. */
+  def withTrendLift(counts: DataFrame): DataFrame = {
+    val totals = counts.groupBy(col("window_start"))
+      .agg(sum(col("n")).as("win_total"))
+    counts.join(broadcast(totals), "window_start")
+      .withColumn("lift",
+        when(col("base_n").isNotNull, round(
+          (col("n") / col("win_total").cast("double")) /
+            (col("base_n") / col("base_total").cast("double")), 4)))
+  }
+
   /** Incremental distinct-count sketching: each micro-batch appends one
     * HLL sketch row per key ([[graft.operators.Sketches.distinctSketch]])
     * to a persistent store; any later report — per key or corpus-wide —

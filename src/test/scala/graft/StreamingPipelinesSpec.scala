@@ -226,4 +226,47 @@ class StreamingPipelinesSpec extends SparkSpec {
   }
 
   private def round4(d: Double): Double = math.rint(d * 10000) / 10000
+
+  test("trending terms: exact lift vs baseline in batch; streaming windowed counts match") {
+    import org.apache.spark.sql.functions._
+    // baseline census: 'common' 80 of 100, 'rare' 20 of 100
+    val baseline = Seq(("common", 80L), ("rare", 20L)).toDF("s", "n_occurrences")
+    // one 5-min window where 'rare' spikes: 6 of 10 tokens vs 2/10 baseline share
+    val batch = Seq(
+      (ts(1), "rare rare rare common"),
+      (ts(2), "rare rare rare common common common")).toDF("ts", "text")
+    val counts = Pipelines.trendingTermCounts(batch, "ts", "10 minutes",
+      "text", baseline)
+    val lifted = Pipelines.withTrendLift(counts)
+      .select(col("term"), col("n"), col("lift"))
+      .as[(String, Long, java.lang.Double)].collect()
+      .map { case (t, n, l) => t -> ((n, Option(l).map(_.toDouble))) }.toMap
+    // rare: share 6/10 vs 20/100 -> lift 3.0; common: 4/10 vs 80/100 -> 0.5
+    assert(lifted("rare") == ((6L, Some(3.0))))
+    assert(lifted("common") == ((4L, Some(0.5))))
+    // a term with no baseline row gets a null lift (the new-term signal)
+    val withNew = Pipelines.withTrendLift(Pipelines.trendingTermCounts(
+      Seq((ts(1), "brandnew common")).toDF("ts", "text"),
+      "ts", "10 minutes", "text", baseline))
+      .select(col("term"), col("lift")).as[(String, java.lang.Double)]
+      .collect().toMap
+    assert(withNew("brandnew") == null)
+    // streaming: the same counts arrive through a MemoryStream query
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Pipelines.trendingTermCounts(in.toDF().toDF("ts", "text"),
+        "ts", "10 minutes", "text", baseline)
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "rare rare rare common"),
+        (ts(2), "rare rare rare common common common"))
+      q.processAllAvailable()
+      in.addData((ts(40), "common"))   // advances the watermark past window 1
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT term, n FROM trend_out")
+        .as[(String, Long)].collect().toMap
+      assert(rows("rare") == 6L && rows("common") == 4L)
+    } finally q.stop()
+  }
 }
