@@ -654,7 +654,75 @@ object DedupQueries {
     }
   }
 
+  /** Capstone curation v4 — the fourth-session stack composed under
+    * ONE end-to-end oracle: canonical-by-quality near-dup dedup (q78
+    * rule) → quality-weighted Bernoulli resample at 1/2 (q102's
+    * integer-exact acceptance test, totals over the SURVIVORS) →
+    * curriculum packing (q106 rule) → per-shard summary. Every stage's
+    * determinism idiom carries through, so the whole composition
+    * hash-matches with fixed-point quality sums. */
+  val q108 = {
+    val MaxTok = 4096L
+    GQuery("q108_curation_v4",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$clusterCtes,
+         |${TextQueries.qualityCte},
+         |r AS (
+         |  SELECT cl.doc_id AS doc_id, q.quality, q.n_tokens,
+         |    row_number() OVER (PARTITION BY cl.cluster_rep
+         |                       ORDER BY q.quality DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN q USING (doc_id)),
+         |win AS (SELECT doc_id, quality, n_tokens FROM r WHERE rn = 1),
+         |w AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    greatest(CAST(round(quality * 1e4) AS BIGINT), 0) AS w4,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u48
+         |  FROM win),
+         |tw AS (SELECT sum(w4) AS sw4, count(*) AS n FROM w),
+         |kept AS (
+         |  SELECT doc_id, quality, n_tokens FROM w, tw
+         |  WHERE (CAST(u48 AS HUGEINT) * CAST(sw4 AS HUGEINT) * 2) <
+         |        (CAST(w4 AS HUGEINT) * CAST(n AS HUGEINT) * 1 *
+         |         CAST(281474976710656 AS HUGEINT))),
+         |packed AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    CAST(floor((sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens) / $MaxTok) AS BIGINT)
+         |      AS shard_id
+         |  FROM kept)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CAST(round(quality * 1e4) AS BIGINT)) AS BIGINT) AS q4_sum,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / $MaxTok, 4) AS fill_ratio
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val winners = Dedup.canonicalPerCluster(
+          sharedClusters(s, dir).select(col("doc_id"), col("cluster_rep")),
+          docs.select(col("doc_id"), col("quality")),
+          "doc_id", "cluster_rep", "quality")
+        .where(col("keep")).select(col("doc_id"))
+        .join(docs, "doc_id")
+      val kept = graft.operators.Sampling.weightedBernoulliSample(
+          winners, "doc_id", "quality", fracNum = 1, fracDen = 2)
+        .where(col("kept")).select(col("doc_id"))
+        .join(winners, "doc_id")
+      graft.operators.Packing.packByOrder(
+          kept, "doc_id", "n_tokens", "quality", MaxTok)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(round(col("quality") * 1e4).cast("long")).as("q4_sum"))
+        .withColumn("fill_ratio",
+          round(col("sum_tokens").cast("double") / MaxTok, 4))
+        .orderBy(col("shard_id"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96, q100)
+      q88, q91, q94, q96, q100, q108)
 }
