@@ -41,16 +41,30 @@ object GraphOps {
     * chain lazily; for many iterations at 100 TB, checkpoint the rank
     * table every few rounds exactly like the CC loop
     * ([[Dedup.dupClusters]]) does.
+    *
+    * Cache lifecycle: the out-degree frame is persisted (it is joined
+    * once per iteration) and the returned plan references it lazily, so
+    * this function cannot unpersist it. This does NOT leak one copy per
+    * call — Spark's CacheManager dedupes by canonicalized plan, so
+    * repeated calls over the same `edges` frame share ONE cache entry.
+    * A session thus holds at most one deg-sized entry per distinct edge
+    * list; callers that need zero cache residue (or manage their own
+    * caching of a reused deg) can pass `persistDeg = false`, at the
+    * cost of recomputing the degree groupBy `iters` times.
     */
   def pageRank(vertices: DataFrame, edges: DataFrame,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               persistDeg: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val v = vertices.select(col("id"))
     val e = edges.select(col("src"), col("dst"))
     val n = v.select(count(lit(1)).as("n"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg =
+      if (persistDeg)
+        deg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else deg0
     var r = v.select(col("id"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
       val contrib = e.join(deg, "src")

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   * Scale: features come from the engine's own signal queries (keyed
   * aggregates, see q85); LBFGS training is Spark-distributed
   * (gradient = one map-reduce pass per iteration over the feature
-  * frame); scoring is a pure map. Deterministic: zero-init LBFGS on
-  * deterministic features — no RNG anywhere.
+  * frame); scoring is a pure map. Determinism: zero-init LBFGS on
+  * deterministic features — no RNG anywhere — so training is
+  * reproducible for a FIXED partitioning/config (the spec asserts
+  * same-session run-to-run equality). It is NOT bit-identical across
+  * cluster layouts: LBFGS sums per-partition double gradients, and
+  * float addition order follows the partitioning. Hence q89 is
+  * registered rows-only with an AUC floor rather than hash-matched.
   */
 object QualityClassifier {
 

@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The shared tokenized projection `(id, ws)` — one corpus scan +
     * tokenize that every operator in this family (and
     * [[Dedup.shingleSets]]) derives from. No length filter here: each
@@ -267,7 +269,13 @@ object TextStats {
     // any positive denominator keeps the (never-evaluated) log total
     val denom = (if (totals.isNullAt(0)) 1L
                  else totals.getLong(0) + totals.getLong(1)).toDouble
-    val lm = census.orderBy(col("c").desc, col("tok")).limit(maxVocab)
+    val vocabV = if (totals.isNullAt(0)) 0L else totals.getLong(1)
+    // skip the top-N merge when the totals action proves the census fits
+    // the cap; driver memory for the broadcast LM ≈ maxVocab × (key +
+    // 48 B) — see [[bigramLogProbFromTokens]] for the sizing formula
+    val lm =
+      if (vocabV <= maxVocab) census
+      else census.orderBy(col("c").desc, col("tok")).limit(maxVocab)
     // per-token log-prob quantized to a 1e-4 fixed-point LONG before the
     // per-doc sum: integer sums are order-independent, so the rounded
     // mean is bit-identical across engines/partitionings (a double
@@ -356,7 +364,23 @@ object TextStats {
     * bigram stream, corpus shuffles only for the per-doc aggregate.
     * Per-position log-probs quantize to the 1e-4 fixed-point grid
     * before the sum (order-independent, libm-ulp-proof — see
-    * [[unigramLogProbFromTokens]]). */
+    * [[unigramLogProbFromTokens]]).
+    *
+    * Driver memory: each broadcast LM is built on the driver, so it
+    * costs ≈ maxVocab × (avg key bytes + 8 B count + ~40 B row
+    * overhead) of driver heap — ~60 MB per million entries at typical
+    * word/bigram lengths, ×2 tables (unigram + bigram). Size maxVocab
+    * to the driver, not the corpus: the default 2^20 is ~120 MB total.
+    * Truncation is part of the operator's CONTRACT, not an engine
+    * artifact — the census keeps the top-maxVocab entries by
+    * (count DESC, key ASC), truncated bigrams fall to the cb = 0
+    * smoothing floor (the unk semantics one order up), and the q90
+    * oracle replays the same deterministic truncation, so results
+    * hash-match at any census size. A warning is logged when a census
+    * actually hits the cap, because the LM's quality semantics coarsen
+    * there. The top-N merge is SKIPPED (plain broadcast of the full
+    * census) when the totals action proves the census fits the cap —
+    * the common case everywhere below web scale. */
   def bigramLogProbFromTokens(toks0: DataFrame, lambda: Double = 0.7,
                               maxVocab: Int = 1 << 20): DataFrame = {
     require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
@@ -368,7 +392,12 @@ object TextStats {
     val denomU = (if (totals.isNullAt(0)) 1L
                   else totals.getLong(0) + totals.getLong(1)).toDouble
     val vocabV = (if (totals.isNullAt(0)) 1L else totals.getLong(1)).toDouble
-    val uni = uniCensus.orderBy(col("cu").desc, col("tok")).limit(maxVocab)
+    if (vocabV > maxVocab) logger.warn(
+      s"bigram LM: unigram census ${vocabV.toLong} > maxVocab $maxVocab — " +
+        "truncating to the top entries; tail tokens score at the unk floor")
+    val uni =
+      if (vocabV <= maxVocab) uniCensus
+      else uniCensus.orderBy(col("cu").desc, col("tok")).limit(maxVocab)
     val bigrams = toks0
       .where(size(col("ws")) >= 2)
       .select(col("id"), explode(
@@ -376,8 +405,18 @@ object TextStats {
           col("ws"), lit(2), lit(1))).as("g"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
-    val biCensus = bigrams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
-      .orderBy(col("cb").desc, col("g")).limit(maxVocab)
+    val biCensusFull = bigrams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    // distinct bigrams ≤ (distinct unigrams)², so a small unigram vocab
+    // PROVES the bigram census fits and the top-N merge can be skipped
+    // without a second counting action
+    val biCensus =
+      if (vocabV * vocabV <= maxVocab) biCensusFull
+      else {
+        logger.warn(s"bigram LM: bigram census may exceed maxVocab $maxVocab " +
+          "(unigram vocab " + vocabV.toLong + ") — keeping the top entries " +
+          "by (count DESC, bigram ASC); truncated bigrams take the cb = 0 floor")
+        biCensusFull.orderBy(col("cb").desc, col("g")).limit(maxVocab)
+      }
     // p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); p(w2) = (c(w2) + 1) / (N + V)
     bigrams
       .join(broadcast(biCensus), Seq("g"), "left_outer")

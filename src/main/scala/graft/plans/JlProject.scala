@@ -44,12 +44,14 @@ case class JlProjectExpr(child: Expression, dimIn: Int, dimOut: Int)
     case _ => false
   }
 
-  // a null ELEMENT nulls the whole projection (reading the slot as a
-  // primitive would silently treat it as garbage/0 — the null-element
-  // class meanPool handles by skipping; a projection can't skip, so it
-  // propagates)
+  // a null ELEMENT — or an array shorter than dimIn — nulls the whole
+  // projection (reading past numElements or a null slot as a primitive
+  // would silently yield garbage: UnsafeArrayData does no bounds
+  // checks — the null-element class meanPool handles by skipping; a
+  // projection can't skip, so it propagates)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < dimIn) return null
     var i = 0
     while (i < dimIn) {
       if (arr.isNullAt(i)) return null
@@ -82,9 +84,9 @@ case class JlProjectExpr(child: Expression, dimIn: Int, dimOut: Int)
         ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("anyNull"))
       val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $dimIn; $i++) {
-         |  if ($a.isNullAt($i)) { $anyNull = true; break; }
+         |boolean $anyNull = $a.numElements() < $dimIn;
+         |for (int $i = 0; !$anyNull && $i < $dimIn; $i++) {
+         |  if ($a.isNullAt($i)) { $anyNull = true; }
          |}
          |if ($anyNull) {
          |  ${ev.isNull} = true;

@@ -302,18 +302,23 @@ object TextQueries {
 
   /** Unigram-LM quality scoring (see
     * [[graft.operators.TextStats.unigramLogProb]]): add-one-smoothed
-    * corpus unigram probabilities, per-doc mean log-prob. The fixture
-    * vocabulary fits maxVocab, so the broadcast-LM path equals the
-    * oracle's full join exactly. */
+    * corpus unigram probabilities, per-doc mean log-prob. The oracle
+    * replays the operator's contractual top-maxVocab LM truncation
+    * (count DESC, token ASC) via `cen_lm` — out-of-LM tokens take the
+    * c = 0 unk floor — so the hash matches at any vocabulary size (at
+    * fixture vocab the LIMIT is a no-op; totals stay over the full
+    * census). */
   val q73 = GQuery("q73_unigram_logprob",
     s"""WITH $tokCte,
        |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tok),
        |cen AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |cen_lm AS (SELECT tok, c FROM cen
+       |           ORDER BY c DESC, tok LIMIT ${1 << 20}),
        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cen)
        |SELECT doc_id, count(*) AS n_tokens,
-       |  round(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + v)) * 10000)
-       |    AS BIGINT)) / (count(*) * 10000.0), 4) AS avg_logprob
-       |FROM tk JOIN cen USING (tok) CROSS JOIN tot
+       |  round(sum(CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n + v))
+       |    * 10000) AS BIGINT)) / (count(*) * 10000.0), 4) AS avg_logprob
+       |FROM tk LEFT JOIN cen_lm USING (tok) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     graft.operators.TextStats.unigramLogProbFromTokens(sharedToks(s, dir))
       .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
@@ -565,20 +570,28 @@ object TextQueries {
   /** Interpolated bigram-LM scoring (see
     * [[graft.operators.TextStats.bigramLogProbFromTokens]]): λ = 0.7
     * conditional + 0.3 unigram backoff, add-one smoothed, trained on
-    * the corpus censuses. Fixture vocab/bigram counts fit maxVocab, so
-    * the broadcast-LM path equals the oracle's full join exactly; the
+    * the corpus censuses. The oracle replays the operator's
+    * CONTRACTUAL top-maxVocab census truncation (count DESC, key ASC —
+    * deterministic) via `cenu_lm`/`cenb_lm`, so the hash matches at ANY
+    * census size, not just when the fixture fits the cap (at fixture
+    * vocab the LIMIT is a no-op). Totals n/v stay over the FULL
+    * unigram census, exactly as the operator computes them. The
     * 1.0 − λ arithmetic happens IN both engines so the IEEE double
     * matches. */
   val q90 = GQuery("q90_bigram_logprob",
     s"""WITH $tokCte,
        |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tok),
        |cenu AS (SELECT tok, count(*) AS cu FROM tk GROUP BY tok),
+       |cenu_lm AS (SELECT tok, cu FROM cenu
+       |            ORDER BY cu DESC, tok LIMIT ${1 << 20}),
        |tot AS (SELECT sum(cu) AS n, count(*) AS v FROM cenu),
        |big AS (
        |  SELECT doc_id,
        |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
        |  FROM tok WHERE len(ws) >= 2),
        |cenb AS (SELECT g, count(*) AS cb FROM big GROUP BY g),
+       |cenb_lm AS (SELECT g, cb FROM cenb
+       |            ORDER BY cb DESC, g LIMIT ${1 << 20}),
        |sc AS (
        |  SELECT doc_id,
        |    CAST(round(ln(
@@ -588,9 +601,9 @@ object TextQueries {
        |      AS BIGINT) AS lq
        |  FROM (SELECT doc_id, g, split_part(g, ' ', 1) AS w1,
        |          split_part(g, ' ', 2) AS w2 FROM big) b
-       |  LEFT JOIN cenb cb USING (g)
-       |  LEFT JOIN cenu u1 ON u1.tok = b.w1
-       |  LEFT JOIN cenu u2 ON u2.tok = b.w2
+       |  LEFT JOIN cenb_lm cb USING (g)
+       |  LEFT JOIN cenu_lm u1 ON u1.tok = b.w1
+       |  LEFT JOIN cenu_lm u2 ON u2.tok = b.w2
        |  CROSS JOIN tot)
        |SELECT doc_id, count(*) AS n_bigrams,
        |  round(sum(lq) / (count(*) * 10000.0), 4) AS avg_logprob2

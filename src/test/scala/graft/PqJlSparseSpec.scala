@@ -167,6 +167,19 @@ class PqJlSparseSpec extends SparkSpec {
     assert(!out(1L) && out(2L))
   }
 
+  test("jl_project nulls the projection when the vector is shorter than dimIn") {
+    graft.plans.JlProject.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq(1.0, 2.0))                 // short: would read past the end
+    ).toDF("id", "v")
+    val out = df.select(col("id"), call_function(
+        graft.plans.JlProject.fnName, col("v"), lit(4), lit(4)).as("y"))
+      .select(col("id"), col("y").isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(!out(1L) && out(2L))
+  }
+
   test("jlProject is the sign-matrix linear map (hand-check one coordinate)") {
     val signs = graft.plans.JlProject.signs(16, Dim)
     val v = emb.orderBy(col("vec_id")).select(col("embedding"))
