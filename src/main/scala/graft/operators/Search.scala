@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * positional intersection and BM25 ranked retrieval.
   *
   * The index split mirrors the ANN family's train/assign/probe: build
-  * [[positionalPostings]] once (write-time artifact, partitioned by
-  * term at 100 TB), then every query touches only its own terms'
-  * posting lists — never the corpus.
+  * [[positionalPostings]] once — [[writePostings]] materializes it on
+  * disk, parquet-partitioned by md5 term bucket — then every query
+  * ([[phraseFromPostings]], [[bm25FromPostings]]) partition-prunes to
+  * its own terms' posting lists and never touches the corpus.
   */
 object Search {
 
@@ -61,10 +62,12 @@ object Search {
 
   /** BM25 ranked retrieval (Robertson–Spärck Jones):
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen)).
-    * Only the query terms' postings are touched (an `isin` filter
-    * before any aggregate — at scale, partition pruning on the stored
-    * index); df/N/avgLen are 1-row or vocabulary-sized broadcasts, and
-    * the corpus never shuffles.
+    * Only the query terms' postings are aggregated (an `isin` filter
+    * before any aggregate — on the stored index ([[bm25FromPostings]]),
+    * bucket-partition pruning); df/N/avgLen are 1-row or
+    * vocabulary-sized broadcasts. The corpus-row-count doc-length side
+    * is probed, never shuffled: the matching-docs tf frame is the
+    * explicitly-hinted broadcast side of that join (see [[bm25Score]]).
     *
     * Engine-exact: each (doc, term) score part is quantized to a 1e-4
     * fixed-point LONG before the per-doc sum (the unigramLogProb
@@ -79,9 +82,23 @@ object Search {
     val tf = toks.select(col("id"), explode(col("ws")).as("term"))
       .where(col("term").isin(query: _*))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
-    tf.join(broadcast(dft), "term")
+    bm25Score(tf, lens, tot, k1, b)
+  }
+
+  /** Shared BM25 scoring tail: `tf` = (id, term, tf) over matching docs
+    * only, `lens` = (id, len) for EVERY doc, `tot` = 1 row (n, sl).
+    * The tf side is matching-docs-sized (bounded by the query's
+    * posting lists), so it is the EXPLICIT broadcast side of the join
+    * against the corpus-row-count `lens` — without the hint, a stats
+    * mis-estimate could flip this into a corpus-wide shuffle. (A
+    * stop-word query would inflate tf toward corpus size; BM25 over
+    * pure stop-words is degenerate — idf ≈ 0 — so that shape is a
+    * caller bug, not a plan this optimizes for.) */
+  private def bm25Score(tf: DataFrame, lens: DataFrame, tot: DataFrame,
+                        k1: Double, b: Double): DataFrame = {
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    broadcast(tf.join(broadcast(dft), "term"))
       .join(lens, "id")
       .crossJoin(broadcast(tot))
       .withColumn("avglen", col("sl").cast("double") / col("n"))
@@ -93,5 +110,91 @@ object Search {
           * lit(1e4)).cast("long"))
       .groupBy(col("id"))
       .agg((sum(col("part4")) / lit(1e4)).as("score"))
+  }
+
+  // ------------------------------------------------ stored index
+
+  /** Scala-side term bucket — the SAME 16-md5-bit value as the `tb`
+    * column [[writePostings]] writes (the [[TfIdf.hashedTfFromTerms]]
+    * convention), so a reader derives a query's partition set without
+    * touching the index. */
+  def termBucket(term: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % buckets
+  }
+
+  /** Write the positional index as the on-disk artifact the scaladocs
+    * promise — the search-family sibling of [[Similarity.ivfSave]]:
+    *
+    *   - `path/postings` — (id, pos, term), parquet PARTITIONED BY the
+    *     md5 term bucket `tb`, so a query reads only its own terms'
+    *     buckets (directory-level partition pruning; `buckets` bounds
+    *     directory count where raw `partitionBy(term)` would create one
+    *     directory per vocabulary word).
+    *   - `path/doclens` — (id, len) for every doc (BM25 normalization).
+    *   - `path/stats` — 1 row (n, sl, buckets): corpus totals captured
+    *     at build time plus the bucket count readers must reuse.
+    *
+    * Build cost is one corpus explode + shuffle-free write; each query
+    * thereafter is posting-list-sized, never corpus-sized. */
+  def writePostings(toks: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (16 md5 bits), got $buckets")
+    val lens = toks.select(col("id"), size(col("ws")).cast("long").as("len"))
+    positionalPostings(toks)
+      .withColumn("tb",
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") % buckets))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    lens.write.mode("overwrite").parquet(s"$path/doclens")
+    lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** The stored-index stats row: (n docs, sum of lengths, buckets). */
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String): (Long, Long, Int) = {
+    val r = spark.read.parquet(s"$path/stats")
+      .select(col("n"), col("sl"), col("buckets")).head()
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  /** The query terms' posting lists from a [[writePostings]] index:
+    * the `tb.isin(...)` predicate is a PARTITION filter (computed
+    * driver-side via [[termBucket]]), so the scan touches only the
+    * terms' bucket directories; the residual `term.isin` prunes within
+    * a shared bucket. */
+  def postingsFor(spark: org.apache.spark.sql.SparkSession, path: String,
+                  terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val (_, _, buckets) = readStats(spark, path)
+    val tbs = terms.map(termBucket(_, buckets)).distinct
+    spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .select(col("id"), col("pos"), col("term"))
+  }
+
+  /** [[phraseOccurrences]] over a stored index — reads only the phrase
+    * words' bucket partitions. Result ≡ the in-memory path. */
+  def phraseFromPostings(spark: org.apache.spark.sql.SparkSession,
+                         path: String, phrase: Seq[String]): DataFrame =
+    phraseOccurrences(postingsFor(spark, path, phrase.distinct), phrase)
+
+  /** [[bm25]] over a stored index: tf re-aggregates the pruned posting
+    * lists, doc lengths come from `path/doclens`, totals from the
+    * build-time stats row — so scores are IDENTICAL to the in-memory
+    * path while the query never rescans (or shuffles) the corpus. */
+  def bm25FromPostings(spark: org.apache.spark.sql.SparkSession,
+                       path: String, query: Seq[String],
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val tf = postingsFor(spark, path, query.distinct)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val lens = spark.read.parquet(s"$path/doclens")
+      .select(col("id"), col("len"))
+    val tot = spark.read.parquet(s"$path/stats")
+      .select(col("n"), col("sl"))
+    bm25Score(tf, lens, tot, k1, b)
   }
 }

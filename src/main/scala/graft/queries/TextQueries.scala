@@ -727,6 +727,44 @@ object TextQueries {
     }
   }
 
+  /** One stored postings index per (session, corpus): written to a temp
+    * dir on first use ([[graft.operators.Search.writePostings]]) — the
+    * build-once artifact the stored-path queries read, exactly like the
+    * memoized IVF/PQ model tables. */
+  private val postingsCache = new SessionCache[String]
+  private def storedIndex(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    postingsCache.get(s, dir) {
+      val path = java.nio.file.Files.createTempDirectory("graft-postings-")
+        .toString
+      graft.operators.Search.writePostings(sharedToks(s, dir), path,
+        buckets = 64)
+      path
+    }
+
+  /** [[q104]]'s phrase search through the STORED index
+    * ([[graft.operators.Search.phraseFromPostings]]): same oracle, same
+    * hash — proving the on-disk artifact answers identically while the
+    * scan partition-prunes to the phrase words' term buckets
+    * (`SearchSpec` asserts the pruned plan). */
+  val q104b = {
+    val Phrase = Seq("big", "order", "scan")
+    GQuery("q104b_phrase_stored",
+      s"""WITH $tokCte,
+         |tri AS (
+         |  SELECT doc_id,
+         |    unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+         |            for i in range(1, len(ws) - 1)]) AS g
+         |  FROM tok WHERE len(ws) >= 3)
+         |SELECT doc_id, count(*) AS n_occurrences
+         |FROM tri WHERE g = '${Phrase.mkString(" ")}'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Search.phraseFromPostings(s, storedIndex(s, dir), Phrase)
+        .select(col("id").as("doc_id"), col("n_occurrences"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** BM25 ranked retrieval (see [[graft.operators.Search.bm25]]):
     * top-20 docs for a 3-term query. Scores are 1e-4 fixed-point sums
     * (ln-ulp-absorbing, order-free), so the oracle — same formula with
@@ -758,6 +796,43 @@ object TextQueries {
          |FROM parts GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin) { (s, dir) =>
       graft.operators.Search.bm25(sharedToks(s, dir), Terms, k1 = K1, b = B)
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(K)
+    }
+  }
+
+  /** [[q105]]'s BM25 through the STORED index
+    * ([[graft.operators.Search.bm25FromPostings]]): tf re-aggregated
+    * from pruned posting lists, lengths/totals from the build-time
+    * doclens/stats tables — same oracle, same hash, corpus untouched
+    * at query time. */
+  val q105b = {
+    val Terms = Seq("dup", "sort", "batch")
+    val K1 = 1.2
+    val B = 0.75
+    val K = 20
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    GQuery("q105b_bm25_stored",
+      s"""WITH $tokCte,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM tok),
+         |tf AS (
+         |  SELECT doc_id, t.tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+         |  WHERE t.tok IN ($termList) GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |tot AS (SELECT count(*) AS n, sum(len) AS sl FROM lens),
+         |parts AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(((ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |        * (tf * ${K1 + 1}))
+         |      / (tf + $K1 * (${1 - B} + $B * len / (CAST(sl AS DOUBLE) / n))))
+         |      * 1e4) AS BIGINT) AS part4
+         |  FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), tot)
+         |SELECT doc_id, sum(part4) / 1e4 AS score
+         |FROM parts GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin) { (s, dir) =>
+      graft.operators.Search.bm25FromPostings(s, storedIndex(s, dir), Terms,
+          k1 = K1, b = B)
         .select(col("id").as("doc_id"), col("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(K)
     }
@@ -860,5 +935,6 @@ object TextQueries {
 
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
-      q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q105, q107)
+      q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
+      q105b, q107)
 }

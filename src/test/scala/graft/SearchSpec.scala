@@ -83,6 +83,60 @@ class SearchSpec extends SparkSpec {
     assert(fused.keySet == Set(10L, 20L, 30L, 40L))
   }
 
+  private lazy val indexPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-searchspec-").toString
+    Search.writePostings(toks, p, buckets = 64)
+    p
+  }
+
+  test("stored index: phrase + BM25 answer IDENTICALLY to the in-memory path") {
+    val phrase = Seq("big", "order", "scan")
+    val viaMem = Search.phraseOccurrences(Search.positionalPostings(toks), phrase)
+      .select(col("id").cast("long"), col("n_occurrences"))
+      .as[(Long, Long)].collect().toMap
+    val viaDisk = Search.phraseFromPostings(spark, indexPath, phrase)
+      .select(col("id").cast("long"), col("n_occurrences"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDisk == viaMem && viaDisk.nonEmpty)
+    val terms = Seq("dup", "sort", "batch")
+    val bmMem = Search.bm25(toks, terms)
+      .select(col("id").cast("long"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    val bmDisk = Search.bm25FromPostings(spark, indexPath, terms)
+      .select(col("id").cast("long"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    // bit-exact: scores are 1e-4 fixed-point integer sums in both paths
+    assert(bmDisk == bmMem && bmDisk.nonEmpty)
+  }
+
+  test("stored index: the postings scan partition-prunes on the term bucket") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = Search.bm25FromPostings(spark, indexPath, Seq("dup", "sort", "batch"))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.output.exists(_.name == "term") => f
+    }
+    assert(scans.nonEmpty, "postings file scan must appear in the plan")
+    assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "tb"))),
+      s"every postings scan must carry a tb partition filter:\n${df.queryExecution}")
+    // and the query's 3 terms can touch at most 3 of the 64 bucket dirs
+    val picked = scans.head.selectedPartitions.partitionCount
+    assert(picked <= 3, s"expected ≤3 pruned partitions, scanned $picked")
+  }
+
+  test("stored index: no corpus-sized shuffle in the BM25 plan (tf side broadcast)") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    for (df <- Seq(
+        Search.bm25(toks, Seq("dup", "sort", "batch")),
+        Search.bm25FromPostings(spark, indexPath, Seq("dup", "sort", "batch")))) {
+      val smj = df.queryExecution.sparkPlan.collect {
+        case j: SortMergeJoinExec => j }
+      assert(smj.isEmpty,
+        s"BM25 must broadcast the matching-docs side, never sort-merge " +
+          s"the doc-length table:\n${df.queryExecution.sparkPlan}")
+    }
+  }
+
   test("BM25 touches only matching docs and is deterministic") {
     val a = Search.bm25(toks, Seq("dup", "sort"))
     val b = Search.bm25(toks, Seq("dup", "sort"))
