@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * bounded batch sizes; everything before/after decode is ordinary
   * columnar Spark (prunable, predicate-pushable).
   *
-  * The decode kernels themselves are STUBBED deterministically — the
-  * image/audio libraries are not in this container — but the Spark-side
-  * plumbing (schemas, partitioning, batch shape, per-partition iteration)
-  * is real and tested; swap [[FakeCodec]] for a real codec binding to go
-  * to production.
+  * Two codecs back the per-partition decode path: [[ImageIoCodec]] is a
+  * REAL image probe (JDK `javax.imageio` — PNG/JPEG/GIF/BMP headers →
+  * true format/width/height, no new dependencies), and [[FakeCodec]] is
+  * the deterministic stand-in used where the payload is not an image
+  * (the fixture corpus is text) or where the media library for a format
+  * (video/audio) is not installed. Audio/video kernels would bind the
+  * same [[Codec]] seam.
   */
 object Multimodal {
 
@@ -28,11 +30,20 @@ object Multimodal {
     .add("n_bytes", LongType)
     .add("checksum", StringType)
 
-  /** Deterministic stand-in for a real decoder: derives pseudo
+  /** The decode-kernel seam: one blob in, one [[metaSchema]]-shaped
+    * tuple out. Implementations MUST be deterministic, cheap on the
+    * happy path (header probe, not full pixel decode, where the format
+    * allows), and total (bad bytes → a typed "corrupt" row, never a
+    * task-killing throw — at 100 TB some blobs WILL be truncated). */
+  trait Codec extends Serializable {
+    def probe(bytes: Array[Byte], formatHint: String): (String, Int, Int, Long, String)
+  }
+
+  /** Deterministic stand-in for a non-image decoder: derives pseudo
     * width/height from the content hash, real byte length + md5 checksum
-    * from the bytes. Replace with a JNI/ffmpeg/ImageIO binding in
-    * production — signature stays identical. */
-  object FakeCodec {
+    * from the bytes. The fixture path for payloads that are not real
+    * media (and the template for binding ffmpeg-style codecs). */
+  object FakeCodec extends Codec {
     def probe(bytes: Array[Byte], format: String): (String, Int, Int, Long, String) = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val digest = md.digest(bytes).map("%02x".format(_)).mkString
@@ -41,6 +52,61 @@ object Multimodal {
       val h = 64 + (Integer.parseInt(digest.substring(2, 4), 16) % 16) * 64
       (format, w, h, bytes.length.toLong, digest)
     }
+  }
+
+  /** REAL image metadata decode via the JDK's `javax.imageio` (PNG,
+    * JPEG, GIF, BMP — public knowledge, zero added dependencies): true
+    * format name from the matched reader, true width/height from the
+    * image HEADER (`ImageReader.getWidth/getHeight` read dimensions
+    * without decoding pixel data — O(header), not O(pixels), exactly
+    * what a 100 TB metadata pass wants). Unreadable/truncated bytes
+    * degrade to format = "corrupt" with −1 dimensions — a typed row,
+    * never a throw. */
+  object ImageIoCodec extends Codec {
+    def probe(bytes: Array[Byte], formatHint: String): (String, Int, Int, Long, String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(bytes).map("%02x".format(_)).mkString
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext)
+          ("corrupt", -1, -1, bytes.length.toLong, digest)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            (r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              r.getWidth(0), r.getHeight(0), bytes.length.toLong, digest)
+          } catch {
+            case _: java.io.IOException =>
+              ("corrupt", -1, -1, bytes.length.toLong, digest)
+          } finally r.dispose()
+        }
+      } finally if (in != null) in.close()
+    }
+  }
+
+  /** Deterministic in-memory PNG generator (`BufferedImage` →
+    * `ImageIO.write`): REAL image bytes for specs and fixture queries —
+    * pixel values derive from `seed` so the same call yields the same
+    * image anywhere. Test/fixture generator, not a production operator. */
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dimensions ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((seed + x * 31L + y * 131L) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Attach decoded metadata to a frame with a binary `blob` column.
@@ -58,12 +124,14 @@ object Multimodal {
       checksum.as("checksum")))
   }
 
-  /** Per-partition decode pipeline — the shape a REAL codec needs
-    * (iterate a partition, decode each blob, emit rows). Demonstrated
-    * with [[FakeCodec]]; bounded memory per task regardless of partition
-    * size because the iterator is streamed. */
+  /** Per-partition decode pipeline: iterate a partition, run the
+    * [[Codec]] kernel on each blob, emit [[metaSchema]]-shaped rows.
+    * Bounded memory per task regardless of partition size because the
+    * iterator is streamed — one blob is in flight at a time. Pass
+    * [[ImageIoCodec]] for real image payloads; the default [[FakeCodec]]
+    * keeps non-media fixtures deterministic. */
   def decodePartitions(df: DataFrame, blobCol: String, idCol: String,
-                       format: String): DataFrame = {
+                       format: String, codec: Codec = FakeCodec): DataFrame = {
     val spark = df.sparkSession
     val outSchema = new StructType()
       .add("id", LongType).add("format", StringType)
@@ -74,7 +142,7 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](blobIdx)
-        val (f, w, h, n, ck) = FakeCodec.probe(bytes, format)
+        val (f, w, h, n, ck) = codec.probe(bytes, format)
         Row(r.getLong(idIdx), f, w, h, n, ck)
       }
     }

@@ -4,10 +4,12 @@ import graft.Tables
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing demonstrated on real driver data: document
-  * text re-encoded as binary blobs (the container has no media libs —
-  * the decode step is the deterministic FakeCodec; the schema/partition/
-  * batch plumbing is the real thing).
+/** Multimodal-column queries on real driver data. q34/q35 run the
+  * deterministic FakeCodec over text-as-blob payloads (schema/partition/
+  * batch plumbing under a fixture codec); q34b generates REAL PNG bytes
+  * and decodes them with the JDK `javax.imageio` kernel
+  * ([[Multimodal.ImageIoCodec]]) — the decode step itself is real, not
+  * stubbed.
   */
 object MultimodalQueries {
 
@@ -51,5 +53,33 @@ object MultimodalQueries {
       .orderBy(col("id"), col("frame_idx"))
   }
 
-  val all: Seq[GQuery] = Seq(q34, q35)
+  /** REAL image decode end-to-end: deterministic PNG bytes are
+    * generated per-partition (`BufferedImage` → `ImageIO.write`, pixel
+    * values seeded by doc_id), then [[Multimodal.ImageIoCodec]] probes
+    * them back — true format and header width/height, no pixel decode.
+    * The oracle recomputes the sidecar dimension formula from doc_id:
+    * the row hash-matches only if PNG encode AND ImageIO header probe
+    * both work, making this the driver-green proof that the decode
+    * kernel is real (n_bytes/checksum are PNG-encoder-specific, so the
+    * projected columns are the decoded invariants). */
+  val q34b = GQuery("q34b_image_decode",
+    """SELECT doc_id, 'png' AS format,
+      |  CAST(8 + doc_id % 24 AS INT) AS width,
+      |  CAST(8 + (doc_id * 7) % 24 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodePng(
+          (8 + id % 24).toInt, (8 + (id * 7) % 24).toInt, seed = id))
+      })
+      .toDF("doc_id", "blob")
+    Multimodal.decodePartitions(blobs, "blob", "doc_id", "png",
+        Multimodal.ImageIoCodec)
+      .select(col("id").as("doc_id"), col("format"),
+        col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q34, q34b, q35)
 }

@@ -45,6 +45,40 @@ class TextMultimodalSpec extends SparkSpec {
     assert(viaSql === viaPartitions)
   }
 
+  test("ImageIoCodec decodes REAL PNG and JPEG bytes per-partition (true header dims)") {
+    // real image bytes generated in-test: BufferedImage → PNG/JPEG
+    def jpegBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val blobs = Seq(
+      (1L, Multimodal.encodePng(17, 9, seed = 1L)),
+      (2L, Multimodal.encodePng(300, 200, seed = 2L)),
+      (3L, jpegBytes(64, 48)),
+      (4L, "not an image at all".getBytes("UTF-8"))
+    ).toDF("id", "blob").repartition(3)   // spread across partitions
+    val got = Multimodal.decodePartitions(blobs, "blob", "id", "img",
+        Multimodal.ImageIoCodec)
+      .select(col("id"), col("format"), col("width"), col("height"))
+      .as[(Long, String, Int, Int)].collect()
+      .map { case (id, f, w, h) => id -> ((f, w, h)) }.toMap
+    assert(got(1L) === ("png", 17, 9))
+    assert(got(2L) === ("png", 300, 200))
+    assert(got(3L) === ("jpeg", 64, 48))
+    // bad bytes degrade to a typed corrupt row, never a task throw
+    assert(got(4L) === ("corrupt", -1, -1))
+    // truncated real image: header gone → corrupt, no exception
+    val trunc = Seq((5L, Multimodal.encodePng(40, 40, 5L).take(6)))
+      .toDF("id", "blob")
+    val t = Multimodal.decodePartitions(trunc, "blob", "id", "img",
+        Multimodal.ImageIoCodec)
+      .select(col("format")).as[String].head()
+    assert(t === "corrupt")
+  }
+
   test("frame sampling emits stride-spaced indices bounded by pseudo frame count") {
     val blobs = Seq((1L, "x" * 10)).toDF("id", "text")
       .select(col("id"), encode(col("text"), "utf-8").as("blob"))
