@@ -69,10 +69,22 @@ object Bpe {
     * per-merge Spark job would pay plan compilation per iteration for
     * a frame that fits in one task. `maxVocab` truncates to the most
     * frequent words (min-frequency truncation, standard in BPE
-    * training). */
+    * training — ties broken (count DESC, word ASC) so the census is
+    * deterministic and an oracle can replay it).
+    *
+    * Driver-memory formula — size `maxVocab` to the DRIVER, not the
+    * corpus: each census word costs ≈ one boxed-String symbol per
+    * character (+`</w>`) in a growable buffer (~50–60 B/symbol on a
+    * 64-bit JVM) plus ~2 pair-map entries (~150 B each with boxed-tuple
+    * keys), so a ~10-char-average vocabulary runs ≈ 1 KB per word:
+    * the default 2^20 ≈ 1 GB of driver heap — comfortable under the
+    * usual multi-GB driver; the previous 2^22 default was ~4 GB, too
+    * close to typical limits to be a default. BPE quality is insensitive
+    * to dropping the census tail (tail words re-segment through the
+    * merges trained on the head, the standard min-frequency cut). */
   def trainMergesFromTokens(toks: DataFrame, nMerges: Int,
                             minPairCount: Long = 2L,
-                            maxVocab: Int = 1 << 22): DataFrame = {
+                            maxVocab: Int = 1 << 20): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = toks.sparkSession
     // corpus → word census: the single corpus-sized shuffle

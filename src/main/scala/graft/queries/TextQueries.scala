@@ -398,13 +398,75 @@ object TextQueries {
 
   /** Distributed BPE merge induction (see
     * [[graft.operators.Bpe.trainMergesFromTokens]]): 50 merges trained
-    * on the corpus word census. Iterative argmax has no single-query
-    * SQL oracle (rows-only check); `BpeSpec` proves the algorithm
-    * against the hand-computed Sennrich corpus. */
-  val q83 = GQuery.rowsOnly("q83_bpe_merges") { (s, dir) =>
-    graft.operators.Bpe.trainMergesFromTokens(sharedToks(s, dir),
-        nMerges = 50)
-      .orderBy(col("rank"))
+    * on the corpus word census. The merge loop is fully deterministic
+    * (census + count-desc/(l,r)-asc argmax + greedy left-to-right
+    * fusing), so the oracle REPLAYS all 50 iterations as chained
+    * MATERIALIZED CTEs (the q100 PageRank idiom — MATERIALIZED because
+    * each iteration is referenced twice and plain CTE inlining would
+    * nest exponentially). Greedy non-overlapping left-to-right pair
+    * fusing is expressed as string `replace` over a segmentation
+    * encoded with each symbol DOUBLE-wrapped in chr(31) separators
+    * ("␟a␟␟b␟"): replace scans left-to-right over non-overlapping
+    * matches — exactly BPE's application order — and the double wrap
+    * keeps adjacent matches from sharing a delimiter. chr(31) never
+    * occurs in whitespace-split tokens; early stop (best pair <
+    * minPairCount) falls out of the per-iteration `WHERE c >= 2` +
+    * no-op LEFT JOIN. `BpeSpec` still proves the algorithm against the
+    * hand-computed Sennrich corpus. */
+  val q83 = {
+    val N = 50
+    val S = "chr(31)"
+    def cte(name: String, body: String, mat: Boolean = true): String =
+      s"$name AS ${if (mat) "MATERIALIZED " else ""}($body)"
+    val head = Seq(
+      cte("tok",
+        """
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents""".stripMargin, mat = false),
+      cte("cen",
+        s"""
+           |  SELECT tok, count(*) AS cnt FROM (SELECT unnest(ws) AS tok FROM tok) t
+           |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT ${1 << 20}""".stripMargin),
+      cte("it0",
+        s"""
+           |  SELECT tok, cnt,
+           |    array_to_string([$S || c || $S for c in string_split(tok, '')], '')
+           |      || $S || '</w>' || $S AS seg
+           |  FROM cen""".stripMargin))
+    val iters = (0 until N).flatMap { k =>
+      Seq(
+        cte(s"pairs$k",
+          s"""
+             |  SELECT u.l AS l, u.r AS r, sum(cnt) AS c FROM (
+             |    SELECT cnt, unnest([{'l': sg[i], 'r': sg[i + 1]}
+             |                        for i in range(1, len(sg))]) AS u
+             |    FROM (SELECT cnt, string_split(trim(seg, $S), $S || $S) AS sg
+             |          FROM it$k))
+             |  GROUP BY 1, 2""".stripMargin),
+        cte(s"best$k",
+          s"""
+             |  SELECT $k AS rank, l, r, c FROM pairs$k WHERE c >= 2
+             |  ORDER BY c DESC, l, r LIMIT 1""".stripMargin),
+        cte(s"it${k + 1}",
+          s"""
+             |  SELECT tok, cnt,
+             |    CASE WHEN b.l IS NULL THEN seg
+             |         ELSE replace(seg, $S || b.l || $S || $S || b.r || $S,
+             |                      $S || b.l || b.r || $S) END AS seg
+             |  FROM it$k LEFT JOIN best$k b ON TRUE""".stripMargin))
+    }
+    val union = (0 until N)
+      .map(k => s"SELECT rank, l, r, c FROM best$k").mkString("\nUNION ALL\n")
+    GQuery("q83_bpe_merges",
+      "WITH " + (head ++ iters).mkString(",\n") +
+        s"""
+           |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+           |  CAST(c AS BIGINT) AS pair_count
+           |FROM ($union) ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.operators.Bpe.trainMergesFromTokens(sharedToks(s, dir),
+          nMerges = N)
+        .orderBy(col("rank"))
+    }
   }
 
   /** Per-source out-of-vocabulary rate against the corpus top-20

@@ -37,6 +37,29 @@ class BpeSpec extends SparkSpec {
     assert(got.count() === 0)   // every pair occurs once
   }
 
+  test("tiny maxVocab truncates the census gracefully (top words by count desc, word asc)") {
+    // maxVocab = 2 keeps only newest (6) and low (5): merges must be the
+    // e-s-t chain at count 6 then n-e etc. — never a pair from lower/widest
+    // unless shared with the kept words
+    val toks = TextStats.tokenized(corpus, "doc_id", "text")
+    val got = Bpe.trainMergesFromTokens(toks, nMerges = 3, maxVocab = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    // census: newest×6, low×5. All newest-pairs count 6; ties break
+    // (l, r) asc: (e,s) first, then — with es fused — (e,w) precedes
+    // (es,t) lexicographically, then (es,t).
+    assert(got.toSeq === Seq(
+      (0, "e", "s", 6L),
+      (1, "e", "w", 6L),
+      (2, "es", "t", 6L)))
+    // nothing from the dropped words (lower/widest) may surface: their
+    // exclusive symbols are r, i, d
+    got.foreach { case (_, l, r, _) =>
+      assert(!(l + r).exists("rid".contains(_)), s"dropped-word symbol in ($l, $r)")
+    }
+  }
+
   test("non-BMP text: training segments by code points, so train and apply agree") {
     val docs = Seq((1L, Seq.fill(3)("😀ok").mkString(" ")))
       .toDF("doc_id", "text")   // the 😀 emoji is a surrogate pair
