@@ -38,6 +38,27 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** Per-query recall@k report: the fraction of the exact top-k
+    * ([[bruteForceTopK]]) an ANN result recovered — the metric every
+    * index deployment monitors (probe/refine knobs are tuned against
+    * exactly this table). Both inputs are `(query_id, corpus_id, …)`
+    * top-k frames, so the join is (nQueries × k)-sized — index-output
+    * work, never corpus work; queries with zero overlap surface as
+    * recall = 0 rather than vanishing. */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = exact.select(col("query_id"), col("corpus_id"))
+    val a = approx.select(col("query_id"), col("corpus_id"))
+    val hits = e.join(a, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 4)
+          .as("recall"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * negatives that actually move the loss. Same broadcast + per-query

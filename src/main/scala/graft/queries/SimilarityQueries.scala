@@ -368,7 +368,39 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("neg_rank"))
   }
 
+  /** Recall@k audit of the whole ANN family (see
+    * [[graft.operators.Similarity.annRecall]]): per query point, the
+    * exact-overlap fraction of the IVF / PQ / IVF-PQ top-k against the
+    * brute-force ground truth — the registry-visible version of the
+    * recall floors PqJlSparseSpec/LshRecallSpec assert. Rows-only like
+    * its subjects (k-means floats are engine-specific); floors are
+    * spec-asserted. Reuses both memoized indexes; the exact pool is one
+    * extra brute-force pass over the same broadcast query set. */
+  val q109 = GQuery.rowsOnly("q109_ann_recall") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < NQueries)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = K, dim = Dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cents, assigned) = sharedIvf(s, dir)
+    val (books, enc) = sharedPq(s, dir)
+    Seq(
+      "ivf" -> Similarity.ivfProbe(assigned, cents, queries,
+        "vec_id", "embedding", k = K, nprobe = 4),
+      "pq" -> Similarity.pqTopK(enc, books, queries,
+        "vec_id", "embedding", k = K, refine = 50),
+      "ivf_pq" -> Similarity.ivfPqTopK(Similarity.ivfPqEncode(assigned, books),
+        cents, books, queries, "vec_id", "embedding",
+        k = K, nprobe = 4, refine = 50))
+      .map { case (m, approx) =>
+        Similarity.annRecall(exact, approx, K).withColumn("method", lit(m))
+      }
+      .reduce(_ unionAll _)
+      .select(col("method"), col("query_id"), col("n_hits"), col("recall"))
+      .orderBy(col("method"), col("query_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101)
+      q99, q101, q109)
 }

@@ -58,6 +58,24 @@ class PqJlSparseSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("annRecall: self-recall is 1.0, values lie in [0,1], and the IVF floor holds") {
+    val truthDf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", K, Dim)
+    val self = Similarity.annRecall(truthDf, truthDf, K)
+      .select(col("recall")).as[Double].collect()
+    assert(self.nonEmpty && self.forall(_ == 1.0), "exact vs itself must be recall 1")
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val ivf = Similarity.ivfProbe(assigned, cents, queries,
+      "vec_id", "embedding", K, nprobe = 4)
+    val rec = Similarity.annRecall(truthDf, ivf, K)
+      .select(col("recall")).as[Double].collect()
+    assert(rec.length == self.length, "one recall row per query point")
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    val mean = rec.sum / rec.length
+    info(f"registry-style IVF mean recall@$K: $mean%.3f")
+    assert(mean > 0.3, s"IVF mean recall floor violated: $mean")
+  }
+
   test("ADC distance of a vector to its own codeword reconstruction is the reconstruction error (0 for a centroid)") {
     // build a corpus whose vectors ARE centroids of a trivial codebook:
     // with ksub = 1 every codeword is the subspace mean, so encoding is
