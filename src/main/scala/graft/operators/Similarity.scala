@@ -395,10 +395,15 @@ object Similarity {
             else pickedVecs.iterator.map(pv => cos(cv, pv)).max
           (-(lambda * rel - (1 - lambda) * penalty), cid)   // max score, min id
         }
-        picked += ((qid, best._2,
-          math.rint((lambda * best._3 - (1 - lambda) * (if (pickedVecs.isEmpty) 0.0
-            else pickedVecs.iterator.map(pv => cos(best._4, pv)).max)) * 1e6) / 1e6,
-          rank))
+        // 7-dp output grid, NOT 6: λ · (6-dp relevance) is an EXACT
+        // 7-decimal value, so rank-1 scores (penalty 0) would sit ON the
+        // 6th-dp half boundary by construction and round differently
+        // across engines; at 7 dp both engines are ~1e-17 from the grid
+        // point. `== 0.0` then normalizes IEEE −0.0 (the meanPool idiom).
+        val raw = lambda * best._3 - (1 - lambda) * (if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.iterator.map(pv => cos(best._4, pv)).max)
+        val sc7 = math.rint(raw * 1e7) / 1e7
+        picked += ((qid, best._2, if (sc7 == 0.0) 0.0 else sc7, rank))
         pickedVecs += best._4
         remaining -= best
         rank += 1

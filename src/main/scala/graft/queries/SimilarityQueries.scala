@@ -208,15 +208,93 @@ object SimilarityQueries {
   }
 
   /** MMR diversity re-rank over the brute-force pool (see
-    * [[graft.operators.Similarity.mmrTopK]]). Rows-only: the greedy
-    * trajectory is not ANSI-SQL-expressible (DuckDB has no recursive
-    * argmax over a growing selected set); determinism + diversity
-    * properties are spec-asserted instead. */
-  val q62 = GQuery.rowsOnly("q62_mmr_rerank") { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
-    Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = K, m = 50, dim = Dim, lambda = 0.7)
-      .orderBy(col("query_id"), col("rank"))
+    * [[graft.operators.Similarity.mmrTopK]]). The greedy trajectory is
+    * fully deterministic (6-dp relevance + bit-parity unrounded pairwise
+    * cosines + (score DESC, corpus_id) argmax), so the oracle REPLAYS
+    * all k iterations as chained MATERIALIZED CTEs (the q83/q100
+    * idiom): pool top-m, the pool-pair cosine matrix, then per
+    * iteration candidate scores λ·rel − (1−λ)·max-sim-to-selected with
+    * Scala-rendered constants, a 1-row window argmax, and the selected
+    * set accumulated by UNION ALL. Scores compare at FULL double
+    * precision in both engines (the unrolled cosSql bit-parity q31
+    * established); only the emitted mmr_score is grid-rounded (7 dp —
+    * see the operator's boundary note). */
+  val q62 = {
+    val M = 50
+    val Lam = 0.7
+    def cte(name: String, body: String, mat: Boolean = true): String =
+      s"$name AS ${if (mat) "MATERIALIZED " else ""}($body)"
+    val poolCos = VectorFunctions.cosineSql("qv", "cv", Dim)
+    val pairCos = VectorFunctions.cosineSql("x.cv", "y.cv", Dim)
+    val head = Seq(
+      cte("q", s"""
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < $NQueries""".stripMargin, mat = false),
+      cte("c", """
+        |  SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings"""
+        .stripMargin, mat = false),
+      cte("pool", s"""
+        |  SELECT query_id, corpus_id, cosine FROM (
+        |    SELECT query_id, corpus_id, cosine,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, corpus_id) AS rn
+        |    FROM (SELECT query_id, corpus_id, round($poolCos, 6) AS cosine
+        |          FROM q, c WHERE corpus_id <> query_id))
+        |  WHERE rn <= $M""".stripMargin),
+      cte("pv", """
+        |  SELECT p.query_id, p.corpus_id, p.cosine, c.cv
+        |  FROM pool p JOIN c USING (corpus_id)""".stripMargin),
+      cte("ps", s"""
+        |  SELECT x.query_id, x.corpus_id AS a, y.corpus_id AS b,
+        |    $pairCos AS sim
+        |  FROM pv x JOIN pv y
+        |    ON x.query_id = y.query_id AND x.corpus_id <> y.corpus_id"""
+        .stripMargin),
+      cte("sel0", """
+        |  SELECT CAST(NULL AS BIGINT) AS query_id,
+        |    CAST(NULL AS BIGINT) AS corpus_id WHERE FALSE""".stripMargin,
+        mat = false))
+    val iters = (1 to K).flatMap { j =>
+      Seq(
+        cte(s"cand$j", s"""
+          |  SELECT p.query_id, p.corpus_id,
+          |    $Lam * p.cosine - ${1 - Lam} * coalesce(m.pen, 0.0) AS score
+          |  FROM pool p
+          |  LEFT JOIN (SELECT ps.query_id, ps.a AS corpus_id,
+          |               max(ps.sim) AS pen
+          |             FROM ps JOIN sel${j - 1} s
+          |               ON ps.query_id = s.query_id AND ps.b = s.corpus_id
+          |             GROUP BY 1, 2) m
+          |    ON m.query_id = p.query_id AND m.corpus_id = p.corpus_id
+          |  WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} s
+          |                    WHERE s.query_id = p.query_id
+          |                      AND s.corpus_id = p.corpus_id)"""
+          .stripMargin),
+        cte(s"pick$j", s"""
+          |  SELECT query_id, corpus_id, score, $j AS rank FROM (
+          |    SELECT query_id, corpus_id, score,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY score DESC, corpus_id) AS r
+          |    FROM cand$j) WHERE r = 1""".stripMargin),
+        cte(s"sel$j", s"""
+          |  SELECT query_id, corpus_id FROM sel${j - 1}
+          |  UNION ALL SELECT query_id, corpus_id FROM pick$j""".stripMargin))
+    }
+    val union = (1 to K).map(j => s"SELECT * FROM pick$j")
+      .mkString("\nUNION ALL\n")
+    GQuery("q62_mmr_rerank",
+      "WITH " + (head ++ iters).mkString(",\n") + s"""
+        |SELECT query_id, corpus_id,
+        |  CASE WHEN s0 = 0 THEN 0.0 ELSE s0 END AS mmr_score,
+        |  CAST(rank AS INT) AS rank
+        |FROM (SELECT query_id, corpus_id, round(score, 7) AS s0, rank
+        |      FROM ($union))
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", k = K, m = M, dim = Dim, lambda = Lam)
+        .orderBy(col("query_id"), col("rank"))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (see
