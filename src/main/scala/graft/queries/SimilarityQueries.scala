@@ -133,11 +133,15 @@ object SimilarityQueries {
       }
 
   /** IVF (learned k-means centroids) approximate top-k — the
-    * clustered-data alternative to fixed sign-planes. Centroid training
-    * involves float means whose exact values are engine-specific, so the
-    * driver does a rows-only check (like q10b); recall and determinism
-    * are asserted against brute force in `LshRecallSpec`. */
-  val q32b = GQuery.rowsOnly("q32b_ivf_topk") { (s, dir) =>
+    * clustered-data alternative to fixed sign-planes. Driver-green: the
+    * training loop is deterministic BY CONSTRUCTION (md5-ordered
+    * seeding, fixed iterations, 6-dp-rounded means), so the oracle
+    * REPLAYS every Lloyd step as chained MATERIALIZED CTEs (the
+    * q83/q62 idiom — see [[AnnOracles]]) and then the probe + top-k on
+    * the replayed centroids. Recall floors stay in `LshRecallSpec`. */
+  val q32b = GQuery("q32b_ivf_topk",
+    AnnOracles.ivfTopKSql(dim = Dim, nlist = 16, iters = 3,
+      nQueries = NQueries, nprobe = 4, k = K)) { (s, dir) =>
     val (cents, assigned) = sharedIvf(s, dir)
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfProbe(assigned, cents,
@@ -325,10 +329,13 @@ object SimilarityQueries {
   /** SemDeDup over the embeddings table (see
     * [[graft.operators.Similarity.semDedup]]). τ = 0.3 because the
     * synthetic embeddings are near-orthogonal (like q66); a real corpus
-    * would use ~0.95+. Rows-only by design (k-means clustering is not
-    * ANSI-SQL-expressible); `SemDeDupSpec` proves the eviction rule
-    * sound and complete against a brute-force check. */
-  val q72 = GQuery.rowsOnly("q72_semdedup") { (s, dir) =>
+    * would use ~0.95+. Driver-green: the oracle replays the IVF k-means
+    * ([[AnnOracles]]) and applies the same min-id eviction rule within
+    * the replayed clusters; `SemDeDupSpec` keeps the brute-force
+    * soundness/completeness proof. */
+  val q72 = GQuery("q72_semdedup",
+    AnnOracles.semDedupSql(dim = Dim, nlist = 16, iters = 3,
+      tau = 0.3)) { (s, dir) =>
     Similarity.semDedupAssigned(sharedIvf(s, dir)._2, tau = 0.3)
       .orderBy(col("vec_id"))
   }
@@ -355,10 +362,13 @@ object SimilarityQueries {
     * [[graft.operators.Similarity.pqTopK]]) — the compressed-index
     * member of the ANN family (brute / sign-LSH / IVF / PQ): corpus
     * scanned as m=8 code bytes per vector, exact vectors touched only
-    * for the top-`refine` candidates. Rows-only like q32b (k-means
-    * float means are engine-specific); recall and determinism are
-    * asserted in `PqSpec`. */
-  val q95 = GQuery.rowsOnly("q95_pq_topk") { (s, dir) =>
+    * for the top-`refine` candidates. Driver-green like q32b: the
+    * oracle replays the joint-subspace Lloyd training, the code
+    * assignment, the ADC tables, and the refine + re-rank
+    * ([[AnnOracles]]); recall floors stay in `PqJlSparseSpec`. */
+  val q95 = GQuery("q95_pq_topk",
+    AnnOracles.pqTopKSql(dim = Dim, m = 8, ksub = 16, iters = 3,
+      nQueries = NQueries, k = K, refine = 50)) { (s, dir) =>
     val (books, enc) = sharedPq(s, dir)
     Similarity.pqTopK(enc, books,
         Tables.embeddings(s, dir).filter(col("vec_id") < NQueries),
@@ -394,8 +404,13 @@ object SimilarityQueries {
     * table lookups per candidate) + exact re-rank. Reuses BOTH shared
     * indexes: the memoized IVF assignment and the memoized PQ
     * codebooks — the stored-index reuse a real serving pipeline does.
-    * Rows-only like q32b/q95; recall asserted in PqJlSparseSpec. */
-  val q99 = GQuery.rowsOnly("q99_ivfpq_topk") { (s, dir) =>
+    * Driver-green like q32b/q95: the oracle replays BOTH trainings and
+    * composes probe × ADC × re-rank ([[AnnOracles]]); recall floors
+    * stay in PqJlSparseSpec. */
+  val q99 = GQuery("q99_ivfpq_topk",
+    AnnOracles.ivfPqTopKSql(dim = Dim, nlist = 16, ivfIters = 3,
+      m = 8, ksub = 16, pqIters = 3, nQueries = NQueries,
+      k = K, nprobe = 4, refine = 50)) { (s, dir) =>
     val (cents, assigned) = sharedIvf(s, dir)
     val (books, _) = sharedPq(s, dir)
     Similarity.ivfPqTopK(Similarity.ivfPqEncode(assigned, books),
@@ -450,11 +465,16 @@ object SimilarityQueries {
     * [[graft.operators.Similarity.annRecall]]): per query point, the
     * exact-overlap fraction of the IVF / PQ / IVF-PQ top-k against the
     * brute-force ground truth — the registry-visible version of the
-    * recall floors PqJlSparseSpec/LshRecallSpec assert. Rows-only like
-    * its subjects (k-means floats are engine-specific); floors are
-    * spec-asserted. Reuses both memoized indexes; the exact pool is one
-    * extra brute-force pass over the same broadcast query set. */
-  val q109 = GQuery.rowsOnly("q109_ann_recall") { (s, dir) =>
+    * recall floors PqJlSparseSpec/LshRecallSpec assert. Driver-green
+    * like its subjects: the oracle replays all three ANN paths AND the
+    * brute-force pool, then computes the same zero-filled overlap
+    * fractions ([[AnnOracles]]). Reuses both memoized indexes; the
+    * exact pool is one extra brute-force pass over the same broadcast
+    * query set. */
+  val q109 = GQuery("q109_ann_recall",
+    AnnOracles.annRecallSql(dim = Dim, nlist = 16, ivfIters = 3,
+      m = 8, ksub = 16, pqIters = 3, nQueries = NQueries,
+      k = K, nprobe = 4, refine = 50)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < NQueries)
     val exact = Similarity.bruteForceTopK(emb, queries,
