@@ -66,7 +66,11 @@ object Multimodal {
     def probe(bytes: Array[Byte], formatHint: String): (String, Int, Int, Long, String) = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val digest = md.digest(bytes).map("%02x".format(_)).mkString
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory wraps InputStreams in a FileCacheImageInputStream by
+      // default — a temp FILE per blob, ~1 ms of filesystem churn that
+      // dominates header probing at millions of rows per executor.
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -105,7 +109,11 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // Memory-cached output stream for the same reason as the probe path:
+    // ImageIO.write(…, OutputStream) would spill through a temp file.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close()
     bos.toByteArray
   }
 
