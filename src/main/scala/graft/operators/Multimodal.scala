@@ -157,6 +157,123 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Metadata struct for audio blobs — the audio twin of [[metaSchema]].
+    * `n_frames` is the sample-frame count (per channel), the honest unit
+    * a pipeline derives duration from (`n_frames / sample_rate`). */
+  val audioMetaSchema: StructType = new StructType()
+    .add("format", StringType)
+    .add("sample_rate", IntegerType)
+    .add("channels", IntegerType)
+    .add("bits_per_sample", IntegerType)
+    .add("n_frames", LongType)
+    .add("n_bytes", LongType)
+    .add("checksum", StringType)
+
+  /** Audio decode-kernel seam — same contract as [[Codec]]: deterministic,
+    * header-only on the happy path, total (bad bytes → a typed "corrupt"
+    * row). */
+  trait AudioCodec extends Serializable {
+    def probe(bytes: Array[Byte], formatHint: String)
+        : (String, Int, Int, Int, Long, Long, String)
+  }
+
+  /** REAL WAV (RIFF) header parser — pure JDK byte arithmetic, no
+    * dependencies: walks the chunk list, reads sample rate / channels /
+    * bit depth from the `fmt ` chunk and the frame count from the `data`
+    * chunk size, never touching the PCM payload (O(header), like
+    * [[ImageIoCodec]]'s dimension probe). Truncated/malformed bytes —
+    * short header, missing RIFF/WAVE magic, absent fmt/data chunks, or a
+    * chunk running past the buffer — degrade to format = "corrupt" with
+    * −1 fields, never a throw. */
+  object WavCodec extends AudioCodec {
+    private def corrupt(n: Long, ck: String) =
+      ("corrupt", -1, -1, -1, -1L, n, ck)
+    def probe(bytes: Array[Byte], formatHint: String)
+        : (String, Int, Int, Int, Long, Long, String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ck = md.digest(bytes).map("%02x".format(_)).mkString
+      val n = bytes.length.toLong
+      def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+        return corrupt(n, ck)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // Long offset: a corrupt 32-bit chunk size must advance past the
+      // buffer and end the walk, never wrap negative and loop.
+      var off = 12L
+      var rate, channels, bits = -1
+      var dataSize = -1L
+      while (off + 8 <= bytes.length) {
+        val o = off.toInt
+        val id = ascii(o)
+        val size = bb.getInt(o + 4).toLong & 0xffffffffL
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length) {
+          channels = bb.getShort(o + 10) & 0xffff
+          rate = bb.getInt(o + 12)
+          bits = bb.getShort(o + 22) & 0xffff
+        } else if (id == "data") dataSize = size
+        off += 8 + size + (size & 1)               // chunks pad to even
+      }
+      if (rate <= 0 || channels <= 0 || bits <= 0 || dataSize < 0)
+        corrupt(n, ck)
+      else
+        ("wav", rate, channels, bits,
+          dataSize / (channels.toLong * (bits / 8).max(1)), n, ck)
+    }
+  }
+
+  /** Deterministic in-memory PCM16 WAV generator — the audio sibling of
+    * [[encodePng]]: real RIFF bytes whose samples derive from `seed`.
+    * Test/fixture generator, not a production operator. */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+                seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0,
+      s"bad wav params $sampleRate/$channels/$nFrames")
+    val dataSize = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames * channels) {
+      bb.putShort((((seed + i * 31L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Per-partition audio decode — [[decodePartitions]] with the
+    * [[audioMetaSchema]] row shape and an [[AudioCodec]] kernel. */
+  def decodeAudioPartitions(df: DataFrame, blobCol: String, idCol: String,
+                            format: String, codec: AudioCodec): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("sample_rate", IntegerType).add("channels", IntegerType)
+      .add("bits_per_sample", IntegerType).add("n_frames", LongType)
+      .add("n_bytes", LongType).add("checksum", StringType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, sr, ch, bits, fr, n, ck) = codec.probe(bytes, format)
+        Row(r.getLong(idIdx), f, sr, ch, bits, fr, n, ck)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling plumbing: emit every `stride`-th "frame index" up to
     * a deterministic pseudo frame count derived from the blob. With a
     * real video codec the frame count comes from the container header and

@@ -81,5 +81,42 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q34, q34b, q35)
+  /** REAL audio decode end-to-end — the WAV sibling of q34b:
+    * deterministic PCM16 RIFF bytes are generated per-partition
+    * ([[Multimodal.encodeWav]], parameters seeded by doc_id), then
+    * [[Multimodal.WavCodec]] parses the headers back — true sample
+    * rate / channels / bit depth from the `fmt ` chunk, frame count
+    * from the `data` chunk size, PCM payload untouched. The oracle
+    * recomputes the parameter formulas and the n_bytes identity
+    * (44-byte header + 2·channels·frames) from doc_id, so the row
+    * hash-matches only if RIFF encode AND the chunk-walk parse both
+    * work. */
+  val q110 = GQuery("q110_wav_decode",
+    """SELECT doc_id, 'wav' AS format,
+      |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(16 AS INT) AS bits_per_sample,
+      |  CAST(100 + (doc_id * 13) % 900 AS BIGINT) AS n_frames,
+      |  CAST(44 + 2 * (1 + doc_id % 2) * (100 + (doc_id * 13) % 900)
+      |    AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodeWav(
+          sampleRate = (8000 + (id % 8) * 1000).toInt,
+          channels = (1 + id % 2).toInt,
+          nFrames = (100 + (id * 13) % 900).toInt,
+          seed = id))
+      })
+      .toDF("doc_id", "blob")
+    Multimodal.decodeAudioPartitions(blobs, "blob", "doc_id", "wav",
+        Multimodal.WavCodec)
+      .select(col("id").as("doc_id"), col("format"), col("sample_rate"),
+        col("channels"), col("bits_per_sample"), col("n_frames"),
+        col("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q34, q34b, q35, q110)
 }

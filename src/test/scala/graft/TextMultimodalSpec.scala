@@ -79,6 +79,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(t === "corrupt")
   }
 
+  test("WavCodec parses REAL RIFF headers per-partition; bad bytes degrade typed") {
+    val blobs = Seq(
+      (1L, Multimodal.encodeWav(16000, 1, 480, seed = 1L)),
+      (2L, Multimodal.encodeWav(44100, 2, 1000, seed = 2L)),
+      (3L, "RIFFxxxxNOPE".getBytes("US-ASCII")),            // bad magic
+      (4L, "noise".getBytes("US-ASCII"))                    // too short
+    ).toDF("id", "blob").repartition(2)
+    val got = Multimodal.decodeAudioPartitions(blobs, "blob", "id", "wav",
+        Multimodal.WavCodec)
+      .select(col("id"), col("format"), col("sample_rate"), col("channels"),
+        col("bits_per_sample"), col("n_frames"), col("n_bytes"))
+      .as[(Long, String, Int, Int, Int, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) === ((1L, "wav", 16000, 1, 16, 480L, 44L + 960L)))
+    assert(got(2L) === ((2L, "wav", 44100, 2, 16, 1000L, 44L + 4000L)))
+    assert(got(3L)._2 === "corrupt")
+    assert(got(4L)._2 === "corrupt")
+    // truncated mid-header and a lying chunk size: walk must terminate
+    // in a typed corrupt row (no throw, no loop)
+    val evil = Multimodal.encodeWav(8000, 1, 10, seed = 9L)
+    val lying = evil.clone()
+    // overwrite the fmt chunk size field (bytes 16..19) with 0xFFFFFFFF
+    lying(16) = -1; lying(17) = -1; lying(18) = -1; lying(19) = -1
+    val bad = Seq((5L, evil.take(20)), (6L, lying)).toDF("id", "blob")
+    val badRows = Multimodal.decodeAudioPartitions(bad, "blob", "id", "wav",
+        Multimodal.WavCodec)
+      .select(col("format")).as[String].collect()
+    assert(badRows.forall(_ === "corrupt"))
+  }
+
   test("frame sampling emits stride-spaced indices bounded by pseudo frame count") {
     val blobs = Seq((1L, "x" * 10)).toDF("id", "text")
       .select(col("id"), encode(col("text"), "utf-8").as("blob"))
