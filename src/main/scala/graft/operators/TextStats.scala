@@ -297,6 +297,55 @@ object TextStats {
   }
 
   /** Out-of-vocabulary rate per group: the fraction of token
+    * CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): score every document with the corpus
+    * unigram LM ([[unigramLogProbFromTokens]]) and split the corpus
+    * into head / middle / tail thirds by LM score — the standard
+    * quality partition fed to downstream mixture sampling (train
+    * mostly on head, keep a tail slice for diversity).
+    *
+    * Scale shape: the two tercile thresholds are ONE exact-percentile
+    * aggregate collapsing to two driver doubles (bounded model state,
+    * like the IVF centroid matrix — at 100 TB you'd swap in
+    * `approx_percentile` over a hash-sample, trading the oracle-exact
+    * cut for a one-pass sketch); bucketing is then a pure map. The
+    * corpus is never globally sorted — the naive ntile() formulation
+    * would be a single-partition window, the scale-killer this shape
+    * exists to avoid. Deterministic: scores are 4-dp fixed-point
+    * ([[unigramLogProbFromTokens]]), thresholds interpolate those
+    * rounded doubles identically in any engine (the q38 percentile
+    * parity), and boundary docs resolve by `>=` on bit-equal values. */
+  def perplexityBucketsFromTokens(toks0: DataFrame,
+                                  maxVocab: Int = 1 << 20): DataFrame = {
+    // The scored frame feeds the threshold ACTION and the returned
+    // bucketed plan; the persist keeps scoring at one pass (the
+    // threshold head() materializes the cache, the returned plan reads
+    // it back). Caller-owned lifecycle, deduped by plan identity —
+    // the unigramLogProbFromTokens census convention.
+    val scored = unigramLogProbFromTokens(toks0, maxVocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = scored.agg(
+      expr("percentile(avg_logprob, 2.0D / 3.0D)"),
+      expr("percentile(avg_logprob, 1.0D / 3.0D)")).head()
+    // Snap thresholds to the score's own 1e-4 grid: percentile
+    // interpolation is a + f·(b−a) here but (1−f)·a + f·b in other
+    // engines — an ulp apart when a ≠ b, which flips a whole tie-group
+    // when the interpolant lands ON a grid point (k·2/3 hits the grid
+    // whenever k ≡ 0 mod 3). With f ∈ {1/3, 2/3} over a 1e-4 grid the
+    // exact interpolant's offset within a grid cell is always 0, 1/3 or
+    // 2/3 — never the 1/2 rounding boundary — so a 4-dp HALF_UP snap is
+    // bit-identical across engines and ulp noise cannot reach a
+    // boundary.
+    def snap(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (t.isNullAt(0)) scored.withColumn("bucket", lit("head"))
+    else scored.withColumn("bucket",
+      when(col("avg_logprob") >= snap(t.getDouble(0)), "head")
+        .when(col("avg_logprob") >= snap(t.getDouble(1)), "middle")
+        .otherwise("tail"))
+  }
+
+  /** Out-of-vocabulary rate per group: the fraction of token
     * OCCURRENCES not covered by the top-`vocabSize` corpus vocabulary
     * (by count desc, token asc — deterministic) — the statistic that
     * sizes a tokenizer's vocab and flags domain drift between sources.

@@ -325,6 +325,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity head/middle/tail buckets (see
+    * [[graft.operators.TextStats.perplexityBucketsFromTokens]]): the
+    * q73 LM scores cut at the exact corpus terciles — higher log-prob
+    * is more head-like. The oracle reuses the q73 score CTE verbatim
+    * and snaps both tercile thresholds to the score's 4-dp grid on
+    * each side — interpolation formulas differ by an ulp across
+    * engines (a + f·(b−a) vs (1−f)·a + f·b), and with f ∈ {1/3, 2/3}
+    * the snap is provably boundary-safe (see the operator's comment);
+    * boundary docs then resolve by `>=` on bit-equal doubles. */
+  val q111 = GQuery("q111_ccnet_buckets",
+    s"""WITH $tokCte,
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tok),
+       |cen AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |cen_lm AS (SELECT tok, c FROM cen
+       |           ORDER BY c DESC, tok LIMIT ${1 << 20}),
+       |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cen),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    round(sum(CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n + v))
+       |      * 10000) AS BIGINT)) / (count(*) * 10000.0), 4) AS avg_logprob
+       |  FROM tk LEFT JOIN cen_lm USING (tok) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |th AS (SELECT round(quantile_cont(avg_logprob, 2.0 / 3.0), 4) AS hi,
+       |              round(quantile_cont(avg_logprob, 1.0 / 3.0), 4) AS lo
+       |       FROM scored)
+       |SELECT doc_id, n_tokens, avg_logprob,
+       |  CASE WHEN avg_logprob >= hi THEN 'head'
+       |       WHEN avg_logprob >= lo THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored CROSS JOIN th
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.perplexityBucketsFromTokens(sharedToks(s, dir))
+      .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-style regex redaction over `events.props` (the corpus-scrub
     * pass); oracle SQL is generated from the SAME pattern table as the
     * Column chain — RE2-compatible patterns run verbatim in both. */
@@ -998,5 +1035,5 @@ object TextQueries {
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
-      q105b, q107)
+      q105b, q107, q111)
 }
