@@ -274,6 +274,178 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ------------------------------------------------------------- video
+
+  /** Metadata struct for video blobs — the video twin of [[metaSchema]]:
+    * presentation duration (ms, from mvhd timescale/duration), first
+    * track dimensions (tkhd 16.16 fixed-point), track count. */
+  val videoMetaSchema: StructType = new StructType()
+    .add("format", StringType)
+    .add("duration_ms", LongType)
+    .add("width", IntegerType)
+    .add("height", IntegerType)
+    .add("n_tracks", IntegerType)
+    .add("n_bytes", LongType)
+    .add("checksum", StringType)
+
+  /** Video decode-kernel seam — [[Codec]] contract: deterministic,
+    * header-only, total. */
+  trait VideoCodec extends Serializable {
+    def probe(bytes: Array[Byte], formatHint: String)
+        : (String, Long, Int, Int, Int, Long, String)
+  }
+
+  /** REAL MP4 (ISO-BMFF, the `ftyp`/`moov` container family) header
+    * parser — pure JDK byte arithmetic like [[WavCodec]]: walks the
+    * top-level box list, takes the major brand from `ftyp`, then inside
+    * `moov` reads timescale + duration from `mvhd` (version 0 and 1
+    * layouts) and counts `trak` boxes, pulling width/height from the
+    * FIRST track's `tkhd` (16.16 fixed-point). No sample data is ever
+    * touched — O(header), the metadata-pass shape. All box sizes are
+    * handled as unsigned longs (size = 0 → to-end-of-file, size = 1 →
+    * 64-bit largesize) so corrupt sizes end the walk instead of
+    * wrapping; malformed input degrades to format = "corrupt". */
+  object Mp4Codec extends VideoCodec {
+    private def corrupt(n: Long, ck: String) =
+      ("corrupt", -1L, -1, -1, -1, n, ck)
+    def probe(bytes: Array[Byte], formatHint: String)
+        : (String, Long, Int, Int, Int, Long, String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ck = md.digest(bytes).map("%02x".format(_)).mkString
+      val n = bytes.length.toLong
+      val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+      def ascii(off: Long) = new String(bytes, off.toInt, 4, "US-ASCII")
+      def u32(off: Long): Long = bb.getInt(off.toInt).toLong & 0xffffffffL
+      var brand: String = null
+      var timescale = -1L
+      var duration = -1L
+      var nTracks = 0
+      var width, height = -1
+      // walk boxes in [from, to); visit(type, payloadFrom, payloadTo)
+      def walk(from: Long, to: Long)(visit: (String, Long, Long) => Unit)
+          : Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val size0 = u32(off)
+          val typ = ascii(off + 4)
+          val (payload, size) =
+            if (size0 == 0) (off + 8, to - off)           // to end
+            else if (size0 == 1) {
+              if (off + 16 > to) return
+              (off + 16, bb.getLong(off.toInt + 8))       // largesize
+            } else (off + 8, size0)
+          if (size < 8 || off + size > to) return         // lying size
+          visit(typ, payload, off + size)
+          off += size
+        }
+      }
+      walk(0, n) {
+        case ("ftyp", p, _) if p + 4 <= n => brand = ascii(p)
+        case ("moov", p, e) =>
+          walk(p, e) {
+            case ("mvhd", mp, me) if mp + 4 <= me =>
+              val v = bytes(mp.toInt) & 0xff
+              // v0: ts @+12, dur 32-bit @+16; v1: ts @+20, dur 64-bit @+24
+              if (v == 0 && mp + 20 <= me) {
+                timescale = u32(mp + 12); duration = u32(mp + 16)
+              } else if (v == 1 && mp + 32 <= me) {
+                timescale = u32(mp + 20); duration = bb.getLong(mp.toInt + 24)
+              }
+            case ("trak", tp, te) =>
+              nTracks += 1
+              walk(tp, te) {
+                case ("tkhd", kp, ke) if width < 0 && kp + 4 <= ke =>
+                  val v = bytes(kp.toInt) & 0xff
+                  val wOff = if (v == 1) 88L else 76L // 16.16 fixed point
+                  if (kp + wOff + 8 <= ke) {
+                    width = (u32(kp + wOff) >> 16).toInt
+                    height = (u32(kp + wOff + 4) >> 16).toInt
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (brand == null || timescale <= 0 || duration < 0) corrupt(n, ck)
+      else (brand.trim.toLowerCase(java.util.Locale.ROOT),
+        duration * 1000L / timescale, width, height, nTracks, n, ck)
+    }
+  }
+
+  /** Deterministic minimal ISO-BMFF generator — the video sibling of
+    * [[encodePng]]/[[encodeWav]]: a spec-shaped `ftyp` + `moov` with a
+    * full 108-byte v0 `mvhd` and one standard 92-byte v0 `tkhd` per
+    * track. Test/fixture generator, not a production operator. */
+  def encodeMp4(timescale: Int, durationTicks: Long, width: Int,
+                height: Int, nTracks: Int): Array[Byte] = {
+    require(timescale > 0 && durationTicks >= 0 && nTracks >= 1,
+      s"bad mp4 params $timescale/$durationTicks/$nTracks")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(100)  // v0 payload
+      b.putInt(0)                                // version + flags
+        .putInt(0).putInt(0)                     // creation, modification
+        .putInt(timescale).putInt(durationTicks.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      b.position(b.position() + 10)              // reserved
+      Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)                       // identity matrix
+      b.position(b.position() + 24)              // pre_defined
+      b.putInt(nTracks + 1)                      // next_track_ID
+      b.array()
+    })
+    val traks = (1 to nTracks).map { tid =>
+      box("trak", box("tkhd", {
+        val b = java.nio.ByteBuffer.allocate(84)          // v0 payload
+        b.putInt(0x000007)                                // version+flags
+          .putInt(0).putInt(0)                            // creation, mod
+          .putInt(tid).putInt(0).putInt(durationTicks.toInt)
+        b.position(b.position() + 8)                      // reserved
+        b.putShort(0).putShort(0).putShort(0).putShort(0) // layer..reserved
+        Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+          .foreach(b.putInt)                              // matrix
+        b.putInt(width << 16).putInt(height << 16)        // 16.16 fixed
+        b.array()
+      }))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten)
+    ftyp ++ moov
+  }
+
+  /** Per-partition video decode — [[decodePartitions]] with the
+    * [[videoMetaSchema]] row shape and a [[VideoCodec]] kernel. */
+  def decodeVideoPartitions(df: DataFrame, blobCol: String, idCol: String,
+                            format: String, codec: VideoCodec): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("duration_ms", LongType).add("width", IntegerType)
+      .add("height", IntegerType).add("n_tracks", IntegerType)
+      .add("n_bytes", LongType).add("checksum", StringType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, d, w, h, t, nb, ck) = codec.probe(bytes, format)
+        Row(r.getLong(idIdx), f, d, w, h, t, nb, ck)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling plumbing: emit every `stride`-th "frame index" up to
     * a deterministic pseudo frame count derived from the blob. With a
     * real video codec the frame count comes from the container header and

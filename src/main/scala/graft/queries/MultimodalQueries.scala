@@ -118,5 +118,40 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q34, q34b, q35, q110)
+  /** REAL video-container decode end-to-end — the MP4 member of the
+    * q34b/q110 family: spec-shaped ISO-BMFF bytes are generated
+    * per-partition ([[Multimodal.encodeMp4]], parameters seeded by
+    * doc_id), then [[Multimodal.Mp4Codec]] walks the boxes back —
+    * brand from `ftyp`, duration from `mvhd` timescale ticks, first
+    * track's 16.16 dimensions from `tkhd`, track count. The oracle
+    * recomputes every field from the doc_id formulas (duration_ms =
+    * ticks·1000 ÷ 600 in integer math), so the hash matches only if
+    * the box writer AND the box walk both work. */
+  val q112 = GQuery("q112_mp4_decode",
+    """SELECT doc_id, 'isom' AS format,
+      |  CAST(((300 + (doc_id * 17) % 4200) * 1000) // 600 AS BIGINT)
+      |    AS duration_ms,
+      |  CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+      |  CAST(120 + (doc_id % 6) * 20 AS INT) AS height,
+      |  CAST(1 + doc_id % 3 AS INT) AS n_tracks
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodeMp4(
+          timescale = 600,
+          durationTicks = 300 + (id * 17) % 4200,
+          width = (160 + (id % 8) * 16).toInt,
+          height = (120 + (id % 6) * 20).toInt,
+          nTracks = (1 + id % 3).toInt))
+      })
+      .toDF("doc_id", "blob")
+    Multimodal.decodeVideoPartitions(blobs, "blob", "doc_id", "mp4",
+        Multimodal.Mp4Codec)
+      .select(col("id").as("doc_id"), col("format"), col("duration_ms"),
+        col("width"), col("height"), col("n_tracks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q34, q34b, q35, q110, q112)
 }

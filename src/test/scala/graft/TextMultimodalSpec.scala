@@ -109,6 +109,33 @@ class TextMultimodalSpec extends SparkSpec {
     assert(badRows.forall(_ === "corrupt"))
   }
 
+  test("Mp4Codec walks REAL ISO-BMFF boxes; corrupt sizes terminate typed") {
+    val blobs = Seq(
+      (1L, Multimodal.encodeMp4(600, 1200L, 320, 240, nTracks = 1)),
+      (2L, Multimodal.encodeMp4(1000, 2500L, 176, 144, nTracks = 3)),
+      (3L, "ftypnotaboxatall".getBytes("US-ASCII"))
+    ).toDF("id", "blob").repartition(2)
+    val got = Multimodal.decodeVideoPartitions(blobs, "blob", "id", "mp4",
+        Multimodal.Mp4Codec)
+      .select(col("id"), col("format"), col("duration_ms"), col("width"),
+        col("height"), col("n_tracks"))
+      .as[(Long, String, Long, Int, Int, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) === ((1L, "isom", 2000L, 320, 240, 1)))  // 1200/600 s
+    assert(got(2L) === ((2L, "isom", 2500L, 176, 144, 3)))
+    assert(got(3L)._2 === "corrupt")
+    // lying top-level box size (bigger than the buffer): walk must stop
+    val lying = Multimodal.encodeMp4(600, 600L, 64, 64, 1)
+    lying(0) = 0x7f.toByte                       // ftyp size -> huge
+    // truncated mid-moov: mvhd never completes -> corrupt
+    val trunc = Multimodal.encodeMp4(600, 600L, 64, 64, 1).take(40)
+    val bad = Seq((4L, lying), (5L, trunc)).toDF("id", "blob")
+    val badRows = Multimodal.decodeVideoPartitions(bad, "blob", "id", "mp4",
+        Multimodal.Mp4Codec)
+      .select(col("format")).as[String].collect()
+    assert(badRows.forall(_ === "corrupt"))
+  }
+
   test("frame sampling emits stride-spaced indices bounded by pseudo frame count") {
     val blobs = Seq((1L, "x" * 10)).toDF("id", "text")
       .select(col("id"), encode(col("text"), "utf-8").as("blob"))
