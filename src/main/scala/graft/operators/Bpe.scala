@@ -177,4 +177,33 @@ object Bpe {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_subwords"))
   }
+
+  /** [[applyMerges]] via the vocabulary — the corpus-scale shape: the
+    * merge chain is fused once per DISTINCT word (heavy compute bounded
+    * by vocabulary size, lineage truncated every `checkpointEvery`
+    * ranks — the [[trainMergesFromTokens]] localCheckpoint move), and
+    * the per-word subword counts broadcast-join back onto the token
+    * stream. The corpus never shuffles for tokenization; the per-doc
+    * aggregate is the only exchange. Tokenization is a pure function of
+    * the word, so the result is row-identical to [[applyMerges]]
+    * (asserted by BpeSpec). */
+  def applyMergesViaVocab(toks: DataFrame, merges: Seq[(String, String)],
+                          checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val words = toks.where(size(col("ws")) >= 1)
+      .select(col("id"), explode(col("ws")).as("tok"))
+    var seg = words.select(col("tok")).distinct()
+      .withColumn("seg", initSeq(col("tok")))
+    merges.grouped(checkpointEvery).foreach { batch =>
+      val segN = batch.foldLeft(col("seg")) {
+        case (acc, (l, r)) => fuse(acc, l, r)
+      }
+      seg = seg.withColumn("seg", segN).localCheckpoint()
+    }
+    val subc = seg.select(col("tok"), size(col("seg")).as("n_sub"))
+    words.join(broadcast(subc), Seq("tok"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub").cast("long")).as("n_subwords"))
+  }
 }

@@ -450,11 +450,16 @@ object TextQueries {
     * minPairCount) falls out of the per-iteration `WHERE c >= 2` +
     * no-op LEFT JOIN. `BpeSpec` still proves the algorithm against the
     * hand-computed Sennrich corpus. */
-  val q83 = {
-    val N = 50
-    val S = "chr(31)"
-    def cte(name: String, body: String, mat: Boolean = true): String =
-      s"$name AS ${if (mat) "MATERIALIZED " else ""}($body)"
+  /** The q83 BPE training-replay chain (census → N × (pairs, best, it)
+    * MATERIALIZED CTEs) — shared with q113, which extends it with a
+    * vocabulary apply chain. `S` is the segmentation delimiter. */
+  private val bpeS = "chr(31)"
+  private def bpeCte(name: String, body: String, mat: Boolean = true): String =
+    s"$name AS ${if (mat) "MATERIALIZED " else ""}($body)"
+  private def bpeTrainCtes(n: Int): Seq[String] = {
+    val S = bpeS
+    def cte(name: String, body: String, mat: Boolean = true) =
+      bpeCte(name, body, mat)
     val head = Seq(
       cte("tok",
         """
@@ -470,7 +475,7 @@ object TextQueries {
            |    array_to_string([$S || c || $S for c in string_split(tok, '')], '')
            |      || $S || '</w>' || $S AS seg
            |  FROM cen""".stripMargin))
-    val iters = (0 until N).flatMap { k =>
+    val iters = (0 until n).flatMap { k =>
       Seq(
         cte(s"pairs$k",
           s"""
@@ -492,10 +497,15 @@ object TextQueries {
              |                      $S || b.l || b.r || $S) END AS seg
              |  FROM it$k LEFT JOIN best$k b ON TRUE""".stripMargin))
     }
+    head ++ iters
+  }
+
+  val q83 = {
+    val N = 50
     val union = (0 until N)
       .map(k => s"SELECT rank, l, r, c FROM best$k").mkString("\nUNION ALL\n")
     GQuery("q83_bpe_merges",
-      "WITH " + (head ++ iters).mkString(",\n") +
+      "WITH " + bpeTrainCtes(N).mkString(",\n") +
         s"""
            |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
            |  CAST(c AS BIGINT) AS pair_count
@@ -504,6 +514,141 @@ object TextQueries {
           nMerges = N)
         .orderBy(col("rank"))
     }
+  }
+
+  /** The trained tokenizer APPLIED corpus-wide (see
+    * [[graft.operators.Bpe.applyMergesViaVocab]]): per-source word /
+    * subword counts and the chars-per-subword compression ratio — the
+    * statistic a tokenizer is judged by per domain. The oracle extends
+    * the q83 training replay with an APPLY chain: the same 50
+    * double-delimiter `replace` steps run over the full distinct-word
+    * list (the operator's vocabulary path), subword counts come from
+    * splitting the final segmentations, and the token stream joins
+    * them back — merges replayed AND applied entirely in SQL. */
+  val q113 = {
+    val N = 50
+    val S = bpeS
+    val apply0 = bpeCte("ap0", s"""
+      |  SELECT tok,
+      |    array_to_string([$S || c || $S for c in string_split(tok, '')], '')
+      |      || $S || '</w>' || $S AS seg
+      |  FROM (SELECT DISTINCT unnest(ws) AS tok FROM tok)""".stripMargin)
+    val applyIters = (0 until N).map { k =>
+      bpeCte(s"ap${k + 1}", s"""
+        |  SELECT tok,
+        |    CASE WHEN b.l IS NULL THEN seg
+        |         ELSE replace(seg, $S || b.l || $S || $S || b.r || $S,
+        |                      $S || b.l || b.r || $S) END AS seg
+        |  FROM ap$k LEFT JOIN best$k b ON TRUE""".stripMargin)
+    }
+    val tail = Seq(
+      bpeCte("subc", s"""
+        |  SELECT tok,
+        |    CAST(len(string_split(trim(seg, $S), $S || $S)) AS BIGINT) AS n_sub
+        |  FROM ap$N""".stripMargin),
+      bpeCte("docsub", """
+        |  SELECT t.doc_id, count(*) AS n_words, sum(s.n_sub) AS n_subwords
+        |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+        |  JOIN subc s USING (tok)
+        |  GROUP BY t.doc_id""".stripMargin))
+    GQuery("q113_bpe_tokenize",
+      "WITH " + (bpeTrainCtes(N) ++ (apply0 +: applyIters) ++ tail)
+        .mkString(",\n") + s"""
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(j.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(j.n_subwords) AS BIGINT) AS n_subwords,
+        |  round(CAST(sum(d.n_chars) AS DOUBLE)
+        |    / CAST(sum(j.n_subwords) AS DOUBLE), 4) AS chars_per_subword
+        |FROM docsub j JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = sharedToks(s, dir)
+      val merges = graft.operators.Bpe.trainMergesFromTokens(toks, nMerges = N)
+        .orderBy(col("rank"))
+        .select(col("left"), col("right")).as[(String, String)]
+        .collect().toSeq
+      graft.operators.Bpe.applyMergesViaVocab(toks, merges)
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("source"), col("n_chars")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"),
+          round(sum(col("n_chars")).cast("double")
+            / sum(col("n_subwords")).cast("double"), 4)
+            .as("chars_per_subword"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Word-vocabulary induction + token-id encoding (see
+    * [[graft.operators.Vocab]]): top-500 vocabulary by
+    * (count DESC, word ASC), contiguous ids 1..V, 0 = OOV; per-doc
+    * token/OOV counts plus the order-sensitive checksum
+    * `sum((pos+1)·id)` that pins the EXACT encoded sequence without
+    * materializing array columns. The oracle rebuilds the census, the
+    * ranked vocabulary (same contractual tie-break), and the positional
+    * encode entirely in SQL. */
+  val q114 = {
+    val V = 500
+    GQuery("q114_vocab_encode",
+      s"""WITH $tokCte,
+         |cen AS (
+         |  SELECT tok AS word, count(*) AS cnt
+         |  FROM (SELECT unnest(ws) AS tok FROM tok) t GROUP BY 1),
+         |voc AS (
+         |  SELECT word, row_number() OVER (ORDER BY cnt DESC, word ASC) AS wid
+         |  FROM (SELECT * FROM cen ORDER BY cnt DESC, word ASC LIMIT $V)),
+         |wpos AS (
+         |  SELECT doc_id, u.pos AS pos, u.w AS word FROM (
+         |    SELECT doc_id,
+         |      unnest([{'pos': i, 'w': ws[i]} for i in range(1, len(ws) + 1)]) AS u
+         |    FROM tok WHERE len(ws) >= 1)),
+         |enc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN v.wid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unk,
+         |    CAST(sum(pos * coalesce(v.wid, 0)) AS BIGINT) AS id_checksum
+         |  FROM wpos LEFT JOIN voc v USING (word) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_unk, id_checksum
+         |FROM enc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = sharedToks(s, dir)
+      graft.operators.Vocab
+        .encodeStats(toks, graft.operators.Vocab.buildFromTokens(toks, V))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_unk"),
+          col("id_checksum"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Boilerplate chunk removal (see
+    * [[graft.operators.Dedup.boilerplateChunkStats]]): 5-word chunks in
+    * >= 3 distinct documents are template text, removed from every
+    * document — the remove-ALL document-frequency rule, vs q68's
+    * keep-first span dedup. */
+  val q115 = GQuery("q115_boilerplate_strip",
+    s"""WITH $tokCte,
+       |ch AS (
+       |  SELECT doc_id, unnest([array_to_string(ws[(j*5+1):(j*5+5)], ' ')
+       |                         for j in range(0, len(ws) // 5)]) AS s
+       |  FROM tok WHERE len(ws) >= 5),
+       |bp AS (
+       |  SELECT s, 1 AS flag
+       |  FROM (SELECT s, count(DISTINCT doc_id) AS df FROM ch GROUP BY s)
+       |  WHERE df >= 3)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN flag IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_removed,
+       |  round(CAST(sum(CASE WHEN flag IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / count(*), 4) AS frac_removed
+       |FROM ch LEFT JOIN bp USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup
+      .boilerplateChunkStats(sharedToks(s, dir), w = 5, minDocs = 3)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_removed"),
+        col("frac_removed"))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-source out-of-vocabulary rate against the corpus top-20
@@ -1035,5 +1180,5 @@ object TextQueries {
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
-      q105b, q107, q111)
+      q105b, q107, q111, q113, q114, q115)
 }

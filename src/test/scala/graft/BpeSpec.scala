@@ -144,4 +144,27 @@ class BpeSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_words") === 3L)
     assert(out(0).getAs[Long]("n_subwords") === (2L + 4L + 4L))
   }
+
+  test("applyMergesViaVocab ≡ applyMerges on random corpora (vocab path, tiny checkpoint batches)") {
+    val rng = new scala.util.Random(83)
+    val docs = (1L to 30L).map { id =>
+      val words = Seq.fill(3 + rng.nextInt(20))(
+        Seq.fill(1 + rng.nextInt(6))(('a' + rng.nextInt(4)).toChar).mkString)
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Bpe.trainMergesFromTokens(toks, nMerges = 12)
+      .orderBy("rank")
+      .select(col("left"), col("right")).as[(String, String)].collect().toSeq
+    assert(merges.nonEmpty)
+    val direct = Bpe.applyMerges(toks, merges)
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords")))
+    val viaVocab = Bpe.applyMergesViaVocab(toks, merges, checkpointEvery = 3)
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords")))
+    assert(viaVocab.toSeq === direct.toSeq)
+    toks.unpersist(blocking = false)
+  }
 }
