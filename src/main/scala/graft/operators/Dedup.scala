@@ -620,4 +620,40 @@ object Dedup {
       .agg(concat_ws("", array_sort(collect_list(struct(col("i"), col("bits4"))))
         .getField("bits4")).as("simhash64"))
   }
+
+  /** Boilerplate chunk removal — the document-frequency cousin of
+    * [[chunkDedup]]: a `w`-word chunk occurring in at least `minDocs`
+    * DISTINCT documents is template text (site headers, license
+    * blurbs, navigation) and is removed from EVERY document.
+    * [[chunkDedup]] keeps the FIRST occurrence of a repeated span (the
+    * C4 rule — the text itself is worth one copy); this removes ALL
+    * occurrences (the CCNet/RefinedWeb rule — template text carries no
+    * training signal at any multiplicity). Reports per-document chunk
+    * totals, removals, and the removed fraction.
+    *
+    * Scale shape: the document-frequency census is one shuffle on the
+    * chunk string with a partial-aggregating approx-free
+    * `count(distinct id)` per chunk (each doc contributes each chunk
+    * at most a handful of times, so the distinct expansion is small);
+    * verdicts return to the chunk stream by the same chunk key — AQE
+    * broadcasts the frequent-chunk side when the threshold keeps it
+    * small, and the per-doc report is the one doc-keyed combine. */
+  def boilerplateChunkStats(toks: DataFrame, w: Int = 5,
+                            minDocs: Long = 3): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val chunks = TextStats.posChunksFromTokens(toks, w)
+    val frequent = chunks
+      .groupBy(col("s"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("s"), lit(1).as("bp"))
+    chunks
+      .join(frequent, Seq("s"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .withColumn("frac_removed",
+        round(col("n_removed").cast("double") / col("n_chunks"), 4))
+  }
 }
