@@ -34,15 +34,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark has
-    * no native type for: read it as raw nanos (legacy long mode) and
-    * truncate to a microsecond timestamp. Sub-microsecond ordering ties
-    * are broken by event_id in every consumer of this table.
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) (no native Spark type — readable only as a raw
+    * nanos long under the legacy conf) and, since the round-5 regen,
+    * plain `timestamp[us]` (scanned as TIMESTAMP_NTZ because the file
+    * is not UTC-adjusted). Branch on the SCANNED dtype so both
+    * generations load: the long path applies the nanos→micros shim, the
+    * native path casts NTZ→TIMESTAMP (an identity on values under the
+    * session's UTC timezone, restoring the exact `ts` type every
+    * consumer and the DuckDB oracle saw before the regen).
+    * Sub-microsecond ordering ties are broken by event_id in every
+    * consumer of this table.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // Harmless for the micros fixture; required before the scan for the
+    // nanos one (the reader rejects TIMESTAMP(NANOS) without it).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
