@@ -61,5 +61,13 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
             print(f"  duck [{i}]={cw[i]}")
         if len(cg) != len(cw) and cg and cw:
             print(f"  spark[0]={cg[0]}\n  duck [0]={cw[0]}")
+# Queries that errored in Verify leave no parquet dir — surface them
+# from the explicit errors.json so they can't read as "0 failures".
+err_path = f"{out_dir}/errors.json"
+if os.path.exists(err_path):
+    for name, msg in json.load(open(err_path)).items():
+        print(f"FAIL {name}: verify errored: {msg}")
+        n_fail += 1
+
 print(f"== {n_pass} pass, {n_fail} fail ==")
 sys.exit(1 if n_fail else 0)

@@ -656,4 +656,37 @@ object Dedup {
       .withColumn("frac_removed",
         round(col("n_removed").cast("double") / col("n_chunks"), 4))
   }
+
+  /** [[boilerplateChunkStats]]'s emitting sibling: REBUILDS each
+    * document from its non-boilerplate chunks (the same df ≥ `minDocs`
+    * remove-ALL rule), mirroring [[chunkDedupFromTokens]]'s
+    * survivor-reassembly. This is the form a curation pipeline
+    * consumes — cleaned text flows into the quality/dedup/selection
+    * cascade instead of a stats report. Documents under `w` words, or
+    * consisting entirely of template chunks, vanish (same contract as
+    * [[chunkDedupFromTokens]]).
+    *
+    * Scale shape identical to the stats variant: one chunk-keyed census
+    * shuffle, verdicts return by chunk key (AQE broadcasts the flagged
+    * side when small), and the doc-keyed rebuild is the one combine —
+    * the sort in reassembly is per-document `array_sort`, never a
+    * global order. */
+  def boilerplateStripFromTokens(toks: DataFrame, w: Int = 5,
+                                 minDocs: Long = 3): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val chunks = TextStats.posChunksFromTokens(toks, w)
+    val frequent = chunks
+      .groupBy(col("s"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("s"), lit(1).as("bp"))
+    chunks
+      .join(frequent, Seq("s"), "left")
+      .where(col("bp").isNull)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("s"))))
+            .getField("s")).as("clean_text"))
+  }
 }

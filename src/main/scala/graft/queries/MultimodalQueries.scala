@@ -153,5 +153,116 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q34, q34b, q35, q110, q112)
+  /** Multimodal corpus data card — the media analog of q76: ONE report
+    * over all three REAL codecs. Each document carries a blob in a
+    * deterministic modality (doc_id % 3 → image/audio/video, generated
+    * by the q34b/q110/q112 fixture formulas), with every 13th blob
+    * TRUNCATED to 6 bytes — short of the PNG magic, the 12-byte RIFF
+    * header, and the first ISO-BMFF box header, so all three kernels
+    * must degrade it to their typed corrupt row. The card aggregates
+    * per (source, modality): blob and corrupt counts, corrupt fraction,
+    * mean valid dimensions (width/height, sample_rate/channels), and
+    * total content units (pixels, frames, duration ms). The oracle
+    * replays the generator formulas and the corrupt set from doc_id, so
+    * the hash matches only if encode, all three box/chunk walks, the
+    * corrupt-degradation contract, AND the aggregation agree.
+    *
+    * Scale shape: three independent per-partition decode maps (zero
+    * shuffle, O(header) per blob), one union, one keyed aggregate —
+    * the same linear metadata-pass plan a 100 TB media crawl wants. */
+  val q116 = GQuery("q116_media_datacard",
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS modality,
+      |    (doc_id % 13 = 0) AS bad,
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 24 AS DOUBLE)
+      |         WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS DOUBLE)
+      |         ELSE CAST(160 + (doc_id % 8) * 16 AS DOUBLE) END AS d1,
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(8 + (doc_id * 7) % 24 AS DOUBLE)
+      |         WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS DOUBLE)
+      |         ELSE CAST(120 + (doc_id % 6) * 20 AS DOUBLE) END AS d2,
+      |    CASE WHEN doc_id % 3 = 0
+      |           THEN CAST((8 + doc_id % 24) * (8 + (doc_id * 7) % 24) AS BIGINT)
+      |         WHEN doc_id % 3 = 1 THEN CAST(100 + (doc_id * 13) % 900 AS BIGINT)
+      |         ELSE CAST(((300 + (doc_id * 17) % 4200) * 1000) // 600 AS BIGINT)
+      |         END AS units
+      |  FROM documents)
+      |SELECT source, modality,
+      |  CAST(count(*) AS BIGINT) AS n_blobs,
+      |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  round(sum(CASE WHEN bad THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+      |    AS frac_corrupt,
+      |  round(avg(CASE WHEN bad THEN NULL ELSE d1 END), 4) AS avg_dim1,
+      |  round(avg(CASE WHEN bad THEN NULL ELSE d2 END), 4) AS avg_dim2,
+      |  CAST(sum(CASE WHEN bad THEN NULL ELSE units END) AS BIGINT)
+      |    AS total_units
+      |FROM m GROUP BY source, modality
+      |ORDER BY source, modality""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val ids = docs.select(col("doc_id")).as[Long]
+    // Every 13th blob truncated to 6 bytes — invalid for all three
+    // container formats, exercising the corrupt-degradation contract.
+    def maim(id: Long, bytes: Array[Byte]): Array[Byte] =
+      if (id % 13 == 0) bytes.take(6) else bytes
+
+    val img = Multimodal.decodePartitions(
+      ids.filter(_ % 3 == 0).mapPartitions(_.map { id =>
+        (id, maim(id, Multimodal.encodePng(
+          (8 + id % 24).toInt, (8 + (id * 7) % 24).toInt, seed = id)))
+      }).toDF("doc_id", "blob"),
+      "blob", "doc_id", "png", Multimodal.ImageIoCodec)
+      .select(col("id").as("doc_id"), lit("image").as("modality"),
+        (col("format") === "corrupt").as("bad"),
+        col("width").cast("double").as("d1"),
+        col("height").cast("double").as("d2"),
+        (col("width").cast("long") * col("height")).as("units"))
+
+    val aud = Multimodal.decodeAudioPartitions(
+      ids.filter(_ % 3 == 1).mapPartitions(_.map { id =>
+        (id, maim(id, Multimodal.encodeWav(
+          sampleRate = (8000 + (id % 8) * 1000).toInt,
+          channels = (1 + id % 2).toInt,
+          nFrames = (100 + (id * 13) % 900).toInt,
+          seed = id)))
+      }).toDF("doc_id", "blob"),
+      "blob", "doc_id", "wav", Multimodal.WavCodec)
+      .select(col("id").as("doc_id"), lit("audio").as("modality"),
+        (col("format") === "corrupt").as("bad"),
+        col("sample_rate").cast("double").as("d1"),
+        col("channels").cast("double").as("d2"),
+        col("n_frames").as("units"))
+
+    val vid = Multimodal.decodeVideoPartitions(
+      ids.filter(_ % 3 == 2).mapPartitions(_.map { id =>
+        (id, maim(id, Multimodal.encodeMp4(
+          timescale = 600,
+          durationTicks = 300 + (id * 17) % 4200,
+          width = (160 + (id % 8) * 16).toInt,
+          height = (120 + (id % 6) * 20).toInt,
+          nTracks = (1 + id % 3).toInt)))
+      }).toDF("doc_id", "blob"),
+      "blob", "doc_id", "mp4", Multimodal.Mp4Codec)
+      .select(col("id").as("doc_id"), lit("video").as("modality"),
+        (col("format") === "corrupt").as("bad"),
+        col("width").cast("double").as("d1"),
+        col("height").cast("double").as("d2"),
+        col("duration_ms").as("units"))
+
+    img.unionByName(aud).unionByName(vid)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("source"), col("modality"))
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_corrupt"),
+        round(sum(when(col("bad"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("frac_corrupt"),
+        round(avg(when(!col("bad"), col("d1"))), 4).as("avg_dim1"),
+        round(avg(when(!col("bad"), col("d2"))), 4).as("avg_dim2"),
+        sum(when(!col("bad"), col("units"))).as("total_units"))
+      .orderBy(col("source"), col("modality"))
+  }
+
+  val all: Seq[GQuery] = Seq(q34, q34b, q35, q110, q112, q116)
 }

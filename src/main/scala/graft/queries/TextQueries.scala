@@ -53,12 +53,15 @@ object TextQueries {
     * + word-length sanity). */
   /** Shared oracle CTE chain ending in
     * `q(doc_id, n_tokens, quality)` — the q28 score, reused by the
-    * token-budget selection (q70). */
-  private[queries] val qualityCte: String =
+    * token-budget selection (q70). [[qualityCtesOver]] parameterizes the
+    * source so the same formula can score DERIVED text (e.g. the
+    * boilerplate-cleaned corpus in q118); `src` must provide
+    * (doc_id, text, n_chars). */
+  private[queries] def qualityCtesOver(src: String): String =
     s"""t AS (
        |  SELECT doc_id, text, n_chars,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
-       |  FROM documents),
+       |  FROM $src),
        |c AS (
        |  SELECT doc_id, n_chars,
        |    len(ws) AS n_tok,
@@ -75,6 +78,8 @@ object TextQueries {
        |  SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
        |    round((len_score + stop_score + wl_score) / 3.0, 4) AS quality
        |  FROM c)""".stripMargin
+
+  private[queries] val qualityCte: String = qualityCtesOver("documents")
 
   val q28 = GQuery("q28_quality_score",
     s"""WITH $qualityCte
@@ -651,6 +656,96 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** [[q115]]'s emitting sibling (see
+    * [[graft.operators.Dedup.boilerplateStripFromTokens]]): documents
+    * REBUILT from their non-template chunks — the cleaned-text form a
+    * curation pipeline consumes. Same df >= 3 remove-ALL rule; docs
+    * left with no surviving chunks vanish (q68 contract). */
+  val q117 = GQuery("q117_boilerplate_clean",
+    s"""WITH $tokCte,
+       |ch AS (
+       |  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': j, 's': array_to_string(ws[(j*5+1):(j*5+5)], ' ')}
+       |              for j in range(0, len(ws) // 5)]) AS u
+       |    FROM tok WHERE len(ws) >= 5)),
+       |bp AS (
+       |  SELECT s, 1 AS flag
+       |  FROM (SELECT s, count(DISTINCT doc_id) AS df FROM ch GROUP BY s)
+       |  WHERE df >= 3)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_chunks,
+       |  string_agg(s, ' ' ORDER BY pos) AS clean_text
+       |FROM ch LEFT JOIN bp USING (s)
+       |WHERE flag IS NULL
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup
+      .boilerplateStripFromTokens(sharedToks(s, dir), w = 5, minDocs = 3)
+      .select(col("id").as("doc_id"), col("n_kept_chunks"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Capstone curation v5 — the boilerplate-aware stack under ONE
+    * end-to-end oracle: template-chunk strip (q117's remove-ALL rule)
+    * → quality RE-SCORED on the CLEANED text (stripping boilerplate
+    * changes length/stopword/word-length signals, so selection must
+    * run downstream of cleaning — the point of emitting text instead
+    * of stats) → threshold keep (quality ≥ 0.5 on the 4-dp grid) →
+    * curriculum packing (q106 rule, quality DESC) → per-shard summary.
+    * Fixed-point q4 sums keep the hash exact across engines. */
+  val q118 = {
+    val MaxTok = 4096L
+    GQuery("q118_curation_v5",
+      s"""WITH $tokCte,
+         |ch AS (
+         |  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+         |    SELECT doc_id,
+         |      unnest([{'pos': j, 's': array_to_string(ws[(j*5+1):(j*5+5)], ' ')}
+         |              for j in range(0, len(ws) // 5)]) AS u
+         |    FROM tok WHERE len(ws) >= 5)),
+         |bp AS (
+         |  SELECT s, 1 AS flag
+         |  FROM (SELECT s, count(DISTINCT doc_id) AS df FROM ch GROUP BY s)
+         |  WHERE df >= 3),
+         |cleaned AS (
+         |  SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text,
+         |    length(string_agg(s, ' ' ORDER BY pos)) AS n_chars
+         |  FROM ch LEFT JOIN bp USING (s)
+         |  WHERE flag IS NULL GROUP BY doc_id),
+         |${qualityCtesOver("cleaned")},
+         |kept AS (SELECT doc_id, n_tokens, quality FROM q
+         |         WHERE quality >= 0.5),
+         |packed AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    CAST(floor((sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens) / $MaxTok) AS BIGINT)
+         |      AS shard_id
+         |  FROM kept)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CAST(round(quality * 1e4) AS BIGINT)) AS BIGINT) AS q4_sum,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / $MaxTok, 4) AS fill_ratio
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val cleaned = graft.operators.Dedup
+        .boilerplateStripFromTokens(sharedToks(s, dir), w = 5, minDocs = 3)
+        .select(col("id").as("doc_id"), col("clean_text"))
+      val scored = cleaned.select(col("doc_id"),
+        TextFunctions.tokenCount(col("clean_text")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("clean_text"),
+          length(col("clean_text"))).as("quality"))
+      val kept = scored.where(col("quality") >= 0.5)
+      graft.operators.Packing
+        .packByOrder(kept, "doc_id", "n_tokens", "quality", MaxTok)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(round(col("quality") * 1e4).cast("long")).as("q4_sum"))
+        .withColumn("fill_ratio",
+          round(col("sum_tokens").cast("double") / MaxTok, 4))
+        .orderBy(col("shard_id"))
+    }
+  }
+
   /** Per-source out-of-vocabulary rate against the corpus top-20
     * vocabulary (see [[graft.operators.TextStats.oovRate]]) — the
     * tokenizer-sizing / domain-drift statistic that pairs with the BPE
@@ -1180,5 +1275,5 @@ object TextQueries {
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
-      q105b, q107, q111, q113, q114, q115)
+      q105b, q107, q111, q113, q114, q115, q117, q118)
 }

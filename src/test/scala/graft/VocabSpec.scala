@@ -98,4 +98,43 @@ class VocabSpec extends SparkSpec {
       .agg(sum("n_removed")).as[Long].collect().head
     assert(out === 0L)
   }
+
+  test("boilerplateStripFromTokens: rebuilds docs without template chunks") {
+    // Same corpus as the stats test: "a b" is boilerplate (df=3),
+    // everything else survives in position order.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d a b"),
+      (3L, "a b e f"),
+      (4L, "g h i j")).toDF("doc_id", "text")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val out = Dedup.boilerplateStripFromTokens(toks, w = 2, minDocs = 3)
+      .orderBy("id").select("id", "n_kept_chunks", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, "c d"), (2L, 1L, "c d"), (3L, 1L, "e f"),
+      (4L, 2L, "g h i j")))
+  }
+
+  test("boilerplateStripFromTokens: all-template docs vanish; counts agree with stats") {
+    // doc 3 is ONLY the boilerplate chunk → no surviving chunks → absent
+    // from the strip output (the q68 contract), while the stats variant
+    // still reports it. Kept counts satisfy n_kept = n_chunks − n_removed.
+    val docs = Seq(
+      (1L, "x y c d"),
+      (2L, "x y e f"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val strip = Dedup.boilerplateStripFromTokens(toks, w = 2, minDocs = 3)
+    val stats = Dedup.boilerplateChunkStats(toks, w = 2, minDocs = 3)
+    assert(strip.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    val joined = stats.join(strip, Seq("id"), "left")
+      .select(col("id"),
+        (col("n_chunks") - col("n_removed")).as("expect_kept"),
+        coalesce(col("n_kept_chunks"), lit(0L)).as("got_kept"))
+      .as[(Long, Long, Long)].collect().toSeq
+    joined.foreach { case (id, expect, got) =>
+      assert(expect === got, s"doc $id kept-count mismatch")
+    }
+  }
 }
