@@ -274,6 +274,199 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual image hash — REAL pixel decode (`ImageIO.read`, full
+    * raster, not just the header) followed by a deterministic dHash:
+    * the image is box-averaged onto a 9×8 luma grid and each of the 64
+    * bits records whether a cell is brighter than its left neighbor.
+    * Identical images hash identically; small edits flip few bits, so
+    * Hamming distance over the 64-bit string gives near-duplicate
+    * detection for image corpora — the visual analog of SimHash, and
+    * the output plugs straight into the existing banded
+    * `hamming_dist` pairing machinery.
+    *
+    * Exactness contract (what makes this oracle-able): the downscale
+    * is OUR integer arithmetic, not a library scaler — cell boundaries
+    * are `floor(g·dim/grid)`, luma is the integer BT.601 weighting
+    * (299·r + 587·g + 114·b, NO division), and the brighter-than
+    * comparison cross-multiplies sums and counts
+    * (s₂·c₁ > s₁·c₂ ⟺ avg₂ > avg₁) so no float rounding exists
+    * anywhere. PNG is lossless, so decoded pixels equal generated
+    * pixels bit-for-bit and the whole pipeline replays in SQL.
+    *
+    * Images narrower than the 9×8 grid would produce empty cells —
+    * degraded to the typed corrupt row, like unreadable bytes.
+    * O(pixels) per blob, zero shuffle. */
+  object DHashCodec extends Serializable {
+    /** (format, dhash 64-char '0'/'1' string, or (corrupt, null)) */
+    def dhash(bytes: Array[Byte]): (String, String) = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself on
+      // return; the defensive close is for the throw path only and
+      // must tolerate the already-closed case.
+      val img =
+        try javax.imageio.ImageIO.read(in)
+        catch { case _: java.io.IOException => null }
+        finally {
+          try in.close()
+          catch { case _: java.io.IOException => () }
+        }
+      if (img == null) return ("corrupt", null)
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < 9 || h < 8) return ("corrupt", null)
+      val s = Array.ofDim[Long](8, 9)
+      val c = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+          var sum = 0L; var cnt = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val m = img.getRGB(x, y) & 0xffffff
+              sum += ((m >> 16) & 0xff) * 299L + ((m >> 8) & 0xff) * 587L +
+                (m & 0xff) * 114L
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          s(gy)(gx) = sum; c(gy)(gx) = cnt
+          gx += 1
+        }
+        gy += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val brighter =
+            s(gy)(gx + 1) * c(gy)(gx) > s(gy)(gx) * c(gy)(gx + 1)
+          sb.append(if (brighter) '1' else '0')
+          gx += 1
+        }
+        gy += 1
+      }
+      ("png", sb.toString)
+    }
+  }
+
+  /** Per-partition perceptual-hash decode — [[decodePartitions]] with
+    * the [[DHashCodec]] kernel: (id, format, dhash). */
+  def decodeImageHashPartitions(df: DataFrame, blobCol: String,
+                                idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("dhash", StringType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, dh) = DHashCodec.dhash(bytes)
+        Row(r.getLong(idIdx), f, dh)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio SAMPLE decode — the step past [[WavCodec]]'s header probe:
+    * walks the RIFF chunks to the `data` payload and iterates the
+    * PCM16 frames themselves, producing the exact integer signal
+    * statistics an audio-curation pass filters on — total samples,
+    * energy (sum of squares — kept as the exact integer so no sqrt
+    * enters the comparison), clipped-sample count (|s| ≥ `clipAt`),
+    * and peak amplitude. Silence (near-zero energy) and clipping
+    * (high clip fraction) are the two standard discard signals for
+    * recorded-speech corpora. Only uncompressed PCM16 is decodable
+    * here; anything else — malformed RIFF, other bit depths, a `data`
+    * chunk overrunning the buffer — degrades to the typed corrupt row
+    * (format = "corrupt", −1 fields), never a throw.
+    *
+    * O(samples) per blob, zero shuffle, streamed one blob at a time —
+    * unlike the header probes this one READS the payload, which is the
+    * point: it is the template for any sample-level kernel (loudness
+    * normalization, VAD, resampling) at 100 TB. */
+  object PcmStatsCodec extends Serializable {
+    private def corrupt(n: Long, ck: String) =
+      ("corrupt", -1L, -1L, -1L, -1, n, ck)
+    /** (format, n_samples, sum_sq, n_clipped, max_abs, n_bytes, checksum) */
+    def stats(bytes: Array[Byte], clipAt: Int = 32700)
+        : (String, Long, Long, Long, Int, Long, String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ck = md.digest(bytes).map("%02x".format(_)).mkString
+      val n = bytes.length.toLong
+      def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+        return corrupt(n, ck)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12L
+      var bits = -1
+      var dataOff = -1L
+      var dataSize = -1L
+      while (off + 8 <= bytes.length) {
+        val o = off.toInt
+        val id = ascii(o)
+        val size = bb.getInt(o + 4).toLong & 0xffffffffL
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length)
+          bits = bb.getShort(o + 22) & 0xffff
+        else if (id == "data") { dataOff = off + 8; dataSize = size }
+        off += 8 + size + (size & 1)
+      }
+      // PCM16 only, and the payload must actually fit in the buffer —
+      // a lying data size must not read past the end.
+      if (bits != 16 || dataOff < 0 || dataOff + dataSize > bytes.length)
+        return corrupt(n, ck)
+      var i = dataOff.toInt
+      val end = (dataOff + (dataSize & ~1L)).toInt
+      var nSamples = 0L
+      var sumSq = 0L
+      var nClipped = 0L
+      var maxAbs = 0
+      while (i + 2 <= end) {
+        val s = bb.getShort(i).toInt
+        val a = math.abs(s)
+        nSamples += 1
+        sumSq += s.toLong * s
+        if (a >= clipAt) nClipped += 1
+        if (a > maxAbs) maxAbs = a
+        i += 2
+      }
+      ("wav", nSamples, sumSq, nClipped, maxAbs, n, ck)
+    }
+  }
+
+  /** Per-partition PCM sample-statistics decode — [[decodePartitions]]
+    * with the [[PcmStatsCodec]] kernel. */
+  def decodeAudioStatsPartitions(df: DataFrame, blobCol: String,
+                                 idCol: String,
+                                 clipAt: Int = 32700): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("n_samples", LongType).add("sum_sq", LongType)
+      .add("n_clipped", LongType).add("max_abs", IntegerType)
+      .add("n_bytes", LongType).add("checksum", StringType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, ns, sq, nc, ma, n, ck) = PcmStatsCodec.stats(bytes, clipAt)
+        Row(r.getLong(idIdx), f, ns, sq, nc, ma, n, ck)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ------------------------------------------------------------- video
 
   /** Metadata struct for video blobs — the video twin of [[metaSchema]]:

@@ -264,5 +264,118 @@ object MultimodalQueries {
       .orderBy(col("source"), col("modality"))
   }
 
-  val all: Seq[GQuery] = Seq(q34, q34b, q35, q110, q112, q116)
+  /** REAL audio SAMPLE decode — past q110's header probe and into the
+    * PCM payload ([[Multimodal.PcmStatsCodec]]): exact integer signal
+    * statistics (sample count, energy as the exact sum of squares,
+    * clipped-sample count at |s| ≥ 32700, peak amplitude) — the
+    * silence/clipping discard signals of an audio-curation pass. The
+    * generator's sample formula ((doc_id + i·31) mod 2¹⁶ − 2¹⁵) is
+    * replayed sample-by-sample by the oracle via unnest(range(n)), so
+    * the hash matches only if the RIFF writer, the chunk walk, AND the
+    * frame-by-frame PCM16 read all agree — integer-exact, no float
+    * anywhere. */
+  val q119 = GQuery("q119_wav_stats",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST((1 + doc_id % 2) * (100 + (doc_id * 13) % 900) AS BIGINT) AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+      |v AS (
+      |  SELECT doc_id, n, ((doc_id + i * 31) % 65536) - 32768 AS v FROM s)
+      |SELECT doc_id, 'wav' AS format,
+      |  CAST(max(n) AS BIGINT) AS n_samples,
+      |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+      |  CAST(sum(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped,
+      |  CAST(max(abs(v)) AS INT) AS max_abs
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodeWav(
+          sampleRate = (8000 + (id % 8) * 1000).toInt,
+          channels = (1 + id % 2).toInt,
+          nFrames = (100 + (id * 13) % 900).toInt,
+          seed = id))
+      })
+      .toDF("doc_id", "blob")
+    Multimodal.decodeAudioStatsPartitions(blobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("format"), col("n_samples"),
+        col("sum_sq"), col("n_clipped"), col("max_abs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL pixel decode → perceptual dHash → exact-duplicate census
+    * ([[Multimodal.DHashCodec]]): PNGs are generated with seed =
+    * doc_id mod 50 (dimensions AND pixels derive from the seed), so
+    * same-seed documents carry byte-different but pixel-identical
+    * images; `ImageIO.read` decodes the full raster back, the
+    * integer-exact 9×8 box-average dHash reduces it to 64 bits, and a
+    * hash census counts copies — the image-dedup move at corpus
+    * scale. The oracle replays the ENTIRE pixel arithmetic
+    * (gradient formula → per-cell luma sums over floor-boundary
+    * blocks → cross-multiplied brighter-than bits → census) in SQL
+    * from the 50 distinct seeds, so the hash matches only if the PNG
+    * round-trip is bit-exact and the downscale/compare arithmetic
+    * agrees term-for-term.
+    *
+    * Scale shape: per-partition decode (zero shuffle, O(pixels) per
+    * blob), then ONE hash-keyed census aggregate joined back — the
+    * exact-dedup plan (q23) with a decoded perceptual key; Hamming
+    * banding over the same 64-bit strings (q60 machinery) is the
+    * near-dup extension. */
+  val q120 = GQuery("q120_image_dhash",
+    """WITH sd AS (SELECT DISTINCT doc_id % 50 AS seed FROM documents),
+      |dim AS (SELECT seed, 9 + seed % 23 AS w, 8 + (seed * 7) % 24 AS h
+      |        FROM sd),
+      |g AS (SELECT seed, w, h, gxs.gx AS gx, gys.gy AS gy
+      |      FROM dim,
+      |        (SELECT unnest(range(0, 9)) AS gx) gxs,
+      |        (SELECT unnest(range(0, 8)) AS gy) gys),
+      |xb AS (SELECT seed, gx, gy,
+      |        (gx * w) // 9 AS x0, ((gx + 1) * w) // 9 AS x1,
+      |        (gy * h) // 8 AS y0, ((gy + 1) * h) // 8 AS y1 FROM g),
+      |px AS (SELECT seed, gx, gy, y0, y1, unnest(range(x0, x1)) AS x
+      |       FROM xb),
+      |pxy AS (SELECT seed, gx, gy, x, unnest(range(y0, y1)) AS y FROM px),
+      |lum AS (SELECT seed, gx, gy,
+      |        (((seed + x * 31 + y * 131) % 16777216) // 65536) * 299
+      |        + ((((seed + x * 31 + y * 131) % 16777216) // 256) % 256) * 587
+      |        + (((seed + x * 31 + y * 131) % 16777216) % 256) * 114 AS l
+      |        FROM pxy),
+      |ls AS (SELECT seed, gx, gy, sum(l) AS s, count(*) AS c FROM lum
+      |       GROUP BY seed, gx, gy),
+      |bits AS (SELECT a.seed AS seed, a.gx AS gx, a.gy AS gy,
+      |         CASE WHEN b.s * a.c > a.s * b.c THEN '1' ELSE '0' END AS bit
+      |         FROM ls a JOIN ls b
+      |           ON a.seed = b.seed AND a.gy = b.gy AND b.gx = a.gx + 1
+      |         WHERE a.gx < 8),
+      |hs AS (SELECT seed, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+      |       FROM bits GROUP BY seed),
+      |dh AS (SELECT d.doc_id, h.dhash FROM documents d
+      |       JOIN hs h ON d.doc_id % 50 = h.seed)
+      |SELECT doc_id, dhash,
+      |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_copies
+      |FROM dh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 50
+        (id, Multimodal.encodePng(
+          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
+      })
+      .toDF("doc_id", "blob")
+    val hashed = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("dhash"))
+    // hash census join, not a window: the heavy-hitter hash (a viral
+    // duplicate image) must partial-aggregate map-side, not pile onto
+    // one window task.
+    val census = hashed.groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_copies"))
+    hashed.join(census, Seq("dhash"))
+      .select(col("doc_id"), col("dhash"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q34, q34b, q35, q110, q112, q116, q119, q120)
 }

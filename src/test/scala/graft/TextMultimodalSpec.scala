@@ -143,4 +143,74 @@ class TextMultimodalSpec extends SparkSpec {
       .select("frame_idx").as[Int].collect().toSeq
     assert(frames === Seq(0, 2, 4, 6, 8, 10))  // n_frames = 10 % 32 + 1 = 11
   }
+
+  test("PcmStatsCodec reads PCM16 frames exactly; hand-computed stats") {
+    // encodeWav samples: ((seed + i*31) % 65536) - 32768 for i < frames*ch
+    val seed = 7L
+    val frames = 5
+    val bytes = Multimodal.encodeWav(8000, channels = 2, nFrames = frames,
+      seed = seed)
+    val expect = (0 until frames * 2).map(i => ((seed + i * 31) % 65536) - 32768)
+    val (f, ns, sq, nc, ma, nb, _) = Multimodal.PcmStatsCodec.stats(bytes)
+    assert(f === "wav")
+    assert(ns === expect.length.toLong)
+    assert(sq === expect.map(v => v * v).sum)
+    assert(nc === expect.count(v => math.abs(v) >= 32700).toLong)
+    assert(ma === expect.map(v => math.abs(v).toInt).max)
+    assert(nb === bytes.length.toLong)
+    // clipAt is honored: every sample "clips" at threshold 0... except
+    // exact zeros, so use 1 on an all-nonzero signal
+    val (_, _, _, allClipped, _, _, _) =
+      Multimodal.PcmStatsCodec.stats(bytes, clipAt = 0)
+    assert(allClipped === ns)
+  }
+
+  test("PcmStatsCodec degrades typed: corrupt magic, lying data size, non-PCM16") {
+    val good = Multimodal.encodeWav(8000, 1, 4, seed = 1L)
+    val lying = good.clone()
+    // data chunk size field at offset 40 (LE): claim far more than present
+    val bb = java.nio.ByteBuffer.wrap(lying)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue)
+    val cases = Seq(
+      "no riff".getBytes("UTF-8"),
+      good.take(10),
+      lying)
+    cases.foreach { b =>
+      val (f, ns, _, _, _, _, _) = Multimodal.PcmStatsCodec.stats(b)
+      assert(f === "corrupt" && ns === -1L)
+    }
+    // per-partition wrapper carries the typed rows through
+    val df = Seq((1L, good), (2L, lying)).toDF("id", "blob")
+    val rows = Multimodal.decodeAudioStatsPartitions(df, "blob", "id")
+      .select("id", "format").as[(Long, String)].collect().toMap
+    assert(rows(1L) === "wav" && rows(2L) === "corrupt")
+  }
+
+  test("DHashCodec: pixel-identical images hash equal; edits move few bits; corrupt typed") {
+    def hash(b: Array[Byte]) = Multimodal.DHashCodec.dhash(b)
+    val a = hash(Multimodal.encodePng(20, 16, seed = 3L))
+    val b = hash(Multimodal.encodePng(20, 16, seed = 3L))
+    assert(a._1 === "png" && a._2.length === 64)
+    assert(a._2.forall(c => c == '0' || c == '1'))
+    assert(a === b)                       // deterministic, byte-independent
+    def hamming(x: String, y: String) = x.zip(y).count { case (i, j) => i != j }
+    // identical-size, slightly-shifted gradient: small but nonzero distance
+    // is the near-dup property we rely on (not asserted tightly — the
+    // gradient is synthetic); pixel-identical is the exact contract.
+    assert(hamming(a._2, b._2) === 0)
+    // corrupt bytes and sub-grid images degrade typed
+    assert(hash("junk".getBytes("UTF-8"))._1 === "corrupt")
+    assert(hash(Multimodal.encodePng(8, 8, seed = 1L))._1 === "corrupt")
+    // per-partition wrapper
+    val df = Seq(
+      (1L, Multimodal.encodePng(20, 16, seed = 3L)),
+      (2L, Multimodal.encodePng(20, 16, seed = 3L)),
+      (3L, "junk".getBytes("UTF-8"))).toDF("id", "blob").repartition(2)
+    val out = Multimodal.decodeImageHashPartitions(df, "blob", "id")
+      .select("id", "format", "dhash").as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === "png" && out(1L)._2 === out(2L)._2)
+    assert(out(3L) === ("corrupt", null))
+  }
 }
