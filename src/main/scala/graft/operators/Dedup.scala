@@ -418,12 +418,23 @@ object Dedup {
     * Complements Jaccard/MinHash: SimHash distance is a corpus-free
     * per-doc signature, so the pairing needs no shingle index. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3): DataFrame =
+    hammingNearDupsFromSigs(simhash(df, idCol, textCol), maxHamming)
+
+  /** Banded Hamming pairing over ANY (id, simhash64) 64-bit-string
+    * signature frame — the core of [[simhashNearDups]], factored out so
+    * other 64-bit perceptual signatures (the image dHash of
+    * [[Multimodal.DHashCodec]]) reuse the same pigeonhole machinery:
+    * split into `maxHamming`+1 bands, equi-join per band (any pair
+    * within distance d must agree on ≥1 band), verify with the native
+    * codegen `hamming_dist`. Candidate generation is linear in data +
+    * matching-band pairs, never all-pairs. */
+  def hammingNearDupsFromSigs(sigs: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    graft.plans.HammingDist.register(df.sparkSession)
+    graft.plans.HammingDist.register(sigs.sparkSession)
     val b = maxHamming + 1
     val bounds = (0 to b).map(i => 1 + i * 64 / b)   // 1-based band starts
-    val sigs = simhash(df, idCol, textCol)
     val bandCols = (0 until b).map { i =>
       struct(lit(i).as("band"),
         substring(col("simhash64"), bounds(i), bounds(i + 1) - bounds(i)).as("key"))

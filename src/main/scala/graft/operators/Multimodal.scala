@@ -95,7 +95,14 @@ object Multimodal {
     * `ImageIO.write`): REAL image bytes for specs and fixture queries —
     * pixel values derive from `seed` so the same call yields the same
     * image anywhere. Test/fixture generator, not a production operator. */
-  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodePng(w, h, seed, xCoef = 31L)
+
+  /** [[encodePng]] with a tunable x-gradient coefficient — a second
+    * coefficient yields a DIFFERENT but visually similar image (same
+    * dims, shifted gradient), the controlled near-duplicate for
+    * perceptual-hash pairing fixtures. */
+  def encodePng(w: Int, h: Int, seed: Long, xCoef: Long): Array[Byte] = {
     require(w >= 1 && h >= 1, s"bad dimensions ${w}x$h")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -103,7 +110,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((seed + x * 31L + y * 131L) & 0xffffff).toInt)
+        img.setRGB(x, y, ((seed + x * xCoef + y * 131L) & 0xffffff).toInt)
         x += 1
       }
       y += 1

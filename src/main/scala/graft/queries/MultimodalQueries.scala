@@ -377,5 +377,80 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q34, q34b, q35, q110, q112, q116, q119, q120)
+  /** Image NEAR-duplicate pairing — [[q120]]'s dHash composed with the
+    * q60 banded-Hamming machinery
+    * ([[graft.operators.Dedup.hammingNearDupsFromSigs]]): each document
+    * carries one of 100 distinct images (seed = doc_id mod 50 × two
+    * x-gradient variants), every image is REALLY decoded and dHashed,
+    * and pairs within Hamming ≤ 8 surface via the pigeonhole band join
+    * + native `hamming_dist` verify — same-class copies at distance 0,
+    * cross-variant gradients at whatever small distance the arithmetic
+    * yields. The oracle recomputes both hash families pixel-exactly,
+    * takes CLASS-level distances (100×100, not doc×doc), and expands to
+    * doc pairs — so banding recall, the Hamming expression, and the
+    * decode all have to agree with the replay. Top-200 by (id_a, id_b)
+    * keeps the output deterministic and SF-stable. */
+  val q121 = GQuery("q121_image_neardup",
+    """WITH cls AS (SELECT DISTINCT doc_id % 50 AS seed,
+      |              (doc_id // 50) % 2 AS v FROM documents),
+      |dim AS (SELECT seed, v, CASE WHEN v = 1 THEN 37 ELSE 31 END AS cf,
+      |        9 + seed % 23 AS w, 8 + (seed * 7) % 24 AS h FROM cls),
+      |g AS (SELECT seed, v, cf, w, h, gxs.gx AS gx, gys.gy AS gy
+      |      FROM dim,
+      |        (SELECT unnest(range(0, 9)) AS gx) gxs,
+      |        (SELECT unnest(range(0, 8)) AS gy) gys),
+      |xb AS (SELECT seed, v, cf, gx, gy,
+      |        (gx * w) // 9 AS x0, ((gx + 1) * w) // 9 AS x1,
+      |        (gy * h) // 8 AS y0, ((gy + 1) * h) // 8 AS y1 FROM g),
+      |px AS (SELECT seed, v, cf, gx, gy, y0, y1, unnest(range(x0, x1)) AS x
+      |       FROM xb),
+      |pxy AS (SELECT seed, v, cf, gx, gy, x, unnest(range(y0, y1)) AS y
+      |        FROM px),
+      |lum AS (SELECT seed, v, gx, gy,
+      |        (((seed + x * cf + y * 131) % 16777216) // 65536) * 299
+      |        + ((((seed + x * cf + y * 131) % 16777216) // 256) % 256) * 587
+      |        + (((seed + x * cf + y * 131) % 16777216) % 256) * 114 AS l
+      |        FROM pxy),
+      |ls AS (SELECT seed, v, gx, gy, sum(l) AS s, count(*) AS c FROM lum
+      |       GROUP BY seed, v, gx, gy),
+      |bits AS (SELECT a.seed AS seed, a.v AS v, a.gx AS gx, a.gy AS gy,
+      |         CASE WHEN b.s * a.c > a.s * b.c THEN '1' ELSE '0' END AS bit
+      |         FROM ls a JOIN ls b
+      |           ON a.seed = b.seed AND a.v = b.v AND a.gy = b.gy
+      |          AND b.gx = a.gx + 1
+      |         WHERE a.gx < 8),
+      |hs AS (SELECT seed, v, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+      |       FROM bits GROUP BY seed, v),
+      |cp AS (SELECT a.seed AS sa, a.v AS va, b.seed AS sb, b.v AS vb,
+      |         len([i for i in range(1, 65)
+      |              if substr(a.dhash, i, 1) <> substr(b.dhash, i, 1)])
+      |           AS hamming
+      |       FROM hs a, hs b),
+      |pr AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, cp.hamming
+      |       FROM cp
+      |       JOIN documents da
+      |         ON da.doc_id % 50 = cp.sa AND (da.doc_id // 50) % 2 = cp.va
+      |       JOIN documents db
+      |         ON db.doc_id % 50 = cp.sb AND (db.doc_id // 50) % 2 = cp.vb
+      |       WHERE da.doc_id < db.doc_id AND cp.hamming <= 8)
+      |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+      |FROM pr ORDER BY id_a, id_b LIMIT 200""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 50
+        val coef = if ((id / 50) % 2 == 1) 37L else 31L
+        (id, Multimodal.encodePng(
+          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed, coef))
+      })
+      .toDF("doc_id", "blob")
+    val sigs = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
+      .select(col("id"), col("dhash").as("simhash64"))
+    graft.operators.Dedup.hammingNearDupsFromSigs(sigs, maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b")).limit(200)
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121)
 }

@@ -213,4 +213,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L)._1 === "png" && out(1L)._2 === out(2L)._2)
     assert(out(3L) === ("corrupt", null))
   }
+
+  test("dHash signatures compose with banded Hamming pairing") {
+    // Two pixel-identical images + one different gradient: the banded
+    // pairer (q60 machinery over dhash-as-simhash64) must find exactly
+    // the identical pair at distance 0 under a tight threshold.
+    val df = Seq(
+      (1L, Multimodal.encodePng(20, 16, seed = 9L)),
+      (2L, Multimodal.encodePng(20, 16, seed = 9L)),
+      (3L, Multimodal.encodePng(20, 16, seed = 9L, xCoef = 201L)))
+      .toDF("id", "blob")
+    val sigs = Multimodal.decodeImageHashPartitions(df, "blob", "id")
+      .select(col("id"), col("dhash").as("simhash64"))
+    val pairs = graft.operators.Dedup
+      .hammingNearDupsFromSigs(sigs, maxHamming = 0)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs === Set((1L, 2L, 0L)))
+  }
 }
