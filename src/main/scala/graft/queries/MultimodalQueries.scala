@@ -365,8 +365,11 @@ object MultimodalQueries {
           (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
       })
       .toDF("doc_id", "blob")
+    // persisted: the census join reads the hashed frame twice, and the
+    // pixel decode is the expensive child — decode once, not per branch
     val hashed = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
       .select(col("id").as("doc_id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hash census join, not a window: the heavy-hitter hash (a viral
     // duplicate image) must partial-aggregate map-side, not pile onto
     // one window task.
@@ -444,9 +447,15 @@ object MultimodalQueries {
           (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed, coef))
       })
       .toDF("doc_id", "blob")
+    // persisted: the collapsed pairer reads the signature frame from
+    // several branches (collapse, expansion, same-hash join) — the
+    // pixel decode must run once, not once per branch
     val sigs = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
       .select(col("id"), col("dhash").as("simhash64"))
-    graft.operators.Dedup.hammingNearDupsFromSigs(sigs, maxHamming = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // collapsed variant: identical hashes (50 copies per class at
+    // sf0.1) would otherwise square inside every matching band
+    graft.operators.Dedup.hammingNearDupsCollapsed(sigs, maxHamming = 8)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id_a"), col("id_b")).limit(200)
   }

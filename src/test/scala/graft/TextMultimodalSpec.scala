@@ -231,4 +231,29 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().toSet
     assert(pairs === Set((1L, 2L, 0L)))
   }
+
+  test("collapsed Hamming pairing ≡ direct banding on duplicated signatures") {
+    // 3 signature groups with copies + two near signatures: the
+    // exact-dup-collapse plan must produce the identical pair set.
+    val sig0 = "0" * 64
+    val sig1 = "1" + "0" * 63            // hamming 1 from sig0
+    val sigF = "1" * 64                  // far from both
+    val sigs = Seq(
+      (1L, sig0), (2L, sig0), (3L, sig0),
+      (4L, sig1), (5L, sig1),
+      (6L, sigF), (7L, sigF)).toDF("id", "simhash64")
+    val direct = graft.operators.Dedup
+      .hammingNearDupsFromSigs(sigs, maxHamming = 2)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val collapsed = graft.operators.Dedup
+      .hammingNearDupsCollapsed(sigs, maxHamming = 2)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(collapsed === direct)
+    // sanity: same-group pairs at 0, cross sig0↔sig1 at 1, sigF isolated
+    assert(direct.contains((1L, 2L, 0L)) && direct.contains((4L, 5L, 0L)))
+    assert(direct.contains((1L, 4L, 1L)) && direct.contains((6L, 7L, 0L)))
+    assert(!direct.exists { case (a, b, _) => (a <= 5) != (b <= 5) && (a == 6L || a == 7L || b == 6L || b == 7L) })
+  }
 }
