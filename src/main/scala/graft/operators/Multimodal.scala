@@ -451,6 +451,84 @@ object Multimodal {
     }
   }
 
+  /** Perceptual audio fingerprint — the audio member of the
+    * SimHash (text) / dHash (image) signature family: the PCM16
+    * payload is split into 65 equal-occupancy segments (sample i →
+    * segment i·65/n, integer division — trivially replayable), each
+    * segment's ENERGY (exact integer sum of squares) is computed, and
+    * each of the 64 bits records whether a segment is more energetic
+    * than its predecessor (cross-multiplied with segment sizes — no
+    * division, no float). Identical audio fingerprints identically;
+    * small edits (an offset, mild re-gain) preserve most energy
+    * ordering and move few bits, so the banded Hamming machinery
+    * ([[graft.operators.Dedup.hammingNearDupsCollapsed]]) gives audio
+    * near-dup detection. Non-PCM16, malformed RIFF, or payloads under
+    * 65 samples degrade to the typed corrupt row. O(samples) per
+    * blob, zero shuffle. */
+  object AudioSigCodec extends Serializable {
+    /** (format, 64-char '0'/'1' signature, or (corrupt, null)) */
+    def signature(bytes: Array[Byte]): (String, String) = {
+      def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+        return ("corrupt", null)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12L
+      var bits = -1
+      var dataOff = -1L
+      var dataSize = -1L
+      while (off + 8 <= bytes.length) {
+        val o = off.toInt
+        val id = ascii(o)
+        val size = bb.getInt(o + 4).toLong & 0xffffffffL
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length)
+          bits = bb.getShort(o + 22) & 0xffff
+        else if (id == "data") { dataOff = off + 8; dataSize = size }
+        off += 8 + size + (size & 1)
+      }
+      if (bits != 16 || dataOff < 0 || dataOff + dataSize > bytes.length)
+        return ("corrupt", null)
+      val n = (dataSize / 2).toInt
+      if (n < 65) return ("corrupt", null)
+      val e = new Array[Long](65)
+      val c = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort((dataOff + 2L * i).toInt).toLong
+        val j = (i.toLong * 65L / n).toInt
+        e(j) += s * s
+        c(j) += 1
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < 64) {
+        sb.append(if (e(j + 1) * c(j) > e(j) * c(j + 1)) '1' else '0')
+        j += 1
+      }
+      ("wav", sb.toString)
+    }
+  }
+
+  /** Per-partition audio-fingerprint decode: (id, format, asig). */
+  def decodeAudioSigPartitions(df: DataFrame, blobCol: String,
+                               idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("asig", StringType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, sig) = AudioSigCodec.signature(bytes)
+        Row(r.getLong(idIdx), f, sig)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition PCM sample-statistics decode — [[decodePartitions]]
     * with the [[PcmStatsCodec]] kernel. */
   def decodeAudioStatsPartitions(df: DataFrame, blobCol: String,

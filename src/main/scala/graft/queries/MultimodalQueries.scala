@@ -460,6 +460,71 @@ object MultimodalQueries {
       .orderBy(col("id_a"), col("id_b")).limit(200)
   }
 
+  /** Audio NEAR-duplicate pairing — the audio member of the perceptual
+    * dedup family (text SimHash q60 / image dHash q121):
+    * [[Multimodal.AudioSigCodec]] fingerprints REAL PCM16 payloads by
+    * 65-segment energy profile, and the collapsed banded-Hamming
+    * pairer surfaces duplicates. Each document carries one of 80
+    * distinct signals (seed = doc_id mod 40 × two variants whose
+    * samples differ by a +1 DC offset — energies shift ~0.006%, so
+    * energy ORDER is mostly preserved and the variant lands a few
+    * Hamming bits away: the near-dup property, from real byte
+    * decode). The oracle replays every sample's integer arithmetic
+    * (segment assignment i·65÷n, exact energy sums, cross-multiplied
+    * bits) per class and expands class pairs to doc pairs. */
+  val q122 = GQuery("q122_audio_neardup",
+    """WITH cls AS (SELECT DISTINCT doc_id % 40 AS seed,
+      |              (doc_id // 40) % 2 AS v FROM documents),
+      |prm AS (SELECT seed, v,
+      |        CAST((1 + seed % 2) * (100 + (seed * 13) % 900) AS BIGINT) AS n
+      |        FROM cls),
+      |smp AS (SELECT seed, v, n, unnest(range(0, n)) AS i FROM prm),
+      |sv AS (SELECT seed, v, n, i,
+      |        ((seed * 7 + v + i * 31) % 65536) - 32768 AS s FROM smp),
+      |seg AS (SELECT seed, v, (i * 65) // n AS j, sum(s * s) AS e,
+      |        count(*) AS c
+      |        FROM sv GROUP BY seed, v, (i * 65) // n),
+      |bits AS (SELECT a.seed AS seed, a.v AS v, a.j AS j,
+      |         CASE WHEN b.e * a.c > a.e * b.c THEN '1' ELSE '0' END AS bit
+      |         FROM seg a JOIN seg b
+      |           ON a.seed = b.seed AND a.v = b.v AND b.j = a.j + 1
+      |         WHERE a.j < 64),
+      |hs AS (SELECT seed, v, string_agg(bit, '' ORDER BY j) AS asig
+      |       FROM bits GROUP BY seed, v),
+      |cp AS (SELECT a.seed AS sa, a.v AS va, b.seed AS sb, b.v AS vb,
+      |         len([i for i in range(1, 65)
+      |              if substr(a.asig, i, 1) <> substr(b.asig, i, 1)])
+      |           AS hamming
+      |       FROM hs a, hs b),
+      |pr AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, cp.hamming
+      |       FROM cp
+      |       JOIN documents da
+      |         ON da.doc_id % 40 = cp.sa AND (da.doc_id // 40) % 2 = cp.va
+      |       JOIN documents db
+      |         ON db.doc_id % 40 = cp.sb AND (db.doc_id // 40) % 2 = cp.vb
+      |       WHERE da.doc_id < db.doc_id AND cp.hamming <= 8)
+      |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+      |FROM pr ORDER BY id_a, id_b LIMIT 200""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 40
+        val v = (id / 40) % 2
+        (id, Multimodal.encodeWav(
+          sampleRate = 16000,
+          channels = (1 + seed % 2).toInt,
+          nFrames = (100 + (seed * 13) % 900).toInt,
+          seed = seed * 7 + v))
+      })
+      .toDF("doc_id", "blob")
+    val sigs = Multimodal.decodeAudioSigPartitions(blobs, "blob", "doc_id")
+      .select(col("id"), col("asig").as("simhash64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.hammingNearDupsCollapsed(sigs, maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b")).limit(200)
+  }
+
   val all: Seq[GQuery] =
-    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121)
+    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122)
 }

@@ -232,6 +232,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 0L)))
   }
 
+  test("AudioSigCodec: energy-profile fingerprint — identical equal, offset near, corrupt typed") {
+    def sig(b: Array[Byte]) = Multimodal.AudioSigCodec.signature(b)
+    val a = sig(Multimodal.encodeWav(16000, 1, 300, seed = 11L))
+    val b = sig(Multimodal.encodeWav(16000, 1, 300, seed = 11L))
+    assert(a._1 === "wav" && a._2.length === 64)
+    assert(a._2.forall(c => c == '0' || c == '1'))
+    assert(a === b)
+    // +1 DC offset: energies shift ~0.006%, order mostly preserved →
+    // nonzero-but-small Hamming distance (the near-dup property)
+    val c = sig(Multimodal.encodeWav(16000, 1, 300, seed = 12L))
+    def hamming(x: String, y: String) = x.zip(y).count { case (i, j) => i != j }
+    assert(hamming(a._2, c._2) <= 16)
+    // corrupt cases: bad magic, truncated, and a signal under 65 samples
+    assert(sig("nope".getBytes("UTF-8")) === (("corrupt", null)))
+    assert(sig(Multimodal.encodeWav(16000, 1, 300, 1L).take(20)) === (("corrupt", null)))
+    assert(sig(Multimodal.encodeWav(16000, 1, 32, 1L)) === (("corrupt", null)))
+  }
+
   test("collapsed Hamming pairing ≡ direct banding on duplicated signatures") {
     // 3 signature groups with copies + two near signatures: the
     // exact-dup-collapse plan must produce the identical pair set.
