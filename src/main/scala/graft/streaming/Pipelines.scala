@@ -134,6 +134,48 @@ object Pipelines {
           .as("dup_rate_est"))
   }
 
+  /** Sliding-window MEDIA-ingest monitor — the multimodal twin of
+    * [[qualityMonitorStream]], closing the loop for blob feeds: per
+    * (event-time window, modality), blob count, corrupt count and
+    * fraction (each blob probed by the REAL kernel for its modality —
+    * ImageIO header / RIFF chunk walk / ISO-BMFF box walk), and total
+    * payload bytes. A corrupt-rate step change is the standard alarm
+    * for a broken upstream encoder or a truncating transport.
+    *
+    * The probe rides in a scalar UDF rather than `mapPartitions`:
+    * streaming frames cannot detour through the RDD API, and the
+    * kernel is an opaque JVM byte walk either way — this is the same
+    * narrow UDF seam as the Bloom `mightContain` prefilter (documented
+    * exceptions to the functions-first rule). State per (window,
+    * modality) is three counters — bounded by the watermark horizon ×
+    * modality count. Works identically on batch frames (unified
+    * model), which is how the spec pins exact window contents. */
+  def mediaMonitorStream(df: DataFrame, tsCol: String, delay: String,
+                         blobCol: String, modalityCol: String,
+                         windowDur: String = "5 minutes"): DataFrame = {
+    import graft.operators.Multimodal
+    val probeFormat = udf((modality: String, bytes: Array[Byte]) =>
+      modality match {
+        case "image" => Multimodal.ImageIoCodec.probe(bytes, "img")._1
+        case "audio" => Multimodal.WavCodec.probe(bytes, "wav")._1
+        case "video" => Multimodal.Mp4Codec.probe(bytes, "mp4")._1
+        case _       => "corrupt"
+      })
+    df.withColumn("__fmt", probeFormat(col(modalityCol), col(blobCol)))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur), col(modalityCol))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when(col("__fmt") === "corrupt", 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(length(col(blobCol)).cast("long")).as("total_bytes"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(modalityCol),
+        col("n_blobs"), col("n_corrupt"),
+        round(col("n_corrupt").cast("double") / col("n_blobs"), 4)
+          .as("frac_corrupt"),
+        col("total_bytes"))
+  }
+
   /** Incremental ingestion dedup against a persistent fingerprint store:
     * each micro-batch is deduped within itself, anti-joined against the
     * store (docs already ingested in ANY earlier batch or run), handed
@@ -356,6 +398,40 @@ object Pipelines {
         .write.mode("append").parquet(storePath)
       ()
     }
+
+  /** Incremental ANN index ingestion — the streaming half of the IVF
+    * build/query split: each micro-batch of (id, vector) rows is
+    * assigned to its nearest centroid (broadcast centroid literals,
+    * pure map — [[graft.operators.Similarity.ivfAssign]]) and APPENDED
+    * to the persisted inverted-list store, partitioned by `cid` so
+    * probe-side readers partition-prune to their nprobe lists. The
+    * centroids are FIXED at ingest time (trained once on a seed
+    * corpus, [[graft.operators.Similarity.ivfTrain]]/`ivfLoad`) — the
+    * production pattern: re-training moves assignments, so a centroid
+    * refresh is a rebuild, not an append. Use as
+    * `writeStream.foreachBatch(ivfIngestStream(...))`. */
+  def ivfIngestStream(idCol: String, vecCol: String,
+                      centroids: Array[(Int, Array[Double])],
+                      storePath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.Similarity.ivfAssign(batch, idCol, vecCol, centroids)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("cid").parquet(storePath)
+      ()
+    }
+
+  /** Probe-ready reader over an [[ivfIngestStream]] store: one row per
+    * corpus id, LATEST batch wins (`max_by` on batch_id) — which both
+    * absorbs at-least-once redelivery (replayed rows lose the tie to
+    * themselves harmlessly) and gives re-ingested ids upsert
+    * semantics. One corpus_id-keyed aggregate; the result feeds
+    * [[graft.operators.Similarity.ivfProbe]] unchanged. */
+  def ivfStoreRead(spark: org.apache.spark.sql.SparkSession,
+                   storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy(col("corpus_id"))
+      .agg(max_by(struct(col("cv"), col("cid")), col("batch_id")).as("r"))
+      .select(col("corpus_id"), col("r.cv").as("cv"), col("r.cid").as("cid"))
 
   /** Report over a [[sketchStream]] store: per-key distinct estimates
     * (sketches unioned across batches) plus the corpus-wide

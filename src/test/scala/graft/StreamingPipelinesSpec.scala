@@ -227,6 +227,98 @@ class StreamingPipelinesSpec extends SparkSpec {
 
   private def round4(d: Double): Double = math.rint(d * 10000) / 10000
 
+  test("ivfIngestStream: streamed index ≡ batch assign; replay absorbed; upsert wins") {
+    import graft.operators.Similarity
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ingest").toString
+    val store = s"$dir/index"
+    def vec(xs: Double*) = xs.map(_.toFloat)
+    val seed = Seq(
+      (100L, vec(1, 0, 0)), (101L, vec(0.9, 0.1, 0)),
+      (102L, vec(0, 1, 0)), (103L, vec(0, 0.9, 0.1)),
+      (104L, vec(0, 0, 1)), (105L, vec(0.1, 0, 0.9))).toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(seed, "vec_id", "embedding",
+      nlist = 3, iters = 3)
+    val ingest = Pipelines.ivfIngestStream("vec_id", "embedding",
+      centroids, store)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(ingest).start()
+    try {
+      in.addData((1L, vec(1, 0.1, 0)), (2L, vec(0, 1, 0.1)))
+      q.processAllAvailable()
+      in.addData((3L, vec(0.1, 0, 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Pipelines.ivfStoreRead(spark, store)
+      .select("corpus_id", "cid").as[(Long, Int)].collect().toSet
+    val direct = Similarity.ivfAssign(
+        Seq((1L, vec(1, 0.1, 0)), (2L, vec(0, 1, 0.1)), (3L, vec(0.1, 0, 1)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding", centroids)
+      .select("corpus_id", "cid").as[(Long, Int)].collect().toSet
+    assert(streamed === direct)
+    // at-least-once redelivery: the same rows appended again under a new
+    // batch id must not change the reader's output
+    ingest(Seq((1L, vec(1, 0.1, 0))).toDF("vec_id", "embedding"), 99L)
+    assert(Pipelines.ivfStoreRead(spark, store)
+      .select("corpus_id", "cid").as[(Long, Int)].collect().toSet === direct)
+    // upsert: a re-ingested id with a NEW vector takes the latest row
+    ingest(Seq((1L, vec(0, 1, 0))).toDF("vec_id", "embedding"), 100L)
+    val after = Pipelines.ivfStoreRead(spark, store)
+    assert(after.count() === 3L)
+    val cid1 = after.where(org.apache.spark.sql.functions.col("corpus_id") === 1L)
+      .select("cid").as[Int].head()
+    val cid2 = after.where(org.apache.spark.sql.functions.col("corpus_id") === 2L)
+      .select("cid").as[Int].head()
+    assert(cid1 === cid2)  // id 1 now lives in id 2's inverted list
+    // the store feeds the standard probe unchanged
+    val topk = Similarity.ivfProbe(Pipelines.ivfStoreRead(spark, store),
+      centroids, Seq((50L, vec(0, 1, 0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, nprobe = 2, excludeSelf = false)
+    assert(topk.count() === 2L)
+  }
+
+  test("mediaMonitorStream: per-(window, modality) corrupt rates from real kernels") {
+    import graft.operators.Multimodal
+    implicit val sc = spark.sqlContext
+    val png = Multimodal.encodePng(16, 12, seed = 1L)
+    val wav = Multimodal.encodeWav(8000, 1, 100, seed = 2L)
+    val mp4 = Multimodal.encodeMp4(600, 1200L, 320, 240, nTracks = 1)
+    val junk = "truncated".getBytes("UTF-8")
+    val in = MemoryStream[(Timestamp, String, Array[Byte])]
+    val mon = Pipelines.mediaMonitorStream(
+      in.toDF().toDF("ts", "modality", "blob"), "ts", delay = "10 minutes",
+      blobCol = "blob", modalityCol = "modality", windowDur = "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("media_mon")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), "image", png),
+        (ts(1), "image", junk),      // ImageIO: no reader → corrupt
+        (ts(2), "audio", wav),
+        (ts(2), "audio", wav),
+        (ts(3), "video", mp4),
+        (ts(3), "video", junk))      // box walk finds no brand → corrupt
+      q.processAllAvailable()
+      in.addData((ts(40), "image", png))   // advance watermark, close window
+      q.processAllAvailable()
+      val rows = spark.sql(
+          """SELECT modality, n_blobs, n_corrupt, frac_corrupt
+            |FROM media_mon WHERE window_start = '2024-01-01 10:00:00'
+            |ORDER BY modality""".stripMargin)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(rows === Seq(
+        ("audio", 2L, 0L, 0.0),
+        ("image", 2L, 1L, 0.5),
+        ("video", 2L, 1L, 0.5)))
+      // total_bytes is the exact payload sum for the clean audio window
+      val tb = spark.sql(
+          "SELECT total_bytes FROM media_mon WHERE modality = 'audio'")
+        .as[Long].head()
+      assert(tb === 2L * wav.length)
+    } finally q.stop()
+  }
+
   test("trending terms: exact lift vs baseline in batch; streaming windowed counts match") {
     import org.apache.spark.sql.functions._
     // baseline census: 'common' 80 of 100, 'rare' 20 of 100
