@@ -525,6 +525,90 @@ object MultimodalQueries {
       .orderBy(col("id_a"), col("id_b")).limit(200)
   }
 
+  /** Capstone curation v6 — MULTIMODAL selection under one oracle: a
+    * document survives iff its TEXT clears the q28 quality bar (4-dp
+    * grid) AND its IMAGE is the canonical copy of its perceptual-hash
+    * class (min doc_id per dHash — the q120 census turned into a keep
+    * rule, so 49 of every 50 pixel-identical images drop). Per-source
+    * summary carries doc counts and kept token sums. The oracle chains
+    * the full pixel-arithmetic dHash replay with the quality CTE — the
+    * first oracle where image bytes and text signals gate the SAME
+    * keep decision, which is what a production multimodal curation
+    * pass does.
+    *
+    * Scale shape: decode map (zero shuffle) → hash-keyed min aggregate
+    * (the canonical census) → broadcast-sized join back + quality pure
+    * map → one source-keyed aggregate. */
+  val q123 = GQuery("q123_curation_v6",
+    s"""WITH sd AS (SELECT DISTINCT doc_id % 50 AS seed FROM documents),
+      |dim AS (SELECT seed, 9 + seed % 23 AS w, 8 + (seed * 7) % 24 AS h
+      |        FROM sd),
+      |g AS (SELECT seed, w, h, gxs.gx AS gx, gys.gy AS gy
+      |      FROM dim,
+      |        (SELECT unnest(range(0, 9)) AS gx) gxs,
+      |        (SELECT unnest(range(0, 8)) AS gy) gys),
+      |xb AS (SELECT seed, gx, gy,
+      |        (gx * w) // 9 AS x0, ((gx + 1) * w) // 9 AS x1,
+      |        (gy * h) // 8 AS y0, ((gy + 1) * h) // 8 AS y1 FROM g),
+      |px AS (SELECT seed, gx, gy, y0, y1, unnest(range(x0, x1)) AS x
+      |       FROM xb),
+      |pxy AS (SELECT seed, gx, gy, x, unnest(range(y0, y1)) AS y FROM px),
+      |lum AS (SELECT seed, gx, gy,
+      |        (((seed + x * 31 + y * 131) % 16777216) // 65536) * 299
+      |        + ((((seed + x * 31 + y * 131) % 16777216) // 256) % 256) * 587
+      |        + (((seed + x * 31 + y * 131) % 16777216) % 256) * 114 AS l
+      |        FROM pxy),
+      |ls AS (SELECT seed, gx, gy, sum(l) AS s, count(*) AS c FROM lum
+      |       GROUP BY seed, gx, gy),
+      |bits AS (SELECT a.seed AS seed, a.gx AS gx, a.gy AS gy,
+      |         CASE WHEN b.s * a.c > a.s * b.c THEN '1' ELSE '0' END AS bit
+      |         FROM ls a JOIN ls b
+      |           ON a.seed = b.seed AND a.gy = b.gy AND b.gx = a.gx + 1
+      |         WHERE a.gx < 8),
+      |hs AS (SELECT seed, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+      |       FROM bits GROUP BY seed),
+      |dh AS (SELECT d.doc_id, d.source, h.dhash FROM documents d
+      |       JOIN hs h ON d.doc_id % 50 = h.seed),
+      |canon AS (SELECT dhash, min(doc_id) AS keep_id FROM dh GROUP BY dhash),
+      |${TextQueries.qualityCtesOver("documents")},
+      |verdicts AS (
+      |  SELECT dh.doc_id, dh.source, q.n_tokens, q.quality,
+      |    (q.quality >= 0.5 AND dh.doc_id = c.keep_id) AS kept
+      |  FROM dh JOIN canon c USING (dhash) JOIN q ON q.doc_id = dh.doc_id)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens
+      |FROM verdicts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+    val blobs = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 50
+        (id, Multimodal.encodePng(
+          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
+      })
+      .toDF("doc_id", "blob")
+    val hashed = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = hashed.groupBy(col("dhash")).agg(min(col("doc_id")).as("keep_id"))
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    hashed.join(canon, Seq("dhash"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("kept",
+        col("quality") >= 0.5 && col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122)
+    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123)
 }
