@@ -341,6 +341,45 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** Attribute-FILTERED ANN probe — the production "vector search with
+    * a WHERE clause" (per-tenant retrieval, language-restricted
+    * near-dup, label-constrained hard negatives): each query carries a
+    * target attribute in `targetCol`, the index carries per-vector
+    * attributes in `attrCol` (a column ON `indexed` — at 100 TB the
+    * filter attribute lives IN the index rows, written once at build
+    * time, never joined at query time), and only matching vectors are
+    * scored. The predicate applies right after the cid equi-join and
+    * BEFORE any cosine — pre-filtering, not post-filtering, so a
+    * selective attribute prunes the probe lists instead of starving
+    * top-k below `k` the way filter-after-rank does. Same contract as
+    * [[ivfProbe]] otherwise. */
+  def ivfProbeFiltered(indexed: DataFrame,
+                       centroids: Array[(Int, Array[Double])],
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       attrCol: String, targetCol: String,
+                       k: Int, nprobe: Int = 4,
+                       excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe <= centroids.length, "nprobe must be ≤ nlist")
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv0"),
+      col(targetCol).as("__target"))
+    val probes = q
+      .withColumn("pc", explode(slice(
+        array_sort(distStructs(col("qv0"), centroids)), 1, nprobe)))
+      .select(col("query_id"), col("qv0"), col("__target"),
+        col("pc.cid").as("cid"))
+    val pairs = indexed.join(broadcast(probes), Seq("cid"))
+      .where(col(attrCol) === col("__target"))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val scored = pairs.withColumn("cosine",
+      round(cosine(col("qv0"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
   /** Maximal Marginal Relevance (MMR) diversity re-rank: from each
     * query's top-`m` candidate pool, greedily pick `k` maximizing
     * λ·relevance − (1−λ)·max-cosine-to-already-picked — the standard

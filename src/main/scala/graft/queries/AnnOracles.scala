@@ -122,6 +122,24 @@ private[queries] object AnnOracles {
       "\n" + topKTail(k)
   }
 
+  /** Full q124 oracle: [[ivfTopKSql]] with the attribute filter — only
+    * corpus vectors sharing the query's label are scored, applied
+    * before the cosine exactly like the operator's pre-filter. */
+  def ivfTopKFilteredSql(dim: Int, nlist: Int, iters: Int, nQueries: Int,
+                         nprobe: Int, k: Int): String = {
+    val scored = cte("scored", s"""
+      |  SELECT p.query_id, a.corpus_id,
+      |    round(${VectorFunctions.cosineSql("p.qv", "a.cv", dim)}, 6) AS cosine
+      |  FROM probe p
+      |  JOIN asgf a USING (cid)
+      |  JOIN embeddings ea ON ea.vec_id = a.corpus_id
+      |  JOIN embeddings eq ON eq.vec_id = p.query_id
+      |  WHERE ea.label = eq.label AND a.corpus_id <> p.query_id""".stripMargin)
+    "WITH " + (ivfChain(dim, nlist, iters) ++
+      probeChain(dim, nQueries, iters, nprobe) :+ scored).mkString(",\n") +
+      "\n" + topKTail(k)
+  }
+
   /** Full q72 oracle: IVF train replay + the semDedup eviction rule
     * (same-cluster neighbor with cosine ≥ τ and a smaller id). */
   def semDedupSql(dim: Int, nlist: Int, iters: Int, tau: Double): String = {

@@ -498,7 +498,29 @@ object SimilarityQueries {
       .orderBy(col("method"), col("query_id"))
   }
 
+  /** Attribute-FILTERED IVF probe (see
+    * [[graft.operators.Similarity.ivfProbeFiltered]]) — "vector search
+    * with a WHERE clause": each query retrieves top-k among corpus
+    * vectors sharing its OWN label, the filter applied before any
+    * cosine (pre-filter, so a selective attribute prunes probe lists
+    * instead of starving top-k). Reuses the shared IVF index with the
+    * label joined in once — the attribute-in-index build — and the
+    * oracle replays train + probe + the label-filtered scoring. */
+  val q124 = GQuery("q124_filtered_ann",
+    AnnOracles.ivfTopKFilteredSql(dim = Dim, nlist = 16, iters = 3,
+      nQueries = NQueries, nprobe = 4, k = K)) { (s, dir) =>
+    val (cents, assigned) = sharedIvf(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val labeled = assigned.join(
+      emb.select(col("vec_id").as("corpus_id"), col("label")), "corpus_id")
+    Similarity.ivfProbeFiltered(labeled, cents,
+        emb.filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding",
+        attrCol = "label", targetCol = "label", k = K, nprobe = 4)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109)
+      q99, q101, q109, q124)
 }

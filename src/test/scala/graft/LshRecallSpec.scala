@@ -52,6 +52,44 @@ class LshRecallSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("filtered probe: label predicate holds, pre-filter fills k where post-filter starves") {
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    val labeled = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .join(emb.select(col("vec_id").as("corpus_id"), col("label")), "corpus_id")
+      .cache()
+    val got = Similarity.ivfProbeFiltered(labeled, cents, queries,
+      "vec_id", "embedding", attrCol = "label", targetCol = "label",
+      k = K, nprobe = 2)
+    // every hit shares the query's label
+    val qLabels = emb.select(col("vec_id").as("query_id"), col("label")
+      .as("qlabel"))
+    val mismatches = got
+      .join(emb.select(col("vec_id").as("corpus_id"), col("label")), "corpus_id")
+      .join(qLabels, "query_id")
+      .where(col("label") =!= col("qlabel")).count()
+    assert(mismatches === 0L)
+    // pre-filter vs post-filter: filtering the UNFILTERED top-K down to
+    // the query's label must yield ≤ as many hits per query (and here,
+    // with ~1/labelCount selectivity, strictly fewer for some query) —
+    // the starvation the pre-filter exists to avoid
+    val unf = Similarity.ivfProbe(labeled, cents, queries,
+      "vec_id", "embedding", k = K, nprobe = 2)
+    val post = unf
+      .join(emb.select(col("vec_id").as("corpus_id"), col("label")), "corpus_id")
+      .join(qLabels, "query_id")
+      .where(col("label") === col("qlabel"))
+      .groupBy("query_id").count()
+    val pre = got.groupBy("query_id").count()
+    val cmp = pre.withColumnRenamed("count", "npre")
+      .join(post.withColumnRenamed("count", "npost"), Seq("query_id"), "left")
+      .select(col("npre"), coalesce(col("npost"), lit(0L)).as("npost"))
+      .as[(Long, Long)].collect()
+    assert(cmp.forall { case (p, q) => p >= q })
+    assert(cmp.exists { case (p, q) => p > q },
+      "expected at least one query where post-filtering starves top-k")
+    labeled.unpersist()
+  }
+
   test("IVF split API (train/assign/probe) equals the monolithic ivfTopK and reuses one index across query batches") {
     val mono = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
         K, 64, nlist = 8, nprobe = 2, iters = 3)
