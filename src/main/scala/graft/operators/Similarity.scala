@@ -380,6 +380,41 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** GROUPED ANN probe — per-(query, group) quotas instead of one
+    * global top-k: retrieve the best `perGroupK` vectors from EVERY
+    * group (source, language, shard) for each query — the
+    * source-balanced retrieval a grounded-generation stack uses so one
+    * dominant corpus cannot crowd out the rest. Same probe and
+    * attribute-in-index contract as [[ivfProbeFiltered]]; the only
+    * change is the ranking window, partitioned by (query, group). Note
+    * the recall caveat inherited from IVF: a group entirely absent
+    * from a query's `nprobe` lists returns nothing for that query —
+    * raise `nprobe` when per-group coverage matters more than probe
+    * cost. */
+  def ivfProbeGrouped(indexed: DataFrame,
+                      centroids: Array[(Int, Array[Double])],
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      groupCol: String, perGroupK: Int, nprobe: Int = 4,
+                      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe <= centroids.length, "nprobe must be ≤ nlist")
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv0"))
+    val probes = q
+      .withColumn("pc", explode(slice(
+        array_sort(distStructs(col("qv0"), centroids)), 1, nprobe)))
+      .select(col("query_id"), col("qv0"), col("pc.cid").as("cid"))
+    val pairs = indexed.join(broadcast(probes), Seq("cid"))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val scored = pairs.withColumn("cosine",
+      round(cosine(col("qv0"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"), col(groupCol))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perGroupK)
+      .select(col("query_id"), col(groupCol), col("corpus_id"),
+        col("cosine"), col("rn"))
+  }
+
   /** Maximal Marginal Relevance (MMR) diversity re-rank: from each
     * query's top-`m` candidate pool, greedily pick `k` maximizing
     * λ·relevance − (1−λ)·max-cosine-to-already-picked — the standard

@@ -140,6 +140,28 @@ private[queries] object AnnOracles {
       "\n" + topKTail(k)
   }
 
+  /** Full q125 oracle: IVF train + probe replay with per-(query, label)
+    * quota ranking instead of one global top-k. */
+  def ivfTopKGroupedSql(dim: Int, nlist: Int, iters: Int, nQueries: Int,
+                        nprobe: Int, perGroupK: Int): String = {
+    val scored = cte("scored", s"""
+      |  SELECT p.query_id, ea.label AS label, a.corpus_id,
+      |    round(${VectorFunctions.cosineSql("p.qv", "a.cv", dim)}, 6) AS cosine
+      |  FROM probe p
+      |  JOIN asgf a USING (cid)
+      |  JOIN embeddings ea ON ea.vec_id = a.corpus_id
+      |  WHERE a.corpus_id <> p.query_id""".stripMargin)
+    "WITH " + (ivfChain(dim, nlist, iters) ++
+      probeChain(dim, nQueries, iters, nprobe) :+ scored).mkString(",\n") + s"""
+      |SELECT query_id, label, corpus_id, cosine, CAST(rn AS INT) AS rn FROM (
+      |  SELECT query_id, label, corpus_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id, label
+      |      ORDER BY cosine DESC, corpus_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= $perGroupK
+      |ORDER BY query_id, label, rn""".stripMargin
+  }
+
   /** Full q72 oracle: IVF train replay + the semDedup eviction rule
     * (same-cluster neighbor with cosine ≥ τ and a smaller id). */
   def semDedupSql(dim: Int, nlist: Int, iters: Int, tau: Double): String = {

@@ -520,7 +520,27 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Source-balanced retrieval (see
+    * [[graft.operators.Similarity.ivfProbeGrouped]]): per-(query, label)
+    * quotas — the best 3 of EVERY label per query, so no dominant
+    * group crowds the result the way a global top-k lets it. Same
+    * shared index with labels joined in; oracle replays the probe with
+    * the quota window. */
+  val q125 = GQuery("q125_grouped_ann",
+    AnnOracles.ivfTopKGroupedSql(dim = Dim, nlist = 16, iters = 3,
+      nQueries = NQueries, nprobe = 4, perGroupK = 3)) { (s, dir) =>
+    val (cents, assigned) = sharedIvf(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val labeled = assigned.join(
+      emb.select(col("vec_id").as("corpus_id"), col("label")), "corpus_id")
+    Similarity.ivfProbeGrouped(labeled, cents,
+        emb.filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding",
+        groupCol = "label", perGroupK = 3, nprobe = 4)
+      .orderBy(col("query_id"), col("label"), col("rn"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109, q124)
+      q99, q101, q109, q124, q125)
 }
