@@ -304,17 +304,28 @@ object Multimodal {
     * degraded to the typed corrupt row, like unreadable bytes.
     * O(pixels) per blob, zero shuffle. */
   object DHashCodec extends Serializable {
-    /** (format, dhash 64-char '0'/'1' string, or (corrupt, null)) */
+    /** (true reader format, dhash 64-char '0'/'1' string, or
+      * (corrupt, null)) — the hash is a function of PIXELS, so PNG and
+      * BMP encodings of the same raster hash identically (the property
+      * that catches re-encoded copies exact dedup misses; asserted in
+      * PropertiesSpec). */
     def dhash(bytes: Array[Byte]): (String, String) = {
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      // ImageIO.read(ImageInputStream) closes the stream itself on
-      // return; the defensive close is for the throw path only and
-      // must tolerate the already-closed case.
-      val img =
-        try javax.imageio.ImageIO.read(in)
-        catch { case _: java.io.IOException => null }
-        finally {
+      val (fmt, img) =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) (null, null)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              (r.getFormatName.toLowerCase(java.util.Locale.ROOT), r.read(0))
+            } catch {
+              case _: java.io.IOException => (null, null)
+            } finally r.dispose()
+          }
+        } finally {
           try in.close()
           catch { case _: java.io.IOException => () }
         }
@@ -360,7 +371,7 @@ object Multimodal {
         }
         gy += 1
       }
-      ("png", sb.toString)
+      (fmt, sb.toString)
     }
   }
 

@@ -188,4 +188,57 @@ class PropertiesSpec extends SparkSpec {
       assert(total <= bound + 1e-6, s"mass created: $total > $bound")
     }
   }
+
+  test("media kernels are TOTAL on arbitrary bytes (fuzz: no kernel ever throws)") {
+    import graft.operators.Multimodal
+    // random byte blobs, plus adversarial prefixes that get PAST each
+    // kernel's magic check before the garbage starts
+    val raw = Gen.chooseNum(0, 255).map(_.toByte)
+    val junk = Gen.chooseNum(0, 64).flatMap(n => Gen.listOfN(n, raw)).map(_.toArray)
+    val prefixes: Seq[Array[Byte]] = Seq(
+      "RIFF".getBytes("US-ASCII"), "RIFFxxxxWAVE".getBytes("US-ASCII"),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      Array(0, 0, 0, 16).map(_.toByte) ++ "ftyp".getBytes("US-ASCII"))
+    val blobs = samples(junk, 40) ++
+      samples(Gen.zip(Gen.oneOf(prefixes), junk), 40)
+        .map { case (p, j) => p ++ j }
+    blobs.foreach { b =>
+      // every kernel must return a typed row — never throw
+      Multimodal.ImageIoCodec.probe(b, "img")
+      Multimodal.WavCodec.probe(b, "wav")
+      Multimodal.Mp4Codec.probe(b, "mp4")
+      Multimodal.PcmStatsCodec.stats(b)
+      Multimodal.DHashCodec.dhash(b)
+      Multimodal.AudioSigCodec.signature(b)
+    }
+  }
+
+  test("dHash is a function of PIXELS, not bytes: PNG and BMP encodings hash equal") {
+    // Same raster written through two lossless containers gives two very
+    // different byte streams; the perceptual hash must not see the
+    // difference. This is the property that makes dHash dedup catch
+    // re-encoded copies exact-dedup misses.
+    import graft.operators.Multimodal
+    for (seed <- 1L to 5L) {
+      val w = (9 + seed % 23).toInt
+      val h = (8 + (seed * 7) % 24).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((seed + x * 31L + y * 131L) & 0xffffff).toInt)
+      def enc(fmt: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try javax.imageio.ImageIO.write(img, fmt, ios) finally ios.close()
+        bos.toByteArray
+      }
+      val png = enc("png")
+      val bmp = enc("bmp")
+      assert(!java.util.Arrays.equals(png, bmp))
+      val hp = Multimodal.DHashCodec.dhash(png)
+      val hb = Multimodal.DHashCodec.dhash(bmp)
+      assert(hp._2 === hb._2, s"seed $seed: dHash differs across containers")
+      assert(hp._1 === "png" && hb._1 === "bmp")
+    }
+  }
 }
