@@ -265,6 +265,72 @@ object Pipelines {
     }
   }
 
+  /** Cross-run IMAGE ingestion dedup — [[nearDupAgainstStore]]'s
+    * perceptual sibling: each micro-batch of (id, blob) rows is REALLY
+    * pixel-decoded and dHashed
+    * ([[graft.operators.Multimodal.DHashCodec]]), banded with the
+    * pigeonhole split, and checked against a persistent banded
+    * signature store + within the batch; only FIRST-seen images reach
+    * the sink, and only their signatures append to the store. A
+    * re-encoded copy (PNG↔BMP, recompressed) hashes identically and a
+    * lightly edited one lands within `maxHamming`, so both are
+    * suppressed where byte-level dedup would pass them. Corrupt blobs
+    * bypass dedup and flow to the sink (quarantine is the monitor's
+    * job — [[mediaMonitorStream]]). At-least-once redelivery is
+    * absorbed BY CONSTRUCTION: a replayed image collides with its own
+    * stored signature at distance 0, so nothing re-emits and nothing
+    * re-appends (spec-asserted). Store joins are (band, key) equi-joins
+    * over the banded store — the pruned path, never a full-store
+    * Hamming scan. */
+  def imageDedupAgainstStore(idCol: String, blobCol: String,
+                             storePath: String, maxHamming: Int = 3)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    import graft.operators.Multimodal
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      graft.plans.HammingDist.register(spark)
+      val b = maxHamming + 1
+      val bounds = (0 to b).map(i => 1 + i * 64 / b)
+      val bandCols = (0 until b).map { i =>
+        struct(lit(i).as("band"),
+          substring(col("dhash"), bounds(i), bounds(i + 1) - bounds(i)).as("key"))
+      }
+      val sigs = Multimodal.decodeImageHashPartitions(batch, blobCol, idCol)
+        .where(col("format") =!= "corrupt")
+        .select(col("id"), col("dhash"))
+      val banded = sigs
+        .select(col("id"), col("dhash"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("dhash"),
+          col("bb.band").as("band"), col("bb.key").as("key"))
+        .persist()
+      val store =
+        if (storeExists(spark, storePath)) spark.read.parquet(storePath)
+        else banded.limit(0)
+      val ham = call_function(graft.plans.HammingDist.fnName,
+        col("dhash"), col("dhash_o"))
+      val dupVsStore = banded
+        .join(store.select(col("dhash").as("dhash_o"), col("band"), col("key")),
+          Seq("band", "key"))
+        .where(ham <= maxHamming)
+        .select("id")
+      val dupInBatch = banded.select(col("id").as("id_b"),
+          col("dhash").as("dhash_o"), col("band"), col("key"))
+        .join(banded.select(col("id").as("id_a"), col("dhash"),
+          col("band"), col("key")), Seq("band", "key"))
+        .where(col("id_a") < col("id_b") && ham <= maxHamming)
+        .select(col("id_b").as("id"))
+      val dups = dupVsStore.unionByName(dupInBatch).distinct()
+      val fresh = batch
+        .join(dups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        .persist()
+      sink(fresh)
+      banded.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .write.mode("append").parquet(storePath)
+      fresh.unpersist(); banded.unpersist()
+      ()
+    }
+  }
+
   /** Stream-static join: enrich a stream against a (broadcastable) batch
     * dimension — the streaming analog of the q03 star join. The static
     * side is re-read per micro-batch, so dimension updates are picked up

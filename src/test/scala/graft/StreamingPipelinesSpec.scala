@@ -278,6 +278,46 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(topk.count() === 2L)
   }
 
+  test("imageDedupAgainstStore: re-encoded copies suppressed cross-batch; replay absorbed; corrupt passes") {
+    import graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("img_dedup").toString
+    val store = s"$dir/sig_store"
+    var emitted = Vector.empty[Long]
+    val ingest = Pipelines.imageDedupAgainstStore("id", "blob", store,
+      maxHamming = 0) { fresh =>
+      emitted ++= fresh.select("id").as[Long].collect().sorted
+    }
+    def png(seed: Long) = Multimodal.encodePng(20, 16, seed = seed)
+    def bmp(seed: Long): Array[Byte] = {
+      // same raster as png(seed), different container/bytes
+      val img = new java.awt.image.BufferedImage(
+        20, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 20)
+        img.setRGB(x, y, ((seed + x * 31L + y * 131L) & 0xffffff).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "bmp", ios) finally ios.close()
+      bos.toByteArray
+    }
+    ingest(Seq((1L, png(1L)), (2L, png(2L))).toDF("id", "blob"), 0L)
+    assert(emitted === Vector(1L, 2L))
+    // batch 2: id 3 is image 1 RE-ENCODED as BMP (byte-different,
+    // pixel-identical → dup), id 4 is new, id 5 is corrupt (passes)
+    ingest(Seq((3L, bmp(1L)), (4L, png(4L)),
+      (5L, "garbage".getBytes("UTF-8"))).toDF("id", "blob"), 1L)
+    assert(emitted === Vector(1L, 2L, 4L, 5L))
+    // redelivery of batch 2: every image collides with its own stored
+    // signature; the corrupt blob has no signature and passes again
+    // (dedup of undecodable bytes is the exact-hash store's job)
+    ingest(Seq((3L, bmp(1L)), (4L, png(4L)),
+      (5L, "garbage".getBytes("UTF-8"))).toDF("id", "blob"), 2L)
+    assert(emitted === Vector(1L, 2L, 4L, 5L, 5L))
+    // the store holds signatures only for first-seen DECODABLE images
+    val stored = spark.read.parquet(store).select("id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(stored === Seq(1L, 2L, 4L))
+  }
+
   test("mediaMonitorStream: per-(window, modality) corrupt rates from real kernels") {
     import graft.operators.Multimodal
     implicit val sc = spark.sqlContext
