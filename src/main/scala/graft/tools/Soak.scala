@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.{Dedup, Multimodal, TextStats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale soak: times the heaviest operator families at 1× and 10× the
+  * sf0.1 corpus (the 10× frame is the same documents unioned with
+  * disjoint remapped ids — no new fixture data, just more of it) and
+  * prints the scaling factor per operator. A keyed-shuffle operator
+  * should scale ~linearly in rows (factor ≈ 10 ± constant overhead);
+  * anything super-linear here is an all-pairs cliff the plan audit
+  * missed. This is the empirical check behind SCALE.md's "would this
+  * hold at 1000×" claims — run it after touching any dedup/similarity
+  * candidate-generation path.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *          sbt "runMain graft.tools.Soak"
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-soak")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).cache()
+    val n1 = docs1.count()
+    val docsN = (0 until copies).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionAll _).cache()
+    val nN = docsN.count()
+    println(s"[soak] corpus 1x=$n1 rows, ${copies}x=$nN rows")
+
+    def time[A](what: String)(f: => A): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[soak] $what%-28s ${s}%7.2f s")
+      s
+    }
+
+    // each op is forced with a cheap count; candidate-generation cost
+    // dominates every one of these
+    def ops(docs: DataFrame): Seq[(String, () => Long)] = {
+      lazy val toks = TextStats.tokenized(docs, "doc_id", "text")
+      Seq(
+        "chunk_dedup" -> (() => Dedup.chunkDedupFromTokens(toks, 5).count()),
+        "minhash_lsh_dedup" -> (() =>
+          Dedup.minhashDedup(docs, "doc_id", "text").count()),
+        "simhash_neardups" -> (() =>
+          Dedup.simhashNearDups(docs, "doc_id", "text", 3).count()),
+        "boilerplate_strip" -> (() =>
+          Dedup.boilerplateStripFromTokens(toks, 5, 3).count()),
+        "image_dhash" -> (() => {
+          import spark.implicits._
+          val blobs = docs.select(col("doc_id")).as[Long]
+            .mapPartitions(_.map { id =>
+              val seed = id % 50
+              (id, Multimodal.encodePng(
+                (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed))
+            }).toDF("doc_id", "blob")
+          Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id").count()
+        }))
+    }
+
+    val results = ops(docs1).zip(ops(docsN)).map {
+      case ((name, f1), (_, fN)) =>
+        val t1 = time(s"$name 1x")(f1())
+        val tN = time(s"$name ${copies}x")(fN())
+        (name, t1, tN, tN / t1)
+    }
+    println("[soak] --- scaling factors (rows x" + copies + ") ---")
+    var bad = List.empty[String]
+    results.foreach { case (name, t1, tN, r) =>
+      println(f"[soak] $name%-28s ${r}%5.1fx (${t1}%.2f s -> ${tN}%.2f s)")
+      // 3x headroom over row growth before we call it super-linear:
+      // the duplicated corpus makes every chunk/shingle a heavy hitter,
+      // the worst case for candidate generation
+      if (r > copies * 3.0) bad ::= name
+    }
+    if (bad.nonEmpty) {
+      System.err.println(s"[soak] FAIL super-linear: ${bad.mkString(", ")}")
+      spark.stop(); sys.exit(1)
+    }
+    println("[soak] OK: no super-linear operator")
+    spark.stop()
+  }
+}
