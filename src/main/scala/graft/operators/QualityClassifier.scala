@@ -50,4 +50,51 @@ object QualityClassifier {
       .withColumn("pred_keep", col("prediction") === 1.0)
       .drop("__feat", "__label", "rawPrediction", "probability", "prediction")
   }
+
+  /** Bernoulli Naive Bayes over BINARY feature columns — the
+    * closed-form learned classifier that, unlike LBFGS, is
+    * cross-engine EXACT and therefore oracle-gateable: training is
+    * nothing but counts (one aggregate pass, a dozen driver longs —
+    * model state like the IVF centroids), and scoring sums per-feature
+    * log-likelihood-ratio PARTS that are rounded to the 1e-4
+    * fixed-point grid as integers before summing (the BM25 idiom:
+    * ln-ulp differences between engines are absorbed by the part
+    * rounding, and integer sums are order-free). Add-one smoothing on
+    * every count. Returns the input plus `score4` (integer fixed-point
+    * log-odds) and `pred_keep` (score4 > 0).
+    *
+    * Scale: train = one map-side-partial aggregate over the corpus;
+    * score = a pure map of literal comparisons — no join, no shuffle,
+    * no model object. The LBFGS classifier remains the
+    * higher-capacity option; this is the one you can hash-match. */
+  def bernoulliNb(feats: DataFrame, idCol: String,
+                  featCols: Seq[String], labelCol: String): DataFrame = {
+    val aggs =
+      Seq(sum(when(col(labelCol), 1L).otherwise(0L)).as("n1"),
+        count(lit(1)).as("n")) ++
+      featCols.zipWithIndex.flatMap { case (f, j) =>
+        Seq(sum(when(col(labelCol) && col(f), 1L).otherwise(0L)).as(s"c1_$j"),
+          sum(when(!col(labelCol) && col(f), 1L).otherwise(0L)).as(s"c0_$j"))
+      }
+    val row = feats.agg(aggs.head, aggs.tail: _*).head()
+    val n1 = row.getAs[Long]("n1")
+    val n = row.getAs[Long]("n")
+    val n0 = n - n1
+    // HALF_UP (away from zero), matching SQL round() for NEGATIVE parts
+    // too — math.round is floor(x+0.5), which disagrees at exact -.5
+    def part(num1: Long, den1: Long, num0: Long, den0: Long): Long =
+      java.math.BigDecimal.valueOf(
+          1e4 * (math.log((num1 + 1).toDouble / (den1 + 2)) -
+            math.log((num0 + 1).toDouble / (den0 + 2))))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val prior = part(n1, n, n0, n)
+    val score = featCols.zipWithIndex.map { case (f, j) =>
+      val c1 = row.getAs[Long](s"c1_$j")
+      val c0 = row.getAs[Long](s"c0_$j")
+      when(col(f), lit(part(c1, n1, c0, n0)))
+        .otherwise(lit(part(n1 - c1, n1, n0 - c0, n0)))
+    }.reduce(_ + _) + lit(prior)
+    feats.withColumn("score4", score.cast("long"))
+      .withColumn("pred_keep", col("score4") > 0L)
+  }
 }

@@ -778,10 +778,12 @@ object TextQueries {
     * assembly is five keyed aggregates + doc-id left joins — at scale,
     * exactly the feature-store materialization a curation pipeline
     * writes once and trains many models from. */
-  val q85 = GQuery("q85_quality_features",
-    s"""WITH ${DedupQueries.shingleCtes},
-       |$qualityCte,
-       |base AS (
+  /** The q85 feature-signal CTE chain (rep/lm/dc/cf over tok + the
+    * shingle index) — shared verbatim by the NB classifier oracle
+    * (q126), which learns from the SAME features the wide table
+    * reports. Requires `shingleCtes` and `qualityCte` in scope. */
+  private[queries] val featureCtes: String =
+    s"""base AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
        |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS frac_distinct
        |  FROM tok WHERE len(ws) >= 1),
@@ -828,18 +830,110 @@ object TextQueries {
        |      / nullif(coalesce(z.sz, 0), 0), 4), 0.0) AS frac_contaminated
        |  FROM documents d
        |  LEFT JOIN sz z USING (doc_id)
-       |  LEFT JOIN hits h ON h.doc_id = d.doc_id)
-       |SELECT d.doc_id, q.quality, rep.n_tokens, rep.frac_distinct,
-       |  rep.top_bigram_frac, lm.avg_logprob, dc.frac_dup_chunks,
-       |  cf.frac_contaminated
-       |FROM documents d
-       |JOIN q USING (doc_id)
-       |LEFT JOIN rep USING (doc_id)
-       |LEFT JOIN lm USING (doc_id)
-       |LEFT JOIN dc USING (doc_id)
-       |LEFT JOIN cf USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+       |  LEFT JOIN hits h ON h.doc_id = d.doc_id),
+       |feat AS (
+       |  SELECT d.doc_id, q.quality, rep.n_tokens, rep.frac_distinct,
+       |    rep.top_bigram_frac, lm.avg_logprob, dc.frac_dup_chunks,
+       |    cf.frac_contaminated
+       |  FROM documents d
+       |  JOIN q USING (doc_id)
+       |  LEFT JOIN rep USING (doc_id)
+       |  LEFT JOIN lm USING (doc_id)
+       |  LEFT JOIN dc USING (doc_id)
+       |  LEFT JOIN cf USING (doc_id))""".stripMargin
+
+  val q85 = GQuery("q85_quality_features",
+    s"""WITH ${DedupQueries.shingleCtes},
+       |$qualityCte,
+       |$featureCtes
+       |SELECT doc_id, quality, n_tokens, frac_distinct, top_bigram_frac,
+       |  avg_logprob, frac_dup_chunks, frac_contaminated
+       |FROM feat ORDER BY doc_id""".stripMargin) { (s, dir) =>
     qualityFeatures(s, dir).orderBy(col("doc_id"))
+  }
+
+  /** Oracle-gated LEARNED classifier — Bernoulli Naive Bayes (see
+    * [[graft.operators.QualityClassifier.bernoulliNb]]) over four
+    * binarized q85 signals (composite quality, unigram log-prob,
+    * duplicated-span fraction, contamination) against the q69
+    * token-shape rule as the weak label. Training is pure counts, so
+    * unlike LBFGS (q89, rows-only) the whole train+score pipeline
+    * hash-matches: the oracle recomputes the counts from the SAME
+    * feature CTEs and the same 1e-4-grid log-ratio parts. Features
+    * deliberately exclude the label's own inputs, so the model
+    * genuinely learns the correlation structure. */
+  val q126 = GQuery("q126_nb_classifier",
+    s"""WITH ${DedupQueries.shingleCtes},
+       |$qualityCte,
+       |$featureCtes,
+       |fx AS (
+       |  SELECT doc_id,
+       |    quality >= 0.5 AS x1,
+       |    avg_logprob >= -7.5 AS x2,
+       |    coalesce(frac_dup_chunks, 0.0) <= 0.2 AS x3,
+       |    frac_contaminated <= 0.0 AS x4,
+       |    (n_tokens >= 15 AND n_tokens <= 100000 AND frac_distinct >= 0.35
+       |     AND top_bigram_frac <= 0.1) AS y
+       |  FROM feat WHERE n_tokens IS NOT NULL),
+       |cnts AS (
+       |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y AND x1 THEN 1 ELSE 0 END) AS BIGINT) AS c1_0,
+       |    CAST(sum(CASE WHEN NOT y AND x1 THEN 1 ELSE 0 END) AS BIGINT) AS c0_0,
+       |    CAST(sum(CASE WHEN y AND x2 THEN 1 ELSE 0 END) AS BIGINT) AS c1_1,
+       |    CAST(sum(CASE WHEN NOT y AND x2 THEN 1 ELSE 0 END) AS BIGINT) AS c0_1,
+       |    CAST(sum(CASE WHEN y AND x3 THEN 1 ELSE 0 END) AS BIGINT) AS c1_2,
+       |    CAST(sum(CASE WHEN NOT y AND x3 THEN 1 ELSE 0 END) AS BIGINT) AS c0_2,
+       |    CAST(sum(CASE WHEN y AND x4 THEN 1 ELSE 0 END) AS BIGINT) AS c1_3,
+       |    CAST(sum(CASE WHEN NOT y AND x4 THEN 1 ELSE 0 END) AS BIGINT) AS c0_3
+       |  FROM fx),
+       |parts AS (
+       |  SELECT
+       |    CAST(round(1e4 * (ln((n1 + 1.0) / (n + 2)) -
+       |      ln((n - n1 + 1.0) / (n + 2)))) AS BIGINT) AS prior,
+       |    CAST(round(1e4 * (ln((c1_0 + 1.0) / (n1 + 2)) -
+       |      ln((c0_0 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p1_0,
+       |    CAST(round(1e4 * (ln((n1 - c1_0 + 1.0) / (n1 + 2)) -
+       |      ln((n - n1 - c0_0 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p0_0,
+       |    CAST(round(1e4 * (ln((c1_1 + 1.0) / (n1 + 2)) -
+       |      ln((c0_1 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p1_1,
+       |    CAST(round(1e4 * (ln((n1 - c1_1 + 1.0) / (n1 + 2)) -
+       |      ln((n - n1 - c0_1 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p0_1,
+       |    CAST(round(1e4 * (ln((c1_2 + 1.0) / (n1 + 2)) -
+       |      ln((c0_2 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p1_2,
+       |    CAST(round(1e4 * (ln((n1 - c1_2 + 1.0) / (n1 + 2)) -
+       |      ln((n - n1 - c0_2 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p0_2,
+       |    CAST(round(1e4 * (ln((c1_3 + 1.0) / (n1 + 2)) -
+       |      ln((c0_3 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p1_3,
+       |    CAST(round(1e4 * (ln((n1 - c1_3 + 1.0) / (n1 + 2)) -
+       |      ln((n - n1 - c0_3 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p0_3
+       |  FROM cnts)
+       |SELECT fx.doc_id, fx.y AS label_keep,
+       |  CAST(p.prior
+       |    + CASE WHEN fx.x1 THEN p.p1_0 ELSE p.p0_0 END
+       |    + CASE WHEN fx.x2 THEN p.p1_1 ELSE p.p0_1 END
+       |    + CASE WHEN fx.x3 THEN p.p1_2 ELSE p.p0_2 END
+       |    + CASE WHEN fx.x4 THEN p.p1_3 ELSE p.p0_3 END AS BIGINT) AS score4,
+       |  (p.prior
+       |    + CASE WHEN fx.x1 THEN p.p1_0 ELSE p.p0_0 END
+       |    + CASE WHEN fx.x2 THEN p.p1_1 ELSE p.p0_1 END
+       |    + CASE WHEN fx.x3 THEN p.p1_2 ELSE p.p0_2 END
+       |    + CASE WHEN fx.x4 THEN p.p1_3 ELSE p.p0_3 END) > 0 AS pred_keep
+       |FROM fx, parts p
+       |ORDER BY fx.doc_id""".stripMargin) { (s, dir) =>
+    val f = qualityFeatures(s, dir)
+      .where(col("n_tokens").isNotNull)
+      .withColumn("x1", col("quality") >= 0.5)
+      .withColumn("x2", col("avg_logprob") >= -7.5)
+      .withColumn("x3", coalesce(col("frac_dup_chunks"), lit(0.0)) <= 0.2)
+      .withColumn("x4", col("frac_contaminated") <= 0.0)
+      .withColumn("label_keep",
+        col("n_tokens") >= 15 && col("n_tokens") <= 100000 &&
+          col("frac_distinct") >= 0.35 && col("top_bigram_frac") <= 0.1)
+    graft.operators.QualityClassifier
+      .bernoulliNb(f, "doc_id", Seq("x1", "x2", "x3", "x4"), "label_keep")
+      .select(col("doc_id"), col("label_keep"), col("score4"), col("pred_keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** The q85 feature frame (unordered) — shared with the learned
@@ -1275,5 +1369,5 @@ object TextQueries {
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
-      q105b, q107, q111, q113, q114, q115, q117, q118)
+      q105b, q107, q111, q113, q114, q115, q117, q118, q126)
 }

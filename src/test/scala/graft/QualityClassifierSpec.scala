@@ -45,4 +45,34 @@ class QualityClassifierSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(a === b)
   }
+
+  test("bernoulliNb: hand-computed counts, parts, and verdicts") {
+    // 4 docs, one feature: x perfectly predicts y
+    val f = Seq(
+      (1L, true, true), (2L, true, true),
+      (3L, false, false), (4L, false, false)).toDF("id", "x", "y")
+    val out = graft.operators.QualityClassifier
+      .bernoulliNb(f, "id", Seq("x"), "y")
+      .select("id", "score4", "pred_keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // n1 = n0 = 2, n = 4; prior = round(1e4*(ln(3/6) - ln(3/6))) = 0
+    // x=1: p1 = round(1e4*(ln(3/4) - ln(1/4))) = round(1e4*ln 3) = 10986
+    // x=0: p0 = round(1e4*(ln(1/4) - ln(3/4))) = -10986
+    assert(out === Seq(
+      (1L, 10986L, true), (2L, 10986L, true),
+      (3L, -10986L, false), (4L, -10986L, false)))
+  }
+
+  test("bernoulliNb: order-free and partitioning-free (exact cross-layout)") {
+    val rows = (1L to 100L).map(i => (i, i % 3 == 0, i % 2 == 0))
+    val a = graft.operators.QualityClassifier
+      .bernoulliNb(rows.toDF("id", "x", "y").repartition(1),
+        "id", Seq("x"), "y")
+      .select("id", "score4").as[(Long, Long)].collect().toMap
+    val b = graft.operators.QualityClassifier
+      .bernoulliNb(rows.reverse.toDF("id", "x", "y").repartition(13),
+        "id", Seq("x"), "y")
+      .select("id", "score4").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
 }
