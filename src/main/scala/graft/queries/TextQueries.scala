@@ -936,6 +936,113 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Capstone curation v7 — the MODEL-in-the-loop capstone that
+    * HASH-MATCHES end to end (q92's shape with q126's classifier in
+    * place of LBFGS): NB log-odds prioritize the token-budget
+    * selection (integer scores — no float anywhere in the ordering),
+    * shards pack along the same order, and the per-shard summary
+    * carries the exact integer score sums. ONE oracle replays feature
+    * assembly → closed-form training → scoring → prefix-sum selection
+    * → packing. */
+  val q127 = {
+    val Budget = 15000L
+    val MaxTok = 2048L
+    GQuery("q127_curation_v7",
+      s"""WITH ${DedupQueries.shingleCtes},
+         |$qualityCte,
+         |$featureCtes,
+         |fx AS (
+         |  SELECT doc_id,
+         |    quality >= 0.5 AS x1,
+         |    avg_logprob >= -7.5 AS x2,
+         |    coalesce(frac_dup_chunks, 0.0) <= 0.2 AS x3,
+         |    frac_contaminated <= 0.0 AS x4,
+         |    (n_tokens >= 15 AND n_tokens <= 100000 AND frac_distinct >= 0.35
+         |     AND top_bigram_frac <= 0.1) AS y
+         |  FROM feat WHERE n_tokens IS NOT NULL),
+         |cnts AS (
+         |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN y AND x1 THEN 1 ELSE 0 END) AS BIGINT) AS c1_0,
+         |    CAST(sum(CASE WHEN NOT y AND x1 THEN 1 ELSE 0 END) AS BIGINT) AS c0_0,
+         |    CAST(sum(CASE WHEN y AND x2 THEN 1 ELSE 0 END) AS BIGINT) AS c1_1,
+         |    CAST(sum(CASE WHEN NOT y AND x2 THEN 1 ELSE 0 END) AS BIGINT) AS c0_1,
+         |    CAST(sum(CASE WHEN y AND x3 THEN 1 ELSE 0 END) AS BIGINT) AS c1_2,
+         |    CAST(sum(CASE WHEN NOT y AND x3 THEN 1 ELSE 0 END) AS BIGINT) AS c0_2,
+         |    CAST(sum(CASE WHEN y AND x4 THEN 1 ELSE 0 END) AS BIGINT) AS c1_3,
+         |    CAST(sum(CASE WHEN NOT y AND x4 THEN 1 ELSE 0 END) AS BIGINT) AS c0_3
+         |  FROM fx),
+         |parts AS (
+         |  SELECT
+         |    CAST(round(1e4 * (ln((n1 + 1.0) / (n + 2)) -
+         |      ln((n - n1 + 1.0) / (n + 2)))) AS BIGINT) AS prior,
+         |    CAST(round(1e4 * (ln((c1_0 + 1.0) / (n1 + 2)) -
+         |      ln((c0_0 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p1_0,
+         |    CAST(round(1e4 * (ln((n1 - c1_0 + 1.0) / (n1 + 2)) -
+         |      ln((n - n1 - c0_0 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p0_0,
+         |    CAST(round(1e4 * (ln((c1_1 + 1.0) / (n1 + 2)) -
+         |      ln((c0_1 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p1_1,
+         |    CAST(round(1e4 * (ln((n1 - c1_1 + 1.0) / (n1 + 2)) -
+         |      ln((n - n1 - c0_1 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p0_1,
+         |    CAST(round(1e4 * (ln((c1_2 + 1.0) / (n1 + 2)) -
+         |      ln((c0_2 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p1_2,
+         |    CAST(round(1e4 * (ln((n1 - c1_2 + 1.0) / (n1 + 2)) -
+         |      ln((n - n1 - c0_2 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p0_2,
+         |    CAST(round(1e4 * (ln((c1_3 + 1.0) / (n1 + 2)) -
+         |      ln((c0_3 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p1_3,
+         |    CAST(round(1e4 * (ln((n1 - c1_3 + 1.0) / (n1 + 2)) -
+         |      ln((n - n1 - c0_3 + 1.0) / (n - n1 + 2)))) AS BIGINT) AS p0_3
+         |  FROM cnts),
+         |sc AS (
+         |  SELECT fx.doc_id, ft.n_tokens,
+         |    p.prior
+         |      + CASE WHEN fx.x1 THEN p.p1_0 ELSE p.p0_0 END
+         |      + CASE WHEN fx.x2 THEN p.p1_1 ELSE p.p0_1 END
+         |      + CASE WHEN fx.x3 THEN p.p1_2 ELSE p.p0_2 END
+         |      + CASE WHEN fx.x4 THEN p.p1_3 ELSE p.p0_3 END AS score4
+         |  FROM fx JOIN feat ft USING (doc_id) CROSS JOIN parts p),
+         |r AS (
+         |  SELECT doc_id, n_tokens, score4,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score4 DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM sc),
+         |kept AS (SELECT * FROM r WHERE cum <= $Budget),
+         |packed AS (
+         |  SELECT doc_id, n_tokens, score4,
+         |    CAST(floor((cum - n_tokens) / $MaxTok) AS BIGINT) AS shard_id
+         |  FROM kept)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(score4) AS BIGINT) AS score4_sum,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / $MaxTok, 4) AS fill_ratio
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val f = qualityFeatures(s, dir)
+        .where(col("n_tokens").isNotNull)
+        .withColumn("x1", col("quality") >= 0.5)
+        .withColumn("x2", col("avg_logprob") >= -7.5)
+        .withColumn("x3", coalesce(col("frac_dup_chunks"), lit(0.0)) <= 0.2)
+        .withColumn("x4", col("frac_contaminated") <= 0.0)
+        .withColumn("label_keep",
+          col("n_tokens") >= 15 && col("n_tokens") <= 100000 &&
+            col("frac_distinct") >= 0.35 && col("top_bigram_frac") <= 0.1)
+      val scored = graft.operators.QualityClassifier
+        .bernoulliNb(f, "doc_id", Seq("x1", "x2", "x3", "x4"), "label_keep")
+        .select(col("doc_id"), col("n_tokens"), col("score4"))
+      val sel = graft.operators.Sampling.tokenBudgetSelect(
+        scored, "doc_id", "n_tokens", "score4", budget = Budget)
+      graft.operators.Packing.packByOrder(
+          sel.drop("cum_tokens"), "doc_id", "n_tokens", "score4", MaxTok)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("score4")).as("score4_sum"))
+        .withColumn("fill_ratio",
+          round(col("sum_tokens").cast("double") / MaxTok, 4))
+        .orderBy(col("shard_id"))
+    }
+  }
+
   /** The q85 feature frame (unordered) — shared with the learned
     * quality classifier (q89). */
   private[queries] def qualityFeatures(
@@ -1369,5 +1476,5 @@ object TextQueries {
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
-      q105b, q107, q111, q113, q114, q115, q117, q118, q126)
+      q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127)
 }
