@@ -467,11 +467,30 @@ object Dedup {
     * the collapse, a signature shared by n docs puts n·(bands) rows
     * into the band join and n² candidates into EVERY matching band —
     * at 50 copies per image that was measured 2.5× slower on the
-    * whole query; at a viral-image 10⁶-copy class it is the
-    * difference between working and not. Same output contract as
-    * [[hammingNearDupsFromSigs]]. */
+    * whole query. Same output contract as [[hammingNearDupsFromSigs]].
+    *
+    * The COMPUTE is collapse-bounded, but the exact-dup OUTPUT is still
+    * O(g²) pairs per identical-signature class (the pairs are the
+    * answer): a viral-image 10⁵⁻⁶-copy class would emit 10¹⁰⁻¹² rows
+    * regardless of plan. When classes can be that heavy, report them
+    * with [[hammingDupGroups]] (one row per class) and keep pairing
+    * for the cross-signature near-dups only.
+    *
+    * Caches an internal representatives frame for its three consumers;
+    * use [[hammingNearDupsCollapsedManaged]] to release it after the
+    * result is materialized (a one-shot query can let session teardown
+    * reclaim it). */
   def hammingNearDupsCollapsed(sigs: DataFrame,
-                               maxHamming: Int = 3): DataFrame = {
+                               maxHamming: Int = 3): DataFrame =
+    hammingNearDupsCollapsedManaged(sigs, maxHamming)._1
+
+  /** [[hammingNearDupsCollapsed]] with an explicit cache lifecycle:
+    * returns the pairs frame plus a `release` thunk dropping the
+    * persisted representatives frame — call it once the pairs are
+    * written/counted (recomputation after release stays correct, the
+    * cache just rebuilds). */
+  def hammingNearDupsCollapsedManaged(sigs: DataFrame,
+      maxHamming: Int = 3): (DataFrame, () => Unit) = {
     val reps = sigs.groupBy(col("simhash64")).agg(min(col("id")).as("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repPairs = hammingNearDupsFromSigs(
@@ -489,8 +508,29 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("simhash64")), "simhash64")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
-    same.unionByName(cross)
+    (same.unionByName(cross), () => { reps.unpersist(); () })
   }
+
+  /** Mega-class-safe exact-duplicate reporting over ANY (id, simhash64)
+    * signature frame — the group-emission complement of the pair shape:
+    * one row per identical-signature class with ≥2 members —
+    * (simhash64, rep_id = min id, n_members, members ≤ `maxMembers`
+    * smallest ids, n_overflow = members beyond the cap). A class of g
+    * byte-identical copies costs ONE hash-keyed aggregate row here
+    * versus g·(g−1)/2 pair rows (a 10⁵-copy viral image: 1 row vs
+    * 5·10⁹) — emission is linear in input, never quadratic in class
+    * size. The aggregation buffer holds the class's ids (8 B each —
+    * ~1 MB even at 10⁵ copies, vs an unrepresentable pair blow-up);
+    * `maxMembers` bounds the OUTPUT row width, and n_overflow
+    * preserves the true census for classes past the cap. */
+  def hammingDupGroups(sigs: DataFrame, maxMembers: Int = 100): DataFrame =
+    sigs.groupBy(col("simhash64"))
+      .agg(min(col("id")).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        slice(array_sort(collect_list(col("id"))), 1, maxMembers).as("members"))
+      .where(col("n_members") >= 2)
+      .withColumn("n_overflow",
+        greatest(col("n_members") - maxMembers, lit(0L)))
 
   /** Bloom-filter variant of [[contaminationFlags]] for benchmark
     * vocabularies too large to broadcast exactly: build a Bloom sketch

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -154,8 +154,12 @@ object Pipelines {
                          blobCol: String, modalityCol: String,
                          windowDur: String = "5 minutes"): DataFrame = {
     import graft.operators.Multimodal
+    // null-guard first: the kernels are fuzz-proven total on non-null
+    // bytes only — a null blob (or modality) must degrade to a corrupt
+    // count, not NPE inside the probe and kill the streaming query
     val probeFormat = udf((modality: String, bytes: Array[Byte]) =>
-      modality match {
+      if (bytes == null) "corrupt"
+      else modality match {
         case "image" => Multimodal.ImageIoCodec.probe(bytes, "img")._1
         case "audio" => Multimodal.WavCodec.probe(bytes, "wav")._1
         case "video" => Multimodal.Mp4Codec.probe(bytes, "mp4")._1
@@ -176,36 +180,130 @@ object Pipelines {
         col("total_bytes"))
   }
 
+  /** Bucketed layout shared by the persistent cross-run dedup stores
+    * ([[dedupAgainstStore]] / [[nearDupAgainstStore]] /
+    * [[imageDedupAgainstStore]]):
+    *
+    *   - `path/data` — signature rows, parquet PARTITIONED BY `pb`, a
+    *     stable xxhash64 bucket of the join key. A micro-batch derives
+    *     its own bucket set driver-side (≤ `buckets` ints) and reads
+    *     the store `.where(pb isin ...)` — a directory-level PARTITION
+    *     filter, so per-batch read cost is the batch's share of the
+    *     store, never the full accumulated history (the pruning
+    *     contract [[graft.operators.Search.writePostings]] /
+    *     `postingsFor` already proves; spec-asserted here too).
+    *   - `path/config` — 1 row pinning the parameters that shaped the
+    *     stored rows (bucket count, banding scheme). Validated on every
+    *     open: a later run with different banding would silently join
+    *     mismatched keys and MISS duplicates, so it is a hard error.
+    *
+    * Store-side joins BROADCAST the micro-batch side, so the store
+    * slice streams through a broadcast hash join — never shuffled,
+    * never sorted; per-batch join state is batch-bounded. Appends
+    * repartition by `pb` first (one file per touched dir per batch);
+    * compact offline on a long-lived deployment, as with any
+    * streaming-append table. Size `buckets` ≫ expected batch key count
+    * (default 256, up to 65536) so the `isin` prunes most dirs. */
+  private[graft] object DedupStore {
+    def bucketOf(key: Column, buckets: Int): Column =
+      pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
+
+    def hasData(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+      storeExists(spark, s"$path/data")
+
+    /** Config row: write-if-absent, validate-if-present. */
+    def openOrInit(spark: org.apache.spark.sql.SparkSession, path: String,
+                   params: Seq[(String, Int)]): Unit = {
+      if (!storeExists(spark, s"$path/config")) {
+        val row = org.apache.spark.sql.Row.fromSeq(params.map(_._2))
+        val schema = org.apache.spark.sql.types.StructType(params.map {
+          case (n, _) => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.IntegerType, nullable = false) })
+        spark.createDataFrame(java.util.List.of(row), schema)
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+      } else {
+        val have = spark.read.parquet(s"$path/config").head()
+        val bad = params.filter { case (n, v) =>
+          have.getInt(have.fieldIndex(n)) != v }
+        require(bad.isEmpty,
+          s"dedup store $path was built with different parameters: " +
+            bad.map { case (n, v) =>
+              s"$n stored=${have.getInt(have.fieldIndex(n))} requested=$v" }
+              .mkString(", "))
+      }
+    }
+
+    def append(df: DataFrame, path: String): Unit =
+      df.repartition(col("pb")).write.mode("append")
+        .partitionBy("pb").parquet(s"$path/data")
+
+    /** The batch's slice of the store — `pb` is a PARTITION filter. */
+    def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                   pbs: Seq[Int]): DataFrame =
+      spark.read.parquet(s"$path/data").where(col("pb").isin(pbs: _*))
+
+    /** The batch's bucket set, derived driver-side (≤ `buckets` ints —
+      * bounded, so the collect is a legal driver action). */
+    def batchBuckets(df: DataFrame): Seq[Int] =
+      df.select("pb").where(col("pb").isNotNull).distinct()
+        .collect().map(_.getInt(0)).toSeq
+  }
+
+  /** Per-batch core of [[dedupAgainstStore]], factored out so the spec
+    * can plan-assert the pruned scan + broadcast-only joins: returns
+    * the batch rows whose normalized-text fingerprint is new to both
+    * the batch and the store, with `fingerprint`/`pb` still attached
+    * (the append side needs them). */
+  private[graft] def dedupFresh(batch: DataFrame, textCol: String,
+                                storePath: String, buckets: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val fp = batch
+      .withColumn("fingerprint",
+        graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicates("fingerprint")
+      .withColumn("pb", DedupStore.bucketOf(col("fingerprint"), buckets))
+    if (!DedupStore.hasData(spark, storePath)) fp
+    else {
+      val pbs = DedupStore.batchBuckets(fp)
+      if (pbs.isEmpty) fp
+      else {
+        // store slice streams through a broadcast SEMI join (build side
+        // = the batch's fingerprints); the ≤batch-sized hit list then
+        // anti-joins back — the store is never shuffled or sorted
+        val hits = DedupStore.prunedRead(spark, storePath, pbs)
+          .join(broadcast(fp.select("fingerprint")),
+            Seq("fingerprint"), "left_semi")
+        fp.join(broadcast(hits.select("fingerprint")),
+          Seq("fingerprint"), "left_anti")
+      }
+    }
+  }
+
   /** Incremental ingestion dedup against a persistent fingerprint store:
-    * each micro-batch is deduped within itself, anti-joined against the
+    * each micro-batch is deduped within itself, checked against the
     * store (docs already ingested in ANY earlier batch or run), handed
     * to `sink`, and its new fingerprints appended to the store.
     *
     * This is the cross-run complement of [[streamingDedup]]:
     * `dropDuplicatesWithinWatermark` bounds state to the watermark
     * horizon, while the store carries the full ingestion history as a
-    * TABLE (partitioned parquet — scales with the cluster, not executor
-    * state). Delivery is at-least-once: a crash between `sink` and the
-    * store append can re-emit a batch's docs; land the sink idempotently
-    * (same fingerprint key) for exactly-once end-to-end. */
-  def dedupAgainstStore(textCol: String, storePath: String)(
+    * TABLE in the [[DedupStore]] bucketed layout — each batch reads
+    * only its own fingerprint buckets (partition-pruned) and the store
+    * side never shuffles, so per-batch cost tracks the batch, not the
+    * deployment lifetime. Delivery is at-least-once: a crash between
+    * `sink` and the store append can re-emit a batch's docs; land the
+    * sink idempotently (same fingerprint key) for exactly-once
+    * end-to-end. */
+  def dedupAgainstStore(textCol: String, storePath: String,
+                        buckets: Int = 256)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     // the foreachBatch body: stream.writeStream.foreachBatch(this)
     (batch: DataFrame, _: Long) => {
       val spark = batch.sparkSession
-      val fp = batch
-        .withColumn("fingerprint",
-          graft.functions.TextFunctions.fingerprint(col(textCol)))
-        .dropDuplicates("fingerprint")
-      val store =
-        if (storeExists(spark, storePath))
-          spark.read.parquet(storePath)
-        else spark.emptyDataFrame.withColumn("fingerprint", lit(""))
-          .select(col("fingerprint")).limit(0)
-      val fresh = fp.join(store, Seq("fingerprint"), "left_anti")
-        .persist()
-      sink(fresh.drop("fingerprint"))
-      fresh.select("fingerprint").write.mode("append").parquet(storePath)
+      DedupStore.openOrInit(spark, storePath, Seq("buckets" -> buckets))
+      val fresh = dedupFresh(batch, textCol, storePath, buckets).persist()
+      sink(fresh.drop("fingerprint", "pb"))
+      DedupStore.append(fresh.select("fingerprint", "pb"), storePath)
       fresh.unpersist()
       ()
     }
@@ -223,46 +321,76 @@ object Pipelines {
     *
     * Documents shorter than `n` tokens have no signature and always
     * pass (nothing to estimate against). At-least-once like
-    * [[dedupAgainstStore]]. */
+    * [[dedupAgainstStore]]; the store lives in the [[DedupStore]]
+    * bucketed layout keyed on (band, bucket) — the batch reads only its
+    * own band-bucket partitions and the store side never shuffles.
+    * `n`/`k`/`bands` shape the stored signatures, so they are pinned in
+    * the store config and validated on every open; `minEstJaccard` is a
+    * read-time threshold, free to vary per run. */
   def nearDupAgainstStore(idCol: String, textCol: String, storePath: String,
                           n: Int = 3, k: Int = 9, bands: Int = 3,
-                          minEstJaccard: Double = 0.8)(
+                          minEstJaccard: Double = 0.8, buckets: Int = 256)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     import graft.operators.Dedup
     (batch: DataFrame, _: Long) => {
       val spark = batch.sparkSession
+      DedupStore.openOrInit(spark, storePath,
+        Seq("n" -> n, "k" -> k, "bands" -> bands, "buckets" -> buckets))
       val banded = Dedup.lshBuckets(
         Dedup.minhashSignatures(batch, idCol, textCol, n, k), k, bands)
+        .withColumn("pb", DedupStore.bucketOf(
+          concat_ws(":", col("band"), col("bucket")), buckets))
         .persist()
-      val store =
-        if (storeExists(spark, storePath)) spark.read.parquet(storePath)
-        else banded.limit(0)
-      def sigAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k
-      // vs store: any banded collision with estimated jaccard ≥ θ
-      val dupVsStore = banded
-        .join(store.select(col("sig").as("sig_o"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .where(sigAgree(col("sig"), col("sig_o")) >= minEstJaccard)
-        .select("id")
-      // within the batch: same test, keep the smaller id of a dup pair
-      val dupInBatch = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-          col("band"), col("bucket"))
-        .join(banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-          col("band"), col("bucket")), Seq("band", "bucket"))
-        .where(col("id_a") < col("id_b") &&
-          sigAgree(col("sig_a"), col("sig_b")) >= minEstJaccard)
-        .select(col("id_b").as("id"))
-      val dups = dupVsStore.unionByName(dupInBatch).distinct()
-      val fresh = batch.join(dups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-        .persist()
+      val fresh = nearDupFresh(batch, banded, idCol, storePath, k,
+        minEstJaccard).persist()
       sink(fresh)
-      banded.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .write.mode("append").parquet(storePath)
+      DedupStore.append(
+        banded.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi"),
+        storePath)
       fresh.unpersist(); banded.unpersist()
       ()
     }
+  }
+
+  /** Per-batch core of [[nearDupAgainstStore]] (factored for the spec's
+    * plan assertions): `banded` is the batch's banded signature frame
+    * (id, sig, band, bucket, pb). Returns the batch rows that near-dup
+    * neither the store nor an earlier (smaller-id) in-batch doc. */
+  private[graft] def nearDupFresh(batch: DataFrame, banded: DataFrame,
+                                  idCol: String, storePath: String, k: Int,
+                                  minEstJaccard: Double): DataFrame = {
+    val spark = batch.sparkSession
+    // exact agreement fraction over k components — the MinHash estimate
+    def sigAgree(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / k
+    // within the batch: keep the smaller id of a colliding dup pair
+    val dupInBatch = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("band"), col("bucket"))
+      .join(banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b") &&
+        sigAgree(col("sig_a"), col("sig_b")) >= minEstJaccard)
+      .select(col("id_b").as("id"))
+    val dups =
+      if (!DedupStore.hasData(spark, storePath)) dupInBatch
+      else {
+        val pbs = DedupStore.batchBuckets(banded)
+        if (pbs.isEmpty) dupInBatch
+        else {
+          // pruned store slice streams against the BROADCAST batch
+          // signatures; output is collision-bounded (≤ batch × bands)
+          val dupVsStore = DedupStore.prunedRead(spark, storePath, pbs)
+            .select(col("sig").as("sig_o"), col("band"), col("bucket"))
+            .join(broadcast(banded.select(col("id"), col("sig"),
+              col("band"), col("bucket"))), Seq("band", "bucket"))
+            .where(sigAgree(col("sig"), col("sig_o")) >= minEstJaccard)
+            .select("id")
+          dupVsStore.unionByName(dupInBatch)
+        }
+      }
+    batch.join(broadcast(dups.withColumnRenamed("id", idCol).distinct()),
+      Seq(idCol), "left_anti")
   }
 
   /** Cross-run IMAGE ingestion dedup — [[nearDupAgainstStore]]'s
@@ -280,15 +408,22 @@ object Pipelines {
     * absorbed BY CONSTRUCTION: a replayed image collides with its own
     * stored signature at distance 0, so nothing re-emits and nothing
     * re-appends (spec-asserted). Store joins are (band, key) equi-joins
-    * over the banded store — the pruned path, never a full-store
-    * Hamming scan. */
+    * over the banded store in the [[DedupStore]] bucketed layout — the
+    * batch reads only its own band-key partitions and the store side
+    * never shuffles; never a full-store Hamming scan. `maxHamming`
+    * fixes the pigeonhole band split that shaped the stored keys, so it
+    * is pinned in the store config and a later run with a different
+    * value is a hard error instead of silently missed duplicates. */
   def imageDedupAgainstStore(idCol: String, blobCol: String,
-                             storePath: String, maxHamming: Int = 3)(
+                             storePath: String, maxHamming: Int = 3,
+                             buckets: Int = 256)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     import graft.operators.Multimodal
     (batch: DataFrame, _: Long) => {
       val spark = batch.sparkSession
       graft.plans.HammingDist.register(spark)
+      DedupStore.openOrInit(spark, storePath,
+        Seq("maxHamming" -> maxHamming, "buckets" -> buckets))
       val b = maxHamming + 1
       val bounds = (0 to b).map(i => 1 + i * 64 / b)
       val bandCols = (0 until b).map { i =>
@@ -302,30 +437,41 @@ object Pipelines {
         .select(col("id"), col("dhash"), explode(array(bandCols: _*)).as("bb"))
         .select(col("id"), col("dhash"),
           col("bb.band").as("band"), col("bb.key").as("key"))
+        .withColumn("pb", DedupStore.bucketOf(
+          concat_ws(":", col("band"), col("key")), buckets))
         .persist()
-      val store =
-        if (storeExists(spark, storePath)) spark.read.parquet(storePath)
-        else banded.limit(0)
       val ham = call_function(graft.plans.HammingDist.fnName,
         col("dhash"), col("dhash_o"))
-      val dupVsStore = banded
-        .join(store.select(col("dhash").as("dhash_o"), col("band"), col("key")),
-          Seq("band", "key"))
-        .where(ham <= maxHamming)
-        .select("id")
       val dupInBatch = banded.select(col("id").as("id_b"),
           col("dhash").as("dhash_o"), col("band"), col("key"))
         .join(banded.select(col("id").as("id_a"), col("dhash"),
           col("band"), col("key")), Seq("band", "key"))
         .where(col("id_a") < col("id_b") && ham <= maxHamming)
         .select(col("id_b").as("id"))
-      val dups = dupVsStore.unionByName(dupInBatch).distinct()
+      val dups =
+        if (!DedupStore.hasData(spark, storePath)) dupInBatch
+        else {
+          val pbs = DedupStore.batchBuckets(banded)
+          if (pbs.isEmpty) dupInBatch
+          else {
+            // pruned store slice vs the BROADCAST batch signatures
+            val dupVsStore = DedupStore.prunedRead(spark, storePath, pbs)
+              .select(col("dhash").as("dhash_o"), col("band"), col("key"))
+              .join(broadcast(banded.select(col("id"), col("dhash"),
+                col("band"), col("key"))), Seq("band", "key"))
+              .where(ham <= maxHamming)
+              .select("id")
+            dupVsStore.unionByName(dupInBatch)
+          }
+        }
       val fresh = batch
-        .join(dups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        .join(broadcast(dups.withColumnRenamed("id", idCol).distinct()),
+          Seq(idCol), "left_anti")
         .persist()
       sink(fresh)
-      banded.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .write.mode("append").parquet(storePath)
+      DedupStore.append(
+        banded.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi"),
+        storePath)
       fresh.unpersist(); banded.unpersist()
       ()
     }

@@ -29,8 +29,12 @@ object Soak {
     val docs1 = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).cache()
     val n1 = docs1.count()
+    // copy offset derived from the fixture's actual max id: a fixed
+    // 10M stride would silently collide (deflating the scaled row
+    // count) if a fixture ever carried larger doc_ids
+    val stride = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val docsN = (0 until copies).map { i =>
-      docs1.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+      docs1.select((col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
         col("text"))
     }.reduce(_ unionAll _).cache()
     val nN = docsN.count()
@@ -87,6 +91,65 @@ object Soak {
       System.err.println(s"[soak] FAIL super-linear: ${bad.mkString(", ")}")
       spark.stop(); sys.exit(1)
     }
+
+    // --- leg: persistent dedup store — per-batch cost vs store size ---
+    // the store grows 10×; the micro-batch stays fixed. With the
+    // bucketed layout the batch reads only its own fingerprint buckets
+    // and broadcasts itself into the slice, so per-batch time must stay
+    // ~flat (NOT grow 10× with the history).
+    {
+      import graft.streaming.Pipelines
+      val buckets = 1024
+      def mkStore(nRows: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("soak_store").toString
+        val seed = spark.range(nRows.toLong)
+          .select(col("id").as("doc_id"),
+            concat(lit("seed corpus document number "), col("id"),
+              lit(" with its own unique body")).as("text"))
+        Pipelines.dedupAgainstStore("text", dir, buckets) { _ => () }(seed, 0L)
+        dir
+      }
+      val batch = spark.range(64).select(
+        (col("id") + 5_000_000L).as("doc_id"),
+        concat(lit("probe batch doc "), col("id")).as("text")).cache()
+      batch.count()
+      def runBatch(store: String): Long =
+        Pipelines.dedupFresh(batch, "text", store, buckets).count()
+      val small = mkStore(20_000); val big = mkStore(200_000)
+      runBatch(small) // warm (codegen, parquet footers)
+      val tS = time("store_batch vs 20k store")(runBatch(small))
+      val tB = time("store_batch vs 200k store")(runBatch(big))
+      val r = tB / tS
+      println(f"[soak] store_dedup_batch        ${r}%5.1fx per-batch cost for 10x store growth")
+      if (r > 3.0) {
+        System.err.println("[soak] FAIL store-size-linear per-batch dedup")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
+    // --- leg: mega-class exact-dup group emission stays linear ---
+    // one identical-signature class of 10k then 100k members: the
+    // group-emission report must scale ~linearly in rows (the PAIR
+    // form would be 5·10⁷ → 5·10⁹ rows — quadratic in class size).
+    {
+      def sigs(classSize: Int) = spark.range(classSize.toLong + 5000L)
+        .select(col("id"), when(col("id") < classSize,
+            lit("1010101010101010101010101010101010101010101010101010101010101010"))
+          .otherwise(concat(lit("0"),
+            lpad(conv(col("id").cast("string"), 10, 2), 63, "0"))).as("simhash64"))
+      def run(classSize: Int): Double = time(s"dup_groups class=$classSize") {
+        graft.operators.Dedup.hammingDupGroups(sigs(classSize)).count()
+      }
+      run(10_000) // warm
+      val t1 = run(10_000); val t10 = run(100_000)
+      val r = t10 / t1
+      println(f"[soak] mega_class_groups        ${r}%5.1fx for 10x class size")
+      if (r > 30.0) {   // 10x rows × 3x headroom, same gate as above
+        System.err.println("[soak] FAIL super-linear mega-class grouping")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     println("[soak] OK: no super-linear operator")
     spark.stop()
   }

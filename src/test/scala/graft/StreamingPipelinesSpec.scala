@@ -313,9 +313,52 @@ class StreamingPipelinesSpec extends SparkSpec {
       (5L, "garbage".getBytes("UTF-8"))).toDF("id", "blob"), 2L)
     assert(emitted === Vector(1L, 2L, 4L, 5L, 5L))
     // the store holds signatures only for first-seen DECODABLE images
-    val stored = spark.read.parquet(store).select("id").distinct()
+    val stored = spark.read.parquet(s"$store/data").select("id").distinct()
       .as[Long].collect().sorted.toSeq
     assert(stored === Seq(1L, 2L, 4L))
+    // the banding params that shaped the stored keys are pinned: a
+    // later run with a different maxHamming would join mismatched band
+    // keys and silently miss duplicates, so it must be a hard error
+    val err = intercept[IllegalArgumentException] {
+      Pipelines.imageDedupAgainstStore("id", "blob", store,
+        maxHamming = 2) { _ => () }(Seq((9L, png(9L))).toDF("id", "blob"), 3L)
+    }
+    assert(err.getMessage.contains("maxHamming"))
+  }
+
+  test("dedup stores: per-batch read partition-prunes to the batch's buckets; no store-side shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val store = java.nio.file.Files.createTempDirectory("prunestore").toString
+    val buckets = 64
+    // seed the store with many fingerprints spread over the buckets
+    val seed = (1L to 400L).map(i => (i, s"seed document number $i unique text"))
+      .toDF("doc_id", "text")
+    Pipelines.dedupAgainstStore("text", store, buckets) { _ => () }(seed, 0L)
+    val dirs = new java.io.File(s"$store/data")
+      .listFiles().count(_.getName.startsWith("pb="))
+    assert(dirs > 16, s"seed must spread over many bucket dirs, got $dirs")
+    // a 2-doc batch touches ≤2 buckets → the store scan must prune to them
+    val batch = Seq((900L, "tiny batch doc alpha"), (901L, "tiny batch doc beta"))
+      .toDF("doc_id", "text")
+    val fresh = Pipelines.dedupFresh(batch, "text", store, buckets)
+    val plan = fresh.queryExecution.sparkPlan
+    val storeScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("prunestore")) => f
+    }
+    assert(storeScans.nonEmpty, s"store file scan must appear in the plan:\n$plan")
+    assert(storeScans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "pb"))),
+      s"store scan must carry a pb partition filter:\n$plan")
+    assert(storeScans.forall(_.selectedPartitions.partitionCount <= 2),
+      s"expected ≤2 pruned partitions, got " +
+        storeScans.map(_.selectedPartitions.partitionCount).mkString(","))
+    // and the store side joins as broadcast, never a sort-merge shuffle
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"store joins must broadcast the batch side:\n$plan")
+    // semantics unchanged: both docs are new → both fresh
+    assert(fresh.count() === 2L)
   }
 
   test("mediaMonitorStream: per-(window, modality) corrupt rates from real kernels") {
@@ -338,7 +381,8 @@ class StreamingPipelinesSpec extends SparkSpec {
         (ts(2), "audio", wav),
         (ts(2), "audio", wav),
         (ts(3), "video", mp4),
-        (ts(3), "video", junk))      // box walk finds no brand → corrupt
+        (ts(3), "video", junk),      // box walk finds no brand → corrupt
+        (ts(4), "image", null))      // null blob → corrupt count, NOT an NPE
       q.processAllAvailable()
       in.addData((ts(40), "image", png))   // advance watermark, close window
       q.processAllAvailable()
@@ -349,7 +393,7 @@ class StreamingPipelinesSpec extends SparkSpec {
         .as[(String, Long, Long, Double)].collect().toSeq
       assert(rows === Seq(
         ("audio", 2L, 0L, 0.0),
-        ("image", 2L, 1L, 0.5),
+        ("image", 3L, 2L, round4(2.0 / 3)),
         ("video", 2L, 1L, 0.5)))
       // total_bytes is the exact payload sum for the clean audio window
       val tb = spark.sql(

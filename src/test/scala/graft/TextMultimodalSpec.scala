@@ -273,5 +273,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(direct.contains((1L, 2L, 0L)) && direct.contains((4L, 5L, 0L)))
     assert(direct.contains((1L, 4L, 1L)) && direct.contains((6L, 7L, 0L)))
     assert(!direct.exists { case (a, b, _) => (a <= 5) != (b <= 5) && (a == 6L || a == 7L || b == 6L || b == 7L) })
+    // the managed variant: same pairs, and release() is safe to call
+    val (managed, release) = graft.operators.Dedup
+      .hammingNearDupsCollapsedManaged(sigs, maxHamming = 2)
+    assert(managed.select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet === direct)
+    release()
+  }
+
+  test("hammingDupGroups: one row per identical-signature class, member cap with overflow") {
+    val sig0 = "0" * 64
+    val sig1 = "1" + "0" * 63
+    val lone = "1" * 64
+    // class sig0 has 5 members (cap at 3 → 2 overflow); sig1 has 2;
+    // `lone` has a single member → no row (not a duplicate class)
+    val sigs = (Seq.tabulate(5)(i => (10L + i, sig0)) ++
+      Seq((20L, sig1), (21L, sig1), (30L, lone))).toDF("id", "simhash64")
+    val rows = graft.operators.Dedup.hammingDupGroups(sigs, maxMembers = 3)
+      .select("simhash64", "rep_id", "n_members", "members", "n_overflow")
+      .as[(String, Long, Long, Seq[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rows.keySet === Set(sig0, sig1))
+    assert(rows(sig0) === ((10L, 5L, Seq(10L, 11L, 12L), 2L)))
+    assert(rows(sig1) === ((20L, 2L, Seq(20L, 21L), 0L)))
   }
 }
