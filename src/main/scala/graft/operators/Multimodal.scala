@@ -713,6 +713,229 @@ object Multimodal {
     ftyp ++ moov
   }
 
+  /** REAL MP4 sample-table decode — past [[Mp4Codec]]'s header probe
+    * and into `moov/trak/mdia/minf/stbl` (ISO 14496-12 §8.6–8.7), the
+    * video member of the payload triad beside [[PcmStatsCodec]]
+    * (audio samples) and [[DHashCodec]] (image pixels): the FIRST
+    * track's `stts` (decoding time-to-sample: duration = Σ count·delta
+    * in `mdhd` timescale ticks), `stsz` (sample sizes — uniform
+    * `sample_size` or the per-sample table), and `stss` (sync-sample
+    * table; ABSENT means every sample is sync per the spec) yield the
+    * video discard signals: frame count, track duration, mean/max
+    * frame size, keyframe count/ratio. Still O(container tables), the
+    * media payload (`mdat`) is never touched. A lying container
+    * (stts total ≠ stsz count, truncated tables, bad sizes) degrades
+    * to format = "corrupt" — never an exception (fuzz-asserted). */
+  object Mp4StatsCodec extends Serializable {
+    private val Corrupt: (String, Long, Long, java.lang.Double, Long, Long,
+        java.lang.Double) = ("corrupt", -1L, -1L, null, -1L, -1L, null)
+    /** (format, n_frames, duration_ms, mean_frame_bytes,
+      *  max_frame_bytes, n_keyframes, keyframe_ratio). */
+    def stats(bytes: Array[Byte]): (String, Long, Long, java.lang.Double,
+        Long, Long, java.lang.Double) = try {
+      val n = bytes.length.toLong
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      def ascii(off: Long) = new String(bytes, off.toInt, 4, "US-ASCII")
+      def u32(off: Long): Long = bb.getInt(off.toInt).toLong & 0xffffffffL
+      var brand: String = null
+      var mdhdTs = -1L
+      var sttsTicks = -1L; var sttsN = -1L
+      var szN = -1L; var szSum = -1L; var szMax = -1L
+      var stssN = -1L                      // -1 = box absent (all sync)
+      var firstTrak = true
+      def walk(from: Long, to: Long)(visit: (String, Long, Long) => Unit)
+          : Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val size0 = u32(off)
+          val typ = ascii(off + 4)
+          val (payload, size) =
+            if (size0 == 0) (off + 8, to - off)
+            else if (size0 == 1) {
+              if (off + 16 > to) return
+              (off + 16, bb.getLong(off.toInt + 8))
+            } else (off + 8, size0)
+          if (size < 8 || off + size > to) return
+          visit(typ, payload, off + size)
+          off += size
+        }
+      }
+      walk(0, n) {
+        case ("ftyp", p, _) if p + 4 <= n => brand = ascii(p)
+        case ("moov", p, e) => walk(p, e) {
+          case ("trak", tp, te) if firstTrak =>
+            firstTrak = false
+            walk(tp, te) {
+              case ("mdia", mp, me) => walk(mp, me) {
+                case ("mdhd", dp, de) if dp + 4 <= de =>
+                  val v = bytes(dp.toInt) & 0xff
+                  if (v == 0 && dp + 16 <= de) mdhdTs = u32(dp + 12)
+                  else if (v == 1 && dp + 24 <= de) mdhdTs = u32(dp + 20)
+                case ("minf", np, ne) => walk(np, ne) {
+                  case ("stbl", sp, se) => walk(sp, se) {
+                    case ("stts", p1, e1) if p1 + 8 <= e1 =>
+                      val entries = u32(p1 + 4)
+                      if (p1 + 8 + entries * 8 <= e1) {
+                        var i = 0L; var ticks = 0L; var cnt = 0L
+                        while (i < entries) {
+                          val c = u32(p1 + 8 + i * 8)
+                          ticks += c * u32(p1 + 12 + i * 8); cnt += c
+                          i += 1
+                        }
+                        sttsTicks = ticks; sttsN = cnt
+                      }
+                    case ("stsz", p1, e1) if p1 + 12 <= e1 =>
+                      val uniform = u32(p1 + 4)
+                      val cnt = u32(p1 + 8)
+                      if (uniform > 0) {
+                        szN = cnt; szSum = uniform * cnt; szMax = uniform
+                      } else if (p1 + 12 + cnt * 4 <= e1 && cnt > 0) {
+                        var i = 0L; var sum = 0L; var mx = -1L
+                        while (i < cnt) {
+                          val s = u32(p1 + 12 + i * 4)
+                          sum += s; if (s > mx) mx = s
+                          i += 1
+                        }
+                        szN = cnt; szSum = sum; szMax = mx
+                      }
+                    case ("stss", p1, e1) if p1 + 8 <= e1 =>
+                      val entries = u32(p1 + 4)
+                      if (p1 + 8 + entries * 4 <= e1) stssN = entries
+                    case _ => ()
+                  }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      // a lying container is corrupt: the two sample censuses must agree
+      if (brand == null || mdhdTs <= 0 || sttsN <= 0 || szN <= 0 ||
+          sttsN != szN) Corrupt
+      else {
+        val nKey = if (stssN < 0) szN else stssN   // no stss → all sync
+        (brand.trim.toLowerCase(java.util.Locale.ROOT), szN,
+          sttsTicks * 1000L / mdhdTs,
+          Double.box(szSum.toDouble / szN), szMax,
+          nKey, Double.box(nKey.toDouble / szN))
+      }
+    } catch { case _: IndexOutOfBoundsException => Corrupt }
+  }
+
+  /** Deterministic ISO-BMFF generator WITH sample tables — extends the
+    * [[encodeMp4]] shape with a full `mdia/mdhd` + `minf/stbl` carrying
+    * spec-shaped `stts` (two runs: ⌊n/2⌋ frames at `delta1` ticks then
+    * the rest at `delta2`), `stsz` (`uniformSize` > 0 → uniform-size
+    * layout, else a per-sample table with size_i = 500 + (seed·31 +
+    * i·97) mod 1000), and `stss` (sync samples 1, 1+keyEvery, …).
+    * Test/fixture generator, not a production operator. */
+  def encodeMp4Sampled(width: Int, height: Int, nFrames: Int, keyEvery: Int,
+                       trackTimescale: Int, delta1: Int, delta2: Int,
+                       uniformSize: Int, seed: Long): Array[Byte] = {
+    require(nFrames >= 2 && keyEvery >= 1 && trackTimescale > 0 &&
+      delta1 > 0 && delta2 > 0 && uniformSize >= 0,
+      s"bad sampled-mp4 params $nFrames/$keyEvery/$trackTimescale")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    val n1 = nFrames / 2
+    val n2 = nFrames - n1
+    val durTicks = n1.toLong * delta1 + n2.toLong * delta2
+    val mvhd = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0)
+        .putInt(trackTimescale).putInt(durTicks.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort)
+      b.position(b.position() + 10)
+      Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.position(b.position() + 24)
+      b.putInt(2)
+      b.array()
+    })
+    val tkhd = box("tkhd", {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0x000007).putInt(0).putInt(0)
+        .putInt(1).putInt(0).putInt(durTicks.toInt)
+      b.position(b.position() + 8)
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.putInt(width << 16).putInt(height << 16)
+      b.array()
+    })
+    val mdhd = box("mdhd", {
+      val b = java.nio.ByteBuffer.allocate(20)   // v0 payload
+      b.putInt(0).putInt(0).putInt(0)
+        .putInt(trackTimescale).putInt(durTicks.toInt)
+      b.array()
+    })
+    val stts = box("stts", {
+      val b = java.nio.ByteBuffer.allocate(8 + 16)
+      b.putInt(0).putInt(2)
+        .putInt(n1).putInt(delta1).putInt(n2).putInt(delta2)
+      b.array()
+    })
+    val stsz = box("stsz",
+      if (uniformSize > 0) {
+        val b = java.nio.ByteBuffer.allocate(12)
+        b.putInt(0).putInt(uniformSize).putInt(nFrames)
+        b.array()
+      } else {
+        val b = java.nio.ByteBuffer.allocate(12 + 4 * nFrames)
+        b.putInt(0).putInt(0).putInt(nFrames)
+        var i = 0
+        while (i < nFrames) {
+          b.putInt((500L + (seed * 31L + i * 97L) % 1000L).toInt); i += 1
+        }
+        b.array()
+      })
+    val keyNums = 1 to nFrames by keyEvery
+    val stss = box("stss", {
+      val b = java.nio.ByteBuffer.allocate(8 + 4 * keyNums.size)
+      b.putInt(0).putInt(keyNums.size)
+      keyNums.foreach(b.putInt)
+      b.array()
+    })
+    val stbl = box("stbl", stts ++ stsz ++ stss)
+    val mdia = box("mdia", mdhd ++ box("minf", stbl))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+  }
+
+  /** Per-partition MP4 sample-table decode — the [[Mp4StatsCodec]] row
+    * shape: (id, format, n_frames, duration_ms, mean_frame_bytes,
+    * max_frame_bytes, n_keyframes, keyframe_ratio). Zero shuffle,
+    * linear per blob. */
+  def decodeVideoStatsPartitions(df: DataFrame, blobCol: String,
+                                 idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("n_frames", LongType).add("duration_ms", LongType)
+      .add("mean_frame_bytes", DoubleType).add("max_frame_bytes", LongType)
+      .add("n_keyframes", LongType).add("keyframe_ratio", DoubleType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, nf, d, mean, mx, nk, kr) = Mp4StatsCodec.stats(bytes)
+        Row(r.getLong(idIdx), f, nf, d, mean, mx, nk, kr)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition video decode — [[decodePartitions]] with the
     * [[videoMetaSchema]] row shape and a [[VideoCodec]] kernel. */
   def decodeVideoPartitions(df: DataFrame, blobCol: String, idCol: String,

@@ -609,6 +609,82 @@ object MultimodalQueries {
       .orderBy(col("source"))
   }
 
+  /** REAL MP4 SAMPLE-TABLE decode — completes the payload triad (audio
+    * got PCM samples in q119, image got pixels in q120; this takes
+    * video past q112's container header): spec-shaped ISO-BMFF blobs
+    * now carry a full `mdia/minf/stbl` ([[Multimodal.encodeMp4Sampled]])
+    * and [[Multimodal.Mp4StatsCodec]] walks
+    * `moov/trak/mdia/minf/stbl` back — frame count from `stsz`
+    * (uniform-size AND per-sample layouts both exercised, split on
+    * doc_id), track duration from `stts` run-length deltas over the
+    * `mdhd` timescale, mean/max frame size, and keyframe count/ratio
+    * from `stss` — the video discard signals of a media-curation pass.
+    * Every 13th blob is TRUNCATED to 6 bytes and must degrade to the
+    * typed corrupt row. The oracle replays the generator formulas
+    * (per-sample sizes via unnest(range(n)), integer tick arithmetic),
+    * so the hash matches only if the box writer AND the sample-table
+    * walk agree field-for-field.
+    *
+    * Scale shape: one per-partition decode map — zero shuffle,
+    * O(sample tables) per blob, `mdat` never touched. */
+  val q128 = GQuery("q128_mp4_sample_stats",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    (doc_id % 13 = 0) AS bad,
+      |    30 + (doc_id * 11) % 170 AS n,
+      |    1 + doc_id % 7 AS k,
+      |    9000 + (doc_id % 5) * 600 AS tsm,
+      |    256 + doc_id % 128 AS d1,
+      |    (doc_id % 5 = 0) AS uni,
+      |    600 + doc_id % 400 AS us
+      |  FROM documents),
+      |d AS (SELECT p.*,
+      |        (n // 2) * d1 + (n - n // 2) * (d1 + 64) AS ticks FROM p),
+      |e AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d
+      |      WHERE NOT uni AND NOT bad),
+      |sz AS (SELECT doc_id, 500 + (doc_id * 31 + i * 97) % 1000 AS s FROM e),
+      |szs AS (SELECT doc_id, avg(s) AS mean_s, max(s) AS max_s
+      |        FROM sz GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id,
+      |  CASE WHEN bad THEN 'corrupt' ELSE 'isom' END AS format,
+      |  CAST(CASE WHEN bad THEN -1 ELSE n END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN bad THEN -1 ELSE ticks * 1000 // tsm END AS BIGINT)
+      |    AS duration_ms,
+      |  round(CASE WHEN bad THEN NULL WHEN uni THEN us
+      |             ELSE szs.mean_s END, 4) AS mean_frame_bytes,
+      |  CAST(CASE WHEN bad THEN -1 WHEN uni THEN us ELSE szs.max_s END
+      |    AS BIGINT) AS max_frame_bytes,
+      |  CAST(CASE WHEN bad THEN -1 ELSE (n + k - 1) // k END AS BIGINT)
+      |    AS n_keyframes,
+      |  round(CASE WHEN bad THEN NULL
+      |             ELSE ((n + k - 1) // k) * 1.0 / n END, 4) AS keyframe_ratio
+      |FROM d LEFT JOIN szs ON d.doc_id = szs.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val full = Multimodal.encodeMp4Sampled(
+          width = (160 + (id % 8) * 16).toInt,
+          height = (120 + (id % 6) * 20).toInt,
+          nFrames = (30 + (id * 11) % 170).toInt,
+          keyEvery = (1 + id % 7).toInt,
+          trackTimescale = (9000 + (id % 5) * 600).toInt,
+          delta1 = (256 + id % 128).toInt,
+          delta2 = (256 + id % 128 + 64).toInt,
+          uniformSize = if (id % 5 == 0) (600 + id % 400).toInt else 0,
+          seed = id)
+        (id, if (id % 13 == 0) full.take(6) else full)
+      })
+      .toDF("doc_id", "blob")
+    Multimodal.decodeVideoStatsPartitions(blobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("format"), col("n_frames"),
+        col("duration_ms"),
+        round(col("mean_frame_bytes"), 4).as("mean_frame_bytes"),
+        col("max_frame_bytes"), col("n_keyframes"),
+        round(col("keyframe_ratio"), 4).as("keyframe_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123)
+    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123, q128)
 }

@@ -210,6 +210,7 @@ class PropertiesSpec extends SparkSpec {
       Multimodal.PcmStatsCodec.stats(b)
       Multimodal.DHashCodec.dhash(b)
       Multimodal.AudioSigCodec.signature(b)
+      Multimodal.Mp4StatsCodec.stats(b)
     }
   }
 

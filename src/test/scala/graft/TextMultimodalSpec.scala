@@ -281,6 +281,39 @@ class TextMultimodalSpec extends SparkSpec {
     release()
   }
 
+  test("Mp4StatsCodec walks stts/stsz/stss exactly; lying tables degrade typed") {
+    import graft.operators.Multimodal
+    // per-sample stsz layout: n=10 frames, sizes 500 + (7*31 + i*97) % 1000,
+    // stts runs (5 × 300, 5 × 364) over a 12000-tick timescale,
+    // keyframes at 1,4,7,10
+    val blob = Multimodal.encodeMp4Sampled(width = 320, height = 240,
+      nFrames = 10, keyEvery = 3, trackTimescale = 12000,
+      delta1 = 300, delta2 = 364, uniformSize = 0, seed = 7L)
+    val sizes = (0 until 10).map(i => 500L + (7L * 31 + i * 97) % 1000)
+    val (f, nf, dur, mean, mx, nk, kr) = Multimodal.Mp4StatsCodec.stats(blob)
+    assert(f === "isom" && nf === 10L)
+    assert(dur === (5L * 300 + 5L * 364) * 1000 / 12000)
+    assert(mean === sizes.sum.toDouble / 10 && mx === sizes.max)
+    assert(nk === 4L && kr === 0.4)
+    // uniform stsz layout: every frame exactly 777 bytes
+    val uni = Multimodal.encodeMp4Sampled(320, 240, 10, 3, 12000, 300, 364,
+      uniformSize = 777, seed = 7L)
+    val u = Multimodal.Mp4StatsCodec.stats(uni)
+    assert(u._4 === 777.0 && u._5 === 777L && u._2 === 10L)
+    // corrupt paths: truncation before the first box; a LYING container
+    // whose stts total disagrees with the stsz count (bytes 16..19 of
+    // the stts payload hold the first run's count — bump it)
+    assert(Multimodal.Mp4StatsCodec.stats(blob.take(6))._1 === "corrupt")
+    val lying = blob.clone()
+    val sttsAt = {
+      def find(pat: String) = (0 until lying.length - 4).find(i =>
+        new String(lying, i, 4, "US-ASCII") == pat).get
+      find("stts")
+    }
+    lying(sttsAt + 12 + 3) = (lying(sttsAt + 12 + 3) + 1).toByte
+    assert(Multimodal.Mp4StatsCodec.stats(lying)._1 === "corrupt")
+  }
+
   test("hammingDupGroups: one row per identical-signature class, member cap with overflow") {
     val sig0 = "0" * 64
     val sig1 = "1" + "0" * 63
