@@ -314,6 +314,48 @@ object Similarity {
       .withColumn("cid", array_min(distStructs(col("cv"), centroids)).getField("cid"))
       .select(col("corpus_id"), col("cv"), col("cid"))
 
+  /** [[ivfAssign]] that also keeps the assignment distance — (corpus_id,
+    * cv, cid, d2). The d2 column is the raw material for centroid-drift
+    * monitoring: still a pure map, no shuffle. */
+  def ivfAssignDist(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Int, Array[Double])]): DataFrame =
+    FanOut(corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv")))
+      .withColumn("a", array_min(distStructs(col("cv"), centroids)))
+      .select(col("corpus_id"), col("cv"),
+        col("a.cid").as("cid"), col("a.d2").as("d2"))
+
+  /** Persist the build-time assignment-distance BASELINE for a trained
+    * index — 1 row (n, mean_d2) — beside the [[ivfSave]]d centroids.
+    * Incremental ingestion drifts silently as the data distribution
+    * shifts away from what the centroids were trained on (recall decays
+    * with no error anywhere); comparing each batch's mean assignment
+    * distance against this baseline ([[ivfDriftReport]]) is the
+    * standing alarm that triggers a rebuild. */
+  def ivfStatsSave(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[(Int, Array[Double])],
+                   path: String): Unit =
+    ivfAssignDist(corpus, idCol, vecCol, centroids)
+      .agg(count(lit(1)).as("n"), avg(col("d2")).as("mean_d2"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Per-batch drift ratios over an ingest-metrics store (rows
+    * (batch_id, n, mean_d2) written by
+    * [[graft.streaming.Pipelines.ivfIngestStream]]) against the
+    * [[ivfStatsSave]] baseline: drift_ratio = batch mean_d2 ÷ build
+    * mean_d2. A sustained ratio ≫ 1 means the centroids no longer
+    * describe the incoming distribution — rebuild
+    * ([[graft.streaming.Pipelines.ivfRebuild]]). */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
+                     metricsPath: String, statsPath: String): DataFrame = {
+    val base = spark.read.parquet(statsPath)
+      .select(col("mean_d2").as("__base"))
+    spark.read.parquet(metricsPath)
+      .crossJoin(broadcast(base))
+      .select(col("batch_id"), col("n"), col("mean_d2"),
+        round(col("mean_d2") / col("__base"), 4).as("drift_ratio"))
+  }
+
   /** Probe a built IVF index: each query scores only the inverted lists
     * of its `nprobe` nearest centroids (a broadcast equi-join on cid —
     * ~nprobe/nlist of the corpus per query). */
@@ -413,6 +455,139 @@ object Similarity {
       .where(col("rn") <= perGroupK)
       .select(col("query_id"), col(groupCol), col("corpus_id"),
         col("cosine"), col("rn"))
+  }
+
+  /** Per-(query, group) quota probing with GROUP-AWARE WIDENING — the
+    * fix for [[ivfProbeGrouped]]'s starvation caveat: a (query, group)
+    * pair whose group lives only outside the query's `nprobe` nearest
+    * lists returns fewer than `perGroupK` rows under a fixed probe set.
+    * Instead of iterating probe rounds, the widening is CLOSED-FORM:
+    * a per-(cid, group) member census (one aggregate over the index —
+    * nlist × ngroups rows, the kind of metadata a 100 TB deployment
+    * persists beside the index) joins each query's distance-ranked
+    * centroid list, and each (query, group) keeps its first `nprobe`
+    * lists PLUS the minimal prefix of further lists whose cumulative
+    * membership reaches `perGroupK` — so a starved group escalates
+    * exactly as far as needed (until quota is reachable or `maxProbe`/
+    * nlist exhausts) while abundant groups probe exactly the default
+    * lists and return BIT-IDENTICAL rows to [[ivfProbeGrouped]].
+    * One window over (query, group) prefix sums, one equi-join on
+    * (cid, group); still no all-pairs anything. */
+  def ivfProbeGroupedWidened(indexed: DataFrame,
+                             centroids: Array[(Int, Array[Double])],
+                             queries: DataFrame, idCol: String, vecCol: String,
+                             groupCol: String, perGroupK: Int, nprobe: Int = 4,
+                             maxProbe: Int = Int.MaxValue,
+                             excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe <= centroids.length, "nprobe must be ≤ nlist")
+    val cap = math.min(maxProbe.toLong, centroids.length.toLong).toInt
+    require(cap >= nprobe, "maxProbe must be ≥ nprobe")
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv0"))
+    // every centroid per query in distance order with probe rank pr —
+    // nlist rows per query, still a pure map over literal centroids
+    val ranked = q.select(col("query_id"), col("qv0"),
+        posexplode(slice(array_sort(distStructs(col("qv0"), centroids)),
+          1, cap)))
+      .select(col("query_id"), col("qv0"), (col("pos") + 1).as("pr"),
+        col("col.cid").as("cid"))
+    val counts = indexed.groupBy(col("cid"), col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+    // excludeSelf makes the census over-count by one exactly where the
+    // query's own vector lives — without the adjustment a query's own
+    // group can stop widening one member short of its quota
+    val withCnt = {
+      val base = ranked.join(broadcast(counts), Seq("cid"))
+      if (!excludeSelf) base.withColumn("cnt_adj", col("cnt"))
+      else {
+        val selfLoc = indexed.join(broadcast(q.select(col("query_id"))),
+            col("corpus_id") === col("query_id"))
+          .select(col("query_id"), col("cid").as("__scid"),
+            col(groupCol).as("__sg"))
+        base.join(broadcast(selfLoc), Seq("query_id"), "left")
+          .withColumn("cnt_adj", col("cnt") -
+            when(col("cid") === col("__scid") &&
+              col(groupCol) === col("__sg"), 1).otherwise(0))
+      }
+    }
+    val cum = Window.partitionBy(col("query_id"), col(groupCol))
+      .orderBy(col("pr")).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = withCnt
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt_adj")).over(cum), lit(0L)))
+      .where(col("pr") <= nprobe || col("cum_before") < perGroupK)
+      .select(col("query_id"), col("qv0"), col(groupCol), col("cid"))
+    val pairs = indexed.join(broadcast(probes), Seq("cid", groupCol))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val scored = pairs.withColumn("cosine",
+      round(cosine(col("qv0"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"), col(groupCol))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perGroupK)
+      .select(col("query_id"), col(groupCol), col("corpus_id"),
+        col("cosine"), col("rn"))
+  }
+
+  /** [[ivfProbeFiltered]] with the same closed-form widening as
+    * [[ivfProbeGroupedWidened]]: a query whose target attribute is
+    * rare enough to live outside its `nprobe` nearest lists widens its
+    * probe prefix until `k` matching vectors are reachable (or lists
+    * exhaust), while queries whose attribute fills the default lists
+    * probe exactly those and return bit-identical rows. */
+  def ivfProbeFilteredWidened(indexed: DataFrame,
+                              centroids: Array[(Int, Array[Double])],
+                              queries: DataFrame, idCol: String, vecCol: String,
+                              attrCol: String, targetCol: String,
+                              k: Int, nprobe: Int = 4,
+                              maxProbe: Int = Int.MaxValue,
+                              excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe <= centroids.length, "nprobe must be ≤ nlist")
+    val cap = math.min(maxProbe.toLong, centroids.length.toLong).toInt
+    require(cap >= nprobe, "maxProbe must be ≥ nprobe")
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv0"),
+      col(targetCol).as("__target"))
+    val ranked = q.select(col("query_id"), col("qv0"), col("__target"),
+        posexplode(slice(array_sort(distStructs(col("qv0"), centroids)),
+          1, cap)))
+      .select(col("query_id"), col("qv0"), col("__target"),
+        (col("pos") + 1).as("pr"), col("col.cid").as("cid"))
+    val counts = indexed.groupBy(col("cid"), col(attrCol))
+      .agg(count(lit(1)).as("cnt"))
+    val joined = ranked.join(broadcast(counts),
+        ranked("cid") === counts("cid") && ranked("__target") === counts(attrCol))
+      .drop(counts("cid")).drop(counts(attrCol))
+    // same self-census adjustment as the grouped variant
+    val withCnt =
+      if (!excludeSelf) joined.withColumn("cnt_adj", col("cnt"))
+      else {
+        val selfLoc = indexed.join(broadcast(q.select(col("query_id"))),
+            col("corpus_id") === col("query_id"))
+          .select(col("query_id"), col("cid").as("__scid"),
+            col(attrCol).as("__sa"))
+        joined.join(broadcast(selfLoc), Seq("query_id"), "left")
+          .withColumn("cnt_adj", col("cnt") -
+            when(col("cid") === col("__scid") &&
+              col("__target") === col("__sa"), 1).otherwise(0))
+      }
+    val cum = Window.partitionBy(col("query_id"))
+      .orderBy(col("pr")).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = withCnt
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt_adj")).over(cum), lit(0L)))
+      .where(col("pr") <= nprobe || col("cum_before") < k)
+      .select(col("query_id"), col("qv0"), col("__target"), col("cid"))
+    val pairs = indexed.join(broadcast(probes), Seq("cid"))
+      .where(col(attrCol) === col("__target"))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val scored = pairs.withColumn("cosine",
+      round(cosine(col("qv0"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
   /** Maximal Marginal Relevance (MMR) diversity re-rank: from each

@@ -620,17 +620,62 @@ object Pipelines {
     * centroids are FIXED at ingest time (trained once on a seed
     * corpus, [[graft.operators.Similarity.ivfTrain]]/`ivfLoad`) — the
     * production pattern: re-training moves assignments, so a centroid
-    * refresh is a rebuild, not an append. Use as
-    * `writeStream.foreachBatch(ivfIngestStream(...))`. */
+    * refresh is a rebuild, not an append — [[ivfRebuild]]. Use as
+    * `writeStream.foreachBatch(ivfIngestStream(...))`.
+    *
+    * `metricsPath` (optional) appends one (batch_id, n, mean_d2) row
+    * per batch — the batch's mean assignment distance. Compared against
+    * the [[graft.operators.Similarity.ivfStatsSave]] build baseline
+    * ([[graft.operators.Similarity.ivfDriftReport]]) this is the
+    * DRIFT alarm: fixed centroids degrade recall silently as the
+    * ingested distribution shifts, and a sustained mean-distance spike
+    * is the signal to rebuild. One extra aggregate row per batch. */
   def ivfIngestStream(idCol: String, vecCol: String,
                       centroids: Array[(Int, Array[Double])],
-                      storePath: String): (DataFrame, Long) => Unit =
+                      storePath: String,
+                      metricsPath: Option[String] = None)
+      : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      graft.operators.Similarity.ivfAssign(batch, idCol, vecCol, centroids)
-        .withColumn("batch_id", lit(batchId))
+      val assigned = graft.operators.Similarity
+        .ivfAssignDist(batch, idCol, vecCol, centroids)
+        .persist()
+      assigned.drop("d2").withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("cid").parquet(storePath)
+      metricsPath.foreach { mp =>
+        assigned.agg(count(lit(1)).as("n"), avg(col("d2")).as("mean_d2"))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("append").parquet(mp)
+      }
+      assigned.unpersist()
       ()
     }
+
+  /** Centroid refresh for an [[ivfIngestStream]] store — the rebuild
+    * the drift alarm triggers: re-train on the store's LATEST vector
+    * per id (the same upsert view [[ivfStoreRead]] serves), re-assign,
+    * and write a fresh single-generation store to `newStorePath`
+    * (NEVER in place — readers keep the old store until the pointer
+    * swaps, the standard blue/green index cutover). Returns the new
+    * centroid matrix; persist it with `ivfSave` + `ivfStatsSave` to
+    * re-arm the drift baseline. Deterministic: same stored vectors →
+    * bit-identical centroids, assignments, and probe results as a
+    * from-scratch build (spec-asserted). */
+  def ivfRebuild(spark: org.apache.spark.sql.SparkSession,
+                 storePath: String, newStorePath: String,
+                 nlist: Int, iters: Int = 5): Array[(Int, Array[Double])] = {
+    import graft.operators.Similarity
+    require(newStorePath != storePath,
+      "rebuild must write a NEW store generation (blue/green), not overwrite in place")
+    val vecs = ivfStoreRead(spark, storePath)
+      .select(col("corpus_id"), col("cv"))
+      .persist()
+    val cents = Similarity.ivfTrain(vecs, "corpus_id", "cv", nlist, iters)
+    Similarity.ivfAssign(vecs, "corpus_id", "cv", cents)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("cid").parquet(newStorePath)
+    vecs.unpersist()
+    cents
+  }
 
   /** Probe-ready reader over an [[ivfIngestStream]] store: one row per
     * corpus id, LATEST batch wins (`max_by` on batch_id) — which both

@@ -109,4 +109,67 @@ class LshRecallSpec extends SparkSpec {
     assert(batch2.length === 10 && batch2.forall(_.getLong(1) === K))
     index.unpersist()
   }
+
+  test("group-aware widening: fixed nprobe starves real (query, group) quotas; widened probes fill every reachable one; non-starved rows bit-identical") {
+    val perGroupK = 3
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nlist = 16, iters = 3)
+    val labeled = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .join(emb.select(col("vec_id").as("corpus_id"), col("label")),
+        "corpus_id").cache()
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Int, Long, Double, Int)] =
+      df.select(col("query_id"), col("label"), col("corpus_id"),
+        col("cosine"), col("rn")).as[(Long, Int, Long, Double, Int)]
+        .collect().toSeq
+    val fixed = rows(Similarity.ivfProbeGrouped(labeled, cents, queries,
+      "vec_id", "embedding", "label", perGroupK, nprobe = 1))
+    val widened = rows(Similarity.ivfProbeGroupedWidened(labeled, cents,
+      queries, "vec_id", "embedding", "label", perGroupK, nprobe = 1))
+    val sizes = emb.groupBy(col("label")).count()
+      .as[(Int, Long)].collect().toMap
+    val qLabel = queries.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    // every (query, group)'s reachable quota: group size minus the
+    // query's own vector when it belongs to the group
+    def reachable(q: Long, g: Int): Long =
+      math.min(perGroupK.toLong, sizes(g) - (if (qLabel(q) == g) 1 else 0))
+    val expect = (for (q <- qLabel.keys; g <- sizes.keys) yield
+      (q, g) -> reachable(q, g)).toMap
+    def byPair(rs: Seq[(Long, Int, Long, Double, Int)])
+        : Map[(Long, Int), Long] =
+      rs.groupBy(r => (r._1, r._2)).map { case (p, v) => p -> v.size.toLong }
+    val fc = byPair(fixed); val wc = byPair(widened)
+    // 1. starvation is real on the real embeddings at nprobe=1
+    val starved = expect.filter { case (p, e) => fc.getOrElse(p, 0L) < e }
+    assert(starved.nonEmpty,
+      "expected fixed-nprobe starvation on real embeddings at nprobe=1")
+    info(s"starved (query, group) pairs at nprobe=1: ${starved.size}")
+    // 2. widening fills EVERY reachable quota
+    val unfilled = expect.filter { case (p, e) => wc.getOrElse(p, 0L) < e }
+    assert(unfilled.isEmpty,
+      s"widened probe left quotas unfilled: ${unfilled.take(5)}")
+    // 3. (query, group) pairs already full under fixed nprobe return
+    //    bit-identical rows — widening never touches non-starved groups
+    val fullPairs = expect.keySet.filter(p => fc.getOrElse(p, 0L) == expect(p))
+    assert(fullPairs.nonEmpty)
+    val fixedFull = fixed.filter(r => fullPairs((r._1, r._2))).toSet
+    val widenedFull = widened.filter(r => fullPairs((r._1, r._2))).toSet
+    assert(fixedFull === widenedFull)
+    // filtered sibling: same law, quota = the query's own-label top-k
+    val k = 3
+    val ffix = Similarity.ivfProbeFiltered(labeled, cents, queries,
+        "vec_id", "embedding", "label", "label", k, nprobe = 1)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    val fwide = Similarity.ivfProbeFilteredWidened(labeled, cents, queries,
+        "vec_id", "embedding", "label", "label", k, nprobe = 1)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    val fexpect = qLabel.map { case (q, g) =>
+      q -> math.min(k.toLong, sizes(g) - 1) }
+    assert(fexpect.exists { case (q, e) => ffix.getOrElse(q, 0L) < e },
+      "expected filtered starvation at nprobe=1")
+    assert(fexpect.forall { case (q, e) => fwide.getOrElse(q, 0L) == e },
+      "filtered widening must fill every reachable top-k")
+    labeled.unpersist()
+  }
 }

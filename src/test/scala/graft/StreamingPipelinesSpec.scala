@@ -278,6 +278,55 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(topk.count() === 2L)
   }
 
+  test("ivf drift metric spikes on a shifted batch; rebuild ≡ from-scratch build bit-identically") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    val store = s"$dir/index"; val metrics = s"$dir/metrics"
+    val stats = s"$dir/stats"; val store2 = s"$dir/index_v2"
+    def vec(xs: Double*) = xs.map(_.toFloat)
+    val seed = Seq(
+      (100L, vec(1, 0, 0)), (101L, vec(0.9, 0.1, 0)),
+      (102L, vec(0, 1, 0)), (103L, vec(0, 0.9, 0.1)),
+      (104L, vec(0, 0, 1)), (105L, vec(0.1, 0, 0.9))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(seed, "vec_id", "embedding",
+      nlist = 3, iters = 3)
+    Similarity.ivfStatsSave(seed, "vec_id", "embedding", cents, stats)
+    val ingest = Pipelines.ivfIngestStream("vec_id", "embedding", cents,
+      store, metricsPath = Some(metrics))
+    // batch 0 draws from the trained distribution; batch 1 is SHIFTED
+    // far off every centroid — the silent-recall-decay scenario
+    ingest(Seq((1L, vec(0.95, 0.05, 0)), (2L, vec(0, 1, 0.05)))
+      .toDF("vec_id", "embedding"), 0L)
+    ingest(Seq((3L, vec(8, 8, 8)), (4L, vec(9, 7, 8)))
+      .toDF("vec_id", "embedding"), 1L)
+    import org.apache.spark.sql.functions.col
+    val drift = Similarity.ivfDriftReport(spark, metrics, stats)
+      .select(col("batch_id"), col("drift_ratio"))
+      .as[(Long, Double)].collect().toMap
+    assert(drift(0L) < 5.0, s"in-distribution batch must not alarm: $drift")
+    assert(drift(1L) > 100.0, s"shifted batch must spike the ratio: $drift")
+    // rebuild: a NEW store generation trained on the store's latest
+    // vectors must equal a from-scratch build bit-identically
+    val cents2 = Pipelines.ivfRebuild(spark, store, store2, nlist = 3, iters = 3)
+    val vecs = Pipelines.ivfStoreRead(spark, store)
+      .select(col("corpus_id"), col("cv"))
+    val refCents = Similarity.ivfTrain(vecs, "corpus_id", "cv", nlist = 3, iters = 3)
+    assert(cents2.map { case (c, v) => (c, v.toSeq) }.toSeq ===
+      refCents.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    val qs = Seq((50L, vec(7.5, 8.2, 8.0))).toDF("vec_id", "embedding")
+    def probe(idx: org.apache.spark.sql.DataFrame,
+              cs: Array[(Int, Array[Double])]) =
+      Similarity.ivfProbe(idx, cs, qs, "vec_id", "embedding",
+          k = 2, nprobe = 2, excludeSelf = false)
+        .orderBy("rn").collect().toSeq
+    assert(probe(Pipelines.ivfStoreRead(spark, store2), cents2) ===
+      probe(Similarity.ivfAssign(vecs, "corpus_id", "cv", refCents), refCents))
+    // in-place rebuild is refused — readers hold the old generation
+    intercept[IllegalArgumentException] {
+      Pipelines.ivfRebuild(spark, store, store, nlist = 3)
+    }
+  }
+
   test("imageDedupAgainstStore: re-encoded copies suppressed cross-batch; replay absorbed; corrupt passes") {
     import graft.operators.Multimodal
     val dir = java.nio.file.Files.createTempDirectory("img_dedup").toString
