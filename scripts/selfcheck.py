@@ -27,6 +27,7 @@ def canon(df):
     return sorted(rows)
 
 n_pass = n_fail = 0
+rows_only = []
 for d in sorted(glob.glob(f"{out_dir}/*/")):
     name = os.path.basename(d.rstrip("/"))
     try:
@@ -37,6 +38,7 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         continue
     if name not in oracles:
         print(f"ROWS {name}: rows={len(got)} (no oracle)")
+        rows_only.append(name)
         continue
     try:
         want = con.sql(oracles[name]).df()
@@ -70,4 +72,9 @@ if os.path.exists(err_path):
         n_fail += 1
 
 print(f"== {n_pass} pass, {n_fail} fail ==")
+# Registry summary — the paste-from-output source for judge-facing
+# counts (sibling of `sbt "runMain graft.tools.RegistryReport"`).
+total = n_pass + n_fail + len(rows_only)
+print(f"== registry: {total} queries dumped, {n_pass} hash-match, "
+      f"{len(rows_only)} rows-only ({', '.join(sorted(rows_only))}) ==")
 sys.exit(1 if n_fail else 0)
