@@ -365,10 +365,11 @@ object Pipelines {
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x).cast("double") / k
     // within the batch: keep the smaller id of a colliding dup pair
+    // (one side broadcast — a micro-batch is broadcastable by contract)
     val dupInBatch = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
         col("band"), col("bucket"))
-      .join(banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-        col("band"), col("bucket")), Seq("band", "bucket"))
+      .join(broadcast(banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("band"), col("bucket"))), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b") &&
         sigAgree(col("sig_a"), col("sig_b")) >= minEstJaccard)
       .select(col("id_b").as("id"))
@@ -424,50 +425,10 @@ object Pipelines {
       graft.plans.HammingDist.register(spark)
       DedupStore.openOrInit(spark, storePath,
         Seq("maxHamming" -> maxHamming, "buckets" -> buckets))
-      val b = maxHamming + 1
-      val bounds = (0 to b).map(i => 1 + i * 64 / b)
-      val bandCols = (0 until b).map { i =>
-        struct(lit(i).as("band"),
-          substring(col("dhash"), bounds(i), bounds(i + 1) - bounds(i)).as("key"))
-      }
-      val sigs = Multimodal.decodeImageHashPartitions(batch, blobCol, idCol)
-        .where(col("format") =!= "corrupt")
-        .select(col("id"), col("dhash"))
-      val banded = sigs
-        .select(col("id"), col("dhash"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("id"), col("dhash"),
-          col("bb.band").as("band"), col("bb.key").as("key"))
-        .withColumn("pb", DedupStore.bucketOf(
-          concat_ws(":", col("band"), col("key")), buckets))
+      val banded = imageBanded(batch, blobCol, idCol, maxHamming, buckets)
         .persist()
-      val ham = call_function(graft.plans.HammingDist.fnName,
-        col("dhash"), col("dhash_o"))
-      val dupInBatch = banded.select(col("id").as("id_b"),
-          col("dhash").as("dhash_o"), col("band"), col("key"))
-        .join(banded.select(col("id").as("id_a"), col("dhash"),
-          col("band"), col("key")), Seq("band", "key"))
-        .where(col("id_a") < col("id_b") && ham <= maxHamming)
-        .select(col("id_b").as("id"))
-      val dups =
-        if (!DedupStore.hasData(spark, storePath)) dupInBatch
-        else {
-          val pbs = DedupStore.batchBuckets(banded)
-          if (pbs.isEmpty) dupInBatch
-          else {
-            // pruned store slice vs the BROADCAST batch signatures
-            val dupVsStore = DedupStore.prunedRead(spark, storePath, pbs)
-              .select(col("dhash").as("dhash_o"), col("band"), col("key"))
-              .join(broadcast(banded.select(col("id"), col("dhash"),
-                col("band"), col("key"))), Seq("band", "key"))
-              .where(ham <= maxHamming)
-              .select("id")
-            dupVsStore.unionByName(dupInBatch)
-          }
-        }
-      val fresh = batch
-        .join(broadcast(dups.withColumnRenamed("id", idCol).distinct()),
-          Seq(idCol), "left_anti")
-        .persist()
+      val fresh = imageDedupFresh(batch, banded, idCol, storePath,
+        maxHamming).persist()
       sink(fresh)
       DedupStore.append(
         banded.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi"),
@@ -475,6 +436,66 @@ object Pipelines {
       fresh.unpersist(); banded.unpersist()
       ()
     }
+  }
+
+  /** A batch's banded dHash frame (id, dhash, band, key, pb): REAL
+    * pixel decode → dHash → pigeonhole band split → store bucket. */
+  private[graft] def imageBanded(batch: DataFrame, blobCol: String,
+                                 idCol: String, maxHamming: Int,
+                                 buckets: Int): DataFrame = {
+    import graft.operators.Multimodal
+    val b = maxHamming + 1
+    val bounds = (0 to b).map(i => 1 + i * 64 / b)
+    val bandCols = (0 until b).map { i =>
+      struct(lit(i).as("band"),
+        substring(col("dhash"), bounds(i), bounds(i + 1) - bounds(i)).as("key"))
+    }
+    Multimodal.decodeImageHashPartitions(batch, blobCol, idCol)
+      .where(col("format") =!= "corrupt")
+      .select(col("id"), col("dhash"))
+      .select(col("id"), col("dhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("dhash"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
+      .withColumn("pb", DedupStore.bucketOf(
+        concat_ws(":", col("band"), col("key")), buckets))
+  }
+
+  /** Per-batch core of [[imageDedupAgainstStore]] (factored for the
+    * spec's plan assertions): `banded` is the batch's banded dHash
+    * frame (id, dhash, band, key, pb). Returns the batch rows that
+    * match neither the store nor an earlier (smaller-id) in-batch
+    * image within `maxHamming`. */
+  private[graft] def imageDedupFresh(batch: DataFrame, banded: DataFrame,
+                                     idCol: String, storePath: String,
+                                     maxHamming: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val ham = call_function(graft.plans.HammingDist.fnName,
+      col("dhash"), col("dhash_o"))
+    // one side broadcast — a micro-batch is broadcastable by contract
+    val dupInBatch = banded.select(col("id").as("id_b"),
+        col("dhash").as("dhash_o"), col("band"), col("key"))
+      .join(broadcast(banded.select(col("id").as("id_a"), col("dhash"),
+        col("band"), col("key"))), Seq("band", "key"))
+      .where(col("id_a") < col("id_b") && ham <= maxHamming)
+      .select(col("id_b").as("id"))
+    val dups =
+      if (!DedupStore.hasData(spark, storePath)) dupInBatch
+      else {
+        val pbs = DedupStore.batchBuckets(banded)
+        if (pbs.isEmpty) dupInBatch
+        else {
+          // pruned store slice vs the BROADCAST batch signatures
+          val dupVsStore = DedupStore.prunedRead(spark, storePath, pbs)
+            .select(col("dhash").as("dhash_o"), col("band"), col("key"))
+            .join(broadcast(banded.select(col("id"), col("dhash"),
+              col("band"), col("key"))), Seq("band", "key"))
+            .where(ham <= maxHamming)
+            .select("id")
+          dupVsStore.unionByName(dupInBatch)
+        }
+      }
+    batch.join(broadcast(dups.withColumnRenamed("id", idCol).distinct()),
+      Seq(idCol), "left_anti")
   }
 
   /** Stream-static join: enrich a stream against a (broadcastable) batch

@@ -408,6 +408,53 @@ class StreamingPipelinesSpec extends SparkSpec {
       s"store joins must broadcast the batch side:\n$plan")
     // semantics unchanged: both docs are new → both fresh
     assert(fresh.count() === 2L)
+
+    // same laws for the OTHER two stores
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    import graft.operators.{Dedup, Multimodal}
+    def checkPlan(df: org.apache.spark.sql.DataFrame, marker: String,
+                  maxParts: Int): Unit = {
+      val p = df.queryExecution.sparkPlan
+      val scans = p.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(marker)) => f
+      }
+      assert(scans.nonEmpty, s"store scan missing from plan:\n$p")
+      assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "pb"))), s"no pb partition filter:\n$p")
+      assert(scans.forall(_.selectedPartitions.partitionCount <= maxParts),
+        s"pruned too little: " +
+          scans.map(_.selectedPartitions.partitionCount).mkString(","))
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"store join must broadcast:\n$p")
+    }
+    // MinHash band store: 1-doc batch → ≤ 3 band buckets
+    val lshStore = java.nio.file.Files.createTempDirectory("prunelsh").toString
+    val lshSeed = (1L to 300L).map(i =>
+      (i, s"document number $i carries its own words entirely"))
+      .toDF("doc_id", "text")
+    Pipelines.nearDupAgainstStore("doc_id", "text", lshStore,
+      buckets = buckets) { _ => () }(lshSeed, 0L)
+    val probe = Seq((900L, "a wholly novel probe sentence about nothing else"))
+      .toDF("doc_id", "text")
+    val probeBanded = Dedup.lshBuckets(
+        Dedup.minhashSignatures(probe, "doc_id", "text", 3, 9), 9, 3)
+      .withColumn("pb", Pipelines.DedupStore.bucketOf(
+        concat_ws(":", col("band"), col("bucket")), buckets))
+    checkPlan(Pipelines.nearDupFresh(probe, probeBanded, "doc_id",
+      lshStore, 9, 0.8), "prunelsh", maxParts = 3)
+    // image dHash store: 1-image batch at maxHamming=0 → exactly 1 bucket
+    val imgStore = java.nio.file.Files.createTempDirectory("pruneimg").toString
+    val imgSeed = (1L to 120L).map(i =>
+      (i, Multimodal.encodePng(12, 10, seed = i))).toDF("id", "blob")
+    Pipelines.imageDedupAgainstStore("id", "blob", imgStore,
+      maxHamming = 0, buckets = buckets) { _ => () }(imgSeed, 0L)
+    val imgProbe = Seq((900L, Multimodal.encodePng(12, 10, seed = 900L)))
+      .toDF("id", "blob")
+    val imgBanded = Pipelines.imageBanded(imgProbe, "blob", "id",
+      maxHamming = 0, buckets = buckets)
+    checkPlan(Pipelines.imageDedupFresh(imgProbe, imgBanded, "id",
+      imgStore, 0), "pruneimg", maxParts = 1)
   }
 
   test("mediaMonitorStream: per-(window, modality) corrupt rates from real kernels") {
