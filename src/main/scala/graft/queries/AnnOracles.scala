@@ -162,6 +162,59 @@ private[queries] object AnnOracles {
       |ORDER BY query_id, label, rn""".stripMargin
   }
 
+  /** Full q130 oracle: IVF train replay + the WIDENED grouped probe —
+    * per-(cid, label) census, self-exclusion-adjusted cumulative
+    * prefix over each query's distance-ranked centroid list, default
+    * lists ∪ minimal quota prefix, then the per-(query, label) quota
+    * window. Replays [[graft.operators.Similarity.ivfProbeGroupedWidened]]
+    * clause-for-clause. */
+  def ivfTopKGroupedWidenedSql(dim: Int, nlist: Int, iters: Int,
+                               nQueries: Int, nprobe: Int,
+                               perGroupK: Int): String = {
+    val rank = cte("rank", s"""
+      |  SELECT q.query_id, q.qv, c.cid,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${d2Sql("q.qv", "c.cent", dim)}, c.cid) AS pr
+      |  FROM q, cent$iters c""".stripMargin)
+    val cnts = cte("cnts", s"""
+      |  SELECT a.cid, ea.label, count(*) AS cnt
+      |  FROM asgf a JOIN embeddings ea ON ea.vec_id = a.corpus_id
+      |  GROUP BY a.cid, ea.label""".stripMargin)
+    val selfloc = cte("selfloc", s"""
+      |  SELECT a.corpus_id AS query_id, a.cid AS scid, ea.label AS sg
+      |  FROM asgf a JOIN embeddings ea ON ea.vec_id = a.corpus_id
+      |  WHERE a.corpus_id < $nQueries""".stripMargin)
+    val widen = cte("widen", s"""
+      |  SELECT query_id, qv, label, cid FROM (
+      |    SELECT r.query_id, r.qv, n.label, r.cid, r.pr,
+      |      coalesce(sum(n.cnt - CASE WHEN r.cid = s.scid
+      |          AND n.label = s.sg THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY r.query_id, n.label ORDER BY r.pr
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS cum_before
+      |    FROM rank r
+      |    JOIN cnts n ON n.cid = r.cid
+      |    LEFT JOIN selfloc s ON s.query_id = r.query_id)
+      |  WHERE pr <= $nprobe OR cum_before < $perGroupK""".stripMargin)
+    val scored = cte("scored", s"""
+      |  SELECT w.query_id, w.label, a.corpus_id,
+      |    round(${VectorFunctions.cosineSql("w.qv", "a.cv", dim)}, 6) AS cosine
+      |  FROM widen w
+      |  JOIN asgf a ON a.cid = w.cid
+      |  JOIN embeddings ea ON ea.vec_id = a.corpus_id AND ea.label = w.label
+      |  WHERE a.corpus_id <> w.query_id""".stripMargin)
+    "WITH " + (ivfChain(dim, nlist, iters) ++
+      Seq(probeChain(dim, nQueries, iters, nprobe).head) ++
+      Seq(rank, cnts, selfloc, widen, scored)).mkString(",\n") + s"""
+      |SELECT query_id, label, corpus_id, cosine, CAST(rn AS INT) AS rn FROM (
+      |  SELECT query_id, label, corpus_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id, label
+      |      ORDER BY cosine DESC, corpus_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= $perGroupK
+      |ORDER BY query_id, label, rn""".stripMargin
+  }
+
   /** Full q72 oracle: IVF train replay + the semDedup eviction rule
     * (same-cluster neighbor with cosine ≥ τ and a smaller id). */
   def semDedupSql(dim: Int, nlist: Int, iters: Int, tau: Double): String = {

@@ -685,6 +685,76 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Mega-class-safe image duplicate GROUPS
+    * ([[graft.operators.Dedup.hammingDupGroups]]) — the group-emission
+    * form of the q120 census under a full oracle: every image is
+    * pixel-decoded and dHashed, and each identical-signature class
+    * reports ONE row (hash, representative = min doc_id, true member
+    * count, the `maxMembers` smallest ids comma-joined, overflow
+    * census) instead of O(g²) pairs — the shape that survives a
+    * 10⁵-copy viral-image class. The fixture's 50 seed classes carry
+    * 10 members each at sf0.001 (100 at sf0.01), so the member CAP and
+    * the overflow arithmetic are both load-bearing under the oracle,
+    * which replays the pixel arithmetic and the capped/overflowed
+    * group report. */
+  val q129 = GQuery("q129_image_dup_groups",
+    """WITH sd AS (SELECT DISTINCT doc_id % 50 AS seed FROM documents),
+      |dim AS (SELECT seed, 9 + seed % 23 AS w, 8 + (seed * 7) % 24 AS h
+      |        FROM sd),
+      |g AS (SELECT seed, w, h, gxs.gx AS gx, gys.gy AS gy
+      |      FROM dim,
+      |        (SELECT unnest(range(0, 9)) AS gx) gxs,
+      |        (SELECT unnest(range(0, 8)) AS gy) gys),
+      |xb AS (SELECT seed, gx, gy,
+      |        (gx * w) // 9 AS x0, ((gx + 1) * w) // 9 AS x1,
+      |        (gy * h) // 8 AS y0, ((gy + 1) * h) // 8 AS y1 FROM g),
+      |px AS (SELECT seed, gx, gy, y0, y1, unnest(range(x0, x1)) AS x
+      |       FROM xb),
+      |pxy AS (SELECT seed, gx, gy, x, unnest(range(y0, y1)) AS y FROM px),
+      |lum AS (SELECT seed, gx, gy,
+      |        (((seed + x * 31 + y * 131) % 16777216) // 65536) * 299
+      |        + ((((seed + x * 31 + y * 131) % 16777216) // 256) % 256) * 587
+      |        + (((seed + x * 31 + y * 131) % 16777216) % 256) * 114 AS l
+      |        FROM pxy),
+      |ls AS (SELECT seed, gx, gy, sum(l) AS s, count(*) AS c FROM lum
+      |       GROUP BY seed, gx, gy),
+      |bits AS (SELECT a.seed AS seed, a.gx AS gx, a.gy AS gy,
+      |         CASE WHEN b.s * a.c > a.s * b.c THEN '1' ELSE '0' END AS bit
+      |         FROM ls a JOIN ls b
+      |           ON a.seed = b.seed AND a.gy = b.gy AND b.gx = a.gx + 1
+      |         WHERE a.gx < 8),
+      |hs AS (SELECT seed, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+      |       FROM bits GROUP BY seed),
+      |dh AS (SELECT d.doc_id, h.dhash FROM documents d
+      |       JOIN hs h ON d.doc_id % 50 = h.seed),
+      |gr AS (SELECT dhash, doc_id,
+      |        row_number() OVER (PARTITION BY dhash ORDER BY doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY dhash) AS n FROM dh)
+      |SELECT dhash,
+      |  CAST(min(doc_id) AS BIGINT) AS rep_id,
+      |  CAST(max(n) AS BIGINT) AS n_members,
+      |  string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+      |    ',' ORDER BY doc_id) AS members,
+      |  CAST(greatest(max(n) - 8, 0) AS BIGINT) AS n_overflow
+      |FROM gr GROUP BY dhash HAVING max(n) >= 2
+      |ORDER BY dhash""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 50
+        (id, Multimodal.encodePng(
+          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
+      })
+      .toDF("doc_id", "blob")
+    val sigs = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
+      .select(col("id"), col("dhash").as("simhash64"))
+    graft.operators.Dedup.hammingDupGroups(sigs, maxMembers = 8)
+      .select(col("simhash64").as("dhash"), col("rep_id"), col("n_members"),
+        array_join(col("members"), ",").as("members"), col("n_overflow"))
+      .orderBy(col("dhash"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123, q128)
+    Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123,
+      q128, q129)
 }

@@ -540,7 +540,31 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("label"), col("rn"))
   }
 
+  /** Group-aware WIDENED grouped probe (see
+    * [[graft.operators.Similarity.ivfProbeGroupedWidened]]) — q125's
+    * starvation caveat closed: at nprobe=1 a fixed probe leaves many
+    * (query, label) quotas short (86 pairs on the sf0.001 embeddings,
+    * spec-measured); the widened probe extends each (query, label)'s
+    * centroid prefix until its quota is reachable. The oracle replays
+    * the ENTIRE closed form — Lloyd train, the per-(cid, label)
+    * census, the self-exclusion-adjusted cumulative prefix window,
+    * and the quota ranking — so the hash matches only if the widening
+    * arithmetic agrees clause-for-clause. */
+  val q130 = GQuery("q130_widened_ann",
+    AnnOracles.ivfTopKGroupedWidenedSql(dim = Dim, nlist = 16, iters = 3,
+      nQueries = NQueries, nprobe = 1, perGroupK = 3)) { (s, dir) =>
+    val (cents, assigned) = sharedIvf(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val labeled = assigned.join(
+      emb.select(col("vec_id").as("corpus_id"), col("label")), "corpus_id")
+    Similarity.ivfProbeGroupedWidened(labeled, cents,
+        emb.filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding",
+        groupCol = "label", perGroupK = 3, nprobe = 1)
+      .orderBy(col("query_id"), col("label"), col("rn"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109, q124, q125)
+      q99, q101, q109, q124, q125, q130)
 }
