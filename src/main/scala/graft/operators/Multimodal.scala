@@ -826,6 +826,117 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => Corrupt }
   }
 
+  /** Frame-size-profile fingerprint over REAL ISO-BMFF sample tables —
+    * the VIDEO member of the perceptual-signature family (image dHash
+    * [[DHashCodec]], audio energy [[AudioSigCodec]]): the first
+    * track's per-sample `stsz` sizes are bucketed into 65 segments
+    * (sample i → segment i·65/n, the audio codec's exact rule),
+    * per-segment size SUMS are compared cross-multiplied with segment
+    * counts (no division, no float), and each of the 64 bits records
+    * whether a segment outweighs its predecessor. Identical streams
+    * fingerprint identically regardless of container bytes; a lightly
+    * re-encoded copy preserves most of the size profile and lands a
+    * few Hamming bits away — so the banded machinery
+    * ([[graft.operators.Dedup.hammingNearDupsCollapsed]]) extends
+    * near-dup detection to video. Uniform-stsz streams, fewer than 65
+    * samples, or malformed boxes degrade to the typed corrupt row.
+    * O(sample table) per blob, `mdat` never read, zero shuffle. */
+  object VideoSigCodec extends Serializable {
+    /** (format, 64-char '0'/'1' signature, or (corrupt, null)) */
+    def signature(bytes: Array[Byte]): (String, String) = try {
+      val n = bytes.length.toLong
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      def ascii(off: Long) = new String(bytes, off.toInt, 4, "US-ASCII")
+      def u32(off: Long): Long = bb.getInt(off.toInt).toLong & 0xffffffffL
+      var brand: String = null
+      var sizesOff = -1L
+      var sampleCount = -1L
+      var firstTrak = true
+      def walk(from: Long, to: Long)(visit: (String, Long, Long) => Unit)
+          : Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val size0 = u32(off)
+          val typ = ascii(off + 4)
+          val (payload, size) =
+            if (size0 == 0) (off + 8, to - off)
+            else if (size0 == 1) {
+              if (off + 16 > to) return
+              (off + 16, bb.getLong(off.toInt + 8))
+            } else (off + 8, size0)
+          if (size < 8 || off + size > to) return
+          visit(typ, payload, off + size)
+          off += size
+        }
+      }
+      walk(0, n) {
+        case ("ftyp", p, _) if p + 4 <= n => brand = ascii(p)
+        case ("moov", p, e) => walk(p, e) {
+          case ("trak", tp, te) if firstTrak =>
+            firstTrak = false
+            walk(tp, te) { case ("mdia", mp, me) => walk(mp, me) {
+              case ("minf", np, ne) => walk(np, ne) {
+                case ("stbl", sp, se) => walk(sp, se) {
+                  case ("stsz", p1, e1) if p1 + 12 <= e1 =>
+                    val uniform = u32(p1 + 4)
+                    val cnt = u32(p1 + 8)
+                    // per-sample layout only: a uniform stream has a
+                    // flat (information-free) profile — corrupt here
+                    if (uniform == 0 && p1 + 12 + cnt * 4 <= e1) {
+                      sizesOff = p1 + 12; sampleCount = cnt
+                    }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            case _ => () }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      if (brand == null || sampleCount < 65) ("corrupt", null)
+      else {
+        val e = new Array[Long](65)
+        val c = new Array[Long](65)
+        var i = 0L
+        while (i < sampleCount) {
+          val j = (i * 65L / sampleCount).toInt
+          e(j) += u32(sizesOff + i * 4)
+          c(j) += 1
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < 64) {
+          sb.append(if (e(j + 1) * c(j) > e(j) * c(j + 1)) '1' else '0')
+          j += 1
+        }
+        (brand.trim.toLowerCase(java.util.Locale.ROOT), sb.toString)
+      }
+    } catch { case _: IndexOutOfBoundsException => ("corrupt", null) }
+  }
+
+  /** Per-partition video-fingerprint decode: (id, format, vsig). */
+  def decodeVideoSigPartitions(df: DataFrame, blobCol: String,
+                               idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("vsig", StringType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, sig) = VideoSigCodec.signature(bytes)
+        Row(r.getLong(idIdx), f, sig)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic ISO-BMFF generator WITH sample tables — extends the
     * [[encodeMp4]] shape with a full `mdia/mdhd` + `minf/stbl` carrying
     * spec-shaped `stts` (two runs: ⌊n/2⌋ frames at `delta1` ticks then

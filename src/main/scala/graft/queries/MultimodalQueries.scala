@@ -754,7 +754,73 @@ object MultimodalQueries {
       .orderBy(col("dhash"))
   }
 
+  /** Video NEAR-duplicate pairing — completes the perceptual dedup
+    * triad (image dHash q121, audio energy q122):
+    * [[Multimodal.VideoSigCodec]] fingerprints REAL ISO-BMFF sample
+    * tables by 65-segment frame-size profile, and the collapsed
+    * banded-Hamming pairer surfaces duplicates. Each document carries
+    * one of 80 distinct streams (seed = doc_id mod 40 × two variants
+    * whose per-sample sizes shift by a constant +31 mod 1000 — the
+    * cross-multiplied comparison cancels a pure additive shift
+    * exactly, so ONLY the samples that wrap past the modulus flip
+    * segment order: the variant lands a few Hamming bits away from
+    * real integer arithmetic, not a synthetic perturbation). The
+    * oracle replays sizes → segment sums → bits → class distances and
+    * expands class pairs to doc pairs. */
+  val q131 = GQuery("q131_video_neardup",
+    """WITH cls AS (SELECT DISTINCT doc_id % 40 AS seed,
+      |              (doc_id // 40) % 2 AS v FROM documents),
+      |prm AS (SELECT seed, v,
+      |        CAST(70 + (seed * 11) % 160 AS BIGINT) AS n FROM cls),
+      |smp AS (SELECT seed, v, n, unnest(range(0, n)) AS i FROM prm),
+      |sv AS (SELECT seed, v, n, i,
+      |        500 + ((seed * 2 + v) * 31 + i * 97) % 1000 AS s FROM smp),
+      |seg AS (SELECT seed, v, (i * 65) // n AS j, sum(s) AS e,
+      |        count(*) AS c
+      |        FROM sv GROUP BY seed, v, (i * 65) // n),
+      |bits AS (SELECT a.seed AS seed, a.v AS v, a.j AS j,
+      |         CASE WHEN b.e * a.c > a.e * b.c THEN '1' ELSE '0' END AS bit
+      |         FROM seg a JOIN seg b
+      |           ON a.seed = b.seed AND a.v = b.v AND b.j = a.j + 1
+      |         WHERE a.j < 64),
+      |hs AS (SELECT seed, v, string_agg(bit, '' ORDER BY j) AS vsig
+      |       FROM bits GROUP BY seed, v),
+      |cp AS (SELECT a.seed AS sa, a.v AS va, b.seed AS sb, b.v AS vb,
+      |         len([i for i in range(1, 65)
+      |              if substr(a.vsig, i, 1) <> substr(b.vsig, i, 1)])
+      |           AS hamming
+      |       FROM hs a, hs b),
+      |pr AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, cp.hamming
+      |       FROM cp
+      |       JOIN documents da
+      |         ON da.doc_id % 40 = cp.sa AND (da.doc_id // 40) % 2 = cp.va
+      |       JOIN documents db
+      |         ON db.doc_id % 40 = cp.sb AND (db.doc_id // 40) % 2 = cp.vb
+      |       WHERE da.doc_id < db.doc_id AND cp.hamming <= 8)
+      |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+      |FROM pr ORDER BY id_a, id_b LIMIT 200""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 40
+        val v = (id / 40) % 2
+        (id, Multimodal.encodeMp4Sampled(
+          width = 320, height = 240,
+          nFrames = (70 + (seed * 11) % 160).toInt,
+          keyEvery = (1 + seed % 5).toInt,
+          trackTimescale = 12000, delta1 = 300, delta2 = 364,
+          uniformSize = 0, seed = seed * 2 + v))
+      })
+      .toDF("doc_id", "blob")
+    val sigs = Multimodal.decodeVideoSigPartitions(blobs, "blob", "doc_id")
+      .select(col("id"), col("vsig").as("simhash64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.hammingNearDupsCollapsed(sigs, maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b")).limit(200)
+  }
+
   val all: Seq[GQuery] =
     Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123,
-      q128, q129)
+      q128, q129, q131)
 }

@@ -211,6 +211,7 @@ class PropertiesSpec extends SparkSpec {
       Multimodal.DHashCodec.dhash(b)
       Multimodal.AudioSigCodec.signature(b)
       Multimodal.Mp4StatsCodec.stats(b)
+      Multimodal.VideoSigCodec.signature(b)
     }
   }
 

@@ -314,6 +314,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp4StatsCodec.stats(lying)._1 === "corrupt")
   }
 
+  test("VideoSigCodec: frame-size profile — identical equal, shifted near, corrupt typed") {
+    import graft.operators.Multimodal
+    def mp4(seed: Long, n: Int = 100) = Multimodal.encodeMp4Sampled(
+      320, 240, nFrames = n, keyEvery = 3, trackTimescale = 12000,
+      delta1 = 300, delta2 = 364, uniformSize = 0, seed = seed)
+    def sig(b: Array[Byte]) = Multimodal.VideoSigCodec.signature(b)
+    val a = sig(mp4(6L)); val b = sig(mp4(6L))
+    assert(a._1 === "isom" && a._2.length === 64)
+    assert(a._2.forall(c => c == '0' || c == '1'))
+    assert(a === b)
+    // +31-per-size variant (seed 6 → 7 shifts every size by 31 mod
+    // 1000): the cross-multiplied comparison cancels the additive part
+    // exactly, so only modulus wraps flip bits → small nonzero distance
+    val c = sig(mp4(7L))
+    def hamming(x: String, y: String) = x.zip(y).count { case (i, j) => i != j }
+    assert(hamming(a._2, c._2) <= 16)
+    // corrupt: junk bytes, uniform stsz (flat profile), <65 samples
+    assert(sig("nope".getBytes("UTF-8")) === (("corrupt", null)))
+    assert(sig(Multimodal.encodeMp4Sampled(320, 240, 100, 3, 12000, 300,
+      364, uniformSize = 777, seed = 6L)) === (("corrupt", null)))
+    assert(sig(mp4(6L, n = 64)) === (("corrupt", null)))
+  }
+
   test("hammingDupGroups: one row per identical-signature class, member cap with overflow") {
     val sig0 = "0" * 64
     val sig1 = "1" + "0" * 63
