@@ -1069,6 +1069,114 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Generic ISO-BMFF box walk over `[from, to)` — the traversal shared
+    * by the sample-table kernels. Lying sizes terminate the walk. */
+  private def boxWalk(bytes: Array[Byte], from: Long, to: Long)(
+      visit: (String, Long, Long) => Unit): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var off = from
+    while (off + 8 <= to) {
+      val size0 = bb.getInt(off.toInt).toLong & 0xffffffffL
+      val typ = new String(bytes, off.toInt + 4, 4, "US-ASCII")
+      val (payload, size) =
+        if (size0 == 0) (off + 8, to - off)
+        else if (size0 == 1) {
+          if (off + 16 > to) return
+          (off + 16, bb.getLong(off.toInt + 8))
+        } else (off + 8, size0)
+      if (size < 8 || off + size > to) return
+      visit(typ, payload, off + size)
+      off += size
+    }
+  }
+
+  /** Sync-sample (keyframe) extraction from REAL sample tables — the
+    * frames a production sampler actually decodes (only keyframes
+    * decode without reference chains, so thumbnail/contact-sheet/
+    * frame-embedding passes align on `stss`): the first track's sync
+    * sample numbers plus the stsz frame count. Absent `stss` means
+    * every sample is sync (ISO 14496-12), emitted only when the frame
+    * count is sane (≤ 2²⁰ — a lying uniform-stsz count must not
+    * allocate gigabytes). Malformed input → ("corrupt", -1, empty),
+    * never a throw (fuzz law). */
+  object KeyframeCodec extends Serializable {
+    private val Corrupt: (String, Long, Array[Long]) =
+      ("corrupt", -1L, Array.empty[Long])
+    def keyframes(bytes: Array[Byte]): (String, Long, Array[Long]) = try {
+      val n = bytes.length.toLong
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      def u32(off: Long): Long = bb.getInt(off.toInt).toLong & 0xffffffffL
+      var brand: String = null
+      var szN = -1L
+      var sync: Array[Long] = null
+      var firstTrak = true
+      boxWalk(bytes, 0, n) {
+        case ("ftyp", p, _) if p + 4 <= n =>
+          brand = new String(bytes, p.toInt, 4, "US-ASCII")
+        case ("moov", p, e) => boxWalk(bytes, p, e) {
+          case ("trak", tp, te) if firstTrak =>
+            firstTrak = false
+            boxWalk(bytes, tp, te) { case ("mdia", mp, me) =>
+              boxWalk(bytes, mp, me) { case ("minf", np, ne) =>
+                boxWalk(bytes, np, ne) { case ("stbl", sp, se) =>
+                  boxWalk(bytes, sp, se) {
+                    case ("stsz", p1, e1) if p1 + 12 <= e1 =>
+                      val uniform = u32(p1 + 4)
+                      val cnt = u32(p1 + 8)
+                      if (uniform > 0 || p1 + 12 + cnt * 4 <= e1) szN = cnt
+                    case ("stss", p1, e1) if p1 + 8 <= e1 =>
+                      val entries = u32(p1 + 4)
+                      if (p1 + 8 + entries * 4 <= e1 &&
+                          entries <= (1L << 20)) {
+                        sync = Array.tabulate(entries.toInt)(i =>
+                          u32(p1 + 8 + i.toLong * 4))
+                      }
+                    case _ => ()
+                  }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      if (brand == null || szN <= 0) Corrupt
+      else if (sync != null)
+        (brand.trim.toLowerCase(java.util.Locale.ROOT), szN, sync)
+      else if (szN <= (1L << 20))   // no stss → every sample is sync
+        (brand.trim.toLowerCase(java.util.Locale.ROOT), szN,
+          Array.tabulate(szN.toInt)(i => i + 1L))
+      else Corrupt
+    } catch { case _: IndexOutOfBoundsException => Corrupt }
+  }
+
+  /** Keyframe-aligned frame sampling over REAL sample tables — the
+    * production upgrade of [[sampleFrames]]'s pseudo-count plumbing:
+    * one row per `stss` sync sample, (id, n_frames, sample_number
+    * 1-based per the spec). Corrupt blobs emit no rows (quarantine is
+    * the monitor's job). Zero shuffle, O(sample table) per blob. */
+  def sampleKeyframes(df: DataFrame, blobCol: String,
+                      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("n_frames", LongType)
+      .add("sample_number", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, nf, sync) = KeyframeCodec.keyframes(bytes)
+        if (f == "corrupt") Iterator.empty
+        else sync.iterator.map(sn => Row(r.getLong(idIdx), nf, sn))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling plumbing: emit every `stride`-th "frame index" up to
     * a deterministic pseudo frame count derived from the blob. With a
     * real video codec the frame count comes from the container header and

@@ -820,7 +820,178 @@ object MultimodalQueries {
       .orderBy(col("id_a"), col("id_b")).limit(200)
   }
 
+  /** Keyframe-aligned frame sampling from REAL sample tables
+    * ([[Multimodal.sampleKeyframes]]) — the production upgrade of
+    * q35's pseudo-count plumbing: a sampler decodes only sync samples
+    * (keyframes need no reference chain), so the emitted rows ARE the
+    * `stss` table — one row per keyframe with the stream's frame
+    * count. The oracle replays the generator's sync-sample grid
+    * (1, 1+k, …) and the corrupt exclusion (truncated every-13th blobs
+    * emit nothing), so the hash matches only if the stss walk and the
+    * explode agree row-for-row. */
+  val q132 = GQuery("q132_keyframe_sample",
+    """WITH p AS (
+      |  SELECT doc_id, (doc_id % 13 = 0) AS bad,
+      |    30 + (doc_id * 11) % 170 AS n,
+      |    1 + doc_id % 7 AS k
+      |  FROM documents),
+      |kf AS (SELECT doc_id, n,
+      |        1 + unnest(range(0, (n + k - 1) // k)) * k AS sn
+      |       FROM p WHERE NOT bad)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+      |  CAST(sn AS BIGINT) AS sample_number
+      |FROM kf ORDER BY doc_id, sample_number""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val full = Multimodal.encodeMp4Sampled(
+          width = (160 + (id % 8) * 16).toInt,
+          height = (120 + (id % 6) * 20).toInt,
+          nFrames = (30 + (id * 11) % 170).toInt,
+          keyEvery = (1 + id % 7).toInt,
+          trackTimescale = (9000 + (id % 5) * 600).toInt,
+          delta1 = (256 + id % 128).toInt,
+          delta2 = (256 + id % 128 + 64).toInt,
+          uniformSize = if (id % 5 == 0) (600 + id % 400).toInt else 0,
+          seed = id)
+        (id, if (id % 13 == 0) full.take(6) else full)
+      })
+      .toDF("doc_id", "blob")
+    Multimodal.sampleKeyframes(blobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("n_frames"), col("sample_number"))
+      .orderBy(col("doc_id"), col("sample_number"))
+  }
+
+  /** Capstone curation v8 — the full MULTIMODAL TRIAD under one
+    * oracle: a document survives iff its TEXT clears the quality bar
+    * (q28 4-dp grid), its IMAGE is the canonical copy of its
+    * perceptual-hash class (q120 census), AND its VIDEO stream is the
+    * canonical copy of its frame-size-profile class (q131 signature) —
+    * three REAL byte-decode kernels gating ONE keep decision, which is
+    * the shape of a production multimodal curation pass. The oracle
+    * chains the complete pixel-arithmetic dHash replay, the complete
+    * sizes→segments→bits video replay, and the quality CTE into a
+    * single statement.
+    *
+    * Scale shape: two zero-shuffle decode maps + one pure-map quality
+    * score → two hash-keyed min aggregates (broadcast-sized canons) →
+    * joins back → one source-keyed aggregate. */
+  val q133 = GQuery("q133_curation_v8",
+    s"""WITH sd AS (SELECT DISTINCT doc_id % 50 AS seed FROM documents),
+      |dim AS (SELECT seed, 9 + seed % 23 AS w, 8 + (seed * 7) % 24 AS h
+      |        FROM sd),
+      |g AS (SELECT seed, w, h, gxs.gx AS gx, gys.gy AS gy
+      |      FROM dim,
+      |        (SELECT unnest(range(0, 9)) AS gx) gxs,
+      |        (SELECT unnest(range(0, 8)) AS gy) gys),
+      |xb AS (SELECT seed, gx, gy,
+      |        (gx * w) // 9 AS x0, ((gx + 1) * w) // 9 AS x1,
+      |        (gy * h) // 8 AS y0, ((gy + 1) * h) // 8 AS y1 FROM g),
+      |px AS (SELECT seed, gx, gy, y0, y1, unnest(range(x0, x1)) AS x
+      |       FROM xb),
+      |pxy AS (SELECT seed, gx, gy, x, unnest(range(y0, y1)) AS y FROM px),
+      |lum AS (SELECT seed, gx, gy,
+      |        (((seed + x * 31 + y * 131) % 16777216) // 65536) * 299
+      |        + ((((seed + x * 31 + y * 131) % 16777216) // 256) % 256) * 587
+      |        + (((seed + x * 31 + y * 131) % 16777216) % 256) * 114 AS l
+      |        FROM pxy),
+      |ls AS (SELECT seed, gx, gy, sum(l) AS s, count(*) AS c FROM lum
+      |       GROUP BY seed, gx, gy),
+      |ibits AS (SELECT a.seed AS seed, a.gx AS gx, a.gy AS gy,
+      |         CASE WHEN b.s * a.c > a.s * b.c THEN '1' ELSE '0' END AS bit
+      |         FROM ls a JOIN ls b
+      |           ON a.seed = b.seed AND a.gy = b.gy AND b.gx = a.gx + 1
+      |         WHERE a.gx < 8),
+      |ihs AS (SELECT seed, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+      |       FROM ibits GROUP BY seed),
+      |dh AS (SELECT d.doc_id, h.dhash FROM documents d
+      |       JOIN ihs h ON d.doc_id % 50 = h.seed),
+      |vcls AS (SELECT DISTINCT doc_id % 40 AS seed,
+      |          (doc_id // 40) % 2 AS v FROM documents),
+      |vprm AS (SELECT seed, v,
+      |        CAST(70 + (seed * 11) % 160 AS BIGINT) AS n FROM vcls),
+      |vsmp AS (SELECT seed, v, n, unnest(range(0, n)) AS i FROM vprm),
+      |vsv AS (SELECT seed, v, n, i,
+      |        500 + ((seed * 2 + v) * 31 + i * 97) % 1000 AS s FROM vsmp),
+      |vseg AS (SELECT seed, v, (i * 65) // n AS j, sum(s) AS e,
+      |        count(*) AS c
+      |        FROM vsv GROUP BY seed, v, (i * 65) // n),
+      |vbits AS (SELECT a.seed AS seed, a.v AS v, a.j AS j,
+      |         CASE WHEN b.e * a.c > a.e * b.c THEN '1' ELSE '0' END AS bit
+      |         FROM vseg a JOIN vseg b
+      |           ON a.seed = b.seed AND a.v = b.v AND b.j = a.j + 1
+      |         WHERE a.j < 64),
+      |vhs AS (SELECT seed, v, string_agg(bit, '' ORDER BY j) AS vsig
+      |       FROM vbits GROUP BY seed, v),
+      |vdh AS (SELECT d.doc_id, h.vsig FROM documents d
+      |       JOIN vhs h ON d.doc_id % 40 = h.seed
+      |         AND (d.doc_id // 40) % 2 = h.v),
+      |${TextQueries.qualityCtesOver("documents")},
+      |icanon AS (SELECT dhash, min(doc_id) AS keep_img FROM dh GROUP BY dhash),
+      |vcanon AS (SELECT vsig, min(doc_id) AS keep_vid FROM vdh GROUP BY vsig),
+      |verdicts AS (
+      |  SELECT dh.doc_id, d.source, q.n_tokens,
+      |    (q.quality >= 0.5 AND dh.doc_id = ic.keep_img
+      |      AND vdh.doc_id = vc.keep_vid) AS kept
+      |  FROM dh JOIN icanon ic USING (dhash)
+      |  JOIN vdh ON vdh.doc_id = dh.doc_id
+      |  JOIN vcanon vc USING (vsig)
+      |  JOIN q ON q.doc_id = dh.doc_id
+      |  JOIN documents d ON d.doc_id = dh.doc_id)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens
+      |FROM verdicts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+    val imgBlobs = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 50
+        (id, Multimodal.encodePng(
+          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
+      }).toDF("doc_id", "blob")
+    val vidBlobs = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 40
+        val v = (id / 40) % 2
+        (id, Multimodal.encodeMp4Sampled(
+          width = 320, height = 240,
+          nFrames = (70 + (seed * 11) % 160).toInt,
+          keyEvery = (1 + seed % 5).toInt,
+          trackTimescale = 12000, delta1 = 300, delta2 = 364,
+          uniformSize = 0, seed = seed * 2 + v))
+      }).toDF("doc_id", "blob")
+    val imgHashed = Multimodal.decodeImageHashPartitions(imgBlobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vidSigs = Multimodal.decodeVideoSigPartitions(vidBlobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("vsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val icanon = imgHashed.groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("keep_img"))
+    val vcanon = vidSigs.groupBy(col("vsig"))
+      .agg(min(col("doc_id")).as("keep_vid"))
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    imgHashed.join(icanon, Seq("dhash"))
+      .join(vidSigs, Seq("doc_id"))
+      .join(vcanon, Seq("vsig"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("kept",
+        col("quality") >= 0.5 && col("doc_id") === col("keep_img") &&
+          col("doc_id") === col("keep_vid"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123,
-      q128, q129, q131)
+      q128, q129, q131, q132, q133)
 }

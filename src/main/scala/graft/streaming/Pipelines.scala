@@ -438,26 +438,72 @@ object Pipelines {
     }
   }
 
-  /** A batch's banded dHash frame (id, dhash, band, key, pb): REAL
-    * pixel decode → dHash → pigeonhole band split → store bucket. */
-  private[graft] def imageBanded(batch: DataFrame, blobCol: String,
-                                 idCol: String, maxHamming: Int,
-                                 buckets: Int): DataFrame = {
-    import graft.operators.Multimodal
+  /** Pigeonhole band split + store bucket over ANY (id, dhash)
+    * 64-bit-string signature frame → (id, dhash, band, key, pb) —
+    * signature-agnostic, shared by the image (dHash) and video
+    * (frame-size profile) stores. */
+  private[graft] def sigBanded(sigs: DataFrame, maxHamming: Int,
+                               buckets: Int): DataFrame = {
     val b = maxHamming + 1
     val bounds = (0 to b).map(i => 1 + i * 64 / b)
     val bandCols = (0 until b).map { i =>
       struct(lit(i).as("band"),
         substring(col("dhash"), bounds(i), bounds(i + 1) - bounds(i)).as("key"))
     }
-    Multimodal.decodeImageHashPartitions(batch, blobCol, idCol)
-      .where(col("format") =!= "corrupt")
-      .select(col("id"), col("dhash"))
+    sigs
       .select(col("id"), col("dhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("dhash"),
         col("bb.band").as("band"), col("bb.key").as("key"))
       .withColumn("pb", DedupStore.bucketOf(
         concat_ws(":", col("band"), col("key")), buckets))
+  }
+
+  /** A batch's banded dHash frame (id, dhash, band, key, pb): REAL
+    * pixel decode → dHash → [[sigBanded]]. */
+  private[graft] def imageBanded(batch: DataFrame, blobCol: String,
+                                 idCol: String, maxHamming: Int,
+                                 buckets: Int): DataFrame = {
+    import graft.operators.Multimodal
+    sigBanded(
+      Multimodal.decodeImageHashPartitions(batch, blobCol, idCol)
+        .where(col("format") =!= "corrupt")
+        .select(col("id"), col("dhash")),
+      maxHamming, buckets)
+  }
+
+  /** Cross-run VIDEO ingestion dedup — [[imageDedupAgainstStore]]'s
+    * video sibling over [[graft.operators.Multimodal.VideoSigCodec]]
+    * frame-size-profile fingerprints: a re-muxed copy of a stream
+    * (same samples, different container bytes/branding/keyframe
+    * settings) fingerprints identically and is suppressed where
+    * byte-level dedup would pass it; a lightly re-encoded one lands
+    * within `maxHamming`. Same [[DedupStore]] bucketed layout, pruned
+    * per-batch reads, broadcast joins, config pinning, at-least-once
+    * absorption, and corrupt-bypass contract as the image store. */
+  def videoDedupAgainstStore(idCol: String, blobCol: String,
+                             storePath: String, maxHamming: Int = 3,
+                             buckets: Int = 256)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    import graft.operators.Multimodal
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      graft.plans.HammingDist.register(spark)
+      DedupStore.openOrInit(spark, storePath,
+        Seq("maxHamming" -> maxHamming, "buckets" -> buckets))
+      val banded = sigBanded(
+        Multimodal.decodeVideoSigPartitions(batch, blobCol, idCol)
+          .where(col("format") =!= "corrupt")
+          .select(col("id"), col("vsig").as("dhash")),
+        maxHamming, buckets).persist()
+      val fresh = imageDedupFresh(batch, banded, idCol, storePath,
+        maxHamming).persist()
+      sink(fresh)
+      DedupStore.append(
+        banded.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi"),
+        storePath)
+      fresh.unpersist(); banded.unpersist()
+      ()
+    }
   }
 
   /** Per-batch core of [[imageDedupAgainstStore]] (factored for the

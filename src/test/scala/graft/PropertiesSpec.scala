@@ -212,6 +212,7 @@ class PropertiesSpec extends SparkSpec {
       Multimodal.AudioSigCodec.signature(b)
       Multimodal.Mp4StatsCodec.stats(b)
       Multimodal.VideoSigCodec.signature(b)
+      Multimodal.KeyframeCodec.keyframes(b)
     }
   }
 

@@ -457,6 +457,37 @@ class StreamingPipelinesSpec extends SparkSpec {
       imgStore, 0), "pruneimg", maxParts = 1)
   }
 
+  test("videoDedupAgainstStore: re-muxed streams suppressed cross-batch; replay absorbed; corrupt passes") {
+    import graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("vid_dedup").toString
+    val store = s"$dir/sig_store"
+    var emitted = Vector.empty[Long]
+    val ingest = Pipelines.videoDedupAgainstStore("id", "blob", store,
+      maxHamming = 0) { fresh =>
+      emitted ++= fresh.select("id").as[Long].collect().sorted
+    }
+    def mp4(seed: Long, keyEvery: Int = 3, w: Int = 320) =
+      Multimodal.encodeMp4Sampled(w, 240, nFrames = 100, keyEvery = keyEvery,
+        trackTimescale = 12000, delta1 = 300, delta2 = 364,
+        uniformSize = 0, seed = seed)
+    ingest(Seq((1L, mp4(1L)), (2L, mp4(20L))).toDF("id", "blob"), 0L)
+    assert(emitted === Vector(1L, 2L))
+    // batch 2: id 3 is stream 1 RE-MUXED (different keyframe cadence
+    // and display size — same samples → same fingerprint → dup), id 4
+    // is a new stream, id 5 is corrupt (bypasses to the sink)
+    ingest(Seq((3L, mp4(1L, keyEvery = 7, w = 640)), (4L, mp4(90L)),
+      (5L, "garbage".getBytes("UTF-8"))).toDF("id", "blob"), 1L)
+    assert(emitted === Vector(1L, 2L, 4L, 5L))
+    // redelivery: every stream collides with its own stored signature;
+    // the corrupt blob has no signature and passes again
+    ingest(Seq((3L, mp4(1L, keyEvery = 7, w = 640)), (4L, mp4(90L)),
+      (5L, "garbage".getBytes("UTF-8"))).toDF("id", "blob"), 2L)
+    assert(emitted === Vector(1L, 2L, 4L, 5L, 5L))
+    val stored = spark.read.parquet(s"$store/data").select("id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(stored === Seq(1L, 2L, 4L))
+  }
+
   test("mediaMonitorStream: per-(window, modality) corrupt rates from real kernels") {
     import graft.operators.Multimodal
     implicit val sc = spark.sqlContext

@@ -337,6 +337,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(sig(mp4(6L, n = 64)) === (("corrupt", null)))
   }
 
+  test("KeyframeCodec: stss sample numbers exact; absent stss = all sync; corrupt typed") {
+    import graft.operators.Multimodal
+    val blob = Multimodal.encodeMp4Sampled(320, 240, nFrames = 10,
+      keyEvery = 3, trackTimescale = 12000, delta1 = 300, delta2 = 364,
+      uniformSize = 0, seed = 7L)
+    val (f, nf, sync) = Multimodal.KeyframeCodec.keyframes(blob)
+    assert(f === "isom" && nf === 10L)
+    assert(sync.toSeq === Seq(1L, 4L, 7L, 10L))
+    // the plain header-only generator has no stbl at all → corrupt
+    assert(Multimodal.KeyframeCodec.keyframes(
+      Multimodal.encodeMp4(600, 1200L, 320, 240, 1))._1 === "corrupt")
+    assert(Multimodal.KeyframeCodec.keyframes(blob.take(6))._1 === "corrupt")
+  }
+
   test("hammingDupGroups: one row per identical-signature class, member cap with overflow") {
     val sig0 = "0" * 64
     val sig1 = "1" + "0" * 63
