@@ -247,6 +247,69 @@ object Pipelines {
     def batchBuckets(df: DataFrame): Seq[Int] =
       df.select("pb").where(col("pb").isNotNull).distinct()
         .collect().map(_.getInt(0)).toSeq
+
+    /** Data files under `dir` (recursive), excluding bookkeeping
+      * (`_SUCCESS`, `.crc`) — the small-file census compaction reports. */
+    def dataFileCount(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val f = it.next().getPath.getName
+          if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+        }
+        n
+      }
+    }
+  }
+
+  /** Offline compaction for a [[DedupStore]] (any of the three
+    * cross-run stores — they share the layout). Every streaming append
+    * leaves one file per touched `pb` dir per micro-batch, so a
+    * long-lived deployment accumulates O(batches) small files per
+    * partition; this rewrites `path/data` to ONE file per `pb` dir
+    * (`repartition(pb)` hash-routes each bucket to exactly one task,
+    * the same trick the append path uses) without changing a single
+    * row, partition value, or the pinned `config`.
+    *
+    * Blue/green on the data dir: the compacted copy is written to
+    * `path/data_compacting`, row-count-verified against the live dir,
+    * and swapped in with two FileSystem renames (live → `data_old`,
+    * compacted → live) before `data_old` is deleted. A crash mid-swap
+    * leaves either the live dir or `data_old` intact — nothing is
+    * destroyed before its replacement is fully written and verified.
+    * Run it from ONE process with no concurrent ingestion batches (the
+    * same discipline any streaming-append table's compaction needs).
+    *
+    * Returns (rows, filesBefore, filesAfter). */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Long, Long, Long) = {
+    require(storeExists(spark, s"$path/data"),
+      s"no dedup store data at $path/data")
+    val conf = spark.sessionState.newHadoopConf()
+    val data = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = data.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/data_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/data_old")
+    fs.delete(tmp, true); fs.delete(old, true)   // debris from a prior crash
+
+    val before = spark.read.parquet(s"$path/data")
+    val nBefore = before.count()
+    val filesBefore = DedupStore.dataFileCount(spark, s"$path/data")
+    before.repartition(col("pb")).write.mode("overwrite")
+      .partitionBy("pb").parquet(tmp.toString)
+    val nAfter = spark.read.parquet(tmp.toString).count()
+    require(nAfter == nBefore,
+      s"compaction row drift: $nBefore before, $nAfter after — aborting swap")
+
+    require(fs.rename(data, old), s"cannot move live data dir aside: $data")
+    require(fs.rename(tmp, data), s"cannot promote compacted dir: $tmp")
+    fs.delete(old, true)
+    (nAfter, filesBefore, DedupStore.dataFileCount(spark, s"$path/data"))
   }
 
   /** Per-batch core of [[dedupAgainstStore]], factored out so the spec

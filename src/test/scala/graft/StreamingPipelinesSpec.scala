@@ -572,4 +572,46 @@ class StreamingPipelinesSpec extends SparkSpec {
       assert(rows("rare") == 6L && rows("common") == 4L)
     } finally q.stop()
   }
+
+  test("compactStore: one file per pb dir, rows/config intact, store still dedups") {
+    val store = java.nio.file.Files.createTempDirectory("compactstore").toString
+    val buckets = 16   // small → batches keep hitting the same dirs
+    // five appends land five files in every repeatedly-touched bucket dir
+    (0 until 5).foreach { b =>
+      val batch = (1L to 40L).map(i => (b * 1000L + i, s"doc $b-$i body text"))
+        .toDF("doc_id", "text")
+      Pipelines.dedupAgainstStore("text", store, buckets) { _ => () }(batch, b.toLong)
+    }
+    val rowsBefore = spark.read.parquet(s"$store/data")
+      .select("fingerprint", "pb").collect().map(_.toString).sorted.toSeq
+    val dirs = new java.io.File(s"$store/data")
+      .listFiles().filter(_.getName.startsWith("pb=")).toSeq
+    assert(dirs.exists(_.listFiles().count(_.getName.endsWith(".parquet")) > 1),
+      "precondition: some bucket dir must hold several small files")
+
+    val (rows, before, after) = Pipelines.compactStore(spark, store)
+    assert(rows === 200L)
+    assert(after < before, s"compaction must shrink the file census ($before -> $after)")
+    // exactly one data file per surviving bucket dir
+    val dirsAfter = new java.io.File(s"$store/data")
+      .listFiles().filter(_.getName.startsWith("pb=")).toSeq
+    assert(dirsAfter.nonEmpty)
+    dirsAfter.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"dir ${d.getName} not compacted to one file")
+    }
+    assert(new java.io.File(s"$store/data_old").exists() === false)
+    assert(new java.io.File(s"$store/data_compacting").exists() === false)
+    // rows bit-identical, config untouched, store still functional
+    val rowsAfter = spark.read.parquet(s"$store/data")
+      .select("fingerprint", "pb").collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter === rowsBefore)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val next = Seq((9000L, "doc 0-1 body text"), (9001L, "wholly new text"))
+      .toDF("doc_id", "text")
+    Pipelines.dedupAgainstStore("text", store, buckets) { fresh =>
+      seen ++= fresh.select("doc_id").as[Long].collect()
+    }(next, 99L)
+    assert(seen.toSeq === Seq(9001L))   // stored fingerprint still recognized
+  }
 }
