@@ -777,4 +777,75 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("s"))))
             .getField("s")).as("clean_text"))
   }
+
+  /** Corpus snapshot diff: id-level added / removed / changed /
+    * unchanged between two versions of a corpus, the audit a recurring
+    * ingestion pipeline runs before re-processing ("what actually
+    * changed since the last crawl?"). "Changed" is content change
+    * under the engine's normalized fingerprint
+    * ([[graft.functions.TextFunctions.fingerprint]]) — whitespace and
+    * case drift does NOT count as a change, the same equivalence every
+    * exact-dedup operator here uses.
+    *
+    * Scale: each side reduces to (id, 16-byte fingerprint) AT THE SCAN
+    * (text never shuffles), then one id-keyed full-outer join — the
+    * natural co-partitioned/bucketed join at 100 TB, since both
+    * snapshots are keyed by the same id. Output is corpus-sized only
+    * if everything changed; callers filter to `status <> 'unchanged'`. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp_old"))
+    val n = newDf.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col("id"), col("status"))
+  }
+
+  /** Fuzzy string pairing by deletion-neighborhood banding (the
+    * SymSpell move): every pair of distinct strings within Levenshtein
+    * distance 1 — the typo/variant clusters an entity-resolution or
+    * vocabulary-normalization pass consumes (near-identical customer /
+    * product / author names that exact dedup cannot see). Candidate
+    * rule: two strings within one edit ALWAYS share a member of each
+    * other's ≤1-deletion neighborhood (substitution at i ⇒ both minus
+    * position i agree; insertion/deletion ⇒ the shorter string is
+    * itself a deletion variant of the longer), so banding on the
+    * variant is COMPLETE for d ≤ 1; `levenshtein` then discards the
+    * false candidates the band join admits (e.g. transpositions, which
+    * share a variant but sit at distance 2).
+    *
+    * Scale: the computation is DISTINCT-VALUE-bounded, not row-bounded —
+    * the input collapses to distinct strings first. Each string emits
+    * len+1 variants; candidate generation is one variant-keyed
+    * equi-join (inverted-index shape, never O(V²)); the verify is a
+    * codegen'd `levenshtein` on candidate pairs only. `minLen` keeps
+    * short strings out (their neighborhoods are dense and the matches
+    * meaningless — the standard SymSpell guard). */
+  def editDistancePairs(df: DataFrame, strCol: String,
+                        minLen: Int = 4): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val vocab = df.select(col(strCol).as("w"))
+      .where(col("w").isNotNull && length(col("w")) >= minLen)
+      .distinct()
+    val variants = vocab.select(col("w"), explode(
+      array_union(
+        array(col("w")),
+        transform(sequence(lit(1), length(col("w"))), i =>
+          concat(col("w").substr(lit(1), i - 1),
+            col("w").substr(i + 1, length(col("w"))))))).as("d"))
+    val a = variants.select(col("w").as("word_a"), col("d"))
+    val b = variants.select(col("w").as("word_b"), col("d"))
+    a.join(b, Seq("d"))
+      .where(col("word_a") < col("word_b"))
+      .select(col("word_a"), col("word_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .where(col("dist") <= 1)
+  }
 }

@@ -722,7 +722,65 @@ object DedupQueries {
     }
   }
 
+  /** Corpus snapshot diff (see [[graft.operators.Dedup.snapshotDiff]]):
+    * v1 = docs with doc_id % 7 ≠ 0, v2 = docs with doc_id % 5 ≠ 0 and
+    * an edit appended when doc_id % 11 = 0 — so the diff must produce
+    * all four verdicts and report the three actionable ones. */
+  val q134 = GQuery("q134_snapshot_diff",
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |v2 AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(
+      |      CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END)),
+      |    '\s+', ' ', 'g')) AS fp
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |d AS (
+      |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |         WHEN v2.doc_id IS NULL THEN 'removed'
+      |         WHEN v1.fp <> v2.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .where(col("status") =!= "unchanged")
+      .select(col("id").as("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fuzzy entity pairing (see
+    * [[graft.operators.Dedup.editDistancePairs]]): every customer-name
+    * pair within Levenshtein distance 1 — candidates banded on shared
+    * ≤1-deletion variants, so sequentially-numbered names yield both
+    * genuine one-digit-apart pairs AND transposition-shaped candidates
+    * the verify must reject (≈34k rejected at sf0.01). The oracle
+    * replays the identical neighborhood construction and verifies with
+    * DuckDB's own `levenshtein`. */
+  val q135 = GQuery("q135_fuzzy_name_pairs",
+    """WITH v AS (
+      |  SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 4),
+      |var AS (
+      |  SELECT w, unnest([w] ||
+      |    [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, length(w) + 1)]) AS d
+      |  FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      |  FROM var a JOIN var b ON a.d = b.d AND a.w < b.w)
+      |SELECT word_a, word_b, levenshtein(word_a, word_b) AS dist
+      |FROM cand WHERE levenshtein(word_a, word_b) <= 1
+      |ORDER BY word_a, word_b""".stripMargin) { (s, dir) =>
+    Dedup.editDistancePairs(Tables.customer(s, dir), "c_name", minLen = 4)
+      .orderBy(col("word_a"), col("word_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96, q100, q108)
+      q88, q91, q94, q96, q100, q108, q134, q135)
 }

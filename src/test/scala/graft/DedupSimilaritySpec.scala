@@ -166,4 +166,27 @@ class DedupSimilaritySpec extends SparkSpec {
     // vecs 1,2 share the all-non-negative bucket
     assert(out.toSet === Set(1L, 2L))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged; whitespace drift is not a change") {
+    val v1 = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"),
+      (4L, "Spaced   Text")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "spaced text")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      5L -> "added", 4L -> "unchanged"))  // 4: normalization absorbs the drift
+  }
+
+  test("editDistancePairs: bands find sub/ins/del pairs, verify rejects transpositions") {
+    // sub (alpja), append (alphax), delete (alph), transposition (aplha, d=2
+    // but shares deletion variant "apha" with alpha → candidate the verify
+    // must reject), unrelated (omega), exact dup (collapsed by distinct)
+    val names = Seq("alpha", "alpja", "alphax", "alph", "aplha", "omega", "alpha")
+      .toDF("name")
+    val out = Dedup.editDistancePairs(names, "name", minLen = 4)
+      .select("word_a", "word_b").as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("alph", "alpha"), ("alpha", "alphax"), ("alpha", "alpja")))
+  }
 }
