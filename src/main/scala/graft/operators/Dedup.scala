@@ -848,4 +848,54 @@ object Dedup {
       .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
       .where(col("dist") <= 1)
   }
+
+  /** Content-defined chunks per document: (id, pos, chunk), boundaries
+    * cut by the [[graft.plans.CdcChunks]] rolling-hash rule. Unlike the
+    * fixed-stride spans [[chunkDedupFromTokens]] keys on, CDC
+    * boundaries depend only on local content — a prefix edit shifts
+    * every fixed-stride chunk but leaves all CDC chunks past one
+    * re-synchronization window byte-identical, so exact chunk-hash
+    * dedup keeps working across insertions/deletions (the property
+    * storage dedup systems are built on). Pure fused map per document,
+    * zero shuffle. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 8, mask: Int = 64): DataFrame = {
+    graft.plans.CdcChunks.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        call_function(graft.plans.CdcChunks.fnName,
+          col(textCol), lit(w), lit(mask)).as("chunks"))
+      .select(col("id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+  }
+
+  /** Corpus-level duplicated-content census over [[cdcChunks]]: for
+    * each document, how many of its content-defined chunks (and what
+    * fraction of its characters) appear in ≥ `minDocs` distinct
+    * documents. The shift-robust sibling of
+    * [[graft.operators.TextStats.dupChunkStats]] — a near-copy with an
+    * inserted sentence still shows a high `dup_char_frac` here because
+    * the chunk boundaries re-synchronize after the edit.
+    *
+    * Scale: one chunk-keyed census shuffle (count DISTINCT doc per
+    * chunk — map-side partial), verdicts join back on the chunk key
+    * (AQE broadcasts the census side when small), one id-keyed final
+    * aggregate. Identical shape to the span-dedup family; chunk
+    * payloads are ~mask-sized strings, and at 100 TB the join would
+    * key on a chunk HASH instead of the chunk text (the census never
+    * needs the bytes — same layout, smaller shuffle rows). */
+  def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
+                  w: Int = 8, mask: Int = 64, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val chunks = cdcChunks(df, idCol, textCol, w, mask)
+    val census = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("id")).as("df"))
+    chunks.join(census, Seq("chunk"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(length(col("chunk")).cast("long")).as("n_chars"),
+        sum(when(col("df") >= minDocs, length(col("chunk")).cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+      .withColumn("dup_char_frac",
+        round(col("dup_chars").cast("double") / col("n_chars"), 4))
+  }
 }

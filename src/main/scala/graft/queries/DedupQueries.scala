@@ -780,7 +780,46 @@ object DedupQueries {
       .orderBy(col("word_a"), col("word_b"))
   }
 
+  /** Content-defined-chunking dup census (see
+    * [[graft.operators.Dedup.cdcDupStats]]): rolling-hash boundaries
+    * (w=8, B=31, M=1000003, mask=64), per-doc duplicated-chunk counts
+    * and character fraction. The oracle replays the ENTIRE boundary
+    * arithmetic — per-position window sums over the same polynomial,
+    * the same mask rule, the same final-boundary convention — then the
+    * census and stats in plain SQL. */
+  val q136 = GQuery("q136_cdc_dup_census",
+    """WITH ch AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    [unicode(text[i:i]) for i in range(1, length(text)+1)] AS cs
+      |  FROM documents WHERE length(text) > 0),
+      |cut AS (
+      |  SELECT doc_id, text, n,
+      |    ([i for i in range(8, n) if
+      |       (list_sum([cs[i - j] * [1,31,961,29791,923521,629067,501020,531575][j+1]
+      |                  for j in range(0, 8)]) % 1000003) % 64 = 0] || [n]) AS bs
+      |  FROM ch),
+      |chunks AS (
+      |  SELECT doc_id, k - 1 AS pos,
+      |    text[(CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END):bs[k]] AS chunk
+      |  FROM (SELECT doc_id, text, bs, unnest(range(1, len(bs)+1)) AS k FROM cut)),
+      |f AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
+      |SELECT c.doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  CAST(sum(length(c.chunk)) AS BIGINT) AS n_chars,
+      |  CAST(sum(CASE WHEN f.df >= 2 THEN length(c.chunk) ELSE 0 END) AS BIGINT)
+      |    AS dup_chars,
+      |  round(sum(CASE WHEN f.df >= 2 THEN length(c.chunk) ELSE 0 END) * 1.0
+      |        / sum(length(c.chunk)), 4) AS dup_char_frac
+      |FROM chunks c JOIN f USING (chunk)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.cdcDupStats(Tables.documents(s, dir), "doc_id", "text",
+        w = 8, mask = 64)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("n_chars"), col("dup_chars"), col("dup_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96, q100, q108, q134, q135)
+      q88, q91, q94, q96, q100, q108, q134, q135, q136)
 }

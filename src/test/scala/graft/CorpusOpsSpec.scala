@@ -203,4 +203,59 @@ class CorpusOpsSpec extends SparkSpec {
       assert(kept === !hasSmallerNeighbor, s"vec $id in cluster $cid")
     }
   }
+
+  test("cdcChunks: lossless reassembly, total on empty/short, deterministic") {
+    val base = (1 to 40).map(i => s"sentence number $i carries words").mkString(" ")
+    val docs = Seq((1L, base), (2L, ""), (3L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(docs, "doc_id", "text")
+      .orderBy("id", "pos")
+      .as[(Long, Int, String)].collect()
+    // reassembly: chunks concatenate back to the exact input
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString)
+    assert(byDoc(1L) === base)
+    assert(!byDoc.contains(2L), "empty text must emit no chunks")
+    assert(byDoc(3L) === "tiny")
+    assert(out.count(_._1 == 3L) === 1, "short text is one whole chunk")
+    assert(out.count(_._1 == 1L) > 3, "long text must actually split")
+    // determinism
+    val again = Dedup.cdcChunks(docs, "doc_id", "text")
+      .orderBy("id", "pos").as[(Long, Int, String)].collect()
+    assert(again === out)
+  }
+
+  test("cdcChunks: boundaries re-synchronize after a prefix edit (fixed-stride chunks don't)") {
+    val base = (1 to 60).map(i => s"clause $i of the running text").mkString(" ")
+    val edited = "INSERTED PREAMBLE " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text")
+      .as[(Long, Int, String)].collect()
+    val c1 = chunks.filter(_._1 == 1L).map(_._3).toSet
+    val c2 = chunks.filter(_._1 == 2L).map(_._3).toSet
+    val shared = c1 intersect c2
+    // all but the head chunk(s) spanning the edit are byte-identical
+    assert(shared.size >= c1.size - 2,
+      s"CDC must share nearly all chunks after the edit: ${shared.size} of ${c1.size}")
+    // contrast: fixed-stride spans all shift — the q68 machinery finds ~nothing
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val fixed = TextStats.posChunksFromTokens(toks, 5)
+      .as[(Long, Int, String)].collect()
+    val f1 = fixed.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = fixed.filter(_._1 == 2L).map(_._3).toSet
+    // 2-token insertion ≠ 0 (mod 5) → every later 5-word chunk shifts
+    assert((f1 intersect f2).size <= 1,
+      "fixed-stride chunks should nearly all shift under a prefix edit")
+  }
+
+  test("cdcDupStats: identical docs fully duplicated, disjoint doc untouched") {
+    val copyText = (1 to 30).map(i => s"shared passage $i with content").mkString(" ")
+    val docs = Seq((1L, copyText), (2L, copyText),
+      (3L, "wholly unrelated standalone words only")).toDF("doc_id", "text")
+    val stats = Dedup.cdcDupStats(docs, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_chunks", "n_dup_chunks", "dup_char_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(stats(0)._4 === 1.0 && stats(1)._4 === 1.0)
+    assert(stats(0)._2 === stats(0)._3, "every chunk of an exact copy is duplicated")
+    assert(stats(2)._3 === 0L && stats(2)._4 === 0.0)
+  }
 }
