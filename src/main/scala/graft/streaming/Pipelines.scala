@@ -607,6 +607,102 @@ object Pipelines {
       Seq(idCol), "left_anti")
   }
 
+  /** Cross-run SHIFTED-CONTENT ingestion dedup — the content-defined-
+    * chunking member of the store family. The exact store
+    * ([[dedupAgainstStore]]) misses a redelivered document the moment
+    * anything prepends/edits it (the whole-text fingerprint changes);
+    * CDC boundaries re-synchronize one window past an edit
+    * ([[graft.plans.CdcChunks]]), so the edited copy still shares
+    * nearly all chunk hashes with history. A batch document is
+    * suppressed when ≥ `minOverlap` of its chunks are already known —
+    * to the store (any earlier batch or run) or to an earlier
+    * (smaller-id) document in the same batch. Documents with no chunks
+    * (empty text) always pass.
+    *
+    * Store rows are (chunk md5, pb) only — no ids, no text — and a
+    * chunk is appended once: fresh documents' chunks are anti-joined
+    * against the already-known set before the append, so a viral
+    * boilerplate chunk occupies ONE store row no matter how many
+    * documents carry it. Same [[DedupStore]] layout/contract as the
+    * siblings: pruned per-batch partition reads, batch side broadcast
+    * everywhere (the store never shuffles), `w`/`mask` pinned in the
+    * config, at-least-once replays absorbed by construction (a
+    * redelivered doc's chunks all hit → overlap 1). `minOverlap` is a
+    * read-time threshold, free to vary per run. */
+  def cdcDedupAgainstStore(idCol: String, textCol: String, storePath: String,
+                           w: Int = 8, mask: Int = 64,
+                           minOverlap: Double = 0.5, buckets: Int = 256)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(minOverlap > 0.0 && minOverlap <= 1.0,
+      "minOverlap must be in (0, 1]")
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      DedupStore.openOrInit(spark, storePath,
+        Seq("w" -> w, "mask" -> mask, "buckets" -> buckets))
+      val chunks = cdcHashed(batch, idCol, textCol, w, mask, buckets).persist()
+      val known = cdcKnown(spark, chunks, storePath).persist()
+      val fresh = cdcFresh(batch, chunks, known, idCol, minOverlap).persist()
+      sink(fresh)
+      DedupStore.append(
+        chunks.join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .join(broadcast(known), Seq("ch"), "left_anti")
+          .select("ch", "pb").distinct(),
+        storePath)
+      chunks.unpersist(); known.unpersist(); fresh.unpersist()
+      ()
+    }
+  }
+
+  /** A batch's distinct (id, chunk-md5, pb) frame — pure fused map +
+    * one batch-bounded distinct. */
+  private[graft] def cdcHashed(batch: DataFrame, idCol: String,
+                               textCol: String, w: Int, mask: Int,
+                               buckets: Int): DataFrame =
+    graft.operators.Dedup.cdcChunks(
+        batch.select(col(idCol).as("id"), col(textCol)), "id", textCol,
+        w, mask)
+      .select(col("id"), md5(col("chunk")).as("ch"))
+      .distinct()
+      .withColumn("pb", DedupStore.bucketOf(col("ch"), buckets))
+
+  /** The batch's already-known chunk hashes: pruned store slice,
+    * semi-joined against the BROADCAST batch chunk set — output is
+    * batch-bounded, the store side never shuffles. */
+  private[graft] def cdcKnown(spark: org.apache.spark.sql.SparkSession,
+                              chunks: DataFrame,
+                              storePath: String): DataFrame = {
+    val none = chunks.select("ch").limit(0)
+    if (!DedupStore.hasData(spark, storePath)) none
+    else {
+      val pbs = DedupStore.batchBuckets(chunks)
+      if (pbs.isEmpty) none
+      else DedupStore.prunedRead(spark, storePath, pbs)
+        .join(broadcast(chunks.select("ch").distinct()), Seq("ch"), "left_semi")
+        .select("ch").distinct()
+    }
+  }
+
+  /** Per-batch core of [[cdcDedupAgainstStore]] (factored for the
+    * spec's plan assertions): suppress batch docs whose chunk-overlap
+    * with `known` ∪ earlier-in-batch ownership reaches `minOverlap`. */
+  private[graft] def cdcFresh(batch: DataFrame, chunks: DataFrame,
+                              known: DataFrame, idCol: String,
+                              minOverlap: Double): DataFrame = {
+    val owner = chunks.groupBy(col("ch")).agg(min(col("id")).as("min_owner"))
+    val dupIds = chunks
+      .join(broadcast(known.withColumn("in_store", lit(1))), Seq("ch"), "left")
+      .join(broadcast(owner), Seq("ch"))
+      .withColumn("hit",
+        when(col("in_store").isNotNull || col("min_owner") < col("id"), 1L)
+          .otherwise(0L))
+      .groupBy(col("id"))
+      .agg(sum(col("hit")).as("n_hit"), count(lit(1)).as("n"))
+      .where(col("n_hit").cast("double") / col("n") >= minOverlap)
+      .select(col("id"))
+    batch.join(broadcast(dupIds.withColumnRenamed("id", idCol).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
   /** Stream-static join: enrich a stream against a (broadcastable) batch
     * dimension — the streaming analog of the q03 star join. The static
     * side is re-read per micro-batch, so dimension updates are picked up

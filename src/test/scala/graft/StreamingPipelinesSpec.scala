@@ -455,6 +455,70 @@ class StreamingPipelinesSpec extends SparkSpec {
       maxHamming = 0, buckets = buckets)
     checkPlan(Pipelines.imageDedupFresh(imgProbe, imgBanded, "id",
       imgStore, 0), "pruneimg", maxParts = 1)
+    // CDC chunk store: a short 1-doc probe touches few chunk buckets
+    val cdcStore = java.nio.file.Files.createTempDirectory("prunecdc").toString
+    val cdcSeed = (1L to 200L).map(i =>
+      (i, (1 to 30).map(j => s"seed $i clause $j with words").mkString(" ")))
+      .toDF("doc_id", "text")
+    Pipelines.cdcDedupAgainstStore("doc_id", "text", cdcStore,
+      buckets = buckets) { _ => () }(cdcSeed, 0L)
+    val cdcProbe = Seq((900L, "short probe text with a few words only"))
+      .toDF("doc_id", "text")
+    val cdcChunks = Pipelines.cdcHashed(cdcProbe, "doc_id", "text",
+      w = 8, mask = 64, buckets = buckets)
+    val nChunks = cdcChunks.count().toInt
+    val cdcKnown = Pipelines.cdcKnown(spark, cdcChunks, cdcStore)
+    checkPlan(cdcKnown, "prunecdc", maxParts = nChunks)
+    // and the fresh computation itself stays broadcast-only
+    val cdcPlan = Pipelines.cdcFresh(cdcProbe, cdcChunks, cdcKnown,
+      "doc_id", 0.5).queryExecution.sparkPlan
+    assert(cdcPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"cdcFresh must broadcast every join:\n$cdcPlan")
+  }
+
+  test("cdcDedupAgainstStore: shifted-content redeliveries suppressed where exact fingerprints differ") {
+    val store = java.nio.file.Files.createTempDirectory("cdcstore").toString
+    val baseText = (1 to 60).map(i => s"clause $i of the canonical text").mkString(" ")
+    val novelA = (1 to 40).map(i => s"independent passage $i on another topic").mkString(" ")
+    val novelB = (1 to 40).map(i => s"third unrelated treatise part $i here").mkString(" ")
+    var emitted = Vector.empty[Long]
+    val ingest = Pipelines.cdcDedupAgainstStore("doc_id", "text", store) { f =>
+      emitted ++= f.select("doc_id").as[Long].collect().sorted
+    }
+    ingest(Seq((1L, baseText), (2L, novelA)).toDF("doc_id", "text"), 0L)
+    assert(emitted === Vector(1L, 2L))
+    // batch 2: id 3 is doc 1 with a PREFIX EDIT — its whole-text
+    // fingerprint differs (the exact store would pass it), but its CDC
+    // chunks re-synchronize → suppressed; id 4 is genuinely new
+    val edited = "INSERTED PREAMBLE SENTENCE " + baseText
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    val fps = Seq(baseText, edited).toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) !== fps(1), "precondition: exact fingerprints must differ")
+    ingest(Seq((3L, edited), (4L, novelB)).toDF("doc_id", "text"), 1L)
+    assert(emitted === Vector(1L, 2L, 4L))
+    // redelivery of batch 1: overlap 1.0 → absorbed
+    ingest(Seq((1L, baseText), (2L, novelA)).toDF("doc_id", "text"), 2L)
+    assert(emitted === Vector(1L, 2L, 4L))
+    // in-batch shifted copy: the later id is suppressed, first kept
+    val novelC = (1 to 40).map(i => s"fresh chronicle segment $i text").mkString(" ")
+    ingest(Seq((5L, novelC), (6L, "TACKED ON FRONT " + novelC))
+      .toDF("doc_id", "text"), 3L)
+    assert(emitted === Vector(1L, 2L, 4L, 5L))
+    // empty text has no chunks → always passes
+    ingest(Seq((7L, "")).toDF("doc_id", "text"), 4L)
+    assert(emitted === Vector(1L, 2L, 4L, 5L, 7L))
+    // store holds each chunk hash ONCE (viral chunks don't accumulate)
+    val chs = spark.read.parquet(s"$store/data").select("ch").as[String].collect()
+    assert(chs.length === chs.distinct.length, "store must not hold duplicate chunks")
+    // chunking params are pinned: a different window is a hard error
+    val err = intercept[IllegalArgumentException] {
+      Pipelines.cdcDedupAgainstStore("doc_id", "text", store, w = 9) { _ => () }(
+        Seq((8L, "anything")).toDF("doc_id", "text"), 5L)
+    }
+    assert(err.getMessage.contains("w"))
   }
 
   test("videoDedupAgainstStore: re-muxed streams suppressed cross-batch; replay absorbed; corrupt passes") {
