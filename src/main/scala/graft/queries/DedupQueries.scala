@@ -819,7 +819,40 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental re-curation (see
+    * [[graft.operators.Dedup.incrementalRecompute]]): the q134 diff
+    * drives a selective quality re-score — only added/changed docs run
+    * the scorer, unchanged docs carry their v1 scores forward. The
+    * oracle scores ALL of v2 directly and derives `recomputed` closed
+    * form from the moduli — so a stale carried-forward score or a
+    * wrong diff verdict on the Spark side is a hash mismatch. */
+  val q137 = GQuery("q137_incremental_recompute",
+    s"""WITH v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text,
+       |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |${TextQueries.qualityCtesOver("v2")}
+       |SELECT q.doc_id, q.n_tokens, q.quality,
+       |  (q.doc_id % 7 = 0 OR q.doc_id % 11 = 0) AS recomputed
+       |FROM q ORDER BY q.doc_id""".stripMargin) { (s, dir) =>
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("n_chars", when(col("doc_id") % 11 === 0,
+        col("n_chars") + 5).otherwise(col("n_chars")))
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    Dedup.incrementalRecompute(v1, score(v1), v2, "doc_id", "text")(score)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("recomputed"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96, q100, q108, q134, q135, q136)
+      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137)
 }

@@ -178,6 +178,25 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> "added", 4L -> "unchanged"))  // 4: normalization absorbs the drift
   }
 
+  test("incrementalRecompute: only churn is recomputed, result equals a full recompute") {
+    val v1 = Seq((1L, "steady text one"), (2L, "old words here"),
+      (3L, "doomed document")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "steady text one"), (2L, "new words here"),
+      (4L, "arrived document")).toDF("doc_id", "text")
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), length(col("text")).as("len"))
+    var computeSaw = -1L
+    val out = Dedup.incrementalRecompute(v1, score(v1), v2, "doc_id", "text") {
+        df => computeSaw = df.count(); score(df) }
+      .orderBy("doc_id")
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(computeSaw === 2L, "compute must see exactly the added+changed docs")
+    assert(out === Seq((1L, 15, false), (2L, 14, true), (4L, 16, true)))
+    // law: identical to scoring all of v2 directly
+    val full = score(v2).orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === full)
+  }
+
   test("editDistancePairs: bands find sub/ins/del pairs, verify rejects transpositions") {
     // sub (alpja), append (alphax), delete (alph), transposition (aplha, d=2
     // but shares deletion variant "apha" with alpha → candidate the verify
