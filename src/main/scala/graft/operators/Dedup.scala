@@ -807,6 +807,39 @@ object Dedup {
       .select(col("id"), col("status"))
   }
 
+  /** Chunk-level delta between a probe set and a baseline corpus: for
+    * each probe document, how many of its content-defined chunks (and
+    * characters) already exist ANYWHERE in the baseline — the rsync /
+    * backup-storage estimate of how many bytes an incremental ingest
+    * actually has to store or transfer. Because boundaries are
+    * content-defined ([[graft.plans.CdcChunks]]), an edited re-crawl of
+    * a baseline document still reuses nearly all of its chunks; a
+    * fixed-stride delta would report ~zero reuse for the same edit.
+    *
+    * Scale: the baseline reduces to its DISTINCT chunk-hash set (one
+    * pass + one chunk-keyed distinct — at 100 TB this set is the
+    * already-persisted chunk store, see `Pipelines.cdcDedupAgainstStore`,
+    * not a recompute); the probe side is churn-sized; the reuse check is
+    * one hash-keyed join. */
+  def cdcDelta(baseline: DataFrame, probe: DataFrame, idCol: String,
+               textCol: String, w: Int = 8, mask: Int = 64): DataFrame = {
+    val base = cdcChunks(baseline, idCol, textCol, w, mask)
+      .select(md5(col("chunk")).as("ch")).distinct()
+      .withColumn("hit", lit(1))
+    cdcChunks(probe, idCol, textCol, w, mask)
+      .select(col("id"), md5(col("chunk")).as("ch"),
+        length(col("chunk")).cast("long").as("ln"))
+      .join(base, Seq("ch"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_reused"),
+        sum(col("ln")).as("n_chars"),
+        sum(when(col("hit").isNotNull, col("ln")).otherwise(0L))
+          .as("reused_chars"))
+      .withColumn("reuse_frac",
+        round(col("reused_chars").cast("double") / col("n_chars"), 4))
+  }
+
   /** Incremental recompute over a [[snapshotDiff]]: produce the result
     * table for snapshot `next` by running `compute` ONLY over added /
     * changed documents and carrying forward `prevResult` rows for

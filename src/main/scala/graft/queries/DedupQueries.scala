@@ -780,6 +780,29 @@ object DedupQueries {
       .orderBy(col("word_a"), col("word_b"))
   }
 
+  /** CDC boundary replay as a CTE chain ending in
+    * `{p}chunks(doc_id, pos, chunk)` — the FULL rolling-hash boundary
+    * arithmetic of [[graft.plans.CdcChunks]] (w=8, B=31, M=1000003,
+    * mask=64) as per-position polynomial window sums, the same mask
+    * rule, the same final-boundary convention. Parameterized on the
+    * source relation and a CTE-name prefix so one oracle can chunk two
+    * corpora (q138). `src` must provide (doc_id, text). */
+  private def cdcChunkCtes(src: String, p: String): String =
+    s"""${p}ch AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    [unicode(text[i:i]) for i in range(1, length(text)+1)] AS cs
+       |  FROM $src WHERE length(text) > 0),
+       |${p}cut AS (
+       |  SELECT doc_id, text, n,
+       |    ([i for i in range(8, n) if
+       |       (list_sum([cs[i - j] * [1,31,961,29791,923521,629067,501020,531575][j+1]
+       |                  for j in range(0, 8)]) % 1000003) % 64 = 0] || [n]) AS bs
+       |  FROM ${p}ch),
+       |${p}chunks AS (
+       |  SELECT doc_id, k - 1 AS pos,
+       |    text[(CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END):bs[k]] AS chunk
+       |  FROM (SELECT doc_id, text, bs, unnest(range(1, len(bs)+1)) AS k FROM ${p}cut))""".stripMargin
+
   /** Content-defined-chunking dup census (see
     * [[graft.operators.Dedup.cdcDupStats]]): rolling-hash boundaries
     * (w=8, B=31, M=1000003, mask=64), per-doc duplicated-chunk counts
@@ -788,20 +811,7 @@ object DedupQueries {
     * the same mask rule, the same final-boundary convention — then the
     * census and stats in plain SQL. */
   val q136 = GQuery("q136_cdc_dup_census",
-    """WITH ch AS (
-      |  SELECT doc_id, text, length(text) AS n,
-      |    [unicode(text[i:i]) for i in range(1, length(text)+1)] AS cs
-      |  FROM documents WHERE length(text) > 0),
-      |cut AS (
-      |  SELECT doc_id, text, n,
-      |    ([i for i in range(8, n) if
-      |       (list_sum([cs[i - j] * [1,31,961,29791,923521,629067,501020,531575][j+1]
-      |                  for j in range(0, 8)]) % 1000003) % 64 = 0] || [n]) AS bs
-      |  FROM ch),
-      |chunks AS (
-      |  SELECT doc_id, k - 1 AS pos,
-      |    text[(CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END):bs[k]] AS chunk
-      |  FROM (SELECT doc_id, text, bs, unnest(range(1, len(bs)+1)) AS k FROM cut)),
+    s"""WITH ${cdcChunkCtes("documents", "")},
       |f AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
       |SELECT c.doc_id, count(*) AS n_chunks,
       |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
@@ -852,7 +862,54 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Snapshot delta-storage report (see
+    * [[graft.operators.Dedup.cdcDelta]]): for every added/changed doc
+    * of the q134 diff, the fraction of its content-defined chunks (and
+    * characters) already present anywhere in v1 — the bytes an
+    * incremental ingest can deduplicate away instead of re-storing.
+    * The prefix-edited docs (% 11) reuse nearly everything BECAUSE the
+    * boundaries are content-defined; the oracle replays both corpora's
+    * full CDC arithmetic and derives the churn set closed-form. */
+  val q138 = GQuery("q138_cdc_snapshot_delta",
+    s"""WITH v1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+       |churn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents
+       |  WHERE doc_id % 5 <> 0 AND (doc_id % 7 = 0 OR doc_id % 11 = 0)),
+       |${cdcChunkCtes("v1", "b")},
+       |${cdcChunkCtes("churn", "p")},
+       |base AS (SELECT DISTINCT md5(chunk) AS ch FROM bchunks),
+       |probe AS (
+       |  SELECT doc_id, md5(chunk) AS ch, length(chunk) AS ln FROM pchunks)
+       |SELECT p.doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN b.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_reused,
+       |  CAST(sum(ln) AS BIGINT) AS n_chars,
+       |  CAST(sum(CASE WHEN b.ch IS NOT NULL THEN ln ELSE 0 END) AS BIGINT)
+       |    AS reused_chars,
+       |  round(sum(CASE WHEN b.ch IS NOT NULL THEN ln ELSE 0 END) * 1.0
+       |        / sum(ln), 4) AS reuse_frac
+       |FROM probe p LEFT JOIN base b USING (ch)
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    // churn through the ENGINE's diff machinery (the oracle derives it
+    // closed-form — a wrong verdict surfaces as a row-set mismatch)
+    val churnIds = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .where(col("status").isin("added", "changed"))
+      .select(col("id").as("doc_id"))
+    Dedup.cdcDelta(v1, v2.join(churnIds, Seq("doc_id")), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_reused"),
+        col("n_chars"), col("reused_chars"), col("reuse_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137)
+      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138)
 }

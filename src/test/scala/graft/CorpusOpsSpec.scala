@@ -246,6 +246,21 @@ class CorpusOpsSpec extends SparkSpec {
       "fixed-stride chunks should nearly all shift under a prefix edit")
   }
 
+  test("cdcDelta: suffix edit reuses all but the tail; unrelated doc reuses nothing") {
+    val base = (1 to 50).map(i => s"archived clause $i with steady words").mkString(" ")
+    val baseline = Seq((1L, base)).toDF("doc_id", "text")
+    val probe = Seq((2L, base + " APPENDED REVISION NOTE"),
+      (3L, "totally different content nothing shared at all")).toDF("doc_id", "text")
+    val out = Dedup.cdcDelta(baseline, probe, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_chunks", "n_reused", "reuse_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    val (_, n2, r2, f2) = (out(0)._1, out(0)._2, out(0)._3, out(0)._4)
+    assert(r2 >= n2 - 2 && r2 < n2, s"suffix edit must reuse all but the tail ($r2 of $n2)")
+    assert(f2 > 0.6)
+    assert(out(1)._3 === 0L && out(1)._4 === 0.0)
+  }
+
   test("cdcDupStats: identical docs fully duplicated, disjoint doc untouched") {
     val copyText = (1 to 30).map(i => s"shared passage $i with content").mkString(" ")
     val docs = Seq((1L, copyText), (2L, copyText),
