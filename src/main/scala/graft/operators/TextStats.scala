@@ -515,4 +515,25 @@ object TextStats {
           .when(col("top_bigram_frac") > maxTopBigramFrac, lit("repetitive"))
           .otherwise(lit("")))
       .withColumn("keep", col("reason") === "")
+
+  /** Character-distribution entropy per document (see
+    * [[graft.plans.CharStats]]): the gibberish / repeated-character /
+    * keyboard-mash detector the token-level signals miss — a doc of
+    * one repeated character has entropy 0 no matter how many "tokens"
+    * it splits into. `entropy4` is the integer 1e-4-grid total (the
+    * cross-engine-exact value); `entropy` the nats view of the same
+    * integer. Empty docs are excluded (no distribution to measure).
+    * Pure fused map, zero shuffle — never explodes characters. */
+  def charEntropyStats(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    graft.plans.CharStats.register(df.sparkSession)
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        call_function(graft.plans.CharStats.fnName, col(textCol)).as("st"))
+      .select(col("id"),
+        col("st.n_chars").cast("long").as("n_chars"),
+        col("st.n_distinct").cast("long").as("n_distinct"),
+        col("st.entropy4").as("entropy4"),
+        (col("st.entropy4") / 10000.0).as("entropy"))
+  }
 }

@@ -1473,8 +1473,37 @@ object TextQueries {
     }
   }
 
+  /** Character-entropy quality signal (see
+    * [[graft.operators.TextStats.charEntropyStats]] /
+    * [[graft.plans.CharStats]]): Shannon entropy of each doc's
+    * code-point distribution on the 1e-4 integer grid — per-class
+    * parts round BEFORE summing, so the oracle's unnest/GROUP BY
+    * replay reaches the identical integer total in any summation
+    * order (the BM25 ln idiom). */
+  val q139 = GQuery("q139_char_entropy",
+    """WITH cs AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    unnest([text[i:i] for i in range(1, length(text)+1)]) AS c
+      |  FROM documents WHERE length(text) > 0),
+      |kc AS (SELECT doc_id, c, count(*) AS k, max(n) AS n
+      |       FROM cs GROUP BY doc_id, c),
+      |e AS (
+      |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    CAST(sum(CAST(round(1e4 * (k * 1.0 / n) * ln(n * 1.0 / k)) AS BIGINT))
+      |      AS BIGINT) AS entropy4
+      |  FROM kc GROUP BY doc_id)
+      |SELECT doc_id, n_chars, n_distinct, entropy4, entropy4 / 10000.0 AS entropy
+      |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.charEntropyStats(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_chars"), col("n_distinct"),
+        col("entropy4"), col("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
-      q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127)
+      q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139)
 }

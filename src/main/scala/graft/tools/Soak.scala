@@ -127,6 +127,46 @@ object Soak {
       }
     }
 
+    // --- leg: CDC chunk store — per-batch cost vs store size ---
+    // same contract as the fingerprint store: the batch derives its
+    // chunk buckets driver-side and partition-prunes the read, so a
+    // 10× deeper ingestion history must not show up in per-batch time.
+    {
+      import graft.streaming.Pipelines
+      val buckets = 1024
+      def mkStore(nRows: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("soak_cdc").toString
+        val seed = spark.range(nRows.toLong)
+          .select(col("id").as("doc_id"),
+            concat(lit("seed corpus document number "), col("id"),
+              lit(" body text that spans a few content defined chunk"),
+              lit(" boundaries at the default mask")).as("text"))
+        Pipelines.cdcDedupAgainstStore("doc_id", "text", dir,
+          buckets = buckets) { _ => () }(seed, 0L)
+        dir
+      }
+      val batch = spark.range(16).select(
+        (col("id") + 5_000_000L).as("doc_id"),
+        concat(lit("probe batch document "), col("id"),
+          lit(" with novel wording throughout")).as("text")).cache()
+      batch.count()
+      def runBatch(store: String): Long = {
+        val chunks = Pipelines.cdcHashed(batch, "doc_id", "text", 8, 64, buckets)
+        val known = Pipelines.cdcKnown(spark, chunks, store)
+        Pipelines.cdcFresh(batch, chunks, known, "doc_id", 0.5).count()
+      }
+      val small = mkStore(20_000); val big = mkStore(200_000)
+      runBatch(small) // warm
+      val tS = time("cdc_batch vs 20k store")(runBatch(small))
+      val tB = time("cdc_batch vs 200k store")(runBatch(big))
+      val r = tB / tS
+      println(f"[soak] cdc_store_batch          ${r}%5.1fx per-batch cost for 10x store growth")
+      if (r > 3.0) {
+        System.err.println("[soak] FAIL store-size-linear per-batch CDC dedup")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     // --- leg: mega-class exact-dup group emission stays linear ---
     // one identical-signature class of 10k then 100k members: the
     // group-emission report must scale ~linearly in rows (the PAIR

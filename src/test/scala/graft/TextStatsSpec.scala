@@ -127,6 +127,24 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L) === Seq(0.0, 0.0))
   }
 
+  test("charEntropyStats: hand-computed values; repeated char scores zero; empty excluded") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextStats.charEntropyStats(docs, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_chars", "n_distinct", "entropy4")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L), "empty doc must be excluded")
+    assert(out(0) === ((1L, 4L, 1L, 0L)))                   // one class: ln(1) = 0
+    // "abab": two classes of k=2,n=4 → part = round(1e4·0.5·ln 2) = 3466 each
+    assert(out(1) === ((2L, 4L, 2L, 6932L)))
+    // "abcd": four classes k=1 → part = round(1e4·0.25·ln 4) = 3466 each;
+    // 4·3466 = 13864 ≠ round(1e4·ln 4) = 13863 — parts round FIRST,
+    // which is exactly what makes the sum order-free across engines
+    assert(out(2) === ((3L, 4L, 4L, 13864L)))
+    assert(out(2)._4 === 4L * math.round(1e4 * 0.25 * math.log(4.0)))
+  }
+
   test("WordNgrams native expression matches the HOF formula for all (n, stride)") {
     graft.plans.WordNgrams.register(spark)
     val docs = Seq(
