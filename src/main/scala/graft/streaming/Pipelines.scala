@@ -703,6 +703,88 @@ object Pipelines {
       Seq(idCol), "left_anti")
   }
 
+  /** Content-addressed score cache — the streaming form of
+    * `Dedup.incrementalRecompute`. `compute` (typically the EXPENSIVE
+    * per-document stage: model scoring, feature extraction) runs only
+    * over content the deployment has never seen: results are cached in
+    * a persistent store KEYED BY NORMALIZED FINGERPRINT, so a
+    * redelivered batch, a re-crawl under new ids, or a
+    * whitespace-drifted copy all reuse the cached row instead of
+    * recomputing. Each emitted row carries `from_cache: boolean`.
+    *
+    * Contract for `compute`: input is one representative row per new
+    * fingerprint (all batch columns plus `fingerprint`); output must
+    * carry `fingerprint` plus the result columns, one row per input
+    * fingerprint, and be a pure function of the (normalized) content —
+    * the same purity `incrementalRecompute` requires. Result columns
+    * must keep a stable schema across batches (they are the store's
+    * schema).
+    *
+    * Same [[DedupStore]] scale contract as the dedup stores: the store
+    * is partitioned by a fingerprint bucket, each batch derives its
+    * bucket set driver-side and partition-prunes the read, the store
+    * side never shuffles (the batch is broadcast into the slice), and
+    * per-batch cost tracks the batch, not the deployment lifetime.
+    * At-least-once: a crash between `sink` and the append recomputes
+    * (not corrupts) on replay; the append is anti-joined against the
+    * cache so each fingerprint is stored once. */
+  def scoreAgainstStore(idCol: String, textCol: String, storePath: String,
+                        buckets: Int = 256)(
+      compute: DataFrame => DataFrame)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      DedupStore.openOrInit(spark, storePath, Seq("buckets" -> buckets))
+      val fp = batch
+        .withColumn("fingerprint",
+          graft.functions.TextFunctions.fingerprint(col(textCol)))
+        .withColumn("pb", DedupStore.bucketOf(col("fingerprint"), buckets))
+        .persist()
+      val cached = scoreCacheLookup(spark, fp, storePath).map(_.persist())
+      val knownFps = cached.map(_.select("fingerprint"))
+        .getOrElse(fp.select("fingerprint").limit(0))
+      // one representative row per fingerprint the cache has never seen
+      val reps = fp
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fingerprint")).orderBy(col(idCol))))
+        .where(col("__rn") === 1).drop("__rn")
+        .join(broadcast(knownFps), Seq("fingerprint"), "left_anti")
+      val computed = compute(reps.drop("pb")).persist()
+      val results = cached match {
+        case Some(c) => c.drop("pb").withColumn("from_cache", lit(true))
+          .unionByName(computed.withColumn("from_cache", lit(false)))
+        case None => computed.withColumn("from_cache", lit(false))
+      }
+      sink(fp.select(col(idCol), col("fingerprint"))
+        .join(broadcast(results), Seq("fingerprint")))
+      DedupStore.append(
+        computed.withColumn("pb",
+          DedupStore.bucketOf(col("fingerprint"), buckets)),
+        storePath)
+      fp.unpersist(); cached.foreach(_.unpersist()); computed.unpersist()
+      ()
+    }
+  }
+
+  /** The batch's cached result rows: pruned store slice semi-joined
+    * against the BROADCAST batch fingerprint set — batch-bounded
+    * output, the store never shuffles. None when the cache has no data
+    * or the batch no fingerprints (first batch — result schema is not
+    * knowable until `compute` defines it). */
+  private[graft] def scoreCacheLookup(
+      spark: org.apache.spark.sql.SparkSession, fp: DataFrame,
+      storePath: String): Option[DataFrame] = {
+    if (!DedupStore.hasData(spark, storePath)) None
+    else {
+      val pbs = DedupStore.batchBuckets(fp)
+      if (pbs.isEmpty) None
+      else Some(DedupStore.prunedRead(spark, storePath, pbs)
+        .join(broadcast(fp.select("fingerprint").distinct()),
+          Seq("fingerprint"), "left_semi"))
+    }
+  }
+
   /** Stream-static join: enrich a stream against a (broadcastable) batch
     * dimension — the streaming analog of the q03 star join. The static
     * side is re-read per micro-batch, so dimension updates are picked up

@@ -475,6 +475,21 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(cdcPlan.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }.isEmpty, s"cdcFresh must broadcast every join:\n$cdcPlan")
+    // content-addressed score cache: lookup prunes to the batch's buckets
+    import org.apache.spark.sql.functions.length
+    val scStore = java.nio.file.Files.createTempDirectory("prunescore").toString
+    val scSeed = (1L to 300L).map(i => (i, s"cached corpus doc $i distinct body"))
+      .toDF("doc_id", "text")
+    Pipelines.scoreAgainstStore("doc_id", "text", scStore, buckets) { reps =>
+      reps.select(col("fingerprint"), length(col("text")).as("score"))
+    } { _ => () }(scSeed, 0L)
+    val scProbe = Seq((900L, "cached corpus doc 7 distinct body"),
+      (901L, "unseen probe body")).toDF("doc_id", "text")
+      .withColumn("fingerprint",
+        graft.functions.TextFunctions.fingerprint(col("text")))
+      .withColumn("pb", Pipelines.DedupStore.bucketOf(col("fingerprint"), buckets))
+    checkPlan(Pipelines.scoreCacheLookup(spark, scProbe, scStore).get,
+      "prunescore", maxParts = 2)
   }
 
   test("cdcDedupAgainstStore: shifted-content redeliveries suppressed where exact fingerprints differ") {
@@ -635,6 +650,53 @@ class StreamingPipelinesSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap
       assert(rows("rare") == 6L && rows("common") == 4L)
     } finally q.stop()
+  }
+
+  test("scoreAgainstStore: compute runs once per content; redelivery, re-ingest, and drift hit the cache") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val store = java.nio.file.Files.createTempDirectory("scorecache").toString
+    var computeSaw = 0L
+    var emitted = Vector.empty[(Long, Int, Boolean)]
+    val ingest = Pipelines.scoreAgainstStore("doc_id", "text", store) { reps =>
+      computeSaw += reps.count()
+      reps.select(col("fingerprint"), length(col("text")).as("score"))
+    } { out =>
+      emitted ++= out.select("doc_id", "score", "from_cache")
+        .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    }
+    // batch 1: three docs, two distinct contents → compute sees 2
+    ingest(Seq((1L, "alpha body"), (2L, "beta body"), (3L, "alpha body"))
+      .toDF("doc_id", "text"), 0L)
+    assert(computeSaw === 2L)
+    assert(emitted === Vector((1L, 10, false), (2L, 9, false), (3L, 10, false)))
+    emitted = Vector.empty
+    // batch 2: redelivered content under a NEW id, whitespace-drifted
+    // copy, and one genuinely new doc → compute sees only the new one
+    ingest(Seq((4L, "beta body"), (5L, "  Alpha   BODY "), (6L, "gamma body"))
+      .toDF("doc_id", "text"), 1L)
+    assert(computeSaw === 3L, "only the new content may be recomputed")
+    assert(emitted.map(r => (r._1, r._3)) ===
+      Vector((4L, true), (5L, true), (6L, false)))
+    // NOTE: the drifted copy reuses the ORIGINAL's cached score (score
+    // is a function of normalized content by the compute contract)
+    assert(emitted(0)._2 === 9 && emitted(1)._2 === 10)
+    emitted = Vector.empty
+    // restart (fresh closure state): everything cached, compute never runs
+    var computeSaw2 = 0L
+    val ingest2 = Pipelines.scoreAgainstStore("doc_id", "text", store) { reps =>
+      computeSaw2 += reps.count()
+      reps.select(col("fingerprint"), length(col("text")).as("score"))
+    } { out =>
+      emitted ++= out.select("doc_id", "score", "from_cache")
+        .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    }
+    ingest2(Seq((7L, "alpha body"), (8L, "gamma body")).toDF("doc_id", "text"), 0L)
+    assert(computeSaw2 === 0L)
+    assert(emitted === Vector((7L, 10, true), (8L, 10, true)))
+    // each fingerprint stored exactly once
+    val fps = spark.read.parquet(s"$store/data").select("fingerprint")
+      .as[String].collect()
+    assert(fps.length === 3 && fps.distinct.length === 3)
   }
 
   test("compactStore: one file per pb dir, rows/config intact, store still dedups") {
