@@ -95,8 +95,8 @@ object Search {
     * stop-word query would inflate tf toward corpus size; BM25 over
     * pure stop-words is degenerate — idf ≈ 0 — so that shape is a
     * caller bug, not a plan this optimizes for.) */
-  private def bm25Score(tf: DataFrame, lens: DataFrame, tot: DataFrame,
-                        k1: Double, b: Double): DataFrame = {
+  private[graft] def bm25Score(tf: DataFrame, lens: DataFrame, tot: DataFrame,
+                               k1: Double, b: Double): DataFrame = {
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     broadcast(tf.join(broadcast(dft), "term"))
       .join(lens, "id")

@@ -998,6 +998,106 @@ object Pipelines {
       .agg(max_by(struct(col("cv"), col("cid")), col("batch_id")).as("r"))
       .select(col("corpus_id"), col("r.cv").as("cv"), col("r.cid").as("cid"))
 
+  /** Incremental SEARCH-index ingestion — the postings sibling of
+    * [[ivfIngestStream]]: each micro-batch tokenizes its documents and
+    * APPENDS (id, pos, term, batch_id) rows to a term-bucket-partitioned
+    * postings store plus (id, len, batch_id) doc lengths — the
+    * [[graft.operators.Search.writePostings]] layout made appendable.
+    * No stats row is frozen at build time; readers derive exact corpus
+    * totals from the latest-version doc lengths, so BM25 stays correct
+    * as the index grows.
+    *
+    * Versioning: `batch_id` (monotone under a checkpointed query —
+    * Structured Streaming continues epochs across restarts) makes every
+    * ingest of a doc a new VERSION. Readers keep only each doc's
+    * latest-version rows, which gives (a) replay absorption — a
+    * redelivered batch rewrites identical rows of the same version, and
+    * the slice dedup collapses them — and (b) upsert — re-ingesting a
+    * changed doc supersedes ALL its old postings, including ones in
+    * buckets the query never touches, because the version map comes
+    * from the doclens table, not the probed slice.
+    *
+    * Scale: the append repartitions by `tb` (one file per touched
+    * bucket dir per batch — compact offline like any streaming-append
+    * table); a query reads only its terms' bucket dirs (partition
+    * pruning, same as the batch index); the version map is one keyed
+    * aggregate over the THIN doclens table, semi-joined down to the
+    * slice's docs before broadcasting back. */
+  def postingsIngestStream(idCol: String, textCol: String, indexPath: String,
+                           buckets: Int = 64): (DataFrame, Long) => Unit = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (16 md5 bits), got $buckets")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      DedupStore.openOrInit(spark, indexPath, Seq("buckets" -> buckets))
+      val toks = graft.operators.TextStats
+        .tokenized(batch, idCol, textCol).persist()
+      graft.operators.Search.positionalPostings(toks)
+        .withColumn("tb",
+          (conv(substring(md5(col("term")), 1, 4), 16, 10)
+            .cast("int") % buckets))
+        .withColumn("batch_id", lit(batchId))
+        .repartition(col("tb"))
+        .write.mode("append").partitionBy("tb").parquet(s"$indexPath/postings")
+      toks.select(col("id"), size(col("ws")).cast("long").as("len"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$indexPath/doclens")
+      toks.unpersist()
+      ()
+    }
+  }
+
+  /** Latest ingested version per doc from a [[postingsIngestStream]]
+    * store: (id, len, vb) — one keyed max_by over the thin doclens
+    * table, the postings-store analog of [[ivfStoreRead]]. */
+  private def postingsStoreVersions(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/doclens")
+      .groupBy(col("id"))
+      .agg(max_by(col("len"), col("batch_id")).as("len"),
+        max(col("batch_id")).as("vb"))
+
+  /** The query terms' CURRENT posting lists from a streamed index:
+    * partition-pruned to the terms' buckets, replay-deduped, and
+    * version-filtered to each doc's latest ingest. */
+  private[graft] def postingsStoreFor(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val buckets = spark.read.parquet(s"$path/config").head().getInt(0)
+    val tbs = terms.map(graft.operators.Search.termBucket(_, buckets)).distinct
+    val slice = spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .dropDuplicates("id", "pos", "term", "batch_id")
+    val ver = postingsStoreVersions(spark, path)
+      .join(broadcast(slice.select("id").distinct()), Seq("id"), "left_semi")
+    slice.join(broadcast(ver.select(col("id"), col("vb"))), Seq("id"))
+      .where(col("batch_id") === col("vb"))
+      .select(col("id"), col("pos"), col("term"))
+  }
+
+  /** [[graft.operators.Search.phraseOccurrences]] over a streamed
+    * index — ≡ the batch-built index over the same (latest) corpus. */
+  def phraseFromPostingsStore(spark: org.apache.spark.sql.SparkSession,
+                              path: String, phrase: Seq[String]): DataFrame =
+    graft.operators.Search.phraseOccurrences(
+      postingsStoreFor(spark, path, phrase.distinct), phrase)
+
+  /** BM25 over a streamed index: tf from the pruned current slice,
+    * lengths and exact corpus totals from the latest-version doclens —
+    * scores bit-identical to a batch index built on the same corpus
+    * state (spec-asserted). */
+  def bm25FromPostingsStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, query: Seq[String],
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val tf = postingsStoreFor(spark, path, query.distinct)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val lens = postingsStoreVersions(spark, path).select(col("id"), col("len"))
+    val tot = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
+    graft.operators.Search.bm25Score(tf, lens, tot, k1, b)
+  }
+
   /** Report over a [[sketchStream]] store: per-key distinct estimates
     * (sketches unioned across batches) plus the corpus-wide
     * `__all__` row. */

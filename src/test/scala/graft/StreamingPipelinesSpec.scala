@@ -652,6 +652,63 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("postingsIngestStream: streamed ≡ batch index; replay absorbed; upsert supersedes everywhere") {
+    import graft.operators.{Search, TextStats}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val store = s"$dir/streamed"
+    val ingest = Pipelines.postingsIngestStream("doc_id", "text", store, buckets = 16)
+    val b0 = Seq((1L, "the quick brown fox jumps"),
+      (2L, "lazy dog sleeps all day"),
+      (3L, "quick brown dog barks")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "another quick brown fox appears"),
+      (5L, "dogs and foxes differ")).toDF("doc_id", "text")
+    ingest(b0, 0L); ingest(b1, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    def batchTwin(corpus: org.apache.spark.sql.DataFrame, p: String): String = {
+      Search.writePostings(TextStats.tokenized(corpus, "doc_id", "text"), p, 16)
+      p
+    }
+    val twin1 = batchTwin(b0.unionByName(b1), s"$dir/batch1")
+    assert(rows(Pipelines.phraseFromPostingsStore(spark, store, Seq("quick", "brown")))
+      === rows(Search.phraseFromPostings(spark, twin1, Seq("quick", "brown"))))
+    assert(rows(Pipelines.bm25FromPostingsStore(spark, store, Seq("quick", "dog")))
+      === rows(Search.bm25FromPostings(spark, twin1, Seq("quick", "dog"))))
+    // replay of batch 1: identical rows of the same version — absorbed
+    ingest(b1, 1L)
+    assert(rows(Pipelines.bm25FromPostingsStore(spark, store, Seq("quick", "dog")))
+      === rows(Search.bm25FromPostings(spark, twin1, Seq("quick", "dog"))))
+    // upsert: doc 2 is re-ingested WITHOUT its animal and with a new
+    // length — all its old postings must be superseded, even the ones
+    // in buckets a given query never reads
+    val d2v2 = "rewritten second document mentioning nothing relevant"
+    ingest(Seq((2L, d2v2)).toDF("doc_id", "text"), 2L)
+    val updated = Seq((1L, "the quick brown fox jumps"), (2L, d2v2),
+      (3L, "quick brown dog barks"),
+      (4L, "another quick brown fox appears"),
+      (5L, "dogs and foxes differ")).toDF("doc_id", "text")
+    val twin2 = batchTwin(updated, s"$dir/batch2")
+    assert(rows(Pipelines.phraseFromPostingsStore(spark, store, Seq("lazy", "dog")))
+      === rows(Search.phraseFromPostings(spark, twin2, Seq("lazy", "dog"))))
+    assert(rows(Pipelines.bm25FromPostingsStore(spark, store, Seq("quick", "dog")))
+      === rows(Search.bm25FromPostings(spark, twin2, Seq("quick", "dog"))))
+    assert(!Pipelines.phraseFromPostingsStore(spark, store, Seq("dog"))
+      .select("id").as[Long].collect().contains(2L),
+      "superseded postings must not match")
+    // the streamed read partition-prunes to the query terms' buckets
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = Pipelines.postingsStoreFor(spark, store, Seq("quick"))
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("streamed/postings")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.exists(
+      _.references.exists(_.name == "tb"))), s"no tb partition filter:\n$plan")
+    assert(scans.forall(_.selectedPartitions.partitionCount <= 1))
+  }
+
   test("scoreAgainstStore: compute runs once per content; redelivery, re-ingest, and drift hit the cache") {
     import org.apache.spark.sql.functions.{col, length, lit}
     val store = java.nio.file.Files.createTempDirectory("scorecache").toString
