@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full-text search over the corpus: positional inverted index (the
@@ -113,6 +113,48 @@ object Search {
   }
 
   // ------------------------------------------------ stored index
+
+  /** Retrieval-quality evaluation of ANY ranking against a relevance
+    * set: per query, hits@k, the rank of the first relevant result
+    * (MRR numerator), and binary-relevance nDCG@k — the metrics a
+    * retrieval pipeline regression-gates on. `ranked` carries
+    * (query_id, corpus_id, rn); `relevant` the (query_id, corpus_id)
+    * truth pairs. Queries with NO relevant documents are excluded
+    * (nothing to measure); queries whose top-k contains no relevant
+    * document score 0.
+    *
+    * Cross-engine exactness: every log2 discount is snapped to the
+    * 1e-4 integer grid BEFORE summing (`round(1e4 / log2(rank+1))` —
+    * the BM25/RRF idiom), so DCG and ideal-DCG are order-free integer
+    * sums and `ndcg` is one final division of two integers. Scale:
+    * joins are (queries × k)- and truth-set-sized — never corpus-sized;
+    * the ideal-DCG prefix is a per-row bounded HOF over ≤ k terms. */
+  def evalRanked(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val disc: Column => Column =
+      r => round(lit(1e4) / log2(r + lit(1))).cast("long")
+    val nrel = relevant.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val perQ = ranked.where(col("rn") <= k)
+      .join(relevant.withColumn("rel", lit(1)),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("n_rel_at_k"),
+        min(when(col("rel").isNotNull, col("rn"))).as("fr"),
+        sum(when(col("rel").isNotNull, disc(col("rn"))).otherwise(0L))
+          .as("dcg4"))
+    perQ.join(nrel, Seq("query_id"))
+      .withColumn("idcg4",
+        aggregate(sequence(lit(1), least(col("n_rel"), lit(k))),
+          lit(0L), (acc, i) => acc + disc(i)))
+      .select(col("query_id"), col("n_rel_at_k"),
+        coalesce(col("fr"), lit(0)).as("first_rel_rank"),
+        coalesce(round(lit(1e4) / col("fr")).cast("long"), lit(0L))
+          .as("mrr4"),
+        col("dcg4"), col("idcg4"),
+        round(col("dcg4").cast("double") / col("idcg4"), 4).as("ndcg"))
+  }
 
   /** Scala-side term bucket — the SAME 16-md5-bit value as the `tb`
     * column [[writePostings]] writes (the [[TfIdf.hashedTfFromTerms]]

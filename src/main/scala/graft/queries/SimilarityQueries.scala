@@ -564,7 +564,66 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("label"), col("rn"))
   }
 
+  /** Retrieval-quality metrics (see
+    * [[graft.operators.Search.evalRanked]]): the q31 exact-cosine
+    * ranking scored against the same-label truth set — per query,
+    * hits@k / first-relevant rank / MRR / nDCG@k with every log2
+    * discount on the 1e-4 integer grid so both engines sum identical
+    * integers. The oracle replays the ranking (unrolled cosine) AND
+    * the full metric arithmetic. */
+  val q140 = GQuery("q140_retrieval_eval",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS cl
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, corpus_id, ql, cl, round($cosSql, 6) AS cosine
+       |  FROM q, c WHERE corpus_id <> query_id),
+       |rk AS (
+       |  SELECT query_id, corpus_id, ql, cl,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id) AS INT) AS rn
+       |  FROM scored),
+       |nrel AS (
+       |  SELECT q.query_id, count(*) AS n_rel
+       |  FROM q JOIN c ON c.cl = q.ql AND c.corpus_id <> q.query_id
+       |  GROUP BY q.query_id),
+       |perq AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel_at_k,
+       |    min(CASE WHEN cl = ql THEN rn END) AS fr,
+       |    CAST(sum(CASE WHEN cl = ql
+       |      THEN CAST(round(1e4 / log2(rn + 1)) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS dcg4
+       |  FROM rk WHERE rn <= $K GROUP BY query_id),
+       |m AS (
+       |  SELECT p.query_id, p.n_rel_at_k,
+       |    coalesce(p.fr, 0) AS first_rel_rank,
+       |    coalesce(CAST(round(1e4 / p.fr) AS BIGINT), 0) AS mrr4,
+       |    p.dcg4,
+       |    CAST(list_sum([CAST(round(1e4 / log2(i + 1)) AS BIGINT)
+       |      for i in range(1, least(n.n_rel, $K) + 1)]) AS BIGINT) AS idcg4
+       |  FROM perq p JOIN nrel n USING (query_id))
+       |SELECT query_id, n_rel_at_k, first_rel_rank, mrr4, dcg4, idcg4,
+       |  round(dcg4 * 1.0 / idcg4, 4) AS ndcg
+       |FROM m ORDER BY query_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Search
+    val emb = Tables.embeddings(s, dir)
+    val ranked = Similarity.bruteForceTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") < NQueries),
+      idCol = "vec_id", vecCol = "embedding", k = K, dim = Dim)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val rel = lab.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(lab.select(col("vec_id").as("corpus_id"), col("label")),
+        Seq("label"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"))
+    Search.evalRanked(ranked, rel, K).orderBy(col("query_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109, q124, q125, q130)
+      q99, q101, q109, q124, q125, q130, q140)
 }

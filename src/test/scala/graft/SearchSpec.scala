@@ -147,4 +147,23 @@ class SearchSpec extends SparkSpec {
       typedLit(Seq("dup", "sort")))).count()
     assert(ra.size == matching, "exactly the docs containing ≥1 query term are scored")
   }
+
+  test("evalRanked: hand-computed MRR/nDCG; zero-hit query scores 0; truthless query excluded") {
+    // query 1: relevant at ranks 2 and 4 (plus 3 relevant outside top-k)
+    // query 2: nothing relevant retrieved; query 3: no truth at all
+    val ranked = (1 to 5).flatMap(r => Seq((1L, 100L + r, r), (2L, 200L + r, r),
+      (3L, 300L + r, r))).toDF("query_id", "corpus_id", "rn")
+    val rel = (Seq((1L, 102L), (1L, 104L)) ++ (1 to 3).map(i => (1L, 900L + i)) ++
+      Seq((2L, 999L))).toDF("query_id", "corpus_id")
+    val out = Search.evalRanked(ranked, rel, k = 5)
+      .orderBy("query_id")
+      .select("query_id", "n_rel_at_k", "first_rel_rank", "mrr4", "dcg4",
+        "idcg4", "ndcg")
+      .as[(Long, Long, Int, Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L), "truthless query must be excluded")
+    // dcg4 = round(1e4/log2 3) + round(1e4/log2 5) = 6309 + 4307
+    // idcg4 = 10000 + 6309 + 5000 + 4307 + 3869 (5 relevant, k = 5)
+    assert(out(0) === ((1L, 2L, 2, 5000L, 10616L, 29485L, 0.36)))
+    assert(out(1) === ((2L, 0L, 0, 0L, 0L, 10000L, 0.0)))
+  }
 }
