@@ -623,7 +623,75 @@ object SimilarityQueries {
     Search.evalRanked(ranked, rel, K).orderBy(col("query_id"))
   }
 
+  /** ANN-quality regression gate: [[graft.operators.Search.evalRanked]]
+    * over the q32b IVF probe ranking — nDCG/MRR of the APPROXIMATE
+    * index against the same-label truth, the metric an index rollout
+    * gates on (q109 measures recall vs brute force; this measures
+    * end-task retrieval quality). The oracle chains the full Lloyd
+    * replay + probe + bucket-confined ranking with the q140 metric
+    * arithmetic in one statement. */
+  val q141 = GQuery("q141_ann_eval", {
+    val scored = s"""scored AS (
+      |  SELECT p.query_id, a.corpus_id,
+      |    round(${VectorFunctions.cosineSql("p.qv", "a.cv", Dim)}, 6) AS cosine
+      |  FROM probe p JOIN asgf a USING (cid)
+      |  WHERE a.corpus_id <> p.query_id)""".stripMargin
+    val tail = s"""lbl AS (SELECT vec_id, label FROM embeddings),
+      |rk AS (
+      |  SELECT query_id, corpus_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, corpus_id) AS INT) AS rn
+      |  FROM scored),
+      |rkl AS (
+      |  SELECT rk.query_id, rk.corpus_id, rk.rn, lq.label AS ql, lc.label AS cl
+      |  FROM rk
+      |  JOIN lbl lq ON lq.vec_id = rk.query_id
+      |  JOIN lbl lc ON lc.vec_id = rk.corpus_id),
+      |nrel AS (
+      |  SELECT a.vec_id AS query_id, count(*) AS n_rel
+      |  FROM lbl a JOIN lbl b ON b.label = a.label AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < $NQueries GROUP BY a.vec_id),
+      |perq AS (
+      |  SELECT query_id,
+      |    CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_rel_at_k,
+      |    min(CASE WHEN cl = ql THEN rn END) AS fr,
+      |    CAST(sum(CASE WHEN cl = ql
+      |      THEN CAST(round(1e4 / log2(rn + 1)) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS dcg4
+      |  FROM rkl WHERE rn <= $K GROUP BY query_id),
+      |m AS (
+      |  SELECT p.query_id, p.n_rel_at_k,
+      |    coalesce(p.fr, 0) AS first_rel_rank,
+      |    coalesce(CAST(round(1e4 / p.fr) AS BIGINT), 0) AS mrr4,
+      |    p.dcg4,
+      |    CAST(list_sum([CAST(round(1e4 / log2(i + 1)) AS BIGINT)
+      |      for i in range(1, least(n.n_rel, $K) + 1)]) AS BIGINT) AS idcg4
+      |  FROM perq p JOIN nrel n USING (query_id))
+      |SELECT query_id, n_rel_at_k, first_rel_rank, mrr4, dcg4, idcg4,
+      |  round(dcg4 * 1.0 / idcg4, 4) AS ndcg
+      |FROM m ORDER BY query_id""".stripMargin
+    "WITH " + (AnnOracles.ivfChain(Dim, 16, 3) ++
+      AnnOracles.probeChain(Dim, NQueries, 3, nprobe = 4) :+ scored :+ tail)
+      .mkString(",\n")
+  }) { (s, dir) =>
+    import graft.operators.Search
+    val (cents, assigned) = sharedIvf(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val ranked = Similarity.ivfProbe(assigned, cents,
+      emb.filter(col("vec_id") < NQueries),
+      idCol = "vec_id", vecCol = "embedding", k = K, nprobe = 4)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val rel = lab.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(lab.select(col("vec_id").as("corpus_id"), col("label")),
+        Seq("label"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"))
+    Search.evalRanked(ranked, rel, K).orderBy(col("query_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109, q124, q125, q130, q140)
+      q99, q101, q109, q124, q125, q130, q140, q141)
 }
