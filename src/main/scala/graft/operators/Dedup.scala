@@ -891,7 +891,18 @@ object Dedup {
     * short strings out (their neighborhoods are dense and the matches
     * meaningless — the standard SymSpell guard). */
   def editDistancePairs(df: DataFrame, strCol: String,
-                        minLen: Int = 4): DataFrame = {
+                        minLen: Int = 4): DataFrame =
+    editDistancePairsManaged(df, strCol, minLen)._1
+
+  /** [[editDistancePairs]] with an explicit cache lifecycle: the
+    * variant frame is PERSISTED — the deletion-neighborhood expansion
+    * is an interpreted higher-order `transform`, and without the cache
+    * the self-join evaluates it TWICE (once per side; 5.7× wall on the
+    * sf0.1 names) — and the returned `release` thunk drops it once the
+    * pairs are written/counted (recomputation after release stays
+    * correct, the cache just rebuilds). */
+  def editDistancePairsManaged(df: DataFrame, strCol: String,
+      minLen: Int = 4): (DataFrame, () => Unit) = {
     require(minLen >= 2, "minLen must be >= 2")
     val vocab = df.select(col(strCol).as("w"))
       .where(col("w").isNotNull && length(col("w")) >= minLen)
@@ -902,14 +913,20 @@ object Dedup {
         transform(sequence(lit(1), length(col("w"))), i =>
           concat(col("w").substr(lit(1), i - 1),
             col("w").substr(i + 1, length(col("w"))))))).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = variants.select(col("w").as("word_a"), col("d"))
     val b = variants.select(col("w").as("word_b"), col("d"))
-    a.join(b, Seq("d"))
+    // verify BEFORE deduplicating: levenshtein is a codegen'd per-row
+    // map, so running it on the raw (duplicated) candidate stream and
+    // dropping the misses first keeps the distinct's shuffle at
+    // true-pair size instead of Σ bucket² candidate size
+    val pairs = a.join(b, Seq("d"))
       .where(col("word_a") < col("word_b"))
-      .select(col("word_a"), col("word_b"))
-      .distinct()
       .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
       .where(col("dist") <= 1)
+      .select(col("word_a"), col("word_b"), col("dist"))
+      .distinct()
+    (pairs, () => { variants.unpersist(); () })
   }
 
   /** Content-defined chunks per document: (id, pos, chunk), boundaries

@@ -273,4 +273,39 @@ object Sampling {
             lit(281474976710656L).cast(dec))   // 2^48
       .select(col(idCol), col("w4"), col("kept"))
   }
+
+  /** Weighted k-sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, "Weighted random sampling with a reservoir", IPL 2006):
+    * keep the k items with the largest u_i^(1/w_i), equivalently the
+    * SMALLEST (−ln u_i)/w_i — each item's inclusion probability is
+    * weight-proportional and no item repeats, the exact-size
+    * complement of [[weightedBernoulliSample]]'s per-item coin.
+    *
+    * Determinism/cross-engine: u_i is the 48-bit md5 integer of the id
+    * (the engine's standard coin) and the sort key is
+    * `round(1e10 · ln(2^48 / (u48+1)) / w4)` — one ln snapped to an
+    * integer grid (the BM25 idiom), ties broken by id, so any engine
+    * replaying the formula ranks identically. Zero-weight items are
+    * excluded (never sampleable, per A-ES).
+    *
+    * Scale: a pure map to (id, key) then a global TakeOrdered k — no
+    * shuffle of the corpus, no single-partition window; the k-row
+    * result gets its rank from a window over k rows. */
+  def weightedTopKSample(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df.select(col(idCol),
+      greatest(round(col(weightCol) * 1e4).cast("long"), lit(0L)).as("w4"),
+      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+        .cast("long").as("u48"))
+      .where(col("w4") > 0)
+      .withColumn("key10",
+        round(lit(1e10) * log(lit(281474976710656.0) / (col("u48") + lit(1)))
+          / col("w4")).cast("long"))
+    base.orderBy(col("key10"), col(idCol)).limit(k)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key10"), col(idCol))))
+      .select(col(idCol), col("w4"), col("key10"), col("rn"))
+  }
 }

@@ -559,7 +559,36 @@ object SamplingQueries {
     }
   }
 
+  /** Weighted k-sample without replacement (see
+    * [[graft.operators.Sampling.weightedTopKSample]]): the 50 docs
+    * drawn quality-proportionally by the A-ES key, exact rank order.
+    * The oracle replays the md5 coin, the grid-snapped ln key, and the
+    * (key, id) ranking verbatim. */
+  val q142 = GQuery("q142_weighted_topk_sample",
+    s"""WITH ${TextQueries.qualityCte},
+       |w AS (
+       |  SELECT doc_id,
+       |    greatest(CAST(round(quality * 1e4) AS BIGINT), 0) AS w4,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u48
+       |  FROM q),
+       |ks AS (
+       |  SELECT doc_id, w4,
+       |    CAST(round(1e10 * ln(281474976710656.0 / (u48 + 1)) / w4) AS BIGINT)
+       |      AS key10
+       |  FROM w WHERE w4 > 0),
+       |top AS (
+       |  SELECT doc_id, w4, key10,
+       |    CAST(row_number() OVER (ORDER BY key10, doc_id) AS INT) AS rn
+       |  FROM ks)
+       |SELECT doc_id, w4, key10, rn FROM top WHERE rn <= 50
+       |ORDER BY rn""".stripMargin) { (s, dir) =>
+    val weighted = Tables.documents(s, dir).select(col("doc_id"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    Sampling.weightedTopKSample(weighted, "doc_id", "quality", k = 50)
+      .orderBy(col("rn"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106)
+      q102, q106, q142)
 }

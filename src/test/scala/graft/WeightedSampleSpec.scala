@@ -46,4 +46,37 @@ class WeightedSampleSpec extends SparkSpec {
       i -> (if (i == 7L) 50.0 else w) }, 1, 2)
     if (keptBase(7L)) assert(keptBoost(7L))
   }
+
+  test("weightedTopKSample: matches a scalar A-ES replay; k>n returns all; zero weight excluded") {
+    val rows = (1L to 500L).map(i => (i, 0.5 + (i % 7) * 0.25)) :+ (501L, 0.0)
+    val out = Sampling.weightedTopKSample(rows.toDF("id", "w"), "id", "w", k = 20)
+      .orderBy("rn")
+      .select(col("id").cast("long"), col("key10"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSeq
+    // scalar replay of the exact formula
+    def u48(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val expected = rows.filter(_._2 > 0).map { case (id, w) =>
+      val w4 = math.max(math.round(w * 1e4), 0L)
+      val key = math.round(
+        1e10 * math.log(281474976710656.0 / (u48(id) + 1)) / w4)
+      (id, key)
+    }.sortBy { case (id, key) => (key, id) }.take(20)
+    assert(out.map(r => (r._1, r._2)) === expected)
+    assert(out.map(_._3) === (1 to 20))
+    assert(!out.exists(_._1 == 501L), "zero-weight item must never be drawn")
+    // k beyond the population returns everything sampleable
+    val all = Sampling.weightedTopKSample(rows.toDF("id", "w"), "id", "w", k = 10000)
+    assert(all.count() === 500L)
+    // weight boost can only improve (never worsen) an item's rank
+    val boosted = Sampling.weightedTopKSample(rows.map { case (i, w) =>
+        (i, if (i == 42L) 100.0 else w) }.toDF("id", "w"), "id", "w", k = 500)
+      .where(col("id") === 42L).select("rn").as[Int].head()
+    val baseRank = Sampling.weightedTopKSample(rows.toDF("id", "w"), "id", "w", k = 500)
+      .where(col("id") === 42L).select("rn").as[Int].head()
+    assert(boosted <= baseRank)
+  }
 }
