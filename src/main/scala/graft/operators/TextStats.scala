@@ -516,6 +516,35 @@ object TextStats {
           .otherwise(lit("")))
       .withColumn("keep", col("reason") === "")
 
+  /** Vocabulary drift between two corpus snapshots: per term, document
+    * frequency in each version and a status verdict — `new` (entered
+    * the corpus), `gone` (left it), `stable` otherwise — plus the df
+    * delta. The ingest-monitoring alarm for the [[graft.operators.Dedup
+    * .snapshotDiff]] family: a crawler config change or an injection
+    * shows up as a burst of `new` terms / df swings long before any
+    * per-document signal trips.
+    *
+    * Scale: each side is one (term)-keyed distinct-doc census (the
+    * word-count shape, map-side partial), then a term-keyed full-outer
+    * join of two vocab-sized frames — the corpus shuffles once per
+    * side, the join never touches it. */
+  def vocabDrift(oldToks: DataFrame, newToks: DataFrame): DataFrame = {
+    def census(toks: DataFrame) = toks
+      .select(col("id"), explode(col("ws")).as("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    census(oldToks).select(col("term"), col("df").as("df_old"))
+      .join(census(newToks).select(col("term"), col("df").as("df_new")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("df_old"), lit(0L)).as("df_old"),
+        coalesce(col("df_new"), lit(0L)).as("df_new"))
+      .withColumn("status",
+        when(col("df_old") === 0, lit("new"))
+          .when(col("df_new") === 0, lit("gone"))
+          .otherwise(lit("stable")))
+      .withColumn("df_delta", col("df_new") - col("df_old"))
+  }
+
   /** Character-distribution entropy per document (see
     * [[graft.plans.CharStats]]): the gibberish / repeated-character /
     * keyboard-mash detector the token-level signals miss — a doc of

@@ -909,7 +909,49 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary drift across the q134 snapshot pair (see
+    * [[graft.operators.TextStats.vocabDrift]]): the ' rev2' edit makes
+    * `rev2` a genuinely NEW term, removed docs shift every df —
+    * term-level status + df delta, the ingest-monitoring view of the
+    * same diff. */
+  val q143 = GQuery("q143_vocab_drift",
+    """WITH v1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |c1 AS (
+      |  SELECT term, count(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, unnest(list_filter(
+      |      string_split(text, ' '), x -> x <> '')) AS term FROM v1)
+      |  GROUP BY term),
+      |c2 AS (
+      |  SELECT term, count(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, unnest(list_filter(
+      |      string_split(text, ' '), x -> x <> '')) AS term FROM v2)
+      |  GROUP BY term)
+      |SELECT coalesce(c1.term, c2.term) AS term,
+      |  coalesce(c1.df, 0) AS df_old, coalesce(c2.df, 0) AS df_new,
+      |  CASE WHEN coalesce(c1.df, 0) = 0 THEN 'new'
+      |       WHEN coalesce(c2.df, 0) = 0 THEN 'gone'
+      |       ELSE 'stable' END AS status,
+      |  coalesce(c2.df, 0) - coalesce(c1.df, 0) AS df_delta
+      |FROM c1 FULL JOIN c2 ON c1.term = c2.term
+      |ORDER BY term""".stripMargin) { (s, dir) =>
+    import graft.operators.TextStats
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    TextStats.vocabDrift(
+        TextStats.tokenized(v1, "doc_id", "text"),
+        TextStats.tokenized(v2, "doc_id", "text"))
+      .orderBy(col("term"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138)
+      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143)
 }
