@@ -9,14 +9,19 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Content-defined chunking: split a string at positions where a
-  * Rabin-Karp rolling hash of the trailing `w` code points hits a mask
+/** Content-defined chunking: split a string (over Unicode code
+  * points) or a binary blob (over unsigned bytes) at positions where a
+  * Rabin-Karp rolling hash of the trailing `w` codes hits a mask
   * (h % mask == 0) — the storage-dedup boundary rule (LBFS/rsync
   * lineage) that makes chunk boundaries a function of LOCAL CONTENT
   * rather than absolute position. Insert or delete a prefix and every
   * fixed-stride chunk shifts; CDC boundaries re-synchronize one window
   * past the edit, so all later chunks are byte-identical and exact
-  * chunk-hash dedup still finds the shared tail.
+  * chunk-hash dedup still finds the shared tail. The binary form makes
+  * the whole CDC family (dup census, snapshot delta, the ingestion
+  * store) apply to media payloads: a re-containered blob — same
+  * essence bytes behind a different metadata prefix — still shares
+  * nearly all its chunks.
   *
   * The hash is the standard polynomial fingerprint over Unicode code
   * points, h(e) = Σ_{j=0}^{w-1} cp[e-j]·B^j mod M with B = 31,
@@ -43,11 +48,12 @@ case class CdcChunks(child: Expression, w: Int, mask: Int)
   import CdcChunks.{B, M}
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string, got $t")
+      s"$prettyName requires string or binary, got $t")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(child.dataType, containsNull = false)
   override def prettyName: String = "cdc_chunks"
 
   private val bPowW1: Long = {
@@ -57,43 +63,67 @@ case class CdcChunks(child: Expression, w: Int, mask: Int)
     p
   }
 
-  /** The kernel — public so the generated code can call it. */
-  def split(s0: UTF8String): ArrayData = {
-    val s = s0.toString
-    val cps = s.codePoints().toArray
-    val n = cps.length
-    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+  /** Cut boundaries (1-based, final = n) over any code sequence. */
+  private def boundaries(codes: Array[Int]): Array[Int] = {
+    val n = codes.length
     val bs = Array.newBuilder[Int]
     if (n > w) {
       var h = 0L
       var k = 0
-      while (k < w) { h = (h * B + cps(k)) % M; k += 1 }   // window ends at e = w-1
+      while (k < w) { h = (h * B + codes(k)) % M; k += 1 } // window ends at e = w-1
       var e = w - 1
       while (e < n - 1) {                                  // interior cuts only
         if (h % mask == 0) bs += e + 1                     // 1-based cut position
-        h = ((h - cps(e - w + 1) * bPowW1) % M + M) % M
-        h = (h * B + cps(e + 1)) % M
+        h = ((h - codes(e - w + 1) * bPowW1) % M + M) % M
+        h = (h * B + codes(e + 1)) % M
         e += 1
       }
     }
     bs += n
-    val boundaries = bs.result()
-    val out = new Array[AnyRef](boundaries.length)
-    var prevCp = 0
-    var prevCh = 0
-    var i = 0
-    while (i < boundaries.length) {
-      val endCh = s.offsetByCodePoints(prevCh, boundaries(i) - prevCp)
-      out(i) = UTF8String.fromString(s.substring(prevCh, endCh))
-      prevCp = boundaries(i)
-      prevCh = endCh
-      i += 1
-    }
-    new GenericArrayData(out)
+    bs.result()
+  }
+
+  /** The kernel — public so the generated code can call it. Dispatches
+    * on the runtime payload: strings chunk over Unicode code points,
+    * blobs over unsigned byte values (so for ASCII payloads the two
+    * forms cut at identical offsets — spec-asserted). */
+  def split(input: Object): ArrayData = input match {
+    case s0: UTF8String =>
+      val s = s0.toString
+      val cps = s.codePoints().toArray
+      if (cps.length == 0) return new GenericArrayData(Array.empty[AnyRef])
+      val cuts = boundaries(cps)
+      val out = new Array[AnyRef](cuts.length)
+      var prevCp = 0
+      var prevCh = 0
+      var i = 0
+      while (i < cuts.length) {
+        val endCh = s.offsetByCodePoints(prevCh, cuts(i) - prevCp)
+        out(i) = UTF8String.fromString(s.substring(prevCh, endCh))
+        prevCp = cuts(i)
+        prevCh = endCh
+        i += 1
+      }
+      new GenericArrayData(out)
+    case b: Array[Byte] =>
+      if (b.length == 0) return new GenericArrayData(Array.empty[AnyRef])
+      val codes = new Array[Int](b.length)
+      var j = 0
+      while (j < b.length) { codes(j) = b(j) & 0xff; j += 1 }
+      val cuts = boundaries(codes)
+      val out = new Array[AnyRef](cuts.length)
+      var prev = 0
+      var i = 0
+      while (i < cuts.length) {
+        out(i) = java.util.Arrays.copyOfRange(b, prev, cuts(i))
+        prev = cuts(i)
+        i += 1
+      }
+      new GenericArrayData(out)
   }
 
   override def nullSafeEval(input: Any): Any =
-    split(input.asInstanceOf[UTF8String])
+    split(input.asInstanceOf[Object])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {

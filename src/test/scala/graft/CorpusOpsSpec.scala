@@ -261,6 +261,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1)._3 === 0L && out(1)._4 === 0.0)
   }
 
+  test("cdcChunks on binary: lossless, re-syncs after a byte prefix, ASCII cuts match the string form") {
+    val essence = (1 to 80).flatMap(i => Seq(i.toByte, (i * 7 % 251).toByte,
+      (i * 13 % 251).toByte)).toArray
+    val reContainered = ("FAKEHDR!".getBytes("UTF-8") ++ essence)
+    val blobs = Seq((1L, essence), (2L, reContainered), (3L, Array.empty[Byte]))
+      .toDF("doc_id", "blob")
+    val out = Dedup.cdcChunks(blobs, "doc_id", "blob")
+      .orderBy("id", "pos")
+      .as[(Long, Int, Array[Byte])].collect()
+    // lossless reassembly of the byte stream
+    assert(out.filter(_._1 == 1L).flatMap(_._3).toSeq === essence.toSeq)
+    assert(out.filter(_._1 == 2L).flatMap(_._3).toSeq === reContainered.toSeq)
+    assert(!out.exists(_._1 == 3L), "empty blob emits no chunks")
+    // a metadata prefix leaves the essence chunks shared (re-sync law)
+    val c1 = out.filter(_._1 == 1L).map(_._3.toSeq).toSet
+    val c2 = out.filter(_._1 == 2L).map(_._3.toSeq).toSet
+    assert((c1 intersect c2).size >= c1.size - 2,
+      s"blob CDC must share nearly all chunks: ${(c1 intersect c2).size} of ${c1.size}")
+    // ASCII payload: byte cuts == code-point cuts of the string form
+    val ascii = (1 to 60).map(i => s"word$i piece").mkString(" ")
+    val sChunks = Dedup.cdcChunks(Seq((1L, ascii)).toDF("doc_id", "text"),
+        "doc_id", "text").orderBy("pos").as[(Long, Int, String)].collect()
+    val bChunks = Dedup.cdcChunks(
+        Seq((1L, ascii.getBytes("UTF-8"))).toDF("doc_id", "blob"),
+        "doc_id", "blob").orderBy("pos").as[(Long, Int, Array[Byte])].collect()
+    assert(sChunks.map(_._3).toSeq ===
+      bChunks.map(c => new String(c._3, "UTF-8")).toSeq)
+  }
+
   test("cdcDupStats: identical docs fully duplicated, disjoint doc untouched") {
     val copyText = (1 to 30).map(i => s"shared passage $i with content").mkString(" ")
     val docs = Seq((1L, copyText), (2L, copyText),

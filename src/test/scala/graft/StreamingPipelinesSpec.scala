@@ -536,6 +536,25 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(err.getMessage.contains("w"))
   }
 
+  test("cdcDedupAgainstStore over BINARY blobs: re-containered copy suppressed") {
+    // the same machinery, pointed at a blob column: a media payload
+    // re-wrapped behind a different metadata prefix still collides on
+    // its essence chunks where whole-blob hashing passes it
+    val store = java.nio.file.Files.createTempDirectory("cdcblob").toString
+    val essence = (1 to 400).map(i => (i * 31 % 251).toByte).toArray
+    val other = (1 to 400).map(i => (i * 97 % 251).toByte).toArray
+    var emitted = Vector.empty[Long]
+    val ingest = Pipelines.cdcDedupAgainstStore("id", "blob", store) { f =>
+      emitted ++= f.select("id").as[Long].collect().sorted
+    }
+    ingest(Seq((1L, essence)).toDF("id", "blob"), 0L)
+    val reWrapped = "RIFFXXXXmeta".getBytes("UTF-8") ++ essence
+    assert(!java.util.Arrays.equals(reWrapped, essence))
+    ingest(Seq((2L, reWrapped), (3L, other)).toDF("id", "blob"), 1L)
+    assert(emitted === Vector(1L, 3L),
+      "the re-containered blob must be suppressed, the novel one kept")
+  }
+
   test("videoDedupAgainstStore: re-muxed streams suppressed cross-batch; replay absorbed; corrupt passes") {
     import graft.operators.Multimodal
     val dir = java.nio.file.Files.createTempDirectory("vid_dedup").toString
