@@ -1049,7 +1049,14 @@ object Pipelines {
 
   /** Latest ingested version per doc from a [[postingsIngestStream]]
     * store: (id, len, vb) — one keyed max_by over the thin doclens
-    * table, the postings-store analog of [[ivfStoreRead]]. */
+    * table, the postings-store analog of [[ivfStoreRead]].
+    *
+    * Scale note: this pass is linear in CORPUS COUNT (thin rows — two
+    * longs per ingested version), not in postings. A deployment running
+    * many queries against one store state should materialize this view
+    * once per analysis session (or per compaction) and hand it to the
+    * readers — the same amortization `ivfRebuild` applies to the
+    * vector store; per-query work is then slice-sized only. */
   private def postingsStoreVersions(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/doclens")
