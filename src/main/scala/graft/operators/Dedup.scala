@@ -778,6 +778,43 @@ object Dedup {
             .getField("s")).as("clean_text"))
   }
 
+  /** MinHash estimator calibration census: over every LSH candidate
+    * pair, the joint distribution of (signature agreement count, true
+    * Jaccard decile) — the table that tells you what `minEstJaccard`
+    * threshold actually means in true-similarity terms on YOUR corpus
+    * and banding, before you commit a dedup run to it. Reads as a
+    * confusion matrix: mass above the diagonal = pairs the estimator
+    * would over-claim, below = near-dups the threshold would miss.
+    *
+    * Scale: candidates come from the band join (never all pairs); the
+    * signature comparison is a k-component zip per candidate; the true
+    * Jaccard joins the shingle sets only for candidate pairs. Output is
+    * (k+1)×10 cells regardless of corpus size. */
+  def minhashCalibration(sigs: DataFrame, sets: DataFrame, k: Int,
+                         bands: Int): DataFrame = {
+    val buckets = lshBuckets(sigs, k, bands)
+    val cand = buckets.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(buckets.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_agree",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x))
+      .join(sets.select(col("id").as("id_a"), col("shset").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shset").as("sb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("j", round(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 4))
+      .withColumn("j_bucket", least(floor(col("j") * 10), lit(9L)).cast("int"))
+      .groupBy(col("est_agree"), col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Corpus snapshot diff: id-level added / removed / changed /
     * unchanged between two versions of a corpus, the audit a recurring
     * ingestion pipeline runs before re-processing ("what actually

@@ -220,4 +220,25 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("sum_tokens"))
       .withColumn("fill_ratio",
         round(col("sum_tokens").cast("double") / maxTokens, 4))
+
+  /** Shard manifest with integrity hashes — the artifact a reproducible
+    * training run records next to each exported shard: membership hash
+    * (md5 over the ordered doc-id list) and content hash (md5 over the
+    * ordered per-doc content fingerprints in `fpCol`), so a re-export
+    * can be byte-verified against the manifest without re-reading any
+    * shard and a membership or content drift names the exact shard.
+    *
+    * Scale: one shard-keyed aggregate; the collect_lists are bounded by
+    * docs-per-shard (the token budget bounds membership), never
+    * corpus-sized. */
+  def shardManifest(packed: DataFrame, idCol: String, tokenCol: String,
+                    fpCol: String): DataFrame =
+    packed.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("sum_tokens"),
+        md5(array_join(transform(sort_array(collect_list(col(idCol))),
+          _.cast("string")), "-")).as("ids_hash"),
+        md5(array_join(
+          sort_array(collect_list(struct(col(idCol), col(fpCol))))
+            .getField(fpCol), "")).as("content_hash"))
 }

@@ -951,7 +951,59 @@ object DedupQueries {
       .orderBy(col("term"))
   }
 
+  /** MinHash calibration census (see
+    * [[graft.operators.Dedup.minhashCalibration]]): (signature
+    * agreement, true-Jaccard decile) joint counts over the q25 LSH
+    * candidates — the threshold-tuning table. The oracle replays the
+    * same hash family, banding, agreement sum, and exact Jaccard. */
+  val q145 = {
+    val rows = K / Bands
+    val minhashAggs = (0 until K)
+      .map(i => s"min(ha + ${i + 1} * hb) AS m$i").mkString(",\n    ")
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"md5($parts) AS b$b"
+    }.mkString(", ")
+    val bandMatch = (0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+    val agreeSum = (0 until K)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    GQuery("q145_minhash_calibration",
+      s"""WITH $shingleCtes,
+         |exh AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS ha,
+         |    CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS hb
+         |  FROM ex),
+         |mh AS (
+         |  SELECT doc_id,
+         |    $minhashAggs
+         |  FROM exh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, $bandCols FROM mh),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($bandMatch)),
+         |est AS (
+         |  SELECT id_a, id_b, ($agreeSum) AS est_agree
+         |  FROM cand JOIN mh a ON a.doc_id = id_a JOIN mh b ON b.doc_id = id_b),
+         |tru AS (
+         |  SELECT id_a, id_b,
+         |    round(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+         |      (len(sa.shset) + len(sb.shset)
+         |        - len(list_intersect(sa.shset, sb.shset))), 4) AS j
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT est_agree, CAST(least(floor(j * 10), 9) AS INT) AS j_bucket,
+         |  count(*) AS n_pairs
+         |FROM est JOIN tru USING (id_a, id_b)
+         |GROUP BY 1, 2 ORDER BY est_agree, j_bucket""".stripMargin) { (s, dir) =>
+      Dedup.minhashCalibration(sharedSigs(s, dir), sharedSets(s, dir), K, Bands)
+        .orderBy(col("est_agree"), col("j_bucket"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143)
+      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145)
 }

@@ -588,7 +588,40 @@ object SamplingQueries {
       .orderBy(col("rn"))
   }
 
+  /** Shard manifest with integrity hashes (see
+    * [[graft.operators.Packing.shardManifest]]): the q49 shards with
+    * membership and content hashes — the reproducibility artifact a
+    * training export records; the oracle replays the shard assignment
+    * AND both ordered-aggregate hashes. */
+  val q144 = {
+    val MaxTok = 4096L
+    GQuery("q144_shard_manifest",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |packed AS (
+         |  SELECT doc_id, n_tokens, fp,
+         |    ${Packing.shardIdSql("doc_id", "n_tokens", MaxTok)} AS shard_id
+         |  FROM toks)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), '-' ORDER BY doc_id)) AS ids_hash,
+         |  md5(string_agg(fp, '' ORDER BY doc_id)) AS content_hash
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+      val packed = Packing.packByTokenBudget(toks, "doc_id", "n_tokens", MaxTok)
+      Packing.shardManifest(packed, "doc_id", "n_tokens", "fp")
+        .orderBy(col("shard_id"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106, q142)
+      q102, q106, q142, q144)
 }
