@@ -81,4 +81,48 @@ object GraphOps {
     r.crossJoin(broadcast(n))
       .select(col("id"), (col("r") / col("n")).as("p"))
   }
+
+  /** Score smoothing over an UNDIRECTED pair graph (label/trust
+    * propagation, Zhu & Ghahramani 2002 shape with a fixed iteration
+    * count): each round replaces a vertex's score with the mean of its
+    * own and its neighborhood average — s' = (s + avgNb + 1) div 2 on
+    * the 1e-4 integer grid. Over the near-dup graph this pushes a
+    * trusted quality signal through duplicate clusters: a low-signal
+    * copy inherits credibility from well-scored near-duplicates, and an
+    * outlier score gets pulled toward its cluster. Isolated vertices
+    * keep their score exactly.
+    *
+    * Cross-engine exactness: scores enter as `round(score·1e4)` longs;
+    * the neighborhood average is `(2·Σ + n) div (2n)` (round-half-up of
+    * an order-free integer sum) and the blend is pure integer
+    * arithmetic — no float ever, so a SQL oracle chaining the same
+    * rounds matches bit-for-bit.
+    *
+    * Scale: per round, one edge⋈score join keyed on the vertex + one
+    * vertex-keyed aggregate — the PageRank shape; edges are the
+    * near-dup pair graph (dup-population-sized, not corpus-sized). */
+  def smoothScores(scores: DataFrame, pairs: DataFrame, scoreCol: String,
+                   iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val s0 = scores.select(col("id"),
+      round(col(scoreCol) * 1e4).cast("long").as("s4"))
+    var s = s0
+    for (_ <- 1 to iters) {
+      val nb = edges.join(s.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(floor((lit(2) * sum(col("s4")) + count(lit(1))) /
+          (lit(2) * count(lit(1)))).as("avg4"))
+        .withColumnRenamed("src", "id")
+      s = s.join(nb, Seq("id"), "left")
+        .select(col("id"),
+          when(col("avg4").isNull, col("s4"))
+            .otherwise(floor((col("s4") + col("avg4") + lit(1)) / lit(2)))
+            .as("s4"))
+    }
+    s0.withColumnRenamed("s4", "s4_initial")
+      .join(s.withColumnRenamed("s4", "s4_smoothed"), Seq("id"))
+      .withColumn("smoothed", col("s4_smoothed").cast("double") / 1e4)
+  }
 }

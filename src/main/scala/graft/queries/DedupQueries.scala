@@ -1003,7 +1003,58 @@ object DedupQueries {
     }
   }
 
+  /** Quality smoothing over the near-dup graph (see
+    * [[graft.operators.GraphOps.smoothScores]]): two label-propagation
+    * rounds push the q28 quality signal through the q24 pair graph —
+    * copies inherit credibility from well-scored near-duplicates,
+    * isolated docs keep their score exactly. Pure integer arithmetic
+    * on the 1e-4 grid (explicit floor both sides — Spark casts
+    * truncate, DuckDB casts round), so the oracle's chained rounds
+    * match bit-for-bit. */
+  val q146 = GQuery("q146_score_smoothing",
+    s"""WITH $shingleCtes,
+       |$pairCtes,
+       |${TextQueries.qualityCte},
+       |s0 AS (SELECT doc_id AS id, CAST(round(quality * 1e4) AS BIGINT) AS s4
+       |       FROM q),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr),
+       |nb1 AS (
+       |  SELECT e.src AS id,
+       |    CAST(floor((2 * sum(s.s4) + count(*)) / (2 * count(*))) AS BIGINT)
+       |      AS avg4
+       |  FROM edges e JOIN s0 s ON s.id = e.dst GROUP BY e.src),
+       |s1 AS (
+       |  SELECT s0.id, CASE WHEN nb1.avg4 IS NULL THEN s0.s4
+       |    ELSE CAST(floor((s0.s4 + nb1.avg4 + 1) / 2) AS BIGINT) END AS s4
+       |  FROM s0 LEFT JOIN nb1 ON nb1.id = s0.id),
+       |nb2 AS (
+       |  SELECT e.src AS id,
+       |    CAST(floor((2 * sum(s.s4) + count(*)) / (2 * count(*))) AS BIGINT)
+       |      AS avg4
+       |  FROM edges e JOIN s1 s ON s.id = e.dst GROUP BY e.src),
+       |s2 AS (
+       |  SELECT s1.id, CASE WHEN nb2.avg4 IS NULL THEN s1.s4
+       |    ELSE CAST(floor((s1.s4 + nb2.avg4 + 1) / 2) AS BIGINT) END AS s4
+       |  FROM s1 LEFT JOIN nb2 ON nb2.id = s1.id)
+       |SELECT s0.id AS doc_id, s0.s4 AS s4_initial, s2.s4 AS s4_smoothed,
+       |  s2.s4 / 10000.0 AS smoothed
+       |FROM s0 JOIN s2 ON s2.id = s0.id ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      import graft.functions.TextFunctions
+      val quality = Tables.documents(s, dir).select(
+        col("doc_id").as("id"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+      graft.operators.GraphOps.smoothScores(
+          quality, sharedPairs(s, dir), "quality", iters = 2)
+        .select(col("id").as("doc_id"), col("s4_initial"),
+          col("s4_smoothed"), col("smoothed"))
+        .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
-      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145)
+      q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
+      q146)
 }

@@ -47,4 +47,23 @@ class GraphOpsSpec extends SparkSpec {
   test("isolated vertices keep exactly the teleport mass at any depth") {
     assert(ranks(4)(4L) == (1 - 0.85) / 4)
   }
+
+  test("smoothScores: hand-computed integer rounds; isolated vertex untouched") {
+    val scores = Seq((1L, 1.0), (2L, 0.0), (3L, 0.5)).toDF("id", "score")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = GraphOps.smoothScores(scores, pairs, "score", iters = 2)
+      .orderBy("id").select("id", "s4_initial", "s4_smoothed")
+      .as[(Long, Long, Long)].collect()
+    // round 1: nb(1)=floor(1/2)=0 → s1(1)=floor(10001/2)=5000;
+    //          nb(2)=floor(20001/2)=10000 → s1(2)=floor(10001/2)=5000;
+    // round 2: both stay 5000 — the pair equalizes; 3 never changes
+    assert(out === Array((1L, 10000L, 5000L), (2L, 0L, 5000L),
+      (3L, 5000L, 5000L)))
+    // odd-value rounding path: floor((3+0+1)/2)=2 and floor((0+3+1)/2)=2
+    val tiny = GraphOps.smoothScores(
+        Seq((1L, 0.0003), (2L, 0.0)).toDF("id", "score"),
+        pairs, "score", iters = 1)
+      .orderBy("id").select("id", "s4_smoothed").as[(Long, Long)].collect()
+    assert(tiny === Array((1L, 2L), (2L, 2L)))
+  }
 }
