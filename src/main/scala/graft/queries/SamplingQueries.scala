@@ -621,7 +621,79 @@ object SamplingQueries {
     }
   }
 
+  /** Capstone curation v9 — the INCREMENTAL-refresh pipeline end to
+    * end: snapshot diff (q134) drives a selective quality recompute
+    * (q137), the refreshed scores gate keeps, survivors pack into
+    * token-budget shards (q49), and each shard exports with integrity
+    * hashes plus a count of recomputed members (q144) — the artifact
+    * chain a recurring 100 TB curation run produces per crawl, with
+    * per-run compute O(churn) + the pack. One oracle replays the diff
+    * verdicts closed-form, the full quality formula over v2, the shard
+    * assignment, and both ordered-aggregate hashes. */
+  val q147 = {
+    val MaxTok = 4096L
+    val QBar = 0.5
+    GQuery("q147_curation_v9",
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text,
+         |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |${TextQueries.qualityCtesOver("v2")},
+         |scored AS (
+         |  SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens, q.quality,
+         |    (q.doc_id % 7 = 0 OR q.doc_id % 11 = 0) AS recomputed,
+         |    md5(regexp_replace(lower(trim(v2.text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM q JOIN v2 USING (doc_id)),
+         |kept AS (SELECT * FROM scored WHERE quality >= $QBar),
+         |packed AS (
+         |  SELECT doc_id, n_tokens, fp, recomputed,
+         |    ${Packing.shardIdSql("doc_id", "n_tokens", MaxTok)} AS shard_id
+         |  FROM kept)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN recomputed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_recomputed,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), '-' ORDER BY doc_id)) AS ids_hash,
+         |  md5(string_agg(fp, '' ORDER BY doc_id)) AS content_hash
+         |FROM packed GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.where(col("doc_id") % 7 =!= 0)
+      val v2 = docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 11 === 0,
+          col("n_chars") + 5).otherwise(col("n_chars")))
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      def score(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      // the refresh runs through the ENGINE's diff machinery; the
+      // oracle recomputes everything over v2 — stale carry-forwards
+      // or wrong verdicts surface as hash mismatches
+      val refreshed = graft.operators.Dedup
+        .incrementalRecompute(v1, score(v1), v2, "doc_id", "text")(score)
+      val kept = refreshed.where(col("quality") >= QBar)
+      val packed = Packing.packByTokenBudget(
+        kept.select(col("doc_id"), col("n_tokens"), col("fp"),
+          col("recomputed")),
+        "doc_id", "n_tokens", MaxTok)
+      packed.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("recomputed"), 1L).otherwise(0L)).as("n_recomputed"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), "-")).as("ids_hash"),
+          md5(array_join(
+            sort_array(collect_list(struct(col("doc_id"), col("fp"))))
+              .getField("fp"), "")).as("content_hash"))
+        .orderBy(col("shard_id"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106, q142, q144)
+      q102, q106, q142, q144, q147)
 }
