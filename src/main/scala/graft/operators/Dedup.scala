@@ -181,6 +181,106 @@ object Dedup {
     }
   }
 
+  /** Asymmetric shingle-containment pairs: C(sub→sup) =
+    * |sh(sub) ∩ sh(sup)| / |sh(sub)|, emitted per DIRECTION with
+    * C ≥ `minContainment`. Jaccard is symmetric and structurally blind
+    * to the quote/truncation shape — a short doc fully embedded in a
+    * long one scores J = |sub|/|sup| (arbitrarily low as the host
+    * grows) while C(sub→sup) = 1. This is the Broder containment
+    * measure ("On the resemblance and containment of documents",
+    * SEQUENCES 1997) over the same word-shingle sets the Jaccard
+    * family uses.
+    *
+    * Shape: identical inverted-index candidate join to
+    * [[jaccardPairsFromSets]] — ONE shared-shingle count per unordered
+    * pair, both directions derived arithmetically from
+    * (inter, sz_a, sz_b), so detecting containment costs no more than
+    * detecting resemblance. `maxDocFreq` caps candidate generation
+    * only; bound-passing pairs are verified against the full sets, so
+    * emitted scores are exact (recall caveat as in
+    * [[jaccardPairsFromSets]]: a pair is missed iff every shared
+    * shingle is corpus-frequent). */
+  def containmentPairsFromSets(sets: DataFrame,
+                               minContainment: Double = 0.9,
+                               maxDocFreq: Option[Int] = Some(10000)): DataFrame = {
+    val ex0 = sets.select(col("id"), explode(col("shset")).as("s"))
+    // (id_a < id_b, EXACT inter, sz_a, sz_b) -> both ordered directions.
+    def emitBoth(pairs: DataFrame): DataFrame =
+      pairs.select(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
+          (col("inter").cast("double") / col("sz_a")).as("containment"))
+        .unionAll(pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_sup"),
+          (col("inter").cast("double") / col("sz_b")).as("containment")))
+        .where(col("containment") >= minContainment)
+        .select(col("id_sub"), col("id_sup"),
+          round(col("containment"), 4).as("containment"))
+    val sizes = sets.select(col("id"), size(col("shset")).as("sz"))
+    maxDocFreq match {
+      case None =>
+        val shared = ex0.select(col("id").as("id_a"), col("s"))
+          .join(ex0.select(col("id").as("id_b"), col("s")), "s")
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        emitBoth(shared
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b"))
+      case Some(maxDf) =>
+        // Frequency-capped candidates with exact verification — the
+        // jaccardPairsFromSets structure, but the upper bound is taken
+        // against the SMALLER side (the containment denominator can be
+        // either side, so a pair survives if EITHER direction's bound
+        // clears the threshold).
+        val freq = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("s")
+        val ex = ex0.join(freq, Seq("s"), "left_anti")
+        val nFreq = ex0.join(freq, "s").groupBy("id").agg(count(lit(1)).as("n_freq"))
+        val szf = sizes.join(nFreq, Seq("id"), "left")
+          .select(col("id"), col("sz"), coalesce(col("n_freq"), lit(0L)).as("n_freq"))
+        val shared = ex.select(col("id").as("id_a"), col("s"))
+          .join(ex.select(col("id").as("id_b"), col("s")), "s")
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_rare"))
+        val bound = shared
+          .join(szf.select(col("id").as("id_a"), col("sz").as("sz_a"),
+            col("n_freq").as("nf_a")), "id_a")
+          .join(szf.select(col("id").as("id_b"), col("sz").as("sz_b"),
+            col("n_freq").as("nf_b")), "id_b")
+        val ubInter = col("inter_rare") + least(col("nf_a"), col("nf_b"))
+        emitBoth(bound
+          .where(ubInter.cast("double") / least(col("sz_a"), col("sz_b"))
+            >= minContainment)
+          .select("id_a", "id_b")
+          .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
+          .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
+            size(col("set_a")).as("sz_a"), size(col("set_b")).as("sz_b")))
+    }
+  }
+
+  /** Duplication-attribution matrix: for each unordered pair of
+    * document attributes (source, crawl, license, …), how many near-dup
+    * pairs cross them and the integer-grid sum of their similarities —
+    * the report that tells a curation run WHICH feeds copy WHICH (a
+    * mirror site shows up as a hot off-diagonal cell, boilerplate shows
+    * up on the diagonal). `pairs` is any (id_a, id_b, simCol) frame
+    * (e.g. [[jaccardPairsFromSets]]); `meta` maps id → attribute.
+    * Cost: two id-keyed joins of the PAIR graph (dup-population-sized,
+    * never corpus-sized) + one aggregate over ≤ |attr|² cells; sims are
+    * summed on the 1e-4 integer grid so the cell totals are order-free. */
+  def dupAttribution(pairs: DataFrame, meta: DataFrame,
+                     idCol: String, attrCol: String,
+                     simCol: String = "jaccard"): DataFrame = {
+    val m = meta.select(col(idCol).as("id"), col(attrCol).as("attr"))
+    pairs
+      .join(m.select(col("id").as("id_a"), col("attr").as("attr_a")), "id_a")
+      .join(m.select(col("id").as("id_b"), col("attr").as("attr_b")), "id_b")
+      .select(least(col("attr_a"), col("attr_b")).as("attr_1"),
+        greatest(col("attr_a"), col("attr_b")).as("attr_2"),
+        round(col(simCol) * 1e4).cast("long").as("sim4"))
+      .groupBy("attr_1", "attr_2")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sim4")).as("sum_sim4"))
+  }
+
   /** MinHash signatures as an ordered K-element `array<long>` column `sig`.
     *
     * Each shingle is md5-hashed ONCE; the K per-seed hash values are

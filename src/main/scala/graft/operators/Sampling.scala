@@ -308,4 +308,42 @@ object Sampling {
           .orderBy(col("key10"), col(idCol))))
       .select(col(idCol), col("w4"), col("key10"), col("rn"))
   }
+
+  /** Histogram-equalized range bucketing WITHOUT a global sort: assign
+    * each row a bucket 0..`buckets`-1 that is monotone in `scoreCol`
+    * and (up to tie mass) balanced — the boundary-derivation step of a
+    * range-partitioned export (sort 100 TB of docs by quality into B
+    * balanced shards) done exactly, not by sampling.
+    *
+    * How: scores live on the 1e-4 integer grid, so the corpus reduces
+    * to per-grid-cell counts (ONE map-side-combined aggregate; the cell
+    * frame is GRID-bounded — ≤ ~20k rows for scores in [-1, 1] — never
+    * corpus-bounded). A cumulative window over the cell frame (small by
+    * construction, the one place a partition-less window is safe)
+    * yields each cell's preceding-population count, and
+    * bucket(cell) = floor(cum_before · B / n). All rows of one cell
+    * land in one bucket (a tie never straddles a boundary — the
+    * determinism a re-export needs), so buckets are balanced up to the
+    * largest tie class. The cell→bucket map joins back broadcast-sized.
+    *
+    * Contrast with `repartitionByRange`/`ntile`: those sample or
+    * globally sort and break ties arbitrarily across partitions —
+    * non-reproducible shard membership; this is exact, deterministic,
+    * and one aggregate + one broadcast join at any scale. */
+  def rangeBuckets(df: DataFrame, idCol: String, scoreCol: String,
+                   buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val s4 = round(col(scoreCol) * 1e4).cast("long").as("s4")
+    val rows = df.select(col(idCol), s4)
+    val cells = rows.groupBy("s4").agg(count(lit(1)).as("n_cell"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s4"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val mapped = cells
+      .withColumn("cum_before", coalesce(sum(col("n_cell")).over(w), lit(0L)))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n_total"))))
+      .withColumn("bucket",
+        floor(col("cum_before") * buckets / col("n_total")).cast("int"))
+      .select("s4", "bucket")
+    rows.join(broadcast(mapped), "s4").select(col(idCol), col("s4"), col("bucket"))
+  }
 }

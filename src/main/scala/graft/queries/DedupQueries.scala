@@ -1053,8 +1053,85 @@ object DedupQueries {
         .orderBy(col("doc_id"))
   }
 
+  /** Asymmetric containment pairs (see
+    * [[graft.operators.Dedup.containmentPairsFromSets]]): the corpus
+    * plus derived excerpt docs (first half of every 13th doc's words,
+    * negative ids) — every excerpt is found fully contained in its
+    * source (containment 1.0) where Jaccard scores it ~0.5 and the
+    * near-dup family misses it. The oracle replays excerpt
+    * construction, shingling, and both directions' containment. */
+  val q148 = GQuery("q148_containment_pairs",
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT doc_id AS id, ws FROM tok0
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS id, ws[1:len(ws)//2] AS ws FROM tok0
+       |  WHERE doc_id % 13 = 0 AND len(ws) >= 6),
+       |shc AS (
+       |  SELECT id, list_distinct(
+       |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS shset
+       |  FROM corpus WHERE len(ws) >= $N),
+       |exc AS (SELECT id, unnest(shset) AS s FROM shc),
+       |szc AS (SELECT id, len(shset) AS sz FROM shc),
+       |shared AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM exc a JOIN exc b ON a.s = b.s AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |bth AS (
+       |  SELECT id_a AS id_sub, id_b AS id_sup, inter * 1.0 / sa.sz AS containment
+       |  FROM shared JOIN szc sa ON sa.id = id_a
+       |  UNION ALL
+       |  SELECT id_b, id_a, inter * 1.0 / sb.sz
+       |  FROM shared JOIN szc sb ON sb.id = id_b)
+       |SELECT id_sub, id_sup, round(containment, 4) AS containment
+       |FROM bth WHERE containment >= 0.9
+       |ORDER BY id_sub, id_sup""".stripMargin) { (s, dir) =>
+    val toks = TextQueries.sharedToks(s, dir)
+    val half = (size(col("ws")) / lit(2)).cast("int")
+    val excerpts = toks
+      .where(col("id") % 13 === 0 && size(col("ws")) >= 6)
+      .select((-col("id") - 1).as("id"), slice(col("ws"), lit(1), half).as("ws"))
+    val corpus = toks.select("id", "ws").unionAll(excerpts)
+    Dedup.containmentPairsFromSets(Dedup.shingleSetsFromTokens(corpus, N), 0.9)
+      .orderBy(col("id_sub"), col("id_sup"))
+  }
+
+  /** Duplication-attribution matrix (see
+    * [[graft.operators.Dedup.dupAttribution]]): the q24 near-dup pair
+    * graph rolled up to (source, source) cells — which feeds copy
+    * which. Similarities summed on the 1e-4 grid (order-free). */
+  val q150 = GQuery("q150_dup_attribution",
+    s"""WITH $shingleCtes,
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pj AS (
+       |  SELECT id_a, id_b,
+       |    round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |  FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ),
+       |att AS (
+       |  SELECT least(da.source, db.source) AS attr_1,
+       |    greatest(da.source, db.source) AS attr_2,
+       |    CAST(round(jaccard * 1e4) AS BIGINT) AS sim4
+       |  FROM pj
+       |  JOIN documents da ON da.doc_id = id_a
+       |  JOIN documents db ON db.doc_id = id_b)
+       |SELECT attr_1, attr_2, count(*) AS n_pairs,
+       |  CAST(sum(sim4) AS BIGINT) AS sum_sim4
+       |FROM att GROUP BY 1, 2 ORDER BY attr_1, attr_2""".stripMargin) { (s, dir) =>
+    Dedup.dupAttribution(sharedPairs(s, dir), Tables.documents(s, dir),
+        "doc_id", "source")
+      .orderBy(col("attr_1"), col("attr_2"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146)
+      q146, q148, q150)
 }

@@ -693,7 +693,41 @@ object SamplingQueries {
     }
   }
 
+  /** Histogram-equalized range sharding (see
+    * [[graft.operators.Sampling.rangeBuckets]]): 8 quality-ordered,
+    * balanced-up-to-ties buckets derived from the grid-cell histogram —
+    * no global sort, no sampled boundaries. The oracle replays the
+    * cumulative-cell arithmetic; the report shows each bucket's
+    * population and score range (ranges must not overlap — monotone by
+    * construction). */
+  val q149 = {
+    val B = 8
+    GQuery("q149_range_buckets",
+      s"""WITH ${TextQueries.qualityCte},
+         |rws AS (
+         |  SELECT doc_id, CAST(round(quality * 1e4) AS BIGINT) AS s4 FROM q),
+         |cells AS (SELECT s4, count(*) AS n_cell FROM rws GROUP BY s4),
+         |tot AS (SELECT count(*) AS n_total FROM rws),
+         |mapped AS (
+         |  SELECT s4,
+         |    CAST(floor(coalesce(sum(n_cell) OVER (ORDER BY s4
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      * $B / n_total) AS INT) AS bucket
+         |  FROM cells, tot)
+         |SELECT bucket, count(*) AS n_docs, min(s4) AS min_s4, max(s4) AS max_s4
+         |FROM rws JOIN mapped USING (s4)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val quality = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+      Sampling.rangeBuckets(quality, "doc_id", "quality", B)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("s4")).as("min_s4"), max(col("s4")).as("max_s4"))
+        .orderBy(col("bucket"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106, q142, q144, q147)
+      q102, q106, q142, q144, q147, q149)
 }

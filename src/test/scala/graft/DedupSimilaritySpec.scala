@@ -53,6 +53,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cappedJ === exactJ)
   }
 
+  test("containment finds the asymmetric excerpt-in-host pair Jaccard misses") {
+    // host: 10 words -> 8 trigrams; excerpt: its first 5 words -> 3
+    // trigrams, ALL present in the host. C(excerpt→host) = 1.0 while
+    // J = 3/8 — below any near-dup threshold.
+    val cdocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally unrelated content lives in this row")).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(cdocs, "doc_id", "text", 3)
+    val out = Dedup.containmentPairsFromSets(sets, minContainment = 0.9)
+      .select("id_sub", "id_sup", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((2L, 1L, 1.0)))  // only the excerpt direction
+    // and the symmetric Jaccard family indeed misses it at 0.8
+    val j = Dedup.jaccardPairsFromSets(sets, 0.8).count()
+    assert(j === 0L)
+  }
+
+  test("containment df-cap path emits the same exact scores as the uncapped path") {
+    val stopDocs = Seq(
+      (1L, "a a a unique text one two three four"),
+      (2L, "a a a unique text one two three"),
+      (3L, "a a a something else entirely different here"),
+      (4L, "a a a other words with nothing shared across")
+    ).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(stopDocs, "doc_id", "text", 3)
+    def rows(cap: Option[Int]) =
+      Dedup.containmentPairsFromSets(sets, 0.8, cap)
+        .select("id_sub", "id_sup", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    val capped = rows(Some(2))
+    val exact = rows(None)
+    assert(capped.subsetOf(exact))
+    // doc 2's shingles are a prefix-subset of doc 1's: containment 2->1
+    // must survive the cap with its exact 1.0 score
+    assert(capped.contains((2L, 1L, 1.0)))
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact jaccard") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

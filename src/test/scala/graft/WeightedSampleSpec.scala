@@ -79,4 +79,35 @@ class WeightedSampleSpec extends SparkSpec {
       .where(col("id") === 42L).select("rn").as[Int].head()
     assert(boosted <= baseRank)
   }
+
+  test("rangeBuckets: monotone, tie-coherent, balanced up to tie mass") {
+    // 1000 rows over 100 distinct grid scores (10-way ties each)
+    val rows = (1L to 1000L).map(i => (i, (i % 100) / 100.0))
+    val out = Sampling.rangeBuckets(rows.toDF("id", "score"), "id", "score", 8)
+      .select(col("id").cast("long"), col("s4"), col("bucket"))
+      .as[(Long, Long, Int)].collect()
+    assert(out.length === 1000)
+    // every row of one grid cell lands in ONE bucket (ties never straddle)
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+    // bucket is monotone in score
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    val ordered = byBucket.toSeq.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Seq((_, lo), (_, hi)) => assert(lo.max < hi.min)
+      case _ =>
+    }
+    // all 8 buckets populated; balance within the 10-row tie mass
+    assert(byBucket.keySet === (0 until 8).toSet)
+    val sizes = ordered.map(_._2.length)
+    assert(sizes.max - sizes.min <= 10,
+      s"bucket sizes $sizes unbalanced beyond one tie class")
+    // exact law: bucket = floor(cum_before * B / n) over the cell histogram
+    val cells = rows.groupBy(r => math.round(r._2 * 1e4)).view
+      .mapValues(_.size).toSeq.sortBy(_._1)
+    val expected = cells.scanLeft((0L, 0L)) { case ((cum, _), (s4, n)) =>
+      (cum + n, s4) }.drop(1)
+      .zip(cells).map { case ((cumThrough, s4), (_, n)) =>
+        s4 -> ((cumThrough - n) * 8 / 1000).toInt }.toMap
+    assert(out.forall { case (_, s4, b) => expected(s4) == b })
+  }
 }
