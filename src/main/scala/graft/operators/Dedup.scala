@@ -1115,4 +1115,53 @@ object Dedup {
       .withColumn("dup_char_frac",
         round(col("dup_chars").cast("double") / col("n_chars"), 4))
   }
+
+  /** Maximal shared token spans between document pairs — the pairwise
+    * form of exact-substring dedup (cf. Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, which
+    * builds a corpus suffix array; here the anchor index plays that
+    * role): every maximal run of ≥ `minLen` consecutive tokens shared
+    * verbatim between two documents, with its start position on BOTH
+    * sides — what a surgical span-removal or a plagiarism report needs,
+    * where the census families (q68/q115/q136) only count.
+    *
+    * How: stride-1 positional `w`-gram anchors (md5-keyed), equi-join
+    * on the anchor hash → match points (pa, pb); along one diagonal
+    * (pb − pa constant) consecutive anchor matches are exactly the
+    * shared token runs, so a gaps-and-islands pass (window PER (pair,
+    * diagonal) — keyed, never global) merges them; a run of g anchors
+    * = g + w − 1 shared tokens. Maximality is structural: an island
+    * ends exactly where the tokens stop matching.
+    *
+    * `maxAnchorDf` drops anchors occurring more than that many times
+    * corpus-wide from matching (each occurrence pair costs df² join
+    * rows — the boilerplate guard). Unlike the Jaccard cap this is
+    * SEMANTIC, not just recall: a span crossing a dropped hot anchor
+    * splits into two reported spans. Oracles must replay the cap. */
+  def sharedSpans(toks: DataFrame, w: Int = 5, minLen: Int = 8,
+                  maxAnchorDf: Option[Int] = Some(1000)): DataFrame = {
+    require(minLen >= w, "minLen must be >= anchor width w")
+    val pg0 = TextStats.posShinglesFromTokens(toks, w)
+      .select(col("id"), col("pos"), md5(col("s")).as("h"))
+    val pg = maxAnchorDf match {
+      case None => pg0
+      case Some(cap) =>
+        val hot = pg0.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("h")
+        pg0.join(hot, Seq("h"), "left_anti")
+    }
+    val m = pg.select(col("id").as("id_a"), col("pos").as("pa"), col("h"))
+      .join(pg.select(col("id").as("id_b"), col("pos").as("pb"), col("h")), "h")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pb") - col("pa")).as("diag"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    m.withColumn("island", col("pa") - row_number().over(byDiag))
+      .groupBy("id_a", "id_b", "diag", "island")
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (w - 1)).as("len_tokens"))
+      .where(col("len_tokens") >= minLen)
+      .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
+  }
 }

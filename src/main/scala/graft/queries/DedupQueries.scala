@@ -1130,8 +1130,47 @@ object DedupQueries {
       .orderBy(col("attr_1"), col("attr_2"))
   }
 
+  /** Maximal shared token spans (see
+    * [[graft.operators.Dedup.sharedSpans]]): every verbatim run of ≥ 8
+    * tokens shared between two docs, with start positions on both
+    * sides — the surgical span-removal / plagiarism-report form of the
+    * census families. The oracle replays anchors, the df cap, and the
+    * gaps-and-islands merge. */
+  val q151 = GQuery("q151_shared_spans",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |pg0 AS (
+       |  SELECT doc_id, u.pos AS pos, md5(u.s) AS h FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': j, 's': array_to_string(ws[(j+1):(j+5)], ' ')}
+       |              for j in range(0, len(ws) - 4)]) AS u
+       |    FROM tok WHERE len(ws) >= 5)),
+       |pg AS (
+       |  SELECT * FROM pg0
+       |  WHERE h NOT IN (SELECT h FROM pg0 GROUP BY h HAVING count(*) > 1000)),
+       |m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+       |    b.pos - a.pos AS diag
+       |  FROM pg a JOIN pg b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT id_a, id_b, diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+       |      AS island
+       |  FROM m),
+       |sp AS (
+       |  SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+       |    count(*) + 4 AS len_tokens
+       |  FROM isl GROUP BY id_a, id_b, diag, island)
+       |SELECT id_a, id_b, start_a, start_b, len_tokens
+       |FROM sp WHERE len_tokens >= 8
+       |ORDER BY id_a, id_b, start_a, start_b""".stripMargin) { (s, dir) =>
+    Dedup.sharedSpans(TextQueries.sharedToks(s, dir), w = 5, minLen = 8)
+      .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146, q148, q150)
+      q146, q148, q150, q151)
 }

@@ -91,6 +91,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.contains((2L, 1L, 1.0)))
   }
 
+  test("sharedSpans merges anchor runs into maximal spans with both positions") {
+    // shared verbatim run "a b c d e f g h" (8 tokens): at pos 2 in doc 1,
+    // pos 1 in doc 2. w=5 -> 4 consecutive anchors on one diagonal.
+    val spanDocs = Seq(
+      (1L, "x1 x2 a b c d e f g h x3"),
+      (2L, "y1 a b c d e f g h y2 y3"),
+      (3L, "p q r s t u v m n o")).toDF("doc_id", "text")
+    val toks = graft.operators.TextStats.tokenized(spanDocs, "doc_id", "text")
+    val out = Dedup.sharedSpans(toks, w = 5, minLen = 8)
+      .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 2, 1, 8L)))
+    // a 7-token shared run (3 anchors) falls below minLen=8
+    val shorter = Seq(
+      (1L, "x1 x2 a b c d e f g x3"),
+      (2L, "y1 a b c d e f g y2 y3")).toDF("doc_id", "text")
+    val none = Dedup.sharedSpans(
+      graft.operators.TextStats.tokenized(shorter, "doc_id", "text"),
+      w = 5, minLen = 8).count()
+    assert(none === 0L)
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact jaccard") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
