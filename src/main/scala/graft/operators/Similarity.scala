@@ -985,4 +985,50 @@ object Similarity {
       .select(col("corpus_id").as("vec_id"), col("cid"),
         col("id_a").isNull.as("kept"))
   }
+
+  /** Mutual-nearest-neighbor pair mining with margin scores between two
+    * embedding populations — the bitext-mining shape (Artetxe &
+    * Schwenk, "Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings", ACL 2019): a pair (a, b) is emitted iff b is
+    * a's top-1 neighbor in B AND a is b's top-1 in A (mutual NN), with
+    * each side's margin = cos(top1) − cos(top2) — how decisively the
+    * match beats its runner-up. High-margin mutual pairs are the
+    * aligned-data candidates; the margins make the downstream threshold
+    * auditable instead of baked in.
+    *
+    * Both directions share ONE scored A×B frame (B broadcast — the
+    * query-set side; at corpus×corpus scale swap the scorer for
+    * [[ivfProbe]] candidates per side and keep the windows + mutual
+    * join, which are population-sized, never pair-sized). Singleton
+    * populations surface margin = cos1 − (−1) (no runner-up). */
+  def mutualMarginPairs(a: DataFrame, b: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val av = FanOut(a.select(col(idCol).as("id_a"), col(vecCol).as("va")))
+    val bv = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val scored = av.join(broadcast(bv), lit(true))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .select("id_a", "id_b", "cosine")
+    val wa = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b"))
+    val wb = Window.partitionBy(col("id_b"))
+      .orderBy(col("cosine").desc, col("id_a"))
+    val topA = scored.withColumn("rn", row_number().over(wa))
+      .where(col("rn") <= 2)
+      .groupBy(col("id_a"))
+      .agg(max(when(col("rn") === 1, col("id_b"))).as("best_b"),
+        max(when(col("rn") === 1, col("cosine"))).as("cos_a"),
+        coalesce(max(when(col("rn") === 2, col("cosine"))), lit(-1.0))
+          .as("cos2_a"))
+    val topB = scored.withColumn("rn", row_number().over(wb))
+      .where(col("rn") <= 2)
+      .groupBy(col("id_b"))
+      .agg(max(when(col("rn") === 1, col("id_a"))).as("best_a"),
+        coalesce(max(when(col("rn") === 2, col("cosine"))), lit(-1.0))
+          .as("cos2_b"))
+    topA.join(topB, topA("best_b") === topB("id_b")
+        && topB("best_a") === topA("id_a"))
+      .select(col("id_a"), col("id_b"), col("cos_a").as("cosine"),
+        round(col("cos_a") - col("cos2_a"), 6).as("margin_a"),
+        round(col("cos_a") - col("cos2_b"), 6).as("margin_b"))
+  }
 }

@@ -691,7 +691,49 @@ object SimilarityQueries {
     Search.evalRanked(ranked, rel, K).orderBy(col("query_id"))
   }
 
+  /** Mutual-NN margin mining between two embedding populations (see
+    * [[graft.operators.Similarity.mutualMarginPairs]]): label 0 plays
+    * the source "language", label 1 the target — a pair is mined iff
+    * each side is the other's top-1 cross-population neighbor, with
+    * both sides' top1−top2 margins attached. The oracle replays both
+    * ranking directions and the mutual join. */
+  val q152 = GQuery("q152_mutual_margin_mining",
+    s"""WITH a AS (SELECT vec_id AS id_a, embedding AS qv
+       |           FROM embeddings WHERE label = 0),
+       |b AS (SELECT vec_id AS id_b, embedding AS cv
+       |      FROM embeddings WHERE label = 1),
+       |scored AS (
+       |  SELECT id_a, id_b, round($cosSql, 6) AS cosine FROM a, b),
+       |ra AS (SELECT id_a, id_b, cosine,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+       |  FROM scored),
+       |ta AS (
+       |  SELECT id_a,
+       |    max(CASE WHEN rn = 1 THEN id_b END) AS best_b,
+       |    max(CASE WHEN rn = 1 THEN cosine END) AS cos_a,
+       |    coalesce(max(CASE WHEN rn = 2 THEN cosine END), -1.0) AS cos2_a
+       |  FROM ra WHERE rn <= 2 GROUP BY id_a),
+       |rb AS (SELECT id_a, id_b, cosine,
+       |    row_number() OVER (PARTITION BY id_b ORDER BY cosine DESC, id_a) AS rn
+       |  FROM scored),
+       |tb AS (
+       |  SELECT id_b,
+       |    max(CASE WHEN rn = 1 THEN id_a END) AS best_a,
+       |    coalesce(max(CASE WHEN rn = 2 THEN cosine END), -1.0) AS cos2_b
+       |  FROM rb WHERE rn <= 2 GROUP BY id_b)
+       |SELECT ta.id_a, tb.id_b, ta.cos_a AS cosine,
+       |  round(ta.cos_a - ta.cos2_a, 6) AS margin_a,
+       |  round(ta.cos_a - tb.cos2_b, 6) AS margin_b
+       |FROM ta JOIN tb ON ta.best_b = tb.id_b AND tb.best_a = ta.id_a
+       |ORDER BY id_a""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.mutualMarginPairs(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+        "vec_id", "embedding")
+      .orderBy(col("id_a"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109, q124, q125, q130, q140, q141)
+      q99, q101, q109, q124, q125, q130, q140, q141, q152)
 }

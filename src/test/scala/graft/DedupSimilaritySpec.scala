@@ -113,6 +113,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("mutualMarginPairs mines only mutual top-1 pairs, with both margins") {
+    // a1↔b1 are each other's top-1 (mutual). a2's top-1 is also b1 (not
+    // mutual); b2's top-1 is a2 (not mutual). Expect exactly (a1, b1).
+    val a = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((10L, Array(1f, 0.05f)), (20L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mutualMarginPairs(a, b, "vec_id", "embedding")
+      .select("id_a", "id_b", "cosine", "margin_a", "margin_b")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((1L, 10L)))
+    val r = out.head
+    assert(r._3 > 0.99)                      // near-parallel match
+    assert(r._4 > 0 && r._5 > 0)             // both margins positive
+    // singleton populations: margin falls back to cos1 - (-1)
+    val solo = Similarity.mutualMarginPairs(
+        a.limit(1), b.limit(1), "vec_id", "embedding")
+      .select("margin_a").as[Double].head()
+    assert(solo > 1.9)
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact jaccard") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
