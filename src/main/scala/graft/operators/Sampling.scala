@@ -291,17 +291,27 @@ object Sampling {
     * Scale: a pure map to (id, key) then a global TakeOrdered k — no
     * shuffle of the corpus, no single-partition window; the k-row
     * result gets its rank from a window over k rows. */
-  def weightedTopKSample(df: DataFrame, idCol: String, weightCol: String,
-                         k: Int): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    val base = df.select(col(idCol),
-      greatest(round(col(weightCol) * 1e4).cast("long"), lit(0L)).as("w4"),
-      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
-        .cast("long").as("u48"))
+  /** The A-ES ranking projection shared by [[weightedTopKSample]] and
+    * the streaming reservoir ([[graft.streaming.Pipelines
+    * .weightedSampleAgainstStore]]): (original columns +, w4, key10)
+    * with zero-weight rows dropped. ONE definition so the batch and
+    * streaming samplers can never rank by different formulas. */
+  def aresKeys(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    df.withColumn("w4",
+        greatest(round(col(weightCol) * 1e4).cast("long"), lit(0L)))
+      .withColumn("u48",
+        conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+          .cast("long"))
       .where(col("w4") > 0)
       .withColumn("key10",
         round(lit(1e10) * log(lit(281474976710656.0) / (col("u48") + lit(1)))
           / col("w4")).cast("long"))
+      .drop("u48")
+
+  def weightedTopKSample(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = aresKeys(df.select(col(idCol), col(weightCol)), idCol, weightCol)
     base.orderBy(col("key10"), col(idCol)).limit(k)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window

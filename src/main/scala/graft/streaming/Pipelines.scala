@@ -312,6 +312,43 @@ object Pipelines {
     (nAfter, filesBefore, DedupStore.dataFileCount(spark, s"$path/data"))
   }
 
+  /** Outcome of [[compactStoreIfNeeded]]. `rows` is −1 when the
+    * threshold was not crossed (the no-op path never scans the data). */
+  final case class CompactDecision(compacted: Boolean, maxFilesPerDir: Long,
+                                   rows: Long, filesBefore: Long,
+                                   filesAfter: Long)
+
+  /** File-count-triggered compaction policy over [[compactStore]]: run
+    * the rewrite only when some `pb` partition dir has accumulated more
+    * than `maxFilesPerDir` data files (each streaming append leaves one
+    * file per touched dir per batch). The census is a driver-side
+    * directory listing — ≤ `buckets` dirs, no Spark job — so calling
+    * this after every N batches (or from a maintenance cron) costs
+    * nothing when the store is healthy. Same single-writer discipline
+    * as [[compactStore]]. */
+  def compactStoreIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           maxFilesPerDir: Int = 8): CompactDecision = {
+    require(storeExists(spark, s"$path/data"),
+      s"no dedup store data at $path/data")
+    val data = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
+    val perDir = fs.listStatus(data).filter(_.isDirectory).map { d =>
+      fs.listStatus(d.getPath).count { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
+    }
+    val maxPer = if (perDir.isEmpty) 0L else perDir.max
+    if (maxPer <= maxFilesPerDir) {
+      val total = DedupStore.dataFileCount(spark, s"$path/data")
+      CompactDecision(compacted = false, maxPer, -1L, total, total)
+    } else {
+      val (rows, before, after) = compactStore(spark, path)
+      CompactDecision(compacted = true, maxPer, rows, before, after)
+    }
+  }
+
   /** Per-batch core of [[dedupAgainstStore]], factored out so the spec
     * can plan-assert the pruned scan + broadcast-only joins: returns
     * the batch rows whose normalized-text fingerprint is new to both
@@ -782,6 +819,69 @@ object Pipelines {
       else Some(DedupStore.prunedRead(spark, storePath, pbs)
         .join(broadcast(fp.select("fingerprint").distinct()),
           Seq("fingerprint"), "left_semi"))
+    }
+  }
+
+  /** Streaming weighted reservoir: maintain, across micro-batches and
+    * restarts, the per-stratum k-sample a batch A-ES pass
+    * ([[graft.operators.Sampling.weightedTopKSample]]) would draw over
+    * EVERYTHING ingested so far. Exactness is structural, not
+    * approximate: A-ES ranking keys are item-intrinsic (md5 coin — no
+    * RNG state), so "merge new candidates with the stored reservoir,
+    * keep the k smallest keys per stratum" is bit-equal to ranking the
+    * full history; truncating to k per batch loses nothing a later
+    * batch could need. State is ≤ k rows per stratum FOREVER — the
+    * per-batch cost is batch + reservoir, never history (contrast the
+    * dedup stores, whose state must grow; a sampler's must not).
+    *
+    * Redelivery is idempotent (same id ⇒ same key ⇒ dropDuplicates by
+    * merge); a re-arrival with a HIGHER weight improves the item's key
+    * (min-key merge — monotone), a lower one is ignored. The reservoir
+    * dir is replaced per batch via write-aside + two renames, so a
+    * crash leaves the previous complete reservoir readable. `sink`
+    * receives the post-merge reservoir (stratum, id, w4, key10, rn). */
+  def weightedSampleAgainstStore(idCol: String, weightCol: String,
+                                 stratumCol: String, storePath: String,
+                                 k: Int)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(k >= 1, "k must be >= 1")
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      DedupStore.openOrInit(spark, storePath, Seq("k" -> k))
+      val cand = graft.operators.Sampling.aresKeys(
+          batch.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+            col(weightCol).as("__w")),
+          "id", "__w")
+        .select("stratum", "id", "w4", "key10")
+      val live = s"$storePath/reservoir"
+      val merged0 =
+        if (storeExists(spark, live)) spark.read.parquet(live)
+          .select("stratum", "id", "w4", "key10").unionByName(cand)
+        else cand
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stratum")).orderBy(col("key10"), col("id"))
+      val merged = merged0
+        .groupBy("stratum", "id")
+        .agg(max(col("w4")).as("w4"), min(col("key10")).as("key10"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .persist()
+      // write-aside + swap: the previous reservoir stays complete until
+      // its replacement is fully on disk
+      val conf = spark.sessionState.newHadoopConf()
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      val fs = livePath.getFileSystem(conf)
+      val next = new org.apache.hadoop.fs.Path(s"$storePath/reservoir_next")
+      val old = new org.apache.hadoop.fs.Path(s"$storePath/reservoir_old")
+      fs.delete(next, true); fs.delete(old, true)
+      merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
+      if (fs.exists(livePath))
+        require(fs.rename(livePath, old), s"cannot move reservoir aside: $live")
+      require(fs.rename(next, livePath), s"cannot promote reservoir: $next")
+      fs.delete(old, true)
+      sink(merged)
+      merged.unpersist()
+      ()
     }
   }
 

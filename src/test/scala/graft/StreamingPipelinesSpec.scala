@@ -3,6 +3,7 @@ package graft
 import graft.streaming.Pipelines
 import graft.streaming.Pipelines.{SessionEvent, SessionOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 /** Event-time streaming semantics: watermark late-data drop, tumbling
@@ -815,5 +816,88 @@ class StreamingPipelinesSpec extends SparkSpec {
       seen ++= fresh.select("doc_id").as[Long].collect()
     }(next, 99L)
     assert(seen.toSeq === Seq(9001L))   // stored fingerprint still recognized
+  }
+
+  test("compactStoreIfNeeded: no-op below the threshold, compacts above it") {
+    val store = java.nio.file.Files.createTempDirectory("compactpolicy").toString
+    (0 until 4).foreach { b =>
+      val batch = (1L to 30L).map(i => (b * 1000L + i, s"pol $b-$i body"))
+        .toDF("doc_id", "text")
+      Pipelines.dedupAgainstStore("text", store, 8) { _ => () }(batch, b.toLong)
+    }
+    def fileSet() = {
+      val fs = new java.io.File(s"$store/data").listFiles()
+        .filter(_.getName.startsWith("pb="))
+        .flatMap(_.listFiles().map(_.getAbsolutePath)).sorted.toSeq
+      fs
+    }
+    val beforeFiles = fileSet()
+    // generous threshold: healthy store, decision reports but touches nothing
+    val noop = Pipelines.compactStoreIfNeeded(spark, store, maxFilesPerDir = 100)
+    assert(!noop.compacted && noop.rows === -1L)
+    assert(noop.filesBefore === noop.filesAfter)
+    assert(fileSet() === beforeFiles, "no-op path must not rewrite any file")
+    assert(noop.maxFilesPerDir > 1, "several appends must stack files per dir")
+    // tight threshold: the same census now triggers the real compaction
+    val did = Pipelines.compactStoreIfNeeded(spark, store, maxFilesPerDir = 1)
+    assert(did.compacted && did.rows === 120L)
+    assert(did.filesAfter < did.filesBefore)
+    new java.io.File(s"$store/data").listFiles()
+      .filter(_.getName.startsWith("pb=")).foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+      }
+  }
+
+  test("weightedSampleAgainstStore: streamed reservoir equals the batch A-ES sample") {
+    import graft.operators.Sampling
+    val store = java.nio.file.Files.createTempDirectory("wreservoir").toString
+    val k = 3
+    var reservoir: Seq[(String, Long, Int)] = Nil   // (stratum, id, rn)
+    def body = Pipelines.weightedSampleAgainstStore(
+        "item_id", "w", "src", store, k) { r =>
+      reservoir = r.select(col("stratum"), col("id"), col("rn"))
+        .as[(String, Long, Int)].collect().toSeq.sortBy(x => (x._1, x._3))
+    }
+    def expected(rows: Seq[(Long, Double, String)]): Seq[(String, Long, Int)] =
+      rows.map(_._3).distinct.sorted.flatMap { s =>
+        Sampling.weightedTopKSample(
+            rows.filter(_._3 == s).toDF("item_id", "w", "src"),
+            "item_id", "w", k)
+          .select(col("item_id").cast("long"), col("rn"))
+          .as[(Long, Int)].collect().toSeq.sortBy(_._2)
+          .map { case (i, rn) => (s, i, rn) }
+      }
+
+    val b1 = Seq((1L, 1.0, "a"), (2L, 5.0, "a"), (3L, 0.5, "a"), (4L, 2.0, "a"),
+      (10L, 1.0, "b"))
+    body(b1.toDF("item_id", "w", "src"), 0L)
+    assert(reservoir === expected(b1))
+    // second batch merges; truncation to k after batch 1 lost nothing
+    val b2 = Seq((5L, 9.0, "a"), (6L, 0.1, "a"), (11L, 3.0, "b"))
+    body(b2.toDF("item_id", "w", "src"), 1L)
+    assert(reservoir === expected(b1 ++ b2))
+    // redelivery is a no-op; a weight BOOST re-ranks monotonically
+    body(b2.toDF("item_id", "w", "src"), 2L)
+    assert(reservoir === expected(b1 ++ b2))
+    val boosted = Seq((3L, 50.0, "a"))
+    body(boosted.toDF("item_id", "w", "src"), 3L)
+    assert(reservoir.contains(("a", 3L, 1)),
+      s"boosted item must take rank 1, got $reservoir")
+    // restart: a fresh body over the persisted store continues exactly
+    var after: Seq[(String, Long, Int)] = Nil
+    val body2 = Pipelines.weightedSampleAgainstStore(
+        "item_id", "w", "src", store, k) { r =>
+      after = r.select(col("stratum"), col("id"), col("rn"))
+        .as[(String, Long, Int)].collect().toSeq.sortBy(x => (x._1, x._3))
+    }
+    body2(Seq((12L, 8.0, "b")).toDF("item_id", "w", "src"), 4L)
+    assert(after.filter(_._1 == "b") ===
+      expected(b1 ++ b2 ++ Seq((12L, 8.0, "b"))).filter(_._1 == "b"))
+    // k pinned in config: opening with a different k is a hard error
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.weightedSampleAgainstStore("item_id", "w", "src", store, k + 1) {
+        _ => () }(b1.toDF("item_id", "w", "src"), 5L)
+    }
+    assert(e.getMessage.contains("k"))
   }
 }
