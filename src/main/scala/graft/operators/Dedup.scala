@@ -1164,4 +1164,38 @@ object Dedup {
       .where(col("len_tokens") >= minLen)
       .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
   }
+
+  /** Surgical cross-document span removal: rebuild each document with
+    * every token run it shares verbatim with an EARLIER (smaller-id)
+    * document stripped — the first occurrence corpus-wide survives,
+    * later copies lose exactly the shared tokens and keep their novel
+    * content. This consumes [[sharedSpans]] (so the anchor-df-cap
+    * semantics carry over) and is the remove-the-span counterpart of
+    * the keep/drop verdicts the census families emit.
+    *
+    * Shape: spans → per-doc covered-position mask (explode is bounded
+    * by SHARED tokens, not corpus tokens), one (id, pos) anti-join
+    * against the positional token stream, one id-keyed ordered
+    * reassembly — all keyed shuffles. Every input doc appears in the
+    * output (docs with nothing shared pass through unchanged). */
+  def stripSharedSpans(toks: DataFrame, w: Int = 5, minLen: Int = 8,
+                       maxAnchorDf: Option[Int] = Some(1000)): DataFrame = {
+    val spans = sharedSpans(toks, w, minLen, maxAnchorDf)
+    val mask = spans.select(col("id_b").as("id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("len_tokens") - 1)).as("pos"))
+      .distinct()
+    val words = toks.select(col("id"), posexplode(col("ws")).as(Seq("pos", "tok")))
+    words.join(mask, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept_tokens"),
+        array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok"), " ").as("cleaned_text"))
+      .join(toks.select(col("id"), size(col("ws")).as("n_tokens")), Seq("id"),
+        "right_outer")
+      .select(col("id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -319,6 +319,26 @@ object Sampling {
       .select(col(idCol), col("w4"), col("key10"), col("rn"))
   }
 
+  /** Per-group [[weightedTopKSample]]: an independent A-ES k-sample
+    * per `groupCol` value (per-source eval slices, per-language probe
+    * sets) in ONE pass — a keyed window over the group, no global
+    * TakeOrdered and no per-group jobs. Same item-intrinsic keys as
+    * the global and streaming samplers ([[aresKeys]]), so a group's
+    * sample is identical whether drawn here, globally over the group
+    * alone, or incrementally by the streaming reservoir. */
+  def weightedTopKSamplePerGroup(df: DataFrame, idCol: String,
+                                 weightCol: String, groupCol: String,
+                                 k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = aresKeys(df.select(col(groupCol), col(idCol), col(weightCol)),
+      idCol, weightCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("key10"), col(idCol))
+    base.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(groupCol), col(idCol), col("w4"), col("key10"), col("rn"))
+  }
+
   /** Histogram-equalized range bucketing WITHOUT a global sort: assign
     * each row a bucket 0..`buckets`-1 that is monotone in `scoreCol`
     * and (up to tie mass) balanced — the boundary-derivation step of a

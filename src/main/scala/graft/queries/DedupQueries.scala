@@ -1169,8 +1169,70 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
   }
 
+  /** Surgical span removal (see
+    * [[graft.operators.Dedup.stripSharedSpans]]): every doc rebuilt
+    * with the token runs it shares with an earlier doc stripped —
+    * first occurrence survives corpus-wide, later copies keep only
+    * novel content. The oracle replays the whole q151 span machinery
+    * plus the mask/anti-join/reassembly. */
+  val q153 = GQuery("q153_strip_shared_spans",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |pg0 AS (
+       |  SELECT doc_id, u.pos AS pos, md5(u.s) AS h FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': j, 's': array_to_string(ws[(j+1):(j+5)], ' ')}
+       |              for j in range(0, len(ws) - 4)]) AS u
+       |    FROM tok WHERE len(ws) >= 5)),
+       |pg AS (
+       |  SELECT * FROM pg0
+       |  WHERE h NOT IN (SELECT h FROM pg0 GROUP BY h HAVING count(*) > 1000)),
+       |m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+       |    b.pos - a.pos AS diag
+       |  FROM pg a JOIN pg b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT id_a, id_b, diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+       |      AS island
+       |  FROM m),
+       |sp AS (
+       |  SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+       |    count(*) + 4 AS len_tokens
+       |  FROM isl GROUP BY id_a, id_b, diag, island
+       |  HAVING count(*) + 4 >= 8),
+       |mask AS (
+       |  SELECT DISTINCT id, pos FROM (
+       |    SELECT id_b AS id,
+       |      unnest(range(start_b, start_b + len_tokens)) AS pos
+       |    FROM sp)),
+       |wrds AS (
+       |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': j, 'tok': ws[j+1]} for j in range(0, len(ws))]) AS u
+       |    FROM tok)),
+       |kept AS (
+       |  SELECT w.doc_id, w.pos, w.tok FROM wrds w
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM mask m WHERE m.id = w.doc_id AND m.pos = w.pos)),
+       |res AS (
+       |  SELECT doc_id, count(*) AS n_kept_tokens,
+       |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.ws) AS n_tokens,
+       |  coalesce(r.n_kept_tokens, 0) AS n_kept_tokens,
+       |  coalesce(r.cleaned_text, '') AS cleaned_text
+       |FROM tok t LEFT JOIN res r ON r.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.stripSharedSpans(TextQueries.sharedToks(s, dir), w = 5, minLen = 8)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept_tokens"),
+        col("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146, q148, q150, q151)
+      q146, q148, q150, q151, q153)
 }

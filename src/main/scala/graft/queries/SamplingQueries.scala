@@ -727,7 +727,37 @@ object SamplingQueries {
     }
   }
 
+  /** Per-source A-ES k-samples in one keyed-window pass (see
+    * [[graft.operators.Sampling.weightedTopKSamplePerGroup]]) — the
+    * grouped sibling of q142, same item-intrinsic keys. */
+  val q154 = GQuery("q154_grouped_weighted_sample",
+    s"""WITH ${TextQueries.qualityCte},
+       |src AS (SELECT doc_id, source FROM documents),
+       |w AS (
+       |  SELECT q.doc_id, src.source,
+       |    greatest(CAST(round(quality * 1e4) AS BIGINT), 0) AS w4,
+       |    ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 12))::BIGINT AS u48
+       |  FROM q JOIN src ON src.doc_id = q.doc_id),
+       |ks AS (
+       |  SELECT doc_id, source, w4,
+       |    CAST(round(1e10 * ln(281474976710656.0 / (u48 + 1)) / w4) AS BIGINT)
+       |      AS key10
+       |  FROM w WHERE w4 > 0),
+       |top AS (
+       |  SELECT source, doc_id, w4, key10,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY key10, doc_id) AS INT) AS rn
+       |  FROM ks)
+       |SELECT source, doc_id, w4, key10, rn FROM top WHERE rn <= 4
+       |ORDER BY source, rn""".stripMargin) { (s, dir) =>
+    val weighted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    Sampling.weightedTopKSamplePerGroup(weighted, "doc_id", "quality",
+        "source", k = 4)
+      .orderBy(col("source"), col("rn"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106, q142, q144, q147, q149)
+      q102, q106, q142, q144, q147, q149, q154)
 }

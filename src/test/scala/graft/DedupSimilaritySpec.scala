@@ -113,6 +113,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("stripSharedSpans removes the later doc's shared run, keeps novel tokens") {
+    val spanDocs = Seq(
+      (1L, "x1 x2 a b c d e f g h x3"),
+      (2L, "y1 a b c d e f g h y2 y3"),
+      (3L, "p q r s t u v m n o")).toDF("doc_id", "text")
+    val toks = graft.operators.TextStats.tokenized(spanDocs, "doc_id", "text")
+    val out = Dedup.stripSharedSpans(toks, w = 5, minLen = 8)
+      .select("id", "n_tokens", "n_kept_tokens", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 11L, 11L, "x1 x2 a b c d e f g h x3"),   // first occurrence survives
+      (2L, 11L, 3L, "y1 y2 y3"),                    // shared run stripped
+      (3L, 10L, 10L, "p q r s t u v m n o")))
+  }
+
   test("mutualMarginPairs mines only mutual top-1 pairs, with both margins") {
     // a1↔b1 are each other's top-1 (mutual). a2's top-1 is also b1 (not
     // mutual); b2's top-1 is a2 (not mutual). Expect exactly (a1, b1).

@@ -80,6 +80,22 @@ class WeightedSampleSpec extends SparkSpec {
     assert(boosted <= baseRank)
   }
 
+  test("per-group A-ES sample equals the global sample drawn on each group alone") {
+    val rows = (1L to 300L).map(i => (i, 0.2 + (i % 5) * 0.3, s"g${i % 3}"))
+    val grouped = Sampling.weightedTopKSamplePerGroup(
+        rows.toDF("id", "w", "grp"), "id", "w", "grp", k = 7)
+      .select(col("grp"), col("id").cast("long"), col("key10"), col("rn"))
+      .as[(String, Long, Long, Int)].collect().toSet
+    val perGroup = (0 until 3).flatMap { g =>
+      Sampling.weightedTopKSample(
+          rows.filter(_._3 == s"g$g").toDF("id", "w", "grp"), "id", "w", k = 7)
+        .select(col("id").cast("long"), col("key10"), col("rn"))
+        .as[(Long, Long, Int)].collect().map { case (i, ky, rn) =>
+          (s"g$g", i, ky, rn) }
+    }.toSet
+    assert(grouped === perGroup)
+  }
+
   test("rangeBuckets: monotone, tie-coherent, balanced up to tie mass") {
     // 1000 rows over 100 distinct grid scores (10-way ties each)
     val rows = (1L to 1000L).map(i => (i, (i % 100) / 100.0))
