@@ -1137,7 +1137,15 @@ object Dedup {
     * corpus-wide from matching (each occurrence pair costs df² join
     * rows — the boilerplate guard). Unlike the Jaccard cap this is
     * SEMANTIC, not just recall: a span crossing a dropped hot anchor
-    * splits into two reported spans. Oracles must replay the cap. */
+    * splits into two reported spans. Oracles must replay the cap.
+    *
+    * Scale honesty: the OUTPUT (and the match-point frame behind it)
+    * is pair-shaped — a class of g near-identical docs yields
+    * g·(g−1)/2 span pairs, quadratic in g, exactly like any pairing
+    * operator. The production discipline at 100 TB is to run EXACT
+    * dedup first (one survivor per identical class) and span-pair only
+    * the survivors; the df cap then bounds what boilerplate can cost,
+    * and [[stripSharedSpans]] keeps the per-DOC output linear. */
   def sharedSpans(toks: DataFrame, w: Int = 5, minLen: Int = 8,
                   maxAnchorDf: Option[Int] = Some(1000)): DataFrame = {
     require(minLen >= w, "minLen must be >= anchor width w")

@@ -1005,9 +1005,12 @@ object Similarity {
                         idCol: String, vecCol: String): DataFrame = {
     val av = FanOut(a.select(col(idCol).as("id_a"), col(vecCol).as("va")))
     val bv = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // persisted: both ranking directions consume this frame — without
+    // it the A×B scoring pass would run twice (plan-branch duplication)
     val scored = av.join(broadcast(bv), lit(true))
       .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
       .select("id_a", "id_b", "cosine")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wa = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b"))
     val wb = Window.partitionBy(col("id_b"))

@@ -1175,8 +1175,12 @@ object DedupQueries {
     * first occurrence survives corpus-wide, later copies keep only
     * novel content. The oracle replays the whole q151 span machinery
     * plus the mask/anti-join/reassembly. */
-  val q153 = GQuery("q153_strip_shared_spans",
-    s"""WITH tok AS (
+  /** Shared oracle CTE chain for the span family (q151/q153 and the
+    * q155 capstone): positional anchors → df cap → diagonal islands →
+    * spans ≥ 8 (`sp`) → later-doc position mask → kept words →
+    * per-doc rebuild (`res` — only docs with ≥ 1 kept token). */
+  private[queries] val spanCtes =
+    s"""tok AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
        |  FROM documents),
        |pg0 AS (
@@ -1212,14 +1216,17 @@ object DedupQueries {
        |    SELECT doc_id,
        |      unnest([{'pos': j, 'tok': ws[j+1]} for j in range(0, len(ws))]) AS u
        |    FROM tok)),
-       |kept AS (
+       |kw AS (
        |  SELECT w.doc_id, w.pos, w.tok FROM wrds w
        |  WHERE NOT EXISTS (
        |    SELECT 1 FROM mask m WHERE m.id = w.doc_id AND m.pos = w.pos)),
        |res AS (
        |  SELECT doc_id, count(*) AS n_kept_tokens,
        |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
-       |  FROM kept GROUP BY doc_id)
+       |  FROM kw GROUP BY doc_id)""".stripMargin
+
+  val q153 = GQuery("q153_strip_shared_spans",
+    s"""WITH $spanCtes
        |SELECT t.doc_id, len(t.ws) AS n_tokens,
        |  coalesce(r.n_kept_tokens, 0) AS n_kept_tokens,
        |  coalesce(r.cleaned_text, '') AS cleaned_text

@@ -757,7 +757,68 @@ object SamplingQueries {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** Capstone curation v10 — plagiarism-aware refresh to balanced
+    * export: strip cross-doc shared spans (q153), RE-score quality on
+    * the cleaned text, keep docs that stay ≥ half novel and clear the
+    * quality bar, then range-shard the survivors into 8 balanced
+    * quality buckets (q149's histogram boundaries — no global sort).
+    * One oracle replays the whole chain; a stale span mask, a
+    * pre-strip quality score, or a mis-derived boundary is a hash
+    * mismatch. */
+  val q155 = {
+    val B = 8
+    GQuery("q155_curation_v10",
+      s"""WITH ${DedupQueries.spanCtes},
+         |cleaned AS (
+         |  SELECT r.doc_id, r.cleaned_text AS text,
+         |    length(r.cleaned_text) AS n_chars
+         |  FROM res r),
+         |${TextQueries.qualityCtesOver("cleaned")},
+         |keepr AS (
+         |  SELECT q.doc_id, res.n_kept_tokens, q.quality
+         |  FROM q JOIN res ON res.doc_id = q.doc_id
+         |  JOIN tok ON tok.doc_id = q.doc_id
+         |  WHERE res.n_kept_tokens * 2 >= len(tok.ws) AND q.quality >= 0.5),
+         |rws AS (
+         |  SELECT doc_id, n_kept_tokens,
+         |    CAST(round(quality * 1e4) AS BIGINT) AS s4
+         |  FROM keepr),
+         |cells AS (SELECT s4, count(*) AS n_cell FROM rws GROUP BY s4),
+         |tot AS (SELECT count(*) AS n_total FROM rws),
+         |mapped AS (
+         |  SELECT s4,
+         |    CAST(floor(coalesce(sum(n_cell) OVER (ORDER BY s4
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      * $B / n_total) AS INT) AS bucket
+         |  FROM cells, tot)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(n_kept_tokens) AS BIGINT) AS sum_tokens,
+         |  min(s4) AS min_s4, max(s4) AS max_s4
+         |FROM rws JOIN mapped USING (s4)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import graft.operators.{Dedup, Sampling}
+      val stripped = Dedup
+        .stripSharedSpans(TextQueries.sharedToks(s, dir), w = 5, minLen = 8)
+        .where(col("n_kept_tokens") > 0)
+      val scored = stripped.select(col("id"), col("n_tokens"),
+        col("n_kept_tokens"),
+        TextFunctions.qualityScore(col("cleaned_text"),
+          length(col("cleaned_text"))).as("quality"))
+      val kept = scored
+        .where(col("n_kept_tokens") * 2 >= col("n_tokens")
+          && col("quality") >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Sampling.rangeBuckets(kept, "id", "quality", B)
+        .join(kept.select(col("id"), col("n_kept_tokens")), "id")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_kept_tokens")).as("sum_tokens"),
+          min(col("s4")).as("min_s4"), max(col("s4")).as("max_s4"))
+        .orderBy(col("bucket"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106, q142, q144, q147, q149, q154)
+      q102, q106, q142, q144, q147, q149, q154, q155)
 }
