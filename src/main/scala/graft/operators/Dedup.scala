@@ -244,16 +244,25 @@ object Dedup {
             col("n_freq").as("nf_a")), "id_a")
           .join(szf.select(col("id").as("id_b"), col("sz").as("sz_b"),
             col("n_freq").as("nf_b")), "id_b")
+        // fast path: when either doc holds no frequent shingle,
+        // inter_rare IS the exact intersection — scored directly, no
+        // array join (on a corpus with no stop-shingles this is every
+        // pair and the verify stage runs on an empty frame)
+        val exact = bound.where(least(col("nf_a"), col("nf_b")) === 0)
+          .select(col("id_a"), col("id_b"), col("inter_rare").as("inter"),
+            col("sz_a"), col("sz_b"))
         val ubInter = col("inter_rare") + least(col("nf_a"), col("nf_b"))
-        emitBoth(bound
-          .where(ubInter.cast("double") / least(col("sz_a"), col("sz_b"))
-            >= minContainment)
+        val verified = bound
+          .where(least(col("nf_a"), col("nf_b")) > 0
+            && ubInter.cast("double") / least(col("sz_a"), col("sz_b"))
+              >= minContainment)
           .select("id_a", "id_b")
           .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
           .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
           .select(col("id_a"), col("id_b"),
             size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
-            size(col("set_a")).as("sz_a"), size(col("set_b")).as("sz_b")))
+            size(col("set_a")).as("sz_a"), size(col("set_b")).as("sz_b"))
+        emitBoth(exact.unionByName(verified))
     }
   }
 
@@ -1114,6 +1123,46 @@ object Dedup {
           .otherwise(0L)).as("dup_chars"))
       .withColumn("dup_char_frac",
         round(col("dup_chars").cast("double") / col("n_chars"), 4))
+  }
+
+  /** Chunk-level provenance attribution: for each probe document (the
+    * added/changed side of a snapshot diff), WHICH baseline documents
+    * its content-defined chunks already live in — the lineage view the
+    * delta report ([[cdcDelta]]) aggregates away. A v2 doc assembled
+    * from two v1 docs (a merge) shows two strong contributors; a v1
+    * doc split across several v2 docs shows up transposed; an edited
+    * doc shows one dominant contributor (its former self, under any
+    * id).
+    *
+    * Scale: both sides reduce to (id, chunk-hash) at the scan; the
+    * join is chunk-keyed. `maxChunkDf` drops chunks present in more
+    * baseline docs than the cap from ATTRIBUTION (a ubiquitous
+    * boilerplate chunk names no meaningful contributor and would
+    * multiply the join by its df); per-probe totals still count every
+    * chunk, so `share_frac` is attribution-conservative. */
+  def chunkProvenance(baseline: DataFrame, probe: DataFrame,
+                      idCol: String, textCol: String,
+                      w: Int = 8, mask: Int = 64,
+                      maxChunkDf: Int = 100): DataFrame = {
+    val b = cdcChunks(baseline, idCol, textCol, w, mask)
+      .select(col("id").as("base_id"), md5(col("chunk")).as("ch")).distinct()
+    val hot = b.groupBy("ch").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxChunkDf).select("ch")
+    val bCapped = b.join(hot, Seq("ch"), "left_anti")
+    val p = cdcChunks(probe, idCol, textCol, w, mask)
+      .select(col("id").as("probe_id"), md5(col("chunk")).as("ch"),
+        length(col("chunk")).cast("long").as("ln"))
+    val tot = p.groupBy("probe_id").agg(count(lit(1)).as("n_chunks"),
+      sum(col("ln")).as("n_chars"))
+    p.join(bCapped, "ch")
+      .groupBy("probe_id", "base_id")
+      .agg(count(lit(1)).as("n_shared_chunks"),
+        sum(col("ln")).as("shared_chars"))
+      .join(tot.select("probe_id", "n_chars"), "probe_id")
+      .withColumn("share_frac",
+        round(col("shared_chars").cast("double") / col("n_chars"), 4))
+      .select("probe_id", "base_id", "n_shared_chunks", "shared_chars",
+        "n_chars", "share_frac")
   }
 
   /** Maximal shared token spans between document pairs — the pairwise

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence analytics over an event stream table —
+  * funnel progression and transition structure, the product-analytics
+  * companions to the windowed/sessionized aggregates (q15/q21/q42).
+  * Everything is user-keyed (one shuffle per pass, co-partitionable at
+  * 100 TB); no MATCH_RECOGNIZE engine is needed because the classic
+  * min-after-previous-step rewrite expresses ordered funnels exactly.
+  */
+object EventOps {
+
+  /** Earliest strictly-ordered funnel completion per user: `t_i` is
+    * the first `steps(i)` event AFTER that user's `t_{i-1}` (the
+    * canonical "did view, THEN click, THEN purchase" semantics — a
+    * purchase before the first view does not count). A user who never
+    * reaches step i carries `t_i` (and all later steps) null.
+    *
+    * One user-keyed aggregate per step: step i's events join the
+    * (user, t_0..t_{i-1}) frame — user-population-sized, never
+    * event-history-sized — and take `min(ts WHERE ts > t_{i-1})`.
+    * Steps are sequential by nature (each needs the previous bound),
+    * so the chain length, not the data, bounds the pass count. */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(col(tsCol)).as("t0"))
+    steps.indices.drop(1).foreach { i =>
+      val stepEv = events.where(col(typeCol) === steps(i))
+        .select(col(userCol).as("user_id"), col(tsCol).as("__ts"))
+      val keys = col("user_id") +: (0 until i).map(j => col(s"t$j"))
+      acc = acc.join(stepEv, Seq("user_id"), "left")
+        .groupBy(keys: _*)
+        .agg(min(when(col("__ts") > col(s"t${i - 1}"), col("__ts")))
+          .as(s"t$i"))
+    }
+    acc
+  }
+
+  /** Funnel reach report over [[funnelTimes]]: one row per step with
+    * the number of users whose ordered chain got that far. Computed as
+    * a melt + keyed aggregate (no driver-side collect). */
+  def funnelReport(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): DataFrame = {
+    val ft = funnelTimes(events, userCol, tsCol, typeCol, steps)
+    val melted = ft.select(explode(array(steps.indices.map { i =>
+      struct(lit(i).as("step"), lit(steps(i)).as("step_name"),
+        col(s"t$i").isNotNull.cast("long").as("reached"))
+    }: _*)).as("x"))
+    melted.groupBy(col("x.step").as("step"), col("x.step_name").as("step_name"))
+      .agg(sum(col("x.reached")).as("n_users"))
+  }
+
+  /** Event-type transition counts (the first-order Markov census): per
+    * user, consecutive (ts, tie-break id)-ordered event pairs, counted
+    * by (from_type, to_type). The what-happens-next structure a
+    * product/anomaly dashboard reads; a burst of error→error
+    * transitions is the classic incident signature. One user-keyed
+    * window + one (from, to)-keyed aggregate (≤ |types|² cells). */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       orderCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+}

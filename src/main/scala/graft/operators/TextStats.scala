@@ -565,4 +565,49 @@ object TextStats {
         col("st.entropy4").as("entropy4"),
         (col("st.entropy4") / 10000.0).as("entropy"))
   }
+
+  /** Collocation mining: the corpus's top-k adjacent word pairs by
+    * pointwise mutual information, PMI = ln(P(ab) / (P(a)·P(b))) with
+    * P(ab) = c_ab/B (bigram mass) and P(w) = c_w/T (token mass) —
+    * the classic "strongly associated phrase" detector (church/hanks
+    * collocations; feeds tokenizer-merge candidates and stop-phrase
+    * lists). `minCount` floors the bigram count: PMI is notoriously
+    * dominated by hapax pairs (two words that co-occur once have
+    * maximal PMI), so rare pairs are excluded BEFORE ranking.
+    *
+    * Grid determinism: the PMI argument is assembled as one double
+    * ratio from exact integer counts in a fixed order, then ln is
+    * snapped to the 1e-4 grid (the BM25 idiom) — engines replay
+    * bit-identically. Two word-count-shaped censuses (map-side
+    * partials), two vocab-sized joins, TakeOrdered k — the corpus
+    * never shuffles whole. */
+  def collocations(toks: DataFrame, minCount: Int = 5,
+                   k: Int = 50): DataFrame = {
+    graft.plans.WordNgrams.register(toks.sparkSession)
+    val bigrams = toks.where(size(col("ws")) >= 2)
+      .select(explode(call_function(graft.plans.WordNgrams.fnName,
+        col("ws"), lit(2), lit(1))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val unigrams = toks
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = toks.agg(
+      sum(size(col("ws")).cast("long")).as("t_tok"),
+      sum(greatest(size(col("ws")) - 1, lit(0)).cast("long")).as("t_bg"))
+    bigrams
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(unigrams.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(unigrams.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi4",
+        round(lit(1e4) * log((col("c_ab").cast("double") * col("t_tok")
+          * col("t_tok"))
+          / (col("t_bg").cast("double") * col("c_a") * col("c_b"))))
+          .cast("long"))
+      .orderBy(col("pmi4").desc, col("bg"))
+      .limit(k)
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("pmi4"))
+  }
 }

@@ -1094,7 +1094,12 @@ object DedupQueries {
       .where(col("id") % 13 === 0 && size(col("ws")) >= 6)
       .select((-col("id") - 1).as("id"), slice(col("ws"), lit(1), half).as("ws"))
     val corpus = toks.select("id", "ws").unionAll(excerpts)
-    Dedup.containmentPairsFromSets(Dedup.shingleSetsFromTokens(corpus, N), 0.9)
+    // persisted: the containment join consumes the shingle index on
+    // FOUR plan branches (two self-join sides + two size maps) — the
+    // same caller-owns-the-index contract as jaccardPairsFromSets
+    val sets = Dedup.shingleSetsFromTokens(corpus, N)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.containmentPairsFromSets(sets, 0.9)
       .orderBy(col("id_sub"), col("id_sup"))
   }
 
@@ -1238,8 +1243,88 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk provenance across the q134 snapshot pair (see
+    * [[graft.operators.Dedup.chunkProvenance]]): which v1 docs each
+    * added/changed v2 doc's chunks came from — split/merge lineage the
+    * q138 delta aggregates away. Churn derived through the engine's
+    * own diff; the oracle replays CDC on both corpora + the df cap +
+    * the attribution join. */
+  val q158 = GQuery("q158_chunk_provenance",
+    s"""WITH v1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+       |churn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents
+       |  WHERE doc_id % 5 <> 0 AND (doc_id % 7 = 0 OR doc_id % 11 = 0)),
+       |${cdcChunkCtes("v1", "b")},
+       |${cdcChunkCtes("churn", "p")},
+       |bd AS (SELECT DISTINCT doc_id AS base_id, md5(chunk) AS ch FROM bchunks),
+       |bc AS (
+       |  SELECT * FROM bd
+       |  WHERE ch NOT IN (SELECT ch FROM bd GROUP BY ch HAVING count(*) > 100)),
+       |pd AS (
+       |  SELECT doc_id AS probe_id, md5(chunk) AS ch, length(chunk) AS ln
+       |  FROM pchunks),
+       |tot AS (
+       |  SELECT probe_id, CAST(sum(ln) AS BIGINT) AS n_chars
+       |  FROM pd GROUP BY probe_id),
+       |sh AS (
+       |  SELECT probe_id, base_id, count(*) AS n_shared_chunks,
+       |    CAST(sum(ln) AS BIGINT) AS shared_chars
+       |  FROM pd JOIN bc USING (ch) GROUP BY 1, 2)
+       |SELECT sh.probe_id, sh.base_id, sh.n_shared_chunks, sh.shared_chars,
+       |  tot.n_chars,
+       |  round(sh.shared_chars * 1.0 / tot.n_chars, 4) AS share_frac
+       |FROM sh JOIN tot USING (probe_id)
+       |ORDER BY probe_id, base_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val churnIds = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .where(col("status").isin("added", "changed"))
+      .select(col("id").as("doc_id"))
+    Dedup.chunkProvenance(v1, v2.join(churnIds, Seq("doc_id")),
+        "doc_id", "text")
+      .orderBy(col("probe_id"), col("base_id"))
+  }
+
+  /** Near-dup cluster coherence: per multi-doc cluster, edge density
+    * of the pair graph inside it — a transitive-closure cluster built
+    * from a sparse chain (density → 0) is a different dedup risk than
+    * a clique of true copies (density 1); the QA table a clustering
+    * dedup run publishes next to its keep decisions. Two keyed
+    * aggregates over the cluster map and the pair graph (every pair is
+    * intra-cluster by construction). */
+  val q159 = GQuery("q159_cluster_coherence",
+    s"""WITH RECURSIVE $shingleCtes,
+       |$clusterCtes,
+       |szc AS (SELECT cluster_rep, count(*) AS n_docs FROM cl
+       |        GROUP BY cluster_rep),
+       |ed AS (SELECT cl.cluster_rep, count(*) AS n_edges
+       |       FROM pr JOIN cl ON cl.doc_id = pr.id_a GROUP BY cluster_rep)
+       |SELECT s.cluster_rep, s.n_docs, e.n_edges,
+       |  CAST(round(2.0 * e.n_edges * 1e4 / (s.n_docs * (s.n_docs - 1)))
+       |    AS BIGINT) AS density4
+       |FROM szc s JOIN ed e USING (cluster_rep)
+       |WHERE s.n_docs >= 2
+       |ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val clusters = sharedClusters(s, dir)
+    val szs = clusters.groupBy("cluster_rep").agg(count(lit(1)).as("n_docs"))
+    val ed = sharedPairs(s, dir)
+      .join(clusters.select(col("doc_id").as("id_a"), col("cluster_rep")),
+        "id_a")
+      .groupBy("cluster_rep").agg(count(lit(1)).as("n_edges"))
+    szs.join(ed, "cluster_rep").where(col("n_docs") >= 2)
+      .withColumn("density4", round(lit(2.0) * col("n_edges") * 1e4
+        / (col("n_docs") * (col("n_docs") - 1))).cast("long"))
+      .orderBy(col("cluster_rep"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146, q148, q150, q151, q153)
+      q146, q148, q150, q151, q153, q158, q159)
 }

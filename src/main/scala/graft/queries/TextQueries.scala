@@ -1502,8 +1502,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Collocation mining (see
+    * [[graft.operators.TextStats.collocations]]): top-50 adjacent word
+    * pairs by grid-snapped PMI, hapax-dominated pairs floored out by
+    * min count 5. The oracle replays both censuses and the exact
+    * double-ratio-then-ln arithmetic. */
+  val q160 = GQuery("q160_collocations",
+    s"""WITH $tokCte,
+       |bgc AS (
+       |  SELECT bg, count(*) AS c_ab FROM (
+       |    SELECT unnest([ws[i] || ' ' || ws[i+1]
+       |                   for i in range(1, len(ws))]) AS bg
+       |    FROM tok WHERE len(ws) >= 2)
+       |  GROUP BY bg HAVING count(*) >= 5),
+       |uni AS (
+       |  SELECT w, count(*) AS c_w
+       |  FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY w),
+       |tot AS (
+       |  SELECT CAST(sum(len(ws)) AS BIGINT) AS t_tok,
+       |    CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS t_bg
+       |  FROM tok),
+       |scored AS (
+       |  SELECT bg, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+       |    CAST(round(1e4 * ln((CAST(c_ab AS DOUBLE) * t_tok * t_tok)
+       |      / (CAST(t_bg AS DOUBLE) * ua.c_w * ub.c_w))) AS BIGINT) AS pmi4
+       |  FROM bgc CROSS JOIN tot
+       |  JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
+       |  JOIN uni ub ON ub.w = string_split(bg, ' ')[2])
+       |SELECT bg, c_ab, c_a, c_b, pmi4 FROM scored
+       |ORDER BY pmi4 DESC, bg LIMIT 50""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.collocations(sharedToks(s, dir), 5, 50)
+      .orderBy(col("pmi4").desc, col("bg"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
-      q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139)
+      q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
+      q160)
 }

@@ -123,5 +123,54 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q13, q14, q15, q16, q17, q21)
+  /** Ordered funnel reach (see
+    * [[graft.operators.EventOps.funnelReport]]): view → click →
+    * purchase with STRICT ordering per user — a purchase before the
+    * first view does not count. The oracle replays the
+    * min-after-previous-step chain. */
+  val q156 = GQuery("q156_funnel",
+    """WITH s0 AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (
+      |  SELECT s0.user_id, t0,
+      |    min(CASE WHEN e.ts > s0.t0 THEN e.ts END) AS t1
+      |  FROM s0 LEFT JOIN events e
+      |    ON e.user_id = s0.user_id AND e.event_type = 'click'
+      |  GROUP BY s0.user_id, t0),
+      |s2 AS (
+      |  SELECT s1.user_id, t0, t1,
+      |    min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e
+      |    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+      |  GROUP BY s1.user_id, t0, t1)
+      |SELECT * FROM (
+      |  SELECT 0 AS step, 'view' AS step_name, count(t0) AS n_users FROM s2
+      |  UNION ALL SELECT 1, 'click', count(t1) FROM s2
+      |  UNION ALL SELECT 2, 'purchase', count(t2) FROM s2)
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.funnelReport(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+  }
+
+  /** Event-type transition census (see
+    * [[graft.operators.EventOps.transitionCounts]]): first-order
+    * Markov counts over each user's (ts, event_id)-ordered stream. */
+  val q157 = GQuery("q157_transitions",
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, count(*) AS n_transitions
+      |FROM nxt WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.transitionCounts(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val all: Seq[GQuery] = Seq(q13, q14, q15, q16, q17, q21, q156, q157)
 }

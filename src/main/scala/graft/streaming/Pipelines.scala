@@ -943,6 +943,51 @@ object Pipelines {
       }
   }
 
+  final case class TransEvent(user_id: Long, ts_ms: Long, event_id: Long,
+                              event_type: String)
+  final case class TransState(ts_ms: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String, ts_ms: Long)
+
+  /** Streaming event-type transitions — the incremental form of
+    * [[graft.operators.EventOps.transitionCounts]]: per user, emit one
+    * (from, to) row per consecutive event pair as events arrive. State
+    * is exactly ONE row per user (the last event seen — ts, id, type),
+    * bounded forever; each batch's rows are processed in (ts, event_id)
+    * order, so any delivery that preserves per-user order across
+    * batches yields transitions bit-equal to the batch census over the
+    * same history (spec-asserted), regardless of how the stream is cut
+    * into batches.
+    *
+    * Delivery caveat (documented, same as the ingestion stores): a
+    * cross-batch REORDER (an event older than the user's stored last
+    * event) would register under the arrival order; redelivered
+    * duplicates register as self-transitions. Run the stream through
+    * [[streamingDedup]] (event_id key) and a watermark upstream for
+    * at-least-once sources. Downstream, count transitions per window
+    * or feed [[withTrendLift]]-style baselines — the emission here is
+    * append-only and composes with either. */
+  def transitionStream(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+         state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          for (e <- sorted) {
+            if (st != null)
+              out += Transition(uid, st.event_type, e.event_type, e.ts_ms)
+            st = TransState(e.ts_ms, e.event_id, e.event_type)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Trending-term detection, stage 1 (streaming-safe): per event-time
     * window, each term's in-window count joined against a static
     * baseline census — the raw material for "what is spiking right

@@ -128,6 +128,26 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, 10L, 10L, "p q r s t u v m n o")))
   }
 
+  test("chunkProvenance names both contributors of a merged document") {
+    def page(tag: String) = (1 to 12).map(i =>
+      s"$tag sentence number $i carries distinctive wording about $tag topics")
+      .mkString(" ")
+    val baseline = Seq((1L, page("alpha")), (2L, page("beta")),
+      (3L, page("gamma"))).toDF("doc_id", "text")
+    // the probe doc is a MERGE of docs 1 and 2; doc 3 contributes nothing
+    val probe = Seq((100L, page("alpha") + " " + page("beta")))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkProvenance(baseline, probe, "doc_id", "text")
+      .select("probe_id", "base_id", "share_frac")
+      .as[(Long, Long, Double)].collect().toSeq
+    val byBase = out.map(r => r._2 -> r._3).toMap
+    assert(byBase.keySet === Set(1L, 2L), s"contributors: $out")
+    // the junction chunk and the final-boundary convention land with
+    // the first half, so the second contributes less than 50%
+    assert(byBase(1L) > 0.2 && byBase(2L) > 0.2,
+      s"both halves must contribute strongly: $out")
+  }
+
   test("mutualMarginPairs mines only mutual top-1 pairs, with both margins") {
     // a1↔b1 are each other's top-1 (mutual). a2's top-1 is also b1 (not
     // mutual); b2's top-1 is a2 (not mutual). Expect exactly (a1, b1).

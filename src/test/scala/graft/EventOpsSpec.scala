@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.EventOps
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and transition-census semantics, hand-computed. */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
+
+  // user 1: view(1) click(2) buy(3)  — full ordered funnel
+  // user 2: click(1) view(2) buy(3)  — click BEFORE view: funnel needs a
+  //                                    click after t0; none → stops at view
+  // user 3: view(1) click(2)         — no purchase
+  // user 4: buy(1) view(2) click(3) buy(4) — pre-view purchase ignored,
+  //                                    the later one counts
+  private lazy val ev = Seq(
+    (1L, 1L, ts(1), "view"), (2L, 1L, ts(2), "click"), (3L, 1L, ts(3), "purchase"),
+    (4L, 2L, ts(1), "click"), (5L, 2L, ts(2), "view"), (6L, 2L, ts(3), "purchase"),
+    (7L, 3L, ts(1), "view"), (8L, 3L, ts(2), "click"),
+    (9L, 4L, ts(1), "purchase"), (10L, 4L, ts(2), "view"),
+    (11L, 4L, ts(3), "click"), (12L, 4L, ts(4), "purchase")
+  ).toDF("event_id", "user_id", "ts", "event_type")
+
+  test("funnel: strict ordering per user, null tail after the first miss") {
+    val t = EventOps.funnelTimes(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t0").isNotNull, col("t1").isNotNull,
+        col("t2").isNotNull)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(t === Seq(
+      (1L, true, true, true),
+      (2L, true, false, false),   // no click after the first view
+      (3L, true, true, false),
+      (4L, true, true, true)))    // pre-view purchase ignored, later counts
+    val report = EventOps.funnelReport(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("step", "n_users").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(report === Seq((0, 4L), (1, 3L), (2, 2L)))
+  }
+
+  test("transitions: per-user consecutive pairs, deterministic tie-break") {
+    val t = EventOps.transitionCounts(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // user1: v->c, c->p; user2: c->v, v->p; user3: v->c;
+    // user4: p->v, v->c, c->p
+    assert(t === Map(
+      ("view", "click") -> 3L, ("click", "purchase") -> 2L,
+      ("click", "view") -> 1L, ("view", "purchase") -> 1L,
+      ("purchase", "view") -> 1L))
+  }
+}

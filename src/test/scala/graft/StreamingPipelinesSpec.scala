@@ -848,6 +848,38 @@ class StreamingPipelinesSpec extends SparkSpec {
       }
   }
 
+  test("transitionStream: any batch cut emits the batch census, one-row state") {
+    implicit val sc = spark.sqlContext
+    import Pipelines.TransEvent
+    val evs = Seq(
+      TransEvent(1L, 1000L, 1L, "view"), TransEvent(1L, 2000L, 2L, "click"),
+      TransEvent(1L, 3000L, 3L, "purchase"),
+      TransEvent(2L, 1000L, 4L, "click"), TransEvent(2L, 2000L, 5L, "view"))
+    def run(tag: String, cuts: Seq[Seq[TransEvent]]): Seq[(Long, String, String)] = {
+      val in = MemoryStream[TransEvent]
+      val q = Pipelines.transitionStream(in.toDS()).writeStream
+        .format("memory").queryName(s"transout_$tag").outputMode("append").start()
+      try cuts.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(s"transout_$tag")
+        .select("user_id", "from_type", "to_type")
+        .as[(Long, String, String)].collect().toSeq.sorted
+    }
+    val oneBatch = run("a", Seq(evs))
+    val split = run("b", Seq(evs.take(2), evs.drop(2)))   // cut mid-user
+    assert(oneBatch === split, "batch cut must not change emissions")
+    assert(oneBatch === Seq(
+      (1L, "click", "purchase"), (1L, "view", "click"),
+      (2L, "click", "view")))
+    // and the streamed emissions aggregate to the batch census
+    val census = graft.operators.EventOps.transitionCounts(
+        evs.toDF(), "user_id", "ts_ms", "event_id", "event_type")
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val streamedCensus = oneBatch.groupBy(t => (t._2, t._3))
+      .map { case ((f, t), rs) => (f, t, rs.size.toLong) }.toSeq.sorted
+    assert(streamedCensus === census)
+  }
+
   test("weightedSampleAgainstStore: streamed reservoir equals the batch A-ES sample") {
     import graft.operators.Sampling
     val store = java.nio.file.Files.createTempDirectory("wreservoir").toString
