@@ -86,6 +86,70 @@ object Search {
     bm25Score(tf, lens, tot, k1, b)
   }
 
+  /** Pseudo-relevance-feedback retrieval (the Rocchio/RM3 shape):
+    * run [[bm25]], take the top `fbDocs` results as implicit
+    * relevance, mine the `fbTerms` strongest expansion terms from them
+    * (tf-idf-weighted on the integer grid — corpus-ubiquitous terms
+    * weigh ~0 via ln(N/df), so no stopword list is needed; original
+    * query terms excluded), and re-run BM25 with the expanded query.
+    * Classic recall lever when the original query is underspecified.
+    *
+    * The expansion term list is collected to the driver — `fbTerms`
+    * strings, model-state-sized like IVF centroids, never corpus
+    * data; everything else is the two BM25 passes' own shapes. */
+  def bm25Prf(toks: DataFrame, query: Seq[String], fbDocs: Int = 5,
+              fbTerms: Int = 4, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0, "fbDocs >= 1, fbTerms >= 0")
+    val first = bm25(toks, query, k1, b)
+      .orderBy(col("score").desc, col("id")).limit(fbDocs)
+      .select(col("id"))
+    val fbTf = toks.join(first, Seq("id"), "left_semi")
+      .select(explode(col("ws")).as("term"))
+      .where(!col("term").isin(query: _*))
+      .groupBy("term").agg(count(lit(1)).as("c_fb"))
+    val corpusDf = toks
+      .select(col("id"), explode(array_distinct(col("ws"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = toks.agg(count(lit(1)).as("n"))
+    val expansion = fbTf.join(corpusDf, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wt4", round(lit(1e4) * col("c_fb")
+        * log(col("n").cast("double") / col("df"))).cast("long"))
+      .orderBy(col("wt4").desc, col("term")).limit(fbTerms)
+      .select("term").collect().map(_.getString(0)).toSeq
+    bm25(toks, query ++ expansion, k1, b)
+  }
+
+  /** Best-window snippet extraction: for every document containing a
+    * query term, the `width`-token window that maximizes (distinct
+    * query terms, then total matches, then earliest start) — what a
+    * result page actually shows under each hit. Candidate windows
+    * start AT a match position (an optimal window can always be slid
+    * left onto one), so the per-doc work is O(m²) in the doc's MATCH
+    * count — posting-bounded, never token-bounded; the snippet text
+    * itself is one array slice of the already-tokenized row. */
+  def snippets(toks: DataFrame, query: Seq[String],
+               width: Int = 12): DataFrame = {
+    require(query.nonEmpty && width >= 1, "need query terms and width >= 1")
+    val pos = toks
+      .select(col("id"), posexplode(col("ws")).as(Seq("pos", "tok")))
+      .where(col("tok").isin(query: _*))
+    val scored = pos.select(col("id"), col("pos").as("start"))
+      .join(pos, Seq("id"))
+      .where(col("pos") >= col("start") && col("pos") < col("start") + width)
+      .groupBy("id", "start")
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_matches"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("n_terms").desc, col("n_matches").desc, col("start"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(toks, Seq("id"))
+      .select(col("id"), col("start"), col("n_terms"), col("n_matches"),
+        array_join(slice(col("ws"), col("start") + 1, lit(width)), " ")
+          .as("snippet"))
+  }
+
   /** Shared BM25 scoring tail: `tf` = (id, term, tf) over matching docs
     * only, `lens` = (id, len) for EVERY doc, `tot` = 1 row (n, sl).
     * The tf side is matching-docs-sized (bounded by the query's

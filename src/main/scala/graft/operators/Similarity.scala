@@ -986,6 +986,44 @@ object Similarity {
         col("id_a").isNull.as("kept"))
   }
 
+  /** [[mutualMarginPairs]] at corpus×corpus scale: each direction's
+    * candidates come from an IVF probe against the OTHER population's
+    * index (each side trains/assigns once — the write-time artifact),
+    * so no full cross product is ever scored. A pair is emitted iff
+    * each side's PROBED top-1 is the other; with `nprobe` = nlist this
+    * is bit-equal to the brute-force miner (spec-asserted). A narrower
+    * probe trades exactly like any ANN: it can MISS true mutual pairs
+    * and can MINT probe-local ones (each side's "best" is best among
+    * probed candidates only) — scores on emitted pairs are still exact
+    * cosines. Populations must carry distinct ids (no self-exclusion
+    * is applied across sides). */
+  def mutualMarginPairsIvf(a: DataFrame, b: DataFrame, idCol: String,
+                           vecCol: String, nlist: Int = 16, iters: Int = 5,
+                           nprobe: Int = 4): DataFrame = {
+    val centB = ivfTrain(b, idCol, vecCol, nlist, iters)
+    val idxB = ivfAssign(b, idCol, vecCol, centB)
+    val centA = ivfTrain(a, idCol, vecCol, nlist, iters)
+    val idxA = ivfAssign(a, idCol, vecCol, centA)
+    val topAB = ivfProbe(idxB, centB, a, idCol, vecCol, k = 2,
+      nprobe = nprobe, excludeSelf = false)
+    val topBA = ivfProbe(idxA, centA, b, idCol, vecCol, k = 2,
+      nprobe = nprobe, excludeSelf = false)
+    val topA = topAB.groupBy(col("query_id").as("id_a"))
+      .agg(max(when(col("rn") === 1, col("corpus_id"))).as("best_b"),
+        max(when(col("rn") === 1, col("cosine"))).as("cos_a"),
+        coalesce(max(when(col("rn") === 2, col("cosine"))), lit(-1.0))
+          .as("cos2_a"))
+    val topB = topBA.groupBy(col("query_id").as("id_b"))
+      .agg(max(when(col("rn") === 1, col("corpus_id"))).as("best_a"),
+        coalesce(max(when(col("rn") === 2, col("cosine"))), lit(-1.0))
+          .as("cos2_b"))
+    topA.join(topB, topA("best_b") === topB("id_b")
+        && topB("best_a") === topA("id_a"))
+      .select(col("id_a"), col("id_b"), col("cos_a").as("cosine"),
+        round(col("cos_a") - col("cos2_a"), 6).as("margin_a"),
+        round(col("cos_a") - col("cos2_b"), 6).as("margin_b"))
+  }
+
   /** Mutual-nearest-neighbor pair mining with margin scores between two
     * embedding populations — the bitext-mining shape (Artetxe &
     * Schwenk, "Margin-based Parallel Corpus Mining with Multilingual

@@ -566,6 +566,95 @@ object TextStats {
         (col("st.entropy4") / 10000.0).as("entropy"))
   }
 
+  /** Per-group distribution drift: the exact Kolmogorov–Smirnov
+    * distance between each group's score distribution and the whole
+    * corpus's, computed on the 1e-4 integer grid — which sources are
+    * quality-skewed relative to the corpus (a miscalibrated feed, a
+    * spam domain, a broken extractor) in ONE table, with none of the
+    * binning arbitrariness of a histogram eyeball.
+    *
+    * Exactness without a sort: scores live on the grid, so each
+    * group's CDF is a cumulative window over its (group, cell) counts
+    * — group-keyed, cell-bounded (≤ grid cells per group, never row
+    * count). The corpus CDF must be evaluated AT EVERY group's cells
+    * (the sup runs over the union of jump points; a group missing a
+    * corpus cell still diverges there), so the corpus cell frame
+    * cross-applies per group via the same (group, cell) spine before
+    * the windows run. ks4 = max |cdf_g − cdf_all| · 1e4, floor'd to
+    * the grid. */
+  def groupScoreDrift(df: DataFrame, groupCol: String,
+                      scoreCol: String): DataFrame = {
+    val s4 = round(col(scoreCol) * 1e4).cast("long").as("s4")
+    val rows = df.select(col(groupCol).as("grp"), s4)
+    val gCells = rows.groupBy("grp", "s4").agg(count(lit(1)).as("n_g"))
+    val aCells = rows.groupBy("s4").agg(count(lit(1)).as("n_all"))
+    // spine: every (group, corpus-jump-cell) pair, so both CDFs are
+    // evaluated at every jump point of either distribution
+    val spine = gCells.select("grp").distinct()
+      .join(broadcast(aCells.select("s4")), lit(true))
+    val cells = spine
+      .join(gCells, Seq("grp", "s4"), "left")
+      .join(aCells, Seq("s4"))
+      .select(col("grp"), col("s4"),
+        coalesce(col("n_g"), lit(0L)).as("n_g"), col("n_all"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s4"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = rows.groupBy("grp").agg(count(lit(1)).as("t_g"))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("t_all"))))
+    cells
+      .withColumn("c_g", sum(col("n_g")).over(wg))
+      .withColumn("c_all", sum(col("n_all")).over(wg))
+      .join(totals, "grp")
+      .withColumn("diff4",
+        abs(round(lit(1e4) * col("c_g") / col("t_g")).cast("long")
+          - round(lit(1e4) * col("c_all") / col("t_all")).cast("long")))
+      .groupBy(col("grp"), col("t_g"))
+      .agg(max(col("diff4")).as("ks4"))
+      .select(col("grp"), col("t_g").as("n_rows"), col("ks4"))
+  }
+
+  /** Per-group robust outlier census: median/MAD outlier counts for a
+    * grid score WITHIN each group — the per-source form of the q81
+    * robust-z filter (a source whose own distribution is tight can
+    * hide corpus-level outliers and vice versa). Median and MAD use
+    * the explicit LOWER-median convention on the 1e-4 grid (smallest
+    * cell with 2·cum ≥ n) computed from cumulative windows over
+    * GRID-BOUNDED (group, cell) frames — deterministic in every
+    * engine, no interpolation ambiguity, no sort of the rows. A group
+    * with MAD 0 (over half its mass on one cell) reports outliers
+    * against the k·MAD = 0 bound — any off-median row counts, the
+    * standard degenerate-MAD behavior. */
+  def groupRobustOutliers(df: DataFrame, groupCol: String,
+                          scoreCol: String, k: Int = 3): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"),
+      round(col(scoreCol) * 1e4).cast("long").as("s4"))
+    val tg = rows.groupBy("grp").agg(count(lit(1)).as("t_g"))
+    def lowerMedian(cells: DataFrame, valCol: String, outCol: String)
+        : DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col(valCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      cells.withColumn("cum", sum(col("n")).over(w))
+        .join(tg, "grp")
+        .where(col("cum") * 2 >= col("t_g"))
+        .groupBy("grp").agg(min(col(valCol)).as(outCol))
+    }
+    val med = lowerMedian(
+      rows.groupBy("grp", "s4").agg(count(lit(1)).as("n")), "s4", "med4")
+    val devCells = rows.join(med, "grp")
+      .select(col("grp"), abs(col("s4") - col("med4")).as("d4"))
+      .groupBy("grp", "d4").agg(count(lit(1)).as("n"))
+    val mad = lowerMedian(devCells, "d4", "mad4")
+    rows.join(med, "grp").join(mad, "grp").join(tg, "grp")
+      .groupBy(col("grp"), col("t_g"), col("med4"), col("mad4"))
+      .agg(sum(when(abs(col("s4") - col("med4")) > lit(k) * col("mad4"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("grp"), col("t_g").as("n_rows"), col("med4"), col("mad4"),
+        col("n_outliers"))
+  }
+
   /** Collocation mining: the corpus's top-k adjacent word pairs by
     * pointwise mutual information, PMI = ln(P(ab) / (P(a)·P(b))) with
     * P(ab) = c_ab/B (bigram mass) and P(w) = c_w/T (token mass) —

@@ -1535,9 +1535,195 @@ object TextQueries {
       .orderBy(col("pmi4").desc, col("bg"))
   }
 
+  /** Per-source quality drift (see
+    * [[graft.operators.TextStats.groupScoreDrift]]): exact KS distance
+    * between each source's quality distribution and the corpus's on
+    * the 1e-4 grid — the miscalibrated-feed detector. The oracle
+    * replays the spine, both CDFs, and the sup. */
+  val q161 = GQuery("q161_source_quality_drift",
+    s"""WITH $qualityCte,
+       |srcm AS (SELECT doc_id, source FROM documents),
+       |rws AS (
+       |  SELECT srcm.source AS grp,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS s4
+       |  FROM q JOIN srcm USING (doc_id)),
+       |gc AS (SELECT grp, s4, count(*) AS n_g FROM rws GROUP BY 1, 2),
+       |ac AS (SELECT s4, count(*) AS n_all FROM rws GROUP BY 1),
+       |spine AS (
+       |  SELECT g.grp, a.s4
+       |  FROM (SELECT DISTINCT grp FROM gc) g CROSS JOIN ac a),
+       |cells AS (
+       |  SELECT sp.grp, sp.s4, coalesce(gc.n_g, 0) AS n_g, ac.n_all
+       |  FROM spine sp
+       |  LEFT JOIN gc ON gc.grp = sp.grp AND gc.s4 = sp.s4
+       |  JOIN ac ON ac.s4 = sp.s4),
+       |tg AS (SELECT grp, count(*) AS t_g FROM rws GROUP BY grp),
+       |ta AS (SELECT count(*) AS t_all FROM rws),
+       |cdf AS (
+       |  SELECT grp, s4,
+       |    sum(n_g) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS c_g,
+       |    sum(n_all) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS c_all
+       |  FROM cells)
+       |SELECT cdf.grp AS source, tg.t_g AS n_rows,
+       |  max(abs(CAST(round(1e4 * c_g / t_g) AS BIGINT)
+       |        - CAST(round(1e4 * c_all / t_all) AS BIGINT))) AS ks4
+       |FROM cdf JOIN tg USING (grp) CROSS JOIN ta
+       |GROUP BY 1, 2 ORDER BY source""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir).select(col("source"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    graft.operators.TextStats.groupScoreDrift(scored, "source", "quality")
+      .select(col("grp").as("source"), col("n_rows"), col("ks4"))
+      .orderBy(col("source"))
+  }
+
+  /** Pseudo-relevance-feedback retrieval (see
+    * [[graft.operators.Search.bm25Prf]]): BM25 → top-5 feedback docs →
+    * 4 tf-idf expansion terms → expanded BM25. The oracle replays BOTH
+    * passes and the expansion mining in one statement, so a wrong
+    * feedback set or expansion pick is a hash mismatch. */
+  val q162 = {
+    val K1 = 1.2; val B = 0.75; val K = 20
+    def bm25Ctes(qRel: String, p: String) =
+      s"""${p}tf AS (
+         |  SELECT doc_id, t.tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+         |  JOIN $qRel q ON t.tok = q.term GROUP BY 1, 2),
+         |${p}dft AS (SELECT term, count(*) AS df FROM ${p}tf GROUP BY term),
+         |${p}parts AS (
+         |  SELECT ${p}tf.doc_id,
+         |    CAST(round(((ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |        * (tf * ${K1 + 1}))
+         |      / (tf + $K1 * (${1 - B} + $B * len / (CAST(sl AS DOUBLE) / n))))
+         |      * 1e4) AS BIGINT) AS part4
+         |  FROM ${p}tf JOIN ${p}dft USING (term) JOIN lens USING (doc_id), tot)""".stripMargin
+    GQuery("q162_bm25_prf",
+      s"""WITH $tokCte,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM tok),
+         |tot AS (SELECT count(*) AS n, sum(len) AS sl FROM lens),
+         |q0(term) AS (VALUES ('dup'), ('vector')),
+         |${bm25Ctes("q0", "a")},
+         |fb AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, sum(part4) AS s4 FROM aparts GROUP BY doc_id
+         |    ORDER BY s4 DESC, doc_id LIMIT 5)),
+         |fbtf AS (
+         |  SELECT t.tok AS term, count(*) AS c_fb
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+         |  JOIN fb USING (doc_id)
+         |  WHERE t.tok NOT IN (SELECT term FROM q0) GROUP BY 1),
+         |cdfq AS (
+         |  SELECT term, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(ws)) AS term FROM tok)
+         |  GROUP BY term),
+         |nd AS (SELECT count(*) AS n FROM tok),
+         |expq AS (
+         |  SELECT term FROM (
+         |    SELECT fbtf.term,
+         |      CAST(round(1e4 * c_fb * ln(CAST(nd.n AS DOUBLE) / cdfq.df))
+         |        AS BIGINT) AS wt4
+         |    FROM fbtf JOIN cdfq USING (term) CROSS JOIN nd
+         |    ORDER BY wt4 DESC, term LIMIT 4)),
+         |q1 AS (SELECT term FROM q0 UNION SELECT term FROM expq),
+         |${bm25Ctes("q1", "b")}
+         |SELECT doc_id, sum(part4) / 1e4 AS score FROM bparts
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin) { (s, dir) =>
+      graft.operators.Search
+        .bm25Prf(sharedToks(s, dir), Seq("dup", "vector"), 5, 4, K1, B)
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(K)
+    }
+  }
+
+  /** Best-window snippets (see
+    * [[graft.operators.Search.snippets]]): the 12-token window per hit
+    * doc maximizing (distinct terms, matches, earliest) — the result-
+    * page surface. The oracle replays candidate windows, ranking, and
+    * the array-slice rebuild. */
+  val q163 = {
+    val Terms = Seq("dup", "vector", "sort")
+    val Width = 12
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    GQuery("q163_snippets",
+      s"""WITH $tokCte,
+         |pw AS (
+         |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |    SELECT doc_id,
+         |      unnest([{'pos': j, 'tok': ws[j+1]} for j in range(0, len(ws))]) AS u
+         |    FROM tok)),
+         |ps AS (SELECT * FROM pw WHERE tok IN ($termList)),
+         |sc AS (
+         |  SELECT c.doc_id, c.pos AS start,
+         |    count(DISTINCT p.tok) AS n_terms, count(*) AS n_matches
+         |  FROM ps c JOIN ps p ON p.doc_id = c.doc_id
+         |    AND p.pos >= c.pos AND p.pos < c.pos + $Width
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, start, n_terms, n_matches,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_terms DESC, n_matches DESC, start) AS rn
+         |  FROM sc)
+         |SELECT b.doc_id, b.start, b.n_terms, b.n_matches,
+         |  array_to_string(t.ws[(b.start + 1):(b.start + $Width)], ' ')
+         |    AS snippet
+         |FROM best b JOIN tok t USING (doc_id)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Search.snippets(sharedToks(s, dir), Terms, Width)
+        .select(col("id").as("doc_id"), col("start"), col("n_terms"),
+          col("n_matches"), col("snippet"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Per-source robust outliers (see
+    * [[graft.operators.TextStats.groupRobustOutliers]]): within-source
+    * median/MAD outlier counts for quality on the grid, explicit
+    * lower-median convention. The oracle replays both cumulative
+    * medians and the count. */
+  val q164 = GQuery("q164_source_robust_outliers",
+    s"""WITH $qualityCte,
+       |srcm AS (SELECT doc_id, source FROM documents),
+       |rws AS (
+       |  SELECT srcm.source AS grp,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS s4
+       |  FROM q JOIN srcm USING (doc_id)),
+       |tg AS (SELECT grp, count(*) AS t_g FROM rws GROUP BY grp),
+       |sc AS (SELECT grp, s4, count(*) AS n FROM rws GROUP BY 1, 2),
+       |medc AS (
+       |  SELECT grp, min(s4) AS med4 FROM (
+       |    SELECT grp, s4,
+       |      sum(n) OVER (PARTITION BY grp ORDER BY s4
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM sc) c JOIN tg USING (grp)
+       |  WHERE cum * 2 >= t_g GROUP BY grp),
+       |dc AS (
+       |  SELECT rws.grp, abs(s4 - med4) AS d4, count(*) AS n
+       |  FROM rws JOIN medc USING (grp) GROUP BY 1, 2),
+       |madc AS (
+       |  SELECT grp, min(d4) AS mad4 FROM (
+       |    SELECT grp, d4,
+       |      sum(n) OVER (PARTITION BY grp ORDER BY d4
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM dc) c JOIN tg USING (grp)
+       |  WHERE cum * 2 >= t_g GROUP BY grp)
+       |SELECT rws.grp AS source, tg.t_g AS n_rows, medc.med4, madc.mad4,
+       |  CAST(sum(CASE WHEN abs(s4 - med4) > 3 * mad4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM rws JOIN medc USING (grp) JOIN madc USING (grp) JOIN tg USING (grp)
+       |GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir).select(col("source"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    graft.operators.TextStats.groupRobustOutliers(scored, "source", "quality")
+      .select(col("grp").as("source"), col("n_rows"), col("med4"),
+        col("mad4"), col("n_outliers"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
-      q160)
+      q160, q161, q162, q163, q164)
 }

@@ -169,6 +169,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(solo > 1.9)
   }
 
+  test("mutualMarginPairsIvf at full probe equals the brute-force miner") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.where(col("label") === 0)
+    val b = emb.where(col("label") === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine", "margin_a", "margin_b")
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val nlist = 4
+    val brute = rows(Similarity.mutualMarginPairs(a, b, "vec_id", "embedding"))
+    val full = rows(Similarity.mutualMarginPairsIvf(a, b, "vec_id",
+      "embedding", nlist = nlist, nprobe = nlist))
+    assert(full === brute, "full probe must be bit-equal to brute force")
+    // a narrow probe both misses true pairs AND mints probe-local ones
+    // (each side's "best" is only best among PROBED candidates) — the
+    // documented ANN tradeoff; verify it still produces mutual verdicts
+    // and that every pair brute+narrow agree on scores identically
+    val narrow = rows(Similarity.mutualMarginPairsIvf(a, b, "vec_id",
+      "embedding", nlist = nlist, nprobe = 1))
+    assert(narrow.nonEmpty)
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    narrow.foreach { r =>
+      bruteCos.get((r._1, r._2)).foreach(c => assert(c === r._3,
+        "a pair present in both miners must carry the same top-1 cosine"))
+    }
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact jaccard") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
