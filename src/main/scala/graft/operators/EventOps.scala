@@ -56,6 +56,44 @@ object EventOps {
       .agg(sum(col("x.reached")).as("n_users"))
   }
 
+  /** Peak concurrency over intervals (the classic sweep line): the
+    * maximum number of simultaneously-active intervals [st, en]
+    * (inclusive ends) and the earliest instant it is reached — "max
+    * concurrent sessions" for capacity planning.
+    *
+    * Sweep without a global sort: ±1 delta points bucket by time
+    * (`bucketSeconds`), each bucket runs its own keyed cumulative
+    * window, and bucket offsets come from one window over the
+    * BUCKET-level frame (time-range-bounded — hours in the corpus —
+    * never point-bounded; the two-phase prefix-sum shape
+    * [[graft.operators.Packing]] uses). Peers at one instant share one
+    * RANGE-frame cumulative, so the value on a +1 row IS the inclusive
+    * concurrency at that instant (ends at t still count at t) — no
+    * tie-break key needed, and the maximum is always attained on a +1
+    * row. */
+  def peakConcurrency(intervals: DataFrame, stCol: String, enCol: String,
+                      bucketSeconds: Long = 3600L): DataFrame = {
+    val pts = intervals
+      .select(col(stCol).as("ts"), lit(1L).as("delta"))
+      .unionAll(intervals.select(col(enCol).as("ts"), lit(-1L).as("delta")))
+      .withColumn("bkt", floor(unix_timestamp(col("ts")) / bucketSeconds))
+    val wLocal = Window.partitionBy(col("bkt"))
+      .orderBy(col("ts"), col("delta").desc)  // default RANGE frame: peers share
+    val local = pts.withColumn("cum_local", sum(col("delta")).over(wLocal))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pts.groupBy("bkt").agg(sum(col("delta")).as("tot"))
+      .withColumn("offset", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select("bkt", "offset")
+    val cum = local.join(broadcast(offsets), "bkt")
+      .withColumn("cc", col("cum_local") + col("offset"))
+      .where(col("delta") === 1)
+    val peak = cum.agg(max(col("cc")).as("max_concurrent"))
+    cum.join(broadcast(peak), col("cc") === col("max_concurrent"))
+      .groupBy("max_concurrent").agg(min(col("ts")).as("at_ts"))
+      .select(col("max_concurrent"), col("at_ts"))
+  }
+
   /** Event-type transition counts (the first-order Markov census): per
     * user, consecutive (ts, tie-break id)-ordered event pairs, counted
     * by (from_type, to_type). The what-happens-next structure a

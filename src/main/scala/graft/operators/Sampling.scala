@@ -339,6 +339,74 @@ object Sampling {
       .select(col(groupCol), col(idCol), col("w4"), col("key10"), col("rn"))
   }
 
+  /** Exact mixture waterfilling: given per-source available tokens and
+    * integer target weights, allocate a token `budget` proportionally
+    * to the targets SUBJECT to availability — sources that cannot fill
+    * their proportional share saturate (allocate everything they
+    * have), and their surplus redistributes across the rest at the
+    * same proportions. This is the planning step of every
+    * target-mixture training run ("books 30%, web 50%, code 20%" meets
+    * reality); [[temperatureSample]]/[[weightedBernoulliSample]]
+    * execute the resulting per-source rates.
+    *
+    * The classic waterfilling fixpoint: find λ with
+    * Σ min(tokens_s, λ·tgt_s) = budget. Sources sorted by
+    * tokens/target saturate as a PREFIX, so the unique feasible prefix
+    * is found by scanning S candidates. All feasibility tests and
+    * allocations are exact integer arithmetic (BigInt — no float λ);
+    * the sort key is the IEEE double tokens/tgt (ties by source), the
+    * same key an engine replaying in SQL computes. Driver-side on
+    * purpose: the input is one row per SOURCE (model-state-sized, like
+    * IVF centroids), never row-level data.
+    *
+    * Unsaturated allocations floor to whole tokens, so
+    * Σ allocated ≤ budget with slack < #unsaturated — the report
+    * carries exact numbers, the caller decides where the slack goes.
+    * Requires every target weight ≥ 1 and tokens ≥ 0. */
+  def mixtureWaterfill(perSource: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val spark = perSource.sparkSession
+    import spark.implicits._
+    val rows = perSource
+      .select(col("src").cast("string"), col("tokens").cast("long"),
+        col("tgt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(rows.forall(_._3 >= 1), "every target weight must be >= 1")
+    require(rows.forall(_._2 >= 0), "token counts must be >= 0")
+    val sorted = rows.sortBy { case (s, tok, tgt) =>
+      (tok.toDouble / tgt, s) }
+    val n = sorted.length
+    val cumTok = sorted.scanLeft(BigInt(0))(_ + _._2)   // cumTok(k) = Σ first k
+    val cumTgt = sorted.scanLeft(BigInt(0))(_ + _._3)
+    val totTgt = cumTgt(n)
+    val b = BigInt(budget)
+    // first k in 0..n where prefix P = sorted.take(k) is the saturated set
+    val kStar = (0 to n).find { k =>
+      val lastOk = k == 0 || {
+        val (_, tok, tgt) = sorted(k - 1)
+        BigInt(tok) * (totTgt - cumTgt(k)) <= (b - cumTok(k)) * tgt
+      }
+      val firstOut = k == n || {
+        val (_, tok, tgt) = sorted(k)
+        BigInt(tok) * (totTgt - cumTgt(k)) > (b - cumTok(k)) * tgt
+      }
+      lastOk && firstOut
+    }.getOrElse(n)
+    val remB = b - cumTok(kStar)
+    val remT = totTgt - cumTgt(kStar)
+    val out = sorted.zipWithIndex.map { case ((s, tok, tgt), i) =>
+      val saturated = i < kStar
+      val alloc =
+        if (saturated) BigInt(tok)
+        else if (remT == 0) BigInt(0)
+        else remB * tgt / remT                      // BigInt floor division
+      val rate4 = if (tok == 0) 0L
+        else (alloc * 10000 / BigInt(tok)).toLong
+      (s, tok, tgt, alloc.toLong, saturated, rate4)
+    }
+    out.toSeq.toDF("source", "tokens", "tgt", "allocated", "saturated", "rate4")
+  }
+
   /** Histogram-equalized range bucketing WITHOUT a global sort: assign
     * each row a bucket 0..`buckets`-1 that is monotone in `scoreCol`
     * and (up to tie mass) balanced — the boundary-derivation step of a

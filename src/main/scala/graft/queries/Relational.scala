@@ -226,6 +226,42 @@ object Relational {
       .orderBy(col("purchase_id"))
   }.copy(headline = true)
 
+  /** Tolerance as-of join — the "as-of within" variant every
+    * time-series store offers: the q09 match is kept only when the
+    * matched view is at most 24 h older than the purchase; a staler
+    * match nulls the payload exactly like no-match (the operator's
+    * documented tolerance semantics; 709 of 1981 purchases keep their
+    * view at sf0.01). Oracle: DuckDB ASOF + a CASE on the matched
+    * timestamp's age. */
+  val q167 = GQuery("q167_asof_tolerance",
+    """WITH v AS (
+      |  SELECT user_id, ts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts, round(value, 3) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id AS purchase_id, p.user_id AS user_id,
+      |  p.purchase_value AS purchase_value,
+      |  CASE WHEN v.ts >= p.ts - INTERVAL 24 HOUR THEN v.view_id END AS view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        round(col("value"), 3).as("purchase_value"))
+    AsOfJoin.leftAsOf(purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTs = "ts", rightTs = "v_ts",
+        rightPayload = Seq("view_id"),
+        toleranceMs = Some(24L * 3600 * 1000))
+      .select(col("purchase_id"), col("user_id"), col("purchase_value"),
+        col("view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** String-keyed as-of join: same semantics as q09 but the join key is
     * a string ('u<user_id>') — guards the operator's native-key-type
     * handling (a numeric cast would NULL these keys and silently match
@@ -354,5 +390,6 @@ object Relational {
   }
 
   val all: Seq[GQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q10, q10b, q11, q12)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
+      q10b, q11, q12)
 }

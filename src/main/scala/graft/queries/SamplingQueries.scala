@@ -818,7 +818,68 @@ object SamplingQueries {
     }
   }
 
+  /** Mixture waterfilling plan (see
+    * [[graft.operators.Sampling.mixtureWaterfill]]): allocate half the
+    * corpus's tokens across sources proportionally to target weights
+    * (src_i → weight i+1), with saturation and surplus redistribution
+    * solved exactly. The oracle replays the sort, the prefix
+    * feasibility scan, and the integer allocations in HUGEINT. */
+  val q165 = GQuery("q165_mixture_waterfill",
+    """WITH agg AS (
+      |  SELECT source AS src,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |      AS BIGINT) AS tokens,
+      |    CAST(substr(source, 4) AS BIGINT) + 1 AS tgt
+      |  FROM documents GROUP BY source),
+      |bud AS (SELECT CAST(sum(tokens) // 2 AS BIGINT) AS b FROM agg),
+      |ord AS (
+      |  SELECT *, row_number() OVER (ORDER BY tokens * 1.0 / tgt, src) AS rk
+      |  FROM agg),
+      |cum AS (
+      |  SELECT ord.*,
+      |    sum(tokens) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS ctok,
+      |    sum(tgt) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS ctgt
+      |  FROM ord),
+      |tots AS (
+      |  SELECT CAST(sum(tgt) AS HUGEINT) AS ttgt, count(*) AS s FROM agg),
+      |pref AS (
+      |  SELECT rk AS k, CAST(ctok AS HUGEINT) AS ctok,
+      |    CAST(ctgt AS HUGEINT) AS ctgt FROM cum
+      |  UNION ALL SELECT 0, 0, 0),
+      |feas AS (
+      |  SELECT p.k FROM pref p, tots, bud
+      |  WHERE (p.k = 0 OR EXISTS (
+      |      SELECT 1 FROM cum c WHERE c.rk = p.k
+      |        AND CAST(c.tokens AS HUGEINT) * (tots.ttgt - p.ctgt)
+      |            <= (bud.b - p.ctok) * c.tgt))
+      |    AND (p.k = tots.s OR EXISTS (
+      |      SELECT 1 FROM cum c WHERE c.rk = p.k + 1
+      |        AND CAST(c.tokens AS HUGEINT) * (tots.ttgt - p.ctgt)
+      |            > (bud.b - p.ctok) * c.tgt))),
+      |ks AS (SELECT coalesce(min(k), (SELECT s FROM tots)) AS k FROM feas),
+      |kp AS (SELECT p.* FROM pref p JOIN ks ON p.k = ks.k),
+      |res AS (
+      |  SELECT c.src, c.tokens, c.tgt, c.rk <= kp.k AS saturated,
+      |    CAST(CASE WHEN c.rk <= kp.k THEN CAST(c.tokens AS HUGEINT)
+      |         WHEN tots.ttgt - kp.ctgt = 0 THEN 0
+      |         ELSE ((bud.b - kp.ctok) * c.tgt) // (tots.ttgt - kp.ctgt)
+      |         END AS BIGINT) AS allocated
+      |  FROM cum c, kp, tots, bud)
+      |SELECT src AS source, tokens, tgt, allocated, saturated,
+      |  CAST(CASE WHEN tokens = 0 THEN 0
+      |       ELSE (CAST(allocated AS HUGEINT) * 10000) // tokens
+      |       END AS BIGINT) AS rate4
+      |FROM res ORDER BY source""".stripMargin) { (s, dir) =>
+    val perSource = Tables.documents(s, dir)
+      .groupBy(col("source").as("src"))
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
+      .withColumn("tgt",
+        regexp_extract(col("src"), "src(\\d+)", 1).cast("long") + 1)
+    val total = perSource.agg(sum(col("tokens"))).head().getLong(0)
+    Sampling.mixtureWaterfill(perSource, total / 2).orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106, q142, q144, q147, q149, q154, q155)
+      q102, q106, q142, q144, q147, q149, q154, q155, q165)
 }

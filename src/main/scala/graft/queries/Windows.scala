@@ -172,5 +172,149 @@ object Windows {
       .orderBy(col("from_type"), col("to_type"))
   }
 
-  val all: Seq[GQuery] = Seq(q13, q14, q15, q16, q17, q21, q156, q157)
+  /** Capstone user-journey report: per user, event volume, session
+    * count (30-min gap), ordered-funnel stage reached (0–3), and the
+    * modal transition — the q21 + q156 + q157 machinery composed into
+    * ONE per-user table under ONE oracle. All user-keyed. */
+  val q166 = GQuery("q166_user_journey",
+    """WITH g AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         > 1800 THEN 1
+      |         WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+      |    count(*) AS n_events
+      |  FROM g GROUP BY user_id),
+      |s0 AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (
+      |  SELECT s0.user_id, t0,
+      |    min(CASE WHEN e.ts > s0.t0 THEN e.ts END) AS t1
+      |  FROM s0 LEFT JOIN events e
+      |    ON e.user_id = s0.user_id AND e.event_type = 'click'
+      |  GROUP BY s0.user_id, t0),
+      |s2 AS (
+      |  SELECT s1.user_id, t0, t1,
+      |    min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e
+      |    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+      |  GROUP BY s1.user_id, t0, t1),
+      |stage AS (
+      |  SELECT sess.user_id,
+      |    CAST(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+      |         WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage
+      |  FROM sess LEFT JOIN s2 ON s2.user_id = sess.user_id),
+      |tr AS (
+      |  SELECT user_id, from_type, to_type, count(*) AS c FROM (
+      |    SELECT user_id, event_type AS from_type,
+      |      lead(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS to_type
+      |    FROM events) x WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |topt AS (
+      |  SELECT user_id, from_type, to_type FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY c DESC, from_type, to_type) AS rn FROM tr)
+      |  WHERE rn = 1)
+      |SELECT sess.user_id, sess.n_events, sess.n_sessions,
+      |  stage.funnel_stage,
+      |  coalesce(topt.from_type, '-') AS top_from,
+      |  coalesce(topt.to_type, '-') AS top_to
+      |FROM sess
+      |JOIN stage ON stage.user_id = sess.user_id
+      |LEFT JOIN topt ON topt.user_id = sess.user_id
+      |ORDER BY sess.user_id""".stripMargin) { (s, dir) =>
+    import graft.operators.EventOps
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+    val ft = EventOps.funnelTimes(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val stage = sess.select("user_id")
+      .join(ft, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (when(col("t2").isNotNull, 3).when(col("t1").isNotNull, 2)
+          .when(col("t0").isNotNull, 1).otherwise(0)).as("funnel_stage"))
+    val wt = Window.partitionBy(col("user_id"))
+      .orderBy(col("c").desc, col("from_type"), col("to_type"))
+    val topt = ev
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("user_id", "from_type", "to_type").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wt)).where(col("rn") === 1)
+      .select("user_id", "from_type", "to_type")
+    sess.join(stage, "user_id")
+      .join(topt, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_sessions"),
+        col("funnel_stage"),
+        coalesce(col("from_type"), lit("-")).as("top_from"),
+        coalesce(col("to_type"), lit("-")).as("top_to"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Peak concurrent sessions (see
+    * [[graft.operators.EventOps.peakConcurrency]]): sweep line over
+    * the q21 session intervals — the capacity-planning number. The
+    * oracle replays islands → intervals → sweep with the same
+    * RANGE-frame peer semantics. */
+  val q168 = GQuery("q168_peak_concurrency",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR CAST(floor(epoch(ts)) AS BIGINT)
+      |         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+      |      THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |si AS (
+      |  SELECT user_id, ts,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+      |  FROM si GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT st AS ts, 1 AS delta FROM sess
+      |  UNION ALL SELECT en, -1 FROM sess),
+      |run AS (
+      |  SELECT ts, delta, sum(delta) OVER (ORDER BY ts, delta DESC) AS cc
+      |  FROM pts)
+      |SELECT CAST(max_concurrent AS BIGINT) AS max_concurrent,
+      |  min(ts) AS at_ts
+      |FROM (
+      |  SELECT ts, cc, (SELECT max(cc) FROM run WHERE delta = 1)
+      |    AS max_concurrent
+      |  FROM run WHERE delta = 1)
+      |WHERE cc = max_concurrent GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    graft.operators.EventOps.peakConcurrency(sess, "st", "en")
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168)
 }

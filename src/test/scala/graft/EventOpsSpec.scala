@@ -41,6 +41,20 @@ class EventOpsSpec extends SparkSpec {
     assert(report === Seq((0, 4L), (1, 3L), (2, 2L)))
   }
 
+  test("peakConcurrency: sweep line with inclusive ends, two-phase cumulative") {
+    // intervals: [0,10] [5,20] [10,30] — at t=10 all three overlap
+    // (inclusive ends: the first interval still counts at its end)
+    val iv = Seq((ts(0), ts(10)), (ts(5), ts(20)), (ts(10), ts(30)),
+      (ts(40), ts(50))).toDF("st", "en")
+    val out = EventOps.peakConcurrency(iv, "st", "en", bucketSeconds = 7L)
+      .as[(Long, Timestamp)].collect().toSeq
+    assert(out === Seq((3L, ts(10))))
+    // disjoint intervals: peak 1 at the earliest start
+    val solo = Seq((ts(0), ts(1)), (ts(5), ts(6))).toDF("st", "en")
+    assert(EventOps.peakConcurrency(solo, "st", "en")
+      .as[(Long, Timestamp)].collect().toSeq === Seq((1L, ts(0))))
+  }
+
   test("transitions: per-user consecutive pairs, deterministic tie-break") {
     val t = EventOps.transitionCounts(ev, "user_id", "ts", "event_id",
         "event_type")

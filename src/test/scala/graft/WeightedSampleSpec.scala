@@ -96,6 +96,26 @@ class WeightedSampleSpec extends SparkSpec {
     assert(grouped === perGroup)
   }
 
+  test("mixtureWaterfill: saturation prefix, exact redistribution, budget edge") {
+    val per = Seq(("A", 10L, 1L), ("B", 100L, 1L), ("C", 100L, 2L))
+      .toDF("src", "tokens", "tgt")
+    // budget 100: A saturates (only 10 of its λ·1 = 30 share exists);
+    // the remaining 90 split 2:1 between C and B
+    val out = Sampling.mixtureWaterfill(per, 100L)
+      .select("source", "allocated", "saturated", "rate4")
+      .as[(String, Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("A", 10L, true, 10000L),
+      ("B", 30L, false, 3000L),
+      ("C", 60L, false, 6000L)))
+    assert(out.map(_._2).sum === 100L)
+    // budget beyond availability: everything saturates
+    val all = Sampling.mixtureWaterfill(per, 300L)
+      .select("source", "allocated", "saturated")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(all === Seq(("A", 10L, true), ("B", 100L, true), ("C", 100L, true)))
+  }
+
   test("rangeBuckets: monotone, tie-coherent, balanced up to tie mass") {
     // 1000 rows over 100 distinct grid scores (10-way ties each)
     val rows = (1L to 1000L).map(i => (i, (i % 100) / 100.0))
