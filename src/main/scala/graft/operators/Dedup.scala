@@ -239,11 +239,15 @@ object Dedup {
           .join(ex.select(col("id").as("id_b"), col("s")), "s")
           .where(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_rare"))
+        // persisted: the candidate frame (holding the expensive
+        // inverted-index self-join) feeds BOTH the exact fast path and
+        // the verify branch below — without this the join runs twice
         val bound = shared
           .join(szf.select(col("id").as("id_a"), col("sz").as("sz_a"),
             col("n_freq").as("nf_a")), "id_a")
           .join(szf.select(col("id").as("id_b"), col("sz").as("sz_b"),
             col("n_freq").as("nf_b")), "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // fast path: when either doc holds no frequent shingle,
         // inter_rare IS the exact intersection — scored directly, no
         // array join (on a corpus with no stop-shingles this is every

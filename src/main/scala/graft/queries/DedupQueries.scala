@@ -1088,20 +1088,35 @@ object DedupQueries {
        |SELECT id_sub, id_sup, round(containment, 4) AS containment
        |FROM bth WHERE containment >= 0.9
        |ORDER BY id_sub, id_sup""".stripMargin) { (s, dir) =>
-    val toks = TextQueries.sharedToks(s, dir)
-    val half = (size(col("ws")) / lit(2)).cast("int")
-    val excerpts = toks
-      .where(col("id") % 13 === 0 && size(col("ws")) >= 6)
-      .select((-col("id") - 1).as("id"), slice(col("ws"), lit(1), half).as("ws"))
-    val corpus = toks.select("id", "ws").unionAll(excerpts)
-    // persisted: the containment join consumes the shingle index on
-    // FOUR plan branches (two self-join sides + two size maps) — the
-    // same caller-owns-the-index contract as jaccardPairsFromSets
-    val sets = Dedup.shingleSetsFromTokens(corpus, N)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.containmentPairsFromSets(sets, 0.9)
-      .orderBy(col("id_sub"), col("id_sup"))
+    sharedContainment(s, dir).orderBy(col("id_sub"), col("id_sup"))
   }
+
+  /** The containment pair table, materialized once per (session, dir)
+    * — the same treatment [[sharedPairs]]/[[sharedClusters]] give the
+    * resemblance family: a real pipeline writes the pair table once
+    * and every consumer reads it back. (The probe corpus includes the
+    * derived excerpt docs, so it cannot share the q24 index.) */
+  private val containmentCache = new SessionCache[org.apache.spark.sql.DataFrame]
+
+  private[queries] def sharedContainment(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    containmentCache.get(s, dir) {
+      val toks = TextQueries.sharedToks(s, dir)
+      val half = (size(col("ws")) / lit(2)).cast("int")
+      val excerpts = toks
+        .where(col("id") % 13 === 0 && size(col("ws")) >= 6)
+        .select((-col("id") - 1).as("id"),
+          slice(col("ws"), lit(1), half).as("ws"))
+      val corpus = toks.select("id", "ws").unionAll(excerpts)
+      // persisted: the containment join consumes the shingle index on
+      // FOUR plan branches (two self-join sides + two size maps) — the
+      // same caller-owns-the-index contract as jaccardPairsFromSets
+      val sets = Dedup.shingleSetsFromTokens(corpus, N)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.containmentPairsFromSets(sets, 0.9)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Duplication-attribution matrix (see
     * [[graft.operators.Dedup.dupAttribution]]): the q24 near-dup pair
