@@ -655,6 +655,36 @@ object TextStats {
         col("n_outliers"))
   }
 
+  /** Per-group EXACT quantiles on the grid: for each group, the
+    * lower-quantile cells at the requested per-10000 points (2500 =
+    * p25) — same cumulative-window-over-grid-cells machinery as
+    * [[groupRobustOutliers]], generalized from the median to any
+    * quantile vector in ONE pass (the quantile points ride the
+    * cumulative as a literal array; no per-quantile scan, no sort, no
+    * interpolation ambiguity). The exact replacement for
+    * `approx_percentile` wherever scores live on a bounded grid. */
+  def groupQuantiles(df: DataFrame, groupCol: String, scoreCol: String,
+                     qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 10000),
+      "quantile points are per-10000 in [1, 10000]")
+    val rows = df.select(col(groupCol).as("grp"),
+      round(col(scoreCol) * 1e4).cast("long").as("s4"))
+    val tg = rows.groupBy("grp").agg(count(lit(1)).as("t_g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s4"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = rows.groupBy("grp", "s4").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .join(tg, "grp")
+    val aggs = qs.map(q =>
+      min(when(col("cum") * 10000 >= col("t_g") * q, col("s4"))).as(s"p$q"))
+    cum.groupBy("grp", "t_g")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("grp") +: col("t_g").as("n_rows") +:
+        qs.map(q => col(s"p$q")): _*)
+  }
+
   /** Collocation mining: the corpus's top-k adjacent word pairs by
     * pointwise mutual information, PMI = ln(P(ab) / (P(a)·P(b))) with
     * P(ab) = c_ab/B (bigram mass) and P(w) = c_w/T (token mass) —

@@ -1721,9 +1721,156 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-source exact quantiles (see
+    * [[graft.operators.TextStats.groupQuantiles]]): p25/p50/p75/p95 of
+    * quality per source from ONE cumulative pass over grid cells — the
+    * exact replacement for approx_percentile on grid scores. */
+  val q169 = GQuery("q169_source_quantiles",
+    s"""WITH $qualityCte,
+       |srcm AS (SELECT doc_id, source FROM documents),
+       |rws AS (
+       |  SELECT srcm.source AS grp,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS s4
+       |  FROM q JOIN srcm USING (doc_id)),
+       |tg AS (SELECT grp, count(*) AS t_g FROM rws GROUP BY grp),
+       |sc AS (SELECT grp, s4, count(*) AS n FROM rws GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT grp, s4,
+       |    sum(n) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM sc),
+       |j AS (SELECT c.grp, c.s4, c.cum, tg.t_g FROM cums c JOIN tg USING (grp))
+       |SELECT grp AS source, t_g AS n_rows,
+       |  min(CASE WHEN cum * 10000 >= t_g * 2500 THEN s4 END) AS p2500,
+       |  min(CASE WHEN cum * 10000 >= t_g * 5000 THEN s4 END) AS p5000,
+       |  min(CASE WHEN cum * 10000 >= t_g * 7500 THEN s4 END) AS p7500,
+       |  min(CASE WHEN cum * 10000 >= t_g * 9500 THEN s4 END) AS p9500
+       |FROM j GROUP BY 1, 2 ORDER BY source""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir).select(col("source"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    graft.operators.TextStats
+      .groupQuantiles(scored, "source", "quality", Seq(2500, 5000, 7500, 9500))
+      .select(col("grp").as("source"), col("n_rows"),
+        col("p2500"), col("p5000"), col("p7500"), col("p9500"))
+      .orderBy(col("source"))
+  }
+
+  /** Capstone source-health dashboard: per source — volume, exact-dup
+    * uniqueness, token mass, integer-grid quality sum, KS drift vs the
+    * corpus, robust median/MAD outliers, and the quartile spread — the
+    * q23/q161/q164/q169 machinery in ONE table under ONE oracle; the
+    * per-feed report a curation run publishes every crawl. */
+  val q170 = GQuery("q170_source_health",
+    s"""WITH $qualityCte,
+       |srcm AS (SELECT doc_id, source FROM documents),
+       |fps AS (
+       |  SELECT srcm.source,
+       |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+       |    len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tok
+       |  FROM documents d JOIN srcm ON srcm.doc_id = d.doc_id),
+       |vol AS (
+       |  SELECT source AS grp, count(*) AS n_docs,
+       |    count(DISTINCT fp) AS n_unique,
+       |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+       |  FROM fps GROUP BY source),
+       |rws AS (
+       |  SELECT srcm.source AS grp,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS s4
+       |  FROM q JOIN srcm USING (doc_id)),
+       |qsum AS (SELECT grp, CAST(sum(s4) AS BIGINT) AS q4_sum FROM rws
+       |         GROUP BY grp),
+       |tg AS (SELECT grp, count(*) AS t_g FROM rws GROUP BY grp),
+       |sc AS (SELECT grp, s4, count(*) AS n FROM rws GROUP BY 1, 2),
+       |ac AS (SELECT s4, count(*) AS n_all FROM rws GROUP BY 1),
+       |spine AS (
+       |  SELECT g.grp, a.s4
+       |  FROM (SELECT DISTINCT grp FROM sc) g CROSS JOIN ac a),
+       |cells AS (
+       |  SELECT sp.grp, sp.s4, coalesce(sc.n, 0) AS n_g, ac.n_all
+       |  FROM spine sp
+       |  LEFT JOIN sc ON sc.grp = sp.grp AND sc.s4 = sp.s4
+       |  JOIN ac ON ac.s4 = sp.s4),
+       |ta AS (SELECT count(*) AS t_all FROM rws),
+       |cdf AS (
+       |  SELECT grp, s4,
+       |    sum(n_g) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS c_g,
+       |    sum(n_all) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS c_all
+       |  FROM cells),
+       |drift AS (
+       |  SELECT cdf.grp,
+       |    max(abs(CAST(round(1e4 * c_g / t_g) AS BIGINT)
+       |          - CAST(round(1e4 * c_all / t_all) AS BIGINT))) AS ks4
+       |  FROM cdf JOIN tg USING (grp) CROSS JOIN ta GROUP BY 1),
+       |medc AS (
+       |  SELECT grp, min(s4) AS med4 FROM (
+       |    SELECT grp, s4,
+       |      sum(n) OVER (PARTITION BY grp ORDER BY s4
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM sc) c JOIN tg USING (grp)
+       |  WHERE cum * 2 >= t_g GROUP BY grp),
+       |dc AS (
+       |  SELECT rws.grp, abs(s4 - med4) AS d4, count(*) AS n
+       |  FROM rws JOIN medc USING (grp) GROUP BY 1, 2),
+       |madc AS (
+       |  SELECT grp, min(d4) AS mad4 FROM (
+       |    SELECT grp, d4,
+       |      sum(n) OVER (PARTITION BY grp ORDER BY d4
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM dc) c JOIN tg USING (grp)
+       |  WHERE cum * 2 >= t_g GROUP BY grp),
+       |outl AS (
+       |  SELECT rws.grp,
+       |    CAST(sum(CASE WHEN abs(s4 - med4) > 3 * mad4 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_outliers
+       |  FROM rws JOIN medc USING (grp) JOIN madc USING (grp) GROUP BY 1),
+       |quart AS (
+       |  SELECT grp,
+       |    min(CASE WHEN cum * 10000 >= t_g * 2500 THEN s4 END) AS p2500,
+       |    min(CASE WHEN cum * 10000 >= t_g * 7500 THEN s4 END) AS p7500
+       |  FROM (
+       |    SELECT grp, s4,
+       |      sum(n) OVER (PARTITION BY grp ORDER BY s4
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM sc) c JOIN tg USING (grp) GROUP BY grp)
+       |SELECT vol.grp AS source, vol.n_docs, vol.n_unique, vol.sum_tokens,
+       |  qsum.q4_sum, drift.ks4, medc.med4, madc.mad4, outl.n_outliers,
+       |  quart.p2500, quart.p7500
+       |FROM vol
+       |JOIN qsum USING (grp) JOIN drift USING (grp) JOIN medc USING (grp)
+       |JOIN madc USING (grp) JOIN outl USING (grp) JOIN quart USING (grp)
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    import graft.operators.TextStats
+    val docs = Tables.documents(s, dir)
+    val vol = docs.groupBy(col("source").as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("n_unique"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("sum_tokens"))
+    val scored = docs.select(col("source"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qsum = scored.groupBy(col("source").as("grp"))
+      .agg(sum(round(col("quality") * 1e4).cast("long")).as("q4_sum"))
+    val drift = TextStats.groupScoreDrift(scored, "source", "quality")
+      .select(col("grp"), col("ks4"))
+    val robust = TextStats.groupRobustOutliers(scored, "source", "quality")
+      .select(col("grp"), col("med4"), col("mad4"), col("n_outliers"))
+    val quart = TextStats.groupQuantiles(scored, "source", "quality",
+        Seq(2500, 7500))
+      .select(col("grp"), col("p2500"), col("p7500"))
+    vol.join(qsum, "grp").join(drift, "grp").join(robust, "grp")
+      .join(quart, "grp")
+      .select(col("grp").as("source"), col("n_docs"), col("n_unique"),
+        col("sum_tokens"), col("q4_sum"), col("ks4"), col("med4"),
+        col("mad4"), col("n_outliers"), col("p2500"), col("p7500"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
-      q160, q161, q162, q163, q164)
+      q160, q161, q162, q163, q164, q169, q170)
 }
