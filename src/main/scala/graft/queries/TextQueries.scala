@@ -921,20 +921,33 @@ object TextQueries {
        |    + CASE WHEN fx.x4 THEN p.p1_3 ELSE p.p0_3 END) > 0 AS pred_keep
        |FROM fx, parts p
        |ORDER BY fx.doc_id""".stripMargin) { (s, dir) =>
-    val f = qualityFeatures(s, dir)
-      .where(col("n_tokens").isNotNull)
-      .withColumn("x1", col("quality") >= 0.5)
-      .withColumn("x2", col("avg_logprob") >= -7.5)
-      .withColumn("x3", coalesce(col("frac_dup_chunks"), lit(0.0)) <= 0.2)
-      .withColumn("x4", col("frac_contaminated") <= 0.0)
-      .withColumn("label_keep",
-        col("n_tokens") >= 15 && col("n_tokens") <= 100000 &&
-          col("frac_distinct") >= 0.35 && col("top_bigram_frac") <= 0.1)
-    graft.operators.QualityClassifier
-      .bernoulliNb(f, "doc_id", Seq("x1", "x2", "x3", "x4"), "label_keep")
+    sharedNbScores(s, dir)
       .select(col("doc_id"), col("label_keep"), col("score4"), col("pred_keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** The q126 NB feature assembly + closed-form train/score, shared by
+    * q126 and the q171 calibration table (training is EAGER — the
+    * counts collect — so memoization per (session, dir) is the stored-
+    * model analog, exactly like the IVF/PQ caches). */
+  private val nbCache = new SessionCache[org.apache.spark.sql.DataFrame]
+
+  private[queries] def sharedNbScores(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): org.apache.spark.sql.DataFrame =
+    nbCache.get(s, dir) {
+      val f = qualityFeatures(s, dir)
+        .where(col("n_tokens").isNotNull)
+        .withColumn("x1", col("quality") >= 0.5)
+        .withColumn("x2", col("avg_logprob") >= -7.5)
+        .withColumn("x3", coalesce(col("frac_dup_chunks"), lit(0.0)) <= 0.2)
+        .withColumn("x4", col("frac_contaminated") <= 0.0)
+        .withColumn("label_keep",
+          col("n_tokens") >= 15 && col("n_tokens") <= 100000 &&
+            col("frac_distinct") >= 0.35 && col("top_bigram_frac") <= 0.1)
+      graft.operators.QualityClassifier
+        .bernoulliNb(f, "doc_id", Seq("x1", "x2", "x3", "x4"), "label_keep")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Capstone curation v7 — the MODEL-in-the-loop capstone that
     * HASH-MATCHES end to end (q92's shape with q126's classifier in
@@ -1868,9 +1881,49 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Model calibration table: the q126 NB scores cut into 10
+    * histogram-equalized deciles (q149's boundaries — reproducible,
+    * no global sort) with the ACTUAL keep rate per decile — the
+    * monotone-rate artifact every deployed classifier publishes (a
+    * non-monotone decile is a miscalibration alarm). One oracle
+    * replays training, scoring, boundary derivation, and the rates. */
+  val q171 = GQuery("q171_nb_calibration",
+    s"""WITH nb AS (${q126.oracle.get}),
+       |rws AS (SELECT doc_id, score4 AS s4, label_keep FROM nb),
+       |cells AS (SELECT s4, count(*) AS n_cell FROM rws GROUP BY s4),
+       |tot AS (SELECT count(*) AS n_total FROM rws),
+       |mapped AS (
+       |  SELECT s4,
+       |    CAST(floor(coalesce(sum(n_cell) OVER (ORDER BY s4
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      * 10 / n_total) AS INT) AS bucket
+       |  FROM cells, tot)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN label_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(round(1e4 * sum(CASE WHEN label_keep THEN 1 ELSE 0 END)
+       |    / count(*)) AS BIGINT) AS keep_rate4,
+       |  min(s4) AS min_s4, max(s4) AS max_s4
+       |FROM rws JOIN mapped USING (s4)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import graft.operators.Sampling
+    val nb = sharedNbScores(s, dir)
+      .select(col("doc_id"), (col("score4") / 1e4).as("score"),
+        col("label_keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Sampling.rangeBuckets(nb, "doc_id", "score", 10)
+      .join(nb.select(col("doc_id"), col("label_keep")), "doc_id")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(lit(1e4) * sum(when(col("label_keep"), 1L).otherwise(0L))
+          / count(lit(1))).cast("long").as("keep_rate4"),
+        min(col("s4")).as("min_s4"), max(col("s4")).as("max_s4"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
-      q160, q161, q162, q163, q164, q169, q170)
+      q160, q161, q162, q163, q164, q169, q170, q171)
 }

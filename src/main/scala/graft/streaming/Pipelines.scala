@@ -988,6 +988,50 @@ object Pipelines {
       }
   }
 
+  final case class FunnelProgress(user_id: Long, stage: Int, ts_ms: Long)
+
+  /** Streaming ordered funnel — the incremental form of
+    * [[graft.operators.EventOps.funnelTimes]]: per user, track the
+    * earliest strictly-ordered completion time of each step and emit a
+    * [[FunnelProgress]] row whenever a user ADVANCES a stage. State is
+    * exactly `steps.length` timestamps per user, bounded forever.
+    *
+    * Exactness contract (same as [[transitionStream]]): under
+    * per-user order-preserving delivery, a step-i event can improve
+    * t_i only when t_{i-1} is set and t_i is not — once set, an
+    * earlier qualifying event cannot arrive — so the stored vector
+    * equals the batch funnel over the full history at every batch
+    * boundary regardless of how the stream is cut (spec-asserted).
+    * Out-of-order or duplicate delivery follows arrival order; route
+    * at-least-once sources through [[streamingDedup]] upstream. */
+  def funnelStream(events: Dataset[TransEvent],
+                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+         state: GroupState[Array[Long]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          val t = state.getOption.getOrElse(Array.fill(steps.length)(-1L))
+          val out = Seq.newBuilder[FunnelProgress]
+          for (e <- sorted; i <- stepIdx.get(e.event_type)) {
+            val prevDone = i == 0 || t(i - 1) >= 0
+            val qualifies = prevDone && t(i) < 0 &&
+              (i == 0 || e.ts_ms > t(i - 1))
+            if (qualifies) {
+              t(i) = e.ts_ms
+              out += FunnelProgress(uid, i, e.ts_ms)
+            }
+          }
+          state.update(t)
+          out.result().iterator
+      }
+  }
+
   /** Trending-term detection, stage 1 (streaming-safe): per event-time
     * window, each term's in-window count joined against a static
     * baseline census — the raw material for "what is spiking right

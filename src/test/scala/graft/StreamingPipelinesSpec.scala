@@ -880,6 +880,46 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(streamedCensus === census)
   }
 
+  test("funnelStream: stage advances match the batch funnel under any cut") {
+    implicit val sc = spark.sqlContext
+    import Pipelines.TransEvent
+    val steps = Seq("view", "click", "purchase")
+    // user 1 completes in order; user 2's click precedes its view (never
+    // advances past stage 0); user 3 stalls at click
+    val evs = Seq(
+      TransEvent(1L, 1000L, 1L, "view"), TransEvent(1L, 2000L, 2L, "click"),
+      TransEvent(1L, 3000L, 3L, "purchase"),
+      TransEvent(2L, 1000L, 4L, "click"), TransEvent(2L, 2000L, 5L, "view"),
+      TransEvent(2L, 3000L, 6L, "error"),
+      TransEvent(3L, 1000L, 7L, "view"), TransEvent(3L, 2000L, 8L, "click"))
+    def run(tag: String, cuts: Seq[Seq[TransEvent]]): Seq[(Long, Int, Long)] = {
+      val in = MemoryStream[TransEvent]
+      val q = Pipelines.funnelStream(in.toDS(), steps).writeStream
+        .format("memory").queryName(s"funout_$tag").outputMode("append").start()
+      try cuts.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(s"funout_$tag").select("user_id", "stage", "ts_ms")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+    }
+    val one = run("a", Seq(evs))
+    val cut = run("b", Seq(evs.take(4), evs.drop(4)))   // cut mid-user-1? no: mid-stream
+    assert(one === cut, "batch cut must not change funnel advances")
+    assert(one === Seq(
+      (1L, 0, 1000L), (1L, 1, 2000L), (1L, 2, 3000L),
+      (2L, 0, 2000L),
+      (3L, 0, 1000L), (3L, 1, 2000L)))
+    // final stages equal the batch funnelTimes verdicts
+    val ft = graft.operators.EventOps.funnelTimes(
+        evs.toDF().withColumn("ts", col("ts_ms")), "user_id", "ts",
+        "event_type", steps)
+      .select(col("user_id"),
+        (col("t2").isNotNull.cast("int") + col("t1").isNotNull.cast("int")
+          + col("t0").isNotNull.cast("int")).as("stage_count"))
+      .as[(Long, Int)].collect().toMap
+    val streamedMax = one.groupBy(_._1).view.mapValues(_.map(_._2).max + 1).toMap
+    assert(streamedMax === ft.filter(_._2 > 0))
+  }
+
   test("weightedSampleAgainstStore: streamed reservoir equals the batch A-ES sample") {
     import graft.operators.Sampling
     val store = java.nio.file.Files.createTempDirectory("wreservoir").toString
