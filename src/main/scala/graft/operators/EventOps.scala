@@ -94,6 +94,49 @@ object EventOps {
       .select(col("max_concurrent"), col("at_ts"))
   }
 
+  /** OHLC bars (candle aggregation): per (group, time bucket) the
+    * first/max/min/last of a value ordered by (ts, tie id) — the
+    * financial-bar shape, equally the right summary for any metric
+    * stream. `max_by`/`min_by` on the (ts, id) struct give open/close
+    * in ONE keyed aggregate (map-side partials; no window, no sort). */
+  def ohlcBars(events: DataFrame, groupCol: String, tsCol: String,
+               orderCol: String, valCol: String,
+               bucketSeconds: Long = 86400L): DataFrame = {
+    // one exact scalar ordering key (decimal — micros × 10^7 + tie id,
+    // no 64-bit overflow, no struct-comparison semantics to match
+    // across engines); orderCol must stay below 10^7
+    val key = (unix_micros(col(tsCol)).cast("decimal(38,0)") *
+      lit(10000000L) + col(orderCol)).as("__k")
+    events
+      .select(col(groupCol).as("grp"),
+        floor(unix_timestamp(col(tsCol)) / bucketSeconds).as("bkt"),
+        key, col(valCol).as("v"))
+      .groupBy("grp", "bkt")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("v"), col("__k")).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max_by(col("v"), col("__k")).as("close"))
+  }
+
+  /** Cohort retention matrix: users grouped by first-activity bucket
+    * (the cohort), counted by how many were active again k buckets
+    * later — the product-analytics retention triangle. Two keyed
+    * aggregates: first-seen per user, then distinct (cohort, offset,
+    * user) counts; nothing is user-history-sized in any shuffle row. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketSeconds: Long = 86400L): DataFrame = {
+    val acts = events.select(col(userCol).as("user_id"),
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds).as("bkt"))
+      .distinct()
+    val first = acts.groupBy("user_id").agg(min(col("bkt")).as("cohort"))
+    acts.join(first, "user_id")
+      .select(col("cohort"), (col("bkt") - col("cohort")).as("offset"),
+        col("user_id"))
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Event-type transition counts (the first-order Markov census): per
     * user, consecutive (ts, tie-break id)-ordered event pairs, counted
     * by (from_type, to_type). The what-happens-next structure a

@@ -315,6 +315,50 @@ object Windows {
     graft.operators.EventOps.peakConcurrency(sess, "st", "en")
   }
 
+  /** Daily OHLC bars per event type (see
+    * [[graft.operators.EventOps.ohlcBars]]): open/high/low/close of
+    * `value` per (type, day) from ONE keyed aggregate — min_by/max_by
+    * on an exact decimal (micros, id) key, no window, no sort. */
+  val q172 = GQuery("q172_ohlc_bars",
+    """WITH k AS (
+      |  SELECT event_type AS grp,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bkt,
+      |    CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000 + event_id AS kk,
+      |    value AS v
+      |  FROM events)
+      |SELECT grp, bkt, count(*) AS n,
+      |  round(arg_min(v, kk), 3) AS open,
+      |  round(max(v), 3) AS high,
+      |  round(min(v), 3) AS low,
+      |  round(arg_max(v, kk), 3) AS close
+      |FROM k GROUP BY grp, bkt
+      |ORDER BY grp, bkt""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.ohlcBars(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value")
+      .select(col("grp"), col("bkt"), col("n"),
+        round(col("open"), 3).as("open"), round(col("high"), 3).as("high"),
+        round(col("low"), 3).as("low"), round(col("close"), 3).as("close"))
+      .orderBy(col("grp"), col("bkt"))
+  }
+
+  /** Cohort retention (see
+    * [[graft.operators.EventOps.cohortRetention]]): users by first-
+    * active day, counted by day offsets they returned — the retention
+    * triangle. */
+  val q173 = GQuery("q173_cohort_retention",
+    """WITH acts AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bkt
+      |  FROM events),
+      |first_ AS (SELECT user_id, min(bkt) AS cohort FROM acts GROUP BY user_id)
+      |SELECT f.cohort, a.bkt - f.cohort AS "offset", count(*) AS n_users
+      |FROM acts a JOIN first_ f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.cohortRetention(Tables.events(s, dir),
+        "user_id", "ts")
+      .orderBy(col("cohort"), col("offset"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168)
+    Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173)
 }
