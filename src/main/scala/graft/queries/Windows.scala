@@ -359,6 +359,68 @@ object Windows {
       .orderBy(col("cohort"), col("offset"))
   }
 
+  /** Funnel latency quantiles: exact p50/p90 of view→click and
+    * view→purchase lag (seconds) over the users who got there —
+    * [[graft.operators.EventOps.funnelTimes]] composed with
+    * [[graft.operators.TextStats.groupQuantiles]] (integer seconds
+    * ride the 1e-4 grid as lag/1e4, recovered exactly by the round).
+    * The latency half of the q156 reach report. */
+  val q174 = GQuery("q174_funnel_latency",
+    """WITH s0 AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (
+      |  SELECT s0.user_id, t0,
+      |    min(CASE WHEN e.ts > s0.t0 THEN e.ts END) AS t1
+      |  FROM s0 LEFT JOIN events e
+      |    ON e.user_id = s0.user_id AND e.event_type = 'click'
+      |  GROUP BY s0.user_id, t0),
+      |s2 AS (
+      |  SELECT s1.user_id, t0, t1,
+      |    min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e
+      |    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+      |  GROUP BY s1.user_id, t0, t1),
+      |lags AS (
+      |  SELECT 'view_to_click' AS grp,
+      |    CAST(floor(epoch(t1)) AS BIGINT)
+      |      - CAST(floor(epoch(t0)) AS BIGINT) AS s4
+      |  FROM s2 WHERE t1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'view_to_purchase',
+      |    CAST(floor(epoch(t2)) AS BIGINT)
+      |      - CAST(floor(epoch(t0)) AS BIGINT)
+      |  FROM s2 WHERE t2 IS NOT NULL),
+      |tg AS (SELECT grp, count(*) AS t_g FROM lags GROUP BY grp),
+      |sc AS (SELECT grp, s4, count(*) AS n FROM lags GROUP BY 1, 2),
+      |cums AS (
+      |  SELECT grp, s4,
+      |    sum(n) OVER (PARTITION BY grp ORDER BY s4
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sc)
+      |SELECT c.grp AS step, tg.t_g AS n_users,
+      |  min(CASE WHEN cum * 10000 >= t_g * 5000 THEN s4 END) AS p5000,
+      |  min(CASE WHEN cum * 10000 >= t_g * 9000 THEN s4 END) AS p9000
+      |FROM cums c JOIN tg USING (grp)
+      |GROUP BY 1, 2 ORDER BY step""".stripMargin) { (s, dir) =>
+    import graft.operators.{EventOps, TextStats}
+    val ft = EventOps.funnelTimes(Tables.events(s, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+    val lags = ft.where(col("t1").isNotNull)
+      .select(lit("view_to_click").as("grp"),
+        ((unix_timestamp(col("t1")) - unix_timestamp(col("t0")))
+          .cast("double") / 1e4).as("lag"))
+      .unionAll(ft.where(col("t2").isNotNull)
+        .select(lit("view_to_purchase").as("grp"),
+          ((unix_timestamp(col("t2")) - unix_timestamp(col("t0")))
+            .cast("double") / 1e4).as("lag")))
+    TextStats.groupQuantiles(lags, "grp", "lag", Seq(5000, 9000))
+      .select(col("grp").as("step"), col("n_rows").as("n_users"),
+        col("p5000"), col("p9000"))
+      .orderBy(col("step"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173)
+    Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
+      q174)
 }

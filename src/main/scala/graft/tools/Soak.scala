@@ -167,6 +167,44 @@ object Soak {
       }
     }
 
+    // --- leg: streaming weighted reservoir — per-batch cost vs history ---
+    // the reservoir's state is ≤ k rows per stratum FOREVER, so a batch
+    // against a reservoir that has absorbed 100× more history must cost
+    // the same as against a young one (unlike the dedup stores, whose
+    // state IS the history and needs bucketing to stay flat).
+    {
+      import graft.streaming.Pipelines
+      val k = 64
+      def mkReservoir(nRows: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("soak_res").toString
+        val seed = spark.range(nRows.toLong).select(
+          col("id").as("item_id"),
+          (col("id") % 97 + 1).cast("double").as("w"),
+          concat(lit("s"), (col("id") % 8).cast("string")).as("src"))
+        Pipelines.weightedSampleAgainstStore("item_id", "w", "src",
+          dir, k) { _ => () }(seed, 0L)
+        dir
+      }
+      val batch = spark.range(256).select(
+        (col("id") + 9_000_000L).as("item_id"),
+        lit(2.5).as("w"),
+        concat(lit("s"), (col("id") % 8).cast("string")).as("src")).cache()
+      batch.count()
+      def runBatch(dir: String): Unit =
+        Pipelines.weightedSampleAgainstStore("item_id", "w", "src",
+          dir, k) { _ => () }(batch, 1L)
+      val young = mkReservoir(10_000); val old = mkReservoir(1_000_000)
+      runBatch(mkReservoir(10_000)) // warm
+      val tY = time("reservoir_batch vs 10k history")(runBatch(young))
+      val tO = time("reservoir_batch vs 1M history")(runBatch(old))
+      val r = tO / tY
+      println(f"[soak] reservoir_batch           ${r}%5.1fx per-batch cost for 100x history")
+      if (r > 3.0) {
+        System.err.println("[soak] FAIL history-dependent reservoir batch")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     // --- leg: mega-class exact-dup group emission stays linear ---
     // one identical-signature class of 10k then 100k members: the
     // group-emission report must scale ~linearly in rows (the PAIR
