@@ -395,6 +395,82 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-channel pixel statistics — the color-profile kernel beside
+    * [[DHashCodec]]'s structure hash: exact integer channel sums over
+    * the full raster (means/derived stats are downstream arithmetic,
+    * so every aggregate stays order-free). The corpus-level census
+    * over these is the color-cast / tint-drift detector (a camera
+    * pipeline change or a broken thumbnailer shifts a whole source's
+    * channel balance). Pixels-not-bytes like the dHash: re-encodings
+    * of one raster report identical sums. Undecodable blobs degrade
+    * to the typed corrupt row, never a throw. */
+  object ChannelStatsCodec extends Serializable {
+    /** (format, width, height, n_px, sum_r, sum_g, sum_b); corrupt →
+      * ("corrupt", -1, -1, -1, -1, -1, -1). */
+    def stats(bytes: Array[Byte])
+        : (String, Int, Int, Long, Long, Long, Long) = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val (fmt, img) =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) (null, null)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              (r.getFormatName.toLowerCase(java.util.Locale.ROOT), r.read(0))
+            } catch {
+              case _: java.io.IOException => (null, null)
+            } finally r.dispose()
+          }
+        } finally {
+          try in.close()
+          catch { case _: java.io.IOException => () }
+        }
+      if (img == null) return ("corrupt", -1, -1, -1L, -1L, -1L, -1L)
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val m = img.getRGB(x, y) & 0xffffff
+          sr += (m >> 16) & 0xff
+          sg += (m >> 8) & 0xff
+          sb += m & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (fmt, w, h, w.toLong * h, sr, sg, sb)
+    }
+  }
+
+  /** Per-partition channel-stats decode — [[decodePartitions]] with
+    * the [[ChannelStatsCodec]] kernel:
+    * (id, format, width, height, n_px, sum_r, sum_g, sum_b). */
+  def decodeImageChannelStatsPartitions(df: DataFrame, blobCol: String,
+                                        idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("n_px", LongType).add("sum_r", LongType)
+      .add("sum_g", LongType).add("sum_b", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, w, h, n, sr, sg, sb) = ChannelStatsCodec.stats(bytes)
+        Row(r.getLong(idIdx), f, w, h, n, sr, sg, sb)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Audio SAMPLE decode — the step past [[WavCodec]]'s header probe:
     * walks the RIFF chunks to the `data` payload and iterates the
     * PCM16 frames themselves, producing the exact integer signal

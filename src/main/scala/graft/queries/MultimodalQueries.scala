@@ -991,7 +991,72 @@ object MultimodalQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-source image color profile (see
+    * [[graft.operators.Multimodal.ChannelStatsCodec]]): REAL
+    * full-raster decode → exact integer channel sums → per-source
+    * channel means on the grid — the color-cast / tint-drift detector
+    * (a broken thumbnailer or camera-pipeline change shifts a whole
+    * source's balance). Corrupt blobs (every 13th truncated) count
+    * separately and never contribute pixels. The oracle replays the
+    * generator's full pixel arithmetic per (x, y). */
+  val q175 = GQuery("q175_image_color_census",
+    """WITH m AS (
+      |  SELECT doc_id, source, (doc_id % 13 = 0) AS bad,
+      |    8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 24 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |xs AS (
+      |  SELECT doc_id, source, w, h, unnest(range(0, w)) AS x
+      |  FROM m WHERE NOT bad),
+      |px AS (
+      |  SELECT doc_id, source,
+      |    ((doc_id + x * 31 + unnest(range(0, h)) * 131) % 16777216) AS v
+      |  FROM xs),
+      |sums AS (
+      |  SELECT source, count(*) AS n_px,
+      |    CAST(sum((v // 65536) % 256) AS BIGINT) AS sum_r,
+      |    CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+      |    CAST(sum(v % 256) AS BIGINT) AS sum_b
+      |  FROM px GROUP BY source),
+      |cnts AS (
+      |  SELECT source, count(*) AS n_images,
+      |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+      |  FROM m GROUP BY source)
+      |SELECT c.source, c.n_images, c.n_corrupt,
+      |  CAST(s.n_px AS BIGINT) AS n_px,
+      |  CAST(round(1e4 * s.sum_r / s.n_px) AS BIGINT) AS mean_r4,
+      |  CAST(round(1e4 * s.sum_g / s.n_px) AS BIGINT) AS mean_g4,
+      |  CAST(round(1e4 * s.sum_b / s.n_px) AS BIGINT) AS mean_b4
+      |FROM cnts c JOIN sums s USING (source)
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val ids = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = ids.mapPartitions(_.map { id =>
+      val bytes = Multimodal.encodePng(
+        (8 + id % 24).toInt, (8 + (id * 7) % 24).toInt, seed = id)
+      (id, if (id % 13 == 0) bytes.take(6) else bytes)
+    }).toDF("doc_id", "blob")
+    val st = Multimodal
+      .decodeImageChannelStatsPartitions(blobs, "blob", "doc_id")
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+    val sums = st.where(col("format") =!= "corrupt")
+      .groupBy("source")
+      .agg(sum(col("n_px")).as("n_px"), sum(col("sum_r")).as("sum_r"),
+        sum(col("sum_g")).as("sum_g"), sum(col("sum_b")).as("sum_b"))
+    val cnts = st.groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        sum(when(col("format") === "corrupt", 1L).otherwise(0L))
+          .as("n_corrupt"))
+    cnts.join(sums, "source")
+      .select(col("source"), col("n_images"), col("n_corrupt"), col("n_px"),
+        round(lit(1e4) * col("sum_r") / col("n_px")).cast("long").as("mean_r4"),
+        round(lit(1e4) * col("sum_g") / col("n_px")).cast("long").as("mean_g4"),
+        round(lit(1e4) * col("sum_b") / col("n_px")).cast("long").as("mean_b4"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123,
-      q128, q129, q131, q132, q133)
+      q128, q129, q131, q132, q133, q175)
 }

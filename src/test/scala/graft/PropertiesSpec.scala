@@ -213,6 +213,30 @@ class PropertiesSpec extends SparkSpec {
       Multimodal.Mp4StatsCodec.stats(b)
       Multimodal.VideoSigCodec.signature(b)
       Multimodal.KeyframeCodec.keyframes(b)
+      Multimodal.ChannelStatsCodec.stats(b)
+    }
+  }
+
+  test("channel sums are a function of PIXELS, not bytes: PNG and BMP sums equal") {
+    import graft.operators.Multimodal
+    for (seed <- 1L to 3L) {
+      val w = (9 + seed % 23).toInt
+      val h = (8 + (seed * 7) % 24).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((seed + x * 31L + y * 131L) & 0xffffff).toInt)
+      def enc(fmt: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try javax.imageio.ImageIO.write(img, fmt, ios) finally ios.close()
+        bos.toByteArray
+      }
+      val sp = Multimodal.ChannelStatsCodec.stats(enc("png"))
+      val sb = Multimodal.ChannelStatsCodec.stats(enc("bmp"))
+      assert(sp._1 === "png" && sb._1 === "bmp")
+      assert(sp.copy(_1 = "") === sb.copy(_1 = ""),
+        s"seed $seed: channel sums differ across containers")
     }
   }
 

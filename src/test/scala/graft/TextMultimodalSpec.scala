@@ -214,6 +214,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L) === ("corrupt", null))
   }
 
+  test("ChannelStatsCodec: exact integer channel sums; corrupt typed; wrapper carries rows") {
+    // hand-computed against encodePng's pixel formula
+    // v(x, y) = (seed + 31x + 131y) & 0xffffff
+    val (w, h, seed) = (3, 2, 7L)
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (seed + 31L * x + 131L * y) & 0xffffff
+      er += (v >> 16) & 0xff; eg += (v >> 8) & 0xff; eb += v & 0xff
+    }
+    val s = Multimodal.ChannelStatsCodec.stats(Multimodal.encodePng(w, h, seed))
+    assert(s === ("png", w, h, (w * h).toLong, er, eg, eb))
+    // corrupt bytes degrade typed, never throw
+    assert(Multimodal.ChannelStatsCodec.stats("junk".getBytes("UTF-8"))._1
+      === "corrupt")
+    assert(Multimodal.ChannelStatsCodec
+      .stats(Multimodal.encodePng(9, 9, 1L).take(6))._1 === "corrupt")
+    // per-partition wrapper: typed rows for good AND corrupt blobs
+    val df = Seq(
+      (1L, Multimodal.encodePng(w, h, seed)),
+      (2L, "junk".getBytes("UTF-8"))).toDF("id", "blob").repartition(2)
+    val out = Multimodal.decodeImageChannelStatsPartitions(df, "blob", "id")
+      .select("id", "format", "sum_r").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ("png", er) && out(2L) === ("corrupt", -1L))
+  }
+
   test("dHash signatures compose with banded Hamming pairing") {
     // Two pixel-identical images + one different gradient: the banded
     // pairer (q60 machinery over dhash-as-simhash64) must find exactly
