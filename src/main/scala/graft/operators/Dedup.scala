@@ -270,6 +270,46 @@ object Dedup {
     }
   }
 
+  /** MOSS-style winnowing pairing (Schleimer/Wilkerson/Aiken): the
+    * POSITION-AWARE near-dup candidate family member. Input is the
+    * winnowed fingerprint selection
+    * ([[graft.operators.TextStats.winnowedFps]] — distinct `(id, fp)`
+    * rows); the selection guarantees any shared token run of
+    * ≥ n + w − 1 tokens yields a shared fingerprint, so long verbatim
+    * overlaps can NOT be missed — the property whole-set Jaccard and
+    * MinHash lack (a 200-token verbatim block inside two otherwise
+    * different documents barely moves Jaccard but always intersects
+    * here). Output: (id_a, id_b, shared, n_fp_a, n_fp_b, ovl4) with
+    * `ovl4` = ⌊1e4·shared / min(n_fp)⌉ on the integer grid.
+    *
+    * Scale shape: inverted index on fp (one shuffle), df-capped like
+    * the shingle index — fingerprints in > maxDocFreq docs are
+    * boilerplate and are dropped BEFORE the self-join, bounding any
+    * fp's candidate fan-out at maxDocFreq²; `shared` then undercounts
+    * by the capped fps (documented, same contract as the capped
+    * Jaccard path's rare-intersection). Per-doc sizes come from the
+    * UNCAPPED selection so ovl4's denominator is the true selection
+    * size. */
+  def winnowingPairs(fps: DataFrame, minShared: Long = 2L,
+                     maxDocFreq: Int = 1000): DataFrame = {
+    val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val freq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select("fp")
+    val ex = fps.join(freq, Seq("fp"), "left_anti")
+    val shared = ex.select(col("id").as("id_a"), col("fp"))
+      .join(ex.select(col("id").as("id_b"), col("fp")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_fp").as("n_fp_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_fp").as("n_fp_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        round(lit(1e4) * col("shared") / least(col("n_fp_a"), col("n_fp_b")))
+          .cast("long").as("ovl4"))
+  }
+
   /** Duplication-attribution matrix: for each unordered pair of
     * document attributes (source, crawl, license, …), how many near-dup
     * pairs cross them and the integer-grid sum of their similarities —

@@ -111,8 +111,11 @@ object TextStats {
                             n: Int = 3, w: Int = 4): DataFrame =
     winnowingFromTokens(tokenized(df, idCol, textCol), n, w)
 
-  /** [[winnowingFingerprints]] over a pre-built [[tokenized]] frame. */
-  def winnowingFromTokens(toks: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+  /** The winnowing SELECTION itself: each document's distinct set of
+    * selected fingerprints, `(id, fp)` — the shared substrate for the
+    * per-doc census ([[winnowingFromTokens]]) and the MOSS pairing
+    * ([[graft.operators.Dedup.winnowingPairs]]). */
+  def winnowedFps(toks: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     val hashed = posShinglesFromTokens(toks, n)
       .withColumn("h", conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long"))
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -122,10 +125,15 @@ object TextStats {
       .withColumn("fp", min(col("h")).over(win))
       .withColumn("n_pos", count(lit(1)).over(m))
       .where(col("pos") <= col("n_pos") - w)   // only full windows
-      .groupBy(col("id"))
-      .agg(countDistinct(col("fp")).as("n_fp"),
-        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .select(col("id"), col("fp")).distinct()
   }
+
+  /** [[winnowingFingerprints]] over a pre-built [[tokenized]] frame. */
+  def winnowingFromTokens(toks: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
+    winnowedFps(toks, n, w)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
 
   /** Corpus-level top-k n-grams by occurrence (positional, not
     * per-doc-distinct): the word-count shape — map-side partial count,

@@ -212,6 +212,47 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MOSS winnowing pairing (see
+    * [[graft.operators.Dedup.winnowingPairs]]): position-aware near-dup
+    * candidates over the q56 fingerprint selection — any shared token
+    * run of ≥ n + w − 1 = 6 tokens guarantees a shared fingerprint.
+    * df-cap 100, minShared 3. The oracle replays the full winnow
+    * (window-min selection), the cap, and the self-join. */
+  val q176 = GQuery("q176_winnowing_pairs",
+    s"""WITH $tokCte,
+       |pos AS (
+       |  SELECT doc_id, u.pos AS pos, m, u.s AS s FROM (
+       |    SELECT doc_id, len(ws) - 2 AS m,
+       |      unnest([{'pos': i, 's': ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]}
+       |              for i in range(1, len(ws) - 1)]) AS u
+       |    FROM tok WHERE len(ws) >= 3)),
+       |fpw AS (
+       |  SELECT doc_id, pos, m,
+       |    min(CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT))
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM pos),
+       |kept AS (SELECT DISTINCT doc_id, fp FROM fpw WHERE pos <= m - 3),
+       |sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+       |freq AS (SELECT fp FROM kept GROUP BY fp HAVING count(*) > 100),
+       |ex AS (SELECT doc_id, fp FROM kept ANTI JOIN freq USING (fp)),
+       |sh AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM ex a JOIN ex b USING (fp) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT id_a, id_b, shared,
+       |  CAST(sa.n_fp AS BIGINT) AS n_fp_a, CAST(sb.n_fp AS BIGINT) AS n_fp_b,
+       |  CAST(round(1e4 * shared / least(sa.n_fp, sb.n_fp)) AS BIGINT) AS ovl4
+       |FROM sh
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val fps = graft.operators.TextStats.winnowedFps(sharedToks(s, dir), n = 3, w = 4)
+    graft.operators.Dedup.winnowingPairs(fps, minShared = 3L, maxDocFreq = 100)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Corpus-level top-25 trigrams — the word-count shape (see
     * [[graft.operators.TextStats.topNgrams]]). */
   val q58 = GQuery("q58_top_ngrams",
@@ -1925,5 +1966,5 @@ object TextQueries {
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
-      q160, q161, q162, q163, q164, q169, q170, q171)
+      q160, q161, q162, q163, q164, q169, q170, q171, q176)
 }

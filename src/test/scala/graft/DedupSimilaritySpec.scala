@@ -350,4 +350,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out === Set(
       ("alph", "alpha"), ("alpha", "alphax"), ("alpha", "alpja")))
   }
+
+  test("winnowingPairs: a shared 6-token run is GUARANTEED to pair (MOSS law)") {
+    // n=3, w=4 ⇒ any shared run of ≥ n + w − 1 = 6 tokens shares a
+    // selected fingerprint. Docs a/b share exactly one 6-token verbatim
+    // block inside otherwise disjoint text (Jaccard over their trigram
+    // sets is tiny); doc c is unrelated.
+    val run = "zeta eta theta iota kappa lambda"
+    val docsW = Seq(
+      (1L, s"alpha beta gamma delta $run epsilon phi chi psi omega"),
+      (2L, s"one two three four five $run six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet maroon teal"))
+      .toDF("id", "text")
+    val toks = graft.operators.TextStats.tokenized(docsW, "id", "text")
+    val fps = graft.operators.TextStats.winnowedFps(toks, n = 3, w = 4)
+    val pairs = Dedup.winnowingPairs(fps, minShared = 1L, maxDocFreq = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // sanity: overlap fraction rides the grid and denominators are the
+    // UNCAPPED per-doc selection sizes
+    val row = Dedup.winnowingPairs(fps, minShared = 1L, maxDocFreq = 10)
+      .head()
+    val ovl = row.getAs[Long]("ovl4")
+    assert(ovl > 0L && ovl <= 10000L)
+    // df-cap: with every fingerprint capped out, no candidates survive
+    assert(Dedup.winnowingPairs(fps, minShared = 1L, maxDocFreq = 0).count() === 0L)
+  }
 }
