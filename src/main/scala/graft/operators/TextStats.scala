@@ -673,16 +673,30 @@ object TextStats {
     * `approx_percentile` wherever scores live on a bounded grid. */
   def groupQuantiles(df: DataFrame, groupCol: String, scoreCol: String,
                      qs: Seq[Int]): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 10000),
-      "quantile points are per-10000 in [1, 10000]")
     val rows = df.select(col(groupCol).as("grp"),
       round(col(scoreCol) * 1e4).cast("long").as("s4"))
-    val tg = rows.groupBy("grp").agg(count(lit(1)).as("t_g"))
+    groupQuantilesFromCells(
+      rows.groupBy("grp", "s4").agg(count(lit(1)).as("n")), qs)
+  }
+
+  /** [[groupQuantiles]] from a pre-aggregated grid-cell histogram
+    * `(grp, s4, n)`. The cells are EXACT and MERGEABLE (merging two
+    * histograms = summing cell counts), so this is the report side of
+    * any incremental path that accumulates per-batch histograms
+    * ([[graft.streaming.Pipelines]]' histogram store): quantiles come
+    * from the cell table alone — the ingested rows are never
+    * re-scanned, and the answer is identical to a single whole-corpus
+    * pass (the merge law `SketchSpec` asserts for the streaming
+    * store). */
+  def groupQuantilesFromCells(cells: DataFrame, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 10000),
+      "quantile points are per-10000 in [1, 10000]")
+    val tg = cells.groupBy("grp").agg(sum(col("n")).as("t_g"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("s4"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
-    val cum = rows.groupBy("grp", "s4").agg(count(lit(1)).as("n"))
+    val cum = cells
       .withColumn("cum", sum(col("n")).over(w))
       .join(tg, "grp")
     val aggs = qs.map(q =>

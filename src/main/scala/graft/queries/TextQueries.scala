@@ -253,6 +253,50 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Mergeable-histogram quantiles (see
+    * [[graft.operators.TextStats.groupQuantilesFromCells]]): per-source
+    * token-length quantiles computed by building FOUR per-slice
+    * grid-cell histograms (slice = doc_id mod 4 — standing in for
+    * ingestion batches), SUMMING the cells, and reading quantiles off
+    * the merged histogram. The oracle computes the same quantiles in
+    * one direct pass over all rows — histogram merge is lossless, so
+    * the incremental path must hash-match the single-pass answer
+    * (the batch face of the streaming histogram store's merge law). */
+  val q177 = GQuery("q177_hist_merge_quantiles",
+    s"""WITH $tokCte,
+       |rws AS (
+       |  SELECT d.source AS grp, CAST(len(t.ws) AS BIGINT) AS s4
+       |  FROM tok t JOIN documents d USING (doc_id)),
+       |tg AS (SELECT grp, count(*) AS t_g FROM rws GROUP BY grp),
+       |sc AS (SELECT grp, s4, count(*) AS n FROM rws GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT grp, s4,
+       |    sum(n) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM sc),
+       |j AS (SELECT c.grp, c.s4, c.cum, tg.t_g FROM cums c JOIN tg USING (grp))
+       |SELECT grp AS source, CAST(t_g AS BIGINT) AS n_rows,
+       |  min(CASE WHEN cum * 10000 >= t_g * 2500 THEN s4 END) AS p2500,
+       |  min(CASE WHEN cum * 10000 >= t_g * 5000 THEN s4 END) AS p5000,
+       |  min(CASE WHEN cum * 10000 >= t_g * 7500 THEN s4 END) AS p7500,
+       |  min(CASE WHEN cum * 10000 >= t_g * 9500 THEN s4 END) AS p9500
+       |FROM j GROUP BY 1, 2 ORDER BY source""".stripMargin) { (s, dir) =>
+    val srcm = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("source"))
+    val rows = sharedToks(s, dir).join(srcm, "id")
+      .select(col("source").as("grp"), size(col("ws")).cast("long").as("s4"),
+        (col("id") % 4).as("slice"))
+    // four independent slice histograms, then the lossless cell-sum merge
+    val sliceCells = rows.groupBy("slice", "grp", "s4")
+      .agg(count(lit(1)).as("n"))
+    val merged = sliceCells.groupBy("grp", "s4").agg(sum(col("n")).as("n"))
+    graft.operators.TextStats
+      .groupQuantilesFromCells(merged, Seq(2500, 5000, 7500, 9500))
+      .select(col("grp").as("source"), col("n_rows"),
+        col("p2500"), col("p5000"), col("p7500"), col("p9500"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus-level top-25 trigrams — the word-count shape (see
     * [[graft.operators.TextStats.topNgrams]]). */
   val q58 = GQuery("q58_top_ngrams",
@@ -1966,5 +2010,5 @@ object TextQueries {
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
-      q160, q161, q162, q163, q164, q169, q170, q171, q176)
+      q160, q161, q162, q163, q164, q169, q170, q171, q176, q177)
 }

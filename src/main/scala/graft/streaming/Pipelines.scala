@@ -1308,4 +1308,56 @@ object Pipelines {
           store.select(col("sketch")))
         .select(lit("__all__").as("key"), col("estimate")))
   }
+
+  /** Incremental EXACT quantiles: each micro-batch appends its
+    * grid-cell histogram — one `(batch_id, grp, s4, n)` row per
+    * occupied 1e-4 cell — to a persistent store; any later quantile
+    * report ([[histReport]]) is a cell-sum over the store, never a
+    * re-scan of ingested data. The exact sibling of [[sketchStream]]:
+    * grid histograms are mergeable like sketches (merge = summing cell
+    * counts) but LOSSLESS, so the incremental report is bit-equal to a
+    * single whole-history [[graft.operators.TextStats.groupQuantiles]]
+    * pass (asserted in `SketchSpec`).
+    *
+    * Delivery: at-least-once replays are absorbed at READ time —
+    * a replayed batch re-appends identical cells under the same
+    * batch_id, and [[histCells]] collapses to one row per
+    * (batch_id, grp, s4) before summing. Store size is bounded by
+    * (batches × groups × occupied cells), KB-scale rows — per-batch
+    * work never touches the store at all (append-only). */
+  def histStream(keyCol: String, scoreCol: String, storePath: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      batch.select(col(keyCol).as("grp"),
+          round(col(scoreCol) * 1e4).cast("long").as("s4"))
+        .groupBy("grp", "s4").agg(count(lit(1)).as("n"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(storePath)
+      ()
+    }
+
+  /** The merged histogram of a [[histStream]] store: replay-absorbed
+    * (one row per (batch_id, grp, s4) survives), then cell counts
+    * summed across batches → `(grp, s4, n)`. */
+  def histCells(spark: org.apache.spark.sql.SparkSession,
+                storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("batch_id", "grp", "s4").agg(max(col("n")).as("n"))
+      .groupBy("grp", "s4").agg(sum(col("n")).as("n"))
+
+  /** Quantile report over a [[histStream]] store: per-key exact
+    * quantiles at the requested per-10000 points, plus the corpus-wide
+    * `__all__` row — all from the persisted cells. */
+  def histReport(spark: org.apache.spark.sql.SparkSession,
+                 storePath: String, qs: Seq[Int]): DataFrame = {
+    // cells are (groups × occupied grid cells) rows — KB-scale; the
+    // two branches below recompute them rather than pin a cache for a
+    // one-shot report
+    val cells = histCells(spark, storePath)
+    val perKey = graft.operators.TextStats.groupQuantilesFromCells(cells, qs)
+    val overall = graft.operators.TextStats.groupQuantilesFromCells(
+      cells.groupBy("s4").agg(sum(col("n")).as("n"))
+        .select(lit("__all__").as("grp"), col("s4"), col("n")), qs)
+    perKey.unionAll(overall)
+  }
 }

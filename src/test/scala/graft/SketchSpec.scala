@@ -79,6 +79,51 @@ class SketchSpec extends SparkSpec {
     assert(report() == fromStore, "duplicate batch sketch changed a report")
   }
 
+  test("histStream: incremental exact quantiles equal one whole-history pass; replays absorbed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("histstore").toFile
+    store.delete()
+    val in = MemoryStream[(String, Double)]
+    val q = in.toDF().toDF("src", "score").writeStream
+      .foreachBatch(graft.streaming.Pipelines.histStream(
+        "src", "score", store.getAbsolutePath))
+      .start()
+    val batch1 = Seq(("a", 0.11), ("a", 0.52), ("a", 0.52), ("b", 0.90))
+    val batch2 = Seq(("a", 0.73), ("b", 0.10), ("b", 0.30))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val qs = Seq(5000, 9000)
+    def report() = graft.streaming.Pipelines
+      .histReport(spark, store.getAbsolutePath, qs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val fromStore = report()
+    // LOSSLESS merge law: the incremental report is bit-equal to a
+    // single groupQuantiles pass over all ingested rows
+    val whole = graft.operators.TextStats.groupQuantiles(
+        (batch1 ++ batch2).toDF("src", "score"), "src", "score", qs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fromStore("a") === whole("a") && fromStore("b") === whole("b"))
+    // hand-check: a = {1100, 5200, 5200, 7300} → p50 = 5200, p90 = 7300
+    assert(fromStore("a") === ((4L, 5200L, 7300L)))
+    assert(fromStore("__all__")._1 === 7L)
+    // at-least-once replay: re-append batch 1's cells under the SAME
+    // batch_id (the foreachBatch replay contract) — reports unchanged
+    batch1.toDF("src", "score")
+      .select(col("src").as("grp"),
+        round(col("score") * 1e4).cast("long").as("s4"))
+      .groupBy("grp", "s4").agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").parquet(store.getAbsolutePath)
+    assert(report() === fromStore, "replayed batch cells changed a report")
+  }
+
   test("estimates are within ±5% of exact distinct counts per source") {
     val srcs = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), col("source"))
