@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,5 +153,53 @@ object EventOps {
       .where(col("to_type").isNotNull)
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** First-touch / last-touch conversion attribution: every `convType`
+    * event is credited to the earliest (first-touch model) and latest
+    * (last-touch model) `touchTypes` event by the SAME user in the
+    * lookback window `[t − lookbackSec, t)` — strictly before the
+    * conversion; a conversion with no touch in window lands in the
+    * `(none)` bucket. Output: one row per (model, touch_type) with the
+    * conversion count and the 1e-2-grid value sum.
+    *
+    * Shape: NO conversion×touch join — both models ride ONE
+    * user-keyed pass as running min/max over a micro-second RANGE
+    * frame (the frame bound enforces the lookback exactly). The touch
+    * candidate is encoded `micros · K + typeIdx` (K = |touchTypes|+1)
+    * so min/max carry the type along; within one microsecond the
+    * type index breaks ties deterministically (first-touch prefers
+    * the earlier-listed type, last-touch the later-listed — replayed
+    * verbatim by the oracle). */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, valueCol: String,
+                       touchTypes: Seq[String], convType: String,
+                       lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val k = touchTypes.size + 1
+    val m = unix_micros(col(tsCol))
+    val enc = touchTypes.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (t, i)) =>
+        when(col(typeCol) === t, m * k + (i + 1)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(userCol)).orderBy(col("m"))
+      .rangeBetween(-lookbackSec * 1000000L, -1L)
+    val scanned = events
+      .select(col(userCol), m.as("m"), col(typeCol).as("etype"),
+        round(col(valueCol) * 100).cast("long").as("v2"), enc.as("te"))
+      .withColumn("fe", min(col("te")).over(w))
+      .withColumn("le", max(col("te")).over(w))
+      .where(col("etype") === convType)
+    def decode(encCol: Column): Column =
+      touchTypes.zipWithIndex.foldLeft(lit("(none)")) {
+        case (acc, (t, i)) =>
+          when(pmod(encCol, lit(k.toLong)) === (i + 1), t).otherwise(acc)
+      }
+    def model(name: String, encCol: Column): DataFrame =
+      scanned.groupBy(decode(encCol).as("touch_type"))
+        .agg(count(lit(1)).as("n_conv"), sum(col("v2")).as("sum_value2"))
+        .select(lit(name).as("model"), col("touch_type"),
+          col("n_conv"), col("sum_value2"))
+    model("first", col("fe")).unionAll(model("last", col("le")))
   }
 }

@@ -420,7 +420,50 @@ object Windows {
       .orderBy(col("step"))
   }
 
+  /** First/last-touch conversion attribution (see
+    * [[graft.operators.EventOps.touchAttribution]]): each purchase is
+    * credited to the earliest and latest view/click by the same user
+    * in the 24 h window strictly before it; no-touch conversions land
+    * in `(none)`. The oracle replays the micros·K+idx encoding, the
+    * RANGE frame, and the decode verbatim. */
+  val q178 = GQuery("q178_touch_attribution",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS m, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS v2,
+      |    CASE event_type WHEN 'view' THEN epoch_us(ts) * 3 + 1
+      |                    WHEN 'click' THEN epoch_us(ts) * 3 + 2 END AS te
+      |  FROM events),
+      |wf AS (
+      |  SELECT *,
+      |    min(te) OVER (PARTITION BY user_id ORDER BY m
+      |      RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS fe,
+      |    max(te) OVER (PARTITION BY user_id ORDER BY m
+      |      RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS le
+      |  FROM e),
+      |conv AS (SELECT * FROM wf WHERE event_type = 'purchase'),
+      |lab AS (
+      |  SELECT v2,
+      |    CASE WHEN fe IS NULL THEN '(none)'
+      |         WHEN fe % 3 = 1 THEN 'view' ELSE 'click' END AS ft,
+      |    CASE WHEN le IS NULL THEN '(none)'
+      |         WHEN le % 3 = 1 THEN 'view' ELSE 'click' END AS lt
+      |  FROM conv)
+      |SELECT model, touch_type, CAST(n_conv AS BIGINT) AS n_conv,
+      |  CAST(sum_value2 AS BIGINT) AS sum_value2 FROM (
+      |  SELECT 'first' AS model, ft AS touch_type, count(*) AS n_conv,
+      |    sum(v2) AS sum_value2 FROM lab GROUP BY ft
+      |  UNION ALL
+      |  SELECT 'last' AS model, lt AS touch_type, count(*) AS n_conv,
+      |    sum(v2) AS sum_value2 FROM lab GROUP BY lt)
+      |ORDER BY model, touch_type""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.touchAttribution(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "value",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackSec = 86400L)
+      .orderBy(col("model"), col("touch_type"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174)
+      q174, q178)
 }

@@ -67,4 +67,30 @@ class EventOpsSpec extends SparkSpec {
       ("click", "view") -> 1L, ("view", "purchase") -> 1L,
       ("purchase", "view") -> 1L))
   }
+
+  test("touchAttribution: first/last models, lookback expiry, (none), same-instant tie-break") {
+    // user 1: view(1) click(2) buy(3)      — first=view, last=click
+    // user 2: view(1) buy(200)             — touch older than 100 s lookback → (none)
+    // user 3: buy(5) with NO prior touch   — (none)
+    // user 4: view & click BOTH at t=1 (same microsecond), buy(2) —
+    //   tie broken by type index: first-touch prefers view (idx 1),
+    //   last-touch prefers click (idx 2)
+    val evA = Seq(
+      (1L, ts(1), "view", 0.0), (1L, ts(2), "click", 0.0),
+      (1L, ts(3), "purchase", 10.0),
+      (2L, ts(1), "view", 0.0), (2L, ts(200), "purchase", 20.0),
+      (3L, ts(5), "purchase", 40.0),
+      (4L, ts(1), "view", 0.0), (4L, ts(1), "click", 0.0),
+      (4L, ts(2), "purchase", 80.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = EventOps.touchAttribution(evA, "user_id", "ts", "event_type",
+        "value", Seq("view", "click"), "purchase", lookbackSec = 100L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out === Map(
+      ("first", "view") -> ((2L, 9000L)),    // users 1 and 4
+      ("first", "(none)") -> ((2L, 6000L)),  // users 2 (expired) and 3
+      ("last", "click") -> ((2L, 9000L)),    // users 1 and 4 (tie → click)
+      ("last", "(none)") -> ((2L, 6000L))))
+  }
 }
