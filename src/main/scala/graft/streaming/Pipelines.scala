@@ -1032,6 +1032,66 @@ object Pipelines {
       }
   }
 
+  final case class TouchEvent(user_id: Long, ts_ms: Long, event_id: Long,
+                              event_type: String, value: Double)
+  final case class Attribution(user_id: Long, conv_ts_ms: Long,
+                               event_id: Long, first_touch: String,
+                               last_touch: String, v2: Long)
+
+  /** Streaming first/last-touch attribution — the incremental form of
+    * [[graft.operators.EventOps.touchAttribution]]: per user, keep the
+    * touches inside the lookback horizon and emit one [[Attribution]]
+    * row per conversion as it arrives (same contracts as the batch op:
+    * touches strictly BEFORE the conversion instant; same-instant
+    * ties broken by touch-type index; `(none)` when the window is
+    * empty; value on the 1e-2 grid).
+    *
+    * State: the encoded `ts·K+idx` touches within `lookbackMs` of the
+    * user's latest event — pruned on EVERY event, so state is bounded
+    * by touch-rate × lookback per user regardless of stream length
+    * (the streaming analog of the batch RANGE frame's working set),
+    * never by history. Delivery contract as [[transitionStream]]:
+    * per-user order-preserving delivery makes emissions batch-cut
+    * invariant and equal to the batch model over the same history
+    * (spec-asserted); route at-least-once sources through
+    * [[streamingDedup]] upstream. */
+  def attributionStream(events: Dataset[TouchEvent],
+                        touchTypes: Seq[String], convType: String,
+                        lookbackMs: Long): Dataset[Attribution] = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    import events.sparkSession.implicits._
+    val k = touchTypes.size + 1
+    val idxOf = touchTypes.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TouchEvent],
+         state: GroupState[List[Long]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var st = state.getOption.getOrElse(List.empty[Long])
+          val out = Seq.newBuilder[Attribution]
+          for (e <- sorted) {
+            st = st.filter(enc => enc / k >= e.ts_ms - lookbackMs)
+            idxOf.get(e.event_type) match {
+              case Some(i) =>
+                st = (e.ts_ms * k + (i + 1)) :: st
+              case None if e.event_type == convType =>
+                val valid = st.filter(enc => enc / k < e.ts_ms)
+                val (ft, lt) =
+                  if (valid.isEmpty) ("(none)", "(none)")
+                  else (touchTypes((valid.min % k).toInt - 1),
+                    touchTypes((valid.max % k).toInt - 1))
+                out += Attribution(uid, e.ts_ms, e.event_id, ft, lt,
+                  math.round(e.value * 100))
+              case _ => ()
+            }
+          }
+          if (st.isEmpty) state.remove() else state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Trending-term detection, stage 1 (streaming-safe): per event-time
     * window, each term's in-window count joined against a static
     * baseline census — the raw material for "what is spiking right

@@ -920,6 +920,63 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(streamedMax === ft.filter(_._2 > 0))
   }
 
+  test("attributionStream: conversions credit like the batch model under any cut") {
+    implicit val sc = spark.sqlContext
+    import Pipelines.{Attribution, TouchEvent}
+    val lookbackMs = 100000L   // 100 s
+    // user 1: view click buy             — first=view last=click
+    // user 2: view(1s) … buy(200s)       — touch expired → (none)
+    // user 3: buy with no touches        — (none)
+    // user 4: view+click SAME instant, buy — tie: first=view last=click
+    // user 5: touch in batch 1, buy in batch 2 (state carries over)
+    val evs = Seq(
+      TouchEvent(1L, 1000L, 1L, "view", 0.0),
+      TouchEvent(1L, 2000L, 2L, "click", 0.0),
+      TouchEvent(1L, 3000L, 3L, "purchase", 10.0),
+      TouchEvent(2L, 1000L, 4L, "view", 0.0),
+      TouchEvent(2L, 200000L, 5L, "purchase", 20.0),
+      TouchEvent(3L, 5000L, 6L, "purchase", 40.0),
+      TouchEvent(4L, 1000L, 7L, "view", 0.0),
+      TouchEvent(4L, 1000L, 8L, "click", 0.0),
+      TouchEvent(4L, 2000L, 9L, "purchase", 80.0),
+      TouchEvent(5L, 90000L, 10L, "click", 0.0),
+      TouchEvent(5L, 150000L, 11L, "purchase", 1.5))
+    def run(tag: String, cuts: Seq[Seq[TouchEvent]]) = {
+      val in = MemoryStream[TouchEvent]
+      val q = Pipelines.attributionStream(in.toDS(), Seq("view", "click"),
+          "purchase", lookbackMs).writeStream
+        .format("memory").queryName(s"attrout_$tag").outputMode("append").start()
+      try cuts.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(s"attrout_$tag").as[Attribution].collect().toSeq
+        .sortBy(a => (a.user_id, a.conv_ts_ms))
+    }
+    val one = run("a", Seq(evs))
+    val cut = run("b", Seq(evs.take(9), evs.drop(9)))  // user 5 split across batches
+    assert(one === cut, "batch cut must not change attributions")
+    assert(one === Seq(
+      Attribution(1L, 3000L, 3L, "view", "click", 1000L),
+      Attribution(2L, 200000L, 5L, "(none)", "(none)", 2000L),
+      Attribution(3L, 5000L, 6L, "(none)", "(none)", 4000L),
+      Attribution(4L, 2000L, 9L, "view", "click", 8000L),
+      Attribution(5L, 150000L, 11L, "click", "click", 150L)))
+    // aggregated emissions equal the batch touchAttribution report
+    val batchIn = evs.toDF()
+      .select(col("user_id"),
+        (col("ts_ms") / 1000.0).cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val batch = graft.operators.EventOps.touchAttribution(batchIn,
+        "user_id", "ts", "event_type", "value",
+        Seq("view", "click"), "purchase", lookbackSec = 100L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def agg(sel: Attribution => String, model: String) =
+      one.groupBy(sel).map { case (t, rs) =>
+        (model, t) -> ((rs.size.toLong, rs.map(_.v2).sum)) }
+    assert((agg(_.first_touch, "first") ++ agg(_.last_touch, "last")).toMap
+      === batch)
+  }
+
   test("weightedSampleAgainstStore: streamed reservoir equals the batch A-ES sample") {
     import graft.operators.Sampling
     val store = java.nio.file.Files.createTempDirectory("wreservoir").toString
