@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling and constraint checks — the Deequ-shaped
+  * face of the engine: a generic per-column profile and a family of
+  * declarative violation counters (uniqueness, referential integrity,
+  * value ranges) that a 100 TB ingest runs BEFORE analytics to decide
+  * whether a snapshot is fit to process.
+  *
+  * Scale shape: [[profile]] is ONE scan with per-column aggregates
+  * (multi-column exact distinct rides Spark's expand — k× map-side
+  * rows for k profiled columns, still one shuffle; swap in the HLL
+  * sketch family ([[Sketches]]) when approximate distincts are
+  * acceptable at 10¹¹ rows). Each check is one aggregate or one
+  * keyed anti-join; nothing ever collects data rows to the driver.
+  */
+object Profiling {
+
+  /** Per-column profile over `numericCols` ++ `stringCols`: one row
+    * per column — row/null/distinct counts, numeric min/max on the
+    * 1e-4 integer grid (`min4`/`max4`), string min/max verbatim
+    * (`min_s`/`max_s`); the column families not applicable carry null.
+    * One pass: every aggregate is computed in a single `agg`, melted
+    * to rows with a literal `stack`-shaped explode (no per-column
+    * scan, no driver loop over data). */
+  def profile(df: DataFrame, numericCols: Seq[String],
+              stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns")
+    val nRows = count(lit(1))
+    def nullsOf(c: String) = sum(col(c).isNull.cast("long"))
+    def distinctOf(c: String) = countDistinct(col(c))
+    val numAggs = numericCols.flatMap { c =>
+      Seq(nullsOf(c).as(s"__nn_$c"), distinctOf(c).as(s"__nd_$c"),
+        min(round(col(c).cast("double") * 1e4).cast("long")).as(s"__mn_$c"),
+        max(round(col(c).cast("double") * 1e4).cast("long")).as(s"__mx_$c"))
+    }
+    val strAggs = stringCols.flatMap { c =>
+      Seq(nullsOf(c).as(s"__nn_$c"), distinctOf(c).as(s"__nd_$c"),
+        min(col(c)).as(s"__ms_$c"), max(col(c)).as(s"__xs_$c"))
+    }
+    val aggs = (nRows.as("__n") +: (numAggs ++ strAggs))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      numericCols.map { c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+          col(s"__mn_$c").as("min4"), col(s"__mx_$c").as("max4"),
+          lit(null).cast("string").as("min_s"),
+          lit(null).cast("string").as("max_s"))
+      } ++ stringCols.map { c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+          lit(null).cast("long").as("min4"), lit(null).cast("long").as("max4"),
+          col(s"__ms_$c").as("min_s"), col(s"__xs_$c").as("max_s"))
+      }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Key-uniqueness violations: number of key tuples appearing more
+    * than once and the total surplus rows they carry. One keyed
+    * aggregate; the violating-keys frame itself is available from the
+    * same census when a repair needs it. */
+  def uniqueViolations(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_dup_keys"),
+        coalesce(sum(col("n") - 1), lit(0L)).as("n_surplus_rows"))
+
+  /** Referential-integrity orphans: child rows whose foreign key has
+    * no match in the parent's key column (null FKs are not orphans —
+    * they fail a null check, not an FK check). One left-anti join,
+    * AQE-broadcast when the parent key set is small. */
+  def orphanCount(child: DataFrame, fkCol: String,
+                  parent: DataFrame, pkCol: String): DataFrame =
+    child.where(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+
+  /** Range-violation count: rows with `c` outside [lo, hi] (nulls do
+    * not count — they fail a null check instead). */
+  def rangeViolations(df: DataFrame, c: String,
+                      lo: Double, hi: Double): DataFrame =
+    df.agg(sum((col(c).isNotNull &&
+        (col(c) < lo || col(c) > hi)).cast("long")).as("n_violations"))
+}

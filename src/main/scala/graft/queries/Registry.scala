@@ -6,7 +6,7 @@ object Registry {
     Relational.all ++ Windows.all ++ SetOpsScalar.all ++
       DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ UdafQueries.all ++ Relational2.all ++
-      SamplingQueries.all ++ SerdeQueries.all
+      SamplingQueries.all ++ SerdeQueries.all ++ ProfilingQueries.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 
