@@ -594,8 +594,20 @@ object TextStats {
                       scoreCol: String): DataFrame = {
     val s4 = round(col(scoreCol) * 1e4).cast("long").as("s4")
     val rows = df.select(col(groupCol).as("grp"), s4)
-    val gCells = rows.groupBy("grp", "s4").agg(count(lit(1)).as("n_g"))
-    val aCells = rows.groupBy("s4").agg(count(lit(1)).as("n_all"))
+    groupScoreDriftFromCells(
+      rows.groupBy("grp", "s4").agg(count(lit(1)).as("n")))
+  }
+
+  /** [[groupScoreDrift]] from a pre-aggregated grid-cell histogram
+    * `(grp, s4, n)` — the drift face of the mergeable-histogram
+    * contract ([[groupQuantilesFromCells]]): the corpus side is
+    * derived by summing the per-group cells, so an incremental store
+    * of per-batch histograms can answer "which batch shifted the
+    * distribution" without re-scanning ingested rows
+    * ([[graft.streaming.Pipelines]]' histDriftReport). */
+  def groupScoreDriftFromCells(cellsIn: DataFrame): DataFrame = {
+    val gCells = cellsIn.select(col("grp"), col("s4"), col("n").as("n_g"))
+    val aCells = gCells.groupBy("s4").agg(sum(col("n_g")).as("n_all"))
     // spine: every (group, corpus-jump-cell) pair, so both CDFs are
     // evaluated at every jump point of either distribution
     val spine = gCells.select("grp").distinct()
@@ -608,8 +620,9 @@ object TextStats {
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("s4"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val totals = rows.groupBy("grp").agg(count(lit(1)).as("t_g"))
-      .crossJoin(broadcast(rows.agg(count(lit(1)).as("t_all"))))
+    val totals = gCells.groupBy("grp").agg(sum(col("n_g")).as("t_g"))
+      .crossJoin(broadcast(
+        gCells.agg(sum(col("n_g")).as("t_all"))))
     cells
       .withColumn("c_g", sum(col("n_g")).over(wg))
       .withColumn("c_all", sum(col("n_all")).over(wg))

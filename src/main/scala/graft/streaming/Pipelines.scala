@@ -1405,6 +1405,21 @@ object Pipelines {
       .groupBy("batch_id", "grp", "s4").agg(max(col("n")).as("n"))
       .groupBy("grp", "s4").agg(sum(col("n")).as("n"))
 
+  /** Drift report over a [[histStream]] store: per-BATCH exact KS
+    * distance against the whole-store distribution (every batch's CDF
+    * vs the merged CDF, both on the grid) — the "which ingest batch
+    * shifted the score distribution" alarm, the histogram-store analog
+    * of [[graft.operators.Similarity.ivfDriftReport]]. All from the
+    * persisted cells; ingested rows are never re-scanned. */
+  def histDriftReport(spark: org.apache.spark.sql.SparkSession,
+                      storePath: String): DataFrame =
+    graft.operators.TextStats.groupScoreDriftFromCells(
+      spark.read.parquet(storePath)
+        .groupBy("batch_id", "grp", "s4").agg(max(col("n")).as("n"))
+        .groupBy(col("batch_id").as("grp"), col("s4"))
+        .agg(sum(col("n")).as("n")))
+      .select(col("grp").as("batch_id"), col("n_rows"), col("ks4"))
+
   /** Quantile report over a [[histStream]] store: per-key exact
     * quantiles at the requested per-10000 points, plus the corpus-wide
     * `__all__` row — all from the persisted cells. */

@@ -122,6 +122,21 @@ class SketchSpec extends SparkSpec {
       .withColumn("batch_id", lit(0L))
       .write.mode("append").parquet(store.getAbsolutePath)
     assert(report() === fromStore, "replayed batch cells changed a report")
+    // drift: an in-distribution batch sits low; a shifted batch spikes
+    Seq(("a", 9.0), ("a", 9.1), ("b", 9.2), ("b", 9.3))
+      .toDF("src", "score")
+      .select(col("src").as("grp"),
+        round(col("score") * 1e4).cast("long").as("s4"))
+      .groupBy("grp", "s4").agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(7L))
+      .write.mode("append").parquet(store.getAbsolutePath)
+    val drift = graft.streaming.Pipelines
+      .histDriftReport(spark, store.getAbsolutePath)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(drift(7L) > drift(0L) && drift(7L) > drift(1L),
+      s"shifted batch must dominate the KS report: $drift")
+    assert(drift(7L) >= 6000L, s"4-of-11 rows at a new mode: $drift")
   }
 
   test("estimates are within ±5% of exact distinct counts per source") {
