@@ -155,6 +155,36 @@ object EventOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Top-k user-journey prefixes: each user's first `maxLen` event
+    * types in (ts, tie id) order joined into a path string
+    * (`view>click>purchase`), counted across users — the
+    * beyond-first-order census [[transitionCounts]] can't give (it
+    * sees pairs; this sees whole openings). Deterministic rank:
+    * count DESC, path ASC.
+    *
+    * Scale shape: a per-user window row_number caps each user's
+    * contribution at `maxLen` rows BEFORE the collect, so the
+    * aggregate payload is maxLen×|users| regardless of history depth;
+    * the path census is word-count-shaped (≤ |types|^maxLen cells,
+    * far fewer in practice); TakeOrdered k. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               orderCol: String, typeCol: String,
+               maxLen: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    events
+      .select(col(userCol).as("uid"), col(typeCol).as("etype"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= maxLen)
+      .groupBy("uid")
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col("etype")))),
+          x => x.getField("etype"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
   /** First-touch / last-touch conversion attribution: every `convType`
     * event is credited to the earliest (first-touch model) and latest
     * (last-touch model) `touchTypes` event by the SAME user in the

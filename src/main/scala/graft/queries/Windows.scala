@@ -463,7 +463,27 @@ object Windows {
       .orderBy(col("model"), col("touch_type"))
   }
 
+  /** Top user-journey openings (see
+    * [[graft.operators.EventOps.topPaths]]): each user's first five
+    * event types as a path string, top 25 by user count. */
+  val q181 = GQuery("q181_top_paths",
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users
+      |FROM p GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 25""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.topPaths(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type", maxLen = 5, k = 25)
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178)
+      q174, q178, q181)
 }

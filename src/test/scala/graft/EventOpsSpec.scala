@@ -68,6 +68,15 @@ class EventOpsSpec extends SparkSpec {
       ("purchase", "view") -> 1L))
   }
 
+  test("topPaths: ordered openings capped at maxLen, deterministic census") {
+    val out = EventOps.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", maxLen = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    // users 1 & 3 open view>click; user 2 click>view; user 4 purchase>view
+    assert(out === Seq(("view>click", 2L), ("click>view", 1L),
+      ("purchase>view", 1L)))
+  }
+
   test("touchAttribution: first/last models, lookback expiry, (none), same-instant tie-break") {
     // user 1: view(1) click(2) buy(3)      — first=view, last=click
     // user 2: view(1) buy(200)             — touch older than 100 s lookback → (none)
