@@ -99,5 +99,26 @@ object ProfilingQueries {
       .orderBy(col("check_name"))
   }
 
-  val all: Seq[GQuery] = Seq(q179, q180)
+  /** Z-order layout audit (see [[graft.operators.Layout]]): Morton
+    * keys over (l_partkey, l_suppkey), bucketed by the top 6 z-bits —
+    * per bucket, the exact span of BOTH dimensions (the min/max
+    * file-skipping statistic a z-ordered export yields). The oracle
+    * replays the identical unrolled interleave terms
+    * ([[graft.operators.Layout.zorder2Sql]]). */
+  val q182 = GQuery("q182_zorder_spans",
+    s"""WITH z AS (
+       |  SELECT ${graft.operators.Layout.zorder2Sql(
+               "l_partkey", "l_suppkey")} AS zk,
+       |    l_partkey % 65536 AS xv, l_suppkey % 65536 AS yv
+       |  FROM lineitem)
+       |SELECT zk >> 26 AS zb, count(*) AS n,
+       |  min(xv) AS x_min, max(xv) AS x_max,
+       |  min(yv) AS y_min, max(yv) AS y_max
+       |FROM z GROUP BY zb ORDER BY zb""".stripMargin) { (s, dir) =>
+    graft.operators.Layout.zorderSpans(Tables.lineitem(s, dir),
+        "l_partkey", "l_suppkey", bits = 16, kBits = 3)
+      .orderBy(col("zb"))
+  }
+
+  val all: Seq[GQuery] = Seq(q179, q180, q182)
 }

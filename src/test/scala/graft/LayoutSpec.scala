@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorder2: hand-computed interleave; bit i of x at 2i, of y at 2i+1") {
+    // x=0b101 (5), y=0b011 (3) → z bits: x0@0=1, y0@1=1, x1@2=0, y1@3=1,
+    // x2@4=1, y2@5=0 → 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y"), bits = 3).as("z"))
+      .as[Long].head()
+    assert(z === 27L)
+    // wrap-around: values are taken mod 2^bits
+    val z2 = Seq((5L + 8L, 3L + 16L)).toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y"), bits = 3).as("z"))
+      .as[Long].head()
+    assert(z2 === 27L)
+  }
+
+  test("locality LAW: sharing the top 2k z-bits bounds each dimension span below 2^(bits-k)") {
+    val bits = 10
+    val k = 3
+    val rows = (0 until 4000).map { i =>
+      // deterministic pseudo-random spread over the full 10-bit domain
+      ((i * 389L) % 1024L, (i * 617L) % 1024L)
+    }
+    val spans = Layout.zorderSpans(rows.toDF("x", "y"), "x", "y",
+        bits = bits, kBits = k)
+      .select("zb", "x_min", "x_max", "y_min", "y_max")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    val bound = 1L << (bits - k)
+    spans.foreach { case (zb, xmn, xmx, ymn, ymx) =>
+      assert(xmx - xmn < bound, s"bucket $zb x-span ${xmx - xmn} >= $bound")
+      assert(ymx - ymn < bound, s"bucket $zb y-span ${ymx - ymn} >= $bound")
+    }
+  }
+
+  test("sql twin produces the same keys as the column expression") {
+    val df = Seq((123L, 456L), (65535L, 0L), (1L, 65535L))
+      .toDF("x", "y")
+    df.createOrReplaceTempView("zin")
+    val viaSql = spark.sql(
+      s"SELECT ${Layout.zorder2Sql("x", "y")} AS z FROM zin")
+      .as[Long].collect().toSeq
+    val viaCol = df.select(Layout.zorder2(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(viaSql === viaCol)
+  }
+}
