@@ -85,4 +85,28 @@ object Profiling {
                       lo: Double, hi: Double): DataFrame =
     df.agg(sum((col(c).isNotNull &&
         (col(c) < lo || col(c) > hi)).cast("long")).as("n_violations"))
+
+  /** Join-key skew census — the salting advisor for [[SkewJoin]]:
+    * the top-k heaviest keys with their exact row share (1e-4 grid)
+    * and the integer salt factor that would cap a straggler partition
+    * at `targetPerTask` rows (⌈n / target⌉ via exact integer
+    * arithmetic — both engines agree with no float division). One
+    * word-count-shaped census + a 1-row total broadcast + TakeOrdered
+    * k; rank is deterministic (n DESC, key ASC). A key with
+    * salt_factor 1 needs no salting; this is the report a planner
+    * consults BEFORE shuffling 100 TB on an unprofiled key. */
+  def skewCensus(df: DataFrame, keyCol: String, k: Int = 10,
+                 targetPerTask: Long = 1000000L): DataFrame = {
+    require(k >= 1 && targetPerTask >= 1, "bad skew census parameters")
+    val freq = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("t"))
+    freq.crossJoin(broadcast(total))
+      .select(col("key").cast("string").as("key"), col("n"),
+        round(lit(1e4) * col("n") / col("t")).cast("long").as("share4"),
+        floor((col("n") + (targetPerTask - 1L)) / targetPerTask)
+          .cast("long").as("salt_factor"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+  }
 }

@@ -120,5 +120,123 @@ object ProfilingQueries {
       .orderBy(col("zb"))
   }
 
-  val all: Seq[GQuery] = Seq(q179, q180, q182)
+  /** Join-key skew census (see
+    * [[graft.operators.Profiling.skewCensus]]): the 10 heaviest
+    * event-stream users with exact shares and the salt factor that
+    * caps a straggler at 50 rows — the pre-shuffle advisor for the
+    * [[graft.operators.SkewJoin]] machinery. */
+  val q183 = GQuery("q183_skew_census",
+    """WITH f AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+      |  FROM events GROUP BY user_id),
+      |t AS (SELECT count(*) AS t FROM events)
+      |SELECT key, n,
+      |  CAST(round(1e4 * n / t) AS BIGINT) AS share4,
+      |  CAST(floor((n + 49) / 50) AS BIGINT) AS salt_factor
+      |FROM f, t
+      |ORDER BY n DESC, key LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.operators.Profiling.skewCensus(Tables.events(s, dir),
+      "user_id", k = 10, targetPerTask = 50L)
+  }
+
+  /** Capstone snapshot-fitness gate: ONE verdict table deciding
+    * whether the snapshot is fit to ingest — constraint checks
+    * (uniqueness / FK / range: pass iff 0 violations), null rules on
+    * load-bearing columns, and per-source quality-KS drift
+    * ([[graft.operators.TextStats.groupScoreDrift]], pass iff
+    * ks4 ≤ 2000) — the q179/q180/q161 machinery composed under one
+    * oracle; the report an orchestrator gates a 100 TB ingest on. */
+  val q184 = GQuery("q184_snapshot_fitness",
+    s"""WITH ${TextQueries.qualityCte},
+       |srcm AS (SELECT doc_id, source FROM documents),
+       |rws AS (
+       |  SELECT srcm.source AS grp,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS s4
+       |  FROM q JOIN srcm USING (doc_id)),
+       |gc AS (SELECT grp, s4, count(*) AS n_g FROM rws GROUP BY 1, 2),
+       |ac AS (SELECT s4, count(*) AS n_all FROM rws GROUP BY 1),
+       |spine AS (
+       |  SELECT g.grp, a.s4
+       |  FROM (SELECT DISTINCT grp FROM gc) g CROSS JOIN ac a),
+       |cells AS (
+       |  SELECT sp.grp, sp.s4, coalesce(gc.n_g, 0) AS n_g, ac.n_all
+       |  FROM spine sp
+       |  LEFT JOIN gc ON gc.grp = sp.grp AND gc.s4 = sp.s4
+       |  JOIN ac ON ac.s4 = sp.s4),
+       |tg AS (SELECT grp, count(*) AS t_g FROM rws GROUP BY grp),
+       |ta AS (SELECT count(*) AS t_all FROM rws),
+       |cdf AS (
+       |  SELECT grp, s4,
+       |    sum(n_g) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS c_g,
+       |    sum(n_all) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS c_all
+       |  FROM cells),
+       |ks AS (
+       |  SELECT cdf.grp AS source,
+       |    max(abs(CAST(round(1e4 * c_g / t_g) AS BIGINT)
+       |          - CAST(round(1e4 * c_all / t_all) AS BIGINT))) AS ks4
+       |  FROM cdf JOIN tg USING (grp) CROSS JOIN ta GROUP BY 1),
+       |checks AS (
+       |  SELECT 'drift_' || source AS check_name, ks4 AS metric,
+       |    CASE WHEN ks4 <= 2000 THEN 'pass' ELSE 'fail' END AS verdict
+       |  FROM ks
+       |  UNION ALL
+       |  SELECT 'orders_pk_unique', coalesce(sum(n - 1), 0),
+       |    CASE WHEN coalesce(sum(n - 1), 0) = 0 THEN 'pass' ELSE 'fail' END
+       |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+       |        HAVING count(*) > 1)
+       |  UNION ALL
+       |  SELECT 'lineitem_orderkey_fk', count(*),
+       |    CASE WHEN count(*) = 0 THEN 'pass' ELSE 'fail' END
+       |  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_orderkey IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'discount_range',
+       |    sum(CASE WHEN l_discount IS NOT NULL
+       |        AND (l_discount < 0 OR l_discount > 0.1) THEN 1 ELSE 0 END),
+       |    CASE WHEN sum(CASE WHEN l_discount IS NOT NULL
+       |        AND (l_discount < 0 OR l_discount > 0.1) THEN 1 ELSE 0 END) = 0
+       |      THEN 'pass' ELSE 'fail' END
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'null_doc_text', sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+       |    CASE WHEN sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0
+       |      THEN 'pass' ELSE 'fail' END
+       |  FROM documents)
+       |SELECT check_name, CAST(metric AS BIGINT) AS metric, verdict
+       |FROM checks ORDER BY check_name""".stripMargin) { (s, dir) =>
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val orders = Tables.orders(s, dir)
+    def zeroRule(name: String, df: org.apache.spark.sql.DataFrame,
+                 vCol: String) =
+      df.select(lit(name).as("check_name"), col(vCol).as("metric"))
+    val scored = docs.select(col("source"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val drift = graft.operators.TextStats
+      .groupScoreDrift(scored, "source", "quality")
+      .select(concat(lit("drift_"), col("grp")).as("check_name"),
+        col("ks4").as("metric"))
+    val zeros = zeroRule("orders_pk_unique",
+        Profiling.uniqueViolations(orders, Seq("o_orderkey")),
+        "n_surplus_rows")
+      .unionAll(zeroRule("lineitem_orderkey_fk",
+        Profiling.orphanCount(lineitem, "l_orderkey", orders, "o_orderkey"),
+        "n_orphans"))
+      .unionAll(zeroRule("discount_range",
+        Profiling.rangeViolations(lineitem, "l_discount", 0.0, 0.1),
+        "n_violations"))
+      .unionAll(zeroRule("null_doc_text",
+        docs.agg(sum(col("text").isNull.cast("long")).as("n")), "n"))
+    drift
+      .select(col("check_name"), col("metric"),
+        when(col("metric") <= 2000L, "pass").otherwise("fail").as("verdict"))
+      .unionAll(zeros.select(col("check_name"), col("metric"),
+        when(col("metric") === 0L, "pass").otherwise("fail").as("verdict")))
+      .orderBy(col("check_name"))
+  }
+
+  val all: Seq[GQuery] = Seq(q179, q180, q182, q183, q184)
 }

@@ -45,4 +45,13 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.rangeViolations(t, "v", 0.0, 2.5)
       .head().getAs[Long]("n_violations") === 1L)   // only -1.25; nulls skip
   }
+
+  test("skewCensus: deterministic top-k, exact shares, ceiling salt factor") {
+    val df = (Seq.fill(7)("hot") ++ Seq.fill(2)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val out = Profiling.skewCensus(df, "k", k = 2, targetPerTask = 3L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // hot: 7 rows → share 7000, salt ceil(7/3)=3; warm: 2 → 2000, salt 1
+    assert(out === Seq(("hot", 7L, 7000L, 3L), ("warm", 2L, 2000L, 1L)))
+  }
 }
