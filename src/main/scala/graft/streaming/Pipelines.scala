@@ -1396,14 +1396,87 @@ object Pipelines {
       ()
     }
 
-  /** The merged histogram of a [[histStream]] store: replay-absorbed
-    * (one row per (batch_id, grp, s4) survives), then cell counts
-    * summed across batches → `(grp, s4, n)`. */
+  /** The merged histogram of a [[histStream]] store: rows below the
+    * compaction watermark are dropped (their mass lives in the
+    * baseline row set, batch_id −1 — see [[histCompact]]), the rest
+    * replay-absorbed (one row per (batch_id, grp, s4) survives), then
+    * cell counts summed across batches → `(grp, s4, n)`. */
   def histCells(spark: org.apache.spark.sql.SparkSession,
-                storePath: String): DataFrame =
+                storePath: String): DataFrame = {
+    val wm = histWatermark(spark, storePath)
     spark.read.parquet(storePath)
+      .where(col("batch_id") === -1L || col("batch_id") > wm)
       .groupBy("batch_id", "grp", "s4").agg(max(col("n")).as("n"))
       .groupBy("grp", "s4").agg(sum(col("n")).as("n"))
+  }
+
+  /** The store's compaction watermark: batches ≤ this id have been
+    * merged into the baseline rows (batch_id −1) and their raw rows —
+    * including any at-least-once REPLAY that arrives after the
+    * compaction — are ignored by every reader. Carried as an
+    * underscore-prefixed file INSIDE the parquet dir (parquet readers
+    * skip `_`-files), so the compaction's rename swap moves data and
+    * watermark atomically — no window where they disagree. */
+  private[graft] def histWatermark(spark: org.apache.spark.sql.SparkSession,
+                                   storePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/_graft_wm")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Compact a [[histStream]] store: merge every batch with id ≤
+    * `upToBatchId` (plus any prior baseline) into ONE baseline cell
+    * set (batch_id −1), keep later batches raw, and swap the dir
+    * blue/green with the new watermark riding inside it. The store
+    * stays bounded over an unbounded ingest life while every report
+    * stays bit-identical (mass-verified before the swap, spec-asserted
+    * after), and a pre-watermark batch REPLAYED after compaction is
+    * ignored by readers instead of double-counting. Single-writer
+    * discipline as [[compactStore]]. Returns (cell rows after, total
+    * mass). */
+  def histCompact(spark: org.apache.spark.sql.SparkSession,
+                  storePath: String, upToBatchId: Long): (Long, Long) = {
+    require(upToBatchId >= 0L, s"bad watermark: $upToBatchId")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"${storePath}_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"${storePath}_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val wm = histWatermark(spark, storePath)
+    // valid rows under the CURRENT watermark, replay-absorbed
+    val valid = spark.read.parquet(storePath)
+      .where(col("batch_id") === -1L || col("batch_id") > wm)
+      .groupBy("batch_id", "grp", "s4").agg(max(col("n")).as("n"))
+    val massBefore = valid.agg(sum(col("n"))).head().getLong(0)
+    val baseline = valid.where(col("batch_id") <= upToBatchId)
+      .groupBy("grp", "s4").agg(sum(col("n")).as("n"))
+      .select(col("grp"), col("s4"), col("n"), lit(-1L).as("batch_id"))
+    val rest = valid.where(col("batch_id") > upToBatchId)
+      .select("grp", "s4", "n", "batch_id")
+    baseline.unionByName(rest).coalesce(4)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val outWm = fs.create(
+      new org.apache.hadoop.fs.Path(s"${tmp.toString}/_graft_wm"), true)
+    try outWm.write(upToBatchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outWm.close()
+    val after = spark.read.parquet(tmp.toString)
+    val massAfter = after.agg(sum(col("n"))).head().getLong(0)
+    require(massAfter == massBefore,
+      s"compaction mass drift: $massBefore before, $massAfter after — aborting")
+    val nRows = after.count()
+    require(fs.rename(dir, old), s"cannot move live hist store aside: $dir")
+    require(fs.rename(tmp, dir), s"cannot promote compacted hist store: $tmp")
+    fs.delete(old, true)
+    (nRows, massAfter)
+  }
 
   /** Drift report over a [[histStream]] store: per-BATCH exact KS
     * distance against the whole-store distribution (every batch's CDF
@@ -1412,13 +1485,16 @@ object Pipelines {
     * of [[graft.operators.Similarity.ivfDriftReport]]. All from the
     * persisted cells; ingested rows are never re-scanned. */
   def histDriftReport(spark: org.apache.spark.sql.SparkSession,
-                      storePath: String): DataFrame =
+                      storePath: String): DataFrame = {
+    val wm = histWatermark(spark, storePath)
     graft.operators.TextStats.groupScoreDriftFromCells(
       spark.read.parquet(storePath)
+        .where(col("batch_id") === -1L || col("batch_id") > wm)
         .groupBy("batch_id", "grp", "s4").agg(max(col("n")).as("n"))
         .groupBy(col("batch_id").as("grp"), col("s4"))
         .agg(sum(col("n")).as("n")))
       .select(col("grp").as("batch_id"), col("n_rows"), col("ks4"))
+  }
 
   /** Quantile report over a [[histStream]] store: per-key exact
     * quantiles at the requested per-10000 points, plus the corpus-wide

@@ -137,6 +137,27 @@ class SketchSpec extends SparkSpec {
     assert(drift(7L) > drift(0L) && drift(7L) > drift(1L),
       s"shifted batch must dominate the KS report: $drift")
     assert(drift(7L) >= 6000L, s"4-of-11 rows at a new mode: $drift")
+    // COMPACTION: merge batches ≤ 1 into the baseline — every report
+    // bit-identical, store rows shrink, and a pre-watermark REPLAY
+    // after compaction is ignored instead of double-counting
+    val preCompact = report()
+    val (nRows, mass) = graft.streaming.Pipelines
+      .histCompact(spark, store.getAbsolutePath, upToBatchId = 1L)
+    assert(mass === 11L, s"7 ingested + replay absorbed + 4 shifted: $mass")
+    assert(report() === preCompact, "compaction changed a quantile report")
+    val drift2 = graft.streaming.Pipelines
+      .histDriftReport(spark, store.getAbsolutePath)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(drift2.keySet === Set(-1L, 7L), s"batches 0/1 merged: $drift2")
+    assert(nRows < 20L)
+    batch1.toDF("src", "score")
+      .select(col("src").as("grp"),
+        round(col("score") * 1e4).cast("long").as("s4"))
+      .groupBy("grp", "s4").agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").parquet(store.getAbsolutePath)
+    assert(report() === preCompact,
+      "pre-watermark replay after compaction changed a report")
   }
 
   test("estimates are within ±5% of exact distinct counts per source") {
