@@ -155,6 +155,26 @@ object EventOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Seasonal traffic census: event counts per (day-of-week, UTC
+    * hour) cell with share and lift against a uniform week — the
+    * 7×24 heatmap behind capacity planning and anomaly baselines.
+    * Day-of-week comes from pure epoch arithmetic
+    * (`(epoch_day + 4) mod 7`, 0 = Sunday) rather than an engine
+    * calendar function — DuckDB and Spark disagree on dow numbering
+    * conventions, integer arithmetic they cannot. One
+    * word-count-shaped aggregate over ≤ 168 cells. */
+  def seasonalCensus(events: DataFrame, tsCol: String): DataFrame = {
+    val ep = unix_timestamp(col(tsCol))
+    val cells = events
+      .select(pmod(floor(ep / 86400L) + 4L, lit(7L)).as("dow"),
+        pmod(floor(ep / 3600L), lit(24L)).as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+    cells.crossJoin(broadcast(events.agg(count(lit(1)).as("t"))))
+      .select(col("dow"), col("hour"), col("n"),
+        round(lit(1e4) * col("n") / col("t")).cast("long").as("share4"),
+        round(lit(1e4) * col("n") * 168L / col("t")).cast("long").as("lift4"))
+  }
+
   /** Top-k user-journey prefixes: each user's first `maxLen` event
     * types in (ts, tie id) order joined into a path string
     * (`view>click>purchase`), counted across users — the

@@ -483,7 +483,26 @@ object Windows {
       "user_id", "ts", "event_id", "event_type", maxLen = 5, k = 25)
   }
 
+  /** Seasonal traffic heatmap (see
+    * [[graft.operators.EventOps.seasonalCensus]]): counts, share, and
+    * uniform-week lift per (dow, hour) cell; dow from pure epoch
+    * arithmetic so both engines agree on numbering. */
+  val q185 = GQuery("q185_seasonal_census",
+    """WITH c AS (
+      |  SELECT (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+      |    CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour
+      |  FROM events),
+      |g AS (SELECT dow, hour, count(*) AS n FROM c GROUP BY 1, 2),
+      |t AS (SELECT count(*) AS t FROM c)
+      |SELECT dow, hour, n,
+      |  CAST(round(1e4 * n / t) AS BIGINT) AS share4,
+      |  CAST(round(1e4 * n * 168 / t) AS BIGINT) AS lift4
+      |FROM g, t ORDER BY dow, hour""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.seasonalCensus(Tables.events(s, dir), "ts")
+      .orderBy(col("dow"), col("hour"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181)
+      q174, q178, q181, q185)
 }
