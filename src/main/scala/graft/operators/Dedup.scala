@@ -270,6 +270,68 @@ object Dedup {
     }
   }
 
+  /** Prefix-filtered candidates for [[jaccardPairsPrefixFromSets]]:
+    * tokens are globally ordered by (document frequency ASC, token),
+    * each set indexes ONLY its first `|x| − ⌈t·|x|⌉ + 1` tokens under
+    * that order, and candidates must share a prefix token AND pass
+    * the size filter `min·10⁴ ≥ t₄·max`. Soundness (no true pair
+    * missed): J(a,b) ≥ t implies the intersection exceeds ⌈t·|x|⌉ − 1
+    * for each side, so a shared token must fall inside both prefixes.
+    * The ceiling is computed in EXACT integer arithmetic
+    * (⌊(t₄·sz + 9999)/10⁴⌋) — a float `ceil(0.7·10) = ceil(7.000…01)`
+    * would shorten a prefix and silently break completeness. */
+  private[graft] def prefixCandidates(sets: DataFrame,
+                                      minJaccard: Double): DataFrame = {
+    val t4 = math.round(minJaccard * 10000).toInt
+    val ex = sets.select(col("id"), explode(col("shset")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val sz = sets.select(col("id"), size(col("shset")).as("sz"))
+    val prefLen =
+      col("sz") - floor((lit(t4) * col("sz") + 9999) / 10000) + 1
+    val pref = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "id")
+      .where(col("rn") <= prefLen)
+      .select(col("id"), col("s"), col("sz"))
+    pref.select(col("id").as("id_a"), col("s"), col("sz").as("sz_a"))
+      .join(pref.select(col("id").as("id_b"), col("s"),
+        col("sz").as("sz_b")), "s")
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) * 10000 >=
+          lit(t4.toLong) * greatest(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** PPJoin-style prefix-filtered exact set-similarity join
+    * (Chaudhuri/Ganti/Kaushik prefix filter; Xiao et al. PPJoin
+    * shape): same output as [[jaccardPairsFromSets]], far fewer
+    * candidates. The inverted index holds only each set's df-ordered
+    * PREFIX — the rarest `|x| − ⌈t·|x|⌉ + 1` tokens — so the index is
+    * a fraction of the corpus and, because prefixes are built from
+    * the LOWEST-df tokens, per-token fan-out is tiny exactly where the
+    * full index explodes (stop-shingles never reach a prefix at high
+    * t). Survivors verify EXACTLY against the full sets, so the
+    * result is provably identical to the unfiltered join
+    * (spec-asserted on the corpus fixture) — this is the 100 TB path
+    * for exact-threshold Jaccard where the df-cap variant trades
+    * completeness and banding trades exactness. */
+  def jaccardPairsPrefixFromSets(sets: DataFrame,
+                                 minJaccard: Double = 0.8): DataFrame = {
+    prefixCandidates(sets, minJaccard)
+      .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
+        size(col("set_a")).as("sz_a"), size(col("set_b")).as("sz_b"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** MOSS-style winnowing pairing (Schleimer/Wilkerson/Aiken): the
     * POSITION-AWARE near-dup candidate family member. Input is the
     * winnowed fingerprint selection

@@ -128,6 +128,29 @@ object DedupQueries {
     sharedPairs(s, dir).orderBy(col("id_a"), col("id_b"))
   }.copy(headline = true)
 
+  /** Prefix-filtered exact Jaccard join (see
+    * [[graft.operators.Dedup.jaccardPairsPrefixFromSets]]) at t = 0.7:
+    * the PPJoin-shaped candidate pruning whose output is PROVABLY the
+    * plain inverted-index join's — so the oracle is simply the exact
+    * all-pairs Jaccard at the same threshold; any missed candidate is
+    * a hash mismatch. */
+  val q186 = GQuery("q186_jaccard_prefix_join",
+    s"""WITH $shingleCtes,
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM shared
+       |JOIN sz sa ON sa.doc_id = id_a
+       |JOIN sz sb ON sb.doc_id = id_b
+       |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.jaccardPairsPrefixFromSets(sharedSets(s, dir), minJaccard = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** MinHash + LSH banding, then exact-Jaccard verification of the
     * candidates only. */
   val q25 = {
@@ -1341,5 +1364,5 @@ object DedupQueries {
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146, q148, q150, q151, q153, q158, q159)
+      q146, q148, q150, q151, q153, q158, q159, q186)
 }

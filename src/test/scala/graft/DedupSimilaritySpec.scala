@@ -351,6 +351,33 @@ class DedupSimilaritySpec extends SparkSpec {
       ("alph", "alpha"), ("alpha", "alphax"), ("alpha", "alpja")))
   }
 
+  test("prefix-filtered Jaccard join: output equals the full inverted-index join, fewer candidates") {
+    val sets = Dedup.shingleSetsFromTokens(
+      graft.operators.TextStats.tokenized(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text"), 3)
+      .persist()
+    try {
+      for (t <- Seq(0.6, 0.8)) {
+        val full = Dedup.jaccardPairsFromSets(sets, t, maxDocFreq = None)
+          .as[(Long, Long, Double)].collect().toSet
+        val pref = Dedup.jaccardPairsPrefixFromSets(sets, t)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(pref === full, s"prefix join diverged at t=$t")
+        assert(full.nonEmpty, "fixture should contain near-dups")
+      }
+      // the point of the filter: candidate pairs shrink vs the full
+      // index's shared-token pairs
+      val fullCand = sets.select(col("id"), explode(col("shset")).as("s"))
+      val fullPairs = fullCand.select(col("id").as("id_a"), col("s"))
+        .join(fullCand.select(col("id").as("id_b"), col("s")), "s")
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+      val prefPairs = Dedup.prefixCandidates(sets, 0.8).count()
+      assert(prefPairs < fullPairs / 2,
+        s"prefix filter barely pruned: $prefPairs vs $fullPairs")
+    } finally { sets.unpersist(); () }
+  }
+
   test("winnowingPairs: a shared 6-token run is GUARANTEED to pair (MOSS law)") {
     // n=3, w=4 ⇒ any shared run of ≥ n + w − 1 = 6 tokens shares a
     // selected fingerprint. Docs a/b share exactly one 6-token verbatim
