@@ -155,6 +155,46 @@ object EventOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** EWMA anomaly baseline per event type: daily counts over the full
+    * day spine (absent days count 0 — a feed going quiet IS the
+    * anomaly), folded through an exponentially-weighted moving average
+    * with rational α = num/den on the 1e-4 integer grid:
+    * `e_t = ⌊((den−num)·e_{t−1} + num·n_t·10⁴) / den⌋`, zero-seeded.
+    * Output per type: the last day, its count, the final baseline
+    * `ewma4`, and the deviation `dev4 = n·10⁴ − ewma4` — the burst /
+    * die-off alarm.
+    *
+    * Engine-parity shape: the fold runs as a higher-order `aggregate`
+    * over the per-type day array (bounded by the corpus's day span,
+    * collected AFTER the daily aggregate — never raw events), with
+    * floor division at every step, so any engine replays the
+    * recursion bit-exactly — no compounding float drift, which is
+    * what makes an EWMA otherwise un-oracle-able. */
+  def ewmaBaseline(events: DataFrame, tsCol: String, typeCol: String,
+                   alphaNum: Int = 1, alphaDen: Int = 4): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum, "need 0 < α < 1 rational")
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val counts = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("etype")).distinct()
+    val spine = types.crossJoin(days)
+    val full = spine.join(counts, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val keep = (alphaDen - alphaNum).toLong
+    full.groupBy("etype")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("arr"))
+      .select(col("etype"),
+        element_at(col("arr"), -1).getField("day").as("last_day"),
+        element_at(col("arr"), -1).getField("n").as("n_last"),
+        aggregate(transform(col("arr"), x => x.getField("n") * 10000L),
+          lit(0L),
+          (acc, n4) => floor((acc * keep + n4 * alphaNum) / alphaDen))
+          .as("ewma4"))
+      .withColumn("dev4", col("n_last") * 10000L - col("ewma4"))
+  }
+
   /** Seasonal traffic census: event counts per (day-of-week, UTC
     * hour) cell with share and lift against a uniform week — the
     * 7×24 heatmap behind capacity planning and anomaly baselines.

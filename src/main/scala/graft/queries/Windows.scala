@@ -502,7 +502,43 @@ object Windows {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** EWMA anomaly baseline (see
+    * [[graft.operators.EventOps.ewmaBaseline]], α = 1/4): the oracle
+    * replays the zero-seeded integer fold with `list_reduce` over the
+    * same day spine — recursive arithmetic both engines can run
+    * bit-exactly because every step floors on the grid. */
+  val q187 = GQuery("q187_ewma_baseline",
+    """WITH c AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS day FROM events),
+      |types AS (SELECT DISTINCT event_type AS etype FROM events),
+      |spine AS (SELECT t.etype, d.day FROM types t CROSS JOIN days d),
+      |full_ AS (
+      |  SELECT s.etype, s.day, coalesce(c.n, 0) AS n
+      |  FROM spine s LEFT JOIN c USING (etype, day)),
+      |arrs AS (
+      |  SELECT etype,
+      |    [x.n * 10000 for x in
+      |      list_sort(list({'day': day, 'n': n}))] AS n4s,
+      |    max_by(n, day) AS n_last, max(day) AS last_day
+      |  FROM full_ GROUP BY etype),
+      |ew AS (
+      |  SELECT etype, last_day, n_last,
+      |    list_reduce([CAST(0 AS BIGINT)] || n4s,
+      |      (acc, x) -> CAST(floor((acc * 3 + x * 1) / 4) AS BIGINT)) AS ewma4
+      |  FROM arrs)
+      |SELECT etype, last_day, CAST(n_last AS BIGINT) AS n_last, ewma4,
+      |  n_last * 10000 - ewma4 AS dev4
+      |FROM ew ORDER BY etype""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.ewmaBaseline(Tables.events(s, dir),
+        "ts", "event_type", alphaNum = 1, alphaDen = 4)
+      .orderBy(col("etype"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181, q185)
+      q174, q178, q181, q185, q187)
 }

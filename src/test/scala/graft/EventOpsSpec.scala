@@ -68,6 +68,25 @@ class EventOpsSpec extends SparkSpec {
       ("purchase", "view") -> 1L))
   }
 
+  test("ewmaBaseline: zero-seeded integer fold over the day spine; quiet days count 0") {
+    def d(day: Int, sec: Int) = ts(day * 86400 + sec)
+    // type a: day0 ×4, day1 ×0 (quiet — spine supplies it), day2 ×8
+    // type b: day1 ×2 only → spine gives it days 0 and 2 as zeros
+    val evs = (
+      (1 to 4).map(i => (i.toLong, d(0, i), "a")) ++
+      (1 to 8).map(i => (i.toLong, d(2, i), "a")) ++
+      (1 to 2).map(i => (i.toLong, d(1, i), "b"))
+    ).toDF("event_id", "ts", "event_type")
+    val out = EventOps.ewmaBaseline(evs, "ts", "event_type")
+      .select("etype", "n_last", "ewma4", "dev4")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a: e1=⌊40000/4⌋=10000; e2=⌊30000/4⌋=7500; e3=⌊(22500+80000)/4⌋=25625
+    assert(out("a") === ((8L, 25625L, 80000L - 25625L)))
+    // b: e1=0; e2=⌊20000/4⌋=5000; e3=⌊15000/4⌋=3750; last day count 0
+    assert(out("b") === ((0L, 3750L, -3750L)))
+  }
+
   test("topPaths: ordered openings capped at maxLen, deterministic census") {
     val out = EventOps.topPaths(ev, "user_id", "ts", "event_id",
         "event_type", maxLen = 2, k = 10)
