@@ -195,6 +195,42 @@ object EventOps {
       .withColumn("dev4", col("n_last") * 10000L - col("ewma4"))
   }
 
+  /** Market-basket co-occurrence lift: baskets are (user, time
+    * bucket); items are the DISTINCT event types in a basket; for
+    * every unordered type pair — basket counts and
+    * `lift = P(ab) / (P(a)·P(b))` on the 1e-4 grid (assembled as one
+    * ratio of exact integer counts, the PMI idiom). Lift > 1 means
+    * the pair co-occurs beyond independence — the cross-feature
+    * signal [[transitionCounts]]' ordering census can't give.
+    * Shapes: basket-distinct items (one dedup shuffle), a
+    * within-basket self-join whose fan-out is bounded by |types|², a
+    * ≤ |types|²-cell census, broadcast totals. */
+  def basketLift(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, bucketSeconds: Long = 86400L): DataFrame = {
+    val items = events.select(col(userCol).as("uid"),
+        floor(unix_timestamp(col(tsCol)) / bucketSeconds).as("bkt"),
+        col(typeCol).as("item"))
+      .distinct()
+    val nBaskets = items.select("uid", "bkt").distinct()
+      .agg(count(lit(1)).as("t_b"))
+    val itemCounts = items.groupBy("item").agg(count(lit(1)).as("n_i"))
+    val pairs = items.select(col("uid"), col("bkt"), col("item").as("item_a"))
+      .join(items.select(col("uid"), col("bkt"), col("item").as("item_b")),
+        Seq("uid", "bkt"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(itemCounts.select(col("item").as("item_a"),
+        col("n_i").as("n_a")), "item_a")
+      .join(itemCounts.select(col("item").as("item_b"),
+        col("n_i").as("n_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        round(lit(1e4) * col("n_ab") * col("t_b")
+          / (col("n_a") * col("n_b"))).cast("long").as("lift4"))
+  }
+
   /** Seasonal traffic census: event counts per (day-of-week, UTC
     * hour) cell with share and lift against a uniform week — the
     * 7×24 heatmap behind capacity planning and anomaly baselines.

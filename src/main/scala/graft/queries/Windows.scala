@@ -538,7 +538,36 @@ object Windows {
       .orderBy(col("etype"))
   }
 
+  /** Basket co-occurrence lift (see
+    * [[graft.operators.EventOps.basketLift]]): (user, day) baskets of
+    * distinct event types; lift assembled as one integer-count ratio
+    * on the grid. */
+  val q188 = GQuery("q188_basket_lift",
+    """WITH items AS (
+      |  SELECT DISTINCT user_id AS uid,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bkt,
+      |    event_type AS item
+      |  FROM events),
+      |tb AS (SELECT count(*) AS t_b FROM
+      |  (SELECT DISTINCT uid, bkt FROM items)),
+      |ic AS (SELECT item, count(*) AS n_i FROM items GROUP BY item),
+      |pr AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+      |  FROM items a JOIN items b ON a.uid = b.uid AND a.bkt = b.bkt
+      |  WHERE a.item < b.item GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+      |  CAST(round(1e4 * n_ab * t_b / (ia.n_i * ib.n_i)) AS BIGINT) AS lift4
+      |FROM pr
+      |JOIN ic ia ON ia.item = item_a
+      |JOIN ic ib ON ib.item = item_b
+      |CROSS JOIN tb
+      |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.basketLift(Tables.events(s, dir),
+        "user_id", "ts", "event_type")
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181, q185, q187)
+      q174, q178, q181, q185, q187, q188)
 }
