@@ -389,7 +389,50 @@ object Relational {
       .orderBy(col("status"), col("priority"))
   }
 
+  /** TPC-H Q5-shaped six-table star join: local-supplier revenue by
+    * nation for one region-year. The declarative form is the whole
+    * point — Catalyst prunes region→nation→(customer, supplier) down
+    * the snowflake, pushes the date filter into the orders scan, and
+    * AQE broadcasts every dimension, so lineitem (the 100 TB fact)
+    * shuffles at most once; the co-location predicate
+    * `c_nationkey = s_nationkey` rides the join, never a post-filter
+    * over a wider product. */
+  val q189 = GQuery("q189_local_supplier_revenue",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val lineitem = Tables.lineitem(s, dir)
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val customer = Tables.customer(s, dir)
+    val supplier = Tables.supplier(s, dir)
+    val nation = Tables.nation(s, dir)
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12)
+      q10b, q11, q12, q189)
 }
