@@ -1032,6 +1032,44 @@ object Pipelines {
       }
   }
 
+  final case class RateState(window: Long, n: Long)
+
+  /** Per-key rate limiter — ingestion protection: at most `k` events
+    * per key per tumbling `windowMs` window pass through, the rest are
+    * dropped; kept events are the FIRST k in (ts, tie id) order, so
+    * the policy is deterministic and equals the batch rewrite
+    * `row_number() OVER (PARTITION BY key, window ORDER BY ts, id) ≤ k`
+    * (spec-asserted, batch-cut invariant). State per key is TWO longs
+    * (current window + its count) — bounded forever, reset on window
+    * roll; a hot key costs the same state as a quiet one. Delivery
+    * contract as [[transitionStream]]: per-key order-preserving
+    * delivery; a cross-batch reorder follows arrival order. */
+  def rateLimitStream(events: Dataset[TransEvent], windowMs: Long,
+                      k: Int): Dataset[TransEvent] = {
+    require(windowMs > 0 && k >= 1, "bad rate limit parameters")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, TransEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+         state: GroupState[RateState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, 0L))
+          val out = Seq.newBuilder[TransEvent]
+          for (e <- sorted) {
+            val w = Math.floorDiv(e.ts_ms, windowMs)
+            if (w != st.window) st = RateState(w, 0L)
+            if (st.n < k) {
+              out += e
+              st = st.copy(n = st.n + 1)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class TouchEvent(user_id: Long, ts_ms: Long, event_id: Long,
                               event_type: String, value: Double)
   final case class Attribution(user_id: Long, conv_ts_ms: Long,

@@ -3,7 +3,7 @@ package graft
 import graft.streaming.Pipelines
 import graft.streaming.Pipelines.{SessionEvent, SessionOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, floor, row_number}
 import java.sql.Timestamp
 
 /** Event-time streaming semantics: watermark late-data drop, tumbling
@@ -918,6 +918,43 @@ class StreamingPipelinesSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     val streamedMax = one.groupBy(_._1).view.mapValues(_.map(_._2).max + 1).toMap
     assert(streamedMax === ft.filter(_._2 > 0))
+  }
+
+  test("rateLimitStream: first-k-per-window policy equals the batch row_number rewrite") {
+    implicit val sc = spark.sqlContext
+    import Pipelines.TransEvent
+    val windowMs = 1000L
+    // user 1: 4 events in window 0 (k=2 keeps the first two by (ts, id)),
+    // then 1 in window 1; user 2: 2 events, both kept; the batch cut
+    // splits user 1's window-0 burst across batches
+    val evs = Seq(
+      TransEvent(1L, 100L, 1L, "a"), TransEvent(1L, 100L, 2L, "b"),
+      TransEvent(1L, 200L, 3L, "c"), TransEvent(1L, 300L, 4L, "d"),
+      TransEvent(1L, 1200L, 5L, "e"),
+      TransEvent(2L, 500L, 6L, "f"), TransEvent(2L, 600L, 7L, "g"))
+    def run(tag: String, cuts: Seq[Seq[TransEvent]]): Set[Long] = {
+      val in = MemoryStream[TransEvent]
+      val q = Pipelines.rateLimitStream(in.toDS(), windowMs, k = 2)
+        .writeStream.format("memory").queryName(s"rlout_$tag")
+        .outputMode("append").start()
+      try cuts.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(s"rlout_$tag").select("event_id")
+        .as[Long].collect().toSet
+    }
+    val one = run("a", Seq(evs))
+    val cut = run("b", Seq(evs.take(2), evs.drop(2)))
+    assert(one === cut, "batch cut must not change the kept set")
+    assert(one === Set(1L, 2L, 5L, 6L, 7L))
+    // equals the batch rewrite
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), floor(col("ts_ms") / windowMs))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val batch = evs.toDF()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .select("event_id").as[Long].collect().toSet
+    assert(one === batch)
   }
 
   test("attributionStream: conversions credit like the batch model under any cut") {
