@@ -405,29 +405,35 @@ object Multimodal {
     * of one raster report identical sums. Undecodable blobs degrade
     * to the typed corrupt row, never a throw. */
   object ChannelStatsCodec extends Serializable {
+    /** Shared safe decode: (formatName, raster) or (null, null) for
+      * anything undecodable. */
+    private[operators] def decode(bytes: Array[Byte])
+        : (String, java.awt.image.BufferedImage) = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) (null, null)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            (r.getFormatName.toLowerCase(java.util.Locale.ROOT), r.read(0))
+          } catch {
+            case _: java.io.IOException => (null, null)
+          } finally r.dispose()
+        }
+      } finally {
+        try in.close()
+        catch { case _: java.io.IOException => () }
+      }
+    }
+
     /** (format, width, height, n_px, sum_r, sum_g, sum_b); corrupt →
       * ("corrupt", -1, -1, -1, -1, -1, -1). */
     def stats(bytes: Array[Byte])
         : (String, Int, Int, Long, Long, Long, Long) = {
-      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val (fmt, img) =
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(in)
-          if (!readers.hasNext) (null, null)
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(in)
-              (r.getFormatName.toLowerCase(java.util.Locale.ROOT), r.read(0))
-            } catch {
-              case _: java.io.IOException => (null, null)
-            } finally r.dispose()
-          }
-        } finally {
-          try in.close()
-          catch { case _: java.io.IOException => () }
-        }
+      val (fmt, img) = decode(bytes)
       if (img == null) return ("corrupt", -1, -1, -1L, -1L, -1L, -1L)
       val w = img.getWidth
       val h = img.getHeight
@@ -446,6 +452,91 @@ object Multimodal {
       }
       (fmt, w, h, w.toLong * h, sr, sg, sb)
     }
+  }
+
+  /** Nearest-neighbor thumbnail kernel — the TRANSFORM face of the
+    * image family (probe/dHash/channel-stats only read): decode the
+    * raster, sample a tw×th thumbnail with the canonical
+    * `src = ⌊t·W/tw⌋` nearest-neighbor map (pure integer arithmetic —
+    * replayable by an oracle, unlike interpolating resamplers), and
+    * report the thumbnail's exact channel sums. The thumbnail bytes
+    * themselves are deterministic too ([[thumbnailPng]]) — the
+    * re-encode path a media pipeline writes back to storage.
+    * Undecodable or sub-thumbnail-sized blobs degrade typed. */
+  object ThumbCodec extends Serializable {
+    /** (format, src_w, src_h, sum_r, sum_g, sum_b) of the tw×th
+      * nearest-neighbor thumbnail; corrupt / too small →
+      * ("corrupt", -1, -1, -1, -1, -1). */
+    def thumbStats(bytes: Array[Byte], tw: Int, th: Int)
+        : (String, Int, Int, Long, Long, Long) = {
+      require(tw >= 1 && th >= 1, s"bad thumb dims ${tw}x$th")
+      val (fmt, img) = ChannelStatsCodec.decode(bytes)
+      if (img == null || img.getWidth < tw || img.getHeight < th)
+        return ("corrupt", -1, -1, -1L, -1L, -1L)
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var ty = 0
+      while (ty < th) {
+        val sy = ty * h / th
+        var tx = 0
+        while (tx < tw) {
+          val m = img.getRGB(tx * w / tw, sy) & 0xffffff
+          sr += (m >> 16) & 0xff
+          sg += (m >> 8) & 0xff
+          sb += m & 0xff
+          tx += 1
+        }
+        ty += 1
+      }
+      (fmt, w, h, sr, sg, sb)
+    }
+
+    /** The tw×th nearest-neighbor thumbnail re-encoded as PNG bytes —
+      * deterministic (same blob → identical bytes), null on corrupt. */
+    def thumbnailPng(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+      val (_, img) = ChannelStatsCodec.decode(bytes)
+      if (img == null || img.getWidth < tw || img.getHeight < th) return null
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var ty = 0
+      while (ty < th) {
+        var tx = 0
+        while (tx < tw) {
+          out.setRGB(tx, ty,
+            img.getRGB(tx * img.getWidth / tw, ty * img.getHeight / th)
+              & 0xffffff)
+          tx += 1
+        }
+        ty += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(out, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+  }
+
+  /** Per-partition thumbnail-stats decode:
+    * (id, format, src_w, src_h, sum_r, sum_g, sum_b). */
+  def decodeThumbStatsPartitions(df: DataFrame, blobCol: String,
+                                 idCol: String, tw: Int, th: Int)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("src_w", IntegerType).add("src_h", IntegerType)
+      .add("sum_r", LongType).add("sum_g", LongType).add("sum_b", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, w, h, sr, sg, sb) = ThumbCodec.thumbStats(bytes, tw, th)
+        Row(r.getLong(idIdx), f, w, h, sr, sg, sb)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Per-partition channel-stats decode — [[decodePartitions]] with

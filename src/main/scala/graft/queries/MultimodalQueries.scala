@@ -1056,7 +1056,68 @@ object MultimodalQueries {
       .orderBy(col("source"))
   }
 
+  /** Thumbnail census (see [[graft.operators.Multimodal.ThumbCodec]]):
+    * REAL decode → 4×4 nearest-neighbor resize (`src = ⌊t·W/tw⌋`, pure
+    * integer arithmetic — the property that makes a resampler
+    * oracle-able) → per-source exact channel sums of the THUMBNAILS.
+    * The transform face of the image family; corrupt blobs (every
+    * 13th truncated) count separately. The oracle replays the
+    * generator's pixel formula AT the nearest-neighbor source
+    * coordinates. */
+  val q190 = GQuery("q190_thumbnail_census",
+    """WITH m AS (
+      |  SELECT doc_id, source, (doc_id % 13 = 0) AS bad,
+      |    8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 24 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |txs AS (
+      |  SELECT doc_id, source, w, h, unnest(range(0, 4)) AS tx
+      |  FROM m WHERE NOT bad),
+      |px AS (
+      |  SELECT doc_id, source,
+      |    ((doc_id + ((tx * w) // 4) * 31
+      |      + ((unnest(range(0, 4)) * h) // 4) * 131) % 16777216) AS v
+      |  FROM txs),
+      |sums AS (
+      |  SELECT source, count(*) AS n_px,
+      |    CAST(sum((v // 65536) % 256) AS BIGINT) AS sum_r,
+      |    CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+      |    CAST(sum(v % 256) AS BIGINT) AS sum_b
+      |  FROM px GROUP BY source),
+      |cnts AS (
+      |  SELECT source, count(*) AS n_images,
+      |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+      |  FROM m GROUP BY source)
+      |SELECT c.source, c.n_images, c.n_corrupt,
+      |  s.sum_r, s.sum_g, s.sum_b
+      |FROM cnts c JOIN sums s USING (source)
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val ids = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = ids.mapPartitions(_.map { id =>
+      val bytes = Multimodal.encodePng(
+        (8 + id % 24).toInt, (8 + (id * 7) % 24).toInt, seed = id)
+      (id, if (id % 13 == 0) bytes.take(6) else bytes)
+    }).toDF("doc_id", "blob")
+    val st = Multimodal
+      .decodeThumbStatsPartitions(blobs, "blob", "doc_id", tw = 4, th = 4)
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+    val sums = st.where(col("format") =!= "corrupt")
+      .groupBy("source")
+      .agg(sum(col("sum_r")).as("sum_r"), sum(col("sum_g")).as("sum_g"),
+        sum(col("sum_b")).as("sum_b"))
+    val cnts = st.groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        sum(when(col("format") === "corrupt", 1L).otherwise(0L))
+          .as("n_corrupt"))
+    cnts.join(sums, "source")
+      .select(col("source"), col("n_images"), col("n_corrupt"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123,
-      q128, q129, q131, q132, q133, q175)
+      q128, q129, q131, q132, q133, q175, q190)
 }

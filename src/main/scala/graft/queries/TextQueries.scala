@@ -248,7 +248,13 @@ object TextQueries {
        |JOIN sizes sa ON sa.doc_id = id_a
        |JOIN sizes sb ON sb.doc_id = id_b
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    val fps = graft.operators.TextStats.winnowedFps(sharedToks(s, dir), n = 3, w = 4)
+    // the selection feeds FOUR plan branches (sizes, df census, both
+    // self-join sides) — persisted with plan-identical construction so
+    // the CacheManager serves all of them (and q56, which shares the
+    // same subtree) from one computed copy per session
+    val fps = graft.operators.TextStats
+      .winnowedFps(sharedToks(s, dir), n = 3, w = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.operators.Dedup.winnowingPairs(fps, minShared = 3L, maxDocFreq = 100)
       .orderBy(col("id_a"), col("id_b"))
   }

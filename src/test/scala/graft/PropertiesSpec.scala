@@ -214,6 +214,8 @@ class PropertiesSpec extends SparkSpec {
       Multimodal.VideoSigCodec.signature(b)
       Multimodal.KeyframeCodec.keyframes(b)
       Multimodal.ChannelStatsCodec.stats(b)
+      Multimodal.ThumbCodec.thumbStats(b, 4, 4)
+      Multimodal.ThumbCodec.thumbnailPng(b, 4, 4)
     }
   }
 

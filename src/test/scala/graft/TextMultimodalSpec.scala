@@ -240,6 +240,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L) === ("png", er) && out(2L) === ("corrupt", -1L))
   }
 
+  test("ThumbCodec: nearest-neighbor arithmetic exact; re-encode deterministic; corrupt typed") {
+    // 8x8 source, 4x4 thumb → src = t*8/4 = 2t on both axes
+    val (w, h, seed) = (8, 8, 5L)
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (ty <- 0 until 4; tx <- 0 until 4) {
+      val v = (seed + 31L * (tx * w / 4) + 131L * (ty * h / 4)) & 0xffffff
+      er += (v >> 16) & 0xff; eg += (v >> 8) & 0xff; eb += v & 0xff
+    }
+    val blob = Multimodal.encodePng(w, h, seed)
+    val s = Multimodal.ThumbCodec.thumbStats(blob, 4, 4)
+    assert(s === ("png", w, h, er, eg, eb))
+    // the re-encoded thumbnail is deterministic and itself decodes to
+    // the same channel sums
+    val t1 = Multimodal.ThumbCodec.thumbnailPng(blob, 4, 4)
+    val t2 = Multimodal.ThumbCodec.thumbnailPng(blob, 4, 4)
+    assert(java.util.Arrays.equals(t1, t2))
+    val ts = Multimodal.ChannelStatsCodec.stats(t1)
+    assert((ts._5, ts._6, ts._7) === ((er, eg, eb)))
+    // corrupt and sub-thumbnail-sized degrade typed / null
+    assert(Multimodal.ThumbCodec.thumbStats("junk".getBytes, 4, 4)._1
+      === "corrupt")
+    assert(Multimodal.ThumbCodec.thumbStats(
+      Multimodal.encodePng(2, 2, 1L), 4, 4)._1 === "corrupt")
+    assert(Multimodal.ThumbCodec.thumbnailPng("junk".getBytes, 4, 4) === null)
+  }
+
   test("dHash signatures compose with banded Hamming pairing") {
     // Two pixel-identical images + one different gradient: the banded
     // pairer (q60 machinery over dhash-as-simhash64) must find exactly
