@@ -125,4 +125,57 @@ object GraphOps {
       .join(s.withColumnRenamed("s4", "s4_smoothed"), Seq("id"))
       .withColumn("smoothed", col("s4_smoothed").cast("double") / 1e4)
   }
+
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected pair graph `(id_a, id_b)` (id_a < id_b, no
+    * multi-edges) — how CLIQUE-like the near-dup graph is at the
+    * corpus level (many triangles = real duplicate families; a high
+    * wedge count with few triangles = chained false positives, the
+    * graph-level form of the q159 per-cluster coherence signal).
+    *
+    * Degree-oriented algorithm: every edge is directed from its
+    * lower-(degree, id) endpoint to the higher, wedges are generated
+    * by the self-join on the ORIENTED source, and a wedge closes iff
+    * its (min, max) pair is itself an oriented edge. Orientation is
+    * the scale move — out-degree is O(√m) regardless of hubs, so a
+    * viral-image star node generates no quadratic wedge explosion
+    * (the naive node-iterator dies exactly there). Cost: one degree
+    * census, one oriented self-join, one semi-join.
+    * coeff4 = ⌊10⁴·3·triangles / wedges⌋ on the grid (0 when
+    * wedge-free); wedges = Σ d(d−1)/2 over true degrees. */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+    // orient lower-(degree, id) → higher; encode the rank as d·2⁴⁰+id
+    // (exact for d, id < 2⁴⁰ — corpus ids are ≤ 2³³ at 100 TB)
+    val ku = col("du") * lit(1L << 40) + col("u")
+    val kv = col("dv") * lit(1L << 40) + col("v")
+    val oriented = withDeg.select(
+      when(ku < kv, col("u")).otherwise(col("v")).as("src"),
+      when(ku < kv, col("v")).otherwise(col("u")).as("dst"))
+    val wedgePairs = oriented.select(col("src"), col("dst").as("w1"))
+      .join(oriented.select(col("src"), col("dst").as("w2")), "src")
+      .where(col("w1") < col("w2"))
+    val canon = oriented.select(
+      least(col("src"), col("dst")).as("e1"),
+      greatest(col("src"), col("dst")).as("e2"))
+    val triangles = wedgePairs
+      .join(canon, col("w1") === col("e1") && col("w2") === col("e2"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(
+      coalesce(sum((col("d") * (col("d") - 1) / 2).cast("long")), lit(0L))
+        .as("n_wedges"),
+      count(lit(1)).as("n_vertices"))
+    triangles.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"), col("n_vertices"),
+        when(col("n_wedges") > 0,
+          floor(lit(10000L) * lit(3L) * col("n_triangles") / col("n_wedges")))
+          .otherwise(lit(0L)).cast("long").as("coeff4"))
+  }
 }

@@ -151,6 +151,37 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Triangle census of the near-dup pair graph (see
+    * [[graft.operators.GraphOps.triangleStats]]): exact triangles,
+    * wedges, and the global clustering coefficient — clique-like
+    * (true duplicate families) vs chain-like (transitive false
+    * positives) at corpus level. The oracle counts triangles by the
+    * ordered 3-way edge join and wedges from the degree census. */
+  val q191 = GQuery("q191_dup_graph_triangles",
+    s"""WITH $shingleCtes,
+       |$pairCtes,
+       |deg AS (
+       |  SELECT id, count(*) AS d FROM (
+       |    SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)
+       |  GROUP BY id),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM pr e1 JOIN pr e2 ON e2.id_a = e1.id_b
+       |  JOIN pr e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       |wg AS (
+       |  SELECT coalesce(sum(d * (d - 1) // 2), 0) AS n_wedges,
+       |    count(*) AS n_vertices
+       |  FROM deg)
+       |SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+       |  CAST(n_wedges AS BIGINT) AS n_wedges,
+       |  CAST(n_vertices AS BIGINT) AS n_vertices,
+       |  CAST(CASE WHEN n_wedges > 0
+       |    THEN floor(1e4 * 3 * n_triangles / n_wedges) ELSE 0 END AS BIGINT)
+       |    AS coeff4
+       |FROM tri, wg""".stripMargin) { (s, dir) =>
+    graft.operators.GraphOps.triangleStats(sharedPairs(s, dir))
+  }
+
   /** MinHash + LSH banding, then exact-Jaccard verification of the
     * candidates only. */
   val q25 = {
@@ -1364,5 +1395,5 @@ object DedupQueries {
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146, q148, q150, q151, q153, q158, q159, q186)
+      q146, q148, q150, q151, q153, q158, q159, q186, q191)
 }

@@ -66,4 +66,21 @@ class GraphOpsSpec extends SparkSpec {
       .orderBy("id").select("id", "s4_smoothed").as[(Long, Long)].collect()
     assert(tiny === Array((1L, 2L), (2L, 2L)))
   }
+
+  test("triangleStats: hand-computed triangle/wedge census; hub star has zero triangles") {
+    // triangle 1-2-3 plus chain 3-4-5: 1 triangle; degrees 2,2,3,2,1 →
+    // wedges 1+1+3+1+0 = 6; coeff = floor(1e4·3/6) = 5000
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = graft.operators.GraphOps.triangleStats(g)
+      .as[(Long, Long, Long, Long)].head()
+    assert(out === ((1L, 6L, 5L, 5000L)))
+    // a pure star (the viral-image hub): many wedges, zero triangles —
+    // and the degree orientation means the hub emits NO wedge pairs
+    // itself (all its edges point inward), so no quadratic blow-up
+    val star = (2L to 30L).map(i => (1L, i)).toDF("id_a", "id_b")
+    val so = graft.operators.GraphOps.triangleStats(star)
+      .as[(Long, Long, Long, Long)].head()
+    assert(so._1 === 0L && so._2 === (29L * 28L) / 2 && so._4 === 0L)
+  }
 }
