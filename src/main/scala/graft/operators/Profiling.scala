@@ -27,9 +27,6 @@ object Profiling {
     * scan, no driver loop over data). */
   def profile(df: DataFrame, numericCols: Seq[String],
               stringCols: Seq[String]): DataFrame = {
-    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns")
-    val nRows = count(lit(1))
-    def nullsOf(c: String) = sum(col(c).isNull.cast("long"))
     // exact distincts per column via a MELT + one two-level aggregate —
     // NOT k countDistinct() in one agg: that plans as an Expand with
     // one input replica per distinct aggregate (k+1 × the scan on the
@@ -45,6 +42,39 @@ object Profiling {
     val distincts = melted.where(col("v").isNotNull)
       .groupBy("c", "v").agg(count(lit(1)).as("__one"))
       .groupBy("c").agg(count(lit(1)).as("n_distinct"))
+    profileCore(df, numericCols, stringCols)
+      .join(distincts.withColumnRenamed("c", "column"), Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min4"), col("max4"), col("min_s"), col("max_s"))
+  }
+
+  /** [[profile]] with the exact distinct count swapped for a
+    * mergeable HLL sketch column — the INCREMENTAL profile shape: a
+    * per-batch row set whose every field merges losslessly (counts
+    * sum, min/max fold, sketches union) into the whole-history
+    * profile, so a streaming ingest can append one profile per batch
+    * and report over the store without re-scanning data
+    * ([[graft.streaming.Pipelines]]' profileStream). */
+  def profileSketched(df: DataFrame, numericCols: Seq[String],
+                      stringCols: Seq[String]): DataFrame = {
+    val base = profileCore(df, numericCols, stringCols)
+    val melted = df.select(explode(array(
+      (numericCols ++ stringCols).map { c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))
+      }: _*)).as("p")).select("p.*")
+    val sketches = melted.where(col("v").isNotNull)
+      .groupBy("c").agg(hll_sketch_agg(col("v"), 12).as("sketch"))
+    base.join(sketches.withColumnRenamed("c", "column"), Seq("column"), "left")
+  }
+
+  /** The non-distinct per-column profile rows (shared by [[profile]]
+    * and [[profileSketched]]). */
+  private def profileCore(df: DataFrame, numericCols: Seq[String],
+                          stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns")
+    val nRows = count(lit(1))
+    def nullsOf(c: String) = sum(col(c).isNull.cast("long"))
     val numAggs = numericCols.flatMap { c =>
       Seq(nullsOf(c).as(s"__nn_$c"),
         min(round(col(c).cast("double") * 1e4).cast("long")).as(s"__mn_$c"),
@@ -70,10 +100,6 @@ object Profiling {
           col(s"__ms_$c").as("min_s"), col(s"__xs_$c").as("max_s"))
       }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
-      .join(distincts.withColumnRenamed("c", "column"), Seq("column"), "left")
-      .select(col("column"), col("n_rows"), col("n_null"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        col("min4"), col("max4"), col("min_s"), col("max_s"))
   }
 
   /** Key-uniqueness violations: number of key tuples appearing more

@@ -1516,6 +1516,46 @@ object Pipelines {
     (nRows, massAfter)
   }
 
+  /** Incremental data profiling: each micro-batch appends its
+    * [[graft.operators.Profiling.profileSketched]] rows (one per
+    * profiled column — counts, grid/string min-max, HLL value sketch)
+    * to a persistent store; [[profileReport]] merges them losslessly
+    * (counts sum, min/max fold, sketches union) into the whole-history
+    * profile. Exact fields are bit-equal to a single
+    * whole-data [[graft.operators.Profiling.profile]] pass; distincts
+    * carry HLL error (±1.6% at lgK 12) — both spec-asserted. Replays
+    * are absorbed at read like [[histCells]]; per-batch work never
+    * reads the store. */
+  def profileStream(numericCols: Seq[String], stringCols: Seq[String],
+                    storePath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.Profiling
+        .profileSketched(batch, numericCols, stringCols)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(storePath)
+      ()
+    }
+
+  /** Merged whole-history profile over a [[profileStream]] store. */
+  def profileReport(spark: org.apache.spark.sql.SparkSession,
+                    storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      // replay absorption: one row per (batch_id, column) — duplicates
+      // are bit-identical, so min/max/union pick the same row back
+      .groupBy("batch_id", "column")
+      .agg(max(col("n_rows")).as("n_rows"), max(col("n_null")).as("n_null"),
+        min(col("min4")).as("min4"), max(col("max4")).as("max4"),
+        min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
+        hll_union_agg(col("sketch"), true).as("sketch"))
+      .groupBy("column")
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
+        min(col("min4")).as("min4"), max(col("max4")).as("max4"),
+        min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
+        hll_union_agg(col("sketch"), true).as("merged"))
+      .select(col("column"), col("n_rows"), col("n_null"),
+        hll_sketch_estimate(col("merged")).cast("long").as("n_distinct_est"),
+        col("min4"), col("max4"), col("min_s"), col("max_s"))
+
   /** Drift report over a [[histStream]] store: per-BATCH exact KS
     * distance against the whole-store distribution (every batch's CDF
     * vs the merged CDF, both on the grid) — the "which ingest batch
