@@ -35,6 +35,23 @@ object Layout {
     }
   }
 
+  /** k-dimensional Morton interleave: bit i of dimension j lands at
+    * z-bit `i·k + j` (so [[zorder2]] ≡ `zorderN(Seq(x, y), bits)`).
+    * Requires `k·bits ≤ 63`. Same locality law per dimension: rows
+    * sharing the top `k·b` z-bits agree on each dimension's top `b`
+    * bits. */
+  def zorderN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, "need at least two dimensions")
+    require(bits >= 1 && k * bits <= 63, s"k*bits out of range: $k x $bits")
+    val bs = cols.map(c => pmod(c.cast("long"), lit(1L << bits)))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      bs.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a + shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }
+  }
+
   /** The same unrolled Morton terms as ANSI SQL (DuckDB syntax) over
     * expressions `x`/`y` — the oracle-side twin of [[zorder2]], kept
     * adjacent so the two unrollings cannot drift. */

@@ -39,6 +39,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderN: 2-dim form equals zorder2; 3-dim locality law holds") {
+    val df = Seq((123L, 456L, 789L)).toDF("x", "y", "z")
+    val a = df.select(Layout.zorderN(Seq(col("x"), col("y")), 16).as("k"))
+      .as[Long].head()
+    val b = df.select(Layout.zorder2(col("x"), col("y"), 16).as("k"))
+      .as[Long].head()
+    assert(a === b)
+    // 3-dim law: sharing top 3·b z-bits bounds each dim span < 2^(bits−b)
+    val bits = 8
+    val bnd = 3
+    val rows = (0 until 3000).map { i =>
+      ((i * 37L) % 256L, (i * 89L) % 256L, (i * 151L) % 256L)
+    }
+    val zc = Layout.zorderN(
+      Seq(col("x"), col("y"), col("w")), bits)
+    val spans = rows.toDF("x", "y", "w")
+      .select(shiftright(zc, 3 * (bits - bnd)).as("zb"),
+        col("x"), col("y"), col("w"))
+      .groupBy("zb")
+      .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")),
+        max(col("w")) - min(col("w")))
+      .as[(Long, Long, Long, Long)].collect()
+    val bound = 1L << (bits - bnd)
+    spans.foreach { case (zb, sx, sy, sw) =>
+      assert(sx < bound && sy < bound && sw < bound,
+        s"bucket $zb spans ($sx, $sy, $sw) >= $bound")
+    }
+  }
+
   test("sql twin produces the same keys as the column expression") {
     val df = Seq((123L, 456L), (65535L, 0L), (1L, 65535L))
       .toDF("x", "y")
