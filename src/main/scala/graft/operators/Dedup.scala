@@ -882,9 +882,21 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("rep_d")), "dst")
         .select(col("src").as("id"), col("rep_d").as("rep"))
-      val next = prop.unionByName(labels)
+      val hop = prop.unionByName(labels)
         .groupBy(col("id"))
         .agg(min(col("rep")).as("rep"))
+      // pointer jumping: rep(v) ← min(rep(v), rep(rep(v))) — one more
+      // keyed join per round, and the propagation distance SQUARES
+      // instead of growing by one hop, so convergence is O(log
+      // diameter) rounds. Long sparse chains (an entity-resolution
+      // name graph, a boilerplate path) would otherwise need
+      // diameter-many rounds and silently under-merge at the
+      // iteration cap — exactly the q192 failure mode at sf0.1.
+      val next = hop
+        .join(hop.select(col("id").as("rep"), col("rep").as("rep2")),
+          Seq("rep"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .localCheckpoint(true)
       val curSum = Option(next.agg(sum(col("rep"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -893,6 +905,12 @@ object Dedup {
       prevSum = curSum
       it += 1
     }
+    // hitting the cap un-converged means components are silently
+    // UNDER-merged (the q192 failure mode on a long name-edit chain) —
+    // that is a wrong answer, not a degraded one; fail loud instead
+    require(converged,
+      s"dupClusters hit maxIters=$maxIters before converging — " +
+        "raise maxIters (pointer jumping makes rounds O(log diameter))")
     // singletons (no pair) are their own cluster
     docs.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")

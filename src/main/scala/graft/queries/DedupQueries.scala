@@ -834,6 +834,81 @@ object DedupQueries {
       .orderBy(col("word_a"), col("word_b"))
   }
 
+  /** Capstone entity resolution over customer records: SymSpell fuzzy
+    * name pairing (q135 machinery) gated on nation agreement →
+    * hash-min connected components → ONE canonical record per
+    * multi-member entity cluster (highest account balance, ties to the
+    * lower key, picked via a single arg-min encoding — no window). The
+    * oracle replays the deletion-neighborhood banding, the verify, the
+    * attribute gate, the recursive closure, and the canonical pick
+    * end-to-end. */
+  val q192 = GQuery("q192_entity_resolution",
+    """WITH RECURSIVE v AS (
+      |  SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 4),
+      |var AS (
+      |  SELECT w, unnest([w] ||
+      |    [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, length(w) + 1)]) AS d
+      |  FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      |  FROM var a JOIN var b ON a.d = b.d AND a.w < b.w),
+      |np AS (
+      |  SELECT word_a, word_b FROM cand
+      |  WHERE levenshtein(word_a, word_b) <= 1),
+      |ep AS (
+      |  SELECT DISTINCT least(ca.c_custkey, cb.c_custkey) AS id_a,
+      |    greatest(ca.c_custkey, cb.c_custkey) AS id_b
+      |  FROM np
+      |  JOIN customer ca ON ca.c_name = np.word_a
+      |  JOIN customer cb ON cb.c_name = np.word_b
+      |  WHERE ca.c_nationkey = cb.c_nationkey),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM ep
+      |  UNION ALL SELECT id_b, id_a FROM ep),
+      |reach(id, rep) AS (
+      |  SELECT c_custkey, c_custkey FROM customer
+      |  UNION
+      |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+      |cl AS (SELECT id, min(rep) AS rep FROM reach GROUP BY id),
+      |canon AS (
+      |  SELECT cl.rep AS cluster_rep, count(*) AS n_members,
+      |    arg_min(c.c_custkey,
+      |      (999999 - CAST(round(c.c_acctbal * 100) AS BIGINT))
+      |        * 10000000000 + c.c_custkey) AS canon_key
+      |  FROM cl JOIN customer c ON c.c_custkey = cl.id
+      |  GROUP BY cl.rep HAVING count(*) >= 2)
+      |SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members,
+      |  canon_key, cc.c_name AS canon_name
+      |FROM canon JOIN customer cc ON cc.c_custkey = canon_key
+      |ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val np = Dedup.editDistancePairs(cust, "c_name", minLen = 4)
+    val ep = np
+      .join(cust.select(col("c_name").as("word_a"),
+        col("c_custkey").as("ka"), col("c_nationkey").as("na")), "word_a")
+      .join(cust.select(col("c_name").as("word_b"),
+        col("c_custkey").as("kb"), col("c_nationkey").as("nb")), "word_b")
+      .where(col("na") === col("nb"))
+      .select(least(col("ka"), col("kb")).as("id_a"),
+        greatest(col("ka"), col("kb")).as("id_b"))
+      .distinct()
+    val cl = Dedup.dupClusters(cust, "c_custkey", ep, maxIters = 64)
+    val canonEnc = ((lit(999999L)
+      - round(col("c_acctbal") * 100).cast("long")) * 10000000000L) +
+      col("c_custkey")
+    val canon = cl.join(cust, "c_custkey")
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        min_by(col("c_custkey"), canonEnc).as("canon_key"))
+      .where(col("n_members") >= 2)
+    canon
+      .join(cust.select(col("c_custkey").as("canon_key"),
+        col("c_name").as("canon_name")), "canon_key")
+      .select(col("cluster_rep"), col("n_members"), col("canon_key"),
+        col("canon_name"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** CDC boundary replay as a CTE chain ending in
     * `{p}chunks(doc_id, pos, chunk)` — the FULL rolling-hash boundary
     * arithmetic of [[graft.plans.CdcChunks]] (w=8, B=31, M=1000003,
@@ -1395,5 +1470,5 @@ object DedupQueries {
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146, q148, q150, q151, q153, q158, q159, q186, q191)
+      q146, q148, q150, q151, q153, q158, q159, q186, q191, q192)
 }
