@@ -567,7 +567,37 @@ object Windows {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  /** Point-in-time-correct feature assembly (the feature-store
+    * cornerstone): for every order, the customer's history STRICTLY
+    * BEFORE it — prior order count and prior spend (1e-2 grid) — via
+    * one customer-keyed window with an exclusive frame ordered by
+    * (date, tie key). Training rows built this way cannot leak the
+    * label row's own value or any future activity; the classic bug
+    * (inclusive frame / as-of-now aggregate) is exactly what the
+    * exclusive `rowsBetween(unboundedPreceding, −1)` forbids. One
+    * shuffle, co-partitioned by the entity key at any scale. */
+  val q193 = GQuery("q193_pit_features",
+    """SELECT o_orderkey,
+      |  count(*) OVER w AS prior_orders,
+      |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    OVER w, 0) AS BIGINT) AS prior_spend2
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        count(lit(1)).over(w).as("prior_orders"),
+        coalesce(sum(round(col("o_totalprice") * 100).cast("long")).over(w),
+          lit(0L)).as("prior_spend2"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181, q185, q187, q188)
+      q174, q178, q181, q185, q187, q188, q193)
 }
