@@ -130,6 +130,41 @@ object Profiling {
     df.agg(sum((col(c).isNotNull &&
         (col(c) < lo || col(c) > hi)).cast("long")).as("n_violations"))
 
+  /** Per-group simple linear regression, closed form — in-engine
+    * analytics without MLlib: for INTEGER-valued `xCol`/`yCol`
+    * (callers grid-snap first), ONE aggregate per group collects the
+    * five exact sufficient statistics (Σx, Σy, Σx², Σxy, Σy² — plain
+    * long sums, map-side partials), and slope/intercept/R² assemble
+    * as single double ratios of those exact integers (the PMI/BM25
+    * idiom: no compounding float error, engines replay bit-equal).
+    * slope is emitted ×10⁶ (per-unit-x slopes are small), intercept
+    * in y units, R² ×10⁴. Groups with zero x-variance are dropped
+    * (slope undefined). The 100 TB shape: nothing beyond the keyed
+    * aggregate ever shuffles; the regression itself is arithmetic on
+    * |groups| rows. */
+  def groupLinFit(df: DataFrame, groupCol: String,
+                  xCol: String, yCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val s = rows.groupBy("grp").agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / den
+    s.where(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("grp"), col("n"),
+        round(lit(1e6) * slope).cast("long").as("slope6"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double")).cast("long").as("intercept"),
+        when(col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round(lit(1e4) * num * num / (den * deny)).cast("long"))
+          .otherwise(lit(10000L)).as("r2_4"))
+  }
+
   /** Join-key skew census — the salting advisor for [[SkewJoin]]:
     * the top-k heaviest keys with their exact row share (1e-4 grid)
     * and the integer salt factor that would cap a straggler partition

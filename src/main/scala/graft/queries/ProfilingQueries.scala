@@ -238,5 +238,47 @@ object ProfilingQueries {
       .orderBy(col("check_name"))
   }
 
-  val all: Seq[GQuery] = Seq(q179, q180, q182, q183, q184)
+  /** Per-source quality-vs-length regression (see
+    * [[graft.operators.Profiling.groupLinFit]]): does a source's
+    * quality score scale with document length, and how tightly —
+    * closed-form OLS from exact integer sufficient statistics, no
+    * MLlib. The oracle assembles the same five sums and the same
+    * double ratios. */
+  val q194 = GQuery("q194_source_quality_fit",
+    s"""WITH ${TextQueries.qualityCte},
+       |rws AS (
+       |  SELECT d.source AS grp, CAST(q.n_tokens AS BIGINT) AS x,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS y
+       |  FROM q JOIN documents d USING (doc_id)),
+       |s AS (
+       |  SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+       |  FROM rws GROUP BY grp)
+       |SELECT grp AS source, CAST(n AS BIGINT) AS n,
+       |  CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope6,
+       |  CAST(round((CAST(sy AS DOUBLE)
+       |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE)) AS BIGINT) AS intercept,
+       |  CAST(CASE WHEN n * syy - sy * sy > 0 THEN
+       |    round(1e4 * CAST(n * sxy - sx * sy AS DOUBLE)
+       |      * CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+       |         * CAST(n * syy - sy * sy AS DOUBLE)))
+       |    ELSE 10000 END AS BIGINT) AS r2_4
+       |FROM s WHERE n * sxx - sx * sx > 0
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    import graft.functions.TextFunctions
+    val rows = Tables.documents(s, dir).select(col("source"),
+      TextFunctions.tokenCount(col("text")).as("x"),
+      round(TextFunctions.qualityScore(col("text"), col("n_chars")) * 1e4)
+        .cast("long").as("y"))
+    Profiling.groupLinFit(rows, "source", "x", "y")
+      .select(col("grp").as("source"), col("n"), col("slope6"),
+        col("intercept"), col("r2_4"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[GQuery] = Seq(q179, q180, q182, q183, q184, q194)
 }

@@ -95,6 +95,23 @@ class ProfilingSpec extends SparkSpec {
         s"replay changed $c.$f")
   }
 
+  test("groupLinFit: perfect line recovered exactly; zero-variance group dropped") {
+    val rows = Seq(
+      // group a: y = 2x + 3 exactly
+      ("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L), ("a", 10L, 23L),
+      // group b: symmetric V around x=2 → slope 0, R² 0
+      ("b", 1L, 10L), ("b", 2L, 0L), ("b", 3L, 10L),
+      // group c: no x variance → dropped
+      ("c", 4L, 1L), ("c", 4L, 9L)
+    ).toDF("g", "x", "y")
+    val out = graft.operators.Profiling.groupLinFit(rows, "g", "x", "y")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet === Set("a", "b"))
+    assert(out("a") === ((4L, 2000000L, 3L, 10000L)))
+    assert(out("b") === ((3L, 0L, 7L, 0L)))   // mean y = 20/3 → round 7
+  }
+
   test("skewCensus: deterministic top-k, exact shares, ceiling salt factor") {
     val df = (Seq.fill(7)("hot") ++ Seq.fill(2)("warm") ++ Seq("cold"))
       .toDF("k")
