@@ -280,5 +280,87 @@ object ProfilingQueries {
       .orderBy(col("source"))
   }
 
-  val all: Seq[GQuery] = Seq(q179, q180, q182, q183, q184, q194)
+  /** A/B experiment readout: users deterministically assigned by the
+    * md5 coin (the engine's standard deterministic-randomness idiom —
+    * assignment is reproducible run-over-run and engine-over-engine),
+    * then per-variant exact purchase statistics: users, events, value
+    * sum (1e-2 grid), and the mean and variance assembled as double
+    * ratios of exact integer sums (the OLS idiom) — everything a
+    * significance test consumes, hash-matchable. */
+  val q195 = GQuery("q195_ab_readout",
+    """WITH a AS (
+      |  SELECT user_id,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |m AS (
+      |  SELECT a.variant, e.user_id,
+      |    CAST(round(e.value * 100) AS BIGINT) AS v2
+      |  FROM events e JOIN a USING (user_id)
+      |  WHERE e.event_type = 'purchase')
+      |SELECT variant, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(v2) AS BIGINT) AS sum_v2,
+      |  CAST(round(CAST(sum(v2) AS DOUBLE) / count(*)) AS BIGINT) AS mean_v2,
+      |  CAST(round((count(*) * CAST(sum(v2 * v2) AS DOUBLE)
+      |      - CAST(sum(v2) AS DOUBLE) * CAST(sum(v2) AS DOUBLE))
+      |    / (CAST(count(*) AS DOUBLE) * count(*))) AS BIGINT) AS var_v2
+      |FROM m GROUP BY variant ORDER BY variant""".stripMargin) { (s, dir) =>
+    val assign = Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("variant",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+          16, 10).cast("long"), lit(2L)))
+    Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("v2"))
+      .join(assign, "user_id")
+      .groupBy("variant")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("v2")).as("sum_v2"),
+        round(sum(col("v2")).cast("double") / count(lit(1))).cast("long")
+          .as("mean_v2"),
+        round((count(lit(1)) * sum(col("v2") * col("v2")).cast("double")
+          - sum(col("v2")).cast("double") * sum(col("v2")).cast("double"))
+          / (count(lit(1)).cast("double") * count(lit(1)))).cast("long")
+          .as("var_v2"))
+      .orderBy(col("variant"))
+  }
+
+  /** Join-size law: the exact inner-equi-join cardinality computed
+    * from the two key CENSUSES (Σ over shared keys of nA·nB) WITHOUT
+    * executing the join — the advisory a planner wants before
+    * shuffling 100 TB — then verified against the actual join count.
+    * The two must be equal by construction; a mismatch would be an
+    * engine bug, and the oracle checks both numbers independently. */
+  val q196 = GQuery("q196_join_size_law",
+    """WITH ca AS (SELECT o_orderkey AS k, count(*) AS na FROM orders
+      |  GROUP BY 1),
+      |cb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem
+      |  GROUP BY 1),
+      |prod AS (
+      |  SELECT count(*) AS n_shared_keys,
+      |    CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS predicted_rows
+      |  FROM ca JOIN cb USING (k)),
+      |act AS (
+      |  SELECT count(*) AS actual_rows
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+      |SELECT n_shared_keys, predicted_rows, CAST(actual_rows AS BIGINT)
+      |  AS actual_rows
+      |FROM prod, act""".stripMargin) { (s, dir) =>
+    val ca = Tables.orders(s, dir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("na"))
+    val cb = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("nb"))
+    val prod = ca.join(cb, "k")
+      .agg(count(lit(1)).as("n_shared_keys"),
+        coalesce(sum(col("na") * col("nb")), lit(0L)).as("predicted_rows"))
+    val act = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    prod.crossJoin(act)
+  }
+
+  val all: Seq[GQuery] = Seq(q179, q180, q182, q183, q184, q194, q195, q196)
 }
