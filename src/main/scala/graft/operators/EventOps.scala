@@ -195,6 +195,54 @@ object EventOps {
       .withColumn("dev4", col("n_last") * 10000L - col("ewma4"))
   }
 
+  /** One-sided CUSUM change-point statistic per event type — the
+    * sequential burst detector beside [[ewmaBaseline]]'s smoother:
+    * over the same full day spine,
+    * `C_t = max(0, C_{t−1} + (n_t·10⁴ − target4 − slack4))`
+    * accumulates only sustained upward deviation (the slack absorbs
+    * noise; a single spike decays, a level shift ramps). `target4`
+    * defaults to the series' own mean (⌊Σn·10⁴ / days⌋ — exact
+    * integer), the standard self-baselined form. Output per type:
+    * final C, its max over the horizon, and the first day the max was
+    * reached — the change-point estimate. Same engine-parity shape as
+    * the EWMA: a higher-order fold over the bounded day array with
+    * integer arithmetic at every step. */
+  def cusum(events: DataFrame, tsCol: String, typeCol: String,
+            slack4: Long = 5000L): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val counts = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("etype")).distinct()
+    val full = types.crossJoin(days)
+      .join(counts, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val arrs = full.groupBy("etype")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("arr"),
+        count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+      .withColumn("target4",
+        floor(col("total") * 10000L / col("n_days")).cast("long"))
+    // fold state encoded as ONE struct (c, mx, mx_day): integer
+    // arithmetic at every step so any engine replays it bit-exactly
+    val zero = struct(lit(0L).as("c"), lit(-1L).as("mx"),
+      lit(-1L).as("mx_day"))
+    arrs.select(col("etype"), col("n_days"), col("target4"),
+        aggregate(col("arr"), zero, (acc, x) => {
+          val c = greatest(lit(0L),
+            acc.getField("c") + x.getField("n") * 10000L
+              - col("target4") - lit(slack4))
+          val better = c > acc.getField("mx")
+          struct(c.as("c"),
+            when(better, c).otherwise(acc.getField("mx")).as("mx"),
+            when(better, x.getField("day")).otherwise(acc.getField("mx_day"))
+              .as("mx_day"))
+        }).as("st"))
+      .select(col("etype"), col("n_days"), col("target4"),
+        col("st.c").as("final_c4"), col("st.mx").as("max_c4"),
+        col("st.mx_day").as("max_day"))
+  }
+
   /** Market-basket co-occurrence lift: baskets are (user, time
     * bucket); items are the DISTINCT event types in a basket; for
     * every unordered type pair — basket counts and

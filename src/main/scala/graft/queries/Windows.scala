@@ -597,7 +597,59 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** One-sided CUSUM change-point detection (see
+    * [[graft.operators.EventOps.cusum]], slack 0.5 on the grid): the
+    * oracle replays the zero-seeded integer recursion with
+    * `list_reduce` — elements are pre-shaped as state structs (DuckDB
+    * 1.0's reduce requires acc type = element type) with an explicit
+    * prepended zero state. */
+  val q197 = GQuery("q197_cusum_changepoint",
+    """WITH c AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS day FROM events),
+      |types AS (SELECT DISTINCT event_type AS etype FROM events),
+      |spine AS (SELECT t.etype, d.day FROM types t CROSS JOIN days d),
+      |full_ AS (
+      |  SELECT s.etype, s.day, coalesce(c.n, 0) AS n
+      |  FROM spine s LEFT JOIN c USING (etype, day)),
+      |arrs AS (
+      |  SELECT etype, count(*) AS n_days, sum(n) AS total,
+      |    [x.n * 10000 for x in list_sort(list({'day': day, 'n': n}))]
+      |      AS n4s,
+      |    [x.day for x in list_sort(list({'day': day, 'n': n}))] AS dayl
+      |  FROM full_ GROUP BY etype),
+      |t AS (
+      |  SELECT etype, n_days,
+      |    CAST(floor(total * 10000 / n_days) AS BIGINT) AS target4,
+      |    n4s, dayl
+      |  FROM arrs),
+      |-- DuckDB 1.0's list_reduce mutates multi-field struct
+      |-- accumulators IN PLACE between field evaluations (later fields
+      |-- see already-updated earlier fields), so the running max /
+      |-- argmax cannot ride one struct state; instead the whole CUSUM
+      |-- prefix series is materialized via single-field reduces over
+      |-- prefixes (n_days² tiny steps) and max/argmax read off the
+      |-- series.
+      |ser AS (
+      |  SELECT etype, n_days, target4, dayl,
+      |    [list_reduce([CAST(0 AS BIGINT)] || n4s[1:i],
+      |       (a, b) -> greatest(CAST(0 AS BIGINT), a + b - target4 - 5000))
+      |     for i in range(1, len(n4s) + 1)] AS cs
+      |  FROM t)
+      |SELECT etype, CAST(n_days AS BIGINT) AS n_days, target4,
+      |  cs[len(cs)] AS final_c4,
+      |  list_aggregate(cs, 'max') AS max_c4,
+      |  dayl[list_position(cs, list_aggregate(cs, 'max'))] AS max_day
+      |FROM ser ORDER BY etype""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.cusum(Tables.events(s, dir),
+        "ts", "event_type", slack4 = 5000L)
+      .orderBy(col("etype"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181, q185, q187, q188, q193)
+      q174, q178, q181, q185, q187, q188, q193, q197)
 }

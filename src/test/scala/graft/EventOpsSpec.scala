@@ -87,6 +87,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out("b") === ((0L, 3750L, -3750L)))
   }
 
+  test("cusum: hand-computed burst-then-decay; max and its first day recorded") {
+    def d(day: Int, sec: Int) = ts(day * 86400 + sec)
+    // spine = the two days WITH events (0 and 3): counts 30, 10 →
+    // target4 = 400000/2 = 200000; c: max(0, 300000−205000) = 95000
+    // (the max, on day 0), then max(0, 95000+100000−205000) = 0
+    val evs = (
+      (1 to 30).map(i => (i.toLong, d(0, i), "a")) ++
+      (1 to 10).map(i => (i.toLong, d(3, i), "a"))
+    ).toDF("event_id", "ts", "event_type")
+    val day0 = java.lang.Math.floorDiv(
+      ts(0).getTime / 1000L, 86400L)
+    val out = EventOps.cusum(evs, "ts", "event_type", slack4 = 5000L)
+      .select("etype", "n_days", "target4", "final_c4", "max_c4", "max_day")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(out === (("a", 2L, 200000L, 0L, 95000L, day0)))
+  }
+
   test("topPaths: ordered openings capped at maxLen, deterministic census") {
     val out = EventOps.topPaths(ev, "user_id", "ts", "event_id",
         "event_type", maxLen = 2, k = 10)
