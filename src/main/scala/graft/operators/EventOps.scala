@@ -243,6 +243,34 @@ object EventOps {
         col("st.mx_day").as("max_day"))
   }
 
+  /** Exact audience-overlap matrix: for every unordered pair of event
+    * types, the distinct-user overlap |A∩B| and its Jaccard on the
+    * grid — which behaviors share an audience. Same inverted shape as
+    * [[basketLift]] but at the USER level with distinct semantics:
+    * one (user, type) dedup shuffle, a per-user self-join bounded by
+    * |types|², a ≤ |types|²-cell census. (The mergeable-sketch
+    * variant for 10¹⁰ users is the HLL store + inclusion–exclusion —
+    * this is the exact face.) */
+  def audienceOverlap(events: DataFrame, userCol: String,
+                      typeCol: String): DataFrame = {
+    val m = events.select(col(userCol).as("uid"), col(typeCol).as("item"))
+      .distinct()
+    val sizes = m.groupBy("item").agg(count(lit(1)).as("n_i"))
+    m.select(col("uid"), col("item").as("item_a"))
+      .join(m.select(col("uid"), col("item").as("item_b")), "uid")
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_both"))
+      .join(sizes.select(col("item").as("item_a"),
+        col("n_i").as("n_a")), "item_a")
+      .join(sizes.select(col("item").as("item_b"),
+        col("n_i").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        round(lit(1e4) * col("n_both")
+          / (col("n_a") + col("n_b") - col("n_both")))
+          .cast("long").as("jaccard4"))
+  }
+
   /** Market-basket co-occurrence lift: baskets are (user, time
     * bucket); items are the DISTINCT event types in a basket; for
     * every unordered type pair — basket counts and

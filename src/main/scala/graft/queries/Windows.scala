@@ -649,7 +649,30 @@ object Windows {
       .orderBy(col("etype"))
   }
 
+  /** Exact audience overlap (see
+    * [[graft.operators.EventOps.audienceOverlap]]): distinct-user
+    * overlap and Jaccard per event-type pair. */
+  val q198 = GQuery("q198_audience_overlap",
+    """WITH m AS (
+      |  SELECT DISTINCT user_id AS uid, event_type AS item FROM events),
+      |sz AS (SELECT item, count(*) AS n_i FROM m GROUP BY item),
+      |pr AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+      |  FROM m a JOIN m b ON a.uid = b.uid
+      |  WHERE a.item < b.item GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_both, sa.n_i AS n_a, sb.n_i AS n_b,
+      |  CAST(round(1e4 * n_both / (sa.n_i + sb.n_i - n_both)) AS BIGINT)
+      |    AS jaccard4
+      |FROM pr
+      |JOIN sz sa ON sa.item = item_a
+      |JOIN sz sb ON sb.item = item_b
+      |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.audienceOverlap(Tables.events(s, dir),
+        "user_id", "event_type")
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181, q185, q187, q188, q193, q197)
+      q174, q178, q181, q185, q187, q188, q193, q197, q198)
 }
