@@ -1032,6 +1032,58 @@ object Pipelines {
       }
   }
 
+  final case class DayCount(key: String, day: Long, n: Long)
+  final case class EwmaOut(key: String, day: Long, n: Long,
+                           ewma4: Long, dev4: Long)
+  final case class EwmaState(last_day: Long, ewma4: Long)
+
+  /** Streaming EWMA anomaly baseline — the incremental form of
+    * [[graft.operators.EventOps.ewmaBaseline]]: input is FINALIZED
+    * per-day counts (the append-mode output of an upstream
+    * watermark-closed windowed count — a day must not span emissions),
+    * state per key is TWO longs (last folded day + current baseline),
+    * and each emitted row carries the day's count, the folded baseline,
+    * and the deviation. Days absent between a key's observations fold
+    * as ZEROS (the die-off alarm), exactly like the batch spine;
+    * the one contract difference (documented): state starts at the
+    * key's FIRST observed day, where the batch op folds the global
+    * spine from the corpus's first day — feed keys present from day
+    * one (or pre-seed) when bit-parity with the batch report matters
+    * (the spec does). Same integer fold, floor at every step. */
+  def ewmaStream(counts: Dataset[DayCount], alphaNum: Int = 1,
+                 alphaDen: Int = 4): Dataset[EwmaOut] = {
+    require(alphaNum >= 1 && alphaDen > alphaNum, "need 0 < α < 1 rational")
+    import counts.sparkSession.implicits._
+    val keep = (alphaDen - alphaNum).toLong
+    counts
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[DayCount],
+         state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(_.day)
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L))
+          val out = Seq.newBuilder[EwmaOut]
+          for (r <- sorted if st.last_day == Long.MinValue
+              || r.day > st.last_day) {
+            if (st.last_day != Long.MinValue) {
+              var d = st.last_day + 1
+              while (d < r.day) {   // gap days fold as zeros
+                st = EwmaState(d,
+                  Math.floorDiv(st.ewma4 * keep, alphaDen.toLong))
+                d += 1
+              }
+            }
+            val e = Math.floorDiv(
+              st.ewma4 * keep + r.n * 10000L * alphaNum, alphaDen.toLong)
+            st = EwmaState(r.day, e)
+            out += EwmaOut(k, r.day, r.n, e, r.n * 10000L - e)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class RateState(window: Long, n: Long)
 
   /** Per-key rate limiter — ingestion protection: at most `k` events

@@ -920,6 +920,47 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(streamedMax === ft.filter(_._2 > 0))
   }
 
+  test("ewmaStream: integer fold with zero gap days; cut-invariant; matches batch on full keys") {
+    implicit val sc = spark.sqlContext
+    import Pipelines.{DayCount, EwmaOut}
+    // key a: days 0 (n=4), GAP day 1 (zero-fold), day 2 (n=8)
+    //   e0 = ⌊40000/4⌋ = 10000; e1 = ⌊30000/4⌋ = 7500;
+    //   e2 = ⌊(22500 + 80000)/4⌋ = 25625
+    // key b: day 0 (n=2) → 5000; day 1 (n=6) → ⌊(15000+60000)/4⌋ = 18750
+    val cts = Seq(DayCount("a", 0L, 4L), DayCount("b", 0L, 2L),
+      DayCount("b", 1L, 6L), DayCount("a", 2L, 8L))
+    def run(tag: String, cuts: Seq[Seq[DayCount]]): Seq[EwmaOut] = {
+      val in = MemoryStream[DayCount]
+      val q = Pipelines.ewmaStream(in.toDS()).writeStream
+        .format("memory").queryName(s"ewout_$tag").outputMode("append")
+        .start()
+      try cuts.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(s"ewout_$tag").as[EwmaOut].collect().toSeq
+        .sortBy(e => (e.key, e.day))
+    }
+    val one = run("a", Seq(cts))
+    val cut = run("b", Seq(cts.take(2), cts.drop(2)))   // later days split
+    assert(one === cut, "batch cut must not change emissions")
+    assert(one === Seq(
+      EwmaOut("a", 0L, 4L, 10000L, 30000L),
+      EwmaOut("a", 2L, 8L, 25625L, 54375L),
+      EwmaOut("b", 0L, 2L, 5000L, 15000L),
+      EwmaOut("b", 1L, 6L, 18750L, 41250L)))
+    // key a observes the last spine day, so its final baseline equals
+    // the batch ewmaBaseline over the equivalent event set
+    def d(day: Int, sec: Int) =
+      new Timestamp((day * 86400 + sec) * 1000L)
+    val evs = ((1 to 4).map(i => (d(0, i), "a")) ++
+      (1 to 8).map(i => (d(2, i), "a")) ++
+      (1 to 2).map(i => (d(0, i), "b")) ++
+      (1 to 6).map(i => (d(1, i), "b"))).toDF("ts", "event_type")
+    val batch = graft.operators.EventOps
+      .ewmaBaseline(evs, "ts", "event_type")
+      .select("etype", "ewma4").as[(String, Long)].collect().toMap
+    assert(one.filter(_.key == "a").last.ewma4 === batch("a"))
+  }
+
   test("rateLimitStream: first-k-per-window policy equals the batch row_number rewrite") {
     implicit val sc = spark.sqlContext
     import Pipelines.TransEvent
