@@ -432,7 +432,30 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** The SQL face + Catalyst decorrelation: a correlated scalar
+    * subquery (each customer against their nation's average balance)
+    * submitted as SQL TEXT through `spark.sql` over registered views —
+    * the API surface a SQL-first user drives. Catalyst rewrites the
+    * correlated subquery into an aggregate + join (no per-row
+    * re-execution — the plan contains ONE nation-level aggregate
+    * joined back), which is the decorrelation a naive engine lacks. */
+  val q199 = GQuery("q199_correlated_subquery",
+    """SELECT c_custkey, c_nationkey,
+      |  round(c_acctbal, 2) AS acctbal
+      |FROM customer c1
+      |WHERE c_acctbal > (SELECT 2 * avg(c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+      FROM customer_v c1
+      WHERE c_acctbal > (SELECT 2 * avg(c_acctbal) FROM customer_v c2
+                         WHERE c2.c_nationkey = c1.c_nationkey)
+      ORDER BY c_custkey""")
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189)
+      q10b, q11, q12, q189, q199)
 }
