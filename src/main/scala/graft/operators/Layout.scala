@@ -67,6 +67,24 @@ object Layout {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Write `df` z-ordered into `nFiles` parquet files: range-partition
+    * on the Morton key (sampled range boundaries — balanced files
+    * without a global sort pass of our own) and sort within each file.
+    * Every file then covers a compact z-range, so both dimensions'
+    * min/max footer statistics are tight — a reader filtering on
+    * EITHER column touches few files where a single-column layout
+    * leaves the other column's spans file-wide (`LayoutSpec` measures
+    * exactly that concentration). */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, nFiles: Int, bits: Int = 16): Unit = {
+    require(nFiles >= 1, s"bad file count: $nFiles")
+    df.withColumn("__z", zorder2(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-z-bucket span report: bucket = the z-key's top 2·`kBits`
     * bits; per bucket — row count and each dimension's exact min/max.
     * The file-skipping audit for a z-ordered export: every bucket's

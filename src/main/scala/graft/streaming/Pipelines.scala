@@ -1032,6 +1032,53 @@ object Pipelines {
       }
   }
 
+  /** Exactly-once file publication for at-least-once foreachBatch:
+    * data lands under `data/batch=<id>/` (a REPLAY overwrites the same
+    * dir — idempotent), and the batch becomes visible only when its
+    * manifest entry commits — written to a temp name and RENAMED into
+    * `manifest/<id>` (atomic on a real filesystem), write-if-absent so
+    * a replay of a committed batch is a no-op. [[readCommitted]] lists
+    * the manifest and reads ONLY committed batch dirs, so a crash
+    * between data write and commit leaves a torn dir that no reader
+    * ever sees (re-delivery completes it). This is the sink-side
+    * delivery contract the dedup stores assume ("idempotent sink"),
+    * made concrete. */
+  def manifestSink(outDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      batch.write.mode("overwrite").parquet(s"$outDir/data/batch=$batchId")
+      val conf = spark.sessionState.newHadoopConf()
+      val m = new org.apache.hadoop.fs.Path(s"$outDir/manifest/$batchId")
+      val fs = m.getFileSystem(conf)
+      if (!fs.exists(m)) {
+        fs.mkdirs(m.getParent)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$outDir/manifest/.$batchId.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"batch=$batchId"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // rename may race a concurrent committer of the SAME batch —
+        // losing the race means the entry exists, which is success
+        if (!fs.rename(tmp, m)) fs.delete(tmp, false)
+      }
+      ()
+    }
+
+  /** Every row of every COMMITTED batch of a [[manifestSink]] dir —
+    * torn (uncommitted) batch dirs are invisible. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+                    outDir: String): DataFrame = {
+    val m = new org.apache.hadoop.fs.Path(s"$outDir/manifest")
+    val fs = m.getFileSystem(spark.sessionState.newHadoopConf())
+    val ids =
+      if (!fs.exists(m)) Array.empty[String]
+      else fs.listStatus(m).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).sorted
+    require(ids.nonEmpty, s"no committed batches under $outDir")
+    spark.read.parquet(ids.map(id => s"$outDir/data/batch=$id"): _*)
+  }
+
   final case class DayCount(key: String, day: Long, n: Long)
   final case class EwmaOut(key: String, day: Long, n: Long,
                            ewma4: Long, dev4: Long)

@@ -68,6 +68,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered: matches for a filter on EITHER dim concentrate in few files") {
+    // the full 128×128 grid (every pair once); 16 files. A narrow
+    // x-slice (1/16 of the domain) hits few z-ordered files (z-curve
+    // sqrt-locality) but EVERY file of a y-sorted layout.
+    val rows = (0 until 16384).map(i => (i % 128L, i / 128L))
+    val df = rows.toDF("x", "y")
+    val zdir = java.nio.file.Files.createTempDirectory("zord").toFile
+    val ydir = java.nio.file.Files.createTempDirectory("ysort").toFile
+    zdir.delete(); ydir.delete()
+    graft.operators.Layout.writeZOrdered(df, "x", "y",
+      zdir.getAbsolutePath, nFiles = 16, bits = 7)
+    df.repartitionByRange(16, col("y")).sortWithinPartitions(col("y"))
+      .write.mode("overwrite").parquet(ydir.getAbsolutePath)
+    def filesHit(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).where(pred)
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().count()
+    val xSlice = col("x") >= 16 && col("x") < 24
+    val zHit = filesHit(zdir.getAbsolutePath, xSlice)
+    val yHit = filesHit(ydir.getAbsolutePath, xSlice)
+    assert(zHit <= 8, s"z-order should concentrate the x-slice: $zHit files")
+    assert(yHit >= 15, s"y-sorted layout spreads the x-slice: $yHit files")
+    // and the y-dimension stays concentrated under z-order too
+    val ySlice = col("y") >= 64 && col("y") < 72
+    assert(filesHit(zdir.getAbsolutePath, ySlice) <= 8)
+  }
+
   test("sql twin produces the same keys as the column expression") {
     val df = Seq((123L, 456L), (65535L, 0L), (1L, 65535L))
       .toDF("x", "y")

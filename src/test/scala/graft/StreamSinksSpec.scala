@@ -54,4 +54,29 @@ class StreamSinksSpec extends SparkSpec {
       assert(rows === Seq((7L, 2L), (8L, 1L)))
     } finally q.stop()
   }
+
+  test("manifestSink: torn batches invisible, replays idempotent, committed union exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("manifest").toFile
+    out.delete()
+    val dir = out.getAbsolutePath
+    val sink = graft.streaming.Pipelines.manifestSink(dir)
+    def committed() = graft.streaming.Pipelines.readCommitted(spark, dir)
+      .select(col("id")).as[Long].collect().toSet
+
+    sink(Seq(1L, 2L).toDF("id"), 0L)
+    assert(committed() === Set(1L, 2L))
+    // CRASH simulation: batch 1's data lands but the commit never runs
+    Seq(3L, 4L).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/data/batch=1")
+    assert(committed() === Set(1L, 2L), "torn batch must be invisible")
+    // re-delivery completes the batch exactly once
+    sink(Seq(3L, 4L).toDF("id"), 1L)
+    assert(committed() === Set(1L, 2L, 3L, 4L))
+    // replay of a committed batch: data overwrite + manifest no-op
+    sink(Seq(1L, 2L).toDF("id"), 0L)
+    assert(committed() === Set(1L, 2L, 3L, 4L))
+    assert(graft.streaming.Pipelines.readCommitted(spark, dir).count() === 4L)
+  }
 }
