@@ -672,7 +672,27 @@ object Windows {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  /** Distribution-rank window functions: percent_rank and cume_dist
+    * per brand (the q16 rank family completed) — both are ratios of
+    * exact integers with identical definitions in every SQL engine,
+    * snapped once to the grid. */
+  val q200 = GQuery("q200_percent_rank",
+    """SELECT p_brand, p_partkey,
+      |  CAST(round(1e4 * percent_rank() OVER w) AS BIGINT) AS prank4,
+      |  CAST(round(1e4 * cume_dist() OVER w) AS BIGINT) AS cume4
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+      |ORDER BY p_brand, p_partkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        round(lit(1e4) * percent_rank().over(w)).cast("long").as("prank4"),
+        round(lit(1e4) * cume_dist().over(w)).cast("long").as("cume4"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181, q185, q187, q188, q193, q197, q198)
+      q174, q178, q181, q185, q187, q188, q193, q197, q198, q200)
 }

@@ -1131,6 +1131,51 @@ object Pipelines {
       }
   }
 
+  final case class CusumOut(key: String, day: Long, n: Long, c4: Long,
+                            alarmed: Boolean)
+  final case class CusumState(last_day: Long, c4: Long)
+
+  /** Streaming one-sided CUSUM — the incremental form of
+    * [[graft.operators.EventOps.cusum]] with an EXPLICIT target
+    * (streaming can't self-baseline over a horizon it hasn't seen;
+    * feed the build-time mean, e.g. from the histogram store): per
+    * key, two longs of state, gap days accumulate as zero-count days
+    * (which DRIVE the statistic when the target is positive — a feed
+    * going quiet alarms), and each emission carries the folded
+    * statistic and whether it crossed `threshold4`. Input contract as
+    * [[ewmaStream]]: finalized per-day counts. */
+  def cusumStream(counts: Dataset[DayCount], target4: Long,
+                  slack4: Long, threshold4: Long): Dataset[CusumOut] = {
+    import counts.sparkSession.implicits._
+    def step(c4: Long, n: Long): Long =
+      math.max(0L, c4 + n * 10000L - target4 - slack4)
+    counts
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[DayCount],
+         state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(_.day)
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L))
+          val out = Seq.newBuilder[CusumOut]
+          for (r <- sorted if st.last_day == Long.MinValue
+              || r.day > st.last_day) {
+            if (st.last_day != Long.MinValue) {
+              var d = st.last_day + 1
+              while (d < r.day) {   // gap days fold as zero counts
+                st = CusumState(d, step(st.c4, 0L))
+                d += 1
+              }
+            }
+            val c = step(st.c4, r.n)
+            st = CusumState(r.day, c)
+            out += CusumOut(k, r.day, r.n, c, c >= threshold4)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class RateState(window: Long, n: Long)
 
   /** Per-key rate limiter — ingestion protection: at most `k` events

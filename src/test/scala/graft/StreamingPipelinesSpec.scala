@@ -961,6 +961,33 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(one.filter(_.key == "a").last.ewma4 === batch("a"))
   }
 
+  test("cusumStream: explicit-target fold, zero-count gap days, alarm crossing, cut-invariant") {
+    implicit val sc = spark.sqlContext
+    import Pipelines.{CusumOut, DayCount}
+    // target4 50000, slack4 5000, threshold4 100000
+    // key a: day0 n=20 → c = max(0, 200000−55000) = 145000 (ALARM);
+    //   gap day1 → max(0, 145000−55000) = 90000 (below);
+    //   day2 n=1 → max(0, 90000+10000−55000) = 45000
+    val cts = Seq(DayCount("a", 0L, 20L), DayCount("a", 2L, 1L))
+    def run(tag: String, cuts: Seq[Seq[DayCount]]): Seq[CusumOut] = {
+      val in = MemoryStream[DayCount]
+      val q = Pipelines.cusumStream(in.toDS(), target4 = 50000L,
+          slack4 = 5000L, threshold4 = 100000L).writeStream
+        .format("memory").queryName(s"csout_$tag").outputMode("append")
+        .start()
+      try cuts.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(s"csout_$tag").as[CusumOut].collect().toSeq
+        .sortBy(e => (e.key, e.day))
+    }
+    val one = run("a", Seq(cts))
+    val cut = run("b", Seq(cts.take(1), cts.drop(1)))
+    assert(one === cut)
+    assert(one === Seq(
+      CusumOut("a", 0L, 20L, 145000L, true),
+      CusumOut("a", 2L, 1L, 45000L, false)))
+  }
+
   test("rateLimitStream: first-k-per-window policy equals the batch row_number rewrite") {
     implicit val sc = spark.sqlContext
     import Pipelines.TransEvent
