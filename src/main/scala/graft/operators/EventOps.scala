@@ -243,6 +243,33 @@ object EventOps {
         col("st.mx_day").as("max_day"))
   }
 
+  /** Longest consecutive-day activity streak per user (gaps and
+    * islands): distinct active days, islands found by the classic
+    * `day − row_number` constant-group trick — one user-keyed window
+    * + one keyed aggregate, no self-join, no recursion. Output per
+    * user: days active, longest streak, and the streak's start day
+    * (earliest if tied). */
+  def activityStreaks(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val days = events.select(col(userCol).as("uid"),
+        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("uid")).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("uid", "grp")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands.groupBy("uid")
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        // earliest start among maximal streaks via ONE scalar arg-min
+        // key (longer streak → smaller key; tie → earlier day) — no
+        // struct-comparison semantics to match across engines
+        min_by(col("start_day"),
+          (lit(100000L) - col("len")) * 10000000L + col("start_day"))
+          .as("streak_start"))
+  }
+
   /** Exact audience-overlap matrix: for every unordered pair of event
     * types, the distinct-user overlap |A∩B| and its Jaccard on the
     * grid — which behaviors share an audience. Same inverted shape as

@@ -303,6 +303,48 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** TOKEN-weighted per-source quality quantiles: the same
+    * [[graft.operators.TextStats.groupQuantilesFromCells]] machinery
+    * with cell mass = token counts instead of document counts — the
+    * distribution the TRAINING RUN actually samples (a source whose
+    * few long documents are low-quality looks fine doc-weighted and
+    * bad token-weighted; the divergence between q169 and this is
+    * itself the signal). Cells stay (group × grid)-bounded; weights
+    * just ride the cell sum. */
+  val q202 = GQuery("q202_token_weighted_quantiles",
+    s"""WITH $qualityCte,
+       |rws AS (
+       |  SELECT d.source AS grp,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS s4,
+       |    CAST(q.n_tokens AS BIGINT) AS wt
+       |  FROM q JOIN documents d USING (doc_id)),
+       |tg AS (SELECT grp, sum(wt) AS t_g FROM rws GROUP BY grp),
+       |sc AS (SELECT grp, s4, sum(wt) AS n FROM rws GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT grp, s4,
+       |    sum(n) OVER (PARTITION BY grp ORDER BY s4
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM sc),
+       |j AS (SELECT c.grp, c.s4, c.cum, tg.t_g FROM cums c JOIN tg USING (grp))
+       |SELECT grp AS source, CAST(t_g AS BIGINT) AS n_tokens,
+       |  min(CASE WHEN cum * 10000 >= t_g * 2500 THEN s4 END) AS p2500,
+       |  min(CASE WHEN cum * 10000 >= t_g * 5000 THEN s4 END) AS p5000,
+       |  min(CASE WHEN cum * 10000 >= t_g * 7500 THEN s4 END) AS p7500
+       |FROM j GROUP BY 1, 2 ORDER BY source""".stripMargin) { (s, dir) =>
+    val rows = Tables.documents(s, dir)
+      .select(col("source"),
+        round(TextFunctions.qualityScore(col("text"), col("n_chars")) * 1e4)
+          .cast("long").as("s4"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("wt"))
+    val cells = rows.groupBy(col("source").as("grp"), col("s4"))
+      .agg(sum(col("wt")).as("n"))
+    graft.operators.TextStats
+      .groupQuantilesFromCells(cells, Seq(2500, 5000, 7500))
+      .select(col("grp").as("source"), col("n_rows").as("n_tokens"),
+        col("p2500"), col("p5000"), col("p7500"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus-level top-25 trigrams — the word-count shape (see
     * [[graft.operators.TextStats.topNgrams]]). */
   val q58 = GQuery("q58_top_ngrams",
@@ -2016,5 +2058,5 @@ object TextQueries {
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
-      q160, q161, q162, q163, q164, q169, q170, q171, q176, q177)
+      q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202)
 }

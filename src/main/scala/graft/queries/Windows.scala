@@ -692,7 +692,35 @@ object Windows {
       .orderBy(col("p_brand"), col("p_partkey"))
   }
 
+  /** Activity streaks (see
+    * [[graft.operators.EventOps.activityStreaks]]): gaps-and-islands
+    * via the day − row_number constant-group trick. */
+  val q201 = GQuery("q201_activity_streaks",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id AS uid,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      |  FROM events),
+      |g AS (
+      |  SELECT uid, day,
+      |    day - row_number() OVER (PARTITION BY uid ORDER BY day) AS grp
+      |  FROM d),
+      |isl AS (
+      |  SELECT uid, grp, count(*) AS len, min(day) AS start_day
+      |  FROM g GROUP BY 1, 2)
+      |SELECT uid AS user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  arg_min(start_day, (100000 - len) * 10000000 + start_day)
+      |    AS streak_start
+      |FROM isl GROUP BY uid
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.activityStreaks(Tables.events(s, dir),
+        "user_id", "ts")
+      .select(col("uid").as("user_id"), col("n_active_days"),
+        col("longest_streak"), col("streak_start"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181, q185, q187, q188, q193, q197, q198, q200)
+      q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201)
 }
