@@ -892,6 +892,15 @@ object Dedup {
       // name graph, a boilerplate path) would otherwise need
       // diameter-many rounds and silently under-merge at the
       // iteration cap — exactly the q192 failure mode at sf0.1.
+      // (measured on the q192 name graph at sf0.1: 27 rounds with or
+      // without a second jump — once a region agrees on a LOCAL min,
+      // every label points at the plateau's own min and jumps are
+      // no-ops; only boundary edges advance, so convergence is
+      // plateau-diameter-bound. The jump still collapses the long
+      // label CHAINS that form before plateaus agree — removing it
+      // regresses past the 20-round cap — but an O(log) guarantee
+      // would need edge-rewiring CC (large-star/small-star), noted as
+      // the next step if entity graphs grow pathological.)
       val next = hop
         .join(hop.select(col("id").as("rep"), col("rep").as("rep2")),
           Seq("rep"), "left")
@@ -905,6 +914,8 @@ object Dedup {
       prevSum = curSum
       it += 1
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[dupClusters] converged=$converged rounds=$it")
     // hitting the cap un-converged means components are silently
     // UNDER-merged (the q192 failure mode on a long name-edit chain) —
     // that is a wrong answer, not a degraded one; fail loud instead
