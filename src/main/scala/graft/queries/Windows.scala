@@ -720,7 +720,40 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Inter-arrival gap spectrum per event type: consecutive-event gap
+    * seconds bucketed by power of two — the arrival-process
+    * fingerprint (a healthy Poisson feed fills a geometric ramp; a
+    * batchy upstream shows twin peaks). The bucket is the LENGTH OF
+    * THE BINARY REPRESENTATION of the gap (`length(bin(gap))`) —
+    * exact integer in both engines where `floor(log2(x))` would ride
+    * float boundaries at exact powers of two. */
+  val q203 = GQuery("q203_gap_spectrum",
+    """WITH g AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |        OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT etype,
+      |  CAST(length(bin(greatest(gap, 1))) AS BIGINT) AS bucket,
+      |  count(*) AS n
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY etype, bucket""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type").as("etype"),
+        (unix_timestamp(col("ts"))
+          - lag(unix_timestamp(col("ts")), 1).over(w)).as("gap"))
+      .where(col("gap").isNotNull)
+      .select(col("etype"),
+        length(bin(greatest(col("gap"), lit(1L)))).cast("long").as("bucket"))
+      .groupBy("etype", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy(col("etype"), col("bucket"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
-      q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201)
+      q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
+      q203)
 }
