@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational surface: scan/filter/project, joins of every flavor,
@@ -455,7 +456,42 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  /** Share-of-parent rollup: each nation's order revenue as a share
+    * of its region's total — the two-level ratio every BI drill-down
+    * needs, computed as one base aggregate + one window over the
+    * REGION-level frame (25 nations — never a re-aggregation of the
+    * fact table), revenue summed on the 1e-2 grid so the shares are
+    * ratios of exact integers. */
+  val q204 = GQuery("q204_share_of_region",
+    """WITH rev AS (
+      |  SELECT n.n_name, r.r_name,
+      |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev2
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, CAST(rev2 AS BIGINT) AS rev2,
+      |  CAST(round(1e4 * rev2 / sum(rev2) OVER (PARTITION BY r_name))
+      |    AS BIGINT) AS share4
+      |FROM rev ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(s, dir),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.region(s, dir),
+        col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev2"))
+    val w = Window.partitionBy(col("r_name"))
+    rev.select(col("r_name"), col("n_name"), col("rev2"),
+        round(lit(1e4) * col("rev2") / sum(col("rev2")).over(w))
+          .cast("long").as("share4"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189, q199)
+      q10b, q11, q12, q189, q199, q204)
 }
