@@ -752,8 +752,60 @@ object Windows {
       .orderBy(col("etype"), col("bucket"))
   }
 
+  /** Sessionized bounce rate: the q21 gap-sessionization carried one
+    * step further — session ids from the cumulative new-session flag,
+    * session lengths from one keyed aggregate, and per user the share
+    * of single-event (bounce) sessions on the grid. */
+  val q205 = GQuery("q205_bounce_rate",
+    """WITH g AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |             OVER w > 1800 THEN 1
+      |         WHEN lag(ts) OVER w IS NULL THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sids AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |slen AS (
+      |  SELECT user_id, sid, count(*) AS len
+      |  FROM sids GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounces,
+      |  CAST(round(1e4 * sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS bounce4
+      |FROM slen GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wCum = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slen = Tables.events(s, dir)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull
+          || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(wCum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("len"))
+    slen.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("len") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        round(lit(1e4) * sum(when(col("len") === 1, 1L).otherwise(0L))
+          / count(lit(1))).cast("long").as("bounce4"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203)
+      q203, q205)
 }
