@@ -491,7 +491,41 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Period-over-period growth: yearly order revenue per nation with
+    * the previous year's figure and the growth ratio — one fact
+    * aggregate + lag over the (nation, year) frame; growth is a ratio
+    * of exact grid integers (null for a nation's first year). Year
+    * from epoch-day arithmetic is NOT portable across calendars, so
+    * both engines use their date part extraction — identical for
+    * civil years. */
+  val q206 = GQuery("q206_yoy_growth",
+    """WITH rev AS (
+      |  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev2
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, yr, CAST(rev2 AS BIGINT) AS rev2,
+      |  CAST(lag(rev2) OVER w AS BIGINT) AS prev_rev2,
+      |  CAST(round(1e4 * rev2 / lag(rev2) OVER w) AS BIGINT) AS growth4
+      |FROM rev
+      |WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+      |ORDER BY n_name, yr""".stripMargin) { (s, dir) =>
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev2"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    rev.select(col("n_name"), col("yr"), col("rev2"),
+        lag(col("rev2"), 1).over(w).as("prev_rev2"),
+        round(lit(1e4) * col("rev2") / lag(col("rev2"), 1).over(w))
+          .cast("long").as("growth4"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189, q199, q204)
+      q10b, q11, q12, q189, q199, q204, q206)
 }
