@@ -97,4 +97,48 @@ object QualityClassifier {
     feats.withColumn("score4", score.cast("long"))
       .withColumn("pred_keep", col("score4") > 0L)
   }
+
+  /** Exact ROC / ranking-quality report for an integer-grid score
+    * against a boolean label: one row with the tie-aware Mann–Whitney
+    * AUC and the best-F1 operating point. `u2` is 2·U as an EXACT
+    * integer (U = #(pos>neg pairs) + ½·#(ties)), so
+    * AUC = u2 / (2·n_pos·n_neg); `auc4`/`best_f14` are 1e-4-grid
+    * roundings of double ratios of exact integers (the engine-portable
+    * q194 double-ratio idiom). The operating point predicts keep iff
+    * score ≥ threshold; F1 ties resolve to the LARGEST threshold (the
+    * smallest predicted set).
+    *
+    * Scale: the corpus reduces to per-score cells in one map-side-
+    * partial aggregate; the cumulative window runs over the CELL spine
+    * (bounded by distinct grid scores — for a k-feature NB, ≤ 2^k·k
+    * cells), never the rows — the q161/q169 grid-cell discipline. */
+  def rocReport(scored: DataFrame, scoreCol: String,
+                labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cells = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("q"))
+      .withColumn("cp_below", coalesce(sum(col("p")).over(w), lit(0L)))
+      .withColumn("cq_below", coalesce(sum(col("q")).over(w), lit(0L)))
+    val tot = cells.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"))
+    cells.crossJoin(broadcast(tot))
+      // each pos in this cell beats every neg strictly below and half-
+      // wins the ties in its own cell: 2U = Σ p·(2·cq_below + q)
+      .withColumn("u2_part",
+        col("p") * (lit(2L) * col("cq_below") + col("q")))
+      // operating point at threshold s: predict keep iff score ≥ s
+      .withColumn("tp", col("n_pos") - col("cp_below"))
+      .withColumn("fp", col("n_neg") - col("cq_below"))
+      // F1 = 2tp/(2tp+fp+fn) with fn = n_pos − tp ⇒ 2tp/(tp+fp+n_pos)
+      .withColumn("f14", round(lit(1e4) * lit(2.0) * col("tp")
+        / (col("tp") + col("fp") + col("n_pos"))).cast("long"))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("u2_part")).as("u2"),
+        max(struct(col("f14"), col("s"))).as("best"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(lit(1e4) * col("u2")
+          / (lit(2.0) * col("n_pos") * col("n_neg"))).cast("long").as("auc4"),
+        col("best.s").as("best_thr"), col("best.f14").as("best_f14"))
+  }
 }

@@ -2054,9 +2054,52 @@ object TextQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Exact ROC report for the q126 NB classifier (see
+    * [[graft.operators.QualityClassifier.rocReport]]): tie-aware
+    * Mann–Whitney AUC as an exact integer numerator (u2 = 2·U) plus
+    * the best-F1 operating threshold — the hash-matched counterpart of
+    * q89's rows-only AUC floor. ONE oracle replays training, scoring,
+    * the per-score-cell pair counting, and the F1 sweep. */
+  val q207 = GQuery("q207_nb_roc_auc",
+    s"""WITH nb AS (${q126.oracle.get}),
+       |cells AS (
+       |  SELECT score4 AS s,
+       |    CAST(sum(CASE WHEN label_keep THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN label_keep THEN 0 ELSE 1 END) AS BIGINT) AS q
+       |  FROM nb GROUP BY score4),
+       |cum AS (
+       |  SELECT s, p, q,
+       |    CAST(coalesce(sum(p) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cp_below,
+       |    CAST(coalesce(sum(q) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cq_below
+       |  FROM cells),
+       |tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       |               CAST(sum(q) AS BIGINT) AS n_neg FROM cells),
+       |op AS (
+       |  SELECT s, p * (2 * cq_below + q) AS u2_part,
+       |    n_pos - cp_below AS tp, n_neg - cq_below AS fp, n_pos, n_neg
+       |  FROM cum, tot),
+       |f AS (SELECT s,
+       |    CAST(round(1e4 * 2.0 * tp / (tp + fp + n_pos)) AS BIGINT) AS f14
+       |  FROM op),
+       |best AS (SELECT max(f14) AS best_f14 FROM f),
+       |agg AS (SELECT CAST(sum(u2_part) AS BIGINT) AS u2 FROM op)
+       |SELECT n_pos, n_neg, u2,
+       |  CAST(round(1e4 * u2 / (2.0 * n_pos * n_neg)) AS BIGINT) AS auc4,
+       |  (SELECT max(s) FROM f, best WHERE f14 = best_f14) AS best_thr,
+       |  (SELECT best_f14 FROM best) AS best_f14
+       |FROM tot, agg""".stripMargin) { (s, dir) =>
+    graft.operators.QualityClassifier.rocReport(
+      sharedNbScores(s, dir), "score4", "label_keep")
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
-      q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202)
+      q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
+      q207)
 }

@@ -63,6 +63,36 @@ class QualityClassifierSpec extends SparkSpec {
       (3L, -10986L, false), (4L, -10986L, false)))
   }
 
+  test("rocReport: hand-computed AUC, U numerator, and best-F1 point") {
+    // pos scores {10,10,5,-5}, neg scores {5,0,0,-5}
+    // brute U = 8 (both 10s beat all) + 3.5 (5: tie/2 + 2 + 1) + 0.5
+    //         = 12 → u2 = 24, AUC = 12/16 = 0.75
+    // F1 sweep (keep iff s ≥ thr): thr=-5→6667, 0→6000, 5→7500, 10→6667
+    val rows = Seq(
+      (10L, true), (10L, true), (5L, true), (-5L, true),
+      (5L, false), (0L, false), (0L, false), (-5L, false))
+      .toDF("score4", "keep")
+    val out = graft.operators.QualityClassifier
+      .rocReport(rows, "score4", "keep")
+      .select("n_pos", "n_neg", "u2", "auc4", "best_thr", "best_f14")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((4L, 4L, 24L, 7500L, 5L, 7500L)))
+  }
+
+  test("rocReport: F1 ties resolve to the largest threshold") {
+    // pos {5,5,0,0}, neg {0,0,0,0}:
+    //   thr=0 → tp=4 fp=4 → 8/12;  thr=5 → tp=2 fp=0 → 4/6 — same F1,
+    // so best_thr must be the larger threshold (smaller predicted set)
+    val rows = (Seq(5L, 5L, 0L, 0L).map((_, true)) ++
+      Seq(0L, 0L, 0L, 0L).map((_, false))).toDF("score4", "keep")
+    val out = graft.operators.QualityClassifier
+      .rocReport(rows, "score4", "keep")
+      .select("u2", "auc4", "best_thr", "best_f14")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // u2: s=0 cell 2·(0+4)=8; s=5 cell 2·(2·4)=16 → 24; AUC = 24/32
+    assert(out === Seq((24L, 7500L, 5L, 6667L)))
+  }
+
   test("bernoulliNb: order-free and partitioning-free (exact cross-layout)") {
     val rows = (1L to 100L).map(i => (i, i % 3 == 0, i % 2 == 0))
     val a = graft.operators.QualityClassifier
