@@ -144,5 +144,107 @@ object Relational2 {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  val all: Seq[GQuery] = Seq(q38, q38b, q39, q40, q41, q42, q46)
+  /** Three deterministic customer-dimension snapshots (yearly stamps;
+    * segment mutates for key%3 at v2 and key%5 at v3, tier flips to
+    * gold for key%7 at v3) — the fixture both SCD2 queries share. */
+  private def custSnaps(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("seg0"))
+    def snap(ts: String, seg: org.apache.spark.sql.Column,
+             tier: org.apache.spark.sql.Column) =
+      c.select(col("k"), to_timestamp(lit(ts)).as("snap_ts"),
+        seg.as("seg"), tier.as("tier"))
+    val segV2 = when(col("k") % 3 === 0, concat(col("seg0"), lit("_V2")))
+      .otherwise(col("seg0"))
+    val segV3 = when(col("k") % 5 === 0, concat(col("seg0"), lit("_V3")))
+      .otherwise(segV2)
+    snap("1993-01-01", col("seg0"), lit("std"))
+      .unionAll(snap("1995-01-01", segV2, lit("std")))
+      .unionAll(snap("1997-01-01", segV3,
+        when(col("k") % 7 === 0, lit("gold")).otherwise(lit("std"))))
+  }
+
+  private val snapsCte =
+    """snaps AS (
+      |  SELECT c_custkey AS k, TIMESTAMP '1993-01-01' AS snap_ts,
+      |    c_mktsegment AS seg, 'std' AS tier FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, TIMESTAMP '1995-01-01',
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_V2'
+      |         ELSE c_mktsegment END, 'std' FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, TIMESTAMP '1997-01-01',
+      |    CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '_V3'
+      |         WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_V2'
+      |         ELSE c_mktsegment END,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'gold' ELSE 'std' END
+      |  FROM customer)""".stripMargin
+
+  private val scd2Cte =
+    s"""$snapsCte,
+       |chg AS (
+       |  SELECT *, CASE WHEN seg IS DISTINCT FROM lag(seg) OVER w
+       |                   OR tier IS DISTINCT FROM lag(tier) OVER w
+       |            THEN 1 ELSE 0 END AS chg
+       |  FROM snaps WINDOW w AS (PARTITION BY k ORDER BY snap_ts)),
+       |isl AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY snap_ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM chg),
+       |scd2 AS (
+       |  SELECT k, seg, tier, valid_from,
+       |    lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from)
+       |      AS valid_to
+       |  FROM (SELECT k, seg, tier, min(snap_ts) AS valid_from
+       |        FROM isl GROUP BY k, isl, seg, tier))""".stripMargin
+
+  /** SCD2 history build (see [[graft.operators.Scd.scd2Build]]):
+    * three customer snapshots compress into per-key validity
+    * intervals — unchanged attributes merge across snapshots, each
+    * change opens an interval, the latest interval stays open
+    * (null valid_to). The oracle replays the lag/island/lead
+    * compression in SQL. */
+  val q209 = GQuery("q209_scd2_build",
+    s"""WITH $scd2Cte
+       |SELECT k, seg, tier, valid_from, valid_to
+       |FROM scd2 ORDER BY k, valid_from""".stripMargin) { (s, dir) =>
+    graft.operators.Scd.scd2Build(custSnaps(s, dir), "k", "snap_ts",
+        Seq("seg", "tier"))
+      .select(col("k"), col("seg"), col("tier"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("k"), col("valid_from"))
+  }
+
+  /** Point-in-time fact lookup over the q209 SCD2 dimension (see
+    * [[graft.operators.Scd.pointInTimeJoin]]): every order gets the
+    * segment/tier valid AT its order date (orders predating the first
+    * snapshot fall in the '(none)' bucket), then revenue rolls up by
+    * the point-in-time attributes — the leak-proof dimensional
+    * aggregation. Oracle: DuckDB ASOF LEFT JOIN on valid_from. */
+  val q210 = GQuery("q210_scd2_pit_lookup",
+    s"""WITH $scd2Cte
+       |SELECT coalesce(d.seg, '(none)') AS seg,
+       |  coalesce(d.tier, '(none)') AS tier,
+       |  count(*) AS n_orders,
+       |  round(sum(o.o_totalprice), 2) AS sum_price
+       |FROM orders o ASOF LEFT JOIN scd2 d
+       |  ON o.o_custkey = d.k AND o.o_orderdate >= d.valid_from
+       |GROUP BY 1, 2 ORDER BY seg, tier""".stripMargin) { (s, dir) =>
+    val dim = graft.operators.Scd.scd2Build(custSnaps(s, dir), "k",
+      "snap_ts", Seq("seg", "tier"))
+    graft.operators.Scd.pointInTimeJoin(
+        Tables.orders(s, dir).select(col("o_custkey").cast("long").as("ck"),
+          col("o_orderdate"), col("o_totalprice")),
+        dim, factKey = "ck", dimKey = "k", factTs = "o_orderdate",
+        attrCols = Seq("seg", "tier"))
+      .groupBy(coalesce(col("seg"), lit("(none)")).as("seg"),
+        coalesce(col("tier"), lit("(none)")).as("tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("seg"), col("tier"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210)
 }
