@@ -188,4 +188,92 @@ object Profiling {
       .orderBy(col("n").desc, col("key"))
       .limit(k)
   }
+
+  /** Mutual information + chi-square association between two
+    * categorical columns — the feature-association screen a curation
+    * pipeline runs before trusting a signal ("is source independent of
+    * quality bucket?"). One contingency-cell census (the only corpus
+    * pass), marginals re-aggregated FROM the cells and broadcast back;
+    * per-cell MI/χ² contributions are rounded to fixed-point grids as
+    * integers BEFORE the order-free sum (the BM25/NB idiom — ln-ulp
+    * and float-summation-order differences between engines are
+    * absorbed by part rounding). Returns one row:
+    * (n, r, c, mi8, chi2_4, cramers_v4) — mi8 on the 1e-8 nat grid
+    * (cell contributions are O(1/cells), so the fine grid keeps small
+    * associations visible), Cramér's V from the summed integers.
+    *
+    * Scale: cost is the census aggregate; everything after lives on
+    * r·c cells. Degenerate single-level columns report zero
+    * association (min(r−1,c−1) guard). */
+  def categoricalAssociation(df: DataFrame, xCol: String,
+                             yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val xm = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ym = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"),
+      countDistinct(col("x")).as("r"), countDistinct(col("y")).as("c"))
+    val e = col("n_x").cast("double") * col("n_y") / col("n")
+    cells.join(broadcast(xm), "x").join(broadcast(ym), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("mi_part8",
+        round(lit(1e8) * (col("n_xy").cast("double") / col("n"))
+          * log(col("n_xy").cast("double") * col("n")
+            / (col("n_x").cast("double") * col("n_y")))).cast("long"))
+      .withColumn("chi_part4",
+        round(lit(1e4) * pow(col("n_xy").cast("double") - e, 2) / e)
+          .cast("long"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("mi_part8")).as("mi8"),
+        sum(col("chi_part4")).as("chi2_4"))
+      .select(col("n"), col("r"), col("c"), col("mi8"), col("chi2_4"),
+        when(least(col("r"), col("c")) <= 1, lit(0L))
+          .otherwise(round(lit(1e4) * sqrt(
+            (col("chi2_4").cast("double") / 1e4)
+              / (col("n").cast("double")
+                 * (least(col("r"), col("c")) - lit(1L)))))
+            .cast("long")).as("cramers_v4"))
+  }
+
+  /** Exact per-group Gini concentration of a nonnegative integer mass
+    * column — the Lorenz-curve summary a corpus data card reports
+    * ("does 1% of this source's documents hold 50% of its
+    * characters?"). Uses the rank-sum identity
+    * G = (Σᵢ (2i−n−1)·x₍ᵢ₎) / (n·Σx) evaluated WITHOUT sorting rows:
+    * the mass column is already integral, so rows collapse to
+    * (group, value) cells and a cumulative-count window over the cell
+    * spine assigns every tied value its exact rank block —
+    * Σ 2i·x over a cell of m copies of v starting after c rows is
+    * v·(2mc + m(m+1)), pure integers (the q169/q161 grid-cell
+    * discipline; division-free so both engines stay on exact
+    * integers; 128-bit decimals guard the rank-sum product).
+    * Returns (grp, n_rows, total, gini4); a one-value group is
+    * exactly 0, a group where one row holds everything tends to
+    * (n−1)/n. */
+  def giniByGroup(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("c", coalesce(sum(col("m")).over(w), lit(0L)))
+      .select(col("grp"),
+        (col("v").cast(dec) * (lit(2L) * col("m") * col("c")
+          + col("m") * (col("m") + lit(1L)))).as("u"),
+        (col("v").cast(dec) * col("m")).as("t"), col("m"))
+      .groupBy(col("grp"))
+      .agg(sum(col("m")).as("n"), sum(col("u")).as("s2"),
+        sum(col("t")).as("t"))
+      .select(col("grp"), col("n").as("n_rows"),
+        col("t").cast("long").as("total"),
+        round(lit(1e4)
+          * (col("s2").cast("double") - (col("n") + lit(1L)).cast("double")
+              * col("t").cast("double"))
+          / (col("n").cast("double") * col("t").cast("double")))
+          .cast("long").as("gini4"))
+  }
 }

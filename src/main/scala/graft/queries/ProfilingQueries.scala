@@ -362,5 +362,79 @@ object ProfilingQueries {
     prod.crossJoin(act)
   }
 
-  val all: Seq[GQuery] = Seq(q179, q180, q182, q183, q184, q194, q195, q196)
+  /** Per-source Gini concentration of character mass across documents
+    * (see [[graft.operators.Profiling.giniByGroup]]) — the corpus
+    * data-card inequality metric. The oracle replays the division-free
+    * rank-sum cell arithmetic (HUGEINT products, `//` integer-exact
+    * rank blocks). */
+  val q208 = GQuery("q208_gini_concentration",
+    """WITH cells AS (
+      |  SELECT source AS grp, n_chars AS v, CAST(count(*) AS BIGINT) AS m
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source, n_chars),
+      |cum AS (
+      |  SELECT grp, v, m,
+      |    CAST(coalesce(sum(m) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS c
+      |  FROM cells),
+      |parts AS (
+      |  SELECT grp,
+      |    CAST(v AS HUGEINT) * (2 * m * c + m * (m + 1)) AS u,
+      |    CAST(v AS HUGEINT) * m AS t, m
+      |  FROM cum),
+      |agg AS (
+      |  SELECT grp, CAST(sum(m) AS BIGINT) AS n, sum(u) AS s2, sum(t) AS t
+      |  FROM parts GROUP BY grp)
+      |SELECT grp AS source, n AS n_rows, CAST(t AS BIGINT) AS total,
+      |  CAST(round(1e4 * (CAST(s2 AS DOUBLE) - (n + 1) * CAST(t AS DOUBLE))
+      |    / (n * CAST(t AS DOUBLE))) AS BIGINT) AS gini4
+      |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
+    Profiling.giniByGroup(Tables.documents(s, dir), "source", "n_chars")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
+  /** Event-type × hour-of-day association (see
+    * [[graft.operators.Profiling.categoricalAssociation]]): mutual
+    * information, chi-square, and Cramér's V in one row — "does event
+    * mix depend on time of day". Hour via pure epoch arithmetic (the
+    * q185 convention); the oracle replays the per-cell grid parts. */
+  val q211 = GQuery("q211_categorical_association",
+    """WITH base AS (
+      |  SELECT event_type AS x,
+      |    CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS y
+      |  FROM events),
+      |cells AS (
+      |  SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+      |  FROM base GROUP BY x, y),
+      |xm AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+      |ym AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+      |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT x) AS BIGINT) AS r,
+      |  CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells),
+      |parts AS (
+      |  SELECT
+      |    CAST(round(1e8 * (CAST(n_xy AS DOUBLE) / n)
+      |      * ln(CAST(n_xy AS DOUBLE) * n
+      |        / (CAST(n_x AS DOUBLE) * n_y))) AS BIGINT) AS mi_part8,
+      |    CAST(round(1e4
+      |      * pow(CAST(n_xy AS DOUBLE) - CAST(n_x AS DOUBLE) * n_y / n, 2)
+      |      / (CAST(n_x AS DOUBLE) * n_y / n)) AS BIGINT) AS chi_part4
+      |  FROM cells JOIN xm USING (x) JOIN ym USING (y), tot),
+      |sums AS (SELECT CAST(sum(mi_part8) AS BIGINT) AS mi8,
+      |  CAST(sum(chi_part4) AS BIGINT) AS chi2_4 FROM parts)
+      |SELECT n, r, c, mi8, chi2_4,
+      |  CASE WHEN least(r, c) <= 1 THEN 0
+      |    ELSE CAST(round(1e4 * sqrt((CAST(chi2_4 AS DOUBLE) / 1e4)
+      |      / (CAST(n AS DOUBLE) * (least(r, c) - 1)))) AS BIGINT)
+      |  END AS cramers_v4
+      |FROM tot, sums""".stripMargin) { (s, dir) =>
+    Profiling.categoricalAssociation(
+      Tables.events(s, dir).select(col("event_type").as("etype"),
+        (floor(unix_timestamp(col("ts")) / 3600) % 24).cast("long").as("hr")),
+      "etype", "hr")
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211)
 }

@@ -120,4 +120,39 @@ class ProfilingSpec extends SparkSpec {
     // hot: 7 rows → share 7000, salt ceil(7/3)=3; warm: 2 → 2000, salt 1
     assert(out === Seq(("hot", 7L, 7000L, 3L), ("warm", 2L, 2000L, 1L)))
   }
+
+  test("categoricalAssociation: hand-computed 2×2 MI, chi-square, Cramér's V") {
+    // cells: (a,0)=2 (a,1)=1 (b,0)=1 (b,1)=2; all marginals 3, n=6, e=1.5
+    // chi² parts: 4 × round(1e4·0.25/1.5) = 4·1667 = 6668
+    // MI parts: 2 × round(1e8·(2/6)·ln(4/3)) + 2 × round(1e8·(1/6)·ln(2/3))
+    //         = 2·9589402 − 2·6757752 = 5663300
+    // V = sqrt((6668/1e4)/(6·1)) → 3334
+    val rows = Seq(("a", 0L), ("a", 0L), ("a", 1L),
+      ("b", 0L), ("b", 1L), ("b", 1L)).toDF("x", "y")
+    val out = Profiling.categoricalAssociation(rows, "x", "y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((6L, 2L, 2L, 5663300L, 6668L, 3334L)))
+  }
+
+  test("categoricalAssociation: single-level column → zero association") {
+    val rows = Seq(("a", 1L), ("b", 1L), ("a", 1L)).toDF("x", "y")
+    val out = Profiling.categoricalAssociation(rows, "x", "y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((3L, 2L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("giniByGroup: hand-computed ranks, ties, and degenerate groups") {
+    val rows = Seq(
+      ("a", 1L), ("a", 1L), ("a", 2L),  // G = 2/12 → 1667
+      ("b", 7L),                        // single row → 0
+      ("c", 0L), ("c", 10L),            // one row holds all → (n−1)/n = .5
+      ("d", 5L), ("d", 5L)              // perfect equality → 0
+    ).toDF("g", "mass")
+    val out = Profiling.giniByGroup(rows, "g", "mass")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      "a" -> ((3L, 4L, 1667L)), "b" -> ((1L, 7L, 0L)),
+      "c" -> ((2L, 10L, 5000L)), "d" -> ((2L, 10L, 0L))))
+  }
 }
