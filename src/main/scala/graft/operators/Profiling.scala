@@ -235,6 +235,58 @@ object Profiling {
             .cast("long")).as("cramers_v4"))
   }
 
+  /** Exact CART decision stump: the single best threshold split of an
+    * integer-grid score against a boolean label, scored by Gini-
+    * impurity decrease — the one-node tree a pipeline fits to sanity-
+    * check "is this signal worth a model" (and the exact building
+    * block a boosted/forest trainer would iterate). Candidate
+    * thresholds are the distinct score values (split: s < t vs
+    * s ≥ t); impurity is RATIONAL arithmetic over exact cumulative
+    * counts — division and multiplication only, no libm — so the
+    * 1e-4-grid gain is bit-identical in any IEEE engine, unlike
+    * entropy gain. Ties on gain resolve to the LARGEST threshold.
+    * Returns one row:
+    * (n, n_pos, best_thr, best_gain4, n_left, n_right).
+    *
+    * Scale: one cell census of the corpus, then a cumulative window
+    * over the distinct-value cell spine (the q161/q169 grid
+    * discipline) — candidate evaluation never touches rows. */
+  def decisionStump(df: DataFrame, scoreCol: String,
+                    labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def imp(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val m = (a + b).cast("double")
+      when(a + b === 0L, lit(0.0))
+        .otherwise(lit(1.0)
+          - (a.cast("double") * a + b.cast("double") * b) / (m * m))
+    }
+    val cells = df.groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("q"))
+      .withColumn("cp", coalesce(sum(col("p")).over(w), lit(0L)))
+      .withColumn("cq", coalesce(sum(col("q")).over(w), lit(0L)))
+    val tot = cells.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"))
+    val nl = col("cp") + col("cq")
+    val nr = (col("n_pos") - col("cp")) + (col("n_neg") - col("cq"))
+    val n = (col("n_pos") + col("n_neg")).cast("double")
+    val gain = imp(col("n_pos"), col("n_neg")) -
+      (nl.cast("double") / n) * imp(col("cp"), col("cq")) -
+      (nr.cast("double") / n) * imp(col("n_pos") - col("cp"),
+        col("n_neg") - col("cq"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("gain4", round(lit(1e4) * gain).cast("long"))
+      .withColumn("nl", nl).withColumn("nr", nr)
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(max(struct(col("gain4"), col("s"), col("nl"), col("nr")))
+        .as("best"))
+      .select((col("n_pos") + col("n_neg")).as("n"), col("n_pos"),
+        col("best.s").as("best_thr"), col("best.gain4").as("best_gain4"),
+        col("best.nl").as("n_left"), col("best.nr").as("n_right"))
+  }
+
   /** Exact per-group Gini concentration of a nonnegative integer mass
     * column — the Lorenz-curve summary a corpus data card reports
     * ("does 1% of this source's documents hold 50% of its

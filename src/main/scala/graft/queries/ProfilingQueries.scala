@@ -435,6 +435,62 @@ object ProfilingQueries {
       "etype", "hr")
   }
 
+  /** Gini impurity of a (pos, neg) pair as portable SQL — division and
+    * multiplication only, mirroring the operator's expression shape so
+    * the 1e-4 grid rounds identically. */
+  private def impSql(a: String, b: String): String =
+    s"""CASE WHEN ($a) + ($b) = 0 THEN 0.0
+       |  ELSE 1.0 - (CAST($a AS DOUBLE) * ($a) + CAST($b AS DOUBLE) * ($b))
+       |    / (CAST(($a) + ($b) AS DOUBLE) * CAST(($a) + ($b) AS DOUBLE))
+       |END""".stripMargin
+
+  /** Exact CART decision stump (see
+    * [[graft.operators.Profiling.decisionStump]]): the single best
+    * order-date threshold separating finished orders — Gini-impurity
+    * gain over the distinct-day cell spine, rational arithmetic only,
+    * so the oracle replays every candidate bit-identically. */
+  val q212 = GQuery("q212_decision_stump",
+    s"""WITH base AS (
+       |  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS s,
+       |    o_orderstatus = 'F' AS y
+       |  FROM orders),
+       |cells AS (
+       |  SELECT s, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+       |  FROM base GROUP BY s),
+       |cum AS (
+       |  SELECT s, p, q,
+       |    CAST(coalesce(sum(p) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cp,
+       |    CAST(coalesce(sum(q) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cq
+       |  FROM cells),
+       |tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       |               CAST(sum(q) AS BIGINT) AS n_neg FROM cells),
+       |cand AS (
+       |  SELECT s, cp + cq AS nl, (n_pos - cp) + (n_neg - cq) AS nr,
+       |    n_pos, n_neg,
+       |    CAST(round(1e4 * (${impSql("n_pos", "n_neg")}
+       |      - (CAST(cp + cq AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE))
+       |        * ${impSql("cp", "cq")}
+       |      - (CAST((n_pos - cp) + (n_neg - cq) AS DOUBLE)
+       |          / CAST(n_pos + n_neg AS DOUBLE))
+       |        * ${impSql("n_pos - cp", "n_neg - cq")})) AS BIGINT) AS gain4
+       |  FROM cum, tot)
+       |SELECT n_pos + n_neg AS n, n_pos, s AS best_thr, gain4 AS best_gain4,
+       |  nl AS n_left, nr AS n_right
+       |FROM cand ORDER BY gain4 DESC, s DESC LIMIT 1""".stripMargin) {
+    (s, dir) =>
+    Profiling.decisionStump(
+      Tables.orders(s, dir).select(
+        floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+          .as("day"),
+        (col("o_orderstatus") === "F").as("lbl")),
+      "day", "lbl")
+  }
+
   val all: Seq[GQuery] =
-    Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211)
+    Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212)
 }

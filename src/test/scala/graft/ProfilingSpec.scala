@@ -141,6 +141,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out === Seq((3L, 2L, 1L, 0L, 0L, 0L)))
   }
 
+  test("decisionStump: hand-computed Gini gain picks the clean split") {
+    // cells: s=0 → 3 neg; s=5 → 1 pos 1 neg; s=10 → 2 pos (P=3, N=4)
+    // parent imp 24/49; t=5 → gain 27/98 → 2755; t=10 → 2612; t=0 → 0
+    val rows = Seq((0L, false), (0L, false), (0L, false),
+      (5L, true), (5L, false), (10L, true), (10L, true))
+      .toDF("s", "y")
+    val out = Profiling.decisionStump(rows, "s", "y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((7L, 3L, 5L, 2755L, 3L, 4L)))
+  }
+
   test("giniByGroup: hand-computed ranks, ties, and degenerate groups") {
     val rows = Seq(
       ("a", 1L), ("a", 1L), ("a", 2L),  // G = 2/12 → 1667
