@@ -155,6 +155,34 @@ object EventOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** In-sample backtest of the first-order Markov next-event
+    * predictor: for each state, predict the modal next event (from
+    * [[transitionCounts]]; count ties resolve to the lexicographically
+    * SMALLEST successor) and report how often that prediction is right
+    * — the baseline any sequence model must beat before it earns a
+    * place in the pipeline. Returns per state:
+    * (from_type, predicted_next, n_transitions, n_correct, acc4).
+    *
+    * Scale: everything after the transition census lives on
+    * (state × state) cells; the argmax and the accuracy roll-up never
+    * touch raw events, and the predictor map broadcasts. */
+  def markovBacktest(events: DataFrame, userCol: String, tsCol: String,
+                     orderCol: String, typeCol: String): DataFrame = {
+    val tc = transitionCounts(events, userCol, tsCol, orderCol, typeCol)
+    // min(struct(−n, to)) = largest count, then smallest successor
+    val pred = tc.groupBy(col("from_type"))
+      .agg(min(struct((-col("n_transitions")).as("neg_n"), col("to_type")))
+        .as("b"))
+      .select(col("from_type"), col("b.to_type").as("predicted_next"))
+    tc.join(broadcast(pred), "from_type")
+      .groupBy(col("from_type"), col("predicted_next"))
+      .agg(sum(col("n_transitions")).as("n_transitions"),
+        sum(when(col("to_type") === col("predicted_next"),
+          col("n_transitions")).otherwise(0L)).as("n_correct"))
+      .withColumn("acc4", round(lit(1e4) * col("n_correct")
+        / col("n_transitions")).cast("long"))
+  }
+
   /** EWMA anomaly baseline per event type: daily counts over the full
     * day spine (absent days count 0 — a feed going quiet IS the
     * anomaly), folded through an exponentially-weighted moving average

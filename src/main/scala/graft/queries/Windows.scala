@@ -804,8 +804,41 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Markov next-event backtest (see
+    * [[graft.operators.EventOps.markovBacktest]]): per state, the
+    * modal-successor prediction from the q157 transition census and
+    * its in-sample accuracy — the sequence-model baseline. Ties pick
+    * the lexicographically smallest successor (spec-pinned); the
+    * oracle replays the argmax with a deterministic row_number. */
+  val q213 = GQuery("q213_markov_backtest",
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |tc AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |pred AS (
+      |  SELECT from_type, to_type AS predicted_next FROM (
+      |    SELECT from_type, to_type, row_number() OVER (
+      |      PARTITION BY from_type ORDER BY n DESC, to_type) AS rn
+      |    FROM tc) WHERE rn = 1)
+      |SELECT tc.from_type AS from_type, p.predicted_next AS predicted_next,
+      |  CAST(sum(tc.n) AS BIGINT) AS n_transitions,
+      |  CAST(sum(CASE WHEN tc.to_type = p.predicted_next THEN tc.n
+      |    ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(round(1e4 * sum(CASE WHEN tc.to_type = p.predicted_next
+      |    THEN tc.n ELSE 0 END) / sum(tc.n)) AS BIGINT) AS acc4
+      |FROM tc JOIN pred p USING (from_type)
+      |GROUP BY 1, 2 ORDER BY from_type""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.markovBacktest(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("from_type"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205)
+      q203, q205, q213)
 }

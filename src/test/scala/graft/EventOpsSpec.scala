@@ -138,4 +138,24 @@ class EventOpsSpec extends SparkSpec {
       ("last", "click") -> ((2L, 9000L)),    // users 1 and 4 (tie → click)
       ("last", "(none)") -> ((2L, 6000L))))
   }
+
+  test("markovBacktest: modal successor, lexicographic tie-break, exact accuracy") {
+    // u1: a b a b → a→b ×2, b→a ×1;  u2: a c → a→c ×1
+    // u3: c a → c→a ×1;  u4: c x → c→x ×1 (tie at c → predict 'a')
+    val seqs = Seq(1L -> Seq("a", "b", "a", "b"), 2L -> Seq("a", "c"),
+      3L -> Seq("c", "a"), 4L -> Seq("c", "x"))
+    val rows = for {
+      (u, es) <- seqs; (e, i) <- es.zipWithIndex
+    } yield (u * 100 + i, u, ts(i + 1), e)
+    val out = EventOps.markovBacktest(rows.toDF("event_id", "user_id", "ts",
+        "event_type"), "user_id", "ts", "event_id", "event_type")
+      .select("from_type", "predicted_next", "n_transitions", "n_correct",
+        "acc4")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      "a" -> (("b", 3L, 2L, 6667L)),
+      "b" -> (("a", 1L, 1L, 10000L)),
+      "c" -> (("a", 2L, 1L, 5000L))))
+  }
 }
