@@ -223,6 +223,66 @@ object EventOps {
       .withColumn("dev4", col("n_last") * 10000L - col("ewma4"))
   }
 
+  /** Exact autocorrelation function (ACF) of the daily count series
+    * per event type, lags 1..maxLag — the periodicity detector beside
+    * [[seasonalCensus]] (a weekly-cycled feed shows r₇ ≫ r₁). Runs on
+    * the same zero-filled day spine as [[ewmaBaseline]] (absent days
+    * ARE the signal), and clears the float-determinism bar by scaling
+    * the textbook estimator
+    * rₖ = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)²  by T²: with S = Σx, Q = Σx²,
+    * Cₖ = Σxₜxₜ₊ₖ and head/tail sums Aₖ/Bₖ, the ratio becomes
+    * [T²Cₖ − T·S·(Aₖ+Bₖ) + (T−k)S²] / [T²Q − T·S²] — pure integers
+    * until ONE final double division onto the 1e-4 grid. Constant
+    * series (zero variance) are omitted. Returns
+    * (etype, lag, n_pairs, r4).
+    *
+    * Scale: raw events collapse to the (type × day) spine in one
+    * aggregate; the lagged self-join and the per-lag conditional sums
+    * run on spine × maxLag rows — day-span-bounded, never row-bounded.
+    * The integer products grow as T²·S²/T ≈ S²·T (switch the three
+    * product columns to decimal(38) if a single type's count exceeds
+    * ~10⁶·day-span). */
+  def autocorrelation(events: DataFrame, tsCol: String, typeCol: String,
+                      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be positive")
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val counts = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("etype")).distinct()
+    val full = types.crossJoin(days)
+      .join(counts, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val lags = events.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("k"))
+    val tot = full.groupBy("etype").agg(count(lit(1)).as("t"),
+      sum(col("n")).as("s"), sum(col("n") * col("n")).as("qq"),
+      min(col("day")).as("mind"), max(col("day")).as("maxd"))
+    val ab = full.join(broadcast(tot.select("etype", "mind", "maxd")), "etype")
+      .crossJoin(broadcast(lags))
+      .groupBy(col("etype"), col("k"))
+      .agg(sum(when(col("day") <= col("maxd") - col("k"), col("n"))
+          .otherwise(0L)).as("ak"),
+        sum(when(col("day") >= col("mind") + col("k"), col("n"))
+          .otherwise(0L)).as("bk"))
+    val ck = full.crossJoin(broadcast(lags))
+      .withColumn("d2", col("day") + col("k"))
+      .join(full.select(col("etype"), col("day").as("d2"),
+        col("n").as("x2")), Seq("etype", "d2"))
+      .groupBy(col("etype"), col("k"))
+      .agg(sum(col("n") * col("x2")).as("ck"))
+    val num = col("t") * col("t") * col("ck") -
+      col("t") * col("s") * (col("ak") + col("bk")) +
+      (col("t") - col("k")) * col("s") * col("s")
+    val den = col("t") * col("t") * col("qq") - col("t") * col("s") * col("s")
+    ck.join(ab, Seq("etype", "k")).join(broadcast(tot), "etype")
+      .where(den > 0L)
+      .select(col("etype"), col("k").as("lag"),
+        (col("t") - col("k")).as("n_pairs"),
+        round(lit(1e4) * num.cast("double") / den.cast("double"))
+          .cast("long").as("r4"))
+  }
+
   /** One-sided CUSUM change-point statistic per event type — the
     * sequential burst detector beside [[ewmaBaseline]]'s smoother:
     * over the same full day spine,

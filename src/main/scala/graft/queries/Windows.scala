@@ -837,8 +837,60 @@ object Windows {
       .orderBy(col("from_type"))
   }
 
+  /** Daily-count autocorrelation per event type, lags 1..7 (see
+    * [[graft.operators.EventOps.autocorrelation]]): the periodicity
+    * probe on the q187 zero-filled day spine — integer-exact up to one
+    * final grid division, which is why the oracle can replay every
+    * lag bit-identically. */
+  val q214 = GQuery("q214_autocorrelation",
+    """WITH c AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS day FROM events),
+      |types AS (SELECT DISTINCT event_type AS etype FROM events),
+      |full_ AS (
+      |  SELECT t.etype, d.day, coalesce(c.n, 0) AS n
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN c ON c.etype = t.etype AND c.day = d.day),
+      |ks AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS k),
+      |tot AS (
+      |  SELECT etype, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS qq,
+      |    min(day) AS mind, max(day) AS maxd
+      |  FROM full_ GROUP BY etype),
+      |ab AS (
+      |  SELECT f.etype, k.k,
+      |    CAST(sum(CASE WHEN f.day <= tt.maxd - k.k THEN f.n ELSE 0 END)
+      |      AS BIGINT) AS ak,
+      |    CAST(sum(CASE WHEN f.day >= tt.mind + k.k THEN f.n ELSE 0 END)
+      |      AS BIGINT) AS bk
+      |  FROM full_ f CROSS JOIN ks k JOIN tot tt ON tt.etype = f.etype
+      |  GROUP BY 1, 2),
+      |ck AS (
+      |  SELECT a.etype, k.k, CAST(sum(a.n * b.n) AS BIGINT) AS ck
+      |  FROM full_ a CROSS JOIN ks k
+      |  JOIN full_ b ON b.etype = a.etype AND b.day = a.day + k.k
+      |  GROUP BY 1, 2)
+      |SELECT tt.etype AS etype, ck.k AS lag, tt.t - ck.k AS n_pairs,
+      |  CAST(round(1e4 * CAST(tt.t * tt.t * ck.ck
+      |      - tt.t * tt.s * (ab.ak + ab.bk)
+      |      + (tt.t - ck.k) * tt.s * tt.s AS DOUBLE)
+      |    / CAST(tt.t * tt.t * tt.qq - tt.t * tt.s * tt.s AS DOUBLE))
+      |    AS BIGINT) AS r4
+      |FROM ck JOIN ab ON ab.etype = ck.etype AND ab.k = ck.k
+      |JOIN tot tt ON tt.etype = ck.etype
+      |WHERE tt.t * tt.t * tt.qq - tt.t * tt.s * tt.s > 0
+      |ORDER BY etype, lag""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.autocorrelation(Tables.events(s, dir),
+        "ts", "event_type", maxLag = 7)
+      .orderBy(col("etype"), col("lag"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205, q213)
+      q203, q205, q213, q214)
 }

@@ -139,6 +139,25 @@ class EventOpsSpec extends SparkSpec {
       ("last", "(none)") -> ((2L, 6000L))))
   }
 
+  test("autocorrelation: hand-computed alternating series; constant series omitted") {
+    // type 'alt' daily counts [1,3,1,3] → r1 = −3/4, r2 = 1/2, r3 = −1/4
+    // type 'const' [2,2,2,2] → zero variance → no rows
+    def dayTs(d: Int, i: Int) = new Timestamp(d * 86400000L + i * 1000L)
+    val counts = Seq(1, 3, 1, 3)
+    val alt = for { (c, d) <- counts.zipWithIndex; i <- 0 until c }
+      yield (d * 10L + i, 1L, dayTs(d, i), "alt")
+    val const = for { d <- 0 until 4; i <- 0 until 2 }
+      yield (1000L + d * 10 + i, 2L, dayTs(d, i), "const")
+    val out = EventOps.autocorrelation(
+        (alt ++ const).toDF("event_id", "user_id", "ts", "event_type"),
+        "ts", "event_type", maxLag = 3)
+      .select("etype", "lag", "n_pairs", "r4")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      ("alt", 1L, 3L, -7500L), ("alt", 2L, 2L, 5000L),
+      ("alt", 3L, 1L, -2500L)))
+  }
+
   test("markovBacktest: modal successor, lexicographic tie-break, exact accuracy") {
     // u1: a b a b → a→b ×2, b→a ×1;  u2: a c → a→c ×1
     // u3: c a → c→a ×1;  u4: c x → c→x ×1 (tie at c → predict 'a')
