@@ -235,6 +235,55 @@ object Profiling {
             .cast("long")).as("cramers_v4"))
   }
 
+  /** Welch's unequal-variance t statistic for every pair of groups —
+    * the significance readout behind the q195 A/B means ("is the
+    * difference real or noise"). Each group reduces to three exact
+    * sums on the 1e-4 value grid (n, Σv, Σv² — Σv² in 128-bit decimal:
+    * grid squares sum past int64 at ~10⁶ wide-valued rows); pairs are
+    * assembled group-vs-group from the stats cells (broadcast
+    * nested-loop on model-sized frames), and t plus the
+    * Welch–Satterthwaite df come from ONE fixed double-expression
+    * shape over those integers — deterministic in any IEEE engine.
+    * Groups with n < 2 are excluded, pairs with zero pooled variance
+    * omitted. Returns (g1, g2, n1, n2, mean1_4, mean2_4, t4, df_w4)
+    * with g1 < g2.
+    *
+    * Scale: the corpus pass is the stats aggregate; everything
+    * pairwise happens on |groups|² cells. */
+  def welchT(df: DataFrame, groupCol: String,
+             valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val s = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * 1e4).cast("long").as("v4"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v4")).as("sv"),
+        sum((col("v4") * col("v4")).cast(dec)).as("svv"))
+      .where(col("n") >= 2L)
+    val a = s.select(col("grp").as("g1"), col("n").as("n1"),
+      col("sv").as("sv1"), col("svv").as("svv1"))
+    val b = s.select(col("grp").as("g2"), col("n").as("n2"),
+      col("sv").as("sv2"), col("svv").as("svv2"))
+    def se(n: String, sv: String, svv: String) =
+      (col(n).cast("double") * col(svv) - col(sv).cast("double") * col(sv)) /
+        (col(n).cast("double") * (col(n) - lit(1L)) * col(n))
+    val se1 = se("n1", "sv1", "svv1")
+    val se2 = se("n2", "sv2", "svv2")
+    val t = (col("sv1").cast("double") / col("n1")
+      - col("sv2").cast("double") / col("n2")) / sqrt(se1 + se2)
+    val dfW = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (col("n1") - lit(1L)) + se2 * se2 / (col("n2") - lit(1L)))
+    a.join(broadcast(b), col("g1") < col("g2"))
+      .where(se1 + se2 > 0.0)
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(col("sv1").cast("double") / col("n1")).cast("long")
+          .as("mean1_4"),
+        round(col("sv2").cast("double") / col("n2")).cast("long")
+          .as("mean2_4"),
+        round(lit(1e4) * t).cast("long").as("t4"),
+        round(lit(1e4) * dfW).cast("long").as("df_w4"))
+  }
+
   /** Exact CART decision stump: the single best threshold split of an
     * integer-grid score against a boolean label, scored by Gini-
     * impurity decrease — the one-node tree a pipeline fits to sanity-

@@ -491,6 +491,41 @@ object ProfilingQueries {
       "day", "lbl")
   }
 
+  /** Welch's t between every pair of event types' value distributions
+    * (see [[graft.operators.Profiling.welchT]]) — the pairwise
+    * significance matrix. The oracle replays the exact grid sums and
+    * the fixed double-expression shape for t and the Welch df. */
+  val q215 = GQuery("q215_welch_t",
+    """WITH s AS (
+      |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(1e4 * value) AS BIGINT)) AS BIGINT) AS sv,
+      |    sum(CAST(round(1e4 * value) AS BIGINT)
+      |      * CAST(round(1e4 * value) AS BIGINT)) AS svv
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY event_type HAVING count(*) >= 2),
+      |p AS (
+      |  SELECT a.grp AS g1, b.grp AS g2, a.n AS n1, b.n AS n2,
+      |    a.sv AS sv1, b.sv AS sv2, a.svv AS svv1, b.svv AS svv2,
+      |    (CAST(a.n AS DOUBLE) * a.svv - CAST(a.sv AS DOUBLE) * a.sv)
+      |      / (CAST(a.n AS DOUBLE) * (a.n - 1) * a.n) AS se1,
+      |    (CAST(b.n AS DOUBLE) * b.svv - CAST(b.sv AS DOUBLE) * b.sv)
+      |      / (CAST(b.n AS DOUBLE) * (b.n - 1) * b.n) AS se2
+      |  FROM s a JOIN s b ON a.grp < b.grp)
+      |SELECT g1, g2, n1, n2,
+      |  CAST(round(CAST(sv1 AS DOUBLE) / n1) AS BIGINT) AS mean1_4,
+      |  CAST(round(CAST(sv2 AS DOUBLE) / n2) AS BIGINT) AS mean2_4,
+      |  CAST(round(1e4 * ((CAST(sv1 AS DOUBLE) / n1 - CAST(sv2 AS DOUBLE) / n2)
+      |    / sqrt(se1 + se2))) AS BIGINT) AS t4,
+      |  CAST(round(1e4 * (((se1 + se2) * (se1 + se2))
+      |    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)))) AS BIGINT)
+      |    AS df_w4
+      |FROM p WHERE se1 + se2 > 0
+      |ORDER BY g1, g2""".stripMargin) { (s, dir) =>
+    Profiling.welchT(Tables.events(s, dir), "event_type", "value")
+      .orderBy(col("g1"), col("g2"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212)
+    Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
+      q215)
 }

@@ -141,6 +141,20 @@ class ProfilingSpec extends SparkSpec {
     assert(out === Seq((3L, 2L, 1L, 0L, 0L, 0L)))
   }
 
+  test("welchT: hand-computed t and Welch–Satterthwaite df") {
+    // g1 = [1,2,3]: mean 2, var 1, se 1/3 (v4 units: se1 = 1e8/3)
+    // g2 = [2,4]:   mean 3, var 2, se 1   (se2 = 1e8)
+    // t = −1/sqrt(4/3) = −0.8660 → −8660
+    // df = (4/3)² / ((1/3)²/2 + 1) = 1.6842 → 16842
+    // g3 = [5]: n < 2 → excluded entirely
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("c", 5.0)).toDF("g", "v")
+    val out = Profiling.welchT(rows, "g", "v")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq(("a", "b", 3L, 2L, 20000L, 30000L, -8660L, 16842L)))
+  }
+
   test("decisionStump: hand-computed Gini gain picks the clean split") {
     // cells: s=0 → 3 neg; s=5 → 1 pos 1 neg; s=10 → 2 pos (P=3, N=4)
     // parent imp 24/49; t=5 → gain 27/98 → 2755; t=10 → 2612; t=0 → 0
