@@ -380,6 +380,39 @@ object TextStats {
         round(col("n_oov") / col("n_tokens"), 4))
   }
 
+  /** KL divergence of each group's token distribution from the whole
+    * corpus — KL(P_group ‖ P_corpus) over unigrams, the
+    * domain-shift-in-token-space census beside [[groupScoreDrift]]'s
+    * score-space KS ("how differently does this source WRITE, not just
+    * score"). No smoothing needed: every group token exists in the
+    * corpus margin, so the log is always finite. Per-(group, token)
+    * contributions are rounded to the 1e-8 nat grid as integers before
+    * the order-free sum (the NB/BM25 part idiom). Returns
+    * (grp, n_tokens, n_distinct, kl8).
+    *
+    * Scale: one (group, token) census off the shared tokenized frame;
+    * the token margin joins word-keyed (inverted-index scale), group
+    * totals broadcast. */
+  def groupTokenKl(toks: DataFrame, groups: DataFrame,
+                   groupCol: String): DataFrame = {
+    val sw = toks.join(groups, "id")
+      .select(col(groupCol).as("grp"), explode(col("ws")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("n_sw"))
+    val wt = sw.groupBy("tok").agg(sum(col("n_sw")).as("n_w"))
+    val gt = sw.groupBy("grp").agg(sum(col("n_sw")).as("t_g"),
+      countDistinct(col("tok")).as("n_distinct"))
+    val tt = sw.agg(sum(col("n_sw")).as("t"))
+    sw.join(wt, "tok").join(broadcast(gt), "grp").crossJoin(broadcast(tt))
+      .withColumn("part8",
+        round(lit(1e8) * (col("n_sw").cast("double") / col("t_g"))
+          * log((col("n_sw").cast("double") * col("t"))
+            / (col("n_w").cast("double") * col("t_g")))).cast("long"))
+      .groupBy(col("grp"), col("t_g"), col("n_distinct"))
+      .agg(sum(col("part8")).as("kl8"))
+      .select(col("grp"), col("t_g").as("n_tokens"), col("n_distinct"),
+        col("kl8"))
+  }
+
   /** Robust length-outlier filter: flag documents whose `lenCol`
     * deviates from the corpus MEDIAN by more than `k` MADs (median
     * absolute deviation) — the robust-statistics cousin of the fixed

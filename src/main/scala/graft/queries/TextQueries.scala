@@ -2096,10 +2096,48 @@ object TextQueries {
       sharedNbScores(s, dir), "score4", "label_keep")
   }
 
+  /** Per-source unigram KL divergence from the corpus (see
+    * [[graft.operators.TextStats.groupTokenKl]]) — token-space domain
+    * drift beside q161's score-space KS. Shares the persisted
+    * tokenized frame; the oracle replays the census, margins, and
+    * 1e-8-grid log parts. */
+  val q216 = GQuery("q216_source_token_kl",
+    s"""WITH $tokCte,
+       |tk AS (
+       |  SELECT d.source AS grp, t.tok
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+       |  JOIN documents d USING (doc_id)),
+       |sw AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS n_sw
+       |  FROM tk GROUP BY 1, 2),
+       |wt AS (SELECT tok, CAST(sum(n_sw) AS BIGINT) AS n_w
+       |  FROM sw GROUP BY tok),
+       |gt AS (SELECT grp, CAST(sum(n_sw) AS BIGINT) AS t_g,
+       |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+       |  FROM sw GROUP BY grp),
+       |tt AS (SELECT CAST(sum(n_sw) AS BIGINT) AS t FROM sw),
+       |parts AS (
+       |  SELECT grp, t_g, n_distinct,
+       |    CAST(round(1e8 * (CAST(n_sw AS DOUBLE) / t_g)
+       |      * ln((CAST(n_sw AS DOUBLE) * t)
+       |        / (CAST(n_w AS DOUBLE) * t_g))) AS BIGINT) AS part8
+       |  FROM sw JOIN wt USING (tok) JOIN gt USING (grp), tt)
+       |SELECT grp AS source, t_g AS n_tokens, n_distinct,
+       |  CAST(sum(part8) AS BIGINT) AS kl8
+       |FROM parts GROUP BY 1, 2, 3 ORDER BY source""".stripMargin) {
+    (s, dir) =>
+    graft.operators.TextStats.groupTokenKl(
+        sharedToks(s, dir),
+        Tables.documents(s, dir).select(col("doc_id").as("id"),
+          col("source")),
+        "source")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207)
+      q207, q216)
 }

@@ -168,4 +168,24 @@ class TextStatsSpec extends SparkSpec {
       assert(native === hof, s"n=$n stride=$stride")
     }
   }
+
+  test("groupTokenKl: hand-replayed unigram KL parts per group") {
+    // g1 tokens {a:2, b:1}, g2 {a:1, b:3} → corpus {a:3, b:4}, t=7
+    val docs = Seq((1L, "a a b", "g1"), (2L, "b b b a", "g2"))
+      .toDF("doc_id", "text", "src")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val out = TextStats.groupTokenKl(toks,
+        docs.select(col("doc_id").as("id"), col("src")), "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("kl8")))).toMap
+    def part8(nSw: Long, tG: Long, nW: Long, t: Long): Long =
+      java.math.BigDecimal.valueOf(
+          1e8 * (nSw.toDouble / tG) * math.log(nSw.toDouble * t / (nW.toDouble * tG)))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val g1 = part8(2, 3, 3, 7) + part8(1, 3, 4, 7)
+    val g2 = part8(1, 4, 3, 7) + part8(3, 4, 4, 7)
+    assert(out === Map("g1" -> ((3L, 2L, g1)), "g2" -> ((4L, 2L, g2))))
+    assert(g1 > 0 && g2 > 0) // both groups genuinely diverge from the mix
+  }
 }
