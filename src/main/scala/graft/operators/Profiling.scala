@@ -235,6 +235,42 @@ object Profiling {
             .cast("long")).as("cramers_v4"))
   }
 
+  /** Population stability index between two snapshots of a value
+    * distribution — THE deployed-model drift metric
+    * (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); rule of thumb: <0.1 stable,
+    * >0.25 investigate). Values bin by fixed integer width; the bin
+    * spine is the union of both sides, and add-half smoothing keeps
+    * one-sided bins finite (the standard PSI practice for empty
+    * cells). Per-bin contributions are rounded to the 1e-8 grid as
+    * integers before the order-free sum (the NB/BM25 part idiom —
+    * identical expression shape in any IEEE engine). Returns one row
+    * (n1, n2, n_bins, psi8).
+    *
+    * Scale: each side collapses to bin cells in one aggregate; the
+    * spine join and the part sum live on cells. */
+  def psi(df1: DataFrame, df2: DataFrame, valueCol: String,
+          binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be positive")
+    def cells(df: DataFrame, out: String) =
+      df.where(col(valueCol).isNotNull)
+        .select(floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val joined = cells(df1, "n1").join(cells(df2, "n2"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val tot = joined.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+      count(lit(1)).as("nb"))
+    val p = (col("n1") + lit(0.5)) / (col("t1") + lit(0.5) * col("nb"))
+    val q = (col("n2") + lit(0.5)) / (col("t2") + lit(0.5) * col("nb"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("part8",
+        round(lit(1e8) * ((p - q) * log(p / q))).cast("long"))
+      .groupBy(col("t1"), col("t2"), col("nb"))
+      .agg(sum(col("part8")).as("psi8"))
+      .select(col("t1").as("n1"), col("t2").as("n2"),
+        col("nb").as("n_bins"), col("psi8"))
+  }
+
   /** Welch's unequal-variance t statistic for every pair of groups —
     * the significance readout behind the q195 A/B means ("is the
     * difference real or noise"). Each group reduces to three exact

@@ -525,7 +525,46 @@ object ProfilingQueries {
       .orderBy(col("g1"), col("g2"))
   }
 
+  /** Population stability index between the q134 corpus snapshots'
+    * length distributions (see [[graft.operators.Profiling.psi]]):
+    * v1/v2 carved by the same moduli as the diff family, 100-char
+    * bins, add-half smoothing on the union spine. The oracle replays
+    * the binning and every 1e-8-grid part. */
+  val q217 = GQuery("q217_psi_drift",
+    """WITH c1 AS (
+      |  SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n1
+      |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+      |c2 AS (
+      |  SELECT CAST(floor((CASE WHEN doc_id % 11 = 0 THEN n_chars + 5
+      |      ELSE n_chars END) / 100) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n2
+      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(c1.bin, c2.bin) AS bin,
+      |    coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+      |  FROM c1 FULL JOIN c2 ON c1.bin = c2.bin),
+      |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+      |  CAST(sum(n2) AS BIGINT) AS t2, CAST(count(*) AS BIGINT) AS nb
+      |  FROM j),
+      |parts AS (
+      |  SELECT CAST(round(1e8 * (
+      |      ((n1 + 0.5) / (t1 + 0.5 * nb) - (n2 + 0.5) / (t2 + 0.5 * nb))
+      |      * ln(((n1 + 0.5) / (t1 + 0.5 * nb))
+      |          / ((n2 + 0.5) / (t2 + 0.5 * nb))))) AS BIGINT) AS part8
+      |  FROM j, tot)
+      |SELECT t1 AS n1, t2 AS n2, nb AS n_bins,
+      |  (SELECT CAST(sum(part8) AS BIGINT) FROM parts) AS psi8
+      |FROM tot""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("n_chars", when(col("doc_id") % 11 === 0,
+        col("n_chars") + 5).otherwise(col("n_chars")))
+    Profiling.psi(v1, v2, "n_chars", binWidth = 100L)
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215)
+      q215, q217)
 }

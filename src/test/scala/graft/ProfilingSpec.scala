@@ -141,6 +141,30 @@ class ProfilingSpec extends SparkSpec {
     assert(out === Seq((3L, 2L, 1L, 0L, 0L, 0L)))
   }
 
+  test("psi: union bin spine, add-half smoothing, replayed parts") {
+    // W=10: side1 [5,15,15] → bins {0:1, 1:2}; side2 [5,25] → {0:1, 2:1}
+    // union B=3, t1=3, t2=2
+    val d1 = Seq(5L, 15L, 15L).toDF("v")
+    val d2 = Seq(5L, 25L).toDF("v")
+    val out = Profiling.psi(d1, d2, "v", binWidth = 10L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def part8(n1: Long, n2: Long): Long = {
+      val p = (n1 + 0.5) / (3 + 0.5 * 3); val q = (n2 + 0.5) / (2 + 0.5 * 3)
+      java.math.BigDecimal.valueOf(1e8 * ((p - q) * math.log(p / q)))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val expected = part8(1, 1) + part8(2, 0) + part8(0, 1)
+    assert(out === Seq((3L, 2L, 3L, expected)))
+    assert(expected > 0) // genuinely shifted distributions
+  }
+
+  test("psi: identical sides → exactly zero") {
+    val d = Seq(1L, 11L, 21L, 21L).toDF("v")
+    val out = Profiling.psi(d, d, "v", binWidth = 10L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((4L, 4L, 3L, 0L)))
+  }
+
   test("welchT: hand-computed t and Welch–Satterthwaite df") {
     // g1 = [1,2,3]: mean 2, var 1, se 1/3 (v4 units: se1 = 1e8/3)
     // g2 = [2,4]:   mean 3, var 2, se 1   (se2 = 1e8)
