@@ -283,6 +283,74 @@ object EventOps {
           .cast("long").as("r4"))
   }
 
+  /** Lead–lag cross-correlation between every ordered pair of event
+    * types' daily count series, lags 0..maxLag — the causality-shaped
+    * sibling of [[autocorrelation]] ("do clicks lead purchases by a
+    * day?"): r_xy(k) correlates x_t with y_{t+k}, so a peak at k > 0
+    * means x LEADS y by k days. Same zero-filled day spine, same
+    * integer-exact scaling: with C_k = Σx_t·y_{t+k}, head/tail sums
+    * A_k/B_k and per-series (S, Q),
+    * num·T² = T²C_k − T·S_y·A_k − T·S_x·B_k + (T−k)·S_x·S_y and the
+    * normalizer is √(D_x·D_y) of the full-series variances — integers
+    * until one final double division. Zero-variance series omitted.
+    * Returns (ex, ey, lag, n_pairs, r4) for ex ≠ ey (lag 0 appears in
+    * both orientations — it is the plain correlation matrix).
+    *
+    * Scale: identical to [[autocorrelation]] — spine cells × lags ×
+    * type pairs, never raw rows. */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+                       maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 0, "maxLag must be nonnegative")
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val counts = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("etype")).distinct()
+    val full = types.crossJoin(days)
+      .join(counts, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val lags = events.sparkSession.range(0, maxLag + 1)
+      .select(col("id").as("k"))
+    val tot = full.groupBy("etype").agg(count(lit(1)).as("t"),
+      sum(col("n")).as("s"), sum(col("n") * col("n")).as("qq"),
+      min(col("day")).as("mind"), max(col("day")).as("maxd"))
+    val ab = full.join(broadcast(tot.select("etype", "mind", "maxd")), "etype")
+      .crossJoin(broadcast(lags))
+      .groupBy(col("etype"), col("k"))
+      .agg(sum(when(col("day") <= col("maxd") - col("k"), col("n"))
+          .otherwise(0L)).as("ak"),
+        sum(when(col("day") >= col("mind") + col("k"), col("n"))
+          .otherwise(0L)).as("bk"))
+    val ck = full.select(col("etype").as("ex"), col("day"), col("n").as("x"))
+      .crossJoin(broadcast(lags))
+      .withColumn("d2", col("day") + col("k"))
+      .join(full.select(col("etype").as("ey"), col("day").as("d2"),
+        col("n").as("y")), Seq("d2"))
+      .where(col("ex") =!= col("ey"))
+      .groupBy(col("ex"), col("ey"), col("k"))
+      .agg(sum(col("x") * col("y")).as("ck"))
+    val num = col("t") * col("t") * col("ck") -
+      col("t") * col("sy") * col("ak") -
+      col("t") * col("sx") * col("bk") +
+      (col("t") - col("k")) * col("sx") * col("sy")
+    val dx = col("t") * col("t") * col("qx") - col("t") * col("sx") * col("sx")
+    val dy = col("t") * col("t") * col("qy") - col("t") * col("sy") * col("sy")
+    ck.join(ab.select(col("etype").as("ex"), col("k"), col("ak")),
+        Seq("ex", "k"))
+      .join(ab.select(col("etype").as("ey"), col("k"), col("bk")),
+        Seq("ey", "k"))
+      .join(broadcast(tot.select(col("etype").as("ex"), col("s").as("sx"),
+        col("qq").as("qx"), col("t"))), Seq("ex"))
+      .join(broadcast(tot.select(col("etype").as("ey"), col("s").as("sy"),
+        col("qq").as("qy"))), Seq("ey"))
+      .where(dx > 0L && dy > 0L)
+      .select(col("ex"), col("ey"), col("k").as("lag"),
+        (col("t") - col("k")).as("n_pairs"),
+        round(lit(1e4) * (num.cast("double")
+          / sqrt(dx.cast("double") * dy.cast("double"))))
+          .cast("long").as("r4"))
+  }
+
   /** One-sided CUSUM change-point statistic per event type — the
     * sequential burst detector beside [[ewmaBaseline]]'s smoother:
     * over the same full day spine,

@@ -889,8 +889,67 @@ object Windows {
       .orderBy(col("etype"), col("lag"))
   }
 
+  /** Lead–lag cross-correlation matrix between event types (see
+    * [[graft.operators.EventOps.crossCorrelation]]), lags 0..7 on the
+    * shared day spine — which feeds LEAD which, and by how many days.
+    * Same integer-exact scaling as q214; one final double division
+    * per (pair, lag). */
+  val q218 = GQuery("q218_cross_correlation",
+    """WITH c AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS day FROM events),
+      |types AS (SELECT DISTINCT event_type AS etype FROM events),
+      |full_ AS (
+      |  SELECT t.etype, d.day, coalesce(c.n, 0) AS n
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN c ON c.etype = t.etype AND c.day = d.day),
+      |ks AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS k),
+      |tot AS (
+      |  SELECT etype, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS qq,
+      |    min(day) AS mind, max(day) AS maxd
+      |  FROM full_ GROUP BY etype),
+      |ab AS (
+      |  SELECT f.etype, k.k,
+      |    CAST(sum(CASE WHEN f.day <= tt.maxd - k.k THEN f.n ELSE 0 END)
+      |      AS BIGINT) AS ak,
+      |    CAST(sum(CASE WHEN f.day >= tt.mind + k.k THEN f.n ELSE 0 END)
+      |      AS BIGINT) AS bk
+      |  FROM full_ f CROSS JOIN ks k JOIN tot tt ON tt.etype = f.etype
+      |  GROUP BY 1, 2),
+      |ck AS (
+      |  SELECT a.etype AS ex, b.etype AS ey, k.k,
+      |    CAST(sum(a.n * b.n) AS BIGINT) AS ck
+      |  FROM full_ a CROSS JOIN ks k
+      |  JOIN full_ b ON b.day = a.day + k.k AND b.etype <> a.etype
+      |  GROUP BY 1, 2, 3)
+      |SELECT ck.ex AS ex, ck.ey AS ey, ck.k AS lag, tx.t - ck.k AS n_pairs,
+      |  CAST(round(1e4 * (CAST(tx.t * tx.t * ck.ck
+      |      - tx.t * ty.s * ax.ak
+      |      - tx.t * tx.s * yb.bk
+      |      + (tx.t - ck.k) * tx.s * ty.s AS DOUBLE)
+      |    / sqrt(CAST(tx.t * tx.t * tx.qq - tx.t * tx.s * tx.s AS DOUBLE)
+      |      * CAST(tx.t * tx.t * ty.qq - tx.t * ty.s * ty.s AS DOUBLE))))
+      |    AS BIGINT) AS r4
+      |FROM ck
+      |JOIN ab ax ON ax.etype = ck.ex AND ax.k = ck.k
+      |JOIN ab yb ON yb.etype = ck.ey AND yb.k = ck.k
+      |JOIN tot tx ON tx.etype = ck.ex
+      |JOIN tot ty ON ty.etype = ck.ey
+      |WHERE tx.t * tx.t * tx.qq - tx.t * tx.s * tx.s > 0
+      |  AND tx.t * tx.t * ty.qq - tx.t * ty.s * ty.s > 0
+      |ORDER BY ex, ey, lag""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.crossCorrelation(Tables.events(s, dir),
+        "ts", "event_type", maxLag = 7)
+      .orderBy(col("ex"), col("ey"), col("lag"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205, q213, q214)
+      q203, q205, q213, q214, q218)
 }

@@ -158,6 +158,37 @@ class EventOpsSpec extends SparkSpec {
       ("alt", 3L, 1L, -2500L)))
   }
 
+  test("crossCorrelation: hand-computed lead–lag; x leads y by one day") {
+    // x = [1,3,1,3], y = [2,1,3,1] (y_{t+1} = x_t for t = 1..3)
+    // integer scaling: T=4 Sx=8 Sy=7 Qx=20 Qy=15 → Dx·T²=64, Dy·T²=44
+    // (x,y,k=1): C=11 A=5 B=5 → num=44  → r4 = round(1e4·44/√2816) = 8292
+    // (x,y,k=0): C=11 → num=−48         → r4 = −9045 (and same for y,x,0)
+    // (y,x,k=1): C=16 A=6 B=7 → num=36  → r4 = 6784
+    def dayTs(d: Int, i: Int) = new Timestamp(d * 86400000L + i * 1000L)
+    def mk(tp: String, counts: Seq[Int], base: Long) = for {
+      (c, d) <- counts.zipWithIndex; i <- 0 until c
+    } yield (base + d * 10 + i, 1L, dayTs(d, i), tp)
+    val rows = mk("x", Seq(1, 3, 1, 3), 0L) ++ mk("y", Seq(2, 1, 3, 1), 1000L)
+    val out = EventOps.crossCorrelation(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "ts", "event_type", maxLag = 1)
+      .select("ex", "ey", "lag", "n_pairs", "r4")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    def r4(num: Long, dx: Long, dy: Long): Long =
+      java.math.BigDecimal.valueOf(
+          1e4 * (num.toDouble / math.sqrt(dx.toDouble * dy.toDouble)))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    assert(out === Map(
+      ("x", "y", 0L) -> ((4L, r4(-48, 64, 44))),
+      ("y", "x", 0L) -> ((4L, r4(-48, 44, 64))),
+      ("x", "y", 1L) -> ((3L, r4(44, 64, 44))),
+      ("y", "x", 1L) -> ((3L, r4(36, 44, 64)))))
+    assert(r4(44, 64, 44) === 8292L)
+    assert(r4(36, 44, 64) === 6784L)
+    assert(r4(-48, 64, 44) === -9045L)
+  }
+
   test("markovBacktest: modal successor, lexicographic tie-break, exact accuracy") {
     // u1: a b a b → a→b ×2, b→a ×1;  u2: a c → a→c ×1
     // u3: c a → c→a ×1;  u4: c x → c→x ×1 (tie at c → predict 'a')
