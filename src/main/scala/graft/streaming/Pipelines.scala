@@ -885,6 +885,89 @@ object Pipelines {
     }
   }
 
+  /** Streaming SCD2 ingestion — the incremental form of
+    * [[graft.operators.Scd.scd2Build]]: dimension snapshot rows
+    * `(key, snapTs, attrs…)` arrive in micro-batches and fold into a
+    * persistent CHANGE store; only rows whose attributes differ from
+    * the key's current state are appended, so unchanged re-snapshots
+    * and replays are absorbed (the store IS the compression). The
+    * store is a [[DedupStore]]: `data/` partitioned by
+    * `pb = hash(key) % buckets`, and each batch reads ONLY its keys'
+    * buckets (partition-pruned) to recover current state — per-batch
+    * cost tracks batch size, not dimension history. Intervals are
+    * derived at read time by [[scd2StoreIntervals]].
+    *
+    * Delivery contract (same as `transitionStream`): per-key
+    * non-decreasing snapshot timestamps across batches; a snapshot
+    * older than the key's current state is DROPPED (late data), and
+    * within a batch rows fold in `(snapTs)` order. Attribute
+    * comparison is null-safe, matching `scd2Build`. */
+  def scd2IngestStream(keyCol: String, snapCol: String,
+                       attrCols: Seq[String], storePath: String,
+                       buckets: Int = 64)(
+      sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    require(attrCols.nonEmpty, "need at least one attribute")
+    (batch0: DataFrame, _: Long) => {
+      val spark = batch0.sparkSession
+      DedupStore.openOrInit(spark, storePath, Seq("buckets" -> buckets))
+      val batch = batch0
+        .select(col(keyCol).as("k") +: col(snapCol).as("snap_ts") +:
+          attrCols.map(col): _*)
+        .withColumn("pb", DedupStore.bucketOf(col("k"), buckets))
+        .withColumn("seed", lit(false))
+      val pbs = DedupStore.batchBuckets(batch)
+      val unioned =
+        if (DedupStore.hasData(spark, storePath) && pbs.nonEmpty) {
+          // current state of the touched keys only: latest change row
+          val cur = DedupStore.prunedRead(spark, storePath, pbs)
+            .groupBy(col("k"), col("pb"))
+            .agg(max(struct(col("snap_ts") +: attrCols.map(col): _*))
+              .as("m"))
+            .select(col("k") +: col("pb") +: col("m.snap_ts").as("snap_ts") +:
+              attrCols.map(a => col(s"m.$a").as(a)): _*)
+            .withColumn("seed", lit(true))
+          // late-data guard: batch rows older than current state drop
+          val curTs = cur.select(col("k"), col("snap_ts").as("__cur_ts"))
+          batch.join(curTs, Seq("k"), "left")
+            .where(col("__cur_ts").isNull || col("snap_ts") >= col("__cur_ts"))
+            .drop("__cur_ts")
+            .unionByName(cur)
+        } else batch
+      // seed-first at equal timestamps so an exact replay of the stored
+      // change compares equal and appends nothing
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("snap_ts"), col("seed").desc)
+      val changed = attrCols
+        .map(a => !(col(a) <=> lag(col(a), 1).over(wk)))
+        .reduce(_ || _)
+      val changes = unioned
+        .withColumn("__chg", changed)
+        .where(!col("seed") && col("__chg"))
+        .select(col("k") +: col("snap_ts") +: attrCols.map(col) :+
+          col("pb"): _*)
+        .persist()
+      if (!changes.isEmpty) DedupStore.append(changes, storePath)
+      sink(changes)
+      changes.unpersist()
+      ()
+    }
+  }
+
+  /** Validity intervals from a [[scd2IngestStream]] store — equals
+    * [[graft.operators.Scd.scd2Build]] over the full snapshot history
+    * (spec-asserted): the store holds exactly the change rows, so
+    * intervals are one keyed `lead` away. */
+  def scd2StoreIntervals(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String,
+                         attrCols: Seq[String]): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    spark.read.parquet(s"$storePath/data")
+      .select(col("k") +: col("snap_ts").as("valid_from") +:
+        attrCols.map(col): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+  }
+
   /** Stream-static join: enrich a stream against a (broadcastable) batch
     * dimension — the streaming analog of the q03 star join. The static
     * side is re-read per micro-batch, so dimension updates are picked up

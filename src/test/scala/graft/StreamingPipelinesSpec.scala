@@ -1134,4 +1134,36 @@ class StreamingPipelinesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("k"))
   }
+
+  test("scd2IngestStream: change-only store; streamed ≡ batch scd2Build; replay/late/restart") {
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val store = java.nio.file.Files.createTempDirectory("scd2store").toString
+    val ingest = Pipelines.scd2IngestStream("k", "snap_ts", Seq("seg"), store)()
+    // batch 1: both keys appear
+    ingest(Seq((1L, d("2020-01-01"), "A"), (2L, d("2020-01-01"), "C"))
+      .toDF("k", "snap_ts", "seg"), 0L)
+    // batch 2: key 1 changes; key 2 re-snapshots unchanged (absorbed);
+    // plus an exact replay of key 1's stored change (absorbed)
+    ingest(Seq((1L, d("2020-02-01"), "B"), (2L, d("2020-02-01"), "C"),
+      (1L, d("2020-01-01"), "A")).toDF("k", "snap_ts", "seg"), 1L)
+    // restart: fresh closure over the same store
+    val ingest2 = Pipelines.scd2IngestStream("k", "snap_ts", Seq("seg"), store)()
+    // batch 3: key 2 changes; key 1 delivers a LATE snapshot → dropped
+    ingest2(Seq((2L, d("2020-03-01"), "D"), (1L, d("2020-01-15"), "Z"))
+      .toDF("k", "snap_ts", "seg"), 0L)
+    // the store holds exactly the four change rows
+    val stored = spark.read.parquet(s"$store/data")
+    assert(stored.count() === 4L)
+    // intervals from the store ≡ batch scd2Build over the kept history
+    val history = Seq(
+      (1L, d("2020-01-01"), "A"), (1L, d("2020-02-01"), "B"),
+      (2L, d("2020-01-01"), "C"), (2L, d("2020-02-01"), "C"),
+      (2L, d("2020-03-01"), "D")).toDF("k", "snap_ts", "seg")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "seg", "valid_from", "valid_to")
+        .as[(Long, String, Timestamp, Option[Timestamp])]
+        .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(canon(Pipelines.scd2StoreIntervals(spark, store, Seq("seg"))) ===
+      canon(graft.operators.Scd.scd2Build(history, "k", "snap_ts", Seq("seg"))))
+  }
 }
