@@ -159,6 +159,46 @@ object Search {
     * stop-word query would inflate tf toward corpus size; BM25 over
     * pure stop-words is degenerate — idf ≈ 0 — so that shape is a
     * caller bug, not a plan this optimizes for.) */
+  /** Dirichlet-smoothed query-likelihood retrieval — the language-model
+    * ranking family beside [[bm25]] (Zhai & Lafferty's QL; the other
+    * standard lexical baseline). Scored in the matching-terms
+    * decomposition so per-doc work is bounded by MATCHED terms:
+    * score(d) = Σ_{t∈q, tf>0} ln(1 + tf·C / (μ·cf_t))
+    *          + |q|·ln(μ / (len_d + μ)),
+    * with cf_t the collection frequency and C total corpus tokens —
+    * every document scores (the second term alone for zero-match
+    * docs), which is what distinguishes QL's length prior from BM25's
+    * matched-only scoring. Both addends snap to the 1e-4 grid as
+    * integers before the order-free sum (the BM25 part idiom). Query
+    * terms absent from the corpus contribute only the length prior
+    * (their matched part has no rows).
+    *
+    * Scale: one tf aggregate over query terms, broadcast cf/total
+    * model state, then a pure map over doc lengths — same shapes as
+    * [[bm25]] plus the per-doc prior. */
+  def queryLikelihood(toks: DataFrame, query: Seq[String],
+                      mu: Double = 2000.0): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val lens = toks.select(col("id"), size(col("ws")).cast("long").as("len"))
+    val hits = toks.select(col("id"), explode(col("ws")).as("term"))
+      .where(col("term").isin(query: _*))
+    val cf = hits.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val ctot = lens.agg(sum(col("len")).as("c"))
+    val matched = hits.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(cf), "term")
+      .crossJoin(broadcast(ctot))
+      .withColumn("part4", round(lit(1e4) * log(lit(1.0)
+        + (col("tf").cast("double") * col("c"))
+          / (lit(mu) * col("cf").cast("double")))).cast("long"))
+      .groupBy(col("id")).agg(sum(col("part4")).as("m4"))
+    lens.join(matched, Seq("id"), "left")
+      .withColumn("d4", round(lit(1e4) * lit(query.size.toDouble)
+        * log(lit(mu) / (col("len") + lit(mu)))).cast("long"))
+      .select(col("id"),
+        ((coalesce(col("m4"), lit(0L)) + col("d4")) / lit(1e4)).as("score"))
+  }
+
   private[graft] def bm25Score(tf: DataFrame, lens: DataFrame, tot: DataFrame,
                                k1: Double, b: Double): DataFrame = {
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

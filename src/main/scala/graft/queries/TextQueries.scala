@@ -2134,10 +2134,48 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Dirichlet query-likelihood retrieval (see
+    * [[graft.operators.Search.queryLikelihood]]) on q105's query —
+    * the LM ranking baseline beside BM25, scored in the matched-terms
+    * decomposition with a length prior. The oracle replays both
+    * grid-part families term by term. */
+  val q219 = {
+    val Terms = Seq("dup", "sort", "batch")
+    val Mu = 2000.0
+    val K = 20
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    GQuery("q219_query_likelihood",
+      s"""WITH $tokCte,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM tok),
+         |ctot AS (SELECT CAST(sum(len) AS BIGINT) AS c FROM lens),
+         |hits AS (
+         |  SELECT doc_id, t.tok AS term
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+         |  WHERE t.tok IN ($termList)),
+         |cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+         |  FROM hits GROUP BY term),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM hits GROUP BY 1, 2),
+         |m AS (
+         |  SELECT doc_id, CAST(sum(CAST(round(1e4 * ln(1.0
+         |      + (CAST(tf AS DOUBLE) * c) / ($Mu * CAST(cf AS DOUBLE))))
+         |    AS BIGINT)) AS BIGINT) AS m4
+         |  FROM tf JOIN cf USING (term), ctot GROUP BY doc_id)
+         |SELECT lens.doc_id AS doc_id,
+         |  (coalesce(m.m4, 0) + CAST(round(1e4 * ${Terms.size}.0
+         |    * ln($Mu / (len + $Mu))) AS BIGINT)) / 1e4 AS score
+         |FROM lens LEFT JOIN m ON m.doc_id = lens.doc_id
+         |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin) { (s, dir) =>
+      graft.operators.Search.queryLikelihood(sharedToks(s, dir), Terms, Mu)
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(K)
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216)
+      q207, q216, q219)
 }

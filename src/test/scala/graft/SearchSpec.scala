@@ -166,4 +166,26 @@ class SearchSpec extends SparkSpec {
     assert(out(0) === ((1L, 2L, 2, 5000L, 10616L, 29485L, 0.36)))
     assert(out(1) === ((2L, 0L, 0, 0L, 0L, 10000L, 0.0)))
   }
+
+  test("queryLikelihood: hand-replayed Dirichlet parts; zero-match docs keep the length prior") {
+    // corpus: d1 "x x y" (len 3), d2 "y z" (2), d3 "w w" (2); q = [x, y], μ = 10
+    // C = 7, cf(x) = 2, cf(y) = 2
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "w w"))
+      .toDF("doc_id", "text")
+    val t = graft.operators.TextStats.tokenized(docs, "doc_id", "text")
+    val out = graft.operators.Search.queryLikelihood(t, Seq("x", "y"), mu = 10.0)
+      .as[(Long, Double)].collect().toMap
+    def p4(x: Double): Long =
+      java.math.BigDecimal.valueOf(1e4 * x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def m(tf: Long, cf: Long) = p4(math.log(1.0 + tf.toDouble * 7 / (10.0 * cf)))
+    // (1e4 · |q|) · ln — the engine's multiply order
+    def prior(len: Long): Long =
+      java.math.BigDecimal.valueOf(1e4 * 2.0 * math.log(10.0 / (len + 10.0)))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    assert(out(1L) === (m(2, 2) + m(1, 2) + prior(3)) / 1e4)
+    assert(out(2L) === (m(1, 2) + prior(2)) / 1e4)
+    assert(out(3L) === prior(2) / 1e4) // no match → length prior only
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+  }
 }
