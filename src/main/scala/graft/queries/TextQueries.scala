@@ -2172,10 +2172,52 @@ object TextQueries {
     }
   }
 
+  /** Source vocabulary-overlap matrix: pairwise distinct-token
+    * Jaccard AND both directed containments between sources — "do
+    * these feeds write in the same words, or does one subsume the
+    * other" (the vocabulary complement of q216's distributional KL).
+    * Reuses [[graft.operators.EventOps.audienceOverlap]] with tokens
+    * as the universe and sources as the sets — the inverted-index
+    * overlap shape is identical; containments derive from the same
+    * exact counts. */
+  val q220 = GQuery("q220_source_vocab_overlap",
+    s"""WITH $tokCte,
+       |tk AS (
+       |  SELECT DISTINCT t.tok, d.source
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+       |  JOIN documents d USING (doc_id)),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_i
+       |  FROM tk GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS item_a, b.source AS item_b,
+       |    CAST(count(*) AS BIGINT) AS n_both
+       |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT item_a, item_b, n_both, sa.n_i AS n_a, sb.n_i AS n_b,
+       |  CAST(round(1e4 * n_both / (sa.n_i + sb.n_i - n_both)) AS BIGINT)
+       |    AS jaccard4,
+       |  CAST(round(1e4 * n_both / sa.n_i) AS BIGINT) AS cont_a4,
+       |  CAST(round(1e4 * n_both / sb.n_i) AS BIGINT) AS cont_b4
+       |FROM pairs
+       |JOIN sizes sa ON sa.source = item_a
+       |JOIN sizes sb ON sb.source = item_b
+       |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    val tk = sharedToks(s, dir)
+      .select(explode(col("ws")).as("tok"), col("id"))
+      .join(Tables.documents(s, dir).select(col("doc_id").as("id"),
+        col("source")), "id")
+    graft.operators.EventOps.audienceOverlap(tk, "tok", "source")
+      .withColumn("cont_a4",
+        round(lit(1e4) * col("n_both") / col("n_a")).cast("long"))
+      .withColumn("cont_b4",
+        round(lit(1e4) * col("n_both") / col("n_b")).cast("long"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219)
+      q207, q216, q219, q220)
 }
