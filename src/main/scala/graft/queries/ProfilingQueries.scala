@@ -564,7 +564,147 @@ object ProfilingQueries {
     Profiling.psi(v1, v2, "n_chars", binWidth = 100L)
   }
 
+  /** Capstone model governance (q221): ONE row a deployment gate reads
+    * before trusting the q126 classifier — tie-aware AUC + best-F1
+    * operating point ([[graft.operators.QualityClassifier.rocReport]]),
+    * the best single-threshold stump on the model score
+    * ([[graft.operators.Profiling.decisionStump]] — the separability
+    * floor), PSI between the score distributions of the doc-id parity
+    * halves ([[graft.operators.Profiling.psi]] — split stability; a
+    * high value means the score depends on WHICH half of the corpus
+    * you look at), and whether the 10-decile calibration curve is
+    * monotone (the q171 miscalibration alarm as a single bit). ONE
+    * oracle replays training, scoring, and all four audits. */
+  val q221 = {
+    val roc =
+      """rc AS (
+        |  SELECT score4 AS s,
+        |    CAST(sum(CASE WHEN label_keep THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN label_keep THEN 0 ELSE 1 END) AS BIGINT) AS q
+        |  FROM nb GROUP BY score4),
+        |rcum AS (
+        |  SELECT s, p, q,
+        |    CAST(coalesce(sum(p) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cp,
+        |    CAST(coalesce(sum(q) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cq
+        |  FROM rc),
+        |rtot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |                CAST(sum(q) AS BIGINT) AS n_neg FROM rc),
+        |rop AS (
+        |  SELECT s, p * (2 * cq + q) AS u2p,
+        |    n_pos - cp AS tp, n_neg - cq AS fp, n_pos, n_neg
+        |  FROM rcum, rtot),
+        |rf AS (SELECT s,
+        |    CAST(round(1e4 * 2.0 * tp / (tp + fp + n_pos)) AS BIGINT) AS f14
+        |  FROM rop),
+        |rbest AS (SELECT max(f14) AS best_f14 FROM rf),
+        |roc AS (
+        |  SELECT n_pos + n_neg AS n_docs,
+        |    CAST(round(1e4 * (SELECT CAST(sum(u2p) AS BIGINT) FROM rop)
+        |      / (2.0 * n_pos * n_neg)) AS BIGINT) AS auc4,
+        |    (SELECT max(s) FROM rf, rbest WHERE f14 = rbest.best_f14)
+        |      AS best_thr,
+        |    (SELECT best_f14 FROM rbest) AS best_f14
+        |  FROM rtot)""".stripMargin
+    val stump =
+      s"""scand AS (
+         |  SELECT s,
+         |    CAST(round(1e4 * (${impSql("n_pos", "n_neg")}
+         |      - (CAST(cp + cq AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE))
+         |        * ${impSql("cp", "cq")}
+         |      - (CAST((n_pos - cp) + (n_neg - cq) AS DOUBLE)
+         |          / CAST(n_pos + n_neg AS DOUBLE))
+         |        * ${impSql("n_pos - cp", "n_neg - cq")})) AS BIGINT) AS gain4
+         |  FROM rcum, rtot),
+         |stump AS (SELECT s AS s_thr, gain4 AS s_gain4 FROM scand
+         |  ORDER BY gain4 DESC, s DESC LIMIT 1)""".stripMargin
+    val psi =
+      """p1 AS (SELECT CAST(floor(score4 / 1) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n1
+        |  FROM nb WHERE doc_id % 2 = 0 GROUP BY 1),
+        |p2 AS (SELECT CAST(floor(score4 / 1) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n2
+        |  FROM nb WHERE doc_id % 2 = 1 GROUP BY 1),
+        |pj AS (
+        |  SELECT coalesce(p1.bin, p2.bin) AS bin,
+        |    coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+        |  FROM p1 FULL JOIN p2 ON p1.bin = p2.bin),
+        |ptot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+        |  CAST(sum(n2) AS BIGINT) AS t2, CAST(count(*) AS BIGINT) AS nbn
+        |  FROM pj),
+        |pparts AS (
+        |  SELECT CAST(round(1e8 * (
+        |      ((n1 + 0.5) / (t1 + 0.5 * nbn) - (n2 + 0.5) / (t2 + 0.5 * nbn))
+        |      * ln(((n1 + 0.5) / (t1 + 0.5 * nbn))
+        |          / ((n2 + 0.5) / (t2 + 0.5 * nbn))))) AS BIGINT) AS part8
+        |  FROM pj, ptot),
+        |psi AS (SELECT CAST(sum(part8) AS BIGINT) AS split_psi8
+        |  FROM pparts)""".stripMargin
+    val calib =
+      """cc AS (SELECT score4 AS s4, count(*) AS n_cell FROM nb GROUP BY score4),
+        |ctt AS (SELECT count(*) AS n_total FROM nb),
+        |cmap AS (
+        |  SELECT s4,
+        |    CAST(floor(coalesce(sum(n_cell) OVER (ORDER BY s4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      * 10 / n_total) AS INT) AS bucket
+        |  FROM cc, ctt),
+        |crate AS (
+        |  SELECT bucket,
+        |    CAST(round(1e4 * sum(CASE WHEN label_keep THEN 1 ELSE 0 END)
+        |      / count(*)) AS BIGINT) AS keep_rate4
+        |  FROM (SELECT score4 AS s4, label_keep FROM nb) JOIN cmap USING (s4)
+        |  GROUP BY bucket),
+        |calib AS (
+        |  SELECT CAST(min(CASE WHEN prev IS NULL OR keep_rate4 >= prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS calib_monotone
+        |  FROM (SELECT keep_rate4,
+        |          lag(keep_rate4) OVER (ORDER BY bucket) AS prev
+        |        FROM crate))""".stripMargin
+    GQuery("q221_model_governance",
+      s"""WITH nb AS (${TextQueries.q126.oracle.get}),
+         |$roc,
+         |$stump,
+         |$psi,
+         |$calib
+         |SELECT roc.n_docs, roc.auc4, roc.best_thr, roc.best_f14,
+         |  stump.s_thr, stump.s_gain4, psi.split_psi8, calib.calib_monotone
+         |FROM roc, stump, psi, calib""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nb = TextQueries.sharedNbScores(s, dir)
+        .select(col("doc_id"), col("score4"), col("label_keep"))
+      val roc = graft.operators.QualityClassifier
+        .rocReport(nb, "score4", "label_keep")
+        .select((col("n_pos") + col("n_neg")).as("n_docs"), col("auc4"),
+          col("best_thr"), col("best_f14"))
+      val stump = Profiling.decisionStump(nb, "score4", "label_keep")
+        .select(col("best_thr").as("s_thr"), col("best_gain4").as("s_gain4"))
+      val psi = Profiling.psi(nb.where(col("doc_id") % 2 === 0),
+          nb.where(col("doc_id") % 2 === 1), "score4", binWidth = 1L)
+        .select(col("psi8").as("split_psi8"))
+      val scored = nb.select(col("doc_id"), (col("score4") / 1e4).as("score"),
+        col("label_keep"))
+      val rates = graft.operators.Sampling
+        .rangeBuckets(scored, "doc_id", "score", 10)
+        .join(scored.select("doc_id", "label_keep"), "doc_id")
+        .groupBy("bucket")
+        .agg(round(lit(1e4) * sum(when(col("label_keep"), 1L).otherwise(0L))
+          / count(lit(1))).cast("long").as("keep_rate4"))
+      val calib = rates
+        .withColumn("prev",
+          lag(col("keep_rate4"), 1).over(Window.orderBy(col("bucket"))))
+        .agg(min(when(col("prev").isNull
+          || col("keep_rate4") >= col("prev"), 1L).otherwise(0L))
+          .as("calib_monotone"))
+      roc.crossJoin(broadcast(stump)).crossJoin(broadcast(psi))
+        .crossJoin(broadcast(calib))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215, q217)
+      q215, q217, q221)
 }
