@@ -351,6 +351,139 @@ object EventOps {
           .cast("long").as("r4"))
   }
 
+  /** Structural trend break per event type — the Chow-test shape: fit
+    * one line to the daily count series, fit two lines around every
+    * candidate breakpoint, and report the split whose SSE reduction is
+    * largest (with both segments' slopes) — [[cusum]] finds LEVEL
+    * shifts, this finds SLOPE changes. Runs on the zero-filled day
+    * spine with x re-centered to day−minDay; all segment SSEs come
+    * from prefix/suffix SUFFICIENT STATISTICS (n, Σx, Σy, Σx², Σxy,
+    * Σy² — cumulative windows over the day cells), so each candidate
+    * costs O(1) and the whole sweep never re-touches rows. SSE uses
+    * the centered closed form
+    * [(nΣy²−Sy²)(nΣx²−Sx²) − (nΣxy−SxSy)²] / [n(nΣx²−Sx²)] — exact
+    * integers into ONE fixed double shape (the q194 idiom); gains
+    * round to the 1e-4 grid, ties resolve to the EARLIEST break day.
+    * Returns (etype, break_day, n_left, n_right, gain4, slope_l6,
+    * slope_r6) — break_day is the last day of the left segment;
+    * single-point segments fit exactly (SSE 0, null slope).
+    *
+    * Scale: identical to [[autocorrelation]]'s — one census to day
+    * cells, windows over the bounded spine. */
+  def trendBreak(events: DataFrame, tsCol: String,
+                 typeCol: String): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val counts = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("etype")).distinct()
+    val mind = days.agg(min(col("day")).as("mind"))
+    val full = types.crossJoin(days)
+      .join(counts, Seq("etype", "day"), "left")
+      .crossJoin(broadcast(mind))
+      .select(col("etype"), col("day"), (col("day") - col("mind")).as("x"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("etype")).orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pre = full
+      .withColumn("cn", sum(lit(1L)).over(w))
+      .withColumn("csx", sum(col("x")).over(w))
+      .withColumn("csy", sum(col("y")).over(w))
+      .withColumn("csxx", sum(col("x") * col("x")).over(w))
+      .withColumn("csxy", sum(col("x") * col("y")).over(w))
+      .withColumn("csyy", sum(col("y") * col("y")).over(w))
+    val tot = full.groupBy("etype").agg(count(lit(1)).as("tn"),
+      sum(col("x")).as("tsx"), sum(col("y")).as("tsy"),
+      sum(col("x") * col("x")).as("tsxx"),
+      sum(col("x") * col("y")).as("tsxy"),
+      sum(col("y") * col("y")).as("tsyy"))
+    def sse(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+            syy: Column): Column = {
+      val dxx = n * sxx - sx * sx
+      val dyy = n * syy - sy * sy
+      val dxy = n * sxy - sx * sy
+      when(n <= 1L || dxx === 0L, lit(0.0))
+        .otherwise((dyy.cast("double") * dxx - dxy.cast("double") * dxy)
+          / (n.cast("double") * dxx))
+    }
+    def slope6(n: Column, sx: Column, sy: Column, sxx: Column,
+               sxy: Column): Column = {
+      val dxx = n * sxx - sx * sx
+      when(n <= 1L || dxx === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * (n * sxy - sx * sy).cast("double")
+          / dxx.cast("double")).cast("long"))
+    }
+    val rn = col("tn") - col("cn")
+    val rsx = col("tsx") - col("csx")
+    val rsy = col("tsy") - col("csy")
+    val rsxx = col("tsxx") - col("csxx")
+    val rsxy = col("tsxy") - col("csxy")
+    val rsyy = col("tsyy") - col("csyy")
+    val gain = sse(col("tn"), col("tsx"), col("tsy"), col("tsxx"),
+        col("tsxy"), col("tsyy")) -
+      sse(col("cn"), col("csx"), col("csy"), col("csxx"), col("csxy"),
+        col("csyy")) -
+      sse(rn, rsx, rsy, rsxx, rsxy, rsyy)
+    pre.join(broadcast(tot), "etype")
+      .where(col("cn") < col("tn")) // both segments nonempty
+      .withColumn("gain4", round(lit(1e4) * gain).cast("long"))
+      .withColumn("sl", slope6(col("cn"), col("csx"), col("csy"),
+        col("csxx"), col("csxy")))
+      .withColumn("sr", slope6(rn, rsx, rsy, rsxx, rsxy))
+      .groupBy(col("etype"))
+      .agg(min(struct((-col("gain4")).as("ng"), col("day"), col("cn"),
+        (col("tn") - col("cn")).as("rn"), col("sl"), col("sr"))).as("b"))
+      .select(col("etype"), col("b.day").as("break_day"),
+        col("b.cn").as("n_left"), col("b.rn").as("n_right"),
+        (-col("b.ng")).as("gain4"), col("b.sl").as("slope_l6"),
+        col("b.sr").as("slope_r6"))
+  }
+
+  /** Theil–Sen robust slope of the daily count series per event type —
+    * the median of all pairwise slopes (y_j−y_i)/(x_j−x_i), immune to
+    * the outlier days that drag [[graft.operators.Profiling.groupLinFit]]'s
+    * least squares around (breakdown point ~29%). Pairs are generated
+    * from the DAY-SPINE cells (T·(T−1)/2 per type — span-bounded, never
+    * row-bounded); the median is the explicit LOWER-median convention
+    * on the slope's 1e-6 grid (smallest grid slope with 2·rank ≥ n —
+    * the q164 median discipline, no interpolation ambiguity). Returns
+    * (etype, n_pairs, ts_slope6).
+    *
+    * The slope grid value is one double division of two exact integers
+    * (deterministic in any IEEE engine); ordering happens on the grid,
+    * so engines can't disagree on which pair is the median. */
+  def theilSenSlope(events: DataFrame, tsCol: String,
+                    typeCol: String): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val counts = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("etype")).distinct()
+    val full = types.crossJoin(days)
+      .join(counts, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"), coalesce(col("n"), lit(0L)).as("y"))
+    val pairs = full.select(col("etype"), col("day").as("d1"),
+        col("y").as("y1"))
+      .join(full.select(col("etype"), col("day").as("d2"),
+        col("y").as("y2")), Seq("etype"))
+      .where(col("d1") < col("d2"))
+      .select(col("etype"),
+        round(lit(1e6) * (col("y2") - col("y1")).cast("double")
+          / (col("d2") - col("d1")).cast("double")).cast("long").as("s6"))
+    val cells = pairs.groupBy("etype", "s6").agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("etype")).orderBy(col("s6"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = cells.groupBy("etype").agg(sum(col("m")).as("np"))
+    cells.withColumn("cum", sum(col("m")).over(w))
+      .join(broadcast(tot), "etype")
+      .where(lit(2L) * col("cum") >= col("np")
+        && lit(2L) * (col("cum") - col("m")) < col("np"))
+      .select(col("etype"), col("np").as("n_pairs"),
+        col("s6").as("ts_slope6"))
+  }
+
   /** One-sided CUSUM change-point statistic per event type — the
     * sequential burst detector beside [[ewmaBaseline]]'s smoother:
     * over the same full day spine,

@@ -948,8 +948,130 @@ object Windows {
       .orderBy(col("ex"), col("ey"), col("lag"))
   }
 
+  /** Structural trend break per event type (see
+    * [[graft.operators.EventOps.trendBreak]]): the Chow-test sweep
+    * over the day spine from prefix/suffix sufficient statistics —
+    * best breakpoint, SSE gain, and both segment slopes, all replayed
+    * by the oracle from the same integer stats and fixed double
+    * shapes. */
+  val q222 = {
+    def sseSql(n: String, sx: String, sy: String, sxx: String,
+               sxy: String, syy: String): String =
+      s"""CASE WHEN ($n) <= 1 OR (($n) * ($sxx) - ($sx) * ($sx)) = 0 THEN 0.0
+         |  ELSE (CAST(($n) * ($syy) - ($sy) * ($sy) AS DOUBLE)
+         |      * (($n) * ($sxx) - ($sx) * ($sx))
+         |    - CAST(($n) * ($sxy) - ($sx) * ($sy) AS DOUBLE)
+         |      * (($n) * ($sxy) - ($sx) * ($sy)))
+         |    / (CAST($n AS DOUBLE) * (($n) * ($sxx) - ($sx) * ($sx))) END"""
+        .stripMargin
+    def slopeSql(n: String, sx: String, sy: String, sxx: String,
+                 sxy: String): String =
+      s"""CASE WHEN ($n) <= 1 OR (($n) * ($sxx) - ($sx) * ($sx)) = 0
+         |  THEN NULL
+         |  ELSE CAST(round(1e6
+         |    * CAST(($n) * ($sxy) - ($sx) * ($sy) AS DOUBLE)
+         |    / CAST(($n) * ($sxx) - ($sx) * ($sx) AS DOUBLE)) AS BIGINT)
+         |END""".stripMargin
+    val l = Seq("p.cn", "p.csx", "p.csy", "p.csxx", "p.csxy", "p.csyy")
+    val r = Seq("t.tn - p.cn", "t.tsx - p.csx", "t.tsy - p.csy",
+      "t.tsxx - p.csxx", "t.tsxy - p.csxy", "t.tsyy - p.csyy")
+    val a = Seq("t.tn", "t.tsx", "t.tsy", "t.tsxx", "t.tsxy", "t.tsyy")
+    GQuery("q222_trend_break",
+      s"""WITH c AS (
+         |  SELECT event_type AS etype,
+         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+         |  AS day FROM events),
+         |types AS (SELECT DISTINCT event_type AS etype FROM events),
+         |mind AS (SELECT min(day) AS mind FROM days),
+         |full_ AS (
+         |  SELECT t.etype, d.day, d.day - m.mind AS x,
+         |    coalesce(c.n, 0) AS y
+         |  FROM types t CROSS JOIN days d
+         |  LEFT JOIN c ON c.etype = t.etype AND c.day = d.day, mind m),
+         |pre AS (
+         |  SELECT etype, day,
+         |    CAST(sum(1) OVER wp AS BIGINT) AS cn,
+         |    CAST(sum(x) OVER wp AS BIGINT) AS csx,
+         |    CAST(sum(y) OVER wp AS BIGINT) AS csy,
+         |    CAST(sum(x * x) OVER wp AS BIGINT) AS csxx,
+         |    CAST(sum(x * y) OVER wp AS BIGINT) AS csxy,
+         |    CAST(sum(y * y) OVER wp AS BIGINT) AS csyy
+         |  FROM full_ WINDOW wp AS (PARTITION BY etype ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |tot AS (
+         |  SELECT etype, CAST(count(*) AS BIGINT) AS tn,
+         |    CAST(sum(x) AS BIGINT) AS tsx, CAST(sum(y) AS BIGINT) AS tsy,
+         |    CAST(sum(x * x) AS BIGINT) AS tsxx,
+         |    CAST(sum(x * y) AS BIGINT) AS tsxy,
+         |    CAST(sum(y * y) AS BIGINT) AS tsyy
+         |  FROM full_ GROUP BY etype),
+         |cand AS (
+         |  SELECT p.etype, p.day, p.cn, t.tn - p.cn AS nr,
+         |    CAST(round(1e4 * (${sseSql(a(0), a(1), a(2), a(3), a(4), a(5))}
+         |      - ${sseSql(l(0), l(1), l(2), l(3), l(4), l(5))}
+         |      - ${sseSql(r(0), r(1), r(2), r(3), r(4), r(5))}))
+         |      AS BIGINT) AS gain4,
+         |    ${slopeSql(l(0), l(1), l(2), l(3), l(4))} AS slope_l6,
+         |    ${slopeSql(r(0), r(1), r(2), r(3), r(4))} AS slope_r6
+         |  FROM pre p JOIN tot t USING (etype) WHERE p.cn < t.tn)
+         |SELECT etype, day AS break_day, cn AS n_left, nr AS n_right,
+         |  gain4, slope_l6, slope_r6
+         |FROM (SELECT *, row_number() OVER (PARTITION BY etype
+         |    ORDER BY gain4 DESC, day) AS rk FROM cand)
+         |WHERE rk = 1 ORDER BY etype""".stripMargin) { (s, dir) =>
+      graft.operators.EventOps.trendBreak(Tables.events(s, dir),
+          "ts", "event_type")
+        .orderBy(col("etype"))
+    }
+  }
+
+  /** Theil–Sen robust slope per event type (see
+    * [[graft.operators.EventOps.theilSenSlope]]): lower-median of all
+    * pairwise day-spine slopes on the 1e-6 grid — the outlier-immune
+    * trend estimate beside q194's least squares and q222's break
+    * sweep. */
+  val q223 = GQuery("q223_theil_sen",
+    """WITH c AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS day FROM events),
+      |types AS (SELECT DISTINCT event_type AS etype FROM events),
+      |full_ AS (
+      |  SELECT t.etype, d.day, coalesce(c.n, 0) AS y
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN c ON c.etype = t.etype AND c.day = d.day),
+      |pairs AS (
+      |  SELECT a.etype,
+      |    CAST(round(1e6 * CAST(b.y - a.y AS DOUBLE)
+      |      / CAST(b.day - a.day AS DOUBLE)) AS BIGINT) AS s6
+      |  FROM full_ a JOIN full_ b ON b.etype = a.etype AND a.day < b.day),
+      |cells AS (SELECT etype, s6, CAST(count(*) AS BIGINT) AS m
+      |  FROM pairs GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT etype, s6, m,
+      |    CAST(sum(m) OVER (PARTITION BY etype ORDER BY s6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM cells),
+      |tot AS (SELECT etype, CAST(sum(m) AS BIGINT) AS np
+      |  FROM cells GROUP BY etype)
+      |SELECT c.etype AS etype, t.np AS n_pairs, c.s6 AS ts_slope6
+      |FROM cum c JOIN tot t USING (etype)
+      |WHERE 2 * c.cum >= t.np AND 2 * (c.cum - c.m) < t.np
+      |ORDER BY etype""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.theilSenSlope(Tables.events(s, dir),
+        "ts", "event_type")
+      .orderBy(col("etype"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205, q213, q214, q218)
+      q203, q205, q213, q214, q218, q222, q223)
 }

@@ -158,6 +158,38 @@ class EventOpsSpec extends SparkSpec {
       ("alt", 3L, 1L, -2500L)))
   }
 
+  test("trendBreak: piecewise-linear series splits at the slope change") {
+    // counts [1,2,3,10,11,12]: both halves are perfect lines (SSE 0),
+    // total-fit SSE = 7776/630 → gain4 = 123429; slopes 1.0 both sides
+    def dayTs(d: Int, i: Int) = new Timestamp(d * 86400000L + i * 1000L)
+    val rows = for {
+      (c, d) <- Seq(1, 2, 3, 10, 11, 12).zipWithIndex; i <- 0 until c
+    } yield (d * 100L + i, 1L, dayTs(d, i), "brk")
+    val out = EventOps.trendBreak(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "ts", "event_type")
+      .select("etype", "break_day", "n_left", "n_right", "gain4",
+        "slope_l6", "slope_r6")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out === Seq(("brk", 2L, 3L, 3L, 123429L,
+      Some(1000000L), Some(1000000L))))
+  }
+
+  test("theilSenSlope: median pairwise slope shrugs off the outlier day") {
+    // counts [1,2,3,100]: slopes {1,1,33,1,49,97} → lower median 1.0
+    // (least squares would report ~28.8/day)
+    def dayTs(d: Int, i: Int) = new Timestamp(d * 86400000L + i * 1000L)
+    val rows = for {
+      (c, d) <- Seq(1, 2, 3, 100).zipWithIndex; i <- 0 until c
+    } yield (d * 1000L + i, 1L, dayTs(d, i), "ts")
+    val out = EventOps.theilSenSlope(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "ts", "event_type")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("ts", 6L, 1000000L)))
+  }
+
   test("crossCorrelation: hand-computed lead–lag; x leads y by one day") {
     // x = [1,3,1,3], y = [2,1,3,1] (y_{t+1} = x_t for t = 1..3)
     // integer scaling: T=4 Sx=8 Sy=7 Qx=20 Qy=15 → Dx·T²=64, Dy·T²=44
