@@ -704,7 +704,69 @@ object ProfilingQueries {
     }
   }
 
+  /** Two-proportion z-test on CONVERSION (a heavy-purchaser flag:
+    * ≥ 14 purchase events — the fixture's median, so both outcomes are
+    * populated at every SF) between the q195 md5-coin variants — the
+    * significance readout for a binary metric (q215's Welch t covers
+    * the continuous one): pooled-variance z from four exact integers
+    * in one fixed double shape. A |z| < 1.96 on the hash coin is also
+    * a perpetual A/A sanity check of the assignment itself. */
+  val q224 = GQuery("q224_conversion_ztest",
+    """WITH a AS (
+      |  SELECT user_id,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |cv AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id HAVING count(*) >= 14),
+      |s AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM a LEFT JOIN cv USING (user_id) GROUP BY variant),
+      |w AS (
+      |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+      |    max(CASE WHEN variant = 0 THEN conv END) AS c0,
+      |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+      |    max(CASE WHEN variant = 1 THEN conv END) AS c1
+      |  FROM s)
+      |SELECT n0, c0, n1, c1,
+      |  CAST(round(1e4 * (CAST(c0 AS DOUBLE) / n0)) AS BIGINT) AS p0_4,
+      |  CAST(round(1e4 * (CAST(c1 AS DOUBLE) / n1)) AS BIGINT) AS p1_4,
+      |  CAST(round(1e4 * ((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+      |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1)))) AS BIGINT) AS z4
+      |FROM w""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val assign = events.select(col("user_id")).distinct()
+      .withColumn("variant",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+          16, 10).cast("long"), lit(2L)))
+    val converted = events.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+      .where(col("np") >= 14).select(col("user_id"), lit(1L).as("cv"))
+    val st = assign.join(converted, Seq("user_id"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cv").isNotNull, 1L).otherwise(0L)).as("conv"))
+    val p0 = col("c0").cast("double") / col("n0")
+    val p1 = col("c1").cast("double") / col("n1")
+    val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    st.agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("conv"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("conv"))).as("c1"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(lit(1e4) * p0).cast("long").as("p0_4"),
+        round(lit(1e4) * p1).cast("long").as("p1_4"),
+        round(lit(1e4) * ((p0 - p1) / sqrt(pp * (lit(1.0) - pp)
+          * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))))
+          .cast("long").as("z4"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215, q217, q221)
+      q215, q217, q221, q224)
 }
