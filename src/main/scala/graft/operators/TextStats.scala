@@ -413,6 +413,39 @@ object TextStats {
         col("kl8"))
   }
 
+  /** Per-group population stability index against the all-groups mix,
+    * from a pre-aggregated grid-cell histogram `(grp, s4, n)` — the
+    * PSI face of the mergeable-histogram contract beside
+    * [[groupScoreDriftFromCells]]'s KS: KS reports the worst single
+    * CDF gap, PSI integrates mismatch over the whole distribution
+    * (the deployed-model drift convention, with its 0.1/0.25
+    * rules of thumb). Cells ride the corpus jump spine; add-half
+    * smoothing keeps group-absent cells finite; per-cell parts round
+    * to the 1e-8 grid as integers before the order-free sum. Returns
+    * (grp, n_rows, psi8). */
+  def groupPsiFromCells(cellsIn: DataFrame): DataFrame = {
+    val gCells = cellsIn.select(col("grp"), col("s4"), col("n").as("n_g"))
+    val aCells = gCells.groupBy("s4").agg(sum(col("n_g")).as("n_all"))
+    val spine = gCells.select("grp").distinct()
+      .join(broadcast(aCells), lit(true))
+    val cells = spine
+      .join(gCells.select(col("grp"), col("s4"), col("n_g")),
+        Seq("grp", "s4"), "left")
+      .select(col("grp"), col("s4"),
+        coalesce(col("n_g"), lit(0L)).as("n_g"), col("n_all"))
+    val totals = gCells.groupBy("grp").agg(sum(col("n_g")).as("t_g"))
+      .crossJoin(broadcast(gCells.agg(sum(col("n_g")).as("t_all"))))
+      .crossJoin(broadcast(aCells.agg(count(lit(1)).as("b"))))
+    val p = (col("n_g") + lit(0.5)) / (col("t_g") + lit(0.5) * col("b"))
+    val q = (col("n_all") + lit(0.5)) / (col("t_all") + lit(0.5) * col("b"))
+    cells.join(totals, "grp")
+      .withColumn("part8",
+        round(lit(1e8) * ((p - q) * log(p / q))).cast("long"))
+      .groupBy(col("grp"), col("t_g"))
+      .agg(sum(col("part8")).as("psi8"))
+      .select(col("grp"), col("t_g").as("n_rows"), col("psi8"))
+  }
+
   /** Robust length-outlier filter: flag documents whose `lenCol`
     * deviates from the corpus MEDIAN by more than `k` MADs (median
     * absolute deviation) — the robust-statistics cousin of the fixed

@@ -2214,10 +2214,61 @@ object TextQueries {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  /** Per-source PSI of the quality-score distribution against the
+    * corpus mix (see
+    * [[graft.operators.TextStats.groupPsiFromCells]]) — q161's KS
+    * reports the worst CDF gap, this integrates the mismatch with the
+    * deployed-model 0.1/0.25 thresholds; both run off the same grid
+    * cells (and the same machinery serves the streaming histogram
+    * store's `histPsiReport`). */
+  val q225 = GQuery("q225_source_quality_psi",
+    s"""WITH $qualityCte,
+       |srcm AS (SELECT doc_id, source FROM documents),
+       |rws AS (
+       |  SELECT srcm.source AS grp,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS s4
+       |  FROM q JOIN srcm USING (doc_id)),
+       |gc AS (SELECT grp, s4, CAST(count(*) AS BIGINT) AS n_g
+       |  FROM rws GROUP BY 1, 2),
+       |ac AS (SELECT s4, CAST(sum(n_g) AS BIGINT) AS n_all
+       |  FROM gc GROUP BY s4),
+       |spine AS (
+       |  SELECT g.grp, a.s4
+       |  FROM (SELECT DISTINCT grp FROM gc) g CROSS JOIN ac a),
+       |cells AS (
+       |  SELECT sp.grp, sp.s4, coalesce(gc.n_g, 0) AS n_g, ac.n_all
+       |  FROM spine sp
+       |  LEFT JOIN gc ON gc.grp = sp.grp AND gc.s4 = sp.s4
+       |  JOIN ac ON ac.s4 = sp.s4),
+       |tg AS (SELECT grp, CAST(sum(n_g) AS BIGINT) AS t_g
+       |  FROM gc GROUP BY grp),
+       |ta AS (SELECT CAST(sum(n_g) AS BIGINT) AS t_all FROM gc),
+       |nb_ AS (SELECT CAST(count(*) AS BIGINT) AS b FROM ac),
+       |parts AS (
+       |  SELECT c.grp, tg.t_g,
+       |    CAST(round(1e8 * (
+       |        ((n_g + 0.5) / (t_g + 0.5 * b)
+       |          - (n_all + 0.5) / (t_all + 0.5 * b))
+       |      * ln(((n_g + 0.5) / (t_g + 0.5 * b))
+       |          / ((n_all + 0.5) / (t_all + 0.5 * b))))) AS BIGINT) AS part8
+       |  FROM cells c JOIN tg USING (grp), ta, nb_)
+       |SELECT grp AS source, t_g AS n_rows,
+       |  CAST(sum(part8) AS BIGINT) AS psi8
+       |FROM parts GROUP BY 1, 2 ORDER BY source""".stripMargin) { (s, dir) =>
+    val cells = Tables.documents(s, dir)
+      .select(col("source").as("grp"),
+        round(TextFunctions.qualityScore(col("text"), col("n_chars"))
+          * 1e4).cast("long").as("s4"))
+      .groupBy("grp", "s4").agg(count(lit(1)).as("n"))
+    graft.operators.TextStats.groupPsiFromCells(cells)
+      .select(col("grp").as("source"), col("n_rows"), col("psi8"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219, q220)
+      q207, q216, q219, q220, q225)
 }

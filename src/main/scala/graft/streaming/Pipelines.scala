@@ -1801,6 +1801,24 @@ object Pipelines {
       .select(col("grp").as("batch_id"), col("n_rows"), col("ks4"))
   }
 
+  /** Per-batch PSI against the merged store (see
+    * [[graft.operators.TextStats.groupPsiFromCells]]) — the
+    * whole-distribution companion of [[histDriftReport]]'s KS over the
+    * same persisted cells: KS flags the worst CDF gap, PSI the
+    * integrated mismatch with its standard 0.1/0.25 action
+    * thresholds. Same replay-absorption and watermark discipline. */
+  def histPsiReport(spark: org.apache.spark.sql.SparkSession,
+                    storePath: String): DataFrame = {
+    val wm = histWatermark(spark, storePath)
+    graft.operators.TextStats.groupPsiFromCells(
+      spark.read.parquet(storePath)
+        .where(col("batch_id") === -1L || col("batch_id") > wm)
+        .groupBy("batch_id", "grp", "s4").agg(max(col("n")).as("n"))
+        .groupBy(col("batch_id").as("grp"), col("s4"))
+        .agg(sum(col("n")).as("n")))
+      .select(col("grp").as("batch_id"), col("n_rows"), col("psi8"))
+  }
+
   /** Quantile report over a [[histStream]] store: per-key exact
     * quantiles at the requested per-10000 points, plus the corpus-wide
     * `__all__` row — all from the persisted cells. */

@@ -175,4 +175,20 @@ class SketchSpec extends SparkSpec {
         s"$src: estimate $e vs exact $d out of tolerance")
     }
   }
+
+  test("histPsiReport: shifted batch dominates; in-distribution batches sit low") {
+    val store = java.nio.file.Files.createTempDirectory("histpsi").toString
+    val ingest = graft.streaming.Pipelines.histStream("src", "score", store)
+    def df(rows: Seq[(String, Double)]) = rows.toDF("src", "score")
+    val base = Seq(("a", 0.10), ("a", 0.11), ("a", 0.12), ("a", 0.10))
+    ingest(df(base), 0L)
+    ingest(df(base.map { case (s, v) => (s, v + 0.01) }), 1L)
+    ingest(df(Seq(("a", 0.90), ("a", 0.91), ("a", 0.92), ("a", 0.93))), 7L)
+    val psi = graft.streaming.Pipelines.histPsiReport(spark, store)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(psi.keySet === Set(0L, 1L, 7L))
+    assert(psi(7L) > psi(0L) && psi(7L) > psi(1L),
+      s"shifted batch must dominate the PSI report: $psi")
+    assert(psi(7L) > 2500000L, s"PSI8 of a fully-shifted batch: $psi")
+  }
 }

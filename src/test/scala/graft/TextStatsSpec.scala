@@ -169,6 +169,25 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("groupPsiFromCells: hand-replayed parts against the corpus mix") {
+    // grp a cells {1:2, 2:1}, grp b {2:3} → corpus {1:2, 2:4}, B=2,
+    // t_a=3, t_b=3, t_all=6
+    val cells = Seq(("a", 1L, 2L), ("a", 2L, 1L), ("b", 2L, 3L))
+      .toDF("grp", "s4", "n")
+    val out = TextStats.groupPsiFromCells(cells)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def part8(nG: Long, tG: Long, nAll: Long): Long = {
+      val p = (nG + 0.5) / (tG + 0.5 * 2); val q = (nAll + 0.5) / (6 + 0.5 * 2)
+      java.math.BigDecimal.valueOf(1e8 * ((p - q) * math.log(p / q)))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    assert(out === Map(
+      "a" -> ((3L, part8(2, 3, 2) + part8(1, 3, 4))),
+      "b" -> ((3L, part8(0, 3, 2) + part8(3, 3, 4)))))
+    assert(out("a")._2 > 0 && out("b")._2 > 0)
+  }
+
   test("groupTokenKl: hand-replayed unigram KL parts per group") {
     // g1 tokens {a:2, b:1}, g2 {a:1, b:3} → corpus {a:3, b:4}, t=7
     val docs = Seq((1L, "a a b", "g1"), (2L, "b b b a", "g2"))
