@@ -1070,8 +1070,62 @@ object Windows {
       .orderBy(col("etype"))
   }
 
+  /** Retention-decay fit per cohort: the q173 retention triangle
+    * normalized to day-0 rates (1e-4 grid) and pushed through
+    * [[graft.operators.Profiling.groupLinFit]] — slope6 is the decay
+    * in retention grid-points per day, r2_4 how linear the die-off is.
+    * One-offset cohorts drop (no x variance), matching the operator's
+    * contract. */
+  val q226 = GQuery("q226_retention_decay",
+    """WITH acts AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bkt
+      |  FROM events),
+      |first_ AS (SELECT user_id, min(bkt) AS cohort
+      |  FROM acts GROUP BY user_id),
+      |ret AS (
+      |  SELECT f.cohort, a.bkt - f.cohort AS xo,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM acts a JOIN first_ f USING (user_id) GROUP BY 1, 2),
+      |n0 AS (SELECT cohort, n_users AS n0 FROM ret WHERE xo = 0),
+      |rws AS (
+      |  SELECT ret.cohort AS grp, CAST(xo AS BIGINT) AS x,
+      |    CAST(round(1e4 * n_users / n0) AS BIGINT) AS y
+      |  FROM ret JOIN n0 USING (cohort)),
+      |s AS (
+      |  SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      |  FROM rws GROUP BY grp)
+      |SELECT grp AS cohort, CAST(n AS BIGINT) AS n,
+      |  CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope6,
+      |  CAST(round((CAST(sy AS DOUBLE)
+      |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE)) AS BIGINT) AS intercept,
+      |  CAST(CASE WHEN n * syy - sy * sy > 0 THEN
+      |    round(1e4 * CAST(n * sxy - sx * sy AS DOUBLE)
+      |      * CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |         * CAST(n * syy - sy * sy AS DOUBLE)))
+      |    ELSE 10000 END AS BIGINT) AS r2_4
+      |FROM s WHERE n * sxx - sx * sx > 0
+      |ORDER BY cohort""".stripMargin) { (s, dir) =>
+    val ret = graft.operators.EventOps.cohortRetention(
+      Tables.events(s, dir), "user_id", "ts")
+    val n0 = ret.where(col("offset") === 0)
+      .select(col("cohort"), col("n_users").as("n0"))
+    val rates = ret.join(n0, "cohort")
+      .select(col("cohort"), col("offset").as("x"),
+        round(lit(1e4) * col("n_users") / col("n0")).cast("long").as("y"))
+    graft.operators.Profiling.groupLinFit(rates, "cohort", "x", "y")
+      .select(col("grp").as("cohort"), col("n"), col("slope6"),
+        col("intercept"), col("r2_4"))
+      .orderBy(col("cohort"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205, q213, q214, q218, q222, q223)
+      q203, q205, q213, q214, q218, q222, q223, q226)
 }
