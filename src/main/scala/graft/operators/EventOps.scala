@@ -484,6 +484,39 @@ object EventOps {
         col("s6").as("ts_slope6"))
   }
 
+  /** Feed-health dispersion census per event type over the zero-filled
+    * day spine: Fano factor (variance/mean of daily counts — 1.0 is
+    * Poisson, higher is bursty), peak-to-mean ratio, and the fraction
+    * of silent days — the three numbers an ingest dashboard reads
+    * before trusting a feed's volume. All three are single divisions
+    * of exact integers onto the 1e-4 grid
+    * (Fano = (T·Σn² − (Σn)²) / (T·Σn) with population variance).
+    * Returns (etype, n_days, total, fano4, peak_ratio4, zero_frac4).
+    * One census aggregate; nothing leaves the spine. */
+  def dispersionCensus(events: DataFrame, tsCol: String,
+                       typeCol: String): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val counts = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("etype")).distinct()
+    types.crossJoin(days)
+      .join(counts, Seq("etype", "day"), "left")
+      .select(col("etype"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy("etype")
+      .agg(count(lit(1)).as("t"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("qq"), max(col("n")).as("mx"),
+        sum(when(col("n") === 0L, 1L).otherwise(0L)).as("zs"))
+      .where(col("s") > 0L)
+      .select(col("etype"), col("t").as("n_days"), col("s").as("total"),
+        round(lit(1e4) * (col("t") * col("qq") - col("s") * col("s"))
+          .cast("double") / (col("t") * col("s")).cast("double"))
+          .cast("long").as("fano4"),
+        round(lit(1e4) * (col("mx") * col("t")).cast("double")
+          / col("s").cast("double")).cast("long").as("peak_ratio4"),
+        round(lit(1e4) * col("zs") / col("t")).cast("long").as("zero_frac4"))
+  }
+
   /** One-sided CUSUM change-point statistic per event type — the
     * sequential burst detector beside [[ewmaBaseline]]'s smoother:
     * over the same full day spine,

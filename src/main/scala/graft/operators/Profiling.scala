@@ -271,6 +271,46 @@ object Profiling {
         col("nb").as("n_bins"), col("psi8"))
   }
 
+  /** Exact Pareto point per group — the smallest number of rows (taken
+    * largest-first) whose mass reaches `num/den` of the group total:
+    * the "what fraction of documents hold 80% of the characters"
+    * companion of [[giniByGroup]], reported as both a count and a
+    * 1e-4-grid fraction. INTEGER-EXACT throughout: rows collapse to
+    * (group, value) cells, a descending cumulative window finds the
+    * threshold cell, and the within-cell count is an exact integer
+    * ceiling computed as (a − a mod d)/d — no float division anywhere
+    * before the final fraction. Returns
+    * (grp, n_rows, total, pareto_k, pareto_f4). */
+  def paretoPoint(df: DataFrame, groupCol: String, valueCol: String,
+                  num: Int = 4, den: Int = 5): DataFrame = {
+    require(num >= 1 && den > num, "need 0 < num/den < 1")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v").desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cells = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("m"))
+    val cum = cells
+      .withColumn("cmass", sum(col("v") * col("m")).over(wd))
+      .withColumn("ccnt", sum(col("m")).over(wd))
+    val tot = cells.groupBy("grp")
+      .agg(sum(col("v") * col("m")).as("tt"), sum(col("m")).as("n"))
+      .where(col("tt") > 0L)
+    val cb = col("cmass") - col("v") * col("m")
+    val a = lit(num.toLong) * col("tt") - lit(den.toLong) * cb +
+      lit(den.toLong) * col("v") - lit(1L)
+    val dv = lit(den.toLong) * col("v")
+    cum.join(tot, "grp")
+      .where(lit(den.toLong) * col("cmass") >= lit(num.toLong) * col("tt")
+        && lit(den.toLong) * cb < lit(num.toLong) * col("tt"))
+      .select(col("grp"), col("n").as("n_rows"), col("tt").as("total"),
+        (col("ccnt") - col("m")
+          + ((a - pmod(a, dv)) / dv).cast("long")).as("pareto_k"))
+      .withColumn("pareto_f4",
+        round(lit(1e4) * col("pareto_k") / col("n_rows")).cast("long"))
+  }
+
   /** Welch's unequal-variance t statistic for every pair of groups —
     * the significance readout behind the q195 A/B means ("is the
     * difference real or noise"). Each group reduces to three exact

@@ -766,7 +766,44 @@ object ProfilingQueries {
           .cast("long").as("z4"))
   }
 
+  /** Exact 80/20 Pareto point per source (see
+    * [[graft.operators.Profiling.paretoPoint]]): the smallest
+    * largest-first document count holding ≥ 4/5 of each source's
+    * character mass — the Lorenz-curve reading q208's Gini summarizes.
+    * Integer-exact including the within-cell ceiling. */
+  val q228 = GQuery("q228_pareto_point",
+    """WITH cells AS (
+      |  SELECT source AS grp, n_chars AS v, CAST(count(*) AS BIGINT) AS m
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, v, m,
+      |    CAST(sum(v * m) OVER wd AS BIGINT) AS cmass,
+      |    CAST(sum(m) OVER wd AS BIGINT) AS ccnt
+      |  FROM cells WINDOW wd AS (PARTITION BY grp ORDER BY v DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT grp, CAST(sum(v * m) AS BIGINT) AS tt,
+      |  CAST(sum(m) AS BIGINT) AS n FROM cells GROUP BY grp),
+      |th AS (
+      |  SELECT c.grp, t.n, t.tt, c.ccnt - c.m AS kb,
+      |    4 * t.tt - 5 * (c.cmass - c.v * c.m) + 5 * c.v - 1 AS a,
+      |    5 * c.v AS dv
+      |  FROM cum c JOIN tot t USING (grp)
+      |  WHERE t.tt > 0 AND 5 * c.cmass >= 4 * t.tt
+      |    AND 5 * (c.cmass - c.v * c.m) < 4 * t.tt),
+      |sel AS (
+      |  SELECT grp, n, tt,
+      |    kb + CAST((a - a % dv) / dv AS BIGINT) AS pareto_k
+      |  FROM th)
+      |SELECT grp AS source, n AS n_rows, tt AS total, pareto_k,
+      |  CAST(round(1e4 * pareto_k / n) AS BIGINT) AS pareto_f4
+      |FROM sel ORDER BY source""".stripMargin) { (s, dir) =>
+    Profiling.paretoPoint(Tables.documents(s, dir), "source", "n_chars",
+        num = 4, den = 5)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215, q217, q221, q224)
+      q215, q217, q221, q224, q228)
 }

@@ -1124,8 +1124,43 @@ object Windows {
       .orderBy(col("cohort"))
   }
 
+  /** Feed-health dispersion census (see
+    * [[graft.operators.EventOps.dispersionCensus]]): Fano factor,
+    * peak-to-mean, and silent-day fraction per event type — three
+    * exact integer ratios on the day spine. */
+  val q227 = GQuery("q227_dispersion_census",
+    """WITH c AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS day FROM events),
+      |types AS (SELECT DISTINCT event_type AS etype FROM events),
+      |full_ AS (
+      |  SELECT t.etype, d.day, coalesce(c.n, 0) AS n
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN c ON c.etype = t.etype AND c.day = d.day),
+      |a AS (
+      |  SELECT etype, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS qq,
+      |    CAST(max(n) AS BIGINT) AS mx,
+      |    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zs
+      |  FROM full_ GROUP BY etype)
+      |SELECT etype, t AS n_days, s AS total,
+      |  CAST(round(1e4 * CAST(t * qq - s * s AS DOUBLE)
+      |    / CAST(t * s AS DOUBLE)) AS BIGINT) AS fano4,
+      |  CAST(round(1e4 * CAST(mx * t AS DOUBLE) / CAST(s AS DOUBLE))
+      |    AS BIGINT) AS peak_ratio4,
+      |  CAST(round(1e4 * zs / t) AS BIGINT) AS zero_frac4
+      |FROM a WHERE s > 0 ORDER BY etype""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.dispersionCensus(Tables.events(s, dir),
+        "ts", "event_type")
+      .orderBy(col("etype"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205, q213, q214, q218, q222, q223, q226)
+      q203, q205, q213, q214, q218, q222, q223, q226, q227)
 }

@@ -158,6 +158,24 @@ class EventOpsSpec extends SparkSpec {
       ("alt", 3L, 1L, -2500L)))
   }
 
+  test("dispersionCensus: Fano, peak-to-mean, and silent days on the shared spine") {
+    // spine days {0,1,2}; d = [2,0,4] → fano 24/18, peak 2.0, zero 1/3
+    //                     e = [0,1,0] → fano 2/3,   peak 3.0, zero 2/3
+    def dayTs(d: Int, i: Int) = new Timestamp(d * 86400000L + i * 1000L)
+    val rows = Seq((1L, 1L, dayTs(0, 0), "d"), (2L, 1L, dayTs(0, 1), "d"),
+      (3L, 1L, dayTs(2, 0), "d"), (4L, 1L, dayTs(2, 1), "d"),
+      (5L, 1L, dayTs(2, 2), "d"), (6L, 1L, dayTs(2, 3), "d"),
+      (7L, 2L, dayTs(1, 0), "e"))
+    val out = EventOps.dispersionCensus(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "ts", "event_type")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out === Map(
+      "d" -> ((3L, 6L, 13333L, 20000L, 3333L)),
+      "e" -> ((3L, 1L, 6667L, 30000L, 6667L))))
+  }
+
   test("trendBreak: piecewise-linear series splits at the slope change") {
     // counts [1,2,3,10,11,12]: both halves are perfect lines (SSE 0),
     // total-fit SSE = 7776/630 → gain4 = 123429; slopes 1.0 both sides

@@ -190,6 +190,19 @@ class ProfilingSpec extends SparkSpec {
     assert(out === Seq((7L, 3L, 5L, 2755L, 3L, 4L)))
   }
 
+  test("paretoPoint: exact largest-first count to 80% mass, within-cell ceiling") {
+    // a: [10,5,3,1,1] total 20 → desc cum 10,15,18 ≥ 16 at k=3 → f=.6
+    // b: [4,4,4,4,4] total 20 → one cell, needs exactly 4 of 5 docs
+    val rows = (Seq(10L, 5L, 3L, 1L, 1L).map(("a", _)) ++
+      Seq.fill(5)(("b", 4L))).toDF("g", "mass")
+    val out = Profiling.paretoPoint(rows, "g", "mass")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      "a" -> ((5L, 20L, 3L, 6000L)),
+      "b" -> ((5L, 20L, 4L, 8000L))))
+  }
+
   test("giniByGroup: hand-computed ranks, ties, and degenerate groups") {
     val rows = Seq(
       ("a", 1L), ("a", 1L), ("a", 2L),  // G = 2/12 → 1667
