@@ -94,6 +94,49 @@ object EventOps {
       .select(col("max_concurrent"), col("at_ts"))
   }
 
+  /** Per-interval overlap degree — for every interval, how many OTHER
+    * intervals overlap it (inclusive ends: touching counts), via the
+    * order-statistics identity
+    * degree = #(starts ≤ my_end) − #(ends < my_start) − 1,
+    * so NO interval join ever happens: two boundary sweeps with probe
+    * rows, each the q168 two-phase prefix-sum shape (bucket-local
+    * cumulative + broadcast bucket offsets — never a single global
+    * sort partition). RANGE-peer window semantics make the ≤ / <
+    * asymmetry exact: counted rows order BEFORE probes in the first
+    * sweep (inclusive) and AFTER them in the second (strict).
+    * `idCol` must uniquely identify an interval; `vCol`s are epoch
+    * seconds. Returns the interval rows plus `degree`. */
+  def overlapDegree(intervals: DataFrame, idCol: String, stCol: String,
+                    enCol: String, bucketSeconds: Long = 3600L): DataFrame = {
+    def sweep(countedV: Column, probeV: Column,
+              probeFirst: Boolean, out: String): DataFrame = {
+      val counted = intervals.select(countedV.as("v"),
+        lit(if (probeFirst) 1 else 0).as("ord"), lit(1L).as("delta"),
+        lit(null).cast(intervals.schema(idCol).dataType).as("pid"))
+      val probes = intervals.select(probeV.as("v"),
+        lit(if (probeFirst) 0 else 1).as("ord"), lit(0L).as("delta"),
+        col(idCol).as("pid"))
+      val pts = counted.unionAll(probes)
+        .withColumn("bkt", floor(col("v") / bucketSeconds))
+      val wLocal = Window.partitionBy(col("bkt"))
+        .orderBy(col("v"), col("ord")) // default RANGE frame: peers share
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = pts.groupBy("bkt").agg(sum(col("delta")).as("tot"))
+        .withColumn("offset", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+        .select("bkt", "offset")
+      pts.withColumn("cum_local", sum(col("delta")).over(wLocal))
+        .join(broadcast(offsets), "bkt")
+        .where(col("pid").isNotNull)
+        .select(col("pid").as(idCol), (col("cum_local") + col("offset")).as(out))
+    }
+    val c1 = sweep(col(stCol), col(enCol), probeFirst = false, "c_le")
+    val c2 = sweep(col(enCol), col(stCol), probeFirst = true, "c_lt")
+    intervals.join(c1, idCol).join(c2, idCol)
+      .withColumn("degree", col("c_le") - col("c_lt") - lit(1L))
+      .drop("c_le", "c_lt")
+  }
+
   /** OHLC bars (candle aggregation): per (group, time bucket) the
     * first/max/min/last of a value ordered by (ts, tie id) — the
     * financial-bar shape, equally the right summary for any metric

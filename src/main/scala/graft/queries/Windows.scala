@@ -1159,8 +1159,71 @@ object Windows {
       .orderBy(col("etype"))
   }
 
+  /** Session overlap degree (see
+    * [[graft.operators.EventOps.overlapDegree]]): for every q46
+    * session, how many OTHER users' sessions were concurrent with it —
+    * computed with ZERO interval joins via the two boundary sweeps
+    * (the q168 two-phase prefix-sum shape), which is the plan that
+    * survives a day with 10⁸ overlapping sessions. Touching ends
+    * count as overlap (inclusive). */
+  val q229 = GQuery("q229_session_overlap",
+    """WITH s AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s),
+      |iv AS (
+      |  SELECT user_id,
+      |    user_id * 10000000000 + CAST(floor(epoch(min(ts))) AS BIGINT)
+      |      AS id,
+      |    min(ts) AS session_start,
+      |    CAST(floor(epoch(min(ts))) AS BIGINT) AS st,
+      |    CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS en,
+      |    count(*) AS n_events
+      |  FROM g GROUP BY user_id, sid),
+      |p1 AS (
+      |  SELECT st AS v, 0 AS ord, 1 AS delta, NULL AS pid FROM iv
+      |  UNION ALL
+      |  SELECT en AS v, 1 AS ord, 0 AS delta, id AS pid FROM iv),
+      |c1 AS (
+      |  SELECT pid, CAST(sum(delta) OVER (ORDER BY v, ord) AS BIGINT)
+      |    AS c_le
+      |  FROM p1),
+      |p2 AS (
+      |  SELECT en AS v, 1 AS ord, 1 AS delta, NULL AS pid FROM iv
+      |  UNION ALL
+      |  SELECT st AS v, 0 AS ord, 0 AS delta, id AS pid FROM iv),
+      |c2 AS (
+      |  SELECT pid, CAST(sum(delta) OVER (ORDER BY v, ord) AS BIGINT)
+      |    AS c_lt
+      |  FROM p2)
+      |SELECT iv.user_id AS user_id, iv.session_start AS session_start,
+      |  iv.n_events AS n_events, c1.c_le - c2.c_lt - 1 AS degree
+      |FROM iv JOIN c1 ON c1.pid = iv.id JOIN c2 ON c2.pid = iv.id
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    val sess = graft.streaming.Pipelines.sessionWindowAgg(
+        Tables.events(s, dir), "ts", delay = "0 seconds",
+        gap = "30 minutes", keyCol = "user_id")
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        (col("user_id") * lit(10000000000L)
+          + unix_timestamp(col("session_start"))).as("id"),
+        unix_timestamp(col("session_start")).as("st"),
+        unix_timestamp(col("session_end")).as("en"))
+    graft.operators.EventOps.overlapDegree(sess, "id", "st", "en")
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("degree"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205, q213, q214, q218, q222, q223, q226, q227)
+      q203, q205, q213, q214, q218, q222, q223, q226, q227, q229)
 }

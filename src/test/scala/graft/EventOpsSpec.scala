@@ -158,6 +158,17 @@ class EventOpsSpec extends SparkSpec {
       ("alt", 3L, 1L, -2500L)))
   }
 
+  test("overlapDegree: order-statistics identity, inclusive touch, no self-count") {
+    // [0,10] [5,20] [10,30] [40,50] → degrees 2,2,2,0 ([0,10] touches
+    // [10,30] at 10 — inclusive ends make that an overlap)
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 20L), (3L, 10L, 30L),
+      (4L, 40L, 50L)).toDF("id", "st", "en")
+    val out = EventOps.overlapDegree(iv, "id", "st", "en",
+        bucketSeconds = 7L) // force boundaries across buckets
+      .select("id", "degree").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 0L))
+  }
+
   test("dispersionCensus: Fano, peak-to-mean, and silent days on the shared spine") {
     // spine days {0,1,2}; d = [2,0,4] → fano 24/18, peak 2.0, zero 1/3
     //                     e = [0,1,0] → fano 2/3,   peak 3.0, zero 2/3
