@@ -733,7 +733,50 @@ object SimilarityQueries {
       .orderBy(col("id_a"))
   }
 
+  /** Matryoshka prefix-mass census: for dimension prefixes 8/16/32 of
+    * the 64-dim embeddings, the per-vector retained-norm fraction
+    * ‖x[1..L]‖ / ‖x‖ (1e-4 grid, the exact cosine between the full
+    * vector and its zero-padded truncation) summarized per label —
+    * the audit that says whether truncated-dimension ANN (the
+    * matryoshka/MRL serving trick) is safe for this embedding space.
+    * Per-row grid snap BEFORE the mean keeps both engines on integer
+    * aggregation; prefix norms reuse the ordered-fold dot, replayed
+    * by the oracle with the same unrolled term chain. */
+  val q230 = {
+    val Ls = Seq(8, 16, 32)
+    val union = Ls.map { l =>
+      s"""SELECT label, CAST($l AS BIGINT) AS prefix_dim,
+         |  CAST(round(1e4 * sqrt(
+         |    (${VectorFunctions.dotSql("embedding", "embedding", l)})
+         |    / (${VectorFunctions.dotSql("embedding", "embedding", Dim)})))
+         |    AS BIGINT) AS frac4
+         |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    GQuery("q230_matryoshka_mass",
+      s"""WITH r AS (
+         |$union)
+         |SELECT label, prefix_dim, count(*) AS n_vecs,
+         |  CAST(round(avg(frac4)) AS BIGINT) AS avg_frac4,
+         |  min(frac4) AS min_frac4
+         |FROM r GROUP BY 1, 2 ORDER BY label, prefix_dim""".stripMargin) {
+      (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ls.map { l =>
+        emb.select(col("label"), lit(l.toLong).as("prefix_dim"),
+          round(lit(1e4) * sqrt(
+            VectorFunctions.normSq(slice(col("embedding"), 1, l))
+              / VectorFunctions.normSq(col("embedding"))))
+            .cast("long").as("frac4"))
+      }.reduce(_ unionAll _)
+        .groupBy("label", "prefix_dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("frac4"))).cast("long").as("avg_frac4"),
+          min(col("frac4")).as("min_frac4"))
+        .orderBy(col("label"), col("prefix_dim"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109, q124, q125, q130, q140, q141, q152)
+      q99, q101, q109, q124, q125, q130, q140, q141, q152, q230)
 }
