@@ -776,7 +776,68 @@ object SimilarityQueries {
     }
   }
 
+  /** Truncated-dimension retrieval recall: brute-force top-k under
+    * prefix-dim cosine (16 and 32 of 64) audited against the full-dim
+    * exact top-k with the q109 recall machinery — q230 reports how
+    * much NORM the prefixes keep; this reports what that costs in
+    * actual retrieval, the number a matryoshka serving tier is
+    * justified by. Prefix cosine IS `cosineSql` at the lower dim, so
+    * the oracle replays both rankings and the zero-filled overlap. */
+  val q231 = {
+    val Ls = Seq(16, 32)
+    def topK(name: String, dim: Int): String =
+      s"""${name}_s AS (
+         |  SELECT q.query_id, v.corpus_id,
+         |    round(${VectorFunctions.cosineSql("q.qv", "v.cv", dim)}, 6)
+         |      AS cosine
+         |  FROM q, cvt v WHERE v.corpus_id <> q.query_id),
+         |$name AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, corpus_id) AS rn
+         |    FROM ${name}_s) WHERE rn <= $K)""".stripMargin
+    val recalls = Ls.map { l =>
+      s"""SELECT 'dim$l' AS method, e.query_id,
+         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(h.n, 0) / CAST($K AS DOUBLE), 4) AS recall
+         |FROM (SELECT DISTINCT query_id FROM r_exact) e
+         |LEFT JOIN (SELECT x.query_id, count(*) AS n
+         |           FROM r_exact x JOIN r_dim$l a
+         |             ON a.query_id = x.query_id
+         |            AND a.corpus_id = x.corpus_id
+         |           GROUP BY x.query_id) h ON h.query_id = e.query_id"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    GQuery("q231_truncated_recall",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NQueries),
+         |cvt AS (SELECT vec_id AS corpus_id, embedding AS cv
+         |  FROM embeddings),
+         |${topK("r_exact", Dim)},
+         |${Ls.map(l => topK(s"r_dim$l", l)).mkString(",\n")}
+         |$recalls
+         |ORDER BY method, query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < NQueries)
+      val exact = Similarity.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", k = K, dim = Dim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Ls.map { l =>
+        val cut = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("embedding", slice(col("embedding"), 1, l))
+        val approx = Similarity.bruteForceTopK(cut(emb), cut(queries),
+          "vec_id", "embedding", k = K, dim = l)
+        Similarity.annRecall(exact, approx, K)
+          .withColumn("method", lit(s"dim$l"))
+      }.reduce(_ unionAll _)
+        .select(col("method"), col("query_id"), col("n_hits"), col("recall"))
+        .orderBy(col("method"), col("query_id"))
+      out
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109, q124, q125, q130, q140, q141, q152, q230)
+      q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231)
 }
