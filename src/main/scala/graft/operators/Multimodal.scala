@@ -454,6 +454,85 @@ object Multimodal {
     }
   }
 
+  /** Patch-grid luma statistics — the ViT-preprocessing shape over the
+    * decoded raster: pixels quantize onto a G×G patch grid
+    * (`patch = coord·G / dim`, integer division — the canonical
+    * quantization, oracle-replayable per pixel) and each patch reports
+    * its exact pixel count and BT.601 integer luma sum
+    * (299·r + 587·g + 114·b milli-units, NO division — the q120 dHash
+    * weighting). Per-patch means and their spread are the flat-image /
+    * letterbox / watermark-block discard signals a vision-corpus
+    * curation pass reads, and the patch grid is exactly what a
+    * patch-embedding exporter would tokenize. Undecodable blobs
+    * degrade to one typed corrupt row. */
+  object PatchStatsCodec extends Serializable {
+    /** (format, width, height, patches[(py, px, n_px, sum_luma_m)]);
+      * corrupt → ("corrupt", -1, -1, empty). */
+    def stats(bytes: Array[Byte], grid: Int)
+        : (String, Int, Int, Array[(Int, Int, Long, Long)]) = {
+      val (fmt, img) = ChannelStatsCodec.decode(bytes)
+      if (img == null) return ("corrupt", -1, -1, Array.empty)
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = new Array[Long](grid * grid)
+      val s = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val py = y * grid / h
+        var x = 0
+        while (x < w) {
+          val px = x * grid / w
+          val m = img.getRGB(x, y) & 0xffffff
+          val luma = ((m >> 16) & 0xff) * 299L + ((m >> 8) & 0xff) * 587L +
+            (m & 0xff) * 114L
+          val i = py * grid + px
+          n(i) += 1
+          s(i) += luma
+          x += 1
+        }
+        y += 1
+      }
+      val out = Array.newBuilder[(Int, Int, Long, Long)]
+      var i = 0
+      while (i < grid * grid) {
+        if (n(i) > 0) out += ((i / grid, i % grid, n(i), s(i)))
+        i += 1
+      }
+      (fmt, w, h, out.result())
+    }
+  }
+
+  /** Per-partition patch-grid decode: one row per NONEMPTY patch
+    * `(id, format, width, height, py, px, n_px, sum_luma)`; a corrupt
+    * blob yields one typed row with patch coords −1. Zero shuffle —
+    * the [[decodeImageChannelStatsPartitions]] contract with a
+    * patch-exploded output (≤ grid² rows per image). */
+  def decodeImagePatchStatsPartitions(df: DataFrame, blobCol: String,
+                                      idCol: String,
+                                      grid: Int = 4): DataFrame = {
+    require(grid >= 1, "grid must be positive")
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("py", IntegerType).add("px", IntegerType)
+      .add("n_px", LongType).add("sum_luma", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val id = r.getLong(idIdx)
+        val (f, w, h, patches) = PatchStatsCodec.stats(bytes, grid)
+        if (patches.isEmpty) Iterator(Row(id, f, w, h, -1, -1, -1L, -1L))
+        else patches.iterator.map { case (py, px, n, s) =>
+          Row(id, f, w, h, py, px, n, s)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Nearest-neighbor thumbnail kernel — the TRANSFORM face of the
     * image family (probe/dHash/channel-stats only read): decode the
     * raster, sample a tw×th thumbnail with the canonical

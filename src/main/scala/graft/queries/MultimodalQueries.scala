@@ -1117,7 +1117,87 @@ object MultimodalQueries {
       .orderBy(col("source"))
   }
 
+  /** Patch-grid luma census (see
+    * [[graft.operators.Multimodal.PatchStatsCodec]]): real raster
+    * decode onto the 4×4 ViT-style patch grid, exact per-patch luma
+    * means, and the per-image patch CONTRAST (max−min patch mean —
+    * the flat-image/letterbox discard signal), rolled up per source.
+    * Same corpus as q175 (every 3rd doc, every 13th blob truncated);
+    * the oracle replays the generator's pixel arithmetic AND the
+    * integer patch quantization per (x, y). */
+  val q232 = GQuery("q232_image_patch_census",
+    """WITH m AS (
+      |  SELECT doc_id, source, (doc_id % 13 = 0) AS bad,
+      |    8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 24 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |xs AS (
+      |  SELECT doc_id, source, w, h, unnest(range(0, w)) AS x
+      |  FROM m WHERE NOT bad),
+      |pxy AS (
+      |  SELECT doc_id, source, w, h, x, unnest(range(0, h)) AS y
+      |  FROM xs),
+      |lum AS (
+      |  SELECT doc_id, source,
+      |    (y * 4) // h AS py, (x * 4) // w AS pxc,
+      |    ((doc_id + x * 31 + y * 131) % 16777216) AS v
+      |  FROM pxy),
+      |pat AS (
+      |  SELECT doc_id, source, py, pxc, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(((v // 65536) % 256) * 299 + ((v // 256) % 256) * 587
+      |      + (v % 256) * 114) AS BIGINT) AS sl
+      |  FROM lum GROUP BY 1, 2, 3, 4),
+      |pm AS (SELECT doc_id, source,
+      |  CAST(round(CAST(sl AS DOUBLE) / n) AS BIGINT) AS meanm FROM pat),
+      |ci AS (
+      |  SELECT doc_id, source, max(meanm) - min(meanm) AS contrast,
+      |    CAST(count(*) AS BIGINT) AS n_patches
+      |  FROM pm GROUP BY 1, 2),
+      |per AS (
+      |  SELECT source, count(*) AS n_images,
+      |    CAST(round(avg(contrast)) AS BIGINT) AS avg_contrast,
+      |    max(contrast) AS max_contrast, min(n_patches) AS min_patches
+      |  FROM ci GROUP BY source),
+      |co AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+      |  FROM m GROUP BY source)
+      |SELECT p.source, p.n_images, coalesce(co.n_corrupt, 0) AS n_corrupt,
+      |  p.avg_contrast, p.max_contrast, p.min_patches
+      |FROM per p LEFT JOIN co USING (source)
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val ids = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = ids.mapPartitions(_.map { id =>
+      val bytes = Multimodal.encodePng(
+        (8 + id % 24).toInt, (8 + (id * 7) % 24).toInt, seed = id)
+      (id, if (id % 13 == 0) bytes.take(6) else bytes)
+    }).toDF("doc_id", "blob")
+    val st = Multimodal
+      .decodeImagePatchStatsPartitions(blobs, "blob", "doc_id", grid = 4)
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+    val ci = st.where(col("format") =!= "corrupt")
+      .withColumn("meanm",
+        round(col("sum_luma").cast("double") / col("n_px")).cast("long"))
+      .groupBy(col("id"), col("source"))
+      .agg((max(col("meanm")) - min(col("meanm"))).as("contrast"),
+        count(lit(1)).as("n_patches"))
+    val per = ci.groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        round(avg(col("contrast"))).cast("long").as("avg_contrast"),
+        max(col("contrast")).as("max_contrast"),
+        min(col("n_patches")).as("min_patches"))
+    val corrupt = st.where(col("format") === "corrupt")
+      .groupBy("source").agg(count(lit(1)).as("n_corrupt"))
+    per.join(corrupt, Seq("source"), "left")
+      .select(col("source"), col("n_images"),
+        coalesce(col("n_corrupt"), lit(0L)).as("n_corrupt"),
+        col("avg_contrast"), col("max_contrast"), col("min_patches"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123,
-      q128, q129, q131, q132, q133, q175, q190)
+      q128, q129, q131, q132, q133, q175, q190, q232)
 }

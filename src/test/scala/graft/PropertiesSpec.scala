@@ -216,6 +216,7 @@ class PropertiesSpec extends SparkSpec {
       Multimodal.ChannelStatsCodec.stats(b)
       Multimodal.ThumbCodec.thumbStats(b, 4, 4)
       Multimodal.ThumbCodec.thumbnailPng(b, 4, 4)
+      Multimodal.PatchStatsCodec.stats(b, 4)
     }
   }
 

@@ -240,6 +240,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L) === ("png", er) && out(2L) === ("corrupt", -1L))
   }
 
+  test("PatchStatsCodec: per-patch luma sums replay the pixel formula; mass conserved") {
+    // 6x5 raster, 4x4 grid: patch = coord*4/dim integer division
+    val (w, h, seed) = (6, 5, 11L)
+    val exp = scala.collection.mutable.Map.empty[(Int, Int), (Long, Long)]
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (seed + 31L * x + 131L * y) & 0xffffff
+      val luma = ((v >> 16) & 0xff) * 299L + ((v >> 8) & 0xff) * 587L +
+        (v & 0xff) * 114L
+      val k = (y * 4 / h, x * 4 / w)
+      val (n0, s0) = exp.getOrElse(k, (0L, 0L))
+      exp(k) = (n0 + 1, s0 + luma)
+    }
+    val (fmt, ww, hh, patches) = Multimodal.PatchStatsCodec
+      .stats(Multimodal.encodePng(w, h, seed), 4)
+    assert(fmt === "png" && ww === w && hh === h)
+    assert(patches.map(p => (p._1, p._2) -> ((p._3, p._4))).toMap === exp.toMap)
+    // mass conservation vs the channel-stats kernel
+    val cs = Multimodal.ChannelStatsCodec.stats(Multimodal.encodePng(w, h, seed))
+    assert(patches.map(_._3).sum === (w * h).toLong)
+    assert(patches.map(_._4).sum === cs._5 * 299L + cs._6 * 587L + cs._7 * 114L)
+    // corrupt degrades typed through the per-partition wrapper
+    val df = Seq((1L, Multimodal.encodePng(w, h, seed)),
+      (2L, "junk".getBytes("UTF-8"))).toDF("id", "blob")
+    val out = Multimodal
+      .decodeImagePatchStatsPartitions(df, "blob", "id", grid = 4)
+      .groupBy("id", "format").count()
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 > 1L && out(2L) === (("corrupt", 1L)))
+  }
+
   test("ThumbCodec: nearest-neighbor arithmetic exact; re-encode deterministic; corrupt typed") {
     // 8x8 source, 4x4 thumb → src = t*8/4 = 2t on both axes
     val (w, h, seed) = (8, 8, 5L)
