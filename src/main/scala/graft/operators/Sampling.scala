@@ -444,4 +444,46 @@ object Sampling {
       .select("s4", "bucket")
     rows.join(broadcast(mapped), "s4").select(col(idCol), col("s4"), col("bucket"))
   }
+
+  /** Neyman-optimal stratified sample allocation: split a row `budget`
+    * across strata proportionally to N_h·σ_h (the allocation that
+    * minimizes the estimator variance — survey-sampling's standard
+    * answer to "how many rows from each source"). The weight is EXACT:
+    * N_h·σ_h = √(n·Σv² − (Σv)²) on the 1e-4 value grid (128-bit sums),
+    * snapped to an integer; the split is Hamilton largest-remainder
+    * apportionment on those integers — floor quotas from the
+    * exact-multiple division trick, leftovers to the largest
+    * remainders (ties → stratum name) — so Σalloc = budget exactly and
+    * both engines agree seat by seat. Zero-variance strata weigh 0.
+    * Returns (stratum, n_rows, w, alloc). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be nonnegative")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val s = df.where(col(valueCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        round(col(valueCol) * 1e4).cast("long").as("v4"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum(col("v4")).as("sv"),
+        // square in 128-bit: a 1e9-grid value squares past int64
+        sum(col("v4").cast(dec) * col("v4")).as("svv"))
+      .withColumn("w", round(sqrt((col("n") * col("svv")
+        - col("sv").cast(dec) * col("sv")).cast("double"))).cast("long"))
+    val tot = s.agg(sum(col("w")).as("wt"))
+    val a = lit(budget) * col("w")
+    val base = when(col("wt") > 0L,
+      ((a - pmod(a, col("wt"))) / col("wt")).cast("long")).otherwise(lit(0L))
+    val based = s.crossJoin(broadcast(tot))
+      .withColumn("base", base)
+      .withColumn("rem", when(col("wt") > 0L, pmod(a, col("wt")))
+        .otherwise(lit(0L)))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("lo"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("stratum"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(wr))
+      .select(col("stratum"), col("n").as("n_rows"), col("w"),
+        (col("base") + when(col("rn") <= col("lo"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

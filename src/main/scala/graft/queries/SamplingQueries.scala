@@ -879,7 +879,45 @@ object SamplingQueries {
     Sampling.mixtureWaterfill(perSource, total / 2).orderBy(col("source"))
   }
 
+  /** Neyman-optimal stratified allocation (see
+    * [[graft.operators.Sampling.neymanAllocation]]): a 1000-row sample
+    * budget split across order priorities ∝ N_h·σ_h of the order value
+    * — exact integer weights, Hamilton largest-remainder seats, so the
+    * oracle replays the apportionment seat by seat and Σalloc = 1000
+    * is a hash-checked invariant. */
+  val q233 = GQuery("q233_neyman_allocation",
+    """WITH s AS (
+      |  SELECT o_orderpriority AS stratum, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(1e4 * o_totalprice) AS BIGINT)) AS BIGINT)
+      |      AS sv,
+      |    sum(CAST(round(1e4 * o_totalprice) AS HUGEINT)
+      |      * CAST(round(1e4 * o_totalprice) AS BIGINT)) AS svv
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |w_ AS (
+      |  SELECT stratum, n,
+      |    CAST(round(sqrt(CAST(n * svv - CAST(sv AS HUGEINT) * sv
+      |      AS DOUBLE))) AS BIGINT) AS w
+      |  FROM s),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w_),
+      |b AS (
+      |  SELECT stratum, n, w, wt,
+      |    CASE WHEN wt > 0
+      |      THEN CAST(((1000 * w) - (1000 * w) % wt) / wt AS BIGINT)
+      |      ELSE 0 END AS base,
+      |    CASE WHEN wt > 0 THEN (1000 * w) % wt ELSE 0 END AS rem
+      |  FROM w_, tot),
+      |lo AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS lo FROM b),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rn
+      |  FROM b)
+      |SELECT stratum, n AS n_rows, w,
+      |  base + CASE WHEN rn <= lo THEN 1 ELSE 0 END AS alloc
+      |FROM r, lo ORDER BY stratum""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.neymanAllocation(
+        Tables.orders(s, dir), "o_orderpriority", "o_totalprice", 1000L)
+      .orderBy(col("stratum"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106, q142, q144, q147, q149, q154, q155, q165)
+      q102, q106, q142, q144, q147, q149, q154, q155, q165, q233)
 }

@@ -146,4 +146,20 @@ class WeightedSampleSpec extends SparkSpec {
         s4 -> ((cumThrough - n) * 8 / 1000).toInt }.toMap
     assert(out.forall { case (_, s4, b) => expected(s4) == b })
   }
+
+  test("neymanAllocation: hand-computed weights, Hamilton seats, exact budget") {
+    // A [0,2] → w = √(2·4e8 − 4e8) = 20000; B [0,4] → w = 40000;
+    // C [5,5] → zero variance, w = 0. budget 10: bases 3/6/0,
+    // leftover 1 → largest remainder is B → 3/7/0.
+    val rows = Seq(("A", 0.0), ("A", 2.0), ("B", 0.0), ("B", 4.0),
+      ("C", 5.0), ("C", 5.0)).toDF("g", "v")
+    val out = graft.operators.Sampling.neymanAllocation(rows, "g", "v", 10L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      "A" -> ((2L, 20000L, 3L)),
+      "B" -> ((2L, 40000L, 7L)),
+      "C" -> ((2L, 0L, 0L))))
+    assert(out.values.map(_._3).sum === 10L)
+  }
 }
