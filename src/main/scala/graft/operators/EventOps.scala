@@ -527,6 +527,31 @@ object EventOps {
         col("s6").as("ts_slope6"))
   }
 
+  /** Per-user behavioral entropy: Shannon entropy of each user's
+    * event-type distribution — 0 for a one-note user, ln(|types|) for
+    * a uniform one; the routine-vs-explorer signal a personalization
+    * or bot-detection pass reads. Per-(user, type) contributions
+    * −p·ln p are rounded to the 1e-4 nat grid as integers BEFORE the
+    * per-user sum (the NB/BM25 part idiom). Cells are bounded by
+    * |types| per user; one census aggregate, one user-keyed roll-up.
+    * Returns (user_id, n_events, n_types, entropy4). */
+  def userEntropy(events: DataFrame, userCol: String,
+                  typeCol: String): DataFrame = {
+    val cells = events.groupBy(col(userCol).as("user_id"),
+        col(typeCol).as("etype"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("user_id")
+      .agg(sum(col("n")).as("t"), count(lit(1)).as("n_types"))
+    cells.join(tot, "user_id")
+      .withColumn("part4",
+        round(lit(-1e4) * (col("n").cast("double") / col("t"))
+          * log(col("n").cast("double") / col("t"))).cast("long"))
+      .groupBy(col("user_id"), col("t"), col("n_types"))
+      .agg(sum(col("part4")).as("entropy4"))
+      .select(col("user_id"), col("t").as("n_events"), col("n_types"),
+        col("entropy4"))
+  }
+
   /** Feed-health dispersion census per event type over the zero-filled
     * day spine: Fano factor (variance/mean of daily counts — 1.0 is
     * Poisson, higher is bursty), peak-to-mean ratio, and the fraction

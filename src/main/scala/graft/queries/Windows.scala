@@ -1222,8 +1222,34 @@ object Windows {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Per-user behavioral entropy (see
+    * [[graft.operators.EventOps.userEntropy]]): Shannon entropy of
+    * each user's event-type mix on the 1e-4 nat grid — the
+    * routine-vs-explorer census. */
+  val q234 = GQuery("q234_user_entropy",
+    """WITH cells AS (
+      |  SELECT user_id, event_type AS etype, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT user_id, CAST(sum(n) AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS n_types
+      |  FROM cells GROUP BY user_id),
+      |parts AS (
+      |  SELECT c.user_id, t, n_types,
+      |    CAST(round(-1e4 * (CAST(n AS DOUBLE) / t)
+      |      * ln(CAST(n AS DOUBLE) / t)) AS BIGINT) AS part4
+      |  FROM cells c JOIN tot USING (user_id))
+      |SELECT user_id, t AS n_events, n_types,
+      |  CAST(sum(part4) AS BIGINT) AS entropy4
+      |FROM parts GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin) {
+    (s, dir) =>
+    graft.operators.EventOps.userEntropy(Tables.events(s, dir),
+        "user_id", "event_type")
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205, q213, q214, q218, q222, q223, q226, q227, q229)
+      q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234)
 }

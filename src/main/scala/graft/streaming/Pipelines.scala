@@ -907,7 +907,7 @@ object Pipelines {
                        buckets: Int = 64)(
       sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
     require(attrCols.nonEmpty, "need at least one attribute")
-    (batch0: DataFrame, _: Long) => {
+    (batch0: DataFrame, batchId: Long) => {
       val spark = batch0.sparkSession
       DedupStore.openOrInit(spark, storePath, Seq("buckets" -> buckets))
       val batch = batch0
@@ -940,11 +940,15 @@ object Pipelines {
       val changed = attrCols
         .map(a => !(col(a) <=> lag(col(a), 1).over(wk)))
         .reduce(_ || _)
+      // the KNOWLEDGE-time stamp: which micro-batch learned this change
+      // (valid time is snap_ts) — the bitemporal axis scd2StoreIntervalsAsOf
+      // reads; a replayed batch re-appends nothing, so stamps are stable
       val changes = unioned
         .withColumn("__chg", changed)
         .where(!col("seed") && col("__chg"))
         .select(col("k") +: col("snap_ts") +: attrCols.map(col) :+
           col("pb"): _*)
+        .withColumn("batch_id", lit(batchId))
         .persist()
       if (!changes.isEmpty) DedupStore.append(changes, storePath)
       sink(changes)
@@ -959,10 +963,25 @@ object Pipelines {
     * intervals are one keyed `lead` away. */
   def scd2StoreIntervals(spark: org.apache.spark.sql.SparkSession,
                          storePath: String,
-                         attrCols: Seq[String]): DataFrame = {
+                         attrCols: Seq[String]): DataFrame =
+    scd2StoreIntervalsAsOf(spark, storePath, attrCols, Long.MaxValue)
+
+  /** BITEMPORAL read of the [[scd2IngestStream]] store: the validity
+    * intervals as the dimension was KNOWN after micro-batch
+    * `asOfBatch` — change rows learned later are invisible, so a
+    * report re-run "as of" an earlier ingest reproduces exactly what
+    * that ingest could have known (valid time = snap_ts, knowledge
+    * time = batch_id; the two-axis contract every audited warehouse
+    * restatement needs). Equals a from-scratch [[graft.operators.Scd
+    * .scd2Build]] over the history ingested up to that batch
+    * (spec-asserted). */
+  def scd2StoreIntervalsAsOf(spark: org.apache.spark.sql.SparkSession,
+                             storePath: String, attrCols: Seq[String],
+                             asOfBatch: Long): DataFrame = {
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("valid_from"))
     spark.read.parquet(s"$storePath/data")
+      .where(col("batch_id") <= asOfBatch)
       .select(col("k") +: col("snap_ts").as("valid_from") +:
         attrCols.map(col): _*)
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))

@@ -1146,11 +1146,12 @@ class StreamingPipelinesSpec extends SparkSpec {
     // plus an exact replay of key 1's stored change (absorbed)
     ingest(Seq((1L, d("2020-02-01"), "B"), (2L, d("2020-02-01"), "C"),
       (1L, d("2020-01-01"), "A")).toDF("k", "snap_ts", "seg"), 1L)
-    // restart: fresh closure over the same store
+    // restart: fresh closure over the same store (checkpointed batch
+    // ids continue, per the streaming restart contract)
     val ingest2 = Pipelines.scd2IngestStream("k", "snap_ts", Seq("seg"), store)()
     // batch 3: key 2 changes; key 1 delivers a LATE snapshot → dropped
     ingest2(Seq((2L, d("2020-03-01"), "D"), (1L, d("2020-01-15"), "Z"))
-      .toDF("k", "snap_ts", "seg"), 0L)
+      .toDF("k", "snap_ts", "seg"), 2L)
     // the store holds exactly the four change rows
     val stored = spark.read.parquet(s"$store/data")
     assert(stored.count() === 4L)
@@ -1165,5 +1166,18 @@ class StreamingPipelinesSpec extends SparkSpec {
         .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
     assert(canon(Pipelines.scd2StoreIntervals(spark, store, Seq("seg"))) ===
       canon(graft.operators.Scd.scd2Build(history, "k", "snap_ts", Seq("seg"))))
+    // BITEMPORAL: as-of an earlier knowledge batch, later changes are
+    // invisible and the intervals equal a build over only that history
+    val hist01 = Seq(
+      (1L, d("2020-01-01"), "A"), (1L, d("2020-02-01"), "B"),
+      (2L, d("2020-01-01"), "C")).toDF("k", "snap_ts", "seg")
+    assert(canon(Pipelines.scd2StoreIntervalsAsOf(spark, store, Seq("seg"), 1L))
+      === canon(graft.operators.Scd.scd2Build(hist01, "k", "snap_ts",
+        Seq("seg"))))
+    val hist0 = Seq((1L, d("2020-01-01"), "A"), (2L, d("2020-01-01"), "C"))
+      .toDF("k", "snap_ts", "seg")
+    assert(canon(Pipelines.scd2StoreIntervalsAsOf(spark, store, Seq("seg"), 0L))
+      === canon(graft.operators.Scd.scd2Build(hist0, "k", "snap_ts",
+        Seq("seg"))))
   }
 }
