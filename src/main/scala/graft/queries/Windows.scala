@@ -1248,8 +1248,177 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Capstone feed-health one-pager: per event type, volume +
+    * dispersion (q227) + robust Theil–Sen trend (q223) + best
+    * structural break (q222) + autocorrelation at lags 1 and 7 (q214)
+    * — the table an ingest-operations review reads, composed from the
+    * four audited operators over ONE shared day spine and verified by
+    * ONE oracle that replays all four formula families. */
+  val q235 = GQuery("q235_feed_health",
+    """WITH c AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS day FROM events),
+      |types AS (SELECT DISTINCT event_type AS etype FROM events),
+      |full_ AS (
+      |  SELECT t.etype, d.day, coalesce(c.n, 0) AS n
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN c ON c.etype = t.etype AND c.day = d.day),
+      |d_a AS (
+      |  SELECT etype, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS qq,
+      |    CAST(max(n) AS BIGINT) AS mx,
+      |    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zs,
+      |    min(day) AS mind, max(day) AS maxd
+      |  FROM full_ GROUP BY etype),
+      |disp AS (
+      |  SELECT etype, t AS n_days, s AS total,
+      |    CAST(round(1e4 * CAST(t * qq - s * s AS DOUBLE)
+      |      / CAST(t * s AS DOUBLE)) AS BIGINT) AS fano4,
+      |    CAST(round(1e4 * CAST(mx * t AS DOUBLE) / CAST(s AS DOUBLE))
+      |      AS BIGINT) AS peak_ratio4,
+      |    CAST(round(1e4 * zs / t) AS BIGINT) AS zero_frac4
+      |  FROM d_a WHERE s > 0),
+      |tsp AS (
+      |  SELECT a.etype,
+      |    CAST(round(1e6 * CAST(b.n - a.n AS DOUBLE)
+      |      / CAST(b.day - a.day AS DOUBLE)) AS BIGINT) AS s6
+      |  FROM full_ a JOIN full_ b ON b.etype = a.etype AND a.day < b.day),
+      |tsc AS (SELECT etype, s6, CAST(count(*) AS BIGINT) AS m
+      |  FROM tsp GROUP BY 1, 2),
+      |tscum AS (
+      |  SELECT etype, s6, m,
+      |    CAST(sum(m) OVER (PARTITION BY etype ORDER BY s6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM tsc),
+      |tst AS (SELECT etype, CAST(sum(m) AS BIGINT) AS np
+      |  FROM tsc GROUP BY etype),
+      |tsen AS (
+      |  SELECT c.etype, c.s6 AS ts_slope6
+      |  FROM tscum c JOIN tst t USING (etype)
+      |  WHERE 2 * c.cum >= t.np AND 2 * (c.cum - c.m) < t.np),
+      |bfull AS (
+      |  SELECT f.etype, f.day, f.day - m.mind AS x, f.n AS y
+      |  FROM full_ f, (SELECT min(day) AS mind FROM days) m),
+      |bpre AS (
+      |  SELECT etype, day,
+      |    CAST(sum(1) OVER wp AS BIGINT) AS cn,
+      |    CAST(sum(x) OVER wp AS BIGINT) AS csx,
+      |    CAST(sum(y) OVER wp AS BIGINT) AS csy,
+      |    CAST(sum(x * x) OVER wp AS BIGINT) AS csxx,
+      |    CAST(sum(x * y) OVER wp AS BIGINT) AS csxy,
+      |    CAST(sum(y * y) OVER wp AS BIGINT) AS csyy
+      |  FROM bfull WINDOW wp AS (PARTITION BY etype ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |btot AS (
+      |  SELECT etype, CAST(count(*) AS BIGINT) AS tn,
+      |    CAST(sum(x) AS BIGINT) AS tsx, CAST(sum(y) AS BIGINT) AS tsy,
+      |    CAST(sum(x * x) AS BIGINT) AS tsxx,
+      |    CAST(sum(x * y) AS BIGINT) AS tsxy,
+      |    CAST(sum(y * y) AS BIGINT) AS tsyy
+      |  FROM bfull GROUP BY etype),
+      |bcand AS (
+      |  SELECT p.etype, p.day,
+      |    CAST(round(1e4 * (
+      |      CASE WHEN (t.tn) <= 1
+      |             OR ((t.tn) * (t.tsxx) - (t.tsx) * (t.tsx)) = 0 THEN 0.0
+      |        ELSE (CAST((t.tn) * (t.tsyy) - (t.tsy) * (t.tsy) AS DOUBLE)
+      |            * ((t.tn) * (t.tsxx) - (t.tsx) * (t.tsx))
+      |          - CAST((t.tn) * (t.tsxy) - (t.tsx) * (t.tsy) AS DOUBLE)
+      |            * ((t.tn) * (t.tsxy) - (t.tsx) * (t.tsy)))
+      |          / (CAST(t.tn AS DOUBLE)
+      |             * ((t.tn) * (t.tsxx) - (t.tsx) * (t.tsx))) END
+      |      - CASE WHEN (p.cn) <= 1
+      |             OR ((p.cn) * (p.csxx) - (p.csx) * (p.csx)) = 0 THEN 0.0
+      |        ELSE (CAST((p.cn) * (p.csyy) - (p.csy) * (p.csy) AS DOUBLE)
+      |            * ((p.cn) * (p.csxx) - (p.csx) * (p.csx))
+      |          - CAST((p.cn) * (p.csxy) - (p.csx) * (p.csy) AS DOUBLE)
+      |            * ((p.cn) * (p.csxy) - (p.csx) * (p.csy)))
+      |          / (CAST(p.cn AS DOUBLE)
+      |             * ((p.cn) * (p.csxx) - (p.csx) * (p.csx))) END
+      |      - CASE WHEN (t.tn - p.cn) <= 1
+      |             OR ((t.tn - p.cn) * (t.tsxx - p.csxx)
+      |                 - (t.tsx - p.csx) * (t.tsx - p.csx)) = 0 THEN 0.0
+      |        ELSE (CAST((t.tn - p.cn) * (t.tsyy - p.csyy)
+      |              - (t.tsy - p.csy) * (t.tsy - p.csy) AS DOUBLE)
+      |            * ((t.tn - p.cn) * (t.tsxx - p.csxx)
+      |               - (t.tsx - p.csx) * (t.tsx - p.csx))
+      |          - CAST((t.tn - p.cn) * (t.tsxy - p.csxy)
+      |              - (t.tsx - p.csx) * (t.tsy - p.csy) AS DOUBLE)
+      |            * ((t.tn - p.cn) * (t.tsxy - p.csxy)
+      |               - (t.tsx - p.csx) * (t.tsy - p.csy)))
+      |          / (CAST(t.tn - p.cn AS DOUBLE)
+      |             * ((t.tn - p.cn) * (t.tsxx - p.csxx)
+      |                - (t.tsx - p.csx) * (t.tsx - p.csx))) END))
+      |      AS BIGINT) AS gain4
+      |  FROM bpre p JOIN btot t USING (etype) WHERE p.cn < t.tn),
+      |brk AS (
+      |  SELECT etype, day AS break_day, gain4 AS break_gain4
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY etype
+      |      ORDER BY gain4 DESC, day) AS rk FROM bcand)
+      |  WHERE rk = 1),
+      |aks AS (SELECT CAST(unnest([1, 7]) AS BIGINT) AS k),
+      |aab AS (
+      |  SELECT f.etype, k.k,
+      |    CAST(sum(CASE WHEN f.day <= tt.maxd - k.k THEN f.n ELSE 0 END)
+      |      AS BIGINT) AS ak,
+      |    CAST(sum(CASE WHEN f.day >= tt.mind + k.k THEN f.n ELSE 0 END)
+      |      AS BIGINT) AS bk
+      |  FROM full_ f CROSS JOIN aks k JOIN d_a tt ON tt.etype = f.etype
+      |  GROUP BY 1, 2),
+      |ack AS (
+      |  SELECT a.etype, k.k, CAST(sum(a.n * b.n) AS BIGINT) AS ck
+      |  FROM full_ a CROSS JOIN aks k
+      |  JOIN full_ b ON b.etype = a.etype AND b.day = a.day + k.k
+      |  GROUP BY 1, 2),
+      |acfl AS (
+      |  SELECT tt.etype, ack.k,
+      |    CAST(round(1e4 * CAST(tt.t * tt.t * ack.ck
+      |        - tt.t * tt.s * (aab.ak + aab.bk)
+      |        + (tt.t - ack.k) * tt.s * tt.s AS DOUBLE)
+      |      / CAST(tt.t * tt.t * tt.qq - tt.t * tt.s * tt.s AS DOUBLE))
+      |      AS BIGINT) AS r4
+      |  FROM ack JOIN aab ON aab.etype = ack.etype AND aab.k = ack.k
+      |  JOIN d_a tt ON tt.etype = ack.etype
+      |  WHERE tt.t * tt.t * tt.qq - tt.t * tt.s * tt.s > 0),
+      |acf AS (
+      |  SELECT etype, max(CASE WHEN k = 1 THEN r4 END) AS r1_4,
+      |    max(CASE WHEN k = 7 THEN r4 END) AS r7_4
+      |  FROM acfl GROUP BY etype)
+      |SELECT d.etype AS etype, d.n_days, d.total, d.fano4, d.peak_ratio4,
+      |  d.zero_frac4, tsen.ts_slope6, brk.break_day, brk.break_gain4,
+      |  acf.r1_4, acf.r7_4
+      |FROM disp d
+      |LEFT JOIN tsen USING (etype)
+      |LEFT JOIN brk USING (etype)
+      |LEFT JOIN acf USING (etype)
+      |ORDER BY etype""".stripMargin) { (s, dir) =>
+    import graft.operators.EventOps
+    val ev = Tables.events(s, dir)
+    val disp = EventOps.dispersionCensus(ev, "ts", "event_type")
+    val tsen = EventOps.theilSenSlope(ev, "ts", "event_type")
+      .select(col("etype"), col("ts_slope6"))
+    val brk = EventOps.trendBreak(ev, "ts", "event_type")
+      .select(col("etype"), col("break_day"),
+        col("gain4").as("break_gain4"))
+    val acf = EventOps.autocorrelation(ev, "ts", "event_type", maxLag = 7)
+      .where(col("lag").isin(1L, 7L))
+      .groupBy("etype")
+      .agg(max(when(col("lag") === 1L, col("r4"))).as("r1_4"),
+        max(when(col("lag") === 7L, col("r4"))).as("r7_4"))
+    disp.join(tsen, Seq("etype"), "left")
+      .join(brk, Seq("etype"), "left")
+      .join(acf, Seq("etype"), "left")
+      .orderBy(col("etype"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
-      q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234)
+      q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
+      q235)
 }
