@@ -413,6 +413,30 @@ object TextStats {
         col("kl8"))
   }
 
+  /** Per-group PII-pattern census — the MEASUREMENT face of
+    * [[graft.functions.TextFunctions.redact]]'s scrub: for each
+    * (group, pattern), how many rows contain a match and how many
+    * matches total — the report a privacy review reads BEFORE deciding
+    * to redact, and the regression gate that catches a feed suddenly
+    * leaking addresses. One pure-map pattern scan per pattern (no
+    * shuffle until the tiny census aggregate); patterns are
+    * RE2-compatible so any engine counts identically. Returns
+    * (grp, pattern, n_rows, n_rows_with, n_matches). */
+  def piiCensus(df: DataFrame, groupCol: String, textCol: String,
+                patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(textCol).as("t"))
+    patterns.map { case (name, p) =>
+      val m = size(regexp_extract_all(col("t"), lit(p), lit(0)))
+      base.select(col("grp"), lit(name).as("pattern"),
+        when(m > 0, 1L).otherwise(0L).as("hit"), m.cast("long").as("m"))
+    }.reduce(_ unionAll _)
+      .groupBy("grp", "pattern")
+      .agg(count(lit(1)).as("n_rows"), sum(col("hit")).as("n_rows_with"),
+        sum(col("m")).as("n_matches"))
+  }
+
   /** Per-group population stability index against the all-groups mix,
     * from a pre-aggregated grid-cell histogram `(grp, s4, n)` — the
     * PSI face of the mergeable-histogram contract beside

@@ -2265,10 +2265,42 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** PII density census over event payloads (see
+    * [[graft.operators.TextStats.piiCensus]]): per (event type,
+    * pattern), rows containing and total matches of the q71 email/IP
+    * patterns — the measure-before-redact privacy report. Same
+    * RE2-compatible patterns run verbatim in both engines. */
+  val q236 = {
+    val pats = TextFunctions.PiiPatterns.filter(p => p._1 != "number")
+    val branches = pats.map { case (name, p) =>
+      s"""SELECT grp, '$name' AS pattern,
+         |  CASE WHEN len(regexp_extract_all(t, '$p')) > 0
+         |    THEN 1 ELSE 0 END AS hit,
+         |  CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS m
+         |FROM base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    GQuery("q236_pii_census",
+      s"""WITH base AS (
+         |  SELECT event_type AS grp, props AS t FROM events
+         |  WHERE props IS NOT NULL),
+         |r AS (
+         |$branches)
+         |SELECT grp AS event_type, pattern, count(*) AS n_rows,
+         |  CAST(sum(hit) AS BIGINT) AS n_rows_with,
+         |  CAST(sum(m) AS BIGINT) AS n_matches
+         |FROM r GROUP BY 1, 2 ORDER BY event_type, pattern""".stripMargin) {
+      (s, dir) =>
+      graft.operators.TextStats.piiCensus(Tables.events(s, dir),
+          "event_type", "props", pats)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type"), col("pattern"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219, q220, q225)
+      q207, q216, q219, q220, q225, q236)
 }
