@@ -1476,8 +1476,41 @@ object DedupQueries {
       .orderBy(col("cluster_rep"))
   }
 
+  /** Degree assortativity of the near-dup pair graph (see
+    * [[graft.operators.GraphOps.assortativity]]): do heavily-duplicated
+    * docs pair with each other (template families) or with singletons
+    * (a quoted boilerplate hub) — the structural complement of q159's
+    * intra-cluster density and q191's triangle census, over the same
+    * shared pair frame and oracle CTEs. */
+  val q237 = GQuery("q237_dup_assortativity",
+    s"""WITH $shingleCtes,
+       |$pairCtes,
+       |und AS (SELECT id_a AS u, id_b AS v FROM pr),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY id),
+       |dir_ AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |j AS (
+       |  SELECT du.deg AS dx, dv.deg AS dy
+       |  FROM dir_ JOIN deg du ON du.id = dir_.u
+       |  JOIN deg dv ON dv.id = dir_.v),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m2,
+       |    CAST(sum(dx) AS BIGINT) AS sx,
+       |    CAST(sum(dx * dx) AS BIGINT) AS qx,
+       |    CAST(sum(dx * dy) AS BIGINT) AS pxy
+       |  FROM j)
+       |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       |  CASE WHEN m2 * qx - sx * sx = 0 THEN NULL
+       |    ELSE CAST(round(1e4 * CAST(m2 * pxy - sx * sx AS DOUBLE)
+       |      / CAST(m2 * qx - sx * sx AS DOUBLE)) AS BIGINT) END AS r4
+       |FROM a""".stripMargin) { (s, dir) =>
+    graft.operators.GraphOps.assortativity(sharedPairs(s, dir))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146, q148, q150, q151, q153, q158, q159, q186, q191, q192)
+      q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237)
 }

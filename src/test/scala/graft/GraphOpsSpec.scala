@@ -83,4 +83,16 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(so._1 === 0L && so._2 === (29L * 28L) / 2 && so._4 === 0L)
   }
+
+  test("assortativity: path and star are perfectly disassortative; regular graph null") {
+    def r(pairs: Seq[(Long, Long)]) =
+      graft.operators.GraphOps.assortativity(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Option[Long])].collect().head
+    // path a-b-c: degrees (1,2,1) → r = −1
+    assert(r(Seq((1L, 2L), (2L, 3L))) === ((2L, Some(-10000L))))
+    // star: hub degree 3 vs leaves 1 → r = −1
+    assert(r(Seq((1L, 2L), (1L, 3L), (1L, 4L))) === ((3L, Some(-10000L))))
+    // triangle: degree-regular → zero variance → null
+    assert(r(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === ((3L, None)))
+  }
 }
