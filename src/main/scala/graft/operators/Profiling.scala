@@ -311,6 +311,24 @@ object Profiling {
         round(lit(1e4) * col("pareto_k") / col("n_rows")).cast("long"))
   }
 
+  /** k-anonymity census over a quasi-identifier tuple — the
+    * re-identification audit beside the PII pattern scan: rows
+    * sharing the full QI tuple form an equivalence class; any class
+    * smaller than k is a linkage risk. One class census (the only
+    * corpus pass), then class-size cells. Returns one row:
+    * (n_rows, n_classes, min_class, n_small_classes, n_risk_rows,
+    * risk_frac4) — `small` = class size < k. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1, "need QI columns and k >= 1")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("sz"))
+      .agg(sum(col("sz")).as("n_rows"), count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_class"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_risk_rows"))
+      .withColumn("risk_frac4",
+        round(lit(1e4) * col("n_risk_rows") / col("n_rows")).cast("long"))
+  }
+
   /** Welch's unequal-variance t statistic for every pair of groups —
     * the significance readout behind the q195 A/B means ("is the
     * difference real or noise"). Each group reduces to three exact

@@ -413,6 +413,30 @@ object TextStats {
         col("kl8"))
   }
 
+  /** Chao1 vocabulary-richness estimate per group: observed distinct
+    * tokens plus the unseen-mass correction f₁(f₁−1)/(2(f₂+1)) from
+    * the singleton (hapax) and doubleton counts — the standard
+    * species-richness estimator telling a tokenizer/corpus planner how
+    * much vocabulary the sample HASN'T seen yet (observed D is always
+    * an undercount). Bias-corrected form, defined even when f₂ = 0.
+    * All inputs are exact integers from one (group, token) census;
+    * the estimate is one double expression rounded to an integer.
+    * Returns (grp, n_tokens, d_observed, f1, f2, chao1). */
+  def vocabRichness(toks: DataFrame, groups: DataFrame,
+                    groupCol: String): DataFrame = {
+    val counts = toks.join(groups, "id")
+      .select(col(groupCol).as("grp"), explode(col("ws")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("grp")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("d_observed"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        round(col("d_observed") + col("f1").cast("double")
+          * (col("f1") - lit(1L)) / (lit(2.0) * (col("f2") + lit(1L))))
+          .cast("long"))
+  }
+
   /** Per-group PII-pattern census — the MEASUREMENT face of
     * [[graft.functions.TextFunctions.redact]]'s scrub: for each
     * (group, pattern), how many rows contain a match and how many

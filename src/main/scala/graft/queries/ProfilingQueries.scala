@@ -803,7 +803,40 @@ object ProfilingQueries {
       .orderBy(col("source"))
   }
 
+  /** k-anonymity audit (see
+    * [[graft.operators.Profiling.kAnonymity]]): equivalence classes of
+    * the (priority, 30-day window, price band) quasi-identifier over
+    * orders, k = 5 — how many rows a linkage attacker could single
+    * out. Pure integer bucketing so both engines build identical
+    * classes. */
+  val q238 = GQuery("q238_k_anonymity",
+    """WITH cls AS (
+      |  SELECT o_orderpriority AS qp,
+      |    CAST(floor(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+      |      / 30) AS BIGINT) AS qm,
+      |    CAST(floor(o_totalprice / 20000) AS BIGINT) AS qb,
+      |    CAST(count(*) AS BIGINT) AS sz
+      |  FROM orders GROUP BY 1, 2, 3),
+      |a AS (
+      |  SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+      |    count(*) AS n_classes, CAST(min(sz) AS BIGINT) AS min_class,
+      |    CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_small_classes,
+      |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+      |      AS n_risk_rows
+      |  FROM cls)
+      |SELECT n_rows, n_classes, min_class, n_small_classes, n_risk_rows,
+      |  CAST(round(1e4 * n_risk_rows / n_rows) AS BIGINT) AS risk_frac4
+      |FROM a""".stripMargin) { (s, dir) =>
+    Profiling.kAnonymity(
+      Tables.orders(s, dir).select(col("o_orderpriority").as("qp"),
+        floor(floor(unix_timestamp(col("o_orderdate")) / 86400L)
+          / lit(30)).cast("long").as("qm"),
+        floor(col("o_totalprice") / 20000).cast("long").as("qb")),
+      Seq("qp", "qm", "qb"), k = 5L)
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215, q217, q221, q224, q228)
+      q215, q217, q221, q224, q228, q238)
 }

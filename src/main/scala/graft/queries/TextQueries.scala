@@ -2297,10 +2297,43 @@ object TextQueries {
     }
   }
 
+  /** Chao1 vocabulary richness per source (see
+    * [[graft.operators.TextStats.vocabRichness]]): observed distinct
+    * tokens plus the hapax/doubleton unseen-mass correction — how much
+    * vocabulary the sample hasn't shown yet, per feed. Off the shared
+    * tokenized frame; the oracle replays the census and the
+    * bias-corrected estimate. */
+  val q239 = GQuery("q239_vocab_richness",
+    s"""WITH $tokCte,
+       |tk AS (
+       |  SELECT d.source AS grp, t.tok
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+       |  JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM tk GROUP BY 1, 2),
+       |a AS (
+       |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS d_observed,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM cnt GROUP BY grp)
+       |SELECT grp AS source, n_tokens, d_observed, f1, f2,
+       |  CAST(round(d_observed + CAST(f1 AS DOUBLE) * (f1 - 1)
+       |    / (2.0 * (f2 + 1))) AS BIGINT) AS chao1
+       |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.vocabRichness(
+        sharedToks(s, dir),
+        Tables.documents(s, dir).select(col("doc_id").as("id"),
+          col("source")),
+        "source")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219, q220, q225, q236)
+      q207, q216, q219, q220, q225, q236, q239)
 }

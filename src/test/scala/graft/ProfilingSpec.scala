@@ -190,6 +190,15 @@ class ProfilingSpec extends SparkSpec {
     assert(out === Seq((7L, 3L, 5L, 2755L, 3L, 4L)))
   }
 
+  test("kAnonymity: class census, risk counts, exact fraction") {
+    // classes: (a,1)×3, (a,2)×1, (b,1)×2 → k=3: two classes below
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 1L)).toDF("q1", "q2")
+    val out = Profiling.kAnonymity(rows, Seq("q1", "q2"), k = 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((6L, 3L, 1L, 2L, 3L, 5000L)))
+  }
+
   test("paretoPoint: exact largest-first count to 80% mass, within-cell ceiling") {
     // a: [10,5,3,1,1] total 20 → desc cum 10,15,18 ≥ 16 at k=3 → f=.6
     // b: [4,4,4,4,4] total 20 → one cell, needs exactly 4 of 5 docs

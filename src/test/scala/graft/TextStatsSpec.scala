@@ -169,6 +169,22 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("vocabRichness: hapax/doubleton counts and the bias-corrected Chao1") {
+    // g1: "a a b c" → counts {a:2, b:1, c:1}: D=3, f1=2, f2=1
+    //   chao1 = 3 + 2·1/(2·2) = 3.5 → 4 (HALF_UP)
+    // g2: "x y" → D=2, f1=2, f2=0: chao1 = 2 + 2·1/2 = 3
+    val docs = Seq((1L, "a a b c", "g1"), (2L, "x y", "g2"))
+      .toDF("doc_id", "text", "src")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val out = TextStats.vocabRichness(toks,
+        docs.select(col("doc_id").as("id"), col("src")), "src")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out === Map(
+      "g1" -> ((4L, 3L, 2L, 1L, 4L)),
+      "g2" -> ((2L, 2L, 2L, 0L, 3L))))
+  }
+
   test("groupPsiFromCells: hand-replayed parts against the corpus mix") {
     // grp a cells {1:2, 2:1}, grp b {2:3} → corpus {1:2, 2:4}, B=2,
     // t_a=3, t_b=3, t_all=6
