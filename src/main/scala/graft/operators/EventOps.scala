@@ -527,6 +527,36 @@ object EventOps {
         col("s6").as("ts_slope6"))
   }
 
+  /** Rolling w-day distinct reach (WAU-style) + same-day actives (DAU)
+    * + the DAU/WAU stickiness ratio per day — the engagement triple
+    * every product dashboard leads with. Rolling DISTINCT does not
+    * decompose into window sums, so it is computed exactly by
+    * contribution explode: each distinct (user, day) activity row
+    * feeds the w report days it is visible from, then one dedup +
+    * count per report day — w× the (user, day) frame, never raw
+    * events, never a quadratic join. Report days are the observed
+    * day spine. Returns (day, dau, reach, stickiness4). */
+  def rollingReach(events: DataFrame, userCol: String, tsCol: String,
+                   windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val du = events.select(day.as("day"), col(userCol).as("u")).distinct()
+    val days = events.select(day.as("wday")).distinct()
+    val offs = events.sparkSession.range(0, windowDays)
+      .select(col("id").as("o"))
+    val contrib = du.crossJoin(broadcast(offs))
+      .withColumn("wday", col("day") + col("o"))
+      .join(days, "wday")
+      .select("wday", "u").distinct()
+    val wau = contrib.groupBy("wday").agg(count(lit(1)).as("reach"))
+    val dau = du.groupBy(col("day").as("wday"))
+      .agg(count(lit(1)).as("dau"))
+    wau.join(dau, "wday")
+      .select(col("wday").as("day"), col("dau"), col("reach"),
+        round(lit(1e4) * col("dau") / col("reach")).cast("long")
+          .as("stickiness4"))
+  }
+
   /** Per-user behavioral entropy: Shannon entropy of each user's
     * event-type distribution — 0 for a one-note user, ln(|types|) for
     * a uniform one; the routine-vs-explorer signal a personalization

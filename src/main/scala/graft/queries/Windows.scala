@@ -1416,9 +1416,37 @@ object Windows {
       .orderBy(col("etype"))
   }
 
+  /** Rolling 7-day reach + DAU/WAU stickiness (see
+    * [[graft.operators.EventOps.rollingReach]]): exact rolling
+    * distinct via contribution explode — the engagement dashboard
+    * triple. */
+  val q240 = GQuery("q240_rolling_reach",
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    user_id AS u
+      |  FROM events),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS wday FROM events),
+      |offs AS (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS o),
+      |contrib AS (
+      |  SELECT DISTINCT d.wday, du.u
+      |  FROM du CROSS JOIN offs o JOIN days d ON d.wday = du.day + o.o),
+      |wau AS (SELECT wday, CAST(count(*) AS BIGINT) AS reach
+      |  FROM contrib GROUP BY wday),
+      |dau AS (SELECT day AS wday, CAST(count(*) AS BIGINT) AS dau
+      |  FROM du GROUP BY day)
+      |SELECT w.wday AS day, d.dau, w.reach,
+      |  CAST(round(1e4 * d.dau / w.reach) AS BIGINT) AS stickiness4
+      |FROM wau w JOIN dau d USING (wday) ORDER BY day""".stripMargin) {
+    (s, dir) =>
+    graft.operators.EventOps.rollingReach(Tables.events(s, dir),
+        "user_id", "ts", windowDays = 7)
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
-      q235)
+      q235, q240)
 }
