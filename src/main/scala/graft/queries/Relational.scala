@@ -525,7 +525,61 @@ object Relational {
       .orderBy(col("n_name"), col("yr"))
   }
 
+  /** RFM segmentation cube: customers banded by Recency (days from
+    * the corpus's last order date), Frequency (order count), and
+    * Monetary (lifetime spend on the exact 1e-2 cent grid) — the
+    * classic CRM cube, with every band boundary an integer literal so
+    * both engines cut identically. */
+  val q241 = GQuery("q241_rfm_segments",
+    """WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+      |c AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_o,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+      |      AS m2
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT o_custkey,
+      |    CAST(floor(epoch(mxd) / 86400) AS BIGINT)
+      |      - CAST(floor(epoch(last_o) / 86400) AS BIGINT) AS rdays,
+      |    f, m2
+      |  FROM c, mx),
+      |seg AS (
+      |  SELECT
+      |    CASE WHEN rdays <= 180 THEN 0 WHEN rdays <= 720 THEN 1
+      |      ELSE 2 END AS r_band,
+      |    CASE WHEN f <= 5 THEN 0 WHEN f <= 15 THEN 1 ELSE 2 END AS f_band,
+      |    CASE WHEN m2 <= 50000000 THEN 0 WHEN m2 <= 200000000 THEN 1
+      |      ELSE 2 END AS m_band,
+      |    m2
+      |  FROM r)
+      |SELECT r_band, f_band, m_band, count(*) AS n_customers,
+      |  CAST(sum(m2) AS BIGINT) AS sum_m2
+      |FROM seg GROUP BY 1, 2, 3
+      |ORDER BY r_band, f_band, m_band""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val mx = orders.agg(max(col("o_orderdate")).as("mxd"))
+    val c = orders.groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_o"), count(lit(1)).as("f"),
+        sum(round(lit(100) * col("o_totalprice")).cast("long")).as("m2"))
+    c.crossJoin(broadcast(mx))
+      .withColumn("rdays",
+        floor(unix_timestamp(col("mxd")) / 86400L)
+          - floor(unix_timestamp(col("last_o")) / 86400L))
+      .select(
+        when(col("rdays") <= 180, 0).when(col("rdays") <= 720, 1)
+          .otherwise(2).as("r_band"),
+        when(col("f") <= 5, 0).when(col("f") <= 15, 1)
+          .otherwise(2).as("f_band"),
+        when(col("m2") <= 50000000L, 0).when(col("m2") <= 200000000L, 1)
+          .otherwise(2).as("m_band"),
+        col("m2"))
+      .groupBy("r_band", "f_band", "m_band")
+      .agg(count(lit(1)).as("n_customers"), sum(col("m2")).as("sum_m2"))
+      .orderBy(col("r_band"), col("f_band"), col("m_band"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189, q199, q204, q206)
+      q10b, q11, q12, q189, q199, q204, q206, q241)
 }
