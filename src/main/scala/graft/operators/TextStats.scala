@@ -413,6 +413,38 @@ object TextStats {
         col("kl8"))
   }
 
+  /** Flesch reading-ease census per group: the classic
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * readability score with fully-replayable proxies — sentences =
+    * terminal-punctuation runs (min 1), syllables = vowel-group runs
+    * in the lowercased text (the standard regex approximation; both
+    * are RE2 counts, so every engine counts identically). Scored per
+    * document on the 1e-4 grid, then aggregated exactly: doc count,
+    * integer-average score, and the share at or above the
+    * "plain English" 60-point band — the readability axis of a
+    * curation data card. Returns
+    * (grp, n_docs, avg_flesch4, n_easy, easy_frac4). */
+  def readability(df: DataFrame, groupCol: String,
+                  textCol: String): DataFrame = {
+    val w = size(split(trim(col(textCol)), "\\s+"))
+    val s = greatest(size(regexp_extract_all(col(textCol),
+      lit("[.!?]+"), lit(0))), lit(1))
+    val y = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0)))
+    val flesch = lit(206.835) -
+      lit(1.015) * (w.cast("double") / s) -
+      lit(84.6) * (y.cast("double") / w)
+    df.where(col(textCol).isNotNull && w > 0)
+      .select(col(groupCol).as("grp"),
+        round(lit(1e4) * flesch).cast("long").as("f4"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("f4"))).cast("long").as("avg_flesch4"),
+        sum(when(col("f4") >= 600000L, 1L).otherwise(0L)).as("n_easy"))
+      .withColumn("easy_frac4",
+        round(lit(1e4) * col("n_easy") / col("n_docs")).cast("long"))
+  }
+
   /** Chao1 vocabulary-richness estimate per group: observed distinct
     * tokens plus the unseen-mass correction f₁(f₁−1)/(2(f₂+1)) from
     * the singleton (hapax) and doubleton counts — the standard

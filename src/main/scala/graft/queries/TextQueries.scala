@@ -2330,10 +2330,46 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Flesch reading-ease census per source (see
+    * [[graft.operators.TextStats.readability]]): regex-proxy
+    * sentences/syllables, per-doc 1e-4-grid scores, integer
+    * aggregation — the readability axis of the data card. */
+  val q242 = GQuery("q242_readability",
+    """WITH base AS (SELECT source, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |f AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS w,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT), 1) AS s,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS y
+      |  FROM base),
+      |sc AS (
+      |  SELECT source,
+      |    CAST(round(1e4 * (206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+      |      - 84.6 * (CAST(y AS DOUBLE) / w))) AS BIGINT) AS f4
+      |  FROM f WHERE w > 0),
+      |a AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(round(avg(f4)) AS BIGINT) AS avg_flesch4,
+      |    CAST(sum(CASE WHEN f4 >= 600000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_easy
+      |  FROM sc GROUP BY source)
+      |SELECT source, n_docs, avg_flesch4, n_easy,
+      |  CAST(round(1e4 * n_easy / n_docs) AS BIGINT) AS easy_frac4
+      |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.readability(
+        Tables.documents(s, dir), "source", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219, q220, q225, q236, q239)
+      q207, q216, q219, q220, q225, q236, q239, q242)
 }
