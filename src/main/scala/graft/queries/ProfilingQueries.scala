@@ -836,7 +836,70 @@ object ProfilingQueries {
       Seq("qp", "qm", "qb"), k = 5L)
   }
 
+  /** Capstone privacy audit (q243): ONE verdict table a release gate
+    * reads — total rows leaking each q236 PII pattern across event
+    * payloads, and the q238 k-anonymity minimum and at-risk row count
+    * over the orders quasi-identifier — each check with its threshold
+    * verdict, all under one oracle (the q180/q184 fitness-report
+    * shape applied to privacy). */
+  val q243 = GQuery("q243_privacy_audit",
+    s"""WITH base AS (
+       |  SELECT props AS t FROM events WHERE props IS NOT NULL),
+       |em AS (SELECT CAST(sum(CASE WHEN len(regexp_extract_all(t,
+       |    '${graft.functions.TextFunctions.PiiPatterns.head._2}')) > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS v FROM base),
+       |ip AS (SELECT CAST(sum(CASE WHEN len(regexp_extract_all(t,
+       |    '${graft.functions.TextFunctions.PiiPatterns(1)._2}')) > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS v FROM base),
+       |cls AS (
+       |  SELECT o_orderpriority AS qp,
+       |    CAST(floor(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+       |      / 30) AS BIGINT) AS qm,
+       |    CAST(floor(o_totalprice / 20000) AS BIGINT) AS qb,
+       |    CAST(count(*) AS BIGINT) AS sz
+       |  FROM orders GROUP BY 1, 2, 3),
+       |ka AS (
+       |  SELECT CAST(min(sz) AS BIGINT) AS min_class,
+       |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+       |      AS risk_rows
+       |  FROM cls)
+       |SELECT * FROM (
+       |  SELECT 'pii_email_rows' AS check_name, v AS value, v = 0 AS pass
+       |  FROM em
+       |  UNION ALL
+       |  SELECT 'pii_ip_rows', v, v = 0 FROM ip
+       |  UNION ALL
+       |  SELECT 'k_anon_min_class', min_class, min_class >= 5 FROM ka
+       |  UNION ALL
+       |  SELECT 'k_anon_risk_rows', risk_rows, risk_rows = 0 FROM ka)
+       |ORDER BY check_name""".stripMargin) { (s, dir) =>
+    val pii = graft.operators.TextStats.piiCensus(Tables.events(s, dir),
+        "event_type", "props",
+        graft.functions.TextFunctions.PiiPatterns.take(2))
+      .groupBy("pattern").agg(sum(col("n_rows_with")).as("v"))
+    val ka = Profiling.kAnonymity(
+      Tables.orders(s, dir).select(col("o_orderpriority").as("qp"),
+        floor(floor(unix_timestamp(col("o_orderdate")) / 86400L)
+          / lit(30)).cast("long").as("qm"),
+        floor(col("o_totalprice") / 20000).cast("long").as("qb")),
+      Seq("qp", "qm", "qb"), k = 5L)
+    def check(name: String, v: org.apache.spark.sql.Column,
+              pass: org.apache.spark.sql.Column)(
+        df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(name).as("check_name"), v.as("value"),
+        pass.as("pass"))
+    check("pii_email_rows", col("v"), col("v") === 0L)(
+        pii.where(col("pattern") === "email"))
+      .unionAll(check("pii_ip_rows", col("v"), col("v") === 0L)(
+        pii.where(col("pattern") === "ip")))
+      .unionAll(check("k_anon_min_class", col("min_class"),
+        col("min_class") >= 5L)(ka))
+      .unionAll(check("k_anon_risk_rows", col("n_risk_rows"),
+        col("n_risk_rows") === 0L)(ka))
+      .orderBy(col("check_name"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215, q217, q221, q224, q228, q238)
+      q215, q217, q221, q224, q228, q238, q243)
 }
