@@ -527,6 +527,38 @@ object EventOps {
         col("s6").as("ts_slope6"))
   }
 
+  /** Per-user journey log-probability under the corpus's own bigram
+    * transition model — the behavioral analog of unigram-LM document
+    * scoring (q73): train add-one-smoothed transition probabilities
+    * from [[transitionCounts]], then score every user's sequence;
+    * users with very low mean log-prob follow paths the corpus has
+    * barely seen (bot / scraper / broken-client signal). Per-edge
+    * log-probs snap to the 1e-4 grid as integers (the NB/BM25 part
+    * idiom), per-user sums are order-free, and the LM is a
+    * |types|²-cell broadcast. Returns
+    * (user_id, n_transitions, mean_lp4). */
+  def journeyLogProb(events: DataFrame, userCol: String, tsCol: String,
+                     orderCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val tr = events
+      .select(col(userCol).as("user_id"), col(typeCol).as("f"),
+        lead(col(typeCol), 1).over(w).as("t"))
+      .where(col("t").isNotNull)
+    val tc = tr.groupBy("f", "t").agg(count(lit(1)).as("n"))
+    val ft = tc.groupBy("f").agg(sum(col("n")).as("tf"))
+    val v = events.agg(countDistinct(col(typeCol)).as("v"))
+    val lm = tc.join(ft, "f").crossJoin(broadcast(v))
+      .withColumn("lp4", round(lit(1e4)
+        * log((col("n") + lit(1L)).cast("double") / (col("tf") + col("v"))))
+        .cast("long"))
+      .select("f", "t", "lp4")
+    tr.join(broadcast(lm), Seq("f", "t"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(avg(col("lp4"))).cast("long").as("mean_lp4"))
+  }
+
   /** Rolling w-day distinct reach (WAU-style) + same-day actives (DAU)
     * + the DAU/WAU stickiness ratio per day — the engagement triple
     * every product dashboard leads with. Rolling DISTINCT does not

@@ -1444,9 +1444,39 @@ object Windows {
       .orderBy(col("day"))
   }
 
+  /** Per-user journey log-probability under the corpus bigram LM (see
+    * [[graft.operators.EventOps.journeyLogProb]]): the
+    * predictable-vs-anomalous path score — q157's transition census
+    * turned into a scorer, the behavioral analog of q73. */
+  val q244 = GQuery("q244_journey_logprob",
+    """WITH nxt AS (
+      |  SELECT user_id, event_type AS f,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t
+      |  FROM events),
+      |tr AS (SELECT user_id, f, t FROM nxt WHERE t IS NOT NULL),
+      |tc AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+      |  FROM tr GROUP BY 1, 2),
+      |ft AS (SELECT f, CAST(sum(n) AS BIGINT) AS tf FROM tc GROUP BY f),
+      |v AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v
+      |  FROM events),
+      |lm AS (
+      |  SELECT tc.f, tc.t,
+      |    CAST(round(1e4 * ln(CAST(n + 1 AS DOUBLE) / (tf + v)))
+      |      AS BIGINT) AS lp4
+      |  FROM tc JOIN ft USING (f), v)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+      |  CAST(round(avg(lp4)) AS BIGINT) AS mean_lp4
+      |FROM tr JOIN lm USING (f, t)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.journeyLogProb(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
-      q235, q240)
+      q235, q240, q244)
 }
