@@ -579,7 +579,45 @@ object Relational {
       .orderBy(col("r_band"), col("f_band"), col("m_band"))
   }
 
+  /** TPC-H Q3-shaped shipping-priority top-k: segment-filtered
+    * customers (broadcast) × date-bounded orders × late-shipped
+    * lineitems, revenue per order, global top-10 — the
+    * filter-pushdown + broadcast-dim + TakeOrdered pattern on the
+    * 3-table chain (q189 covers the 6-table star). Dates follow the
+    * fixture's 1995–2001 span. */
+  val q245 = GQuery("q245_shipping_priority",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) {
+    (s, dir) =>
+    val cust = Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = Tables.orders(s, dir)
+      .where(col("o_orderdate") < to_timestamp(lit("1998-06-01")))
+    val li = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") > to_timestamp(lit("1998-06-01")))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice")
+        * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189, q199, q204, q206, q241)
+      q10b, q11, q12, q189, q199, q204, q206, q241, q245)
 }
