@@ -617,7 +617,51 @@ object Relational {
       .limit(10)
   }
 
+  /** Order-to-first-ship latency quantiles per priority: exact p50/p90
+    * of the day lag via the grid-cell machinery
+    * ([[graft.operators.TextStats.groupQuantiles]] — integer days ride
+    * the 1e-4 grid as lag/1e4, recovered exactly, the q174 idiom) —
+    * the fulfillment-SLA readout. */
+  val q246 = GQuery("q246_ship_latency_quantiles",
+    """WITH ld AS (
+      |  SELECT l_orderkey,
+      |    min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS sd
+      |  FROM lineitem GROUP BY l_orderkey),
+      |lag_ AS (
+      |  SELECT o.o_orderpriority AS grp,
+      |    ld.sd - CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
+      |      AS s4
+      |  FROM orders o JOIN ld ON ld.l_orderkey = o.o_orderkey),
+      |tg AS (SELECT grp, count(*) AS t_g FROM lag_ GROUP BY grp),
+      |sc AS (SELECT grp, s4, count(*) AS n FROM lag_ GROUP BY 1, 2),
+      |cums AS (
+      |  SELECT grp, s4,
+      |    sum(n) OVER (PARTITION BY grp ORDER BY s4
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sc),
+      |j AS (SELECT c.grp, c.s4, c.cum, tg.t_g
+      |  FROM cums c JOIN tg USING (grp))
+      |SELECT grp AS priority, t_g AS n_orders,
+      |  min(CASE WHEN cum * 10000 >= t_g * 5000 THEN s4 END) AS p5000,
+      |  min(CASE WHEN cum * 10000 >= t_g * 9000 THEN s4 END) AS p9000
+      |FROM j GROUP BY 1, 2 ORDER BY priority""".stripMargin) { (s, dir) =>
+    val ld = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(floor(unix_timestamp(col("l_shipdate")) / 86400L))
+        .as("sd"))
+    val lags = Tables.orders(s, dir)
+      .join(ld, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("grp"),
+        ((col("sd") - floor(unix_timestamp(col("o_orderdate")) / 86400L))
+          / lit(1e4)).as("lag"))
+    graft.operators.TextStats
+      .groupQuantiles(lags, "grp", "lag", Seq(5000, 9000))
+      .select(col("grp").as("priority"), col("n_rows").as("n_orders"),
+        col("p5000"), col("p9000"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189, q199, q204, q206, q241, q245)
+      q10b, q11, q12, q189, q199, q204, q206, q241, q245, q246)
 }
