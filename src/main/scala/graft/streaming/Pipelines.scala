@@ -1638,6 +1638,35 @@ object Pipelines {
     graft.operators.Search.bm25Score(tf, lens, tot, k1, b)
   }
 
+  /** Rolling w-day distinct-reach estimates from a [[sketchStream]]
+    * store keyed by DAY — the 100 TB face of
+    * [[graft.operators.EventOps.rollingReach]]: the exact form must
+    * revisit w× the (user, day) frame per report, while here each
+    * day's users are absorbed into a 4 KB HLL once and every rolling
+    * window is a w-way sketch union (mergeability is the whole
+    * point — the same store answers any window length after the
+    * fact). Estimates carry HLL error (±~1.6% at lgK 12; accuracy vs
+    * the exact operator is spec-asserted), and batch replays are
+    * absorbed by union idempotence like every sketch-store reader.
+    * Returns (day, reach_est). */
+  def sketchRollingReach(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val daily = spark.read.parquet(storePath)
+      .groupBy(col("key").cast("long").as("day"))
+      .agg(hll_union_agg(col("sketch"), false).as("sk"))
+    val days = daily.select(col("day").as("wday"))
+    val offs = spark.range(0, windowDays).select(col("id").as("o"))
+    daily.crossJoin(broadcast(offs))
+      .withColumn("wday", col("day") + col("o"))
+      .join(days, "wday")
+      .groupBy("wday")
+      .agg(hll_union_agg(col("sk"), false).as("m"))
+      .select(col("wday").as("day"),
+        hll_sketch_estimate(col("m")).cast("long").as("reach_est"))
+  }
+
   /** Report over a [[sketchStream]] store: per-key distinct estimates
     * (sketches unioned across batches) plus the corpus-wide
     * `__all__` row. */

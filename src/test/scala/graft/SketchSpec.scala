@@ -176,6 +176,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketchRollingReach: rolling union estimates track the exact operator; replay absorbed") {
+    import org.apache.spark.sql.functions.{floor, unix_timestamp}
+    val store = java.nio.file.Files.createTempDirectory("reach").toString
+    val ev = Tables.events(spark, dir)
+      .select(floor(unix_timestamp(col("ts")) / 86400L).as("day"),
+        col("user_id"))
+    val ingest = graft.streaming.Pipelines.sketchStream("day", "user_id", store)
+    ingest(ev.where(col("day") % 2 === 0), 0L)
+    ingest(ev.where(col("day") % 2 === 1), 1L)
+    ingest(ev.where(col("day") % 2 === 0), 0L) // at-least-once replay
+    val est = graft.streaming.Pipelines.sketchRollingReach(spark, store, 7)
+      .as[(Long, Long)].collect().toMap
+    val exact = graft.operators.EventOps
+      .rollingReach(Tables.events(spark, dir), "user_id", "ts", 7)
+      .select("day", "reach").as[(Long, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (d, r) =>
+      assert(math.abs(est(d) - r) <= 0.05 * r + 1,
+        s"day $d: est ${est(d)} vs exact $r") }
+  }
+
   test("histPsiReport: shifted batch dominates; in-distribution batches sit low") {
     val store = java.nio.file.Files.createTempDirectory("histpsi").toString
     val ingest = graft.streaming.Pipelines.histStream("src", "score", store)
