@@ -559,6 +559,43 @@ object EventOps {
         round(avg(col("lp4"))).cast("long").as("mean_lp4"))
   }
 
+  /** Daily growth accounting — the standard active-user decomposition:
+    * every (user, active-day) is NEW (first day ever), RETAINED
+    * (also active the previous calendar day), or RESURRECTED (seen
+    * before, but not yesterday); CHURNED(d) = active(d−1) −
+    * retained(d) — the identity every growth dashboard balances.
+    * One user-keyed lag over each user's distinct active days, one
+    * per-day roll-up, one lag over the (bounded) day spine; churn is
+    * null after a globally silent day (undefined without a
+    * yesterday). Returns (day, n_active, n_new, n_retained,
+    * n_resurrected, n_churned). */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val du = events.select(col(userCol).as("u"),
+      floor(unix_timestamp(col(tsCol)) / 86400L).as("day")).distinct()
+    val wu = Window.partitionBy(col("u")).orderBy(col("day"))
+    val tagged = du.withColumn("prev", lag(col("day"), 1).over(wu))
+      .withColumn("cls", when(col("prev").isNull, "new")
+        .when(col("prev") === col("day") - 1, "retained")
+        .otherwise("resurrected"))
+    val daily = tagged.groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val wd = Window.orderBy(col("day")) // day-spine cells, bounded
+    daily
+      .withColumn("prev_day", lag(col("day"), 1).over(wd))
+      .withColumn("prev_active", lag(col("n_active"), 1).over(wd))
+      .withColumn("n_churned",
+        when(col("prev_day") === col("day") - 1,
+          col("prev_active") - col("n_retained"))
+          .otherwise(lit(null).cast("long")))
+      .drop("prev_day", "prev_active")
+  }
+
   /** Rolling w-day distinct reach (WAU-style) + same-day actives (DAU)
     * + the DAU/WAU stickiness ratio per day — the engagement triple
     * every product dashboard leads with. Rolling DISTINCT does not

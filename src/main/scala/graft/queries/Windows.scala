@@ -1474,9 +1474,47 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Daily growth accounting (see
+    * [[graft.operators.EventOps.growthAccounting]]): the
+    * new/retained/resurrected/churned identity every growth dashboard
+    * balances, exactly. */
+  val q247 = GQuery("q247_growth_accounting",
+    """WITH du AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      |  FROM events),
+      |tagged AS (
+      |  SELECT u, day, lag(day) OVER (PARTITION BY u ORDER BY day) AS prev
+      |  FROM du),
+      |cls AS (
+      |  SELECT day,
+      |    CASE WHEN prev IS NULL THEN 'new'
+      |         WHEN prev = day - 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM tagged),
+      |daily AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+      |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_retained,
+      |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_resurrected
+      |  FROM cls GROUP BY day)
+      |SELECT day, n_active, n_new, n_retained, n_resurrected,
+      |  CASE WHEN lag(day) OVER w = day - 1
+      |    THEN lag(n_active) OVER w - n_retained END AS n_churned
+      |FROM daily
+      |WINDOW w AS (ORDER BY day)
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.growthAccounting(Tables.events(s, dir),
+        "user_id", "ts")
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
-      q235, q240, q244)
+      q235, q240, q244, q247)
 }

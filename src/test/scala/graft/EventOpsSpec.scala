@@ -158,6 +158,28 @@ class EventOpsSpec extends SparkSpec {
       ("alt", 3L, 1L, -2500L)))
   }
 
+  test("growthAccounting: new/retained/resurrected classes; churn identity") {
+    // u1 active days 0,1,3; u2 days 1,2; u3 day 3
+    // d0: {u1 new}; d1: {u1 retained, u2 new}; d2: {u2 retained},
+    //   churned(2) = active(1) − retained(2) = 2 − 1 = 1 (u1)
+    // d3: {u1 resurrected, u3 new}, churned(3) = 1 − 0 = 1 (u2)
+    def dayTs(d: Int, i: Int) = new Timestamp(d * 86400000L + i * 1000L)
+    val rows = Seq((1L, 0), (1L, 1), (1L, 3), (2L, 1), (2L, 2), (3L, 3))
+      .zipWithIndex.map { case ((u, d), i) => (i.toLong, u, dayTs(d, i), "e") }
+    val out = EventOps.growthAccounting(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts")
+      .select("day", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned")
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0L, 1L, 1L, 0L, 0L, None),
+      (1L, 2L, 1L, 1L, 0L, Some(0L)),
+      (2L, 1L, 0L, 1L, 0L, Some(1L)),
+      (3L, 2L, 1L, 0L, 1L, Some(1L))))
+  }
+
   test("overlapDegree: order-statistics identity, inclusive touch, no self-count") {
     // [0,10] [5,20] [10,30] [40,50] → degrees 2,2,2,0 ([0,10] touches
     // [10,30] at 10 — inclusive ends make that an overlap)
