@@ -837,7 +837,59 @@ object SimilarityQueries {
     }
   }
 
+  /** IVF index balance audit: the inverted-list size distribution of
+    * the shared index — list count, max list and its corpus share,
+    * and the Gini of list sizes ([[graft.operators.Profiling
+    * .giniByGroup]] over the size cells) — a skewed index means probe
+    * latency is one hot list away from brute force, and REBALANCE
+    * (retrain, or split hot lists) is the fix this report triggers.
+    * The oracle replays Lloyd training, assignment, and the rank-sum
+    * Gini arithmetic. */
+  val q248 = GQuery("q248_ivf_balance",
+    "WITH " + AnnOracles.ivfChain(Dim, 16, 3).mkString(",\n") +
+      s""",
+         |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
+         |  FROM asgf GROUP BY cid),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_lists,
+         |  CAST(sum(sz) AS BIGINT) AS n_vectors,
+         |  CAST(max(sz) AS BIGINT) AS max_list FROM sizes),
+         |cells AS (SELECT sz AS v, CAST(count(*) AS BIGINT) AS m
+         |  FROM sizes GROUP BY sz),
+         |cum AS (
+         |  SELECT v, m,
+         |    CAST(coalesce(sum(m) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS c
+         |  FROM cells),
+         |parts AS (
+         |  SELECT CAST(v AS HUGEINT) * (2 * m * c + m * (m + 1)) AS u,
+         |    CAST(v AS HUGEINT) * m AS t, m
+         |  FROM cum),
+         |agg AS (SELECT CAST(sum(m) AS BIGINT) AS n, sum(u) AS s2,
+         |  sum(t) AS t FROM parts)
+         |SELECT tot.n_lists, tot.n_vectors, tot.max_list,
+         |  CAST(round(1e4 * tot.max_list / tot.n_vectors) AS BIGINT)
+         |    AS max_share4,
+         |  CAST(round(1e4 * (CAST(s2 AS DOUBLE) - (n + 1)
+         |      * CAST(t AS DOUBLE)) / (n * CAST(t AS DOUBLE))) AS BIGINT)
+         |    AS gini4
+         |FROM tot, agg""".stripMargin) { (s, dir) =>
+    val (_, assigned) = sharedIvf(s, dir)
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(count(lit(1)).as("n_lists"),
+      sum(col("sz")).as("n_vectors"), max(col("sz")).as("max_list"))
+    val gini = graft.operators.Profiling
+      .giniByGroup(sizes.withColumn("g", lit("all")), "g", "sz")
+      .select(col("gini4"))
+    tot.crossJoin(broadcast(gini))
+      .select(col("n_lists"), col("n_vectors"), col("max_list"),
+        round(lit(1e4) * col("max_list") / col("n_vectors")).cast("long")
+          .as("max_share4"),
+        col("gini4"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
-      q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231)
+      q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231,
+      q248)
 }
