@@ -311,6 +311,29 @@ object Profiling {
         round(lit(1e4) * col("pareto_k") / col("n_rows")).cast("long"))
   }
 
+  /** Functional-dependency audit for candidate column pairs A → B:
+    * the exact violation count (rows outside their determinant
+    * value's MODAL dependent class — the minimum repairs to make the
+    * FD hold) — the schema-discovery check a profiler runs before
+    * trusting a join key or planning normalization. One (A, B) census
+    * per pair, then per-A max-class arithmetic; no row leaves the
+    * census. Returns one row per pair:
+    * (determinant, dependent, n_rows, n_violations, holds). */
+  def fdViolations(df: DataFrame,
+                   pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a).as("av"), col(b).as("bv"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("av").agg(sum(col("n")).as("ta"), max(col("n")).as("mx"))
+        .agg(sum(col("ta")).as("n_rows"),
+          sum(col("ta") - col("mx")).as("n_violations"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0L).as("holds"))
+    }.reduce(_ unionAll _)
+  }
+
   /** k-anonymity census over a quasi-identifier tuple — the
     * re-identification audit beside the PII pattern scan: rows
     * sharing the full QI tuple form an equivalence class; any class

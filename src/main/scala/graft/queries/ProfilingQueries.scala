@@ -899,7 +899,36 @@ object ProfilingQueries {
       .orderBy(col("check_name"))
   }
 
+  /** Functional-dependency audit (see
+    * [[graft.operators.Profiling.fdViolations]]): three candidate FDs
+    * over orders — the key FD that must hold and two that measure how
+    * far attribute pairs are from determinism. */
+  val q249 = {
+    val pairs = Seq(("o_orderkey", "o_custkey"),
+      ("o_custkey", "o_orderpriority"),
+      ("o_orderpriority", "o_orderstatus"))
+    val branches = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS determinant, '$b' AS dependent,
+         |  CAST(sum(ta) AS BIGINT) AS n_rows,
+         |  CAST(sum(ta - mx) AS BIGINT) AS n_violations,
+         |  sum(ta - mx) = 0 AS holds
+         |FROM (
+         |  SELECT av, CAST(sum(n) AS BIGINT) AS ta,
+         |    CAST(max(n) AS BIGINT) AS mx
+         |  FROM (SELECT $a AS av, $b AS bv, CAST(count(*) AS BIGINT) AS n
+         |        FROM orders GROUP BY 1, 2)
+         |  GROUP BY av)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    GQuery("q249_fd_audit",
+      s"""SELECT * FROM (
+         |$branches)
+         |ORDER BY determinant, dependent""".stripMargin) { (s, dir) =>
+      Profiling.fdViolations(Tables.orders(s, dir), pairs)
+        .orderBy(col("determinant"), col("dependent"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215, q217, q221, q224, q228, q238, q243)
+      q215, q217, q221, q224, q228, q238, q243, q249)
 }

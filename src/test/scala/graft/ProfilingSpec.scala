@@ -190,6 +190,23 @@ class ProfilingSpec extends SparkSpec {
     assert(out === Seq((7L, 3L, 5L, 2755L, 3L, 4L)))
   }
 
+  test("fdViolations: modal-repair count; holding and failing FDs") {
+    // a→b: a=1 maps {x:2, y:1} → 1 violation; a=2 maps {x:1} → 0
+    // b→a: x maps {1:2, 2:1} → 1; y maps {1:1} → 0
+    val rows = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"))
+      .toDF("a", "b")
+    val out = Profiling.fdViolations(rows, Seq(("a", "b"), ("b", "a")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((4L, 1L, false)),
+      ("b", "a") -> ((4L, 1L, false))))
+    val ok = Profiling.fdViolations(
+        Seq((1L, "x"), (2L, "y")).toDF("a", "b"), Seq(("a", "b")))
+      .as[(String, String, Long, Long, Boolean)].collect().head
+    assert(ok === (("a", "b", 2L, 0L, true)))
+  }
+
   test("kAnonymity: class census, risk counts, exact fraction") {
     // classes: (a,1)×3, (a,2)×1, (b,1)×2 → k=3: two classes below
     val rows = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 2L),
