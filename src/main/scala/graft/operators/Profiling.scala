@@ -311,6 +311,36 @@ object Profiling {
         round(lit(1e4) * col("pareto_k") / col("n_rows")).cast("long"))
   }
 
+  /** Variance explained (η², the one-way ANOVA ratio) by a grouping
+    * factor: SS_between / SS_total of a 1e-4-grid value — "how much of
+    * quality's spread is just WHICH source it came from". All sums are
+    * exact integers; the per-group S²/n terms snap to the 1e-4 grid as
+    * integers BEFORE the order-free sum (the part idiom — group
+    * summation order can't move the result), and η² is one double
+    * ratio at the end. A constant value column reports null. Returns
+    * one row (n, eta4). */
+  def varianceExplained(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 1e4).cast("long").as("v4"))
+    val per = rows.groupBy("g")
+      .agg(count(lit(1)).as("n_g"), sum(col("v4")).as("s_g"))
+      .select(round(lit(1e4) * (col("s_g").cast("double") * col("s_g")
+        / col("n_g"))).cast("long").as("b4"))
+      .agg(sum(col("b4")).as("b4sum"))
+    val tot = rows.agg(count(lit(1)).as("n"), sum(col("v4")).as("s"),
+      sum(col("v4") * col("v4")).as("q"))
+    val g4 = round(lit(1e4) * (col("s").cast("double") * col("s")
+      / col("n"))).cast("long")
+    val sst = lit(10000L) * col("q") - g4
+    per.crossJoin(broadcast(tot))
+      .select(col("n"),
+        when(sst === 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1e4) * (col("b4sum") - g4).cast("double")
+            / sst.cast("double")).cast("long")).as("eta4"))
+  }
+
   /** Functional-dependency audit for candidate column pairs A → B:
     * the exact violation count (rows outside their determinant
     * value's MODAL dependent class — the minimum repairs to make the

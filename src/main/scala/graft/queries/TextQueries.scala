@@ -2366,10 +2366,59 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Variance explained by factor (see
+    * [[graft.operators.Profiling.varianceExplained]]): η² of the
+    * quality score by language vs by source — which axis of the corpus
+    * actually drives quality spread, the question a mixture designer
+    * answers before reweighting either. One oracle replays both
+    * decompositions with the same grid parts. */
+  val q250 = GQuery("q250_variance_explained",
+    s"""WITH $qualityCte,
+       |docs2 AS (
+       |  SELECT d.lang, d.source,
+       |    CAST(round(q.quality * 1e4) AS BIGINT) AS v4
+       |  FROM q JOIN documents d USING (doc_id)),
+       |tl AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(v4) AS BIGINT) AS s,
+       |  CAST(sum(v4 * v4) AS BIGINT) AS q2 FROM docs2),
+       |g AS (SELECT n, s, q2,
+       |  CAST(round(1e4 * (CAST(s AS DOUBLE) * s / n)) AS BIGINT) AS g4
+       |  FROM tl),
+       |bl AS (SELECT CAST(sum(b4) AS BIGINT) AS b4sum FROM (
+       |  SELECT CAST(round(1e4 * (CAST(sum(v4) AS DOUBLE) * sum(v4)
+       |    / count(*))) AS BIGINT) AS b4
+       |  FROM docs2 GROUP BY lang)),
+       |bs AS (SELECT CAST(sum(b4) AS BIGINT) AS b4sum FROM (
+       |  SELECT CAST(round(1e4 * (CAST(sum(v4) AS DOUBLE) * sum(v4)
+       |    / count(*))) AS BIGINT) AS b4
+       |  FROM docs2 GROUP BY source))
+       |SELECT * FROM (
+       |  SELECT 'lang' AS factor, g.n,
+       |    CASE WHEN 10000 * g.q2 - g.g4 = 0 THEN NULL
+       |      ELSE CAST(round(1e4 * CAST(bl.b4sum - g.g4 AS DOUBLE)
+       |        / CAST(10000 * g.q2 - g.g4 AS DOUBLE)) AS BIGINT) END
+       |      AS eta4
+       |  FROM g, bl
+       |  UNION ALL
+       |  SELECT 'source', g.n,
+       |    CASE WHEN 10000 * g.q2 - g.g4 = 0 THEN NULL
+       |      ELSE CAST(round(1e4 * CAST(bs.b4sum - g.g4 AS DOUBLE)
+       |        / CAST(10000 * g.q2 - g.g4 AS DOUBLE)) AS BIGINT) END
+       |  FROM g, bs)
+       |ORDER BY factor""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir).select(col("lang"), col("source"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    Seq("lang", "source").map { f =>
+      graft.operators.Profiling.varianceExplained(scored, f, "quality")
+        .select(lit(f).as("factor"), col("n"), col("eta4"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("factor"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219, q220, q225, q236, q239, q242)
+      q207, q216, q219, q220, q225, q236, q239, q242, q250)
 }

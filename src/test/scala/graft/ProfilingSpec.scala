@@ -190,6 +190,21 @@ class ProfilingSpec extends SparkSpec {
     assert(out === Seq((7L, 3L, 5L, 2755L, 3L, 4L)))
   }
 
+  test("varianceExplained: perfect separation → 1, no separation → 0, constant → null") {
+    // groups fully determine the value → η² = 1
+    val sep = Seq(("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    assert(Profiling.varianceExplained(sep, "g", "v")
+      .as[(Long, Option[Long])].head() === ((4L, Some(10000L))))
+    // identical group distributions → η² = 0
+    val none = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    assert(Profiling.varianceExplained(none, "g", "v")
+      .as[(Long, Option[Long])].head() === ((4L, Some(0L))))
+    // constant value → SS_total = 0 → null
+    val const = Seq(("a", 2.0), ("b", 2.0)).toDF("g", "v")
+    assert(Profiling.varianceExplained(const, "g", "v")
+      .as[(Long, Option[Long])].head() === ((2L, None)))
+  }
+
   test("fdViolations: modal-repair count; holding and failing FDs") {
     // a→b: a=1 maps {x:2, y:1} → 1 violation; a=2 maps {x:1} → 0
     // b→a: x maps {1:2, 2:1} → 1; y maps {1:1} → 0
