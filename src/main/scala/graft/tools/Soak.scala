@@ -167,6 +167,44 @@ object Soak {
       }
     }
 
+    // --- leg: SCD2 change store — per-batch cost vs dimension size ---
+    // a fixed 64-key update batch against a 20k- then 200k-key change
+    // store: the current-state read is pruned to the batch's key
+    // buckets, so per-batch time must stay ~flat as the dimension
+    // grows 10×. The timed run is an exact REPLAY of the update batch
+    // (absorbed — appends nothing), which isolates the read path that
+    // must not scale with history.
+    {
+      import graft.streaming.Pipelines
+      val buckets = 1024
+      def mkStore(nRows: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("soak_scd2").toString
+        val seed = spark.range(nRows.toLong).select(col("id").as("k"),
+          to_timestamp(lit("2020-01-01")).as("snap_ts"),
+          concat(lit("seg"), (col("id") % 7).cast("string")).as("seg"))
+        Pipelines.scd2IngestStream("k", "snap_ts", Seq("seg"), dir,
+          buckets)()(seed, 0L)
+        dir
+      }
+      val batch = spark.range(64).select(col("id").as("k"),
+        to_timestamp(lit("2020-02-01")).as("snap_ts"),
+        lit("segX").as("seg")).cache()
+      batch.count()
+      def runBatch(dir: String): Unit =
+        Pipelines.scd2IngestStream("k", "snap_ts", Seq("seg"), dir,
+          buckets)()(batch, 1L)
+      val small = mkStore(20_000); val big = mkStore(200_000)
+      runBatch(small); runBatch(big) // apply the update once each (warm)
+      val tS = time("scd2_batch vs 20k dims")(runBatch(small))
+      val tB = time("scd2_batch vs 200k dims")(runBatch(big))
+      val r = tB / tS
+      println(f"[soak] scd2_store_batch         ${r}%5.1fx per-batch cost for 10x dimension growth")
+      if (r > 3.0) {
+        System.err.println("[soak] FAIL dimension-size-linear SCD2 batch")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     // --- leg: streaming weighted reservoir — per-batch cost vs history ---
     // the reservoir's state is ≤ k rows per stratum FOREVER, so a batch
     // against a reservoir that has absorbed 100× more history must cost
