@@ -445,6 +445,43 @@ object TextStats {
         round(lit(1e4) * col("n_easy") / col("n_docs")).cast("long"))
   }
 
+  /** Exact trimmed mean per group on the 1e-4 value grid: drop the
+    * k = ⌊trimPct·n⌋ smallest and largest ROWS (integer count trim)
+    * and average the middle — the robust location estimate between
+    * mean (trim 0) and median (trim ½), immune to the tail garbage
+    * that drags a plain average. Computed from value cells with
+    * cumulative windows: a cell straddling a trim boundary contributes
+    * exactly its in-range row count
+    * (min(cum, n−k) − max(cum_before, k))⁺ — pure integers until the
+    * final mean division. Returns (grp, n_rows, n_trimmed_each,
+    * trimmed_mean4). Groups where 2k ≥ n are dropped (nothing left). */
+  def groupTrimmedMean(df: DataFrame, groupCol: String, scoreCol: String,
+                       trimPct: Double): DataFrame = {
+    require(trimPct >= 0 && trimPct < 0.5, "trimPct must be in [0, 0.5)")
+    val rows = df.where(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(scoreCol) * 1e4).cast("long").as("s4"))
+    val cells = rows.groupBy("grp", "s4").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s4"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = cells.groupBy("grp").agg(sum(col("n")).as("t"))
+      .withColumn("k", floor(col("t") * lit(trimPct)).cast("long"))
+    val kept = greatest(lit(0L),
+      least(col("cum"), col("t") - col("k"))
+        - greatest(col("cum") - col("n"), col("k")))
+    cells.withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(tot), "grp")
+      .where(col("t") - lit(2L) * col("k") > 0L)
+      .groupBy(col("grp"), col("t"), col("k"))
+      .agg(sum(col("s4") * kept).as("ts"))
+      .select(col("grp"), col("t").as("n_rows"),
+        col("k").as("n_trimmed_each"),
+        round(col("ts").cast("double") / (col("t") - lit(2L) * col("k")))
+          .cast("long").as("trimmed_mean4"))
+  }
+
   /** Chao1 vocabulary-richness estimate per group: observed distinct
     * tokens plus the unseen-mass correction f₁(f₁−1)/(2(f₂+1)) from
     * the singleton (hapax) and doubleton counts — the standard

@@ -661,7 +661,45 @@ object Relational {
       .orderBy(col("priority"))
   }
 
+  /** Exact 10%-trimmed mean of order value per priority (see
+    * [[graft.operators.TextStats.groupTrimmedMean]]): the robust
+    * average between q38's exact percentiles and the plain mean —
+    * integer trim counts, straddling cells contribute exactly their
+    * in-range rows. */
+  val q251 = GQuery("q251_trimmed_mean",
+    """WITH rows_ AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(round(1e4 * o_totalprice) AS BIGINT) AS s4
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |cells AS (SELECT grp, s4, CAST(count(*) AS BIGINT) AS n
+      |  FROM rows_ GROUP BY 1, 2),
+      |tot AS (SELECT grp, CAST(sum(n) AS BIGINT) AS t,
+      |  CAST(floor(sum(n) * 0.1) AS BIGINT) AS k FROM cells GROUP BY grp),
+      |cum_ AS (
+      |  SELECT grp, s4, n,
+      |    CAST(sum(n) OVER (PARTITION BY grp ORDER BY s4
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM cells),
+      |j AS (
+      |  SELECT c.grp, t, k, s4,
+      |    greatest(0, least(cum, t - k) - greatest(cum - n, k)) AS kept
+      |  FROM cum_ c JOIN tot USING (grp) WHERE t - 2 * k > 0)
+      |SELECT grp AS priority, t AS n_rows, k AS n_trimmed_each,
+      |  CAST(round(CAST(sum(s4 * kept) AS DOUBLE) / (t - 2 * k))
+      |    AS BIGINT) AS trimmed_mean4
+      |FROM j GROUP BY 1, 2, 3 ORDER BY priority""".stripMargin) {
+    (s, dir) =>
+    graft.operators.TextStats.groupTrimmedMean(
+        Tables.orders(s, dir).select(col("o_orderpriority"),
+          col("o_totalprice")),
+        "o_orderpriority", "o_totalprice", trimPct = 0.1)
+      .select(col("grp").as("priority"), col("n_rows"),
+        col("n_trimmed_each"), col("trimmed_mean4"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189, q199, q204, q206, q241, q245, q246)
+      q10b, q11, q12, q189, q199, q204, q206, q241, q245, q246, q251)
 }

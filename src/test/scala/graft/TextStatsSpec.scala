@@ -169,6 +169,23 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("groupTrimmedMean: outliers trimmed, straddling cells counted exactly") {
+    // a: 1..9 plus outlier 1000, trim 10% → k=1 → mean(2..9) = 5.5 → 6
+    // b: [1,1,1,10] trim 10% → k=0 → plain mean 13/4 → 3
+    val rows = ((1L to 9L) :+ 1000L).map(v => ("a", v / 1e4)) ++
+      Seq(1L, 1L, 1L, 10L).map(v => ("b", v / 1e4))
+    val out = TextStats.groupTrimmedMean(rows.toDF("g", "v"), "g", "v", 0.1)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map("a" -> ((10L, 1L, 6L)), "b" -> ((4L, 0L, 3L))))
+    // straddle: [1,1,1,10] at 25% trim → keep two 1s → mean 1
+    val s = TextStats.groupTrimmedMean(
+        Seq(1L, 1L, 1L, 10L).map(v => ("c", v / 1e4)).toDF("g", "v"),
+        "g", "v", 0.25)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(s === Seq(("c", 4L, 1L, 1L)))
+  }
+
   test("vocabRichness: hapax/doubleton counts and the bias-corrected Chao1") {
     // g1: "a a b c" → counts {a:2, b:1, c:1}: D=3, f1=2, f2=1
     //   chao1 = 3 + 2·1/(2·2) = 3.5 → 4 (HALF_UP)
