@@ -699,7 +699,50 @@ object Relational {
       .orderBy(col("priority"))
   }
 
+  /** Herfindahl–Hirschman concentration of customer spend within each
+    * market segment: Σ share² on the 1e-8 grid (per-customer parts
+    * rounded before the order-free sum — the part idiom) plus the
+    * effective-competitor count 1/HHI — "is this segment's revenue
+    * one whale or a crowd", the q208/q228 concentration family in
+    * its antitrust form. */
+  val q252 = GQuery("q252_hhi_concentration",
+    """WITH sp AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+      |    CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+      |      AS m2
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |tt AS (SELECT seg, CAST(sum(m2) AS BIGINT) AS s FROM sp GROUP BY seg),
+      |parts AS (
+      |  SELECT sp.seg,
+      |    CAST(round(1e8 * (CAST(m2 AS DOUBLE) * m2
+      |      / (CAST(s AS DOUBLE) * s))) AS BIGINT) AS p8
+      |  FROM sp JOIN tt USING (seg)),
+      |a AS (SELECT seg, count(*) AS n_customers,
+      |  CAST(sum(p8) AS BIGINT) AS hhi8 FROM parts GROUP BY seg)
+      |SELECT seg AS segment, n_customers, hhi8,
+      |  CASE WHEN hhi8 = 0 THEN NULL
+      |    ELSE CAST(round(1e4 * (1e8 / hhi8)) AS BIGINT) END AS eff_n4
+      |FROM a ORDER BY segment""".stripMargin) { (s, dir) =>
+    val sp = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_custkey").as("cust"))
+      .agg(sum(round(lit(100) * col("o_totalprice")).cast("long")).as("m2"))
+    val tt = sp.groupBy("seg").agg(sum(col("m2")).as("s"))
+    sp.join(broadcast(tt), "seg")
+      .withColumn("p8", round(lit(1e8) * (col("m2").cast("double")
+        * col("m2") / (col("s").cast("double") * col("s")))).cast("long"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_customers"), sum(col("p8")).as("hhi8"))
+      .select(col("seg").as("segment"), col("n_customers"), col("hhi8"),
+        when(col("hhi8") === 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1e4) * (lit(1e8) / col("hhi8")))
+            .cast("long")).as("eff_n4"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189, q199, q204, q206, q241, q245, q246, q251)
+      q10b, q11, q12, q189, q199, q204, q206, q241, q245, q246, q251, q252)
 }
