@@ -742,7 +742,48 @@ object Relational {
       .orderBy(col("segment"))
   }
 
+  /** Benford first-digit audit of order values — the classic
+    * fabricated-numbers screen: observed share of each leading digit
+    * (taken STRING-exactly from the cent-grid integer, no float log)
+    * against the Benford expectation log₁₀(1+1/d), with the per-digit
+    * deviation on the 1e-4 grid. A natural multi-scale money column
+    * should hug the curve; flat digits flag synthetic or capped
+    * values. */
+  val q253 = GQuery("q253_benford_audit",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(100 * o_totalprice) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+      |  FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      |SELECT digit, n,
+      |  CAST(round(1e4 * (CAST(n AS DOUBLE) / tot)) AS BIGINT) AS share4,
+      |  CAST(round(1e4 * (ln(1.0 + 1.0 / digit) / ln(10.0))) AS BIGINT)
+      |    AS benford4,
+      |  CAST(round(1e4 * (CAST(n AS DOUBLE) / tot)) AS BIGINT)
+      |    - CAST(round(1e4 * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |      AS BIGINT) AS dev4
+      |FROM c, t ORDER BY digit""".stripMargin) { (s, dir) =>
+    val d = Tables.orders(s, dir)
+      .where(col("o_totalprice") > 0)
+      .select(substring(round(lit(100) * col("o_totalprice"))
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+    val c = d.groupBy("digit").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("tot"))
+    val share4 = round(lit(1e4)
+      * (col("n").cast("double") / col("tot"))).cast("long")
+    val benford4 = round(lit(1e4)
+      * (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))))
+      .cast("long")
+    c.crossJoin(broadcast(t))
+      .select(col("digit"), col("n"), share4.as("share4"),
+        benford4.as("benford4"), (share4 - benford4).as("dev4"))
+      .orderBy(col("digit"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
-      q10b, q11, q12, q189, q199, q204, q206, q241, q245, q246, q251, q252)
+      q10b, q11, q12, q189, q199, q204, q206, q241, q245, q246, q251, q252,
+      q253)
 }
