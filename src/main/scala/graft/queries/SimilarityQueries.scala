@@ -888,8 +888,76 @@ object SimilarityQueries {
         col("gini4"))
   }
 
+  /** Label-centroid distance outliers — the mislabeled-embedding
+    * screen: each vector's squared distance to its OWN label's mean
+    * (the q61 integer-grid meanPool centroid, exact cross-engine),
+    * snapped per row to the 1e-4 grid; vectors beyond 4× their
+    * label's mean distance are flagged. The oracle replays the pooled
+    * centroid, the unrolled diff-square chain in the fold's exact
+    * order, and the two-pass outlier rule. */
+  val q254 = {
+    val chain = (1 to Dim).map(i =>
+      s"(CAST(embedding[$i] AS DOUBLE) - cent[$i]) * " +
+        s"(CAST(embedding[$i] AS DOUBLE) - cent[$i])").mkString(" + ")
+    GQuery("q254_label_outliers",
+      s"""WITH cm AS (
+         |  SELECT label, u.pos - 1 AS pos,
+         |    round(sum(CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT))
+         |      / (count(u.x) * 1000000.0), 4) AS m0
+         |  FROM (
+         |    SELECT label, unnest(
+         |      [{'pos': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
+         |    FROM embeddings)
+         |  GROUP BY label, u.pos),
+         |cl AS (
+         |  SELECT label, list(CASE WHEN m0 = 0 THEN 0.0 ELSE m0 END
+         |    ORDER BY pos) AS cent
+         |  FROM cm GROUP BY label),
+         |dd AS (
+         |  SELECT e.label, e.vec_id,
+         |    CAST(round(1e4 * ($chain)) AS BIGINT) AS d4
+         |  FROM embeddings e JOIN cl USING (label)),
+         |s1 AS (
+         |  SELECT label, count(*) AS n_vecs,
+         |    CAST(round(avg(d4)) AS BIGINT) AS mean_d4
+         |  FROM dd GROUP BY label),
+         |fin AS (
+         |  SELECT dd.label,
+         |    CAST(sum(CASE WHEN dd.d4 > 4 * s1.mean_d4 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_outliers
+         |  FROM dd JOIN s1 USING (label) GROUP BY dd.label)
+         |SELECT s1.label, s1.n_vecs, s1.mean_d4, fin.n_outliers
+         |FROM s1 JOIN fin USING (label) ORDER BY label""".stripMargin) {
+      (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.operators.Embeddings
+        .meanPool(emb, "label", "embedding")
+        .select(col("key").as("label"), col("pooled").as("cent"))
+      val dist = aggregate(
+        zip_with(col("embedding"), col("cent"),
+          (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+        lit(0.0), (acc, t) => acc + t)
+      val dd = emb.join(broadcast(cents), "label")
+        .select(col("label"), col("vec_id"),
+          round(lit(1e4) * dist).cast("long").as("d4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s1 = dd.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("d4"))).cast("long").as("mean_d4"))
+      val fin = dd.join(broadcast(s1.select(col("label"), col("mean_d4"))),
+          "label")
+        .groupBy("label")
+        .agg(sum(when(col("d4") > lit(4L) * col("mean_d4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      s1.join(fin, "label")
+        .select(col("label"), col("n_vecs"), col("mean_d4"),
+          col("n_outliers"))
+        .orderBy(col("label"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
       q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231,
-      q248)
+      q248, q254)
 }
