@@ -533,6 +533,87 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Sobel edge-energy kernel — the sharpness/flatness discard signal
+    * of an image-curation pass: decode the raster, take the integer
+    * BT.601 luma (299·r + 587·g + 114·b milli-units — the q120/q232
+    * weighting, no division), convolve the interior with the two 3×3
+    * Sobel kernels, and report the exact gradient-magnitude proxy
+    * Σ(|Gx| + |Gy|) plus the peak gradient and the flat-pixel count
+    * (|Gx| + |Gy| = 0). A screenshot of a solid color, a letterboxed
+    * frame, or a blurred thumbnail all sit at the low-energy end; a
+    * natural photo does not — this is the standard cheap blur/flat
+    * filter a vision-corpus pipeline runs before any model scoring.
+    * Pure integer arithmetic end to end, so an oracle can replay the
+    * convolution term-for-term from the generator's pixel formula.
+    * Undecodable blobs degrade to the typed corrupt row; a decodable
+    * image thinner than 3 px simply has no interior (n_interior = 0). */
+  object EdgeStatsCodec extends Serializable {
+    /** (format, width, height, n_interior, edge_sum, max_grad, n_flat);
+      * corrupt → ("corrupt", -1, -1, -1, -1, -1, -1). */
+    def stats(bytes: Array[Byte]): (String, Int, Int, Long, Long, Long, Long) = {
+      val (fmt, img) = ChannelStatsCodec.decode(bytes)
+      if (img == null) return ("corrupt", -1, -1, -1L, -1L, -1L, -1L)
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = new Array[Long](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val m = img.getRGB(x, y) & 0xffffff
+          lum(y * w + x) = ((m >> 16) & 0xff) * 299L +
+            ((m >> 8) & 0xff) * 587L + (m & 0xff) * 114L
+          x += 1
+        }
+        y += 1
+      }
+      var n = 0L; var es = 0L; var mx = 0L; var nf = 0L
+      y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val tl = lum((y - 1) * w + (x - 1)); val tc = lum((y - 1) * w + x)
+          val tr = lum((y - 1) * w + (x + 1)); val ml = lum(y * w + (x - 1))
+          val mr = lum(y * w + (x + 1));       val bl = lum((y + 1) * w + (x - 1))
+          val bc = lum((y + 1) * w + x);       val br = lum((y + 1) * w + (x + 1))
+          val gx = tr + 2L * mr + br - tl - 2L * ml - bl
+          val gy = bl + 2L * bc + br - tl - 2L * tc - tr
+          val e = math.abs(gx) + math.abs(gy)
+          n += 1; es += e
+          if (e > mx) mx = e
+          if (e == 0L) nf += 1
+          x += 1
+        }
+        y += 1
+      }
+      (fmt, w, h, n, es, mx, nf)
+    }
+  }
+
+  /** Per-partition Sobel edge-stats decode — [[decodePartitions]] with
+    * the [[EdgeStatsCodec]] kernel:
+    * (id, format, width, height, n_interior, edge_sum, max_grad,
+    * n_flat). Zero shuffle, O(pixels) per blob. */
+  def decodeImageEdgeStatsPartitions(df: DataFrame, blobCol: String,
+                                     idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("n_interior", LongType).add("edge_sum", LongType)
+      .add("max_grad", LongType).add("n_flat", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, w, h, n, es, mx, nf) = EdgeStatsCodec.stats(bytes)
+        Row(r.getLong(idIdx), f, w, h, n, es, mx, nf)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Nearest-neighbor thumbnail kernel — the TRANSFORM face of the
     * image family (probe/dHash/channel-stats only read): decode the
     * raster, sample a tw×th thumbnail with the canonical
@@ -765,6 +846,89 @@ object Multimodal {
       }
       ("wav", sb.toString)
     }
+  }
+
+  /** Zero-crossing-rate kernel — the voiced/unvoiced/silence
+    * discriminator of an audio-curation pass: walks the RIFF chunks to
+    * the PCM16 payload, de-interleaves channels, and counts exact sign
+    * changes between consecutive frames WITHIN each channel (a sign
+    * change across interleaved channels is not a crossing — channel
+    * layout matters and is spec-tested). High ZCR ≈ fricatives/noise,
+    * near-zero ZCR with low amplitude ≈ silence; together with q119's
+    * energy these are the standard cheap speech-corpus filters. Also
+    * reports the exact Σ|sample| loudness proxy. Pure integer counts —
+    * an oracle replays them from the generator's closed-form sample
+    * formula without ever joining. Non-PCM16 / malformed RIFF degrade
+    * to the typed corrupt row. O(samples) per blob, zero shuffle. */
+  object ZcrStatsCodec extends Serializable {
+    private val corruptRow = ("corrupt", -1, -1, -1L, -1L, -1L)
+    /** (format, sample_rate, channels, n_frames, n_crossings, sum_abs);
+      * corrupt → ("corrupt", -1, -1, -1, -1, -1). */
+    def stats(bytes: Array[Byte]): (String, Int, Int, Long, Long, Long) = {
+      def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+        return corruptRow
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12L
+      var bits = -1
+      var channels = -1
+      var rate = -1
+      var dataOff = -1L
+      var dataSize = -1L
+      while (off + 8 <= bytes.length) {
+        val o = off.toInt
+        val id = ascii(o)
+        val size = bb.getInt(o + 4).toLong & 0xffffffffL
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length) {
+          channels = bb.getShort(o + 10) & 0xffff
+          rate = bb.getInt(o + 12)
+          bits = bb.getShort(o + 22) & 0xffff
+        } else if (id == "data") { dataOff = off + 8; dataSize = size }
+        off += 8 + size + (size & 1)
+      }
+      if (bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0 ||
+        dataOff + dataSize > bytes.length)
+        return corruptRow
+      val n = (dataSize / 2).toInt
+      // last-seen sample per channel — the de-interleaved predecessor
+      val prev = new Array[Int](channels)
+      var crossings = 0L
+      var sumAbs = 0L
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort((dataOff + 2L * i).toInt).toInt
+        val c = i % channels
+        if (i >= channels && ((s < 0) != (prev(c) < 0))) crossings += 1
+        prev(c) = s
+        sumAbs += math.abs(s)
+        i += 1
+      }
+      ("wav", rate, channels, n.toLong / channels, crossings, sumAbs)
+    }
+  }
+
+  /** Per-partition ZCR decode — [[decodePartitions]] with the
+    * [[ZcrStatsCodec]] kernel: (id, format, sample_rate, channels,
+    * n_frames, n_crossings, sum_abs). */
+  def decodeAudioZcrPartitions(df: DataFrame, blobCol: String,
+                               idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType).add("format", StringType)
+      .add("sample_rate", IntegerType).add("channels", IntegerType)
+      .add("n_frames", LongType).add("n_crossings", LongType)
+      .add("sum_abs", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val (f, sr, ch, nf, nc, sa) = ZcrStatsCodec.stats(bytes)
+        Row(r.getLong(idIdx), f, sr, ch, nf, nc, sa)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Per-partition audio-fingerprint decode: (id, format, asig). */

@@ -843,6 +843,102 @@ object DedupQueries {
     sharedNamePairs(s, dir).orderBy(col("word_a"), col("word_b"))
   }
 
+  /** Sorted-neighborhood blocking (see
+    * [[graft.operators.Dedup.sortedNeighborPairs]]): the
+    * Hernández–Stolfo SNM candidate generator over the same customer
+    * names as q135 — sort the distinct names once, compare each only
+    * to the next 5 in sort order, verify with `levenshtein ≤ 1`. The
+    * oracle replays rank assignment (row_number over the sorted
+    * vocabulary), the rank-gap candidate rule, and the verify — so a
+    * hash match proves the distributed two-phase-prefix-sum ranking
+    * equals a sequential sort's ranks exactly. Recall is
+    * window-bounded by design (first-character edits sort far apart
+    * and are missed — spec-pinned); the catch is the cost shape: one
+    * sort + V·(window−1) candidates, no neighborhood expansion. */
+  val q257 = GQuery("q257_sorted_neighbor_pairs",
+    """WITH v AS (
+      |  SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 4),
+      |r AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS rk FROM v),
+      |cand AS (
+      |  SELECT a.w AS word_a, b.w AS word_b
+      |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5)
+      |SELECT word_a, word_b, levenshtein(word_a, word_b) AS dist
+      |FROM cand WHERE levenshtein(word_a, word_b) <= 1
+      |ORDER BY word_a, word_b""".stripMargin) { (s, dir) =>
+    val (pairs, _) = Dedup.sortedNeighborPairsManaged(
+      Tables.customer(s, dir), "c_name", window = 6, maxDist = 1,
+      minLen = 4)
+    pairs.orderBy(col("word_a"), col("word_b"))
+  }
+
+  /** Fellegi–Sunter linkage weights (see
+    * [[graft.operators.Dedup.fellegiSunter]]): per-field match odds
+    * for the customer-record linkage problem — m estimated over the
+    * verified fuzzy-name pair set (the q135 SymSpell graph as the
+    * match proxy), u computed EXACTLY from each field's value census
+    * (Σ n_v(n_v−1) / N(N−1) — no sampled random pairs), and the m/u
+    * agreement-odds ratio on the 1e-4 grid. The oracle replays the
+    * SymSpell banding, the verify, both record joins, the agreement
+    * counts, and the census arithmetic end to end. Discriminating
+    * fields (many values, u ≪ 1) separate from chance-agreement
+    * fields — the numbers a linkage scorer would sum as log-weights. */
+  val q258 = GQuery("q258_linkage_weights",
+    """WITH v AS (
+      |  SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 4),
+      |var AS (
+      |  SELECT w, unnest([w] ||
+      |    [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, length(w) + 1)]) AS d
+      |  FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      |  FROM var a JOIN var b ON a.d = b.d AND a.w < b.w),
+      |np AS (
+      |  SELECT word_a, word_b FROM cand
+      |  WHERE levenshtein(word_a, word_b) <= 1),
+      |pr AS (
+      |  SELECT ca.c_nationkey AS na, cb.c_nationkey AS nb,
+      |    ca.c_mktsegment AS sa, cb.c_mktsegment AS sb,
+      |    floor(ca.c_acctbal / 1000.0) AS ba, floor(cb.c_acctbal / 1000.0) AS bb
+      |  FROM np JOIN customer ca ON ca.c_name = word_a
+      |          JOIN customer cb ON cb.c_name = word_b),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT) AS agn,
+      |    CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS ags,
+      |    CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT) AS agb
+      |  FROM pr),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+      |un AS (
+      |  SELECT 'nation' AS field, CAST(sum(c * (c - 1)) AS BIGINT) AS s
+      |  FROM (SELECT count(*) AS c FROM customer GROUP BY c_nationkey)
+      |  UNION ALL
+      |  SELECT 'segment', CAST(sum(c * (c - 1)) AS BIGINT)
+      |  FROM (SELECT count(*) AS c FROM customer GROUP BY c_mktsegment)
+      |  UNION ALL
+      |  SELECT 'acct_band', CAST(sum(c * (c - 1)) AS BIGINT)
+      |  FROM (SELECT count(*) AS c FROM customer
+      |        GROUP BY floor(c_acctbal / 1000.0))),
+      |me AS (
+      |  SELECT 'nation' AS field, t AS n_pairs, agn AS n_agree FROM agg
+      |  UNION ALL SELECT 'segment', t, ags FROM agg
+      |  UNION ALL SELECT 'acct_band', t, agb FROM agg)
+      |SELECT me.field, n_pairs, n_agree,
+      |  CAST(round(1e4 * CAST(n_agree AS DOUBLE) / n_pairs) AS BIGINT)
+      |    AS m4,
+      |  CAST(round(1e8 * CAST(s AS DOUBLE) / (n * (n - 1))) AS BIGINT)
+      |    AS u8,
+      |  CAST(round(1e4 * CAST(n_agree * n * (n - 1) AS DOUBLE)
+      |    / CAST(n_pairs * s AS DOUBLE)) AS BIGINT) AS mu_ratio4
+      |FROM me JOIN un USING (field) CROSS JOIN tot
+      |ORDER BY field""".stripMargin) { (s, dir) =>
+    val pairs = sharedNamePairs(s, dir)
+      .select(col("word_a").as("id_a"), col("word_b").as("id_b"))
+    Dedup.fellegiSunter(Tables.customer(s, dir), "c_name", pairs, Seq(
+      "acct_band" -> floor(col("c_acctbal") / 1000.0),
+      "nation" -> col("c_nationkey"),
+      "segment" -> col("c_mktsegment")))
+      .orderBy(col("field"))
+  }
+
   /** Capstone entity resolution over customer records: SymSpell fuzzy
     * name pairing (q135 machinery) gated on nation agreement →
     * hash-min connected components → ONE canonical record per
@@ -1512,5 +1608,6 @@ object DedupQueries {
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
-      q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237)
+      q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
+      q258)
 }

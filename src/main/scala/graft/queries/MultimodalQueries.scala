@@ -1197,7 +1197,125 @@ object MultimodalQueries {
       .orderBy(col("source"))
   }
 
+  /** Sobel edge-energy census (see
+    * [[graft.operators.Multimodal.EdgeStatsCodec]]): real raster decode
+    * → integer BT.601 luma → the two 3×3 Sobel convolutions over the
+    * interior → exact Σ(|Gx|+|Gy|), peak gradient, and flat-pixel
+    * count per image — the cheap blur/flat discard signal of a
+    * vision-corpus pass. Same 50-seed image classes as q120 (seed =
+    * doc_id mod 50 fixes dimensions AND pixels), so the oracle replays
+    * the ENTIRE convolution from the generator's pixel formula: luma
+    * per (x, y), an 8-row neighbor-offset/weight table joined against
+    * the luma grid, gradient sums per interior pixel, exact integer
+    * aggregates per class expanded back to documents. A hash match
+    * means the PNG round-trip, the luma weighting, and every Sobel
+    * term agree with the replay.
+    *
+    * Scale shape: per-partition decode + convolution (zero shuffle,
+    * O(pixels) per blob); the only shuffle is the final orderBy. */
+  val q255 = GQuery("q255_image_edge_energy",
+    """WITH sd AS (SELECT DISTINCT doc_id % 50 AS seed FROM documents),
+      |dim AS (SELECT seed, 9 + seed % 23 AS w, 8 + (seed * 7) % 24 AS h
+      |        FROM sd),
+      |xs AS (SELECT seed, w, h, unnest(range(0, w)) AS x FROM dim),
+      |pxy AS (SELECT seed, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |lum AS (SELECT seed, w, h, x, y,
+      |  (((seed + x * 31 + y * 131) % 16777216) // 65536) * 299
+      |  + ((((seed + x * 31 + y * 131) % 16777216) // 256) % 256) * 587
+      |  + (((seed + x * 31 + y * 131) % 16777216) % 256) * 114 AS l
+      |  FROM pxy),
+      |ip AS (SELECT seed, x, y FROM lum
+      |  WHERE x >= 1 AND x <= w - 2 AND y >= 1 AND y <= h - 2),
+      |off AS (SELECT * FROM (VALUES
+      |  (-1, -1, -1, -1), (0, -1, 0, -2), (1, -1, 1, -1),
+      |  (-1, 0, -2, 0), (1, 0, 2, 0),
+      |  (-1, 1, -1, 1), (0, 1, 0, 2), (1, 1, 1, 1))
+      |  AS t(dx, dy, wx, wy)),
+      |g AS (SELECT ip.seed AS seed, ip.x AS x, ip.y AS y,
+      |   sum(o.wx * n.l) AS gx, sum(o.wy * n.l) AS gy
+      | FROM ip CROSS JOIN off o
+      | JOIN lum n ON n.seed = ip.seed AND n.x = ip.x + o.dx
+      |   AND n.y = ip.y + o.dy
+      | GROUP BY 1, 2, 3),
+      |agg AS (SELECT seed,
+      |  CAST(count(*) AS BIGINT) AS n_interior,
+      |  CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS edge_sum,
+      |  CAST(max(abs(gx) + abs(gy)) AS BIGINT) AS max_grad,
+      |  CAST(sum(CASE WHEN abs(gx) + abs(gy) = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_flat
+      | FROM g GROUP BY seed)
+      |SELECT d.doc_id, 'png' AS format,
+      |  CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+      |  a.n_interior, a.edge_sum, a.max_grad, a.n_flat
+      |FROM documents d
+      |JOIN dim m ON d.doc_id % 50 = m.seed
+      |JOIN agg a ON a.seed = m.seed
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 50
+        (id, Multimodal.encodePng(
+          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
+      })
+      .toDF("doc_id", "blob")
+    Multimodal.decodeImageEdgeStatsPartitions(blobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("format"), col("width"),
+        col("height"), col("n_interior"), col("edge_sum"),
+        col("max_grad"), col("n_flat"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zero-crossing-rate census (see
+    * [[graft.operators.Multimodal.ZcrStatsCodec]]): the
+    * voiced/unvoiced/silence discriminator over REAL PCM payloads —
+    * per-channel sign changes between consecutive frames plus the
+    * exact Σ|sample| loudness proxy, q119's energy sibling. Same WAV
+    * fixture family as q119 (rate/channels/frames derive from doc_id),
+    * and because the generator's sample formula is closed-form the
+    * oracle replays BOTH the sample and its same-channel predecessor
+    * ((doc_id + (i − ch)·31) mod 2¹⁶ − 2¹⁵) directly — no join, no
+    * window — so a hash match proves the RIFF walk, the channel
+    * de-interleave, and every crossing comparison. */
+  val q256 = GQuery("q256_audio_zcr",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+      |    CAST(1 + doc_id % 2 AS INT) AS ch,
+      |    CAST(100 + (doc_id * 13) % 900 AS BIGINT) AS nf
+      |  FROM documents),
+      |s AS (SELECT doc_id, sample_rate, ch, nf,
+      |        unnest(range(0, nf * ch)) AS i FROM p),
+      |v AS (SELECT doc_id, sample_rate, ch, nf,
+      |  ((doc_id + i * 31) % 65536) - 32768 AS v,
+      |  CASE WHEN i >= ch
+      |    THEN ((doc_id + (i - ch) * 31) % 65536) - 32768 END AS pv
+      |  FROM s)
+      |SELECT doc_id, 'wav' AS format,
+      |  max(sample_rate) AS sample_rate, max(ch) AS channels,
+      |  max(nf) AS n_frames,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodeWav(
+          sampleRate = (8000 + (id % 8) * 1000).toInt,
+          channels = (1 + id % 2).toInt,
+          nFrames = (100 + (id * 13) % 900).toInt,
+          seed = id))
+      })
+      .toDF("doc_id", "blob")
+    Multimodal.decodeAudioZcrPartitions(blobs, "blob", "doc_id")
+      .select(col("id").as("doc_id"), col("format"), col("sample_rate"),
+        col("channels"), col("n_frames"), col("n_crossings"),
+        col("sum_abs"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q34, q34b, q35, q110, q112, q116, q119, q120, q121, q122, q123,
-      q128, q129, q131, q132, q133, q175, q190, q232)
+      q128, q129, q131, q132, q133, q175, q190, q232, q255, q256)
 }

@@ -351,6 +351,54 @@ class DedupSimilaritySpec extends SparkSpec {
       ("alph", "alpha"), ("alpha", "alphax"), ("alpha", "alpja")))
   }
 
+  test("sortedNeighborPairs: window-bounded recall — adjacent edits caught, first-char edits missed") {
+    // sorted vocabulary: aaaa, aaab, ab00, ab01, ab02, ab03, baaa
+    // (aaaa, baaa) is a true d=1 pair but sits at rank gap 6 ≥ window —
+    // the documented SNM miss; every other d=1 pair has gap ≤ 3
+    val names = Seq("aaaa", "aaab", "ab00", "ab01", "ab02", "ab03", "baaa",
+      "aaaa").toDF("name")
+    val out = Dedup.sortedNeighborPairs(names, "name", window = 6,
+      maxDist = 1, minLen = 4)
+      .select("word_a", "word_b").as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("aaaa", "aaab"), ("ab00", "ab01"), ("ab00", "ab02"),
+      ("ab00", "ab03"), ("ab01", "ab02"), ("ab01", "ab03"),
+      ("ab02", "ab03")))
+    // the missed pair IS within one edit — SymSpell banding finds it
+    val sym = Dedup.editDistancePairs(names, "name", minLen = 4)
+      .select("word_a", "word_b").as[(String, String)].collect().toSet
+    assert(sym.contains(("aaaa", "baaa")))
+    // widening the window past the gap recovers it: SNM output equals
+    // exactly {true pairs with rank gap < window}
+    val wide = Dedup.sortedNeighborPairs(names, "name", window = 8,
+      maxDist = 1, minLen = 4)
+      .select("word_a", "word_b").as[(String, String)].collect().toSet
+    // (aaab, baaa) also enters the widened window but is d=2 — the
+    // verify rejects it
+    assert(wide === out + (("aaaa", "baaa")))
+  }
+
+  test("fellegiSunter: hand-computed m, u, and m/u on a 4-record fixture") {
+    // field values by id: 1→x, 2→x, 3→y, 4→z
+    val recs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("id", "f")
+    // proxy matches: (1,2) agrees on f, (1,3) does not
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.fellegiSunter(recs, "id", pairs,
+      Seq("f" -> col("f"))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("field") === "f")
+    assert(r.getAs[Long]("n_pairs") === 2L)
+    assert(r.getAs[Long]("n_agree") === 1L)
+    // m = 1/2 → 5000 on the 1e-4 grid
+    assert(r.getAs[Long]("m4") === 5000L)
+    // u = Σ n_v(n_v−1) / N(N−1) = (2·1) / (4·3) = 1/6 → 16666667 @1e8
+    assert(r.getAs[Long]("u8") === 16666667L)
+    // m/u = (1/2)/(1/6) = 3 → 30000 on the 1e-4 grid
+    assert(r.getAs[Long]("mu_ratio4") === 30000L)
+  }
+
   test("prefix-filtered Jaccard join: output equals the full inverted-index join, fewer candidates") {
     val sets = Dedup.shingleSetsFromTokens(
       graft.operators.TextStats.tokenized(

@@ -217,6 +217,97 @@ class PropertiesSpec extends SparkSpec {
       Multimodal.ThumbCodec.thumbStats(b, 4, 4)
       Multimodal.ThumbCodec.thumbnailPng(b, 4, 4)
       Multimodal.PatchStatsCodec.stats(b, 4)
+      Multimodal.EdgeStatsCodec.stats(b)
+      Multimodal.ZcrStatsCodec.stats(b)
+    }
+  }
+
+  test("ZCR counts sign changes PER CHANNEL, not across the interleave") {
+    import graft.operators.Multimodal
+    // hand-rolled RIFF with explicit samples [100, -5, 3, -2, 7, 9]
+    def wav(channels: Int, samples: Array[Int]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(8000)
+        .putInt(8000 * channels * 2).putShort((channels * 2).toShort)
+        .putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val samples = Array(100, -5, 3, -2, 7, 9)
+    // mono: 100→-5, -5→3, 3→-2, -2→7 cross; 7→9 does not = 4 crossings
+    val (f1, sr1, ch1, nf1, nc1, sa1) =
+      Multimodal.ZcrStatsCodec.stats(wav(1, samples))
+    assert((f1, sr1, ch1, nf1) === ("wav", 8000, 1, 6L))
+    assert((nc1, sa1) === (4L, 126L))
+    // stereo, same bytes: ch0 = [100, 3, 7] (0 crossings),
+    // ch1 = [-5, -2, 9] (1 crossing) — interleave-adjacent sign flips
+    // must NOT count
+    val (f2, _, ch2, nf2, nc2, sa2) =
+      Multimodal.ZcrStatsCodec.stats(wav(2, samples))
+    assert((f2, ch2, nf2) === ("wav", 2, 3L))
+    assert((nc2, sa2) === (1L, 126L))
+    // corrupt degrades typed
+    assert(Multimodal.ZcrStatsCodec.stats(Array[Byte](1, 2))._1
+      === "corrupt")
+  }
+
+  test("Sobel edge stats: hand-computed 4x3 ramp + constant image is all-flat") {
+    import graft.operators.Multimodal
+    def gray(vals: Array[Array[Int]]): Array[Byte] = {
+      val h = vals.length; val w = vals(0).length
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = vals(y)(x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+    // columns v = [0, 10, 10, 40], three identical rows: luma = 1000·v.
+    // interior (y=1): x=1 gx = (10+20+10)−0 = 40 → 40000, gy = 0;
+    //                 x=2 gx = (40+80+40)−(10+20+10) = 120 → 120000.
+    val ramp = gray(Array.fill(3)(Array(0, 10, 10, 40)))
+    val (f, w, h, n, es, mx, nf) = Multimodal.EdgeStatsCodec.stats(ramp)
+    assert((f, w, h) === ("png", 4, 3))
+    assert((n, es, mx, nf) === (2L, 160000L, 120000L, 0L))
+    // constant image: every interior gradient is exactly zero
+    val flat = gray(Array.fill(5)(Array.fill(6)(77)))
+    val (_, _, _, n2, es2, mx2, nf2) = Multimodal.EdgeStatsCodec.stats(flat)
+    assert((n2, es2, mx2, nf2) === (12L, 0L, 0L, 12L))
+    // corrupt bytes degrade typed
+    assert(Multimodal.EdgeStatsCodec.stats(Array[Byte](1, 2, 3))._1
+      === "corrupt")
+  }
+
+  test("edge stats are a function of PIXELS, not bytes: PNG and BMP equal") {
+    import graft.operators.Multimodal
+    for (seed <- 1L to 3L) {
+      val w = (9 + seed % 23).toInt
+      val h = (8 + (seed * 7) % 24).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((seed + x * 31L + y * 131L) & 0xffffff).toInt)
+      def enc(fmt: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try javax.imageio.ImageIO.write(img, fmt, ios) finally ios.close()
+        bos.toByteArray
+      }
+      val sp = Multimodal.EdgeStatsCodec.stats(enc("png"))
+      val sb = Multimodal.EdgeStatsCodec.stats(enc("bmp"))
+      assert(sp._1 === "png" && sb._1 === "bmp")
+      assert(sp.copy(_1 = "") === sb.copy(_1 = ""),
+        s"seed $seed: edge stats differ across containers")
     }
   }
 
