@@ -928,7 +928,51 @@ object ProfilingQueries {
     }
   }
 
+  /** Market-basket association rules (see
+    * [[graft.operators.Itemsets.pairAssociations]]): orders are
+    * baskets, part brands the items; the a-priori item prune, the
+    * within-basket pair census, and support/confidence/lift on the
+    * 1e-6 grid. The oracle replays the distinct pass, the relative
+    * threshold (`ceil(frac·nBaskets)` on BOTH the item and pair
+    * filters), and the exact integer-product lift arithmetic. Brands
+    * are a 25-value vocabulary, so every pair is frequent at sf scale —
+    * the prune's row-dropping face is spec-tested on a skewed fixture;
+    * here the hash proves the census and rule arithmetic. */
+  val q259 = GQuery("q259_basket_lift",
+    """WITH d AS (
+      |  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb,
+      |  CAST(ceil(0.02 * count(DISTINCT b)) AS BIGINT) AS mn FROM d),
+      |f AS (
+      |  SELECT i, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY i
+      |  HAVING count(*) >= (SELECT mn FROM nb)),
+      |pr AS (
+      |  SELECT a.i AS item_a, b.i AS item_b, a.n AS n_a, b.n AS n_b,
+      |    CAST(count(*) AS BIGINT) AS pair_n
+      |  FROM (SELECT d.b, d.i, f.n FROM d JOIN f USING (i)) a
+      |  JOIN (SELECT d.b, d.i, f.n FROM d JOIN f USING (i)) b
+      |    ON a.b = b.b AND a.i < b.i
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT item_a, item_b, n_a, n_b, pair_n,
+      |  CAST(round(1e6 * pair_n / nb) AS BIGINT) AS support6,
+      |  CAST(round(1e6 * pair_n / n_a) AS BIGINT) AS conf_a_b6,
+      |  CAST(round(1e6 * CAST(pair_n * nb AS DOUBLE)
+      |    / CAST(n_a * n_b AS DOUBLE)) AS BIGINT) AS lift6
+      |FROM pr CROSS JOIN nb
+      |WHERE pair_n >= mn
+      |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    val baskets = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    graft.operators.Itemsets
+      .pairAssociations(baskets, "l_orderkey", "p_brand",
+        minSupportFrac = 0.02)
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215, q217, q221, q224, q228, q238, q243, q249)
+      q215, q217, q221, q224, q228, q238, q243, q249, q259)
 }

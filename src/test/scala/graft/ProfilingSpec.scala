@@ -258,4 +258,28 @@ class ProfilingSpec extends SparkSpec {
       "a" -> ((3L, 4L, 1667L)), "b" -> ((1L, 7L, 0L)),
       "c" -> ((2L, 10L, 5000L)), "d" -> ((2L, 10L, 0L))))
   }
+
+  test("pairAssociations: a-priori prune, duplicate rows, and exact lift") {
+    import graft.operators.Itemsets
+    // 4 baskets; item z appears in only 1 basket (< ceil(.5·4)=2) — the
+    // a-priori prune must drop it BEFORE pairing, so (x,z)/(y,z) never
+    // form. Basket 1 lists x twice: the distinct pass collapses it.
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"),
+      (4L, "y")).toDF("b", "i")
+    val out = Itemsets.pairAssociations(rows, "b", "i", 0.5)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    // x in 3 baskets, y in 3, pair (x,y) in 2 of 4:
+    // support = 2/4 = .5 → 500000; conf x⇒y = 2/3 → 666667;
+    // lift = 2·4/(3·3) = 8/9 → 888889 (mildly negative association)
+    assert(out.toSeq === Seq(
+      ("x", "y", 3L, 3L, 2L, 500000L, 666667L, 888889L)))
+    // pair threshold also enforced: at frac .75 (min 3), (x,y) with
+    // pair_n = 2 is itself infrequent even though both items pass
+    val strict = Itemsets.pairAssociations(rows, "b", "i", 0.75)
+    assert(strict.count() === 0L)
+  }
 }
