@@ -325,6 +325,40 @@ object Similarity {
       .select(col("corpus_id"), col("cv"),
         col("a.cid").as("cid"), col("a.d2").as("d2"))
 
+  /** Simplified-silhouette clustering-quality report (Hruschka et al.'s
+    * centroid form of Rousseeuw '87): per vector, a = distance to its
+    * OWN centroid and b = distance to the nearest OTHER centroid, and
+    * s = (b − a)/max(a, b) — which, because assignment is argmin,
+    * reduces to 1 − a/b over the two smallest centroid distances. The
+    * full silhouette's per-vector pairwise pass is O(n²) and exists
+    * only in textbooks; the centroid form is what clustering audits run
+    * at scale, and it needs nothing beyond the distances the assignment
+    * map already computes. Per cluster: size, mean s on the 1e-6 grid
+    * (negative ⇒ the average member sits closer to a rival centroid —
+    * retrain or split), and the count of individually negative vectors.
+    *
+    * Scale: a pure map over the corpus (the nlist-literal argmin of
+    * [[ivfAssign]], sorted instead of min'd) followed by ONE nlist-sized
+    * aggregate — no join, no vector shuffle; the same plan shape as
+    * assignment itself. */
+  def silhouetteReport(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[(Int, Array[Double])]): DataFrame = {
+    require(centroids.length >= 2, "silhouette needs >= 2 centroids")
+    val scored = FanOut(corpus.select(col(idCol).as("corpus_id"),
+        transform(col(vecCol), _.cast("double")).as("cv")))
+      .withColumn("arr", array_sort(distStructs(col("cv"), centroids)))
+      .select(col("arr").getItem(0).getField("cid").as("cid"),
+        col("arr").getItem(0).getField("d2").as("a2"),
+        col("arr").getItem(1).getField("d2").as("b2"))
+      .withColumn("s6", when(col("b2") === 0.0, 0L)
+        .otherwise(round(lit(1e6) *
+          (lit(1.0) - sqrt(col("a2")) / sqrt(col("b2")))).cast("long")))
+    scored.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("s6"))).cast("long").as("mean_s6"),
+        sum(when(col("s6") < 0L, 1L).otherwise(0L)).as("n_neg"))
+  }
+
   /** Persist the build-time assignment-distance BASELINE for a trained
     * index — 1 row (n, mean_d2) — beside the [[ivfSave]]d centroids.
     * Incremental ingestion drifts silently as the data distribution

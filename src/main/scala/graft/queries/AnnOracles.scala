@@ -452,6 +452,34 @@ private[queries] object AnnOracles {
       "\nORDER BY method, query_id"
   }
 
+  /** Full q260 oracle: IVF train replay + the simplified-silhouette
+    * report — per corpus vector the two smallest centroid distances
+    * (own vs nearest rival), s = 1 − sqrt(a²)/sqrt(b²) on the 1e-6
+    * grid, aggregated per cluster. Replays
+    * [[graft.operators.Similarity.silhouetteReport]]'s exact fold
+    * order and grid arithmetic on the replayed final centroids. */
+  def silhouetteSql(dim: Int, nlist: Int, iters: Int): String = {
+    val two = cte("two", s"""
+      |  SELECT corpus_id, cid, d2, r FROM (
+      |    SELECT v.corpus_id, c.cid,
+      |      ${d2Sql("v.cv", "c.cent", dim)} AS d2,
+      |      row_number() OVER (PARTITION BY v.corpus_id
+      |        ORDER BY ${d2Sql("v.cv", "c.cent", dim)}, c.cid) AS r
+      |    FROM cvt v, cent$iters c) WHERE r <= 2""".stripMargin)
+    val s6 = cte("s6", s"""
+      |  SELECT a.cid,
+      |    CASE WHEN b.d2 = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(round(1e6 * (1.0 - sqrt(a.d2) / sqrt(b.d2)))
+      |        AS BIGINT) END AS s6
+      |  FROM (SELECT * FROM two WHERE r = 1) a
+      |  JOIN (SELECT * FROM two WHERE r = 2) b USING (corpus_id)""".stripMargin)
+    "WITH " + (ivfChain(dim, nlist, iters) ++ Seq(two, s6)).mkString(",\n") + s"""
+      |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(round(avg(s6)) AS BIGINT) AS mean_s6,
+      |  CAST(sum(CASE WHEN s6 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      |FROM s6 GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   /** Just `cvt` — for oracles that need the double-cast corpus but not
     * the IVF chain (q95). */
   private def ivfChainHeadOnly(): Seq[String] = Seq(

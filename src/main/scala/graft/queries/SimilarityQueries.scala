@@ -956,8 +956,26 @@ object SimilarityQueries {
     }
   }
 
+  /** Simplified-silhouette clustering audit (see
+    * [[graft.operators.Similarity.silhouetteReport]]): the shared IVF
+    * index's per-cluster cohesion/separation — mean s = 1 − a/b over
+    * own vs nearest-rival centroid distances on the 1e-6 grid, plus
+    * the count of vectors individually closer to a rival (the
+    * retrain/split alarm q248's balance audit cannot see: a balanced
+    * index can still be badly placed). The oracle replays Lloyd
+    * training and the two-smallest-distance window on the replayed
+    * centroids — same chained-MATERIALIZED-CTE idiom as q32b/q248. */
+  val q260 = GQuery("q260_ivf_silhouette",
+    AnnOracles.silhouetteSql(dim = Dim, nlist = 16, iters = 3)) {
+    (s, dir) =>
+    val (cents, _) = sharedIvf(s, dir)
+    Similarity.silhouetteReport(Tables.embeddings(s, dir),
+        "vec_id", "embedding", cents)
+      .orderBy(col("cid"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
       q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231,
-      q248, q254)
+      q248, q254, q260)
 }

@@ -172,4 +172,31 @@ class LshRecallSpec extends SparkSpec {
       "filtered widening must fill every reachable top-k")
     labeled.unpersist()
   }
+
+  test("silhouetteReport: hand-computed s on fixed centroids; rival-straddling vector goes negative") {
+    import org.apache.spark.sql.functions.col
+    // 1-d vectors, two fixed centroids at 0 and 10
+    val cents = Array(0 -> Array(0.0), 1 -> Array(10.0))
+    val vecs = Seq(
+      (1L, Seq(0.0f)),   // a=0, b=10  → s = 1          → 1000000
+      (2L, Seq(2.0f)),   // a=2, b=8   → 1 − 2/8 = .75  → 750000
+      (3L, Seq(4.5f)),   // a=4.5, b=5.5 → 1 − 4.5/5.5  → 181818
+      (4L, Seq(10.0f)),  // a=0, b=10  → 1
+      (5L, Seq(7.0f))    // a=3, b=7   → 1 − 3/7 ≈ .5714 → 571429
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteReport(vecs, "vec_id", "embedding", cents)
+      .orderBy(col("cid"))
+      .as[(Int, Long, Long, Long)].collect()
+    // cluster 0 mean = round((1000000 + 750000 + 181818)/3) = 643939;
+    // cluster 1 mean = round((1000000 + 571429)/2) = 785715 (half-up)
+    assert(out.toSeq === Seq(
+      (0, 3L, 643939L, 0L), (1, 2L, 785715L, 0L)))
+    // a vector assigned by a STALE cid would be negative — here argmin
+    // assignment makes s ≥ 0 always; the negative face is the b2=0 guard
+    val degenerate = Similarity.silhouetteReport(
+      Seq((9L, Seq(5.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Array(0 -> Array(5.0), 1 -> Array(5.0)))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(degenerate.toSeq === Seq((0, 1L, 0L, 0L)))
+  }
 }
