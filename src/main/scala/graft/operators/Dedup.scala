@@ -1247,8 +1247,26 @@ object Dedup {
   def sortedNeighborPairsManaged(df: DataFrame, strCol: String,
       window: Int = 6, maxDist: Int = 1, minLen: Int = 4,
       parts: Int = 32): (DataFrame, () => Unit) = {
-    require(window >= 2, "window must be >= 2")
     require(maxDist >= 0, "maxDist must be >= 0")
+    val (cand, release) =
+      sortedNeighborCandidatesManaged(df, strCol, window, minLen, parts)
+    val pairs = cand
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("word_a"), col("word_b"), col("dist"))
+    (pairs, release)
+  }
+
+  /** The candidate stage of [[sortedNeighborPairs]] with the verifier
+    * left to the caller — (word_a, word_b) for every pair of distinct
+    * keys within `window − 1` ranks of each other in sort order.
+    * Callers plug in their own comparator (`levenshtein` above,
+    * [[graft.plans.JaroWinkler]] for probabilistic linkage). Same
+    * V·(window − 1) candidate bound and two-phase-prefix-sum ranking. */
+  def sortedNeighborCandidatesManaged(df: DataFrame, strCol: String,
+      window: Int = 6, minLen: Int = 4,
+      parts: Int = 32): (DataFrame, () => Unit) = {
+    require(window >= 2, "window must be >= 2")
     val vocab = df.select(col(strCol).as("w"))
       .where(col("w").isNotNull && length(col("w")) >= minLen)
       .distinct()
@@ -1263,12 +1281,10 @@ object Dedup {
     val probes = ranked.select(col("w").as("word_a"),
         explode(sequence(lit(1), lit(window - 1))).as("__j"), col("rk"))
       .select(col("word_a"), (col("rk") + col("__j")).as("rk"))
-    val pairs = probes
+    val cand = probes
       .join(ranked.select(col("w").as("word_b"), col("rk")), "rk")
-      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
-      .where(col("dist") <= maxDist)
-      .select(col("word_a"), col("word_b"), col("dist"))
-    (pairs, () => { ranked.unpersist(); () })
+      .select(col("word_a"), col("word_b"))
+    (cand, () => { ranked.unpersist(); () })
   }
 
   /** Fellegi–Sunter field-weight estimation — the probabilistic

@@ -136,6 +136,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(JlProject.fnName),
       new ExpressionInfo(classOf[JlProjectExpr].getName, JlProject.fnName),
       JlProject.builder))
+    ext.injectFunction((FunctionIdentifier(JaroWinkler.fnName),
+      new ExpressionInfo(classOf[JaroWinkler].getName, JaroWinkler.fnName),
+      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

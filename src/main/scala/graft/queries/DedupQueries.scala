@@ -939,6 +939,41 @@ object DedupQueries {
       .orderBy(col("field"))
   }
 
+  /** Jaro–Winkler fuzzy pairing (see [[graft.plans.JaroWinkler]]):
+    * sorted-neighborhood candidates over part names verified by the
+    * native codegen Jaro–Winkler comparator instead of an edit-distance
+    * cutoff — the probabilistic-linkage verifier (typo tolerance that
+    * scales with string length, prefix-weighted the way human naming
+    * errors skew). Thresholding happens ON the 1e-6 grid so both
+    * engines compare identical integers; the oracle replays the rank
+    * window and scores with DuckDB's own `jaro_winkler_similarity` —
+    * a hash match is a full cross-engine parity proof of the
+    * match-window/transposition/prefix-boost arithmetic. */
+  val q261 = GQuery("q261_jaro_winkler_pairs",
+    """WITH v AS (
+      |  SELECT DISTINCT p_name AS w FROM part WHERE length(p_name) >= 4),
+      |r AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS rk FROM v),
+      |cand AS (
+      |  SELECT a.w AS word_a, b.w AS word_b
+      |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5)
+      |SELECT word_a, word_b, jw6 FROM (
+      |  SELECT word_a, word_b,
+      |    CAST(round(1e6 * jaro_winkler_similarity(word_a, word_b))
+      |      AS BIGINT) AS jw6
+      |  FROM cand)
+      |WHERE jw6 >= 800000
+      |ORDER BY word_a, word_b""".stripMargin) { (s, dir) =>
+    graft.plans.JaroWinkler.register(s)
+    val (cand, _) = Dedup.sortedNeighborCandidatesManaged(
+      Tables.part(s, dir), "p_name", window = 6, minLen = 4)
+    cand.withColumn("jw6",
+        round(lit(1e6) * call_function(graft.plans.JaroWinkler.fnName,
+          col("word_a"), col("word_b"))).cast("long"))
+      .where(col("jw6") >= 800000L)
+      .select(col("word_a"), col("word_b"), col("jw6"))
+      .orderBy(col("word_a"), col("word_b"))
+  }
+
   /** Capstone entity resolution over customer records: SymSpell fuzzy
     * name pairing (q135 machinery) gated on nation agreement →
     * hash-min connected components → ONE canonical record per
@@ -1609,5 +1644,5 @@ object DedupQueries {
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
-      q258)
+      q258, q261)
 }

@@ -378,6 +378,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(wide === out + (("aaaa", "baaa")))
   }
 
+  test("JaroWinkler: parity with DuckDB jaro_winkler_similarity on probe pairs; codegen path agrees") {
+    import graft.plans.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    // expected values read off DuckDB 1.x jaro_winkler_similarity —
+    // the q261 oracle's scorer — covering: transpositions (MARTHA),
+    // prefix boost (DIXON), no boost below the 0.7 core (ab/axyzxyz:
+    // core .5476 with prefix 1 stays unboosted), prefix cap 4
+    // (abcde/…: 5-char prefix boosts as 4), zero-match, and the
+    // empty-string-is-0 convention.
+    val expect = Seq(
+      ("MARTHA", "MARHTA") -> 0.9611111111111111,
+      ("DIXON", "DICKSONX") -> 0.8133333333333332,
+      ("JELLYFISH", "SMELLYFISH") -> 0.8962962962962964,
+      ("CRATE", "TRACE") -> 0.7333333333333334,
+      ("DwAyNE", "DuANE") -> 0.8400000000000001,
+      ("arnab", "aranb") -> 0.9466666666666665,
+      ("ab", "axyzxyz") -> 0.5476190476190476,
+      ("abcd", "abzzzzzzzz") -> 0.5666666666666667,
+      ("abcde", "abcdezzzzzzzzzzzzzzzzzzz") -> 0.8416666666666667,
+      ("abc", "abc") -> 1.0,
+      ("a", "b") -> 0.0,
+      ("", "abc") -> 0.0,
+      ("", "") -> 0.0)
+    for (((a, b), e) <- expect)
+      assert(math.abs(jw(a, b) - e) < 1e-12, s"($a, $b): ${jw(a, b)} != $e")
+    // symmetric by definition
+    for (((a, b), _) <- expect) assert(jw(a, b) === jw(b, a))
+    // the registered expression (whole-stage codegen path) agrees with
+    // the interpreted kernel on every pair
+    graft.plans.JaroWinkler.register(spark)
+    val df = expect.map(_._1).toDF("a", "b")
+      .withColumn("jw", call_function(JaroWinkler.fnName, col("a"), col("b")))
+    val got = df.select("a", "b", "jw").as[(String, String, Double)]
+      .collect().map { case (a, b, v) => (a, b) -> v }.toMap
+    for (((a, b), e) <- expect) assert(got((a, b)) === jw(a, b), s"codegen ($a, $b)")
+  }
+
   test("fellegiSunter: hand-computed m, u, and m/u on a 4-record fixture") {
     // field values by id: 1→x, 2→x, 3→y, 4→z
     val recs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
