@@ -1355,6 +1355,34 @@ object Dedup {
           .cast("long").as("mu_ratio4"))
   }
 
+  /** Cross-group duplication provenance matrix: given a near-dup pair
+    * graph and a document → group attribute (source, crawl, snapshot),
+    * the census of pairs by UNORDERED group pair — which sources copy
+    * from which. The diagonal (g, g) is within-source duplication
+    * (template boilerplate); heavy off-diagonal cells are syndication /
+    * mirror relationships and tell a curation pass which source to
+    * demote as derivative. `share6` is each cell's fraction of all
+    * pairs on the 1e-6 grid.
+    *
+    * Scale: two id-keyed joins sized by the PAIR graph (the corpus
+    * never re-shuffles; docs reduce to (id, group) at the scan), one
+    * group-pair census, and a 1-row total broadcast back. */
+  def pairProvenanceMatrix(pairs: DataFrame, docs: DataFrame,
+                           idCol: String, groupCol: String): DataFrame = {
+    val g = docs.select(col(idCol).as("__id"), col(groupCol).as("__g"))
+    val cells = pairs
+      .join(g.select(col("__id").as("id_a"), col("__g").as("__ga")), "id_a")
+      .join(g.select(col("__id").as("id_b"), col("__g").as("__gb")), "id_b")
+      .groupBy(least(col("__ga"), col("__gb")).as("source_a"),
+        greatest(col("__ga"), col("__gb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = cells.agg(sum(col("n_pairs")).as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(lit(1e6) * col("n_pairs") / col("__t")).cast("long")
+          .as("share6"))
+  }
+
   /** Content-defined chunks per document: (id, pos, chunk), boundaries
     * cut by the [[graft.plans.CdcChunks]] rolling-hash rule. Unlike the
     * fixed-stride spans [[chunkDedupFromTokens]] keys on, CDC

@@ -939,6 +939,34 @@ object DedupQueries {
       .orderBy(col("field"))
   }
 
+  /** Cross-source duplication provenance (see
+    * [[graft.operators.Dedup.pairProvenanceMatrix]]): the q24
+    * exact-Jaccard near-dup pair graph rolled up by unordered source
+    * pair — within-source cells are template boilerplate, off-diagonal
+    * cells are syndication, and the share column is what a curation
+    * policy keys "demote the derivative source" on. The oracle replays
+    * the shared shingle/pair CTEs and the unordered-pair census. */
+  val q262 = GQuery("q262_dup_provenance",
+    s"""WITH $shingleCtes,
+       |$pairCtes,
+       |m AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pr
+       |  JOIN documents da ON da.doc_id = pr.id_a
+       |  JOIN documents db ON db.doc_id = pr.id_b
+       |  GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM m)
+       |SELECT source_a, source_b, n_pairs,
+       |  CAST(round(1e6 * n_pairs / tot) AS BIGINT) AS share6
+       |FROM m CROSS JOIN t
+       |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+    Dedup.pairProvenanceMatrix(sharedPairs(s, dir),
+        Tables.documents(s, dir), "doc_id", "source")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Jaro–Winkler fuzzy pairing (see [[graft.plans.JaroWinkler]]):
     * sorted-neighborhood candidates over part names verified by the
     * native codegen Jaro–Winkler comparator instead of an edit-distance
@@ -1644,5 +1672,5 @@ object DedupQueries {
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
-      q258, q261)
+      q258, q261, q262)
 }

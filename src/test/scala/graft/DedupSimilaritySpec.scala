@@ -378,6 +378,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(wide === out + (("aaaa", "baaa")))
   }
 
+  test("pairProvenanceMatrix: unordered group cells, diagonal kept, shares sum to 1e6") {
+    val docs = Seq((1L, "web"), (2L, "web"), (3L, "wiki"), (4L, "news"))
+      .toDF("doc_id", "source")
+    // (1,2) within web; (2,3) and (3,1) both web↔wiki regardless of
+    // direction; (3,4) wiki↔news normalizes to (news, wiki)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.pairProvenanceMatrix(pairs, docs, "doc_id", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      ("news", "wiki", 1L, 250000L),
+      ("web", "web", 1L, 250000L),
+      ("web", "wiki", 2L, 500000L)))
+  }
+
   test("JaroWinkler: parity with DuckDB jaro_winkler_similarity on probe pairs; codegen path agrees") {
     import graft.plans.JaroWinkler
     import org.apache.spark.unsafe.types.UTF8String
