@@ -617,6 +617,58 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped local-supplier volume: the 6-table chain
+    * (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) with
+    * the Q5 signature predicate — the supplying nation must EQUAL the
+    * customer nation (c_nationkey = s_nationkey), i.e. revenue kept
+    * in-region by local fulfilment. Plan shape: the two fact tables
+    * (orders, lineitem) shuffle once on orderkey; customer, supplier,
+    * nation, region are all broadcast dims, and the locality predicate
+    * rides the supplier broadcast join as an equi-condition — no extra
+    * shuffle, no theta join. The classic demonstration that a 6-table
+    * chain costs ONE fact-fact shuffle when every dimension fits in
+    * memory (at 100 TB customer may graduate to a bucketed join; the
+    * orders⋈lineitem spine is unchanged). */
+  val q263 = GQuery("q263_local_supplier_volume",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Order-to-first-ship latency quantiles per priority: exact p50/p90
     * of the day lag via the grid-cell machinery
     * ([[graft.operators.TextStats.groupQuantiles]] — integer days ride
@@ -785,5 +837,5 @@ object Relational {
   val all: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q09b, q09c, q167, q10,
       q10b, q11, q12, q189, q199, q204, q206, q241, q245, q246, q251, q252,
-      q253)
+      q253, q263)
 }
