@@ -684,6 +684,45 @@ object EventOps {
         round(lit(1e4) * col("zs") / col("t")).cast("long").as("zero_frac4"))
   }
 
+  /** Day-of-week seasonality profile per event type — the multiplicative
+    * seasonal index a volume forecast or anomaly detector divides out
+    * before comparing days: for each (type, weekday) the mean daily
+    * count over the zero-filled day spine, expressed relative to the
+    * type's overall mean daily count,
+    * `index4 = ⌊10⁴·(s_d/t_d)/(S/T)⌉ = round(10⁴·s_d·T/(t_d·S))` —
+    * exact integer products into one grid division. 10⁴ = flat;
+    * a weekday reading 14 000 carries 1.4× its type's average volume.
+    * `share4` is the weekday's fraction of total volume. Weekday is
+    * the engine-neutral epoch-day mod 7 (0 = Thursday, since epoch day
+    * 0 was a Thursday) — no calendar/locale dependency to disagree on.
+    *
+    * Scale: one (type, day) census, a type×7 aggregate — nothing
+    * bigger than the day spine ever shuffles. */
+  def dowSeasonality(events: DataFrame, tsCol: String,
+                     typeCol: String): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val counts = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("etype")).distinct()
+    val full = types.crossJoin(days)
+      .join(counts, Seq("etype", "day"), "left")
+      .select(col("etype"), pmod(col("day"), lit(7L)).as("dow"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val byDow = full.groupBy("etype", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"))
+    val tot = byDow.groupBy("etype")
+      .agg(sum(col("n_days")).as("t"), sum(col("s")).as("tot"))
+    byDow.join(tot, "etype")
+      .where(col("tot") > 0L)
+      .select(col("etype"), col("dow").cast("int").as("dow"),
+        col("n_days"), col("s").as("total"),
+        round(lit(1e4) * (col("s") * col("t")).cast("double")
+          / (col("n_days") * col("tot")).cast("double")).cast("long")
+          .as("index4"),
+        round(lit(1e4) * col("s") / col("tot")).cast("long").as("share4"))
+  }
+
   /** One-sided CUSUM change-point statistic per event type — the
     * sequential burst detector beside [[ewmaBaseline]]'s smoother:
     * over the same full day spine,

@@ -1512,9 +1512,50 @@ object Windows {
       .orderBy(col("day"))
   }
 
+  /** Day-of-week seasonality profile (see
+    * [[graft.operators.EventOps.dowSeasonality]]): the multiplicative
+    * weekday index per event type on the zero-filled day spine —
+    * 10⁴ = flat, the number a forecaster divides out and an anomaly
+    * detector normalizes by before q197's CUSUM sees the series.
+    * Weekday is epoch-day mod 7 (engine-neutral; no calendar
+    * locale). The oracle replays the spine, the mod-7 bucketing, and
+    * the exact integer-product index arithmetic. */
+  val q264 = GQuery("q264_dow_seasonality",
+    """WITH c AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |  AS day FROM events),
+      |types AS (SELECT DISTINCT event_type AS etype FROM events),
+      |full_ AS (
+      |  SELECT t.etype, d.day % 7 AS dow, coalesce(c.n, 0) AS n
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN c ON c.etype = t.etype AND c.day = d.day),
+      |bd AS (
+      |  SELECT etype, dow, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(n) AS BIGINT) AS s
+      |  FROM full_ GROUP BY etype, dow),
+      |tt AS (
+      |  SELECT etype, CAST(sum(n_days) AS BIGINT) AS t,
+      |    CAST(sum(s) AS BIGINT) AS tot
+      |  FROM bd GROUP BY etype)
+      |SELECT bd.etype, CAST(dow AS INT) AS dow, n_days, s AS total,
+      |  CAST(round(1e4 * CAST(s * t AS DOUBLE)
+      |    / CAST(n_days * tot AS DOUBLE)) AS BIGINT) AS index4,
+      |  CAST(round(1e4 * s / tot) AS BIGINT) AS share4
+      |FROM bd JOIN tt USING (etype)
+      |WHERE tot > 0
+      |ORDER BY etype, dow""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.dowSeasonality(Tables.events(s, dir),
+        "ts", "event_type")
+      .orderBy(col("etype"), col("dow"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
-      q235, q240, q244, q247)
+      q235, q240, q244, q247, q264)
 }

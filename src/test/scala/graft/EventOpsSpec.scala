@@ -209,6 +209,31 @@ class EventOpsSpec extends SparkSpec {
       "e" -> ((3L, 1L, 6667L, 30000L, 6667L))))
   }
 
+  test("dowSeasonality: weekday index on the zero-filled spine, epoch-mod-7 bucketing") {
+    // spine days {0, 1, 7, 8}: dow 0 = {0, 7}, dow 1 = {1, 8}.
+    // type a counts: day0=2, day7=4 (dow0 s=6), day1=1, day8=1 (dow1
+    // s=2) → total 8 over t=4 days, mean 2/day.
+    //   dow0: mean 3 → index 15000, share 7500
+    //   dow1: mean 1 → index 5000,  share 2500
+    // type b fires only on day 1 → dow0 index 0 share 0, dow1 20000/10000
+    def dayTs(d: Int, i: Int) = new Timestamp(d * 86400000L + i * 1000L)
+    val rows =
+      (0 until 2).map(i => (i.toLong, 1L, dayTs(0, i), "a")) ++
+      (0 until 4).map(i => (10L + i, 1L, dayTs(7, i), "a")) ++
+      Seq((20L, 1L, dayTs(1, 0), "a"), (21L, 1L, dayTs(8, 0), "a"),
+        (30L, 2L, dayTs(1, 1), "b"))
+    val out = EventOps.dowSeasonality(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "ts", "event_type")
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out === Map(
+      ("a", 0) -> ((2L, 6L, 15000L, 7500L)),
+      ("a", 1) -> ((2L, 2L, 5000L, 2500L)),
+      ("b", 0) -> ((2L, 0L, 0L, 0L)),
+      ("b", 1) -> ((2L, 1L, 20000L, 10000L))))
+  }
+
   test("trendBreak: piecewise-linear series splits at the slope change") {
     // counts [1,2,3,10,11,12]: both halves are perfect lines (SSE 0),
     // total-fit SSE = 7776/630 → gain4 = 123429; slopes 1.0 both sides
