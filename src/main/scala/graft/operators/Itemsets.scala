@@ -63,10 +63,26 @@ object Itemsets {
     val pairs = pruned.as("a")
       .join(pruned.as("b"),
         col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"),
-        col("a.__n").as("n_a"), col("b.__n").as("n_b"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
       .agg(count(lit(1)).as("pair_n"))
-    pairs.crossJoin(broadcast(nB))
+    rules(freq, pairs, nB)
+  }
+
+  /** The rule-arithmetic tail shared by [[pairAssociations]] and the
+    * streaming store reader ([[graft.streaming.Pipelines
+    * .basketRulesFromStore]]): attach item counts to each pair (an
+    * inner join, so pairs with an infrequent member drop — downward
+    * closure again), apply the pair threshold, and compute the grid
+    * measures. `freqItems` is vocabulary-sized → broadcast; `nB` is
+    * one row. */
+  private[graft] def rules(freqItems: DataFrame, pairCounts: DataFrame,
+                           nB: DataFrame): DataFrame =
+    pairCounts
+      .join(broadcast(freqItems.select(col("__i").as("item_a"),
+        col("__n").as("n_a"))), "item_a")
+      .join(broadcast(freqItems.select(col("__i").as("item_b"),
+        col("__n").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nB))
       .where(col("pair_n") >= col("__min"))
       .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
         col("pair_n"),
@@ -77,5 +93,10 @@ object Itemsets {
         round(lit(1e6) * (col("pair_n") * col("__nb")).cast("double")
           / (col("n_a") * col("n_b")).cast("double")).cast("long")
           .as("lift6"))
-  }
+
+  /** Threshold row for a known basket count — (\_\_nb, \_\_min). */
+  private[graft] def thresholdOf(nBaskets: DataFrame,
+                                 minSupportFrac: Double): DataFrame =
+    nBaskets.select(col("__nb"),
+      ceil(lit(minSupportFrac) * col("__nb")).cast("long").as("__min"))
 }

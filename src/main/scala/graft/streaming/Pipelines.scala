@@ -1791,6 +1791,73 @@ object Pipelines {
     (nRows, massAfter)
   }
 
+  /** Streaming market-basket census — the incremental face of
+    * [[graft.operators.Itemsets.pairAssociations]]: each micro-batch
+    * (basket-complete by contract — a basket's rows arrive in ONE
+    * batch, the shape an upstream emitting finished orders produces)
+    * appends three row families under its batch_id: distinct item
+    * counts, within-basket pair counts, and the basket count. Raw
+    * counts only — NO threshold is applied at write time, so the
+    * support fraction is a READ-time policy knob: yesterday's store
+    * answers today's tighter threshold without re-ingesting anything.
+    * At-least-once replays are absorbed at read like [[histStream]]
+    * (max per (batch_id, key) before summing). Per-batch pair work is
+    * Σ|basket|² within the batch only — the store is never read.
+    *
+    * Store size is (batches × occupied cells), vocabulary²-bounded
+    * per batch family; [[histCompact]]'s pattern applies if batch
+    * count ever dominates. */
+  def basketStream(basketCol: String, itemCol: String, storePath: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val d = batch.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .where(col("__b").isNotNull && col("__i").isNotNull)
+        .distinct()
+        .persist()
+      try {
+        d.groupBy(col("__i").as("item")).agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$storePath/items")
+        d.as("a").join(d.as("b"),
+            col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+          .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$storePath/pairs")
+        d.agg(countDistinct(col("__b")).as("n"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$storePath/baskets")
+      } finally { d.unpersist(); () }
+    }
+
+  /** Association rules over everything a [[basketStream]] store has
+    * ingested, at a caller-chosen support fraction — bit-identical to
+    * running [[graft.operators.Itemsets.pairAssociations]] on the
+    * union of all ingested batches (spec-asserted), because both paths
+    * end in the same [[graft.operators.Itemsets.rules]] arithmetic.
+    * Reads are census-sized (items + pair cells + one basket row per
+    * batch), never data-sized. */
+  def basketRulesFromStore(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String,
+                           minSupportFrac: Double): DataFrame = {
+    import graft.operators.Itemsets
+    def absorbed(dir: String, keys: Seq[String]): DataFrame =
+      spark.read.parquet(s"$storePath/$dir")
+        .groupBy((keys :+ "batch_id").map(col): _*)
+        .agg(max(col("n")).as("n"))
+    val nB = Itemsets.thresholdOf(
+      absorbed("baskets", Nil).agg(sum(col("n")).as("__nb")),
+      minSupportFrac)
+    val items = absorbed("items", Seq("item"))
+      .groupBy(col("item").as("__i")).agg(sum(col("n")).as("__n"))
+    val freq = items.crossJoin(broadcast(nB))
+      .where(col("__n") >= col("__min"))
+      .select(col("__i"), col("__n"))
+    val pairs = absorbed("pairs", Seq("item_a", "item_b"))
+      .groupBy("item_a", "item_b").agg(sum(col("n")).as("pair_n"))
+    Itemsets.rules(freq, pairs, nB)
+  }
+
   /** Incremental data profiling: each micro-batch appends its
     * [[graft.operators.Profiling.profileSketched]] rows (one per
     * profiled column — counts, grid/string min-max, HLL value sketch)
