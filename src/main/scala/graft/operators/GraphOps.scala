@@ -179,6 +179,56 @@ object GraphOps {
           .otherwise(lit(0L)).cast("long").as("coeff4"))
   }
 
+  /** k-core decomposition membership (Seidman '83): the maximal
+    * subgraph in which every vertex keeps degree ≥ k, computed by the
+    * standard peeling fixpoint — repeatedly drop vertices whose degree
+    * in the SURVIVING subgraph falls below k. Over the near-dup graph
+    * the k-core separates genuinely dense duplicate families from
+    * chains and stars that mere connected components lump together
+    * (a CC of 10⁴ docs may be one boilerplate hub; its 3-core is the
+    * actual template cluster). The fixpoint is unique and
+    * order-independent, so any engine that peels to convergence gets
+    * the identical vertex set — the replay contract the oracle uses
+    * (a FIXED round count that the fixture converges within;
+    * convergence is asserted, not hoped). Returns (id, core_deg) for
+    * the surviving vertices — core_deg is each vertex's degree inside
+    * the k-core.
+    *
+    * Scale: per round, one degree census + two semi-joins of the edge
+    * list against the vertex-sized survivor set; the edge list only
+    * shrinks. localCheckpoint truncates the per-round lineage exactly
+    * like the CC loop; rounds needed is the peeling depth (small for
+    * real dup graphs — long dependency chains, not web-scale cores,
+    * are the adversarial case). */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint()
+    var n = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds && n > 0) {
+      val deg = edges.select(col("u").as("id"))
+        .unionAll(edges.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("id")
+      val next = edges
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      edges = next
+      n = m
+      round += 1
+    }
+    require(converged || n == 0,
+      s"k-core peeling did not converge within $maxRounds rounds")
+    edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Degree assortativity of an undirected pair graph — Newman's r:
     * the Pearson correlation of endpoint degrees over edges (both
     * orientations, the standard symmetric form). Positive = hubs link

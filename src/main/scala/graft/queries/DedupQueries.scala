@@ -939,6 +939,58 @@ object DedupQueries {
       .orderBy(col("field"))
   }
 
+  /** k-core of the near-dup graph (see
+    * [[graft.operators.GraphOps.kCore]], k = 3): the dense heart of
+    * each duplicate family after chains/stars peel away — the set a
+    * canonical-keep rule can trust to be a real template cluster, vs
+    * the q51 components that merge through single bridging edges.
+    * The k-core fixpoint is unique, so the oracle replays peeling as a
+    * FIXED 8-round chained-MATERIALIZED-CTE ladder (the Lloyd idiom);
+    * the operator itself peels to asserted convergence, and a fixture
+    * needing more than 8 rounds would break the hash loudly rather
+    * than silently diverge. */
+  val q265 = {
+    val K = 3
+    val rounds = 8
+    val ladder = (1 to rounds).map { i =>
+      s"""kv$i AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT id, count(*) AS dg FROM (
+         |      SELECT u AS id FROM e${i - 1}
+         |      UNION ALL SELECT v AS id FROM e${i - 1})
+         |    GROUP BY id)
+         |  WHERE dg >= $K),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  JOIN kv$i a ON a.id = u
+         |  JOIN kv$i b ON b.id = v)""".stripMargin
+    }.mkString(",\n")
+    GQuery("q265_kcore",
+      s"""WITH v AS (
+         |  SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 4),
+         |var AS (
+         |  SELECT w, unnest([w] ||
+         |    [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, length(w) + 1)]) AS d
+         |  FROM v),
+         |cand AS (
+         |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+         |  FROM var a JOIN var b ON a.d = b.d AND a.w < b.w),
+         |e0 AS MATERIALIZED (
+         |  SELECT word_a AS u, word_b AS v FROM cand
+         |  WHERE levenshtein(word_a, word_b) <= 1),
+         |$ladder
+         |SELECT id AS name, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u AS id FROM e$rounds
+         |      UNION ALL SELECT v AS id FROM e$rounds)
+         |GROUP BY id ORDER BY name""".stripMargin) { (s, dir) =>
+      graft.operators.GraphOps.kCore(
+          sharedNamePairs(s, dir)
+            .select(col("word_a").as("id_a"), col("word_b").as("id_b")), K)
+        .select(col("id").as("name"), col("core_deg"))
+        .orderBy(col("name"))
+    }
+  }
+
   /** Cross-source duplication provenance (see
     * [[graft.operators.Dedup.pairProvenanceMatrix]]): the q24
     * exact-Jaccard near-dup pair graph rolled up by unordered source
@@ -1672,5 +1724,5 @@ object DedupQueries {
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
-      q258, q261, q262)
+      q258, q261, q262, q265)
 }

@@ -84,6 +84,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(so._1 === 0L && so._2 === (29L * 28L) / 2 && so._4 === 0L)
   }
 
+  test("kCore: pendant chain peels ROUND BY ROUND, clique survives, core degrees exact") {
+    def core(k: Int, pairs: Seq[(Long, Long)]) =
+      graft.operators.GraphOps.kCore(pairs.toDF("id_a", "id_b"), k)
+        .as[(Long, Long)].collect().toMap
+    // K4 {1..4} with a pendant CHAIN 4-5-6-7: the chain must peel in
+    // CASCADE (7 drops, then 6, then 5 — one round each; a single
+    // degree filter would leave 5 and 6 behind)
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    assert(core(2, g) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 3-core: identical (K4 is 3-regular after the chain strips)
+    assert(core(3, g) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 4-core of K4 is empty — peeling must terminate on the empty graph
+    assert(core(4, g) === Map.empty)
+    // two K3s joined by one bridge edge: the 2-core keeps BOTH
+    // triangles but the bridge endpoints keep their bridge degree
+    val two = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    assert(core(2, two) === Map(1L -> 2L, 2L -> 2L, 3L -> 3L,
+      4L -> 3L, 5L -> 2L, 6L -> 2L))
+  }
+
   test("assortativity: path and star are perfectly disassortative; regular graph null") {
     def r(pairs: Seq[(Long, Long)]) =
       graft.operators.GraphOps.assortativity(pairs.toDF("id_a", "id_b"))
