@@ -229,6 +229,43 @@ object GraphOps {
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Common-neighbor link prediction (Liben-Nowell–Kleinberg '03 —
+    * the classic structural candidate generator): for every NON-edge
+    * (a, b) with at least `minCommon` shared neighbors, the common
+    * count plus the neighborhood Jaccard |Γa∩Γb| / |Γa∪Γb| on the 1e-6
+    * grid. Over a near-dup pair graph these are the pairs the verifier
+    * MISSED but the structure vouches for — two docs sharing many dup
+    * partners are themselves near-dup candidates, so this is the
+    * recall-repair pass a banding pipeline runs after the fact.
+    *
+    * Scale: wedge generation is the exact cost Σ_w d(w)·(d(w)−1)/2 —
+    * bounded by per-vertex degrees, the same budget the triangle
+    * counter pays; hub-heavy graphs should pre-cap degrees upstream
+    * (a 10⁶-degree boilerplate hub vouches for nothing anyway). The
+    * existing-edge subtraction is one anti-join; degrees broadcast. */
+  def commonNeighborCandidates(pairs: DataFrame,
+                               minCommon: Long = 2L): DataFrame = {
+    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+    val wedges = adj.select(col("u").as("w"), col("v").as("a"))
+      .join(adj.select(col("u").as("w"), col("v").as("b")), "w")
+      .where(col("a") < col("b"))
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+    val canon = und.select(least(col("u"), col("v")).as("id_a"),
+      greatest(col("u"), col("v")).as("id_b"))
+    wedges.join(canon, Seq("id_a", "id_b"), "left_anti")
+      .join(deg.select(col("id").as("id_a"), col("d").as("deg_a")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("d").as("deg_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        round(lit(1e6) * col("common")
+          / (col("deg_a") + col("deg_b") - col("common"))).cast("long")
+          .as("jaccard6"))
+  }
+
   /** Degree assortativity of an undirected pair graph — Newman's r:
     * the Pearson correlation of endpoint degrees over edges (both
     * orientations, the standard symmetric form). Positive = hubs link

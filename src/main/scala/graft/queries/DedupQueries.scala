@@ -991,6 +991,53 @@ object DedupQueries {
     }
   }
 
+  /** Common-neighbor link prediction over the fuzzy-name graph (see
+    * [[graft.operators.GraphOps.commonNeighborCandidates]]): non-edges
+    * whose endpoints share ≥ 2 verified fuzzy-pair partners, ranked by
+    * neighborhood Jaccard — the recall-repair candidates a d ≤ 1
+    * verifier missed (two names each one edit from the same two
+    * neighbors are ≤ 2 edits apart themselves). The oracle replays the
+    * SymSpell graph, the wedge census, the non-edge subtraction, and
+    * the grid Jaccard. Top-100 by (jaccard6 DESC, names) keeps the
+    * output deterministic and SF-stable. */
+  val q266 = GQuery("q266_link_prediction",
+    """WITH v AS (
+      |  SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 4),
+      |var AS (
+      |  SELECT w, unnest([w] ||
+      |    [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, length(w) + 1)]) AS d
+      |  FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      |  FROM var a JOIN var b ON a.d = b.d AND a.w < b.w),
+      |e0 AS MATERIALIZED (
+      |  SELECT word_a AS u, word_b AS v FROM cand
+      |  WHERE levenshtein(word_a, word_b) <= 1),
+      |adj AS MATERIALIZED (
+      |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |dg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+      |       FROM adj GROUP BY u),
+      |wg AS (
+      |  SELECT a.v AS id_a, b.v AS id_b, CAST(count(*) AS BIGINT) AS common
+      |  FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ne AS (
+      |  SELECT wg.* FROM wg
+      |  ANTI JOIN e0 ON e0.u = wg.id_a AND e0.v = wg.id_b)
+      |SELECT id_a, id_b, common, da.d AS deg_a, db.d AS deg_b,
+      |  CAST(round(1e6 * common / (da.d + db.d - common)) AS BIGINT)
+      |    AS jaccard6
+      |FROM ne JOIN dg da ON da.id = id_a JOIN dg db ON db.id = id_b
+      |ORDER BY jaccard6 DESC, id_a, id_b LIMIT 100""".stripMargin) {
+    (s, dir) =>
+    graft.operators.GraphOps.commonNeighborCandidates(
+        sharedNamePairs(s, dir)
+          .select(col("word_a").as("id_a"), col("word_b").as("id_b")),
+        minCommon = 2L)
+      .orderBy(col("jaccard6").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
   /** Cross-source duplication provenance (see
     * [[graft.operators.Dedup.pairProvenanceMatrix]]): the q24
     * exact-Jaccard near-dup pair graph rolled up by unordered source
@@ -1724,5 +1771,5 @@ object DedupQueries {
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
-      q258, q261, q262, q265)
+      q258, q261, q262, q265, q266)
 }

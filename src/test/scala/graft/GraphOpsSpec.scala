@@ -106,6 +106,27 @@ class GraphOpsSpec extends SparkSpec {
       4L -> 3L, 5L -> 2L, 6L -> 2L))
   }
 
+  test("commonNeighborCandidates: non-edges only, exact counts and Jaccard") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2
+    // neighbors, Jaccard 2/(2+2-2) = 1 → 1000000; edges themselves
+    // must NOT appear even where they share a neighbor
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val out = graft.operators.GraphOps.commonNeighborCandidates(
+        square.toDF("id_a", "id_b"), minCommon = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L, 2L, 2L, 2L, 1000000L),
+      (2L, 4L, 2L, 2L, 2L, 1000000L)))
+    // triangle + pendant: (1,4) share only {2} → below minCommon 2;
+    // with minCommon 1 it appears with Jaccard 1/(2+1-1) = .5, and the
+    // EDGE (1,3) sharing neighbor 2 stays excluded
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L))
+    val one = graft.operators.GraphOps.commonNeighborCandidates(
+        tp.toDF("id_a", "id_b"), minCommon = 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(one === Set((1L, 4L, 1L, 2L, 1L, 500000L),
+      (3L, 4L, 1L, 2L, 1L, 500000L)))
+  }
+
   test("assortativity: path and star are perfectly disassortative; regular graph null") {
     def r(pairs: Seq[(Long, Long)]) =
       graft.operators.GraphOps.assortativity(pairs.toDF("id_a", "id_b"))
