@@ -90,6 +90,105 @@ object Embeddings {
     s"(($sum) / sqrt(${dimOut.toDouble}))"
   }
 
+  /** Top principal component by exact-grid covariance + deterministic
+    * power iteration — distributed PCA without MLlib, every number
+    * engine-replayable:
+    *
+    *  1. Components snap to the 1e-6 grid (`x6 = ⌊x·10⁶ + 0.5⌋`), so
+    *     the Gram matrix `S_ij = Σ x6_i·x6_j`, the component sums
+    *     `m_i`, and the count n are EXACT integers — order-independent
+    *     sums any engine reproduces regardless of partitioning. The
+    *     Spark pass accumulates the dim×dim Gram per partition in one
+    *     primitive-long array (a single `mapPartitions` — no dim²-row
+    *     shuffle, the right 100 TB shape: model-sized state per
+    *     partition, one tree-reduce) and combines in BigInt, so the
+    *     per-partition long bound (rows/partition · (10⁶·|x|max)² <
+    *     2⁶³) is the only capacity constraint — ~9M rows/partition at
+    *     |x| ≤ 1, far above any sane partition size.
+    *  2. Covariance cells land back on a 1e-6 grid through ONE double
+    *     division of exact integers:
+    *     `cov6_ij = ⌊10⁶·(n·S_ij − m_i·m_j)/(n·n·10¹²) + 0.5⌋` —
+    *     the floor(+0.5) form both engines evaluate identically
+    *     (`round()` half-rules differ on negatives across engines).
+    *  3. Power iteration runs on the integer matrix: v₀ = uniform
+    *     1/√dim on the grid; each step's matvec `w = cov6·v6` is an
+    *     exact integer sum, the norm² an exact integer, and the
+    *     renormalized `v6' = ⌊10⁶·w/√norm2 + 0.5⌋` — the Lloyd-idiom
+    *     re-grid that keeps float summation order out of the state.
+    *     Fixed `iters`, so an oracle replays the ladder verbatim.
+    *
+    * Output, one row per dimension: (pos, loading6) plus the Rayleigh
+    * eigenvalue `eig6 = ⌊r/d + 0.5⌋` (variance along the component,
+    * 1e-6 grid), the exact covariance trace (total variance, 1e-6
+    * grid), and `share4` — the fraction of variance this component
+    * explains, the number an embedding-compression decision (q97's JL,
+    * q230's Matryoshka truncation) is justified by. */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+                      iters: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x6 = df.select(transform(col(vecCol),
+        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")).as("v"))
+      .as[Seq[Long]].rdd
+    // one pass: per-partition (count, sums[dim], gram[dim*dim]) in
+    // primitive longs, combined in BigInt
+    val (n, sums, gram) = x6.mapPartitions { it =>
+      var c = 0L
+      val s = new Array[Long](dim)
+      val g = new Array[Long](dim * dim)
+      it.foreach { v =>
+        val a = v.toArray
+        c += 1
+        var i = 0
+        while (i < dim) {
+          s(i) += a(i)
+          var j = i
+          while (j < dim) { g(i * dim + j) += a(i) * a(j); j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single((c, s, g))
+    }.collect().foldLeft((BigInt(0), Array.fill(dim)(BigInt(0)),
+      Array.fill(dim * dim)(BigInt(0)))) { case ((cn, cs, cg), (c, s, g)) =>
+      (cn + c,
+        cs.zip(s).map { case (x, y) => x + y },
+        cg.zip(g).map { case (x, y) => x + y })
+    }
+    require(n > 0, "pcaTopComponent: empty input")
+    val nD = n.toDouble
+    val cov6 = Array.tabulate(dim, dim) { (i, j) =>
+      val sij = if (i <= j) gram(i * dim + j) else gram(j * dim + i)
+      val p = n * sij - sums(i) * sums(j)
+      math.floor(1e6 * p.toDouble / (nD * nD * 1e12) + 0.5).toLong
+    }
+    def matvec(v6: Array[Long]): Array[BigInt] = Array.tabulate(dim) { i =>
+      (0 until dim).foldLeft(BigInt(0))((acc, j) =>
+        acc + BigInt(cov6(i)(j)) * v6(j))
+    }
+    var v6 = Array.fill(dim)(
+      math.floor(1e6 / math.sqrt(dim.toDouble) + 0.5).toLong)
+    for (_ <- 1 to iters) {
+      val w = matvec(v6)
+      val norm2 = w.foldLeft(BigInt(0))((acc, x) => acc + x * x)
+      if (norm2 > 0) {
+        val nrm = math.sqrt(norm2.toDouble)
+        v6 = w.map(x => math.floor(1e6 * x.toDouble / nrm + 0.5).toLong)
+      }
+    }
+    // Rayleigh quotient on the FINAL vector: one more exact matvec
+    val w = matvec(v6)
+    val r = (0 until dim).foldLeft(BigInt(0))((acc, i) =>
+      acc + BigInt(v6(i)) * w(i))
+    val d = v6.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * x)
+    val eig6 = math.floor(r.toDouble / d.toDouble + 0.5).toLong
+    val trace6 = (0 until dim).map(i => cov6(i)(i)).sum
+    val share4 =
+      math.floor(1e4 * eig6.toDouble / trace6.toDouble + 0.5).toLong
+    spark.createDataFrame(
+      (0 until dim).map(i => (i, v6(i), eig6, trace6, share4)))
+      .toDF("pos", "loading6", "eig6", "trace6", "share4")
+  }
+
   /** Symmetric int8 quantization of `vecCol`: scale = 127 / max|x|,
     * q_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. Emits the id, the
     * rounded scale denominator, and integer checksums of the quantized

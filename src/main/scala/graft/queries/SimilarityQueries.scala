@@ -974,8 +974,82 @@ object SimilarityQueries {
       .orderBy(col("cid"))
   }
 
+  /** Top principal component of the label-0 embedding slice (see
+    * [[graft.operators.Embeddings.pcaTopComponent]]): exact-grid
+    * covariance (one mapPartitions Gram pass — integer sums no engine
+    * can order-skew) + a 20-step deterministic power iteration, every
+    * step re-gridded exactly like Lloyd training. The oracle replays
+    * the grid encode, the 64×64 Gram join, the covariance division,
+    * and all 20 matvec/renorm rungs as chained MATERIALIZED CTEs —
+    * the q83/q32b idiom applied to linear algebra. `share4` (variance
+    * explained by one direction) is the number that justifies or
+    * refutes a JL/Matryoshka compression decision (q97/q230/q231). */
+  val q267 = {
+    val iters = 20
+    val ladder = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT pi AS pos, CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT)
+         |    AS w
+         |  FROM cov JOIN v${t - 1} vv ON vv.pos = cov.pj GROUP BY pi),
+         |n$t AS (SELECT CAST(sum(w * w) AS HUGEINT) AS n2 FROM w$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT pos, CAST(floor(1e6 * CAST(w AS DOUBLE)
+         |    / sqrt(CAST(n2 AS DOUBLE)) + 0.5) AS BIGINT) AS v
+         |  FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    GQuery("q267_pca_top_component",
+      s"""WITH x6 AS MATERIALIZED (
+         |  SELECT vec_id, u.pos AS pos, u.x6 AS x6 FROM (
+         |    SELECT vec_id, unnest([{'pos': i - 1,
+         |      'x6': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+         |        AS BIGINT)} for i in range(1, ${Dim + 1})]) AS u
+         |    FROM embeddings WHERE label = 0)),
+         |nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x6),
+         |sums AS MATERIALIZED (
+         |  SELECT pos, CAST(sum(x6) AS HUGEINT) AS m FROM x6 GROUP BY pos),
+         |gram AS MATERIALIZED (
+         |  SELECT a.pos AS pi, b.pos AS pj,
+         |    CAST(sum(a.x6 * b.x6) AS HUGEINT) AS s
+         |  FROM x6 a JOIN x6 b USING (vec_id) GROUP BY 1, 2),
+         |cov AS MATERIALIZED (
+         |  SELECT pi, pj,
+         |    CAST(floor(1e6 * CAST(n * s - ma.m * mb.m AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12) + 0.5)
+         |      AS BIGINT) AS c
+         |  FROM gram JOIN sums ma ON ma.pos = pi
+         |  JOIN sums mb ON mb.pos = pj, nn),
+         |v0 AS (SELECT pos,
+         |  CAST(floor(1e6 / sqrt(${Dim}.0) + 0.5) AS BIGINT) AS v
+         |  FROM sums),
+         |$ladder,
+         |wf AS MATERIALIZED (
+         |  SELECT pi AS pos, CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT)
+         |    AS w
+         |  FROM cov JOIN v$iters vv ON vv.pos = cov.pj GROUP BY pi),
+         |ray AS (
+         |  SELECT CAST(sum(CAST(v AS HUGEINT) * w) AS HUGEINT) AS r,
+         |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS d
+         |  FROM v$iters JOIN wf USING (pos)),
+         |tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace6 FROM cov
+         |       WHERE pi = pj),
+         |scal AS (
+         |  SELECT CAST(floor(CAST(r AS DOUBLE) / CAST(d AS DOUBLE) + 0.5)
+         |      AS BIGINT) AS eig6, trace6
+         |  FROM ray, tr)
+         |SELECT CAST(pos AS INT) AS pos, v AS loading6, eig6, trace6,
+         |  CAST(floor(1e4 * CAST(eig6 AS DOUBLE) / CAST(trace6 AS DOUBLE)
+         |    + 0.5) AS BIGINT) AS share4
+         |FROM v$iters CROSS JOIN scal
+         |ORDER BY pos""".stripMargin) { (s, dir) =>
+      graft.operators.Embeddings.pcaTopComponent(
+          Tables.embeddings(s, dir).where(col("label") === 0),
+          "embedding", Dim, iters)
+        .orderBy(col("pos"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
       q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231,
-      q248, q254, q260)
+      q248, q254, q260, q267)
 }

@@ -184,4 +184,32 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("robust_z")))
     }
   }
+
+  test("pcaTopComponent: analytic eigenvectors on rank-1 and axis-aligned fixtures") {
+    import graft.operators.Embeddings
+    def pca(rows: Seq[Seq[Float]]) =
+      Embeddings.pcaTopComponent(rows.toDF("embedding"), "embedding",
+          dim = 2, iters = 20)
+        .orderBy("pos")
+        .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // points on the line y = x: population cov = [[1.25,1.25],[1.25,1.25]],
+    // top eigvec (1,1)/√2 with λ = 2.5 carrying ALL the variance
+    val line = pca(Seq(Seq(1f, 1f), Seq(2f, 2f), Seq(3f, 3f), Seq(4f, 4f)))
+    assert(line === Seq(
+      (0, 707107L, 2500000L, 2500000L, 10000L),
+      (1, 707107L, 2500000L, 2500000L, 10000L)))
+    // variance only along x: cov = [[8/3, 0], [0, 0]] — the iteration
+    // must rotate v0 = (1,1)/√2 onto the x axis in one step
+    val axis = pca(Seq(Seq(0f, 5f), Seq(2f, 5f), Seq(4f, 5f)))
+    assert(axis === Seq(
+      (0, 1000000L, 2666667L, 2666667L, 10000L),
+      (1, 0L, 2666667L, 2666667L, 10000L)))
+    // isotropic square: every direction is an eigenvector with λ = 1 —
+    // v0 must stay put and report exactly half the trace
+    val iso = pca(Seq(Seq(1f, 1f), Seq(-1f, -1f), Seq(1f, -1f),
+      Seq(-1f, 1f)))
+    assert(iso === Seq(
+      (0, 707107L, 1000000L, 2000000L, 5000L),
+      (1, 707107L, 1000000L, 2000000L, 5000L)))
+  }
 }
