@@ -984,8 +984,11 @@ object SimilarityQueries {
     * the q83/q32b idiom applied to linear algebra. `share4` (variance
     * explained by one direction) is the number that justifies or
     * refutes a JL/Matryoshka compression decision (q97/q230/q231). */
-  val q267 = {
-    val iters = 20
+  /** The shared PCA oracle CTE chain (grid encode → Gram → covariance →
+    * `iters` power-iteration rungs, final vector in `v$iters`) — one
+    * definition serves q267 and the q268 projection so the replayed
+    * component cannot drift between them. */
+  private def pcaCtes(iters: Int): String = {
     val ladder = (1 to iters).map { t =>
       s"""w$t AS MATERIALIZED (
          |  SELECT pi AS pos, CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT)
@@ -997,31 +1000,38 @@ object SimilarityQueries {
          |    / sqrt(CAST(n2 AS DOUBLE)) + 0.5) AS BIGINT) AS v
          |  FROM w$t, n$t)""".stripMargin
     }.mkString(",\n")
+    s"""x6 AS MATERIALIZED (
+       |  SELECT vec_id, u.pos AS pos, u.x6 AS x6 FROM (
+       |    SELECT vec_id, unnest([{'pos': i - 1,
+       |      'x6': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+       |        AS BIGINT)} for i in range(1, ${Dim + 1})]) AS u
+       |    FROM embeddings WHERE label = 0)),
+       |nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x6),
+       |sums AS MATERIALIZED (
+       |  SELECT pos, CAST(sum(x6) AS HUGEINT) AS m FROM x6 GROUP BY pos),
+       |gram AS MATERIALIZED (
+       |  SELECT a.pos AS pi, b.pos AS pj,
+       |    CAST(sum(a.x6 * b.x6) AS HUGEINT) AS s
+       |  FROM x6 a JOIN x6 b USING (vec_id) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT pi, pj,
+       |    CAST(floor(1e6 * CAST(n * s - ma.m * mb.m AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12) + 0.5)
+       |      AS BIGINT) AS c
+       |  FROM gram JOIN sums ma ON ma.pos = pi
+       |  JOIN sums mb ON mb.pos = pj, nn),
+       |v0 AS (SELECT pos,
+       |  CAST(floor(1e6 / sqrt(${Dim}.0) + 0.5) AS BIGINT) AS v
+       |  FROM sums),
+       |$ladder""".stripMargin
+  }
+
+  private val PcaIters = 20
+
+  val q267 = {
+    val iters = PcaIters
     GQuery("q267_pca_top_component",
-      s"""WITH x6 AS MATERIALIZED (
-         |  SELECT vec_id, u.pos AS pos, u.x6 AS x6 FROM (
-         |    SELECT vec_id, unnest([{'pos': i - 1,
-         |      'x6': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
-         |        AS BIGINT)} for i in range(1, ${Dim + 1})]) AS u
-         |    FROM embeddings WHERE label = 0)),
-         |nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x6),
-         |sums AS MATERIALIZED (
-         |  SELECT pos, CAST(sum(x6) AS HUGEINT) AS m FROM x6 GROUP BY pos),
-         |gram AS MATERIALIZED (
-         |  SELECT a.pos AS pi, b.pos AS pj,
-         |    CAST(sum(a.x6 * b.x6) AS HUGEINT) AS s
-         |  FROM x6 a JOIN x6 b USING (vec_id) GROUP BY 1, 2),
-         |cov AS MATERIALIZED (
-         |  SELECT pi, pj,
-         |    CAST(floor(1e6 * CAST(n * s - ma.m * mb.m AS DOUBLE)
-         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12) + 0.5)
-         |      AS BIGINT) AS c
-         |  FROM gram JOIN sums ma ON ma.pos = pi
-         |  JOIN sums mb ON mb.pos = pj, nn),
-         |v0 AS (SELECT pos,
-         |  CAST(floor(1e6 / sqrt(${Dim}.0) + 0.5) AS BIGINT) AS v
-         |  FROM sums),
-         |$ladder,
+      s"""WITH ${pcaCtes(iters)},
          |wf AS MATERIALIZED (
          |  SELECT pi AS pos, CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT)
          |    AS w
@@ -1048,8 +1058,58 @@ object SimilarityQueries {
     }
   }
 
+  /** Per-label census of projections onto the q267 component: every
+    * embedding's exact integer dot with the learned loading vector
+    * (`p6 = ⌊Σ x6·v6 / 10⁶ + 0.5⌋` — one zero-shuffle map), grouped by
+    * label — does the corpus's dominant variance direction SEPARATE
+    * the labels, i.e. is one linear feature already a weak classifier?
+    * The component is trained on the label-0 slice only, so the other
+    * labels are out-of-sample. The oracle replays the whole q267
+    * ladder (shared CTE text — the components cannot drift apart) and
+    * then the projection join. */
+  val q268 = GQuery("q268_pca_projection",
+    s"""WITH ${pcaCtes(PcaIters)},
+       |xa AS MATERIALIZED (
+       |  SELECT vec_id, u.pos AS pos, u.x6 AS x6 FROM (
+       |    SELECT vec_id, unnest([{'pos': i - 1,
+       |      'x6': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+       |        AS BIGINT)} for i in range(1, ${Dim + 1})]) AS u
+       |    FROM embeddings)),
+       |p AS (
+       |  SELECT xa.vec_id,
+       |    CAST(floor(CAST(sum(xa.x6 * vv.v) AS DOUBLE) / 1e6 + 0.5)
+       |      AS BIGINT) AS p6
+       |  FROM xa JOIN v$PcaIters vv ON vv.pos = xa.pos
+       |  GROUP BY xa.vec_id)
+       |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(round(avg(p6)) AS BIGINT) AS mean_p6,
+       |  min(p6) AS min_p6, max(p6) AS max_p6
+       |FROM p JOIN embeddings e ON e.vec_id = p.vec_id
+       |GROUP BY e.label ORDER BY e.label""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val v6 = graft.operators.Embeddings.pcaTopComponent(
+        Tables.embeddings(s, dir).where(col("label") === 0),
+        "embedding", Dim, PcaIters)
+      .orderBy(col("pos")).select(col("loading6")).as[Long].collect()
+    val vLit = typedLit(v6.toSeq)
+    val t = aggregate(
+      zip_with(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")),
+        vLit, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        floor(t.cast("double") / 1e6 + lit(0.5)).cast("long").as("p6"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("p6"))).cast("long").as("mean_p6"),
+        min(col("p6")).as("min_p6"), max(col("p6")).as("max_p6"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
       q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231,
-      q248, q254, q260, q267)
+      q248, q254, q260, q267, q268)
 }
