@@ -382,6 +382,33 @@ object Profiling {
         round(lit(1e4) * col("n_risk_rows") / col("n_rows")).cast("long"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. '07 — the k-anonymity
+    * companion): k-anonymity bounds RE-IDENTIFICATION, but a class
+    * whose rows all share one SENSITIVE value leaks the attribute even
+    * without identifying the row (the homogeneity attack). Per QI
+    * equivalence class, the number of DISTINCT sensitive values; the
+    * report counts classes below `l` and the rows they expose.
+    * Same one-census shape as [[kAnonymity]] (the class key gains the
+    * sensitive column for one extra pre-aggregate), returning one row:
+    * (n_rows, n_classes, min_l, n_low_classes, n_exposed_rows,
+    * exposed_frac4). */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 1, "need QI columns and l >= 1")
+    val cells = df
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val cls = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("n")).as("sz"), count(lit(1)).as("lv"))
+    cls.agg(sum(col("sz")).as("n_rows"), count(lit(1)).as("n_classes"),
+        min(col("lv")).as("min_l"),
+        sum(when(col("lv") < l, 1L).otherwise(0L)).as("n_low_classes"),
+        sum(when(col("lv") < l, col("sz")).otherwise(0L))
+          .as("n_exposed_rows"))
+      .withColumn("exposed_frac4",
+        round(lit(1e4) * col("n_exposed_rows") / col("n_rows")).cast("long"))
+  }
+
   /** Welch's unequal-variance t statistic for every pair of groups —
     * the significance readout behind the q195 A/B means ("is the
     * difference real or noise"). Each group reduces to three exact

@@ -928,6 +928,97 @@ object ProfilingQueries {
     }
   }
 
+  /** l-diversity audit (see [[graft.operators.Profiling.lDiversity]]):
+    * the q238 QI classes re-scored for sensitive-attribute homogeneity
+    * with order STATUS as the sensitive value — a class can be
+    * k-anonymous yet leak status wholesale when all its rows agree
+    * (the homogeneity attack k misses). Oracle replays the two-level
+    * census and the exposure arithmetic. */
+  val q270 = GQuery("q270_l_diversity",
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS qp,
+      |    CAST(floor(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+      |      / 30) AS BIGINT) AS qm,
+      |    CAST(floor(o_totalprice / 20000) AS BIGINT) AS qb,
+      |    o_orderstatus AS sv,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2, 3, 4),
+      |cls AS (
+      |  SELECT qp, qm, qb, CAST(sum(n) AS BIGINT) AS sz,
+      |    CAST(count(*) AS BIGINT) AS lv
+      |  FROM cells GROUP BY 1, 2, 3),
+      |a AS (
+      |  SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+      |    count(*) AS n_classes, CAST(min(lv) AS BIGINT) AS min_l,
+      |    CAST(sum(CASE WHEN lv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_low_classes,
+      |    CAST(sum(CASE WHEN lv < 2 THEN sz ELSE 0 END) AS BIGINT)
+      |      AS n_exposed_rows
+      |  FROM cls)
+      |SELECT n_rows, n_classes, min_l, n_low_classes, n_exposed_rows,
+      |  CAST(round(1e4 * n_exposed_rows / n_rows) AS BIGINT)
+      |    AS exposed_frac4
+      |FROM a""".stripMargin) { (s, dir) =>
+    Profiling.lDiversity(
+      Tables.orders(s, dir).select(col("o_orderpriority").as("qp"),
+        floor(floor(unix_timestamp(col("o_orderdate")) / 86400L)
+          / lit(30)).cast("long").as("qm"),
+        floor(col("o_totalprice") / 20000).cast("long").as("qb"),
+        col("o_orderstatus").as("sv")),
+      Seq("qp", "qm", "qb"), "sv", l = 2L)
+  }
+
+  /** Deletion-impact audit — the right-to-be-forgotten dry run: given
+    * a customer delete set (here every 37th key — the synthetic stand-
+    * in for an erasure request list), how many rows each table loses
+    * once the cascade propagates (orders via custkey, lineitems via
+    * the doomed orders). Three semi-join counts — each table is
+    * touched once, the delete set and the doomed-order keys broadcast;
+    * the number a deletion job quotes BEFORE it mutates anything. */
+  val q269 = GQuery("q269_deletion_impact",
+    """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+      |oo AS (SELECT o_orderkey FROM orders
+      |       WHERE o_custkey IN (SELECT c_custkey FROM del)),
+      |imp AS (
+      |  SELECT 'customer' AS tbl,
+      |    CAST((SELECT count(*) FROM del) AS BIGINT) AS n_affected,
+      |    CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |    CAST((SELECT count(*) FROM lineitem
+      |          WHERE l_orderkey IN (SELECT o_orderkey FROM oo)) AS BIGINT),
+      |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'orders',
+      |    CAST((SELECT count(*) FROM oo) AS BIGINT),
+      |    CAST((SELECT count(*) FROM orders) AS BIGINT))
+      |SELECT tbl, n_affected, n_total,
+      |  CAST(round(1e6 * n_affected / n_total) AS BIGINT) AS share6
+      |FROM imp ORDER BY tbl""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val del = cust.where(col("c_custkey") % 37 === 0)
+      .select(col("c_custkey"))
+    val doomed = orders.join(broadcast(del),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def row(name: String, affected: org.apache.spark.sql.DataFrame,
+            total: org.apache.spark.sql.DataFrame) =
+      affected.agg(count(lit(1)).as("n_affected"))
+        .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
+        .select(lit(name).as("tbl"), col("n_affected"), col("n_total"))
+    row("customer", del, cust)
+      .unionByName(row("orders", doomed, orders))
+      .unionByName(row("lineitem",
+        li.join(broadcast(doomed), col("l_orderkey") === col("o_orderkey"),
+          "left_semi"), li))
+      .select(col("tbl"), col("n_affected"), col("n_total"),
+        round(lit(1e6) * col("n_affected") / col("n_total")).cast("long")
+          .as("share6"))
+      .orderBy(col("tbl"))
+  }
+
   /** Market-basket association rules (see
     * [[graft.operators.Itemsets.pairAssociations]]): orders are
     * baskets, part brands the items; the a-priori item prune, the
@@ -974,5 +1065,6 @@ object ProfilingQueries {
 
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
-      q215, q217, q221, q224, q228, q238, q243, q249, q259)
+      q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
+      q270)
 }

@@ -259,6 +259,20 @@ class ProfilingSpec extends SparkSpec {
       "c" -> ((2L, 10L, 5000L)), "d" -> ((2L, 10L, 0L))))
   }
 
+  test("lDiversity: homogeneous class flagged even when k-anonymous") {
+    // class A: 4 rows, all status 'x' → lv 1 (k-anonymous at k=4, yet
+    // fully exposed); class B: 2 rows, statuses differ → lv 2
+    val rows = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y")).toDF("qi", "sv")
+    val out = Profiling.lDiversity(rows, Seq("qi"), "sv", l = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((6L, 2L, 1L, 1L, 4L, 6667L)))
+    // k-anonymity on the same frame sees NO risk at k = 2
+    val ka = Profiling.kAnonymity(rows, Seq("qi"), k = 2L)
+      .select("n_small_classes").as[Long].collect().head
+    assert(ka === 0L)
+  }
+
   test("pairAssociations: a-priori prune, duplicate rows, and exact lift") {
     import graft.operators.Itemsets
     // 4 baskets; item z appears in only 1 basket (< ceil(.5·4)=2) — the
