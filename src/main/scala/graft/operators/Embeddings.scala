@@ -124,7 +124,14 @@ object Embeddings {
     * explains, the number an embedding-compression decision (q97's JL,
     * q230's Matryoshka truncation) is justified by. */
   def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
-                      iters: Int = 20): DataFrame = {
+                      iters: Int = 20): DataFrame =
+    pcaComponents(df, vecCol, dim, nComp = 1, iters)
+      .drop("component")
+
+  /** The exact-grid covariance matrix of [[pcaTopComponent]] (one
+    * mapPartitions Gram pass, BigInt combine, floor(+0.5) grid). */
+  private def gridCov(df: DataFrame, vecCol: String,
+                      dim: Int): Array[Array[Long]] = {
     val spark = df.sparkSession
     import spark.implicits._
     val x6 = df.select(transform(col(vecCol),
@@ -154,39 +161,69 @@ object Embeddings {
         cs.zip(s).map { case (x, y) => x + y },
         cg.zip(g).map { case (x, y) => x + y })
     }
-    require(n > 0, "pcaTopComponent: empty input")
+    require(n > 0, "pca: empty input")
     val nD = n.toDouble
-    val cov6 = Array.tabulate(dim, dim) { (i, j) =>
+    Array.tabulate(dim, dim) { (i, j) =>
       val sij = if (i <= j) gram(i * dim + j) else gram(j * dim + i)
       val p = n * sij - sums(i) * sums(j)
       math.floor(1e6 * p.toDouble / (nD * nD * 1e12) + 0.5).toLong
     }
-    def matvec(v6: Array[Long]): Array[BigInt] = Array.tabulate(dim) { i =>
-      (0 until dim).foldLeft(BigInt(0))((acc, j) =>
-        acc + BigInt(cov6(i)(j)) * v6(j))
-    }
-    var v6 = Array.fill(dim)(
-      math.floor(1e6 / math.sqrt(dim.toDouble) + 0.5).toLong)
-    for (_ <- 1 to iters) {
+  }
+
+  /** Top `nComp` principal components by repeated power iteration with
+    * GRID DEFLATION between components (Hotelling): after extracting
+    * (λ, v), `cov6 ← cov6 − ⌊eig6·v6_i·v6_j / 10¹² + 0.5⌋` — the
+    * integer-matrix form of cov − λvvᵀ, replayable like every other
+    * rung. Output: (component, pos, loading6, eig6, trace6, share4),
+    * components 0-indexed in extraction order (descending variance). */
+  def pcaComponents(df: DataFrame, vecCol: String, dim: Int,
+                    nComp: Int, iters: Int = 20): DataFrame = {
+    require(nComp >= 1 && nComp <= dim, "nComp must be in [1, dim]")
+    val spark = df.sparkSession
+    val cov6 = gridCov(df, vecCol, dim)
+    val trace6 = (0 until dim).map(i => cov6(i)(i)).sum
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Long, Long, Long, Long)]
+    for (comp <- 0 until nComp) {
+      def matvec(v6: Array[Long]): Array[BigInt] = Array.tabulate(dim) { i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) =>
+          acc + BigInt(cov6(i)(j)) * v6(j))
+      }
+      var v6 = Array.fill(dim)(
+        math.floor(1e6 / math.sqrt(dim.toDouble) + 0.5).toLong)
+      for (_ <- 1 to iters) {
+        val w = matvec(v6)
+        val norm2 = w.foldLeft(BigInt(0))((acc, x) => acc + x * x)
+        if (norm2 > 0) {
+          val nrm = math.sqrt(norm2.toDouble)
+          v6 = w.map(x => math.floor(1e6 * x.toDouble / nrm + 0.5).toLong)
+        }
+      }
+      // Rayleigh quotient on the FINAL vector: one more exact matvec
       val w = matvec(v6)
-      val norm2 = w.foldLeft(BigInt(0))((acc, x) => acc + x * x)
-      if (norm2 > 0) {
-        val nrm = math.sqrt(norm2.toDouble)
-        v6 = w.map(x => math.floor(1e6 * x.toDouble / nrm + 0.5).toLong)
+      val r = (0 until dim).foldLeft(BigInt(0))((acc, i) =>
+        acc + BigInt(v6(i)) * w(i))
+      val d = v6.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * x)
+      val eig6 = math.floor(r.toDouble / d.toDouble + 0.5).toLong
+      val share4 =
+        math.floor(1e4 * eig6.toDouble / trace6.toDouble + 0.5).toLong
+      (0 until dim).foreach(i =>
+        out += ((comp, i, v6(i), eig6, trace6, share4)))
+      if (comp < nComp - 1) {
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) {
+            val defl = BigInt(eig6) * v6(i) * v6(j)
+            cov6(i)(j) -= math.floor(defl.toDouble / 1e12 + 0.5).toLong
+            j += 1
+          }
+          i += 1
+        }
       }
     }
-    // Rayleigh quotient on the FINAL vector: one more exact matvec
-    val w = matvec(v6)
-    val r = (0 until dim).foldLeft(BigInt(0))((acc, i) =>
-      acc + BigInt(v6(i)) * w(i))
-    val d = v6.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * x)
-    val eig6 = math.floor(r.toDouble / d.toDouble + 0.5).toLong
-    val trace6 = (0 until dim).map(i => cov6(i)(i)).sum
-    val share4 =
-      math.floor(1e4 * eig6.toDouble / trace6.toDouble + 0.5).toLong
-    spark.createDataFrame(
-      (0 until dim).map(i => (i, v6(i), eig6, trace6, share4)))
-      .toDF("pos", "loading6", "eig6", "trace6", "share4")
+    spark.createDataFrame(out.toSeq)
+      .toDF("component", "pos", "loading6", "eig6", "trace6", "share4")
   }
 
   /** Symmetric int8 quantization of `vecCol`: scale = 127 / max|x|,

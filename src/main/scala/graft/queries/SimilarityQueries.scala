@@ -1108,8 +1108,86 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  /** Top-2 principal components with grid deflation (see
+    * [[graft.operators.Embeddings.pcaComponents]]): after component 1,
+    * `cov6 ← cov6 − ⌊eig6·v6ᵢ·v6ⱼ/10¹² + 0.5⌋` (Hotelling deflation as
+    * integer-matrix arithmetic) and a second 20-rung ladder extracts
+    * the runner-up direction. Orthogonality and the spectral ordering
+    * are spec-asserted; the oracle replays BOTH ladders and the
+    * deflation cell-for-cell. Two components' shares bound what any
+    * 2-d visualization/compression of these embeddings can preserve. */
+  val q271 = {
+    val iters = PcaIters
+    val ladder2 = (1 to iters).map { t =>
+      s"""uw$t AS MATERIALIZED (
+         |  SELECT pi AS pos, CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT)
+         |    AS w
+         |  FROM cov2 JOIN u${t - 1} vv ON vv.pos = cov2.pj GROUP BY pi),
+         |un$t AS (SELECT CAST(sum(w * w) AS HUGEINT) AS n2 FROM uw$t),
+         |u$t AS MATERIALIZED (
+         |  SELECT pos, CAST(floor(1e6 * CAST(w AS DOUBLE)
+         |    / sqrt(CAST(n2 AS DOUBLE)) + 0.5) AS BIGINT) AS v
+         |  FROM uw$t, un$t)""".stripMargin
+    }.mkString(",\n")
+    GQuery("q271_pca_two_components",
+      s"""WITH ${pcaCtes(iters)},
+         |wf AS MATERIALIZED (
+         |  SELECT pi AS pos, CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT)
+         |    AS w
+         |  FROM cov JOIN v$iters vv ON vv.pos = cov.pj GROUP BY pi),
+         |ray AS (
+         |  SELECT CAST(sum(CAST(v AS HUGEINT) * w) AS HUGEINT) AS r,
+         |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS d
+         |  FROM v$iters JOIN wf USING (pos)),
+         |tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace6 FROM cov
+         |       WHERE pi = pj),
+         |scal AS (
+         |  SELECT CAST(floor(CAST(r AS DOUBLE) / CAST(d AS DOUBLE) + 0.5)
+         |      AS BIGINT) AS eig6
+         |  FROM ray),
+         |cov2 AS MATERIALIZED (
+         |  SELECT cov.pi AS pi, cov.pj AS pj,
+         |    cov.c - CAST(floor(CAST(CAST(s.eig6 AS HUGEINT) * va.v * vb.v
+         |      AS DOUBLE) / 1e12 + 0.5) AS BIGINT) AS c
+         |  FROM cov JOIN v$iters va ON va.pos = cov.pi
+         |  JOIN v$iters vb ON vb.pos = cov.pj, scal s),
+         |u0 AS (SELECT pos,
+         |  CAST(floor(1e6 / sqrt(${Dim}.0) + 0.5) AS BIGINT) AS v
+         |  FROM sums),
+         |$ladder2,
+         |wf2 AS MATERIALIZED (
+         |  SELECT pi AS pos, CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT)
+         |    AS w
+         |  FROM cov2 JOIN u$iters vv ON vv.pos = cov2.pj GROUP BY pi),
+         |ray2 AS (
+         |  SELECT CAST(sum(CAST(v AS HUGEINT) * w) AS HUGEINT) AS r,
+         |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS d
+         |  FROM u$iters JOIN wf2 USING (pos)),
+         |scal2 AS (
+         |  SELECT CAST(floor(CAST(r AS DOUBLE) / CAST(d AS DOUBLE) + 0.5)
+         |      AS BIGINT) AS eig6
+         |  FROM ray2)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INT) AS component, CAST(pos AS INT) AS pos,
+         |    v AS loading6, s.eig6, t.trace6,
+         |    CAST(floor(1e4 * CAST(s.eig6 AS DOUBLE)
+         |      / CAST(t.trace6 AS DOUBLE) + 0.5) AS BIGINT) AS share4
+         |  FROM v$iters, scal s, tr t
+         |  UNION ALL
+         |  SELECT CAST(1 AS INT), CAST(pos AS INT), v, s2.eig6, t.trace6,
+         |    CAST(floor(1e4 * CAST(s2.eig6 AS DOUBLE)
+         |      / CAST(t.trace6 AS DOUBLE) + 0.5) AS BIGINT)
+         |  FROM u$iters, scal2 s2, tr t)
+         |ORDER BY component, pos""".stripMargin) { (s, dir) =>
+      graft.operators.Embeddings.pcaComponents(
+          Tables.embeddings(s, dir).where(col("label") === 0),
+          "embedding", Dim, nComp = 2, iters)
+        .orderBy(col("component"), col("pos"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
       q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231,
-      q248, q254, q260, q267, q268)
+      q248, q254, q260, q267, q268, q271)
 }

@@ -212,4 +212,38 @@ class CurationOpsSpec extends SparkSpec {
       (0, 707107L, 1000000L, 2000000L, 5000L),
       (1, 707107L, 1000000L, 2000000L, 5000L)))
   }
+
+  test("pcaComponents: deflation recovers the axis-aligned spectrum in order; real components orthogonal") {
+    import graft.operators.Embeddings
+    // cov = diag(4.5, 0.5): components (±1,0) λ=4.5 then (0,±1) λ=0.5
+    val rows = Seq(Seq(3f, 0f), Seq(-3f, 0f), Seq(0f, 1f), Seq(0f, -1f))
+    val out = Embeddings.pcaComponents(rows.toDF("embedding"),
+        "embedding", dim = 2, nComp = 2, iters = 20)
+      .orderBy("component", "pos")
+      .as[(Int, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0, 0, 1000000L, 4500000L, 5000000L, 9000L),
+      (0, 1, 0L, 4500000L, 5000000L, 9000L),
+      (1, 0, 0L, 500000L, 5000000L, 1000L),
+      (1, 1, 1000000L, 500000L, 5000000L, 1000L)))
+    // real embeddings: spectral order holds and the two loading
+    // vectors are orthogonal to grid precision
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("label") === 0)
+    val comps = Embeddings.pcaComponents(emb, "embedding", 64, 2, 20)
+      .orderBy("component", "pos")
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+    val v1 = comps.filter(_._1 == 0).map(_._3)
+    val v2 = comps.filter(_._1 == 1).map(_._3)
+    val eig1 = comps.find(_._1 == 0).get._4
+    val eig2 = comps.find(_._1 == 1).get._4
+    assert(eig1 >= eig2, s"spectral order violated: $eig1 < $eig2")
+    val dot = v1.zip(v2).map { case (a, b) => BigInt(a) * b }.sum
+    // unit vectors on the 1e-6 grid have norm² ≈ 1e12. With 56 vectors,
+    // 20 finite iterations, and re-grid rounding each rung, deflation
+    // leaves ~1e-2 relative residue — assert cos(angle) < 2%, which a
+    // random 64-dim pair (expected |cos| ≈ 1/8) fails decisively
+    assert(dot.abs < BigInt("20000000000"),
+      s"components not orthogonal: dot = $dot")
+  }
 }
