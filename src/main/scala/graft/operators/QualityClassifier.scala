@@ -141,4 +141,58 @@ object QualityClassifier {
           / (lit(2.0) * col("n_pos") * col("n_neg"))).cast("long").as("auc4"),
         col("best.s").as("best_thr"), col("best.f14").as("best_f14"))
   }
+
+  /** Split-conformal acceptance gate (Vovk; Papadopoulos et al. '02 —
+    * the distribution-free coverage recipe): from the CALIBRATION
+    * split's true-keep scores, pick the threshold
+    * `t = k-th smallest score, k = ⌊(1 − cov4/10⁴)·(n+1)⌋` — the exact
+    * order statistic (k < 1 ⇒ the guarantee needs everything:
+    * t = Long.MinValue, the pass-all sentinel). Scoring
+    * `score ≥ t` on exchangeable data then covers true keeps at ≥
+    * cov4/10⁴ marginally, REGARDLESS of how miscalibrated the model
+    * is — the guarantee q171's calibration table can only hope for.
+    * The report audits the held-out split: realized coverage and the
+    * flagged fraction (the efficiency price of the guarantee).
+    *
+    * Scale: two score-cell censuses (cells bounded by the score grid,
+    * not the data), one tiny ordered window over cells, one broadcast
+    * of the 1-row threshold. Returns one row: (n_calib_pos, thr_s,
+    * n_test, n_test_pos, n_covered, coverage4, n_flagged,
+    * flagged_frac4). */
+  def conformalGate(scored: DataFrame, scoreCol: String, labelCol: String,
+                    calibCol: String, cov4: Long = 9000L): DataFrame = {
+    require(cov4 >= 1 && cov4 <= 9999, "cov4 must be in [1, 9999]")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cells = scored.where(col(calibCol) && col(labelCol))
+      .groupBy(col(scoreCol).as("s")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+    val tot = cells.agg(sum(col("n")).as("np"))
+      .withColumn("k",
+        floor((lit(10000L) - cov4) * (col("np") + 1L) / 10000L).cast("long"))
+    val thr = cells.crossJoin(broadcast(tot))
+      .agg(max(col("np")).as("n_calib_pos"), max(col("k")).as("kk"),
+        min(when(col("cum") >= col("k"), col("s"))).as("cand"))
+      .select(col("n_calib_pos"),
+        when(col("kk") < 1L, lit(Long.MinValue)).otherwise(col("cand"))
+          .as("thr_s"))
+    val test = scored.where(!col(calibCol))
+    test.agg(count(lit(1)).as("n_test"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_test_pos"))
+      .crossJoin(broadcast(thr))
+      .crossJoin(broadcast(
+        test.select(col(scoreCol).as("ts"), col(labelCol).as("tl"))
+          .crossJoin(broadcast(thr.select(col("thr_s").as("t2"))))
+          .agg(sum(when(col("tl") && col("ts") >= col("t2"), 1L)
+            .otherwise(0L)).as("n_covered"),
+            sum(when(col("ts") >= col("t2"), 1L).otherwise(0L))
+              .as("n_flagged"))))
+      .select(col("n_calib_pos"), col("thr_s"), col("n_test"),
+        col("n_test_pos"), col("n_covered"),
+        round(lit(1e4) * col("n_covered") / col("n_test_pos")).cast("long")
+          .as("coverage4"),
+        col("n_flagged"),
+        round(lit(1e4) * col("n_flagged") / col("n_test")).cast("long")
+          .as("flagged_frac4"))
+  }
 }

@@ -2101,6 +2101,56 @@ object TextQueries {
     * drift beside q161's score-space KS. Shares the persisted
     * tokenized frame; the oracle replays the census, margins, and
     * 1e-8-grid log parts. */
+  /** Split-conformal acceptance gate on the q126 NB scores (see
+    * [[graft.operators.QualityClassifier.conformalGate]]): the exact
+    * (1−α)(n+1) order-statistic threshold from the even-doc_id
+    * calibration split, audited on the held-out odd split — realized
+    * coverage of true keeps and the flagged-fraction price. The
+    * distribution-free companion to q171's calibration table and
+    * q207's AUC: those MEASURE the model, this GUARANTEES a keep rate
+    * no matter how wrong the model is. ONE oracle replays training,
+    * scoring, the split, the order statistic, and the audit. */
+  val q272 = GQuery("q272_conformal_gate",
+    s"""WITH nb AS (${q126.oracle.get}),
+       |rws AS (SELECT doc_id, score4 AS s4, label_keep,
+       |  doc_id % 2 = 0 AS calib FROM nb),
+       |cells AS (
+       |  SELECT s4 AS s, CAST(count(*) AS BIGINT) AS n FROM rws
+       |  WHERE calib AND label_keep GROUP BY s4),
+       |cum AS (
+       |  SELECT s, CAST(sum(n) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum
+       |  FROM cells),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS np,
+       |    CAST(floor(1000 * (sum(n) + 1) / 10000) AS BIGINT) AS k
+       |  FROM cells),
+       |thr AS (
+       |  SELECT np AS n_calib_pos,
+       |    CASE WHEN k < 1 THEN -9223372036854775808
+       |      ELSE (SELECT min(s) FROM cum, tot WHERE cum >= k) END AS thr_s
+       |  FROM tot),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN label_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_test_pos,
+       |    CAST(sum(CASE WHEN label_keep AND s4 >= thr_s THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_covered,
+       |    CAST(sum(CASE WHEN s4 >= thr_s THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_flagged
+       |  FROM rws, thr WHERE NOT calib)
+       |SELECT n_calib_pos, thr_s, n_test, n_test_pos, n_covered,
+       |  CAST(round(1e4 * n_covered / n_test_pos) AS BIGINT) AS coverage4,
+       |  n_flagged,
+       |  CAST(round(1e4 * n_flagged / n_test) AS BIGINT) AS flagged_frac4
+       |FROM agg, thr""".stripMargin) { (s, dir) =>
+    graft.operators.QualityClassifier.conformalGate(
+      sharedNbScores(s, dir)
+        .withColumn("calib", col("doc_id") % 2 === 0),
+      "score4", "label_keep", "calib", cov4 = 9000L)
+  }
+
   val q216 = GQuery("q216_source_token_kl",
     s"""WITH $tokCte,
        |tk AS (
@@ -2420,5 +2470,5 @@ object TextQueries {
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219, q220, q225, q236, q239, q242, q250)
+      q207, q216, q219, q220, q225, q236, q239, q242, q250, q272)
 }

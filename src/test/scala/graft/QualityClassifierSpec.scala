@@ -105,4 +105,34 @@ class QualityClassifierSpec extends SparkSpec {
       .select("id", "score4").as[(Long, Long)].collect().toMap
     assert(a === b)
   }
+
+  test("conformalGate: exact order-statistic threshold, k<1 passes everything") {
+    import graft.operators.QualityClassifier
+    // calib positives score 1..10 → n=10, k = ⌊1000·11/10000⌋ = 1 →
+    // threshold = 1st smallest = 1. Test split: positives at scores
+    // 0 (missed) and 5 (covered), negative at 7 (flagged).
+    val rows = Seq(
+      // (score, label, calib)
+      (1L, true, true), (2L, true, true), (3L, true, true),
+      (4L, true, true), (5L, true, true), (6L, true, true),
+      (7L, true, true), (8L, true, true), (9L, true, true),
+      (10L, true, true), (99L, false, true),       // calib negative ignored
+      (0L, true, false), (5L, true, false), (7L, false, false)
+    ).toDF("s", "keep", "calib")
+    val out = QualityClassifier.conformalGate(rows, "s", "keep", "calib",
+        cov4 = 9000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // covered: score5 yes, score0 no → 1/2 = 5000; flagged: 5,7 → 2/3
+    assert(out === ((10L, 1L, 3L, 2L, 1L, 5000L, 2L, 6667L)))
+    // 5 calib positives → k = ⌊1000·6/10000⌋ = 0 → thr = −2⁶³, every
+    // test row passes the gate (the guarantee-at-any-price branch)
+    val tiny = Seq((3L, true, true), (4L, true, true), (5L, true, true),
+      (6L, true, true), (7L, true, true),
+      (-100L, true, false), (2L, false, false))
+      .toDF("s", "keep", "calib")
+    val o2 = QualityClassifier.conformalGate(tiny, "s", "keep", "calib",
+        cov4 = 9000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(o2 === ((5L, Long.MinValue, 2L, 1L, 1L, 10000L, 2L, 10000L)))
+  }
 }
