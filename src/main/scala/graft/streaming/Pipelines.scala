@@ -1836,15 +1836,20 @@ object Pipelines {
     * union of all ingested batches (spec-asserted), because both paths
     * end in the same [[graft.operators.Itemsets.rules]] arithmetic.
     * Reads are census-sized (items + pair cells + one basket row per
-    * batch), never data-sized. */
+    * batch — and per-family compaction watermarks keep "per batch"
+    * from growing without bound over the store's life, see
+    * [[basketCompact]]), never data-sized. */
   def basketRulesFromStore(spark: org.apache.spark.sql.SparkSession,
                            storePath: String,
                            minSupportFrac: Double): DataFrame = {
     import graft.operators.Itemsets
-    def absorbed(dir: String, keys: Seq[String]): DataFrame =
+    def absorbed(dir: String, keys: Seq[String]): DataFrame = {
+      val wm = histWatermark(spark, s"$storePath/$dir")
       spark.read.parquet(s"$storePath/$dir")
+        .where(col("batch_id") === -1L || col("batch_id") > wm)
         .groupBy((keys :+ "batch_id").map(col): _*)
         .agg(max(col("n")).as("n"))
+    }
     val nB = Itemsets.thresholdOf(
       absorbed("baskets", Nil).agg(sum(col("n")).as("__nb")),
       minSupportFrac)
@@ -1856,6 +1861,68 @@ object Pipelines {
     val pairs = absorbed("pairs", Seq("item_a", "item_b"))
       .groupBy("item_a", "item_b").agg(sum(col("n")).as("pair_n"))
     Itemsets.rules(freq, pairs, nB)
+  }
+
+  /** Compact a [[basketStream]] store: each count family (items /
+    * pairs / baskets) gets the [[histCompact]] treatment — batches ≤
+    * `upToBatchId` merge into ONE baseline row set (batch_id −1), the
+    * family's watermark rides inside its parquet dir, and the swap is
+    * blue/green with a mass check before promotion. Bounds the store
+    * (and every [[basketRulesFromStore]] read) over an unbounded
+    * ingest life; a pre-watermark batch replayed after compaction is
+    * ignored by readers. Single-writer discipline as [[histCompact]].
+    * Returns (family, rows, mass) per family. */
+  def basketCompact(spark: org.apache.spark.sql.SparkSession,
+                    storePath: String,
+                    upToBatchId: Long): Seq[(String, Long, Long)] = {
+    require(upToBatchId >= 0L, s"bad watermark: $upToBatchId")
+    val families = Seq("items" -> Seq("item"),
+      "pairs" -> Seq("item_a", "item_b"), "baskets" -> Seq.empty[String])
+    families.map { case (fam, keys) =>
+      val path = s"$storePath/$fam"
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(s"${path}_compacting")
+      val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      val wm = histWatermark(spark, path)
+      val valid = spark.read.parquet(path)
+        .where(col("batch_id") === -1L || col("batch_id") > wm)
+        .groupBy((keys :+ "batch_id").map(col): _*)
+        .agg(max(col("n")).as("n"))
+      val massBefore = valid.agg(coalesce(sum(col("n")), lit(0L)))
+        .head().getLong(0)
+      val baselined =
+        if (keys.isEmpty)
+          valid.where(col("batch_id") <= upToBatchId)
+            .agg(sum(col("n")).as("n"))
+            .where(col("n").isNotNull)   // no pre-watermark batches → no baseline row
+            .select(col("n"), lit(-1L).as("batch_id"))
+        else
+          valid.where(col("batch_id") <= upToBatchId)
+            .groupBy(keys.map(col): _*).agg(sum(col("n")).as("n"))
+            .select((keys.map(col) :+ col("n")) :+ lit(-1L).as("batch_id"): _*)
+      val rest = valid.where(col("batch_id") > upToBatchId)
+        .select((keys.map(col) :+ col("n")) :+ col("batch_id"): _*)
+      baselined.unionByName(rest).coalesce(2)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val outWm = fs.create(
+        new org.apache.hadoop.fs.Path(s"${tmp.toString}/_graft_wm"), true)
+      try outWm.write(upToBatchId.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally outWm.close()
+      val after = spark.read.parquet(tmp.toString)
+      val massAfter = after.agg(coalesce(sum(col("n")), lit(0L)))
+        .head().getLong(0)
+      require(massAfter == massBefore,
+        s"basket $fam compaction mass drift: $massBefore -> $massAfter")
+      val nRows = after.count()
+      require(fs.rename(dir, old), s"cannot move live store aside: $dir")
+      require(fs.rename(tmp, dir), s"cannot promote compacted store: $tmp")
+      fs.delete(old, true)
+      (fam, nRows, massAfter)
+    }
   }
 
   /** Incremental data profiling: each micro-batch appends its

@@ -96,5 +96,17 @@ class StreamBatchParitySpec extends SparkSpec {
       .write.mode("append").parquet(store.getAbsolutePath + "/baskets")
     assert(fromStore(0.5) === batchRules(0.5),
       "replayed batch rows changed the rule table")
+    // compaction: merge batch 0 into the baseline — rules bit-identical,
+    // and a PRE-watermark replay arriving afterwards is ignored
+    val before = fromStore(0.5)
+    val report = Pipelines.basketCompact(spark, store.getAbsolutePath,
+      upToBatchId = 0L)
+    assert(report.map(_._1).toSet === Set("items", "pairs", "baskets"))
+    assert(fromStore(0.5) === before, "compaction changed the rule table")
+    d.groupBy(col("i").as("item")).agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").parquet(store.getAbsolutePath + "/items")
+    assert(fromStore(0.5) === before,
+      "post-compaction replay of a merged batch double-counted")
   }
 }
