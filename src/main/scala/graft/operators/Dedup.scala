@@ -868,10 +868,6 @@ object Dedup {
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("rep"))
       .localCheckpoint(true)
-    // labels only ever decrease, so sum(rep) strictly decreases while
-    // anything changes — a one-aggregate convergence probe, no self-join
-    var prevSum = Option(labels.agg(sum(col("rep"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -907,11 +903,15 @@ object Dedup {
         .select(col("id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .localCheckpoint(true)
-      val curSum = Option(next.agg(sum(col("rep"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // exact fixpoint probe, type-agnostic (ids need only be
+      // orderable, not summable — string entity keys included): one
+      // label-sized keyed join, take(1)-bounded, instead of the old
+      // sum(rep) monotone probe that required numeric ids
+      converged = next
+        .join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
+        .where(col("rep") =!= col("prev"))
+        .isEmpty
       labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
       it += 1
     }
     if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))

@@ -137,6 +137,138 @@ object EventOps {
       .drop("c_le", "c_lt")
   }
 
+  /** Clamped running balance per key — the inventory/wallet fold SQL
+    * windows cannot express: balance' = max(0, balance + delta) in
+    * event order, where the clamp makes each step depend on the
+    * PREVIOUS clamped value (a plain windowed cumulative sum with a
+    * greatest() on top under-counts: one deep overdraft would mask
+    * later activity instead of resetting at zero). Runs entirely
+    * inside whole-stage codegen: per key, `array_sort(collect_list(
+    * struct(ts, tie, delta)))` then the `aggregate` higher-order
+    * function folds the sequence with a struct accumulator — pure
+    * integer arithmetic, so a recursive-CTE oracle replays it
+    * bit-identically. Returns per key: (key, n_events, final_bal,
+    * n_clamped, max_bal) with n_clamped = how many steps hit the
+    * floor.
+    *
+    * Scale: one keyed aggregate; the per-key array is bounded by that
+    * key's event count (the q21 sessionize discipline — user-sized,
+    * not corpus-sized). A pathological mega-key would move this to a
+    * repartition+sortWithinPartitions mapPartitions fold; the HOF
+    * form keeps the common case in codegen. */
+  def clampedBalance(df: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, deltaCol: String): DataFrame = {
+    val folded = df
+      .select(col(keyCol).as("k"),
+        struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+          col(deltaCol).cast("long").as("d")).as("st"))
+      .groupBy(col("k"))
+      .agg(array_sort(collect_list(col("st"))).as("arr"))
+      .select(col("k"), size(col("arr")).cast("long").as("n_events"),
+        aggregate(col("arr"),
+          struct(lit(0L).as("bal"), lit(0L).as("clamps"),
+            lit(0L).as("maxb")),
+          (acc, x) => {
+            val nb = acc.getField("bal") + x.getField("d")
+            val cb = greatest(nb, lit(0L))
+            struct(cb.as("bal"),
+              (acc.getField("clamps")
+                + when(nb < 0L, 1L).otherwise(0L)).as("clamps"),
+              greatest(acc.getField("maxb"), cb).as("maxb"))
+          }).as("f"))
+    folded.select(col("k").as(keyCol), col("n_events"),
+      col("f.bal").as("final_bal"), col("f.clamps").as("n_clamped"),
+      col("f.maxb").as("max_bal"))
+  }
+
+  /** Kaplan–Meier product-limit survival over right-censored
+    * durations: `lives` holds one row per subject with a duration
+    * `tCol` and an indicator `eventCol` (non-zero = the event was
+    * OBSERVED at t; zero = censored at t — the subject left
+    * observation still event-free, so its duration is only a lower
+    * bound). At each distinct observed-event duration t: n = subjects
+    * with duration ≥ t (at risk — censored subjects count until they
+    * drop out, the whole point of KM vs a naive histogram), d =
+    * events at t, and S(t) multiplies by (n−d)/n.
+    *
+    * Engine-exact survival without libm: the product chain runs on a
+    * 1e-8 integer grid with per-step round-half-up,
+    * s' = (2·s·(n−d) + n) div (2n) — pure integer arithmetic, so a
+    * SQL oracle replays the chain as a bounded RECURSIVE CTE
+    * bit-identically (no exp∘Σlog drift). The chain is inherently
+    * sequential, so the step spine (one row per DISTINCT duration —
+    * time-granular, bounded by the observation span, NOT by subject
+    * count) is collected and folded driver-side in BigInt: the
+    * bounded-model-state collect discipline, same as the BPE census.
+    * Everything subject-sized (the duration census) stays distributed.
+    * Returns one row per observed-event duration:
+    * (t, n_risk, d_churn, s8). */
+  def kaplanMeier(lives: DataFrame, tCol: String,
+                  eventCol: String): DataFrame = {
+    val spark = lives.sparkSession
+    val spine = lives
+      .select(col(tCol).as("t"),
+        when(col(eventCol).cast("long") =!= 0L, 1L).otherwise(0L).as("ev"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("m"), sum(col("ev")).as("d"))
+      .orderBy("t")
+    val rows = spine.collect()  // bounded: one row per distinct duration
+    val n = rows.map(_.getAs[Long]("m")).sum
+    var below = 0L
+    var s8 = BigInt(100000000L)
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    rows.foreach { r =>
+      val (t, m, d) = (r.getAs[Long]("t"), r.getAs[Long]("m"),
+        r.getAs[Long]("d"))
+      if (d > 0) {
+        val risk = n - below
+        s8 = (2 * s8 * (risk - d) + risk) / (2 * risk)
+        out += ((t, risk, d, s8.toLong))
+      }
+      below += m
+    }
+    import spark.implicits._
+    out.result().toDF("t", "n_risk", "d_churn", "s8")
+  }
+
+  /** Interval union per key (gaps-and-islands): merge overlapping
+    * [st, en] intervals (inclusive integer endpoints; sharing an
+    * endpoint merges, adjacency does not) and report per key the
+    * merged coverage — the "total busy time"
+    * question naive SUM(en−st) double-counts whenever intervals
+    * overlap. Classic single-pass shape: sort within key, an interval
+    * opens a new island iff its start exceeds the running max of all
+    * previous ends (running max — not lag(en) — or a long interval
+    * swallowing short ones splits an island), islands = cumulative sum
+    * of those flags, then one keyed aggregate per island.
+    * Returns per key: (key, n_intervals, n_islands, covered, span)
+    * where covered = Σ island lengths and span = max en − min st + 1
+    * (so span − covered is the key's total idle gap).
+    *
+    * Scale: both windows partition by the key — no global sort; the
+    * per-key interval count bounds the window buffer. */
+  def intervalCoverage(intervals: DataFrame, keyCol: String,
+                       stCol: String, enCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("st"), col("en"))
+    val islands = intervals
+      .select(col(keyCol), col(stCol).as("st"), col(enCol).as("en"))
+      .withColumn("prev_max",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns",
+        when(col("prev_max").isNull || col("st") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(count(lit(1)).as("n_iv"),
+        min(col("st")).as("ist"), max(col("en")).as("ien"))
+    islands.groupBy(col(keyCol))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist") + lit(1L)).as("covered"),
+        (max(col("ien")) - min(col("ist")) + lit(1L)).as("span"))
+  }
+
   /** OHLC bars (candle aggregation): per (group, time bucket) the
     * first/max/min/last of a value ordered by (ts, tie id) — the
     * financial-bar shape, equally the right summary for any metric

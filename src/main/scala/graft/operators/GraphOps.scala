@@ -82,6 +82,164 @@ object GraphOps {
       .select(col("id"), (col("r") / col("n")).as("p"))
   }
 
+  /** Graph DBSCAN (Ester et al., KDD '96) over a precomputed
+    * ε-neighborhood pair graph: the pair list IS the "within ε"
+    * relation (here typically a near-dup or similarity pair set, so ε
+    * was already paid for by the banded/inverted-index join), and
+    * density clustering reduces to graph rules — a vertex with ≥
+    * `minPts` neighbors is CORE; clusters are connected components of
+    * the core-core subgraph (via [[graft.operators.Dedup.dupClusters]]'
+    * pointer-jumping hash-min CC); a non-core vertex adjacent to a
+    * core is BORDER and joins its minimum core-neighbor's cluster
+    * (the deterministic stand-in for DBSCAN's arbitrary first-finder
+    * assignment); everything else is NOISE. This separates dense
+    * template families from the bridge/chain structure that makes
+    * plain CC (q51) over-merge — the density-based complement of
+    * k-core's degree peeling.
+    *
+    * Scale: one degree census, core-filtered edges (never larger than
+    * the pair graph), the audited CC loop on the core subgraph, one
+    * border join — all keyed on vertices of the DUP population;
+    * `vertices` (the corpus) is touched once at the end.
+    * Returns per vertex: (id, role ∈ core|border|noise, cluster_rep —
+    * null for noise). */
+  def dbscan(vertices: DataFrame, pairs: DataFrame,
+             minPts: Long): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    val v = vertices.select(col("id"))
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val core = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= minPts)
+      .select(col("src").as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corePairs = p
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+    val coreReps = Dedup.dupClusters(core, "id", corePairs)
+    val borderReps = edges
+      .join(coreReps.select(col("id").as("dst"), col("cluster_rep")),
+        "dst")
+      .select(col("src").as("id"), col("cluster_rep"))
+      .join(core, Seq("id"), "left_anti")
+      .groupBy(col("id")).agg(min(col("cluster_rep")).as("cluster_rep"))
+    val labeled = coreReps
+      .select(col("id"), lit("core").as("role"), col("cluster_rep"))
+      .unionByName(borderReps.select(col("id"), lit("border").as("role"),
+        col("cluster_rep")))
+    v.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster_rep"))
+  }
+
+  /** Personalized PageRank (random walk with restart): [[pageRank]]
+    * with the teleport concentrated on a SEED set instead of spread
+    * uniformly — the walker restarts at the seeds, so rank measures
+    * proximity-weighted reachability FROM them: the graph
+    * recommendation primitive ("related to these items"), equally the
+    * audience-expansion and taint-propagation shape. Same grid-exact
+    * iteration as [[pageRank]] (1e-6 fixed-point edge contributions →
+    * order-free integer sums), with r₀ = N/|S| on seeds (total mass N,
+    * matching the uniform variant's headroom analysis — per-vertex
+    * contributions stay O(N/|S|), so longs hold while N·1e6/|S| does)
+    * and per-vertex teleport (1−d)·N/|S|·1_seed. Non-seed components
+    * get exactly zero — unreachable vertices rank 0, not teleport
+    * noise.
+    *
+    * Scale: identical per-iteration shape to [[pageRank]] — one
+    * edge⋈rank join + one dst-keyed sum; the seed join happens once
+    * into a persisted base frame. */
+  def personalizedPageRank(vertices: DataFrame, edges: DataFrame,
+                           seeds: DataFrame, iters: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val v = vertices.select(col("id"))
+    val e = edges.select(col("src"), col("dst"))
+    val sd = seeds.select(col("id")).distinct()
+    val counts = v.agg(count(lit(1)).as("n"))
+      .crossJoin(sd.agg(count(lit(1)).as("ns")))
+    val base = v
+      .join(sd.select(col("id"), lit(1L).as("__s")), Seq("id"), "left")
+      .crossJoin(broadcast(counts))
+      .select(col("id"),
+        when(col("__s").isNotNull,
+          col("n").cast("double") / col("ns")).otherwise(lit(0.0))
+          .as("r0"),
+        col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var r = base.select(col("id"), col("r0").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, "src")
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst").as("id"),
+          round(col("r") / col("deg") * lit(1e6)).cast("long").as("c"))
+      val sums = contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
+      r = base.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) * col("r0") +
+            lit(damping) * (coalesce(col("s"), lit(0L)).cast("double")
+              / lit(1e6))).as("r"))
+    }
+    base.select(col("id"), col("n")).join(r, "id")
+      .select(col("id"), (col("r") / col("n")).as("p"))
+  }
+
+  /** Multi-source BFS hop distance over an UNDIRECTED pair graph —
+    * the recursive-CTE workload (org charts, lineage closures, "within
+    * k degrees" audiences) expressed as the canonical distributed
+    * frontier iteration: seeds start at hop 0; each round joins the
+    * CURRENT frontier (not the whole visited set) against the edge
+    * list and anti-joins already-visited vertices, so every vertex is
+    * expanded exactly once and the per-round shuffle is
+    * frontier-sized. Min-hop semantics are free: a vertex enters
+    * `visited` the first round it is reachable. Rounds stop at
+    * `maxHops` or an empty frontier, whichever comes first; each
+    * round's frontier is localCheckpoint-truncated (the
+    * [[graft.operators.Dedup.dupClusters]] lineage discipline), so
+    * deep traversals never re-execute earlier rounds.
+    * Returns (id, hop) for every vertex within `maxHops` of a seed —
+    * unreachable vertices are simply absent.
+    *
+    * A bounded SQL oracle replays this as a recursive CTE capped at
+    * `hop < maxHops` with min(hop) per vertex — hash-matching it
+    * proves the distributed frontier iteration equals the textbook
+    * fixpoint. */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("hop")).localCheckpoint()
+    var frontier = visited.select(col("id"))
+    var hop = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = frontier.select(col("id").as("u"))
+        .join(e, "u")
+        .select(col("v").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(hop.toLong).as("hop"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select(col("id"))
+        hop += 1
+        if (hop > maxHops) done = true
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Score smoothing over an UNDIRECTED pair graph (label/trust
     * propagation, Zhu & Ghahramani 2002 shape with a fixed iteration
     * count): each round replaces a vertex's score with the mean of its

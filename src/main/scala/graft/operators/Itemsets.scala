@@ -94,6 +94,59 @@ object Itemsets {
           / (col("n_a") * col("n_b")).cast("double")).cast("long")
           .as("lift6"))
 
+  /** Item–item cosine neighborhoods over binary basket incidence —
+    * the item-based collaborative-filtering primitive (Sarwar et al.
+    * WWW '01): sim(a, b) = co(a, b) / √(n_a·n_b) on distinct
+    * (basket, item) rows, then each item's top-k neighbors. Where
+    * [[pairAssociations]] asks "is this pair surprising" (lift),
+    * this asks "which items are MOST alike" — the recommender
+    * neighborhood, length-normalized so a ubiquitous staple doesn't
+    * dominate every list.
+    *
+    * `minCo` floors the co-count before scoring (a 1-basket
+    * coincidence is noise, and at web scale the co ≥ 2 cut kills the
+    * long tail of the pair census); ties rank by neighbor id. Emits
+    * BOTH directions of each unordered pair so every item gets its
+    * full list. √ is IEEE-exact, so the grid cosine replays in any
+    * engine.
+    *
+    * Scale: one distinct pass, one vocabulary-sized item census
+    * (broadcast), one basket-keyed self-join (candidate volume
+    * Σ f_b(f_b−1)/2 — bounded by basket sizes, not item counts), one
+    * pair census, and a per-item window over pair-census-sized rows.
+    * Returns (item, nbr, n_item, n_nbr, co, cosine6, rk). */
+  def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
+                 minCo: Long, k: Int): DataFrame = {
+    require(minCo >= 1 && k >= 1, "minCo and k must be >= 1")
+    val d = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val cnt = d.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val co = d.as("a")
+      .join(d.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("ia"), col("b.__i").as("ib"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val both = co.select(col("ia").as("item"), col("ib").as("nbr"), col("co"))
+      .unionAll(co.select(col("ib").as("item"), col("ia").as("nbr"),
+        col("co")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cosine6").desc, col("nbr"))
+    both
+      .join(broadcast(cnt.select(col("__i").as("item"),
+        col("__n").as("n_item"))), "item")
+      .join(broadcast(cnt.select(col("__i").as("nbr"),
+        col("__n").as("n_nbr"))), "nbr")
+      .withColumn("cosine6", round(lit(1e6) * col("co")
+        / sqrt(col("n_item").cast("double") * col("n_nbr"))).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("item"), col("nbr"), col("n_item"), col("n_nbr"),
+        col("co"), col("cosine6"), col("rk"))
+  }
+
   /** Threshold row for a known basket count — (\_\_nb, \_\_min). */
   private[graft] def thresholdOf(nBaskets: DataFrame,
                                  minSupportFrac: Double): DataFrame =

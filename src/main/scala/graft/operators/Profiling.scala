@@ -382,6 +382,244 @@ object Profiling {
         round(lit(1e4) * col("n_risk_rows") / col("n_rows")).cast("long"))
   }
 
+  /** Empirical-Bayes rate shrinkage (the Beta-prior method-of-moments
+    * recipe every CTR/conversion dashboard runs): per-group binary
+    * rates x/n are noisy for small n; fit a pseudo-count prior from
+    * the BETWEEN-group spread of naive rates —
+    * `k = m(1−m)/var − 1` (clamped ≥ 0) with m the pooled rate and
+    * var the population variance of the 1e-6-grid naive rates — and
+    * report `shrunk = (x + k·m)/(n + k)`: small groups pull toward
+    * the pool, big groups keep their own signal. Degenerate spread
+    * (all rates equal, V = 0) short-circuits to the naive rate.
+    *
+    * Everything before the two scalar divisions is exact integers
+    * (rate grid sums in 128-bit decimal — G·Σr6² overflows int64 at
+    * ~10⁷ groups), so engines replay bit-equal. One group census +
+    * one broadcast-back prior row. Output per group:
+    * (grp, n, x, raw6, shrunk6). */
+  def ebShrinkRates(df: DataFrame, groupCol: String,
+                    successCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("x"))
+      .withColumn("raw6",
+        floor(lit(1e6) * col("x") / col("n") + lit(0.5)).cast("long"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"),
+        count(lit(1)).as("gg"),
+        sum(col("raw6").cast(dec)).as("s1"),
+        sum((col("raw6") * col("raw6")).cast(dec)).as("s2"))
+      .withColumn("vv", col("gg").cast(dec) * col("s2")
+        - col("s1") * col("s1"))
+      .withColumn("m", col("xx").cast("double") / col("nn"))
+      .withColumn("vr", col("vv").cast("double")
+        / (col("gg").cast("double") * col("gg").cast("double") * lit(1e12)))
+      .withColumn("k", when(col("vv") > 0,
+          greatest(col("m") * (lit(1.0) - col("m")) / col("vr") - lit(1.0),
+            lit(0.0)))
+        .otherwise(lit(0.0)))
+      .select(col("vv"), col("m"), col("k"))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"), col("x"), col("raw6"),
+        when(col("vv") === 0, col("raw6"))
+          .otherwise(floor(lit(1e6)
+            * (col("x").cast("double") + col("k") * col("m"))
+            / (col("n").cast("double") + col("k")) + lit(0.5))
+            .cast("long")).as("shrunk6"))
+  }
+
+  /** 2-D skyline (Börzsönyi et al., ICDE '01): the Pareto front of
+    * rows maximizing `maxCol` while minimizing `minCol` — rows no
+    * other row beats on both axes ("biggest AND earliest orders").
+    * The naive form is a NOT EXISTS self-join (quadratic); in two
+    * dimensions it collapses to one sweep: census rows into distinct
+    * (u, t) cells, keep each u's minimum-t cell, then walk u
+    * descending keeping cells whose t is STRICTLY below the running
+    * minimum over all higher-u cells (ties on either axis are
+    * dominated; duplicates of a surviving cell all survive —
+    * identical rows don't dominate each other, so the cell's count
+    * rides along). Pure integer comparisons on the cell spine —
+    * engine-exact.
+    *
+    * Scale: one cell census (the corpus's only shuffle), a
+    * u-partitioned window, then the sweep window over DISTINCT u
+    * values — the value-spine discipline (q212/q275): bounded by the
+    * measure's domain, never corpus-sized. Returns the skyline cells
+    * (u, t, n_rows). */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(maxCol).as("u"), col(minCol).as("t"))
+      .groupBy(col("u"), col("t")).agg(count(lit(1)).as("n_rows"))
+    val perU = cells
+      .withColumn("tm", min(col("t")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+      .where(col("t") === col("tm"))
+    perU
+      .withColumn("th", min(col("t")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("u").desc)
+          .rowsBetween(w.unboundedPreceding, -1)))
+      .where(col("th").isNull || col("t") < col("th"))
+      .select(col("u"), col("t"), col("n_rows"))
+  }
+
+  /** t-closeness audit (Li et al. '07 — the third rung of the
+    * k-anonymity / l-diversity ladder): l-diversity counts DISTINCT
+    * sensitive values, but a class can hold l values in proportions
+    * wildly unlike the corpus (99% 'default' + 1% each of two rare
+    * statuses passes l = 3 yet still leaks). Per QI class, the total
+    * variation distance between the class's sensitive-value
+    * distribution and the GLOBAL one — for categorical values with
+    * uniform ground distance, the EMD of the paper reduces to
+    * TVD = ½ Σ_v |p_c(v) − p(v)|.
+    *
+    * Exact rationals throughout: with class size z, corpus size n,
+    * per-(class, value) count c_v and global count g_v,
+    *   2·n·z·TVD = Σ_{v in class} |c_v·n − g_v·z| + z·(n − Σ_{v in class} g_v)
+    * (the second term is the mass of values ABSENT from the class —
+    * dropping it is the classic bug; a class missing a common value is
+    * just as skewed as one over-representing a rare one). Products run
+    * in 128-bit decimal (c·n overflows int64 past ~3·10⁹ rows); the
+    * only double is the final grid division. One corpus census, a
+    * broadcast value-census join, a class-partitioned window — the
+    * corpus never shuffles twice. Returns one row: (n_rows, n_classes,
+    * max_tvd4, n_far_classes, n_exposed_rows, exposed_frac4) where a
+    * class is "far" when tvd4 > t4. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+                 sensitiveCol: String, t4: Long): DataFrame = {
+    require(qiCols.nonEmpty && t4 >= 0, "need QI columns and t4 >= 0")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cells = df
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val glob = cells.groupBy(col(sensitiveCol).as("sv_g"))
+      .agg(sum(col("cnt")).as("gv"))
+    val tot = glob.agg(sum(col("gv")).as("nr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+    val cls = cells
+      .join(broadcast(glob), col(sensitiveCol) === col("sv_g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("sz", sum(col("cnt")).over(w))
+      .groupBy(qiCols.map(col): _*)
+      .agg(first(col("sz")).as("sz"), first(col("nr")).as("nr"),
+        sum(abs(col("cnt").cast(dec) * col("nr")
+          - col("gv").cast(dec) * col("sz"))).as("num_present"),
+        sum(col("gv")).as("g_present"))
+      .withColumn("num", col("num_present")
+        + col("sz").cast(dec) * (col("nr") - col("g_present")))
+      .withColumn("tvd4", round(lit(1e4) * col("num").cast("double")
+        / (lit(2.0) * col("nr") * col("sz"))).cast("long"))
+    cls.agg(sum(col("sz")).as("n_rows"), count(lit(1)).as("n_classes"),
+        max(col("tvd4")).as("max_tvd4"),
+        sum(when(col("tvd4") > t4, 1L).otherwise(0L)).as("n_far_classes"),
+        sum(when(col("tvd4") > t4, col("sz")).otherwise(0L))
+          .as("n_exposed_rows"))
+      .withColumn("exposed_frac4",
+        round(lit(1e4) * col("n_exposed_rows") / col("n_rows")).cast("long"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * nonparametric sibling of [[welchT]]: "do the two groups' value
+    * DISTRIBUTIONS differ", robust to the heavy tails that wreck a
+    * mean-based t. Ranks are midranks over the pooled sample; to stay
+    * in integers the DOUBLED rank-sum is used (a midrank is a
+    * half-integer: for grid value v with l values strictly below and
+    * e values tied, 2·midrank = 2l + e + 1). Then
+    *   2·U_a = 2·n_a·n_b + n_a(n_a+1) − 2R_a
+    * and the normal approximation with the standard tie correction
+    *   Var U = n_a·n_b/12 · ((n+1) − Σ(e³−e)/(n(n−1))),
+    *   z = (U_a − n_a·n_b/2)/√Var.
+    * Everything through Σ(e³−e) is exact 128-bit integer arithmetic on
+    * the distinct-value cell spine (2l·cnt products pass int64 at
+    * ~3·10⁹ rows); z4 is one fixed double expression.
+    *
+    * Scale: one cell census of the corpus, then a cumulative window
+    * over the distinct-value spine (values of a bounded-precision
+    * metric — the q212 grid discipline; the corpus itself never sorts).
+    * Returns one row: (n_a, n_b, r2_a, u2_a, tie3, z4). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   gA: String, gB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cellsRaw = df
+      .where(col(groupCol).isin(gA, gB) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * 1e4).cast("long").as("v4"))
+      .groupBy(col("v4"))
+      .agg(sum(when(col("grp") === gA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === gB, 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v4"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val spine = cellsRaw
+      .withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w),
+        lit(0L)))
+      .withColumn("e", col("ca") + col("cb"))
+    spine.agg(
+        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca").cast(dec)
+          * (lit(2L) * col("below") + col("e") + lit(1L))).as("r2_a"),
+        sum((col("e") * col("e") * col("e") - col("e")).cast(dec))
+          .as("tie3"))
+      .withColumn("u2_a",
+        lit(2L) * col("n_a").cast(dec) * col("n_b")
+          + col("n_a").cast(dec) * (col("n_a") + lit(1L)) - col("r2_a"))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("var_u",
+        col("n_a").cast("double") * col("n_b") / 12.0
+          * ((col("nn") + lit(1L)).cast("double")
+            - col("tie3").cast("double")
+              / (col("nn").cast("double") * (col("nn") - lit(1L)))))
+      .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"), col("tie3"),
+        when(col("var_u") > 0.0,
+          round(lit(1e4)
+            * (col("u2_a").cast("double")
+              - col("n_a").cast("double") * col("n_b"))
+            / (lit(2.0) * sqrt(col("var_u")))).cast("long"))
+          .otherwise(lit(0L)).as("z4"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic: the largest gap between
+    * the two groups' empirical CDFs — the distribution-shift readout
+    * that catches shape changes a rank test summarizes away. On the
+    * distinct-value cell spine with inclusive cumulative counts A(v),
+    * B(v): D = max_v |A(v)/n_a − B(v)/n_b| = max_v |A(v)·n_b −
+    * B(v)·n_a| / (n_a·n_b) — exact 128-bit integers until the one grid
+    * division. Also reports the (smallest) value attaining the max, the
+    * natural "where did the distributions split" diagnostic.
+    * Same census + spine-window shape as [[mannWhitneyU]].
+    * Returns one row: (n_a, n_b, d6, at_v4). */
+  def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+                  gA: String, gB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cells = df
+      .where(col(groupCol).isin(gA, gB) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * 1e4).cast("long").as("v4"))
+      .groupBy(col("v4"))
+      .agg(sum(when(col("grp") === gA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === gB, 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v4"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val spine = cells
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val tot = spine.agg(max(col("cuma")).as("n_a"),
+      max(col("cumb")).as("n_b"))
+    val gaps = spine.crossJoin(broadcast(tot))
+      .withColumn("gap", abs(col("cuma").cast(dec) * col("n_b")
+        - col("cumb").cast(dec) * col("n_a")))
+    gaps.crossJoin(broadcast(
+        gaps.agg(max(col("gap")).as("mg"))))
+      .where(col("gap") === col("mg"))
+      .groupBy(col("n_a"), col("n_b"), col("gap"))
+      .agg(min(col("v4")).as("at_v4"))
+      .select(col("n_a"), col("n_b"),
+        round(lit(1e6) * col("gap").cast("double")
+          / (col("n_a").cast("double") * col("n_b"))).cast("long").as("d6"),
+        col("at_v4"))
+  }
+
   /** l-diversity audit (Machanavajjhala et al. '07 — the k-anonymity
     * companion): k-anonymity bounds RE-IDENTIFICATION, but a class
     * whose rows all share one SENSITIVE value leaks the attribute even

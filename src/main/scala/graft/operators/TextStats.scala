@@ -947,4 +947,41 @@ object TextStats {
       .limit(k)
       .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("pmi4"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04):
+    * PageRank over the word ADJACENCY graph — vertices are the
+    * corpus's distinct tokens, an (undirected, unweighted) edge links
+    * words that appear adjacent anywhere in the corpus, and
+    * [[graft.operators.GraphOps.pageRank]]'s grid-exact iterations
+    * rank them. Words central to many contexts rank high; where
+    * [[collocations]] scores PAIR surprise (PMI), this scores WORD
+    * importance through the whole graph's structure. Top-k by
+    * (rank DESC, word).
+    *
+    * Scale: the edge list is the DISTINCT bigram census
+    * (vocabulary²-bounded in principle, Zipf-bounded in practice —
+    * never corpus-sized after the distinct), vertices are the
+    * vocabulary, and each PageRank iteration is the audited
+    * edge⋈rank join. The corpus contributes one tokenize +
+    * bigram-census pass. */
+  def textRankFromTokens(toks: DataFrame, iters: Int = 3,
+                         damping: Double = 0.85, k: Int = 50): DataFrame = {
+    graft.plans.WordNgrams.register(toks.sparkSession)
+    val adj = toks.where(size(col("ws")) >= 2)
+      .select(explode(call_function(graft.plans.WordNgrams.fnName,
+        col("ws"), lit(2), lit(1))).as("bg"))
+      .distinct()
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .where(col("w1") =!= col("w2"))
+      .select(col("w1"), col("w2"))
+    val edges = adj.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(adj.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    val vertices = toks.select(explode(col("ws")).as("id")).distinct()
+    GraphOps.pageRank(vertices, edges, iters, damping)
+      .orderBy(col("p").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("word"), col("p").as("textrank"))
+  }
 }

@@ -1038,6 +1038,174 @@ object DedupQueries {
       .limit(100)
   }
 
+  /** Multi-source BFS hop distance over the fuzzy-name graph (see
+    * [[graft.operators.GraphOps.bfsHops]]): from a seed set (every
+    * 53rd customer's name), the minimum number of ≤1-edit steps to
+    * every reachable name within 4 hops — the recursive-CTE workload
+    * (lineage closure, "within k degrees") as a distributed frontier
+    * iteration. The oracle IS a bounded recursive CTE over the same
+    * SymSpell-banded edge list with min(hop) per vertex, so a hash
+    * match proves frontier-BFS ≡ the textbook fixpoint. */
+  val q278 = GQuery("q278_bfs_hops",
+    """WITH RECURSIVE v AS (
+      |  SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 4),
+      |var AS (
+      |  SELECT w, unnest([w] ||
+      |    [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, length(w) + 1)]) AS d
+      |  FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      |  FROM var a JOIN var b ON a.d = b.d AND a.w < b.w),
+      |e0 AS MATERIALIZED (
+      |  SELECT word_a AS u, word_b AS v FROM cand
+      |  WHERE levenshtein(word_a, word_b) <= 1),
+      |adj AS MATERIALIZED (
+      |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |seeds AS (
+      |  SELECT DISTINCT c_name AS id FROM customer
+      |  WHERE c_custkey % 53 = 0 AND length(c_name) >= 4),
+      |walk(id, hop) AS (
+      |  SELECT id, 0 FROM seeds
+      |  UNION
+      |  SELECT adj.v, walk.hop + 1
+      |  FROM walk JOIN adj ON adj.u = walk.id
+      |  WHERE walk.hop < 4)
+      |SELECT id AS name, CAST(min(hop) AS BIGINT) AS hop
+      |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val seeds = Tables.customer(s, dir)
+      .where(col("c_custkey") % 53 === 0 && length(col("c_name")) >= 4)
+      .select(col("c_name").as("id"))
+    graft.operators.GraphOps.bfsHops(
+        sharedNamePairs(s, dir)
+          .select(col("word_a").as("id_a"), col("word_b").as("id_b")),
+        seeds, maxHops = 4)
+      .select(col("id").as("name"), col("hop"))
+      .orderBy(col("name"))
+  }
+
+  /** Graph DBSCAN over the q24 near-dup pair graph (see
+    * [[graft.operators.GraphOps.dbscan]], minPts = 2): density
+    * clustering of the duplicate population — core docs sit in dense
+    * template families, border docs hang off one, chain-bridged and
+    * isolated-pair docs fall to noise, which plain CC (q51) would
+    * have merged or promoted. The oracle replays the degree census,
+    * the core-core recursive-CTE closure, the deterministic min-rep
+    * border assignment, and the noise default. */
+  val q284 = GQuery("q284_dbscan",
+    s"""WITH RECURSIVE $shingleCtes,
+       |$pairCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr),
+       |core AS (
+       |  SELECT src AS id FROM edges GROUP BY src
+       |  HAVING count(*) >= 2),
+       |ce AS (
+       |  SELECT p.id_a, p.id_b FROM pr p
+       |  JOIN core a ON a.id = p.id_a JOIN core b ON b.id = p.id_b),
+       |cedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM ce
+       |  UNION ALL SELECT id_b, id_a FROM ce),
+       |reach(id, rep) AS (
+       |  SELECT id, id FROM core
+       |  UNION
+       |  SELECT e.src, r.rep FROM cedges e JOIN reach r ON e.dst = r.id),
+       |crep AS (SELECT id, min(rep) AS cluster_rep FROM reach GROUP BY id),
+       |brep AS (
+       |  SELECT e.src AS id, min(c.cluster_rep) AS cluster_rep
+       |  FROM edges e JOIN crep c ON c.id = e.dst
+       |  ANTI JOIN core ON core.id = e.src
+       |  GROUP BY e.src),
+       |lab AS (
+       |  SELECT id, 'core' AS role, cluster_rep FROM crep
+       |  UNION ALL SELECT id, 'border', cluster_rep FROM brep)
+       |SELECT d.doc_id, COALESCE(lab.role, 'noise') AS role,
+       |  lab.cluster_rep
+       |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.GraphOps.dbscan(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        sharedPairs(s, dir), minPts = 2L)
+      .select(col("id").as("doc_id"), col("role"), col("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Personalized PageRank (random walk with restart) over the
+    * fuzzy-name graph from the q278 seed set (see
+    * [[graft.operators.GraphOps.personalizedPageRank]]): rank measures
+    * walk-proximity TO the seeds — the "related records" primitive,
+    * here surfacing names most entangled with the seed customers
+    * through ≤1-edit chains; names in components with no seed score
+    * exactly zero. The oracle replays the seed-concentrated teleport
+    * and all three grid iterations; top-100 by (rank DESC, name). */
+  val q283 = {
+    val Damping = 0.85
+    val Iters = 3
+    def iterCtes(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT adj.v AS id,
+         |    sum(CAST(round($prev.r / dg.deg * 1e6) AS BIGINT)) AS s
+         |  FROM adj JOIN dg ON dg.u = adj.u JOIN $prev ON $prev.id = adj.u
+         |  GROUP BY adj.v),
+         |r$i AS (
+         |  SELECT b.id,
+         |    ${1 - Damping} * b.r0 +
+         |      $Damping * (CAST(coalesce(c$i.s, 0) AS DOUBLE) / 1e6) AS r
+         |  FROM base b LEFT JOIN c$i ON c$i.id = b.id)""".stripMargin
+    }
+    GQuery("q283_personalized_pagerank",
+      s"""WITH v AS (
+         |  SELECT DISTINCT c_name AS w FROM customer
+         |  WHERE length(c_name) >= 4),
+         |var AS (
+         |  SELECT w, unnest([w] ||
+         |    [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, length(w) + 1)]) AS d
+         |  FROM v),
+         |cand AS (
+         |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+         |  FROM var a JOIN var b ON a.d = b.d AND a.w < b.w),
+         |e0 AS MATERIALIZED (
+         |  SELECT word_a AS u, word_b AS v FROM cand
+         |  WHERE levenshtein(word_a, word_b) <= 1),
+         |adj AS MATERIALIZED (
+         |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |dg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+         |seeds AS (
+         |  SELECT DISTINCT c_name AS id FROM customer
+         |  WHERE c_custkey % 53 = 0 AND length(c_name) >= 4),
+         |cnts AS (
+         |  SELECT (SELECT count(*) FROM v) AS n,
+         |    (SELECT count(*) FROM seeds) AS ns),
+         |base AS (
+         |  SELECT v.w AS id,
+         |    CASE WHEN seeds.id IS NOT NULL
+         |      THEN CAST(n AS DOUBLE) / ns ELSE 0.0 END AS r0
+         |  FROM v CROSS JOIN cnts LEFT JOIN seeds ON seeds.id = v.w),
+         |r0 AS (SELECT id, r0 AS r FROM base),
+         |${(1 to Iters).map(iterCtes).mkString(",\n")}
+         |SELECT id AS name,
+         |  r / (SELECT n FROM cnts) AS walk_rank
+         |FROM r$Iters
+         |ORDER BY walk_rank DESC, name LIMIT 100""".stripMargin) { (s, dir) =>
+      val seeds = Tables.customer(s, dir)
+        .where(col("c_custkey") % 53 === 0 && length(col("c_name")) >= 4)
+        .select(col("c_name").as("id"))
+      val vertices = Tables.customer(s, dir)
+        .where(length(col("c_name")) >= 4)
+        .select(col("c_name").as("id")).distinct()
+      val pairs = sharedNamePairs(s, dir)
+      val edges = pairs
+        .select(col("word_a").as("src"), col("word_b").as("dst"))
+        .unionAll(pairs.select(col("word_b").as("src"),
+          col("word_a").as("dst")))
+      graft.operators.GraphOps.personalizedPageRank(vertices, edges,
+          seeds, iters = Iters, damping = Damping)
+        .select(col("id").as("name"), col("p").as("walk_rank"))
+        .orderBy(col("walk_rank").desc, col("name")).limit(100)
+    }
+  }
+
   /** Cross-source duplication provenance (see
     * [[graft.operators.Dedup.pairProvenanceMatrix]]): the q24
     * exact-Jaccard near-dup pair graph rolled up by unordered source
@@ -1771,5 +1939,5 @@ object DedupQueries {
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
-      q258, q261, q262, q265, q266)
+      q258, q261, q262, q265, q266, q278, q283, q284)
 }

@@ -968,6 +968,202 @@ object ProfilingQueries {
       Seq("qp", "qm", "qb"), "sv", l = 2L)
   }
 
+  /** Empirical-Bayes shrinkage of per-user purchase rates (see
+    * [[graft.operators.Profiling.ebShrinkRates]]): the Beta-prior
+    * pseudo-count k from the between-user rate spread pulls few-event
+    * users toward the pooled rate while heavy users keep their own —
+    * the leaderboard-smoothing move that stops a 1-for-1 user from
+    * "beating" a 90-for-100 one. The oracle replays the census, the
+    * 128-bit variance integers, the prior fit, and the shrunk grid. */
+  val q273 = GQuery("q273_eb_shrunk_rates",
+    """WITH g AS (
+      |  SELECT user_id AS grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY user_id),
+      |gr AS (SELECT grp, n, x,
+      |  CAST(floor(1e6 * x / n + 0.5) AS BIGINT) AS raw6 FROM g),
+      |t AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS xx,
+      |    CAST(count(*) AS BIGINT) AS gg,
+      |    CAST(sum(CAST(raw6 AS HUGEINT)) AS HUGEINT) AS s1,
+      |    CAST(sum(CAST(raw6 AS HUGEINT) * raw6) AS HUGEINT) AS s2
+      |  FROM gr),
+      |pr AS (
+      |  SELECT CAST(gg AS HUGEINT) * s2 - s1 * s1 AS vv,
+      |    CAST(xx AS DOUBLE) / nn AS m,
+      |    CAST(CAST(gg AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+      |      / (CAST(gg AS DOUBLE) * CAST(gg AS DOUBLE) * 1e12) AS vr
+      |  FROM t),
+      |pk AS (
+      |  SELECT vv, m,
+      |    CASE WHEN vv > 0
+      |      THEN greatest(m * (1.0 - m) / vr - 1.0, 0.0) ELSE 0.0 END AS k
+      |  FROM pr)
+      |SELECT grp AS user_id, n, x, raw6,
+      |  CASE WHEN vv = 0 THEN raw6
+      |    ELSE CAST(floor(1e6 * (CAST(x AS DOUBLE) + k * m)
+      |      / (CAST(n AS DOUBLE) + k) + 0.5) AS BIGINT) END AS shrunk6
+      |FROM gr, pk ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Profiling.ebShrinkRates(
+        Tables.events(s, dir)
+          .withColumn("conv", col("event_type") === "purchase"),
+        "user_id", "conv")
+      .select(col("grp").as("user_id"), col("n"), col("x"), col("raw6"),
+        col("shrunk6"))
+      .orderBy(col("user_id"))
+  }
+
+  /** t-closeness audit on the q270 QI scheme (see
+    * [[graft.operators.Profiling.tCloseness]]): per (priority, order
+    * month, price band) class, total-variation distance between the
+    * class's order-status mix and the corpus mix — the skew leak
+    * l-diversity cannot see. The oracle replays the census, the
+    * class-window sizes, the 128-bit |c·n − g·z| sums, the
+    * absent-value mass term, and both grid roundings. */
+  val q274 = GQuery("q274_t_closeness",
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS qp,
+      |    CAST(floor(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+      |      / 30) AS BIGINT) AS qm,
+      |    CAST(floor(o_totalprice / 20000) AS BIGINT) AS qb,
+      |    o_orderstatus AS sv, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1, 2, 3, 4),
+      |gsv AS (
+      |  SELECT sv, CAST(sum(cnt) AS BIGINT) AS gv FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(gv) AS BIGINT) AS nr FROM gsv),
+      |wc AS (
+      |  SELECT c.qp, c.qm, c.qb, c.cnt, g.gv, t.nr,
+      |    CAST(sum(c.cnt) OVER (PARTITION BY c.qp, c.qm, c.qb)
+      |      AS BIGINT) AS sz
+      |  FROM cells c JOIN gsv g ON c.sv = g.sv CROSS JOIN tot t),
+      |cls AS (
+      |  SELECT qp, qm, qb, any_value(sz) AS sz, any_value(nr) AS nr,
+      |    CAST(sum(abs(CAST(cnt AS HUGEINT) * nr
+      |      - CAST(gv AS HUGEINT) * sz)) AS HUGEINT) AS np,
+      |    CAST(sum(gv) AS BIGINT) AS gp
+      |  FROM wc GROUP BY 1, 2, 3),
+      |cl2 AS (
+      |  SELECT sz,
+      |    CAST(round(1e4 * CAST(np + CAST(sz AS HUGEINT) * (nr - gp)
+      |        AS DOUBLE) / (2.0 * nr * sz)) AS BIGINT) AS tvd4
+      |  FROM cls)
+      |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(max(tvd4) AS BIGINT) AS max_tvd4,
+      |  CAST(sum(CASE WHEN tvd4 > 1500 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_far_classes,
+      |  CAST(sum(CASE WHEN tvd4 > 1500 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS n_exposed_rows,
+      |  CAST(round(1e4 * sum(CASE WHEN tvd4 > 1500 THEN sz ELSE 0 END)
+      |    / sum(sz)) AS BIGINT) AS exposed_frac4
+      |FROM cl2""".stripMargin) { (s, dir) =>
+    Profiling.tCloseness(
+      Tables.orders(s, dir).select(col("o_orderpriority").as("qp"),
+        floor(floor(unix_timestamp(col("o_orderdate")) / 86400L)
+          / lit(30)).cast("long").as("qm"),
+        floor(col("o_totalprice") / 20000).cast("long").as("qb"),
+        col("o_orderstatus").as("sv")),
+      Seq("qp", "qm", "qb"), "sv", t4 = 1500L)
+  }
+
+  /** Mann–Whitney rank-sum over purchase vs click event values (see
+    * [[graft.operators.Profiling.mannWhitneyU]]): the nonparametric
+    * "did the distributions shift" companion to the q215 Welch t —
+    * midranks doubled to stay integer, tie-corrected normal z. The
+    * oracle replays the cell census, the spine cumulative, the 128-bit
+    * doubled rank-sum, and the one z expression. */
+  val q275 = GQuery("q275_mann_whitney",
+    """WITH cells AS (
+      |  SELECT CAST(round(value * 1e4) AS BIGINT) AS v4,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |  GROUP BY 1),
+      |sp AS (
+      |  SELECT v4, ca, cb,
+      |    COALESCE(CAST(sum(ca + cb) OVER (ORDER BY v4
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS BIGINT), 0) AS below,
+      |    ca + cb AS e
+      |  FROM cells),
+      |a AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |    CAST(sum(cb) AS BIGINT) AS n_b,
+      |    CAST(sum(CAST(ca AS HUGEINT) * (2 * below + e + 1)) AS HUGEINT)
+      |      AS r2h,
+      |    CAST(sum(CAST(e AS HUGEINT) * e * e - e) AS HUGEINT) AS tie3h
+      |  FROM sp),
+      |b AS (
+      |  SELECT n_a, n_b, r2h, tie3h,
+      |    2 * CAST(n_a AS HUGEINT) * n_b
+      |      + CAST(n_a AS HUGEINT) * (n_a + 1) - r2h AS u2h,
+      |    n_a + n_b AS nn
+      |  FROM a),
+      |c AS (
+      |  SELECT *, CAST(n_a AS DOUBLE) * n_b / 12.0 * ((nn + 1)
+      |    - CAST(tie3h AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)))
+      |    AS var_u
+      |  FROM b)
+      |SELECT n_a, n_b, CAST(r2h AS BIGINT) AS r2_a,
+      |  CAST(u2h AS BIGINT) AS u2_a, CAST(tie3h AS BIGINT) AS tie3,
+      |  CASE WHEN var_u > 0 THEN CAST(round(1e4 * (CAST(u2h AS DOUBLE)
+      |    - CAST(n_a AS DOUBLE) * n_b) / (2.0 * sqrt(var_u))) AS BIGINT)
+      |    ELSE 0 END AS z4
+      |FROM c""".stripMargin) { (s, dir) =>
+    Profiling.mannWhitneyU(Tables.events(s, dir), "event_type", "value",
+        "purchase", "click")
+      .select(col("n_a"), col("n_b"),
+        col("r2_a").cast("long").as("r2_a"),
+        col("u2_a").cast("long").as("u2_a"),
+        col("tie3").cast("long").as("tie3"), col("z4"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov over view vs error event values
+    * (see [[graft.operators.Profiling.ksTwoSample]]): the max-ECDF-gap
+    * distribution-shift readout, with the (smallest) value where the
+    * gap peaks. The oracle replays the census, both inclusive
+    * cumulatives, the 128-bit cross-product gap, and the argmax
+    * tie-break. */
+  val q276 = GQuery("q276_ks_two_sample",
+    """WITH cells AS (
+      |  SELECT CAST(round(value * 1e4) AS BIGINT) AS v4,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM events
+      |  WHERE event_type IN ('view', 'error') AND value IS NOT NULL
+      |  GROUP BY 1),
+      |sp AS (
+      |  SELECT v4,
+      |    CAST(sum(ca) OVER (ORDER BY v4 ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER (ORDER BY v4 ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cumb
+      |  FROM cells),
+      |tot AS (
+      |  SELECT CAST(max(cuma) AS BIGINT) AS n_a,
+      |    CAST(max(cumb) AS BIGINT) AS n_b FROM sp),
+      |gaps AS (
+      |  SELECT v4, n_a, n_b,
+      |    abs(CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a)
+      |      AS gap
+      |  FROM sp CROSS JOIN tot),
+      |mg AS (SELECT max(gap) AS m FROM gaps)
+      |SELECT n_a, n_b,
+      |  CAST(round(1e6 * CAST(gap AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * n_b)) AS BIGINT) AS d6,
+      |  CAST(min(v4) AS BIGINT) AS at_v4
+      |FROM gaps CROSS JOIN mg WHERE gap = m
+      |GROUP BY 1, 2, gap""".stripMargin) { (s, dir) =>
+    Profiling.ksTwoSample(Tables.events(s, dir), "event_type", "value",
+      "view", "error")
+  }
+
   /** Deletion-impact audit — the right-to-be-forgotten dry run: given
     * a customer delete set (here every 37th key — the synthetic stand-
     * in for an erasure request list), how many rows each table loses
@@ -1063,8 +1259,76 @@ object ProfilingQueries {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  /** Item-based collaborative-filtering neighborhoods (see
+    * [[graft.operators.Itemsets.itemCosine]]): each part's 5 most
+    * similar parts by co-purchase cosine over order baskets, co ≥ 2 —
+    * where q259 asks "is this pair surprising" (lift over brands),
+    * this builds the per-item recommender list. The oracle replays
+    * the incidence pass, the pair census, both directions, the
+    * √-normalized grid cosine, and the windowed top-k with its
+    * neighbor-id tie-break. */
+  val q279 = GQuery("q279_item_cosine",
+    """WITH d AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |co AS (
+      |  SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS co
+      |  FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |bi AS (
+      |  SELECT ia AS item, ib AS nbr, co FROM co
+      |  UNION ALL SELECT ib, ia, co FROM co),
+      |sc AS (
+      |  SELECT item, nbr, ca.n AS n_item, cb.n AS n_nbr, co,
+      |    CAST(round(1e6 * co / sqrt(CAST(ca.n AS DOUBLE) * cb.n))
+      |      AS BIGINT) AS cosine6
+      |  FROM bi JOIN cnt ca ON ca.i = item JOIN cnt cb ON cb.i = nbr),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY item
+      |    ORDER BY cosine6 DESC, nbr) AS rk
+      |  FROM sc)
+      |SELECT item, nbr, n_item, n_nbr, co, cosine6, CAST(rk AS BIGINT) AS rk
+      |FROM rk WHERE rk <= 5 ORDER BY item, rk""".stripMargin) { (s, dir) =>
+    graft.operators.Itemsets.itemCosine(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", minCo = 2L, k = 5)
+      .select(col("item"), col("nbr"), col("n_item"), col("n_nbr"),
+        col("co"), col("cosine6"), col("rk"))
+      .orderBy(col("item"), col("rk"))
+  }
+
+  /** Order skyline (see [[graft.operators.Profiling.skyline2d]]):
+    * orders on the Pareto front of (highest total price, earliest
+    * order date) — no other order is both bigger and earlier. The
+    * oracle replays the cell census, the per-price minimum, the
+    * descending sweep with its strict-dominance running minimum, and
+    * the surviving-cell counts. */
+  val q285 = GQuery("q285_order_skyline",
+    """WITH cells AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS u,
+      |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM orders GROUP BY 1, 2),
+      |pu AS (
+      |  SELECT u, t, n_rows FROM (
+      |    SELECT *, min(t) OVER (PARTITION BY u) AS tm FROM cells)
+      |  WHERE t = tm),
+      |sw AS (
+      |  SELECT u, t, n_rows,
+      |    min(t) OVER (ORDER BY u DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS th
+      |  FROM pu)
+      |SELECT u, t, n_rows FROM sw WHERE th IS NULL OR t < th
+      |ORDER BY u DESC""".stripMargin) { (s, dir) =>
+    Profiling.skyline2d(
+        Tables.orders(s, dir).select(
+          round(col("o_totalprice") * 100).cast("long").as("u"),
+          floor(unix_timestamp(col("o_orderdate")) / 86400L).as("t")),
+        "u", "t")
+      .orderBy(col("u").desc)
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
       q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
-      q270)
+      q270, q273, q274, q275, q276, q279, q285)
 }

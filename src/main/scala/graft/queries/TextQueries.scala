@@ -1681,6 +1681,55 @@ object TextQueries {
       .orderBy(col("pmi4").desc, col("bg"))
   }
 
+  /** TextRank keyword extraction (see
+    * [[graft.operators.TextStats.textRankFromTokens]]): PageRank over
+    * the corpus word-adjacency graph — vertices are the vocabulary,
+    * edges are DISTINCT adjacent word pairs, iterations are the q100
+    * grid-exact PageRank. The oracle replays the bigram adjacency,
+    * the symmetrized distinct edge list, all three rank iterations,
+    * and the (rank DESC, word) top-50. */
+  val q281 = {
+    val Damping = 0.85
+    val Iters = 3
+    def iterCtes(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT ed.dst AS id,
+         |    sum(CAST(round($prev.r / dg.deg * 1e6) AS BIGINT)) AS s
+         |  FROM ed JOIN dg USING (src) JOIN $prev ON $prev.id = ed.src
+         |  GROUP BY ed.dst),
+         |r$i AS (
+         |  SELECT vv.id,
+         |    ${1 - Damping} +
+         |      $Damping * (CAST(coalesce(c$i.s, 0) AS DOUBLE) / 1e6) AS r
+         |  FROM vv LEFT JOIN c$i ON c$i.id = vv.id)""".stripMargin
+    }
+    GQuery("q281_textrank",
+      s"""WITH $tokCte,
+         |adj AS (
+         |  SELECT DISTINCT string_split(bg, ' ')[1] AS w1,
+         |    string_split(bg, ' ')[2] AS w2
+         |  FROM (
+         |    SELECT unnest([ws[i] || ' ' || ws[i+1]
+         |                   for i in range(1, len(ws))]) AS bg
+         |    FROM tok WHERE len(ws) >= 2)
+         |  WHERE string_split(bg, ' ')[1] <> string_split(bg, ' ')[2]),
+         |ed AS (
+         |  SELECT w1 AS src, w2 AS dst FROM adj
+         |  UNION SELECT w2, w1 FROM adj),
+         |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |vv AS (SELECT DISTINCT unnest(ws) AS id FROM tok),
+         |nn AS (SELECT count(*) AS n FROM vv),
+         |r0 AS (SELECT id, 1.0 AS r FROM vv),
+         |${(1 to Iters).map(iterCtes).mkString(",\n")}
+         |SELECT id AS word, r / (SELECT n FROM nn) AS textrank
+         |FROM r$Iters
+         |ORDER BY textrank DESC, word LIMIT 50""".stripMargin) { (s, dir) =>
+      graft.operators.TextStats.textRankFromTokens(sharedToks(s, dir),
+        iters = Iters, damping = Damping, k = 50)
+    }
+  }
+
   /** Per-source quality drift (see
     * [[graft.operators.TextStats.groupScoreDrift]]): exact KS distance
     * between each source's quality distribution and the corpus's on
@@ -2470,5 +2519,5 @@ object TextQueries {
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219, q220, q225, q236, q239, q242, q250, q272)
+      q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281)
 }

@@ -1553,9 +1553,160 @@ object Windows {
       .orderBy(col("etype"), col("dow"))
   }
 
+  /** Kaplan–Meier time-to-next-purchase survival (see
+    * [[graft.operators.EventOps.kaplanMeier]]): per purchase, hours
+    * until the SAME user's next purchase; a user's final purchase is
+    * right-censored at the corpus end — the repeat-purchase curve a
+    * naive gap histogram gets wrong, because censored gaps must leave
+    * the risk set rather than count as conversions. The survival
+    * chain runs on a 1e-8 integer grid with per-step round-half-up,
+    * and the oracle replays it as a bounded RECURSIVE CTE — a hash
+    * match proves the distributed census + driver-side integer fold
+    * equals the sequential estimator bit-for-bit, with no exp∘Σlog
+    * float drift. */
+  val q280 = GQuery("q280_kaplan_meier",
+    """WITH RECURSIVE ph AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+      |    event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |eh AS (
+      |  SELECT CAST(max(floor(epoch(ts) / 3600)) AS BIGINT) AS e
+      |  FROM events),
+      |lv AS (
+      |  SELECT COALESCE(
+      |      lead(h) OVER (PARTITION BY user_id ORDER BY h, event_id) - h,
+      |      e - h) AS t,
+      |    CASE WHEN lead(h) OVER (PARTITION BY user_id
+      |      ORDER BY h, event_id) IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM ph CROSS JOIN eh),
+      |sp AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(ev) AS BIGINT) AS d
+      |  FROM lv GROUP BY 1),
+      |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM sp),
+      |rkk AS (
+      |  SELECT t, d,
+      |    COALESCE(CAST(sum(m) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS below
+      |  FROM sp),
+      |st AS (
+      |  SELECT t, d, n - below AS r, row_number() OVER (ORDER BY t) AS i
+      |  FROM rkk CROSS JOIN tot WHERE d > 0),
+      |km(i, s8) AS (
+      |  SELECT 0, CAST(100000000 AS HUGEINT)
+      |  UNION ALL
+      |  SELECT km.i + 1, (2 * km.s8 * (st.r - st.d) + st.r) // (2 * st.r)
+      |  FROM km JOIN st ON st.i = km.i + 1)
+      |SELECT st.t, st.r AS n_risk, st.d AS d_churn, CAST(km.s8 AS BIGINT)
+      |  AS s8
+      |FROM st JOIN km ON km.i = st.i ORDER BY st.t""".stripMargin) {
+    (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val ph = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"), col("event_id"))
+    val endH = ev
+      .agg(max(floor(unix_timestamp(col("ts")) / 3600L)).as("eh"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("h"), col("event_id"))
+    val lives = ph.withColumn("nh", lead(col("h"), 1).over(w))
+      .crossJoin(broadcast(endH))
+      .select(
+        when(col("nh").isNotNull, col("nh") - col("h"))
+          .otherwise(col("eh") - col("h")).as("t"),
+        col("nh").isNotNull.cast("long").as("ev"))
+    graft.operators.EventOps.kaplanMeier(lives, "t", "ev")
+      .orderBy(col("t"))
+  }
+
+  /** Clamped wallet balance per user (see
+    * [[graft.operators.EventOps.clampedBalance]]): purchases credit
+    * value-cents, every other event debits them, and the balance
+    * floors at zero — the state-dependent fold a windowed cumulative
+    * sum cannot express (each step needs the PREVIOUS clamped value).
+    * The engine folds per user inside codegen via
+    * array_sort ∘ aggregate; the oracle replays the walk as a
+    * per-user RECURSIVE CTE — a hash match proves the HOF fold equals
+    * the sequential recurrence on every user. */
+  val q282 = GQuery("q282_clamped_balance",
+    """WITH RECURSIVE r AS (
+      |  SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS i,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round("value" * 100) AS BIGINT)
+      |      ELSE -CAST(round("value" * 100) AS BIGINT) END AS d
+      |  FROM events),
+      |mx AS (SELECT user_id, CAST(max(i) AS BIGINT) AS n FROM r
+      |  GROUP BY 1),
+      |walk(user_id, i, bal, clamps, maxb) AS (
+      |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST(0 AS BIGINT)
+      |  FROM mx
+      |  UNION ALL
+      |  SELECT w.user_id, w.i + 1,
+      |    greatest(w.bal + r.d, 0),
+      |    w.clamps + CASE WHEN w.bal + r.d < 0 THEN 1 ELSE 0 END,
+      |    greatest(w.maxb, greatest(w.bal + r.d, 0))
+      |  FROM walk w JOIN r ON r.user_id = w.user_id AND r.i = w.i + 1)
+      |SELECT w.user_id, mx.n AS n_events, w.bal AS final_bal,
+      |  w.clamps AS n_clamped, w.maxb AS max_bal
+      |FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.i = mx.n
+      |ORDER BY w.user_id""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .withColumn("d",
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))
+          .otherwise(-round(col("value") * 100).cast("long")))
+    graft.operators.EventOps.clampedBalance(d, "user_id", "ts",
+        "event_id", "d")
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-user busy-time coverage (see
+    * [[graft.operators.EventOps.intervalCoverage]]): each event
+    * occupies [ts, ts + ⌊value⌋] seconds; overlapping or touching
+    * intervals merge into islands and the report gives true covered
+    * seconds vs naive span — the union-of-intervals question a plain
+    * SUM double-counts. The oracle replays the running-max island
+    * flags, the cumulative island ids, and both aggregates. */
+  val q277 = GQuery("q277_interval_coverage",
+    """WITH iv AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS st,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      + CAST(floor("value") AS BIGINT) AS en
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, st, en,
+      |    max(en) OVER (PARTITION BY user_id ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM iv),
+      |si AS (
+      |  SELECT user_id, st, en,
+      |    sum(CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0
+      |      END) OVER (PARTITION BY user_id ORDER BY st, en
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM g),
+      |isl AS (
+      |  SELECT user_id, island, count(*) AS n_iv,
+      |    min(st) AS ist, max(en) AS ien
+      |  FROM si GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(ien - ist + 1) AS BIGINT) AS covered,
+      |  CAST(max(ien) - min(ist) + 1 AS BIGINT) AS span
+      |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val iv = Tables.events(s, dir)
+      .withColumn("st", unix_timestamp(col("ts")))
+      .withColumn("en", col("st") + floor(col("value")).cast("long"))
+    graft.operators.EventOps.intervalCoverage(iv, "user_id", "st", "en")
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
-      q235, q240, q244, q247, q264)
+      q235, q240, q244, q247, q264, q277, q280, q282)
 }

@@ -297,6 +297,68 @@ class EventOpsSpec extends SparkSpec {
     assert(r4(-48, 64, 44) === -9045L)
   }
 
+  test("intervalCoverage: islands need the running max, not lag(en)") {
+    // u: (1,5)(2,3)(3,6)(8,9) → islands [1,6] + [8,9]: covered 6+2
+    // w: (1,10)(2,3)(4,5)(11,12) — the long first interval SWALLOWS
+    //    (4,5); lag(en)=3 < 4 would wrongly open an island there
+    // t: (1,3)(3,5) share endpoint 3 → ONE island; (1,2)(3,4) adjacent
+    //    integers → TWO
+    val iv = Seq(
+      ("u", 1L, 5L), ("u", 2L, 3L), ("u", 3L, 6L), ("u", 8L, 9L),
+      ("w", 1L, 10L), ("w", 2L, 3L), ("w", 4L, 5L), ("w", 11L, 12L),
+      ("t", 1L, 3L), ("t", 3L, 5L),
+      ("s", 1L, 2L), ("s", 3L, 4L)).toDF("k", "st", "en")
+    val out = EventOps.intervalCoverage(iv, "k", "st", "en")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      "u" -> ((4L, 2L, 8L, 9L)),
+      "w" -> ((4L, 2L, 12L, 12L)),
+      "t" -> ((2L, 1L, 5L, 5L)),
+      "s" -> ((2L, 2L, 4L, 4L))))
+  }
+
+  test("clampedBalance: floor resets the fold; windowed cumsum can't") {
+    import graft.operators.EventOps
+    // u: +5 −8 +3 −1 −4 +7 → bal 5,0,3,2,0,7: final 7, 2 clamps, max 7
+    //    (a clamped cumsum-with-greatest would carry the −3 debt into
+    //     the +3 step and report 0 there — the fold must reset)
+    // w: +10 −4 +1 → 10,6,7: final 7, 0 clamps, max 10 (mid-sequence)
+    // rows arrive SHUFFLED; the struct sort must restore ts order
+    val rows = Seq(
+      ("u", 4, 40L, -1L), ("u", 1, 10L, 5L), ("u", 6, 60L, 7L),
+      ("u", 2, 20L, -8L), ("u", 5, 50L, -4L), ("u", 3, 30L, 3L),
+      ("w", 2, 21L, -4L), ("w", 1, 11L, 10L), ("w", 3, 31L, 1L))
+      .toDF("k", "t", "tie", "d")
+    val out = EventOps.clampedBalance(rows, "k", "t", "tie", "d")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      "u" -> ((6L, 7L, 2L, 7L)),
+      "w" -> ((3L, 7L, 0L, 10L))))
+  }
+
+  test("kaplanMeier: censored subjects hold the risk set, exact grid chain") {
+    import graft.operators.EventOps
+    // durations (t, ev): (1,1) (1,1) (2,0 censored) (3,1) (3,0)
+    // t=1: risk 5, d 2 → s8 = 3/5 → 60000000
+    // t=2 censored-only: NO step row, but removes one from risk
+    // t=3: risk 2 (not 3 — the t=2 censor left), d 1 → 60000000/2
+    val lives = Seq((1L, 1L), (1L, 1L), (2L, 0L), (3L, 1L), (3L, 0L))
+      .toDF("t", "ev")
+    val out = EventOps.kaplanMeier(lives, "t", "ev")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq((1L, 5L, 2L, 60000000L), (3L, 2L, 1L, 30000000L)))
+    // no events at all → empty curve
+    assert(EventOps.kaplanMeier(Seq((4L, 0L)).toDF("t", "ev"), "t", "ev")
+      .count() === 0L)
+    // round-half-up on the grid: one subject of three fails → 2/3
+    val third = Seq((1L, 1L), (2L, 0L), (3L, 0L)).toDF("t", "ev")
+    val s = EventOps.kaplanMeier(third, "t", "ev")
+      .select("s8").as[Long].collect().head
+    assert(s === 66666667L)  // (2·1e8·2 + 3) div 6: 2/3 rounds UP on the grid
+  }
+
   test("markovBacktest: modal successor, lexicographic tie-break, exact accuracy") {
     // u1: a b a b → a→b ×2, b→a ×1;  u2: a c → a→c ×1
     // u3: c a → c→a ×1;  u4: c x → c→x ×1 (tie at c → predict 'a')

@@ -138,4 +138,74 @@ class GraphOpsSpec extends SparkSpec {
     // triangle: degree-regular → zero variance → null
     assert(r(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === ((3L, None)))
   }
+
+  test("personalizedPageRank: seed-concentrated teleport, zero off-component") {
+    import graft.operators.GraphOps
+    // path 1—2—3 + isolated 4, seed {1}, 2 iters, hand-computed:
+    // r0 = (4, 0, 0, 0); tele₁ = .15·4 = .6
+    // it1: r = (.6, 3.4, 0, 0)    it2: r = (.6+.85·1.7, .85·.6, .85·1.7, 0)
+    val (vertices, edges) = fixture
+    val seeds = Seq(1L).toDF("id")
+    val p = GraphOps.personalizedPageRank(vertices, edges, seeds,
+        iters = 2, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(p(1L) - 2.045 / 4) < 1e-9)
+    assert(math.abs(p(2L) - 0.51 / 4) < 1e-9)
+    assert(math.abs(p(3L) - 1.445 / 4) < 1e-9)
+    // isolated non-seed: EXACTLY zero (no uniform teleport leakage)
+    assert(p(4L) === 0.0)
+    // seeding the isolated vertex: it keeps full teleport mass forever
+    val p4 = GraphOps.personalizedPageRank(vertices, edges,
+        Seq(4L).toDF("id"), iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(p4(4L) - 0.6 / 4) < 1e-9)
+    assert(p4(1L) === 0.0 && p4(2L) === 0.0 && p4(3L) === 0.0)
+  }
+
+  test("dbscan: core/border/noise split; isolated pair is noise, not a cluster") {
+    import graft.operators.GraphOps
+    // triangle a-b-c (all deg ≥ 2 → core, rep a) + pendant d (border)
+    // + isolated pair e-f (deg 1 each → noise: plain CC would call it
+    // a cluster) + isolated vertex g (noise)
+    val pairs = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"),
+      ("e", "f")).toDF("id_a", "id_b")
+    val vs = Seq("a", "b", "c", "d", "e", "f", "g").toDF("id")
+    val out = GraphOps.dbscan(vs, pairs, minPts = 2L)
+      .as[(String, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      "a" -> (("core", Some("a"))), "b" -> (("core", Some("a"))),
+      "c" -> (("core", Some("a"))), "d" -> (("border", Some("a"))),
+      "e" -> (("noise", None)), "f" -> (("noise", None)),
+      "g" -> (("noise", None))))
+    // minPts = 1: every paired vertex is core; e-f becomes a cluster
+    val loose = GraphOps.dbscan(vs, pairs, minPts = 1L)
+      .as[(String, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(loose("e") === (("core", Some("e"))))
+    assert(loose("f") === (("core", Some("e"))))
+    assert(loose("g") === (("noise", None)))
+  }
+
+  test("bfsHops: min-hop, multi-source, hop cap, unreachable absent") {
+    import graft.operators.GraphOps
+    def run(pairs: Seq[(String, String)], seeds: Seq[String],
+            maxHops: Int): Map[String, Long] =
+      GraphOps.bfsHops(pairs.toDF("id_a", "id_b"), seeds.toDF("id"),
+          maxHops)
+        .as[(String, Long)].collect().toMap
+    // chain a—b—c—d—e plus component x—y; seeds {a, x}, cap 2:
+    // d is 3 hops away → absent; e absent; y found from the second seed
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y")
+    assert(run(chain, Seq("a", "x"), 2) ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "x" -> 0L, "y" -> 1L))
+    // maxHops 0 → seeds only
+    assert(run(chain, Seq("a", "x"), 0) === Map("a" -> 0L, "x" -> 0L))
+    // a shortcut edge a—c must give c hop 1, not 2 (min-hop semantics)
+    assert(run(chain :+ ("a" -> "c"), Seq("a"), 4)("c") === 1L)
+    // a seed reachable from another seed keeps hop 0
+    assert(run(chain, Seq("a", "b"), 1) ===
+      Map("a" -> 0L, "b" -> 0L, "c" -> 1L))
+  }
 }

@@ -273,6 +273,122 @@ class ProfilingSpec extends SparkSpec {
     assert(ka === 0L)
   }
 
+  test("ebShrinkRates: hand-computed prior fit, pull direction, degenerate spread") {
+    // groups: a 2/4 (raw6 500000), b 1/1 (1000000), c 0/5 (0)
+    // m = 3/10; s1 = 1.5e6, s2 = 1.25e12, vv = 3·1.25e12 − 2.25e12 = 1.5e12
+    // vr = 1.5e12/(9·1e12) = 1/6; k = .3·.7·6 − 1 = 0.26
+    // a: (2+.078)/4.26 → 487793;  b: 1.078/1.26 → 855556;  c: .078/5.26 → 14829
+    val rows = (Seq(true, true, false, false).map(("a", _)) ++
+      Seq(("b", true)) ++ Seq.fill(5)(("c", false))).toDF("g", "ok")
+    val out = Profiling.ebShrinkRates(rows, "g", "ok")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      "a" -> ((4L, 2L, 500000L, 487793L)),
+      "b" -> ((1L, 1L, 1000000L, 855556L)),
+      "c" -> ((5L, 0L, 0L, 14829L))))
+    // small group moved most, large group least (shrinkage direction):
+    assert(math.abs(1000000L - 855556L) > math.abs(500000L - 487793L))
+    // degenerate spread: every group at the same rate → vv = 0 → raw kept
+    val eq = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("g", "ok")
+    val keep = Profiling.ebShrinkRates(eq, "g", "ok")
+      .select("raw6", "shrunk6").as[(Long, Long)].collect()
+    assert(keep.forall { case (r, s) => r === s && r === 500000L })
+  }
+
+  test("tCloseness: hand-computed TVD incl. absent-value mass; threshold split") {
+    // A: x,x,x,y  B: x,y  C: y   → n=7, gx=4, gy=3
+    // A: |21−16|+|7−12| = 10 → 10/56 → 1786
+    // B: |7−8|+|7−6|   =  2 → 2/28  →  714
+    // C: present y |7−3| = 4, ABSENT x adds 1·(7−3) = 4 → 8/14 → 5714
+    val rows = (Seq("x", "x", "x", "y").map(("A", _)) ++
+      Seq(("B", "x"), ("B", "y")) ++ Seq(("C", "y"))).toDF("qi", "sv")
+    val out = Profiling.tCloseness(rows, Seq("qi"), "sv", t4 = 1000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // far: A (1786) and C (5714) → 2 classes, 5 rows, 7143 frac
+    assert(out === ((7L, 3L, 5714L, 2L, 5L, 7143L)))
+    // class distribution == global → TVD exactly 0
+    val unif = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("qi", "sv")
+    val z = Profiling.tCloseness(unif, Seq("qi"), "sv", t4 = 0L)
+      .select("max_tvd4", "n_far_classes").as[(Long, Long)].collect().head
+    assert(z === ((0L, 0L)))
+  }
+
+  test("mannWhitneyU: doubled midranks, tie correction, hand-computed z") {
+    // A = [1, 2, 2], B = [2, 3] → pooled midranks 1, 3,3,3, 5
+    // R_a = 7 (doubled 14); U_a = 5 (u2 = 10); ties Σe³−e = 24
+    // var = .5·(6 − 24/20) = 2.4; z = 2/√2.4 = 1.29099 → 12910
+    val rows = (Seq(1.0, 2.0, 2.0).map(("a", _)) ++ Seq(2.0, 3.0)
+      .map(("b", _))).toDF("g", "v")
+    val out = Profiling.mannWhitneyU(rows, "g", "v", "a", "b")
+      .select(col("n_a"), col("n_b"), col("r2_a").cast("long"),
+        col("u2_a").cast("long"), col("tie3").cast("long"), col("z4"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((3L, 2L, 14L, 10L, 24L, 12910L)))
+    // identical samples → U = n²/2, z = 0
+    val same = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(1.0, 2.0)
+      .map(("b", _))).toDF("g", "v")
+    val s = Profiling.mannWhitneyU(same, "g", "v", "a", "b")
+      .select(col("u2_a").cast("long"), col("z4"))
+      .as[(Long, Long)].collect().head
+    assert(s === ((4L, 0L)))
+  }
+
+  test("ksTwoSample: max ECDF gap, smallest attaining value") {
+    // A = [1, 2, 2], B = [2, 3]: gaps at v: 1→|2−0|, 2→|6−3|, 3→0
+    // max 3 of n_a·n_b = 6 → d6 = 500000 at v4 = 20000
+    val rows = (Seq(1.0, 2.0, 2.0).map(("a", _)) ++ Seq(2.0, 3.0)
+      .map(("b", _))).toDF("g", "v")
+    val out = Profiling.ksTwoSample(rows, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out === ((3L, 2L, 500000L, 20000L)))
+    // identical distributions → D = 0 (argmax tie-break: smallest v)
+    val same = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(1.0, 2.0)
+      .map(("b", _))).toDF("g", "v")
+    val s = Profiling.ksTwoSample(same, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(s === ((2L, 2L, 0L, 10000L)))
+  }
+
+  test("skyline2d: strict dominance, same-axis ties dominated, dup cells counted") {
+    // maximize u, minimize t. (10,3) beats (10,5) (same u, later t);
+    // (9,4) dominated by (10,3); (8,2)×2 survives with count 2;
+    // (6,2) dominated by (7,1); (5,1) dominated by (7,1) — a t-tie
+    // with smaller u is OUT (strict dominance on the other axis).
+    val rows = Seq((10L, 5L), (10L, 3L), (8L, 2L), (8L, 2L), (9L, 4L),
+      (7L, 1L), (6L, 2L), (5L, 1L)).toDF("u", "t")
+    val out = Profiling.skyline2d(rows, "u", "t")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((10L, 3L, 1L), (8L, 2L, 2L), (7L, 1L, 1L)))
+    // a single row is trivially the whole skyline
+    val one = Profiling.skyline2d(Seq((1L, 1L)).toDF("u", "t"), "u", "t")
+    assert(one.as[(Long, Long, Long)].collect().toSeq === Seq((1L, 1L, 1L)))
+  }
+
+  test("itemCosine: minCo floor, both directions, windowed top-k tie-break") {
+    import graft.operators.Itemsets
+    // b1{x,y} b2{x,y} b3{x,z} b4{y} → n: x3 y3 z1; co: (x,y)=2, (x,z)=1
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y")).toDF("b", "i")
+    // minCo 2 kills (x,z); cosine(x,y) = 2/√9 → 666667; both directions
+    val strict = Itemsets.itemCosine(rows, "b", "i", minCo = 2L, k = 3)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(strict === Set(
+      ("x", "y", 3L, 3L, 2L, 666667L, 1L),
+      ("y", "x", 3L, 3L, 2L, 666667L, 1L)))
+    // minCo 1: x ranks y (666667) above z (1/√3 → 577350)
+    val loose = Itemsets.itemCosine(rows, "b", "i", minCo = 1L, k = 2)
+      .where(col("item") === "x")
+      .select("nbr", "cosine6", "rk")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(loose === Seq(("y", 666667L, 1L), ("z", 577350L, 2L)))
+    // k truncates: k = 1 keeps only the top neighbor
+    assert(Itemsets.itemCosine(rows, "b", "i", 1L, 1)
+      .where(col("item") === "x").count() === 1L)
+  }
+
   test("pairAssociations: a-priori prune, duplicate rows, and exact lift") {
     import graft.operators.Itemsets
     // 4 baskets; item z appears in only 1 basket (< ceil(.5·4)=2) — the

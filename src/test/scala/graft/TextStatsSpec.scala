@@ -240,4 +240,22 @@ class TextStatsSpec extends SparkSpec {
     assert(out === Map("g1" -> ((3L, 2L, g1)), "g2" -> ((4L, 2L, g2))))
     assert(g1 > 0 && g2 > 0) // both groups genuinely diverge from the mix
   }
+
+  test("textRank: adjacency dedup, self-pair drop, isolated teleport floor") {
+    // "x x y" → self-pair (x,x) dropped, edge x—y kept once; "z" isolated.
+    // Symmetric 2-cycle holds r = 1 forever → p = 1/3 each;
+    // z never receives mass → r = 0.15 after round 1 → p = 0.05.
+    val toks = Seq(
+      (1L, Seq("x", "x", "y")),
+      (2L, Seq("z"))).toDF("id", "ws")
+    val out = TextStats.textRankFromTokens(toks, iters = 3,
+        damping = 0.85, k = 10)
+      .as[(String, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq("x", "y", "z")) // ties break word-ascending
+    assert(math.abs(out(0)._2 - 1.0 / 3) < 1e-9)
+    assert(math.abs(out(1)._2 - 1.0 / 3) < 1e-9)
+    assert(math.abs(out(2)._2 - 0.15 / 3) < 1e-9)
+    // k truncates the ranked list
+    assert(TextStats.textRankFromTokens(toks, 3, 0.85, 2).count() === 2L)
+  }
 }
