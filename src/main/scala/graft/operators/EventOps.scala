@@ -137,6 +137,204 @@ object EventOps {
       .drop("c_le", "c_lt")
   }
 
+  /** Log-rank test (Mantel '66): do two groups' right-censored
+    * survival curves differ — the significance companion to
+    * [[kaplanMeier]] (two KM curves can LOOK apart and still be
+    * noise). At each distinct event time, group A's observed events
+    * are compared with the hypergeometric expectation given the
+    * pooled risk set, and the per-time (O−E) and variance terms
+    * accumulate into z = Σ(O−E)/√ΣV. Each time's two terms are
+    * snapped to the 1e-6 grid BEFORE the sum (the per-part rounding
+    * idiom) so the totals are order-free integer sums and a SQL
+    * oracle replays them bit-identically; the final z is one fixed
+    * double expression.
+    *
+    * `lives` rows are (t, event, group) subjects as in
+    * [[kaplanMeier]]; censored subjects shape the risk sets but
+    * contribute no event terms. Same census + value-spine-window
+    * shape as the KM estimator — nothing corpus-sized ever sorts
+    * globally. Returns one row:
+    * (n_a, n_b, n_event_times, o_minus_e6, var6, z4). */
+  def logRank(lives: DataFrame, tCol: String, eventCol: String,
+              groupCol: String, gA: String, gB: String): DataFrame = {
+    val cells = lives.where(col(groupCol).isin(gA, gB))
+      .select(col(tCol).as("t"),
+        when(col(groupCol) === gA, 1L).otherwise(0L).as("isa"),
+        when(col(eventCol).cast("long") =!= 0L, 1L).otherwise(0L)
+          .as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(col("isa")).as("m1"),
+        sum(lit(1L) - col("isa")).as("m2"),
+        sum(col("isa") * col("ev")).as("d1"),
+        sum((lit(1L) - col("isa")) * col("ev")).as("d2"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = cells.agg(sum(col("m1")).as("na"), sum(col("m2")).as("nb"))
+    val spine = cells
+      .withColumn("b1", coalesce(sum(col("m1")).over(w), lit(0L)))
+      .withColumn("b2", coalesce(sum(col("m2")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n1", col("na") - col("b1"))
+      .withColumn("n2", col("nb") - col("b2"))
+      .withColumn("nt", col("n1") + col("n2"))
+      .withColumn("d", col("d1") + col("d2"))
+      .where(col("d") > 0L && col("nt") > 1L)
+      .select(col("na"), col("nb"),
+        round(lit(1e6) * (col("d1").cast("double")
+          - col("d").cast("double") * col("n1") / col("nt")))
+          .cast("long").as("ome6"),
+        round(lit(1e6) * col("d").cast("double")
+          * (col("n1").cast("double") / col("nt"))
+          * (col("n2").cast("double") / col("nt"))
+          * (col("nt") - col("d")).cast("double")
+          / (col("nt") - lit(1L))).cast("long").as("v6"))
+    spine.groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_event_times"),
+        sum(col("ome6")).as("o_minus_e6"), sum(col("v6")).as("var6"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("n_event_times"), col("o_minus_e6"), col("var6"),
+        when(col("var6") > 0L,
+          round(lit(1e4) * (col("o_minus_e6").cast("double") / 1e6)
+            / sqrt(col("var6").cast("double") / 1e6)).cast("long"))
+          .otherwise(lit(0L)).as("z4"))
+  }
+
+  /** Calendar-spine gap fill with LOCF (last observation carried
+    * forward): per key, materialize EVERY day bucket between the
+    * key's first and last active day, left-join the daily aggregate,
+    * and forward-fill missing days from the most recent observed one —
+    * the dashboard/time-series-join prerequisite that turns a sparse
+    * event log into a dense regular series (a rolling average over
+    * the raw log silently contracts over gaps). Rows created for gap
+    * days carry n_events = 0, is_gap = true, and the carried total.
+    *
+    * Scale: the spine explode is per key × its OWN span (never the
+    * global calendar times every key), the join is keyed on
+    * (key, day), and the fill is one key-partitioned window.
+    * Returns (key, d, n_events, day_total, filled_total, is_gap). */
+  def gapFillLocf(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val daily = events.select(col(keyCol).as("k"),
+        floor(unix_timestamp(col(tsCol)) / 86400L).as("d"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+      .groupBy("k", "d")
+      .agg(sum(col("c")).as("day_total"), count(lit(1)).as("n_events"))
+    val spine = daily.groupBy("k")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("k", "d"), "left")
+      .select(col("k").as(keyCol), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_total"),
+        last(col("day_total"), ignoreNulls = true).over(w)
+          .as("filled_total"),
+        col("day_total").isNull.as("is_gap"))
+  }
+
+  /** Sequential probability ratio test (Wald '45) over an ordered
+    * Bernoulli trial stream — the "stop the experiment early" monitor:
+    * after each trial the cumulative log-likelihood ratio between two
+    * conversion hypotheses either crosses the upper bound (accept H1),
+    * the lower (accept H0), or continues. Because the per-trial LLR
+    * increments are two CONSTANTS (success → ln(p1/p0), failure →
+    * ln((1−p1)/(1−p0))), the walk is linear in the cumulative counts:
+    * llr = k·a6 + (n−k)·b6 — callers pass the four grid constants
+    * (increments and bounds pre-rounded to 1e-6), so the whole scan is
+    * pure integer arithmetic; no runtime ln anywhere, and a SQL oracle
+    * replays it bit-identically.
+    *
+    * The global trial cumulative runs as the q168 two-phase prefix sum
+    * (bucket-local window + broadcast bucket offsets — never a single
+    * global sort partition). Returns ONE row:
+    * (n_total, k_total, llr6_final, n_at_decision, decision) with
+    * decision ∈ accept_h1 | accept_h0 | continue (n_at_decision null
+    * when the walk never crossed). */
+  def sprtBinary(trials: DataFrame, tsCol: String, tieCol: String,
+                 success: Column, a6: Long, b6: Long,
+                 up6: Long, lo6: Long,
+                 bucketSeconds: Long = 86400L): DataFrame = {
+    val rows = trials.select(unix_timestamp(col(tsCol)).as("sec"),
+        col(tieCol).as("tie"),
+        when(success, 1L).otherwise(0L).as("s"))
+      .withColumn("bkt", floor(col("sec") / bucketSeconds))
+    val wL = Window.partitionBy(col("bkt")).orderBy(col("sec"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = rows.groupBy("bkt")
+      .agg(sum(col("s")).as("sk"), count(lit(1)).as("sn"))
+      .withColumn("ok", coalesce(sum(col("sk")).over(wOff), lit(0L)))
+      .withColumn("on", coalesce(sum(col("sn")).over(wOff), lit(0L)))
+      .select("bkt", "ok", "on")
+    val cum = rows
+      .withColumn("ckl", sum(col("s")).over(wL))
+      .withColumn("cnl", count(lit(1)).over(wL))
+      .join(broadcast(offs), "bkt")
+      .withColumn("k", col("ckl") + col("ok"))
+      .withColumn("n", col("cnl") + col("on"))
+      .withColumn("llr6",
+        col("k") * a6 + (col("n") - col("k")) * b6)
+    val crossed = cum.where(col("llr6") >= up6 || col("llr6") <= lo6)
+    val firstN = crossed.agg(min(col("n")).as("n_dec"))
+    val dec = crossed.join(broadcast(firstN), col("n") === col("n_dec"))
+      .select(col("n").as("n_at_decision"),
+        col("llr6").as("llr6_at_decision"))
+    cum.agg(max(col("n")).as("n_total"), max(col("k")).as("k_total"),
+        max_by(col("llr6"), col("n")).as("llr6_final"))
+      .join(broadcast(dec), lit(true), "left")
+      .select(col("n_total"), col("k_total"), col("llr6_final"),
+        col("n_at_decision"),
+        when(col("llr6_at_decision") >= up6, "accept_h1")
+          .when(col("llr6_at_decision") <= lo6, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
+  /** Time-weighted average value (TWAP) per (group, time bucket): the
+    * trapezoid integral of the value polyline between consecutive
+    * events, divided by the observed span — the fair average for
+    * irregularly-sampled series, where a plain mean over-weights bursts
+    * (five readings in one minute should not outvote one reading that
+    * held for an hour). Exact inputs: values on the cents grid,
+    * per-segment area 2·A = (c_i + c_{i+1})·(t_{i+1} − t_i) summed in
+    * 128-bit decimal; the final round-half-up
+    * floor((2·Σ + 2·span) / (4·span)) runs on longs through ONE double
+    * division — both operands are exact ≤ 2⁵³ and the quotient sits
+    * ≥ 1/(4·span) from any integer, far beyond double error, so the
+    * floor replays IEEE-identically in any engine. Buckets with a
+    * single event (span 0) are emitted with twap2 = the event's own
+    * cents value.
+    *
+    * Scale: one (group, bucket)-partitioned window for the lead, one
+    * keyed aggregate. Returns (grp, bkt, n_events, span_s, twap2). */
+  def twap(events: DataFrame, groupCol: String, tsCol: String,
+           tieCol: String, valueCol: String,
+           bucketSeconds: Long = 86400L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val rows = events.select(col(groupCol).as("grp"),
+        unix_timestamp(col(tsCol)).as("sec"), col(tieCol).as("tie"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+      .withColumn("bkt", floor(col("sec") / bucketSeconds))
+    val w = Window.partitionBy(col("grp"), col("bkt"))
+      .orderBy(col("sec"), col("tie"))
+    rows
+      .withColumn("ns", lead(col("sec"), 1).over(w))
+      .withColumn("nc", lead(col("c"), 1).over(w))
+      .groupBy(col("grp"), col("bkt"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("span_s"),
+        sum(when(col("ns").isNotNull,
+          ((col("c") + col("nc")) * (col("ns") - col("sec"))).cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("a2"),
+        min_by(col("c"), struct(col("sec"), col("tie"))).as("c0"))
+      .select(col("grp"), col("bkt"), col("n_events"), col("span_s"),
+        when(col("span_s") === 0L, col("c0"))
+          .otherwise(floor(
+            (lit(2L) * col("a2").cast("long") + lit(2L) * col("span_s"))
+              / (lit(4L) * col("span_s"))).cast("long")).as("twap2"))
+  }
+
   /** Clamped running balance per key — the inventory/wallet fold SQL
     * windows cannot express: balance' = max(0, balance + delta) in
     * event order, where the clamp makes each step depend on the

@@ -82,6 +82,48 @@ object GraphOps {
       .select(col("id"), (col("r") / col("n")).as("p"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, '99) over a DIRECTED edge
+    * list — src vertices accumulate HUB scores ("points at the good
+    * stuff"), dst vertices AUTHORITY scores ("pointed at by good
+    * hubs"); on a bipartite buyer→supplier graph this separates
+    * broad-basket buyers from widely-bought suppliers, two signals one
+    * PageRank cannot split. Fixed iterations; after each half-step the
+    * scores renormalize by their MAXIMUM on the 1e-6 integer grid via
+    * round-half-up integer division (2·10⁶·s + m) div (2m) — the whole
+    * iteration is pure integer arithmetic, so a chained-CTE oracle
+    * replays it bit-identically (a float L2 norm would drift).
+    * Headroom: Σ of grid scores into a vertex is ≤ 10⁶·deg, and the
+    * normalization product needs 2·10⁶·that ≤ 2⁶³ — holds to
+    * deg ≈ 4.6·10⁶; past that, lift the sums to 128-bit decimal.
+    *
+    * Scale: per half-step ONE edge⋈score join + one keyed sum + a
+    * 1-row max — the PageRank shape. Returns one row per vertex:
+    * (id, kind ∈ hub|auth, score6). */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var h = e.select(col("src").as("id")).distinct()
+      .withColumn("s", lit(1000000L))
+    var a = e.select(col("dst").as("id")).distinct()
+      .withColumn("s", lit(0L))
+    def renorm(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("sr")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr("(2000000L * sr + mx) div (2L * mx)").as("s"))
+    }
+    for (_ <- 1 to iters) {
+      a = renorm(e.join(h.select(col("id").as("src"), col("s")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("s")).as("sr")))
+      h = renorm(e.join(a.select(col("id").as("dst"), col("s")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("s")).as("sr")))
+    }
+    h.select(col("id"), lit("hub").as("kind"), col("s").as("score6"))
+      .unionByName(a.select(col("id"), lit("auth").as("kind"),
+        col("s").as("score6")))
+  }
+
   /** Graph DBSCAN (Ester et al., KDD '96) over a precomputed
     * ε-neighborhood pair graph: the pair list IS the "within ε"
     * relation (here typically a near-dup or similarity pair set, so ε

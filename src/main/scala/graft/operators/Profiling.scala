@@ -428,6 +428,183 @@ object Profiling {
             .cast("long")).as("shrunk6"))
   }
 
+  /** Weight-of-evidence binning + information value (the
+    * credit-scoring standard): equal-frequency bins of a grid value
+    * column, and per bin WOE = ln(share-of-positives /
+    * share-of-negatives) with the additive IV contribution
+    * (g% − b%)·WOE — "how much does this feature separate the label",
+    * the univariate screen run before any model. Bins are assigned on
+    * the DISTINCT-value cell spine: a cell's whole population lands in
+    * the bin of its cumulative MIDPOINT (deterministic under ties and
+    * robust to a heavy tied cell straddling a boundary — the endpoint
+    * rule would dump it entirely into the later bin); never a global
+    * row sort. Counts get add-half smoothing so an
+    * empty cell yields a finite WOE rather than ±∞ (the q217 PSI
+    * convention). ln is one fixed double shape over exact integers,
+    * grid-rounded (the BM25 idiom).
+    * Returns one row per bin: (bin, n, n_pos, woe4, iv_part6). */
+  def woeIv(df: DataFrame, valueCol: String, labelCol: String,
+            bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cells = df.select(col(valueCol).as("v"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .withColumn("hi", sum(col("n")).over(w))
+    val tot = cells.agg(max(col("hi")).as("nn"))
+    val binned = cells.crossJoin(broadcast(tot))
+      .withColumn("bin",
+        floor((lit(2L) * col("hi") - col("n") - lit(1L)) * bins
+          / (lit(2L) * col("nn"))).cast("long") + lit(1L))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("p")).as("n_pos"))
+    val gt = binned.agg(
+      (sum(col("n_pos")).cast("double") + lit(0.5) * bins).as("gs_tot"),
+      (sum(col("n") - col("n_pos")).cast("double") + lit(0.5) * bins)
+        .as("bs_tot"))
+    binned.crossJoin(broadcast(gt))
+      .withColumn("gsh", (col("n_pos").cast("double") + lit(0.5))
+        / col("gs_tot"))
+      .withColumn("bsh", ((col("n") - col("n_pos")).cast("double")
+        + lit(0.5)) / col("bs_tot"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(lit(1e4) * log(col("gsh") / col("bsh"))).cast("long")
+          .as("woe4"),
+        round(lit(1e6) * (col("gsh") - col("bsh"))
+          * log(col("gsh") / col("bsh"))).cast("long").as("iv_part6"))
+  }
+
+  /** Difference-in-differences estimate over a 2×2 (arm × period)
+    * design — the causal-readout workhorse when treatment lands at a
+    * point in time: DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre), which cancels both the arms' level
+    * difference and the shared time trend that a naive post-only
+    * comparison absorbs as "effect". One conditional aggregate
+    * produces the eight exact cell integers; the estimate is one
+    * fixed double expression over them. `armCol` is 0/1, `postCol`
+    * boolean, `valueCol` an integer grid value. Returns one row:
+    * (n_c_pre, n_c_post, n_t_pre, n_t_post, the four grid means,
+    * did4). */
+  def didEstimate(df: DataFrame, armCol: String, postCol: String,
+                  valueCol: String): DataFrame = {
+    def cell(arm: Int, post: Boolean, what: String) = {
+      val m = col(armCol) === arm && col(postCol) === post
+      if (what == "n") sum(when(m, 1L).otherwise(0L))
+      else sum(when(m, col(valueCol)).otherwise(0L))
+    }
+    def mean4(s: org.apache.spark.sql.Column,
+              n: org.apache.spark.sql.Column) =
+      round(lit(1e4) * s.cast("double") / n).cast("long")
+    df.agg(
+        cell(0, post = false, "n").as("n_c_pre"),
+        cell(0, post = true, "n").as("n_c_post"),
+        cell(1, post = false, "n").as("n_t_pre"),
+        cell(1, post = true, "n").as("n_t_post"),
+        cell(0, post = false, "s").as("s_c_pre"),
+        cell(0, post = true, "s").as("s_c_post"),
+        cell(1, post = false, "s").as("s_t_pre"),
+        cell(1, post = true, "s").as("s_t_post"))
+      .select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"),
+        col("n_t_post"),
+        mean4(col("s_c_pre"), col("n_c_pre")).as("mean_c_pre4"),
+        mean4(col("s_c_post"), col("n_c_post")).as("mean_c_post4"),
+        mean4(col("s_t_pre"), col("n_t_pre")).as("mean_t_pre4"),
+        mean4(col("s_t_post"), col("n_t_post")).as("mean_t_post4"),
+        round(lit(1e4) * ((col("s_t_post").cast("double") / col("n_t_post")
+            - col("s_t_pre").cast("double") / col("n_t_pre"))
+          - (col("s_c_post").cast("double") / col("n_c_post")
+            - col("s_c_pre").cast("double") / col("n_c_pre"))))
+          .cast("long").as("did4"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM '13): adjust each
+    * experiment subject's metric y by its PRE-period covariate x —
+    * y' = y − θ·(x − x̄) with θ = cov(x, y)/var(x) — which removes the
+    * between-user variance the randomization already balanced, so the
+    * same experiment reads significantly with far fewer subjects. θ
+    * and the moments come from exact 128-bit integer sums over the
+    * pooled population (products of grid values overflow int64 at
+    * ~10⁷ wide-valued users); per-variant adjusted means and the
+    * variance-reduction factor ρ² = cov²/(var_x·var_y) are one fixed
+    * double shape over those integers. Returns one row per variant:
+    * (variant, n, mean_y4, mean_adj4, theta4, var_reduction4). */
+  def cuped(df: DataFrame, variantCol: String, xCol: String,
+            yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = df.agg(count(lit(1)).as("n"),
+        sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+        sum((col(xCol) * col(xCol)).cast(dec)).as("sxx"),
+        sum((col(yCol) * col(yCol)).cast(dec)).as("syy"),
+        sum((col(xCol) * col(yCol)).cast(dec)).as("sxy"))
+      .withColumn("covn", col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy") / col("n"))
+      .withColumn("varxn", col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx") / col("n"))
+      .withColumn("varyn", col("syy").cast("double")
+        - col("sy").cast("double") * col("sy") / col("n"))
+      .withColumn("theta", col("covn") / col("varxn"))
+      .withColumn("mx", col("sx").cast("double") / col("n"))
+    val v = df.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col(xCol)).as("vsx"),
+        sum(col(yCol)).as("vsy"))
+    v.crossJoin(broadcast(g.select(col("theta"), col("mx"),
+        col("covn"), col("varxn"), col("varyn"))))
+      .select(col("variant"), col("n"),
+        round(lit(1e4) * col("vsy").cast("double") / col("n"))
+          .cast("long").as("mean_y4"),
+        round(lit(1e4) * (col("vsy").cast("double") / col("n")
+          - col("theta") * (col("vsx").cast("double") / col("n")
+            - col("mx")))).cast("long").as("mean_adj4"),
+        round(lit(1e4) * col("theta")).cast("long").as("theta4"),
+        round(lit(1e4) * col("covn") * col("covn")
+          / (col("varxn") * col("varyn"))).cast("long")
+          .as("var_reduction4"))
+  }
+
+  /** Quantile normalization across groups (the microarray-era
+    * calibration standard): replace each row's value with the CORPUS
+    * value at the equivalent rank, so every group ends up with the
+    * same marginal distribution — the cross-source score calibration
+    * that makes "top 10% by quality" mean the same thing in a feed
+    * whose scorer runs hot as in one that runs cold. A row ranked r of
+    * m within its group maps to the corpus's nearest-rank quantile at
+    * rq = ⌈r·N/m⌉ — all integer arithmetic.
+    *
+    * Scale shape: the within-group rank is a group-partitioned window
+    * (bounded per group); the corpus side is a DISTINCT-value cell
+    * spine with cumulative counts (the q212/q275 grid discipline —
+    * domain-bounded, never a global row sort), broadcast into a
+    * range join (lo < rq ≤ hi) that resolves each target rank to its
+    * value. Returns (idCol, grp, v, qnorm). */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col(idCol))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val ranked = df
+      .select(col(idCol), col(groupCol).as("grp"), col(valueCol).as("v"))
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("m", count(lit(1)).over(wm))
+    val wsp = org.apache.spark.sql.expressions.Window.orderBy(col("sv"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cums = df.groupBy(col(valueCol).as("sv"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hi", sum(col("c")).over(wsp))
+      .withColumn("lo", col("hi") - col("c"))
+    val tot = cums.agg(max(col("hi")).as("nn"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("rq", floor((col("r") * col("nn") + col("m") - lit(1L))
+        / col("m")).cast("long"))
+      .join(broadcast(cums.select(col("sv"), col("lo"), col("hi"))),
+        col("rq") > col("lo") && col("rq") <= col("hi"))
+      .select(col(idCol), col("grp"), col("v"), col("sv").as("qnorm"))
+  }
+
   /** 2-D skyline (Börzsönyi et al., ICDE '01): the Pareto front of
     * rows maximizing `maxCol` while minimizing `minCol` — rows no
     * other row beats on both axes ("biggest AND earliest orders").
@@ -446,10 +623,15 @@ object Profiling {
     * values — the value-spine discipline (q212/q275): bounded by the
     * measure's domain, never corpus-sized. Returns the skyline cells
     * (u, t, n_rows). */
-  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame =
+    skylineOfCells(df.select(col(maxCol).as("u"), col(minCol).as("t"))
+      .groupBy(col("u"), col("t")).agg(count(lit(1)).as("n_rows")))
+
+  /** The [[skyline2d]] sweep over a pre-built (u, t, n_rows) cell
+    * census — shared with the streaming Pareto store, whose reader
+    * merges per-batch cells before sweeping. */
+  private[graft] def skylineOfCells(cells: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val cells = df.select(col(maxCol).as("u"), col(minCol).as("t"))
-      .groupBy(col("u"), col("t")).agg(count(lit(1)).as("n_rows"))
     val perU = cells
       .withColumn("tm", min(col("t")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))

@@ -486,4 +486,52 @@ object Sampling {
         (col("base") + when(col("rn") <= col("lo"), 1L).otherwise(0L))
           .as("alloc"))
   }
+
+  /** Greedy maximum-coverage selection (the classic (1−1/e)-approximate
+    * set cover greedy): pick k documents that together cover the most
+    * DISTINCT elements (shingles, vocabulary, topics) — the
+    * diversity-first data-selection rule ("which 8 docs teach the
+    * most"), also the dedup-aware seed-picking move. Each round takes
+    * the doc with the largest MARGINAL gain (elements not covered by
+    * earlier picks; ties → smallest id), then removes its elements
+    * from play — a doc overlapping earlier picks is re-scored on what
+    * it ADDS, which a one-shot top-k-by-size gets wrong.
+    *
+    * The greedy chain is inherently sequential in k; each round is one
+    * distributed census + one element-keyed anti-join over the
+    * REMAINING incidence (shrinking every round), with a single-ROW
+    * collect for the argmax — k·O(|incidence|) work, driver state k
+    * rows. `idCol` must be numeric (castable to long). A fixed-k
+    * chained-CTE ladder replays it exactly.
+    * Returns one row per pick: (step, id, gain, covered_total). */
+  def greedyMaxCoverage(elems: DataFrame, idCol: String, elemCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = elems.sparkSession
+    import spark.implicits._
+    var remaining = elems
+      .select(col(idCol).cast("long").as("id"), col(elemCol).as("s"))
+      .distinct().localCheckpoint(true)
+    var cum = 0L
+    var step = 1
+    var exhausted = false
+    val picks = Seq.newBuilder[(Long, Long, Long, Long)]
+    while (step <= k && !exhausted) {
+      val top = remaining.groupBy(col("id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id")).limit(1)
+        .collect()  // exactly one row — bounded driver state
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        val gain = top(0).getLong(1)
+        cum += gain
+        picks += ((step.toLong, id, gain, cum))
+        val cov = remaining.where(col("id") === id).select(col("s"))
+        remaining = remaining.join(cov, Seq("s"), "left_anti")
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    picks.result().toDF("step", "id", "gain", "covered_total")
+  }
 }

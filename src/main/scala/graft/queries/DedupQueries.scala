@@ -1083,6 +1083,114 @@ object DedupQueries {
       .orderBy(col("name"))
   }
 
+  /** Double-sweep diameter bound of the fuzzy-name graph: BFS from
+    * the lexicographically-first edge endpoint to its farthest vertex,
+    * then BFS from THAT vertex — the farthest distance found is the
+    * classic tight lower bound on the graph diameter, and both sweeps
+    * reuse the audited [[graft.operators.GraphOps.bfsHops]] frontier
+    * iteration (hop-capped at 12, so the oracle's recursive CTEs stay
+    * bounded). Ties at each "farthest" pick resolve to the smallest
+    * name. Returns one row:
+    * (seed1, ecc1, seed2, ecc2, far2). */
+  val q290 = GQuery("q290_double_sweep",
+    """WITH RECURSIVE v AS (
+      |  SELECT DISTINCT c_name AS w FROM customer
+      |  WHERE length(c_name) >= 4),
+      |var AS (
+      |  SELECT w, unnest([w] ||
+      |    [substr(w, 1, i - 1) || substr(w, i + 1) for i in range(1, length(w) + 1)]) AS d
+      |  FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      |  FROM var a JOIN var b ON a.d = b.d AND a.w < b.w),
+      |e0 AS MATERIALIZED (
+      |  SELECT word_a AS u, word_b AS v FROM cand
+      |  WHERE levenshtein(word_a, word_b) <= 1),
+      |adj AS MATERIALIZED (
+      |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |s1 AS (SELECT min(u) AS id FROM adj),
+      |w1(id, hop) AS (
+      |  SELECT id, 0 FROM s1
+      |  UNION
+      |  SELECT adj.v, w1.hop + 1 FROM w1 JOIN adj ON adj.u = w1.id
+      |  WHERE w1.hop < 12),
+      |m1 AS (SELECT id, min(hop) AS hop FROM w1 GROUP BY 1),
+      |e1 AS (SELECT max(hop) AS ecc FROM m1),
+      |s2 AS (SELECT min(id) AS id FROM m1 JOIN e1 ON m1.hop = e1.ecc),
+      |w2(id, hop) AS (
+      |  SELECT id, 0 FROM s2
+      |  UNION
+      |  SELECT adj.v, w2.hop + 1 FROM w2 JOIN adj ON adj.u = w2.id
+      |  WHERE w2.hop < 12),
+      |m2 AS (SELECT id, min(hop) AS hop FROM w2 GROUP BY 1),
+      |e2 AS (SELECT max(hop) AS ecc FROM m2),
+      |f2 AS (SELECT min(id) AS id FROM m2 JOIN e2 ON m2.hop = e2.ecc)
+      |SELECT s1.id AS seed1, CAST(e1.ecc AS BIGINT) AS ecc1,
+      |  s2.id AS seed2, CAST(e2.ecc AS BIGINT) AS ecc2, f2.id AS far2
+      |FROM s1 CROSS JOIN e1 CROSS JOIN s2 CROSS JOIN e2
+      |CROSS JOIN f2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pairs = sharedNamePairs(s, dir)
+      .select(col("word_a").as("id_a"), col("word_b").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed1 = pairs
+      .select(least(col("id_a"), col("id_b")).as("id"))
+      .agg(min(col("id"))).head().getString(0)
+    def sweep(seed: String): (Long, String) = {
+      val b = graft.operators.GraphOps.bfsHops(pairs,
+        Seq(seed).toDF("id"), maxHops = 12)
+      val ecc = b.agg(max(col("hop"))).head().getLong(0)
+      (ecc, b.where(col("hop") === ecc).agg(min(col("id"))).head()
+        .getString(0))
+    }
+    val (ecc1, seed2) = sweep(seed1)
+    val (ecc2, far2) = sweep(seed2)
+    Seq((seed1, ecc1, seed2, ecc2, far2))
+      .toDF("seed1", "ecc1", "seed2", "ecc2", "far2")
+  }
+
+  /** Greedy maximum-coverage doc selection (see
+    * [[graft.operators.Sampling.greedyMaxCoverage]], k = 8): the 8
+    * documents that together cover the most distinct 3-gram shingles,
+    * each re-scored on its MARGINAL gain — the diversity-first
+    * data-selection rule a one-shot "biggest docs" top-k gets wrong
+    * on overlapping content. The oracle replays the whole greedy
+    * chain as a fixed-k chained-MATERIALIZED-CTE ladder (census →
+    * argmax with id tie-break → coverage removal, eight times). */
+  val q286 = {
+    val K = 8
+    val ladder = (1 to K).map { i =>
+      val prev = if (i == 1) "ex" else s"rem${i - 1}"
+      s"""g$i AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM $prev GROUP BY 1),
+         |b$i AS MATERIALIZED (
+         |  SELECT CAST($i AS BIGINT) AS step, doc_id, c FROM g$i
+         |  ORDER BY c DESC, doc_id LIMIT 1),
+         |cov$i AS (SELECT s FROM $prev JOIN b$i USING (doc_id)),
+         |rem$i AS MATERIALIZED (
+         |  SELECT r.* FROM $prev r ANTI JOIN cov$i ON cov$i.s = r.s)"""
+        .stripMargin
+    }.mkString(",\n")
+    GQuery("q286_greedy_coverage",
+      s"""WITH $shingleCtes,
+         |$ladder,
+         |pk AS (
+         |  ${(1 to K).map(i => s"SELECT * FROM b$i")
+              .mkString("\n  UNION ALL ")})
+         |SELECT step, doc_id AS id, c AS gain,
+         |  CAST(sum(c) OVER (ORDER BY step ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS covered_total
+         |FROM pk ORDER BY step""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.greedyMaxCoverage(
+          graft.operators.Dedup
+            .shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+            .select(col("id"), explode(col("shset")).as("s")),
+          "id", "s", k = K)
+        .orderBy(col("step"))
+    }
+  }
+
   /** Graph DBSCAN over the q24 near-dup pair graph (see
     * [[graft.operators.GraphOps.dbscan]], minPts = 2): density
     * clustering of the duplicate population — core docs sit in dense
@@ -1939,5 +2047,5 @@ object DedupQueries {
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
-      q258, q261, q262, q265, q266, q278, q283, q284)
+      q258, q261, q262, q265, q266, q278, q283, q284, q286, q290)
 }

@@ -1327,8 +1327,354 @@ object ProfilingQueries {
       .orderBy(col("u").desc)
   }
 
+  /** Wald SPRT over the purchase-vs-click trial stream (see
+    * [[graft.operators.EventOps.sprtBinary]]): sequential monitoring
+    * of "is the conversion rate 0.5 (H1) or 0.4 (H0)" with α = β =
+    * 0.05 — the increments and bounds are 1e-6-grid constants spliced
+    * into BOTH engines, so the whole walk is integer arithmetic. The
+    * oracle replays the ordered cumulative, the linear LLR, the
+    * first-crossing argmin, and the decision rule. */
+  val q289 = {
+    val A6 = math.round(1e6 * math.log(0.5 / 0.4))   // success increment
+    val B6 = math.round(1e6 * math.log(0.5 / 0.6))   // failure increment
+    val Up6 = math.round(1e6 * math.log(0.95 / 0.05))
+    val Lo6 = -Up6
+    GQuery("q289_sprt",
+      s"""WITH t AS (
+         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (
+         |  SELECT CAST(sum(s) OVER w AS BIGINT) AS k,
+         |    CAST(row_number() OVER w AS BIGINT) AS n
+         |  FROM t WINDOW w AS (ORDER BY sec, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |l AS (SELECT n, k, k * $A6 + (n - k) * $B6 AS llr6 FROM c),
+         |x AS (SELECT min(n) AS n_dec FROM l
+         |      WHERE llr6 >= $Up6 OR llr6 <= $Lo6),
+         |tot AS (
+         |  SELECT CAST(max(n) AS BIGINT) AS n_total,
+         |    CAST(max(k) AS BIGINT) AS k_total,
+         |    CAST(arg_max(llr6, n) AS BIGINT) AS llr6_final
+         |  FROM l),
+         |d AS (
+         |  SELECT l.n AS n_at_decision, l.llr6 AS llr6_at_decision
+         |  FROM l JOIN x ON l.n = x.n_dec)
+         |SELECT n_total, k_total, llr6_final, n_at_decision,
+         |  CASE WHEN llr6_at_decision >= $Up6 THEN 'accept_h1'
+         |       WHEN llr6_at_decision <= $Lo6 THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM tot LEFT JOIN d ON true""".stripMargin) { (s, dir) =>
+      graft.operators.EventOps.sprtBinary(
+        Tables.events(s, dir)
+          .where(col("event_type").isin("purchase", "click")),
+        "ts", "event_id", col("event_type") === "purchase",
+        A6, B6, Up6, Lo6)
+    }
+  }
+
+  /** Difference-in-differences on purchase value (see
+    * [[graft.operators.Profiling.didEstimate]]): md5-coin arms × a
+    * pre/post split at the corpus's middle day — the causal readout
+    * that cancels arm level differences and the shared time trend; on
+    * a hash coin it doubles as a perpetual A/A check (did4 should
+    * hover near 0). The oracle replays the arm assignment, the
+    * midpoint, the eight cell integers, and the one estimate
+    * expression. */
+  val q291 = GQuery("q291_diff_in_diff",
+    """WITH a AS (
+      |  SELECT user_id,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |dd AS (
+      |  SELECT CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS mn,
+      |    CAST(max(floor(epoch(ts) / 86400)) AS BIGINT) AS mx
+      |  FROM events),
+      |m AS (
+      |  SELECT a.variant,
+      |    CAST(floor(epoch(e.ts) / 86400) AS BIGINT)
+      |      >= CAST(floor((mn + mx + 1) / 2) AS BIGINT) AS post,
+      |    CAST(round(e.value * 100) AS BIGINT) AS v2
+      |  FROM events e JOIN a USING (user_id) CROSS JOIN dd
+      |  WHERE e.event_type = 'purchase')
+      |SELECT
+      |  CAST(sum(CASE WHEN variant = 0 AND NOT post THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_c_pre,
+      |  CAST(sum(CASE WHEN variant = 0 AND post THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_c_post,
+      |  CAST(sum(CASE WHEN variant = 1 AND NOT post THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_t_pre,
+      |  CAST(sum(CASE WHEN variant = 1 AND post THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_t_post,
+      |  CAST(round(1e4 * sum(CASE WHEN variant = 0 AND NOT post THEN v2
+      |      ELSE 0 END)
+      |    / sum(CASE WHEN variant = 0 AND NOT post THEN 1 ELSE 0 END))
+      |    AS BIGINT) AS mean_c_pre4,
+      |  CAST(round(1e4 * sum(CASE WHEN variant = 0 AND post THEN v2
+      |      ELSE 0 END)
+      |    / sum(CASE WHEN variant = 0 AND post THEN 1 ELSE 0 END))
+      |    AS BIGINT) AS mean_c_post4,
+      |  CAST(round(1e4 * sum(CASE WHEN variant = 1 AND NOT post THEN v2
+      |      ELSE 0 END)
+      |    / sum(CASE WHEN variant = 1 AND NOT post THEN 1 ELSE 0 END))
+      |    AS BIGINT) AS mean_t_pre4,
+      |  CAST(round(1e4 * sum(CASE WHEN variant = 1 AND post THEN v2
+      |      ELSE 0 END)
+      |    / sum(CASE WHEN variant = 1 AND post THEN 1 ELSE 0 END))
+      |    AS BIGINT) AS mean_t_post4,
+      |  CAST(round(1e4 * ((CAST(sum(CASE WHEN variant = 1 AND post
+      |        THEN v2 ELSE 0 END) AS DOUBLE)
+      |      / sum(CASE WHEN variant = 1 AND post THEN 1 ELSE 0 END)
+      |    - CAST(sum(CASE WHEN variant = 1 AND NOT post THEN v2 ELSE 0
+      |        END) AS DOUBLE)
+      |      / sum(CASE WHEN variant = 1 AND NOT post THEN 1 ELSE 0 END))
+      |    - (CAST(sum(CASE WHEN variant = 0 AND post THEN v2 ELSE 0 END)
+      |        AS DOUBLE)
+      |      / sum(CASE WHEN variant = 0 AND post THEN 1 ELSE 0 END)
+      |    - CAST(sum(CASE WHEN variant = 0 AND NOT post THEN v2 ELSE 0
+      |        END) AS DOUBLE)
+      |      / sum(CASE WHEN variant = 0 AND NOT post THEN 1 ELSE 0
+      |        END)))) AS BIGINT) AS did4
+      |FROM m""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val assign = ev.select(col("user_id")).distinct()
+      .withColumn("variant",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+          16, 10).cast("long"), lit(2L)))
+    val dd = ev.agg(
+      min(floor(unix_timestamp(col("ts")) / 86400L)).as("mn"),
+      max(floor(unix_timestamp(col("ts")) / 86400L)).as("mx"))
+    val m = ev.where(col("event_type") === "purchase")
+      .join(assign, "user_id")
+      .crossJoin(broadcast(dd))
+      .select(col("variant"),
+        (floor(unix_timestamp(col("ts")) / 86400L)
+          >= floor((col("mn") + col("mx") + lit(1L)) / 2L)).as("post"),
+        round(col("value") * 100).cast("long").as("v2"))
+    Profiling.didEstimate(m, "variant", "post", "v2")
+  }
+
+  /** CUPED-adjusted experiment readout (see
+    * [[graft.operators.Profiling.cuped]]): per user, x = pre-period
+    * purchase cents and y = post-period purchase cents (the q291
+    * midpoint split); θ from pooled exact moments; per-variant
+    * adjusted means plus the variance-reduction factor ρ². The oracle
+    * replays the per-user conditional sums, the 128-bit moment
+    * integers, θ, and both grid outputs. */
+  val q292 = GQuery("q292_cuped",
+    """WITH a AS (
+      |  SELECT user_id,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |dd AS (
+      |  SELECT CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS mn,
+      |    CAST(max(floor(epoch(ts) / 86400)) AS BIGINT) AS mx
+      |  FROM events),
+      |xy AS (
+      |  SELECT a.variant,
+      |    CAST(COALESCE(sum(CASE WHEN e.event_type = 'purchase'
+      |      AND CAST(floor(epoch(e.ts) / 86400) AS BIGINT)
+      |        < CAST(floor((mn + mx + 1) / 2) AS BIGINT)
+      |      THEN CAST(round(e.value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |      AS x,
+      |    CAST(COALESCE(sum(CASE WHEN e.event_type = 'purchase'
+      |      AND CAST(floor(epoch(e.ts) / 86400) AS BIGINT)
+      |        >= CAST(floor((mn + mx + 1) / 2) AS BIGINT)
+      |      THEN CAST(round(e.value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |      AS y
+      |  FROM events e JOIN a USING (user_id) CROSS JOIN dd
+      |  GROUP BY e.user_id, a.variant),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM xy),
+      |gg AS (
+      |  SELECT n,
+      |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS covn,
+      |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS varxn,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS varyn,
+      |    CAST(sx AS DOUBLE) / n AS mx
+      |  FROM g),
+      |v AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS vsx, CAST(sum(y) AS BIGINT) AS vsy
+      |  FROM xy GROUP BY 1)
+      |SELECT v.variant, v.n,
+      |  CAST(round(1e4 * CAST(vsy AS DOUBLE) / v.n) AS BIGINT)
+      |    AS mean_y4,
+      |  CAST(round(1e4 * (CAST(vsy AS DOUBLE) / v.n
+      |    - (covn / varxn) * (CAST(vsx AS DOUBLE) / v.n - gg.mx)))
+      |    AS BIGINT) AS mean_adj4,
+      |  CAST(round(1e4 * covn / varxn) AS BIGINT) AS theta4,
+      |  CAST(round(1e4 * covn * covn / (varxn * varyn)) AS BIGINT)
+      |    AS var_reduction4
+      |FROM v CROSS JOIN gg ORDER BY v.variant""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val assign = ev.select(col("user_id")).distinct()
+      .withColumn("variant",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+          16, 10).cast("long"), lit(2L)))
+    val dd = ev.agg(
+      min(floor(unix_timestamp(col("ts")) / 86400L)).as("mn"),
+      max(floor(unix_timestamp(col("ts")) / 86400L)).as("mx"))
+    val xy = ev.join(assign, "user_id")
+      .crossJoin(broadcast(dd))
+      .withColumn("day", floor(unix_timestamp(col("ts")) / 86400L))
+      .withColumn("mid", floor((col("mn") + col("mx") + lit(1L)) / 2L))
+      .groupBy(col("user_id"), col("variant"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase"
+          && col("day") < col("mid"),
+          round(col("value") * 100).cast("long"))), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase"
+          && col("day") >= col("mid"),
+          round(col("value") * 100).cast("long"))), lit(0L)).as("y"))
+    Profiling.cuped(xy, "variant", "x", "y").orderBy(col("variant"))
+  }
+
+  /** Weight-of-evidence / information value of the event value as a
+    * purchase predictor (see [[graft.operators.Profiling.woeIv]],
+    * quartile bins): the credit-scoring univariate screen — per
+    * equal-frequency value bin, how the purchase/non-purchase odds
+    * shift, and the additive IV. The oracle replays the cell spine,
+    * the endpoint bin rule, the add-half smoothing, and both
+    * grid-snapped ln outputs. */
+  val q295 = GQuery("q295_woe_iv",
+    """WITH cells AS (
+      |  SELECT CAST(round("value" * 1e4) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS p
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |cc AS (
+      |  SELECT v, n, p,
+      |    CAST(sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS hi
+      |  FROM cells),
+      |tot AS (SELECT CAST(max(hi) AS BIGINT) AS nn FROM cc),
+      |bd AS (
+      |  SELECT CAST(floor((2 * hi - n - 1) * 4 / (2 * nn)) AS BIGINT)
+      |      + 1 AS bin,
+      |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos
+      |  FROM cc CROSS JOIN tot GROUP BY 1),
+      |gt AS (
+      |  SELECT CAST(sum(n_pos) AS DOUBLE) + 0.5 * 4 AS gs_tot,
+      |    CAST(sum(n - n_pos) AS DOUBLE) + 0.5 * 4 AS bs_tot
+      |  FROM bd),
+      |sh AS (
+      |  SELECT bin, n, n_pos,
+      |    (CAST(n_pos AS DOUBLE) + 0.5) / gs_tot AS gsh,
+      |    (CAST(n - n_pos AS DOUBLE) + 0.5) / bs_tot AS bsh
+      |  FROM bd CROSS JOIN gt)
+      |SELECT bin, n, n_pos,
+      |  CAST(round(1e4 * ln(gsh / bsh)) AS BIGINT) AS woe4,
+      |  CAST(round(1e6 * (gsh - bsh) * ln(gsh / bsh)) AS BIGINT)
+      |    AS iv_part6
+      |FROM sh ORDER BY bin""".stripMargin) { (s, dir) =>
+    Profiling.woeIv(
+        Tables.events(s, dir).where(col("value").isNotNull)
+          .select(round(col("value") * 1e4).cast("long").as("v"),
+            (col("event_type") === "purchase").as("y")),
+        "v", "y", bins = 4)
+      .orderBy(col("bin"))
+  }
+
+  /** HITS hubs and authorities over the customer→supplier purchase
+    * graph (see [[graft.operators.GraphOps.hits]]): broad-basket
+    * customers (hubs) vs widely-bought suppliers (authorities), two
+    * signals one PageRank cannot split. Every half-step renormalizes
+    * by the max on the 1e-6 grid with round-half-up INTEGER division,
+    * so the oracle's chained-CTE ladder replays the whole iteration
+    * bit-identically. */
+  val q297 = {
+    val Iters = 3
+    def iterCtes(i: Int): String = {
+      val ph = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS (
+         |  SELECT e.dst AS id, CAST(sum($ph.s) AS BIGINT) AS sr
+         |  FROM e JOIN $ph ON $ph.id = e.src GROUP BY e.dst),
+         |am$i AS (SELECT max(sr) AS mx FROM ar$i),
+         |a$i AS (
+         |  SELECT id, CAST((2000000 * sr + mx) // (2 * mx) AS BIGINT)
+         |    AS s
+         |  FROM ar$i CROSS JOIN am$i),
+         |hr$i AS (
+         |  SELECT e.src AS id, CAST(sum(a$i.s) AS BIGINT) AS sr
+         |  FROM e JOIN a$i ON a$i.id = e.dst GROUP BY e.src),
+         |hm$i AS (SELECT max(sr) AS mx FROM hr$i),
+         |h$i AS (
+         |  SELECT id, CAST((2000000 * sr + mx) // (2 * mx) AS BIGINT)
+         |    AS s
+         |  FROM hr$i CROSS JOIN hm$i)""".stripMargin
+    }
+    GQuery("q297_hits",
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |h0 AS (
+         |  SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS s
+         |  FROM e),
+         |${(1 to Iters).map(iterCtes).mkString(",\n")}
+         |SELECT id, kind, score6 FROM (
+         |  SELECT id, 'hub' AS kind, s AS score6 FROM h$Iters
+         |  UNION ALL
+         |  SELECT id, 'auth', s FROM a$Iters)
+         |ORDER BY kind, score6 DESC, id""".stripMargin) { (s, dir) =>
+      val e = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.GraphOps.hits(e, iters = Iters)
+        .orderBy(col("kind"), col("score6").desc, col("id"))
+    }
+  }
+
+  /** Quantile normalization of document lengths across sources (see
+    * [[graft.operators.Profiling.quantileNormalize]]): each doc's
+    * n_chars is replaced by the CORPUS length at the equivalent
+    * within-source rank, giving every source the same marginal
+    * distribution — the cross-feed calibration move. The oracle
+    * replays the within-source ranks, the corpus value spine with
+    * cumulative bounds, the ⌈r·N/m⌉ target rank, and the range
+    * lookup. */
+  val q287 = GQuery("q287_quantile_normalize",
+    """WITH rk AS (
+      |  SELECT doc_id, source AS grp, n_chars AS v,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+      |  FROM documents),
+      |sp AS (
+      |  SELECT n_chars AS sv, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1),
+      |cm AS (
+      |  SELECT sv,
+      |    CAST(sum(c) OVER (ORDER BY sv ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS hi,
+      |    CAST(sum(c) OVER (ORDER BY sv ROWS UNBOUNDED PRECEDING) - c
+      |      AS BIGINT) AS lo
+      |  FROM sp),
+      |tot AS (SELECT CAST(max(hi) AS BIGINT) AS nn FROM cm)
+      |SELECT doc_id, grp, v, cm.sv AS qnorm
+      |FROM (
+      |  SELECT doc_id, grp, v,
+      |    CAST(floor((r * nn + m - 1) / m) AS BIGINT) AS rq
+      |  FROM rk CROSS JOIN tot) tq
+      |JOIN cm ON rq > lo AND rq <= hi
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Profiling.quantileNormalize(Tables.documents(s, dir),
+        "source", "n_chars", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
       q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
-      q270, q273, q274, q275, q276, q279, q285)
+      q270, q273, q274, q275, q276, q279, q285, q287, q289, q291, q292,
+      q295, q297)
 }

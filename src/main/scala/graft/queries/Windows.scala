@@ -1664,6 +1664,192 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user daily series with calendar gap fill (see
+    * [[graft.operators.EventOps.gapFillLocf]]): every day in each
+    * user's active span materialized, missing days carried forward
+    * from the last observed daily total — the sparse-log-to-dense-
+    * series transform. The oracle replays the per-key generate_series
+    * spine, the left join, and the IGNORE NULLS forward fill. */
+  val q293 = GQuery("q293_gap_fill_locf",
+    """WITH daily AS (
+      |  SELECT user_id AS k, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      |      AS d,
+      |    CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+      |      AS day_total,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT k, unnest(generate_series(min(d), max(d))) AS d
+      |  FROM daily GROUP BY k),
+      |j AS (
+      |  SELECT sp.k, sp.d, daily.n_events, daily.day_total
+      |  FROM sp LEFT JOIN daily ON daily.k = sp.k AND daily.d = sp.d)
+      |SELECT k AS user_id, d, COALESCE(n_events, 0) AS n_events,
+      |  day_total,
+      |  last_value(day_total IGNORE NULLS) OVER (PARTITION BY k
+      |    ORDER BY d ROWS UNBOUNDED PRECEDING) AS filled_total,
+      |  (day_total IS NULL) AS is_gap
+      |FROM j ORDER BY user_id, d""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.gapFillLocf(Tables.events(s, dir),
+        "user_id", "ts", "value")
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  /** Relational division — "customers who ordered at EVERY priority":
+    * the classic FOR ALL query (suppliers stocking every part,
+    * students passing every course) that SQL lacks an operator for;
+    * the census form (count distinct per customer == corpus-wide
+    * count distinct) is its standard reduction, and every piece is an
+    * ordinary keyed aggregate. Selective on this data (roughly half
+    * the customers cover all five priorities). */
+  val q294 = GQuery("q294_relational_division",
+    """WITH t AS (
+      |  SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nt
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_custkey,
+      |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS k
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, k AS n_priorities FROM u CROSS JOIN t
+      |WHERE k = nt ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val t = o.agg(countDistinct(col("o_orderpriority")).as("nt"))
+    o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .crossJoin(broadcast(t))
+      .where(col("n_priorities") === col("nt"))
+      .select(col("o_custkey"), col("n_priorities"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Daily TWAP per event type (see
+    * [[graft.operators.EventOps.twap]]): time-weighted average of the
+    * value polyline within each (event_type, day) — the
+    * irregular-sampling-fair mean where a plain average over-weights
+    * bursts. The oracle replays the cents grid, the per-bucket lead,
+    * the 128-bit trapezoid sum, the shared IEEE division, and the
+    * single-event fallback. */
+  val q288 = GQuery("q288_daily_twap",
+    """WITH r AS (
+      |  SELECT event_type AS grp, CAST(floor(epoch(ts)) AS BIGINT)
+      |      AS sec,
+      |    event_id, CAST(round("value" * 100) AS BIGINT) AS c,
+      |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS bkt
+      |  FROM events),
+      |l AS (
+      |  SELECT grp, bkt, sec, c, lead(sec) OVER w AS ns,
+      |    lead(c) OVER w AS nc
+      |  FROM r WINDOW w AS (PARTITION BY grp, bkt ORDER BY sec, event_id)),
+      |f AS (
+      |  SELECT grp, bkt, c AS c0 FROM (
+      |    SELECT grp, bkt, c, row_number() OVER (PARTITION BY grp, bkt
+      |      ORDER BY sec, event_id) AS rn FROM r)
+      |  WHERE rn = 1),
+      |a AS (
+      |  SELECT grp, bkt, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(max(sec) - min(sec) AS BIGINT) AS span_s,
+      |    CAST(sum(CASE WHEN ns IS NOT NULL
+      |      THEN CAST((c + nc) * (ns - sec) AS HUGEINT)
+      |      ELSE 0 END) AS HUGEINT) AS a2
+      |  FROM l GROUP BY 1, 2)
+      |SELECT a.grp AS event_type, a.bkt AS bkt, n_events, span_s,
+      |  CASE WHEN span_s = 0 THEN c0
+      |    ELSE CAST(floor((2 * CAST(a2 AS BIGINT) + 2 * span_s)
+      |      / (4 * span_s)) AS BIGINT) END AS twap2
+      |FROM a JOIN f ON f.grp = a.grp AND f.bkt = a.bkt
+      |ORDER BY event_type, bkt""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.twap(Tables.events(s, dir), "event_type",
+        "ts", "event_id", "value", bucketSeconds = 86400L)
+      .select(col("grp").as("event_type"), col("bkt"), col("n_events"),
+        col("span_s"), col("twap2"))
+      .orderBy(col("event_type"), col("bkt"))
+  }
+
+  /** Log-rank comparison of repeat-purchase survival between the
+    * md5-coin arms (see [[graft.operators.EventOps.logRank]]): are
+    * the two arms' time-to-next-purchase curves the same — the
+    * significance test q280's estimator needs, and on a hash coin a
+    * perpetual A/A check (|z4| should stay small). The oracle replays
+    * the per-arm lives, the pooled event-time spine, the risk-set
+    * cumulatives, both per-time grid terms, and the final z. */
+  val q296 = GQuery("q296_log_rank",
+    """WITH ph AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+      |    event_id,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) % 2 AS grp
+      |  FROM events WHERE event_type = 'purchase'),
+      |eh AS (
+      |  SELECT CAST(max(floor(epoch(ts) / 3600)) AS BIGINT) AS e
+      |  FROM events),
+      |lv AS (
+      |  SELECT grp,
+      |    COALESCE(lead(h) OVER w - h, e - h) AS t,
+      |    CASE WHEN lead(h) OVER w IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM ph CROSS JOIN eh
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY h, event_id)),
+      |cells AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+      |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+      |    CAST(sum(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT)
+      |      AS d1,
+      |    CAST(sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT)
+      |      AS d2
+      |  FROM lv GROUP BY t),
+      |sp AS (
+      |  SELECT t, m1, m2, d1, d2,
+      |    COALESCE(CAST(sum(m1) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS b1,
+      |    COALESCE(CAST(sum(m2) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS b2
+      |  FROM cells),
+      |tot AS (
+      |  SELECT CAST(sum(m1) AS BIGINT) AS na,
+      |    CAST(sum(m2) AS BIGINT) AS nb
+      |  FROM cells),
+      |pt AS (
+      |  SELECT na, nb,
+      |    CAST(round(1e6 * (d1 - CAST(d1 + d2 AS DOUBLE) * (na - b1)
+      |      / ((na - b1) + (nb - b2)))) AS BIGINT) AS ome6,
+      |    CAST(round(1e6 * CAST(d1 + d2 AS DOUBLE)
+      |      * (CAST(na - b1 AS DOUBLE) / ((na - b1) + (nb - b2)))
+      |      * (CAST(nb - b2 AS DOUBLE) / ((na - b1) + (nb - b2)))
+      |      * ((na - b1) + (nb - b2) - (d1 + d2))
+      |      / ((na - b1) + (nb - b2) - 1)) AS BIGINT) AS v6
+      |  FROM sp CROSS JOIN tot
+      |  WHERE d1 + d2 > 0 AND (na - b1) + (nb - b2) > 1)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(count(*) AS BIGINT) AS n_event_times,
+      |  CAST(sum(ome6) AS BIGINT) AS o_minus_e6,
+      |  CAST(sum(v6) AS BIGINT) AS var6,
+      |  CASE WHEN sum(v6) > 0
+      |    THEN CAST(round(1e4 * (CAST(sum(ome6) AS DOUBLE) / 1e6)
+      |      / sqrt(CAST(sum(v6) AS DOUBLE) / 1e6)) AS BIGINT)
+      |    ELSE 0 END AS z4
+      |FROM pt GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val ph = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"), col("event_id"))
+      .withColumn("grp",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+          16, 10).cast("long"), lit(2L)).cast("string"))
+    val endH = ev
+      .agg(max(floor(unix_timestamp(col("ts")) / 3600L)).as("eh"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("h"), col("event_id"))
+    val lives = ph.withColumn("nh", lead(col("h"), 1).over(w))
+      .crossJoin(broadcast(endH))
+      .select(col("grp"),
+        when(col("nh").isNotNull, col("nh") - col("h"))
+          .otherwise(col("eh") - col("h")).as("t"),
+        col("nh").isNotNull.cast("long").as("ev"))
+    graft.operators.EventOps.logRank(lives, "t", "ev", "grp", "0", "1")
+  }
+
   /** Per-user busy-time coverage (see
     * [[graft.operators.EventOps.intervalCoverage]]): each event
     * occupies [ts, ts + ⌊value⌋] seconds; overlapping or touching
@@ -1708,5 +1894,6 @@ object Windows {
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
-      q235, q240, q244, q247, q264, q277, q280, q282)
+      q235, q240, q244, q247, q264, q277, q280, q282, q288, q293, q294,
+      q296)
 }

@@ -2016,4 +2016,54 @@ object Pipelines {
         .select(lit("__all__").as("grp"), col("s4"), col("n")), qs)
     perKey.unionAll(overall)
   }
+
+  /** Streaming 2-D skyline (Pareto-front) store: each micro-batch is
+    * reduced to (u, t) cells, every cell STRICTLY dominated by the
+    * already-stored front is dropped — dominance is monotone under
+    * inserts (cells are only ever added), so a dominated cell can
+    * never re-enter any future front and the drop is safe forever —
+    * and the survivors append batch-stamped. Equal cells are NOT
+    * dominated (strictness on one axis), so a front cell recurring in
+    * a later batch appends again and its counts accumulate at read.
+    *
+    * Scale: per-batch work is one batch census + one anti-join
+    * against the broadcast stored front; the store grows with front
+    * CANDIDATES (cells undominated at append time), not with distinct
+    * cells ingested. Redelivered batches re-append identical rows;
+    * [[skylineReport]] absorbs them. */
+  def skylineIngestStream(maxCol: String, minCol: String,
+                          storePath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val cells = batch.select(col(maxCol).as("u"), col(minCol).as("t"))
+        .groupBy("u", "t").agg(count(lit(1)).as("n"))
+      val pruned =
+        if (!storeExists(spark, storePath)) cells
+        else {
+          val front = graft.operators.Profiling.skylineOfCells(
+            spark.read.parquet(storePath)
+              .groupBy("u", "t").agg(count(lit(1)).as("n_rows")))
+          cells.join(
+            broadcast(front.select(col("u").as("fu"), col("t").as("ft"))),
+            col("fu") >= col("u") && col("ft") <= col("t")
+              && (col("fu") > col("u") || col("ft") < col("t")),
+            "left_anti")
+        }
+      pruned.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(storePath)
+      ()
+    }
+
+  /** The live Pareto front of a [[skylineIngestStream]] store:
+    * replay-absorb (one row per (batch_id, u, t) survives — a
+    * redelivered batch wrote bit-identical rows), sum each cell's
+    * count across batches, then the q285 sweep. Equals the batch
+    * [[graft.operators.Profiling.skyline2d]] over everything ever
+    * ingested (spec-asserted). */
+  def skylineReport(spark: org.apache.spark.sql.SparkSession,
+                    storePath: String): DataFrame =
+    graft.operators.Profiling.skylineOfCells(
+      spark.read.parquet(storePath)
+        .groupBy("batch_id", "u", "t").agg(max(col("n")).as("n"))
+        .groupBy("u", "t").agg(sum(col("n")).as("n_rows")))
 }

@@ -246,4 +246,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(dot.abs < BigInt("20000000000"),
       s"components not orthogonal: dot = $dot")
   }
+
+  test("greedyMaxCoverage: marginal gain re-scoring, id tie-break, early stop") {
+    // d1{a,b,c,d} d2{c,d,e} d3{e,f} d4{a,b}: greedy picks d1 (4), then
+    // d3 (marginal 2 — d2's raw size 3 shrinks to 1 after d1); after
+    // d1+d3 nothing is uncovered → the chain stops at 2 picks even at
+    // k = 3 (a one-shot size top-k would have picked d2 second)
+    val elems = Seq(
+      1L -> "a", 1L -> "b", 1L -> "c", 1L -> "d",
+      2L -> "c", 2L -> "d", 2L -> "e",
+      3L -> "e", 3L -> "f",
+      4L -> "a", 4L -> "b").toDF("id", "s")
+    val out = Sampling.greedyMaxCoverage(elems, "id", "s", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 4L, 4L), (2L, 3L, 2L, 6L)))
+    // identical sets: the smaller id wins the tie, the loser adds zero
+    val tie = Seq(7L -> "x", 5L -> "x").toDF("id", "s")
+    assert(Sampling.greedyMaxCoverage(tie, "id", "s", k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      === Seq((1L, 5L, 1L, 1L)))
+  }
 }

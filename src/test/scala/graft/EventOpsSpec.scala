@@ -318,6 +318,99 @@ class EventOpsSpec extends SparkSpec {
       "s" -> ((2L, 2L, 4L, 4L))))
   }
 
+  test("logRank: hand-computed O−E and variance; identical groups → z = 0") {
+    import graft.operators.EventOps
+    // A: (1,ev)(2,cens)(3,ev); B: (1,ev)(3,ev)(3,cens)
+    // t=1: n 3v3, d 1+1 → O−E 0, V = 2·¼·(4/5) = .4
+    // t=2: censored only → no term, but A's risk set shrinks
+    // t=3: n1=1 n2=2, d=2 → O−E = 1−2/3 = ⅓ → 333333; V = 2/9 → 222222
+    // z = .333333/√.622222 → 4226 on the 1e4 grid
+    val lives = Seq(("a", 1L, 1L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("b", 1L, 1L), ("b", 3L, 1L), ("b", 3L, 0L)).toDF("g", "t", "ev")
+    val out = EventOps.logRank(lives, "t", "ev", "g", "a", "b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((3L, 3L, 2L, 333333L, 622222L, 4226L)))
+    // the same durations in both groups → every O−E term is zero
+    val same = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("b", 1L, 1L),
+      ("b", 2L, 1L)).toDF("g", "t", "ev")
+    val z = EventOps.logRank(same, "t", "ev", "g", "a", "b")
+      .select("o_minus_e6", "z4").as[(Long, Long)].collect().head
+    assert(z === ((0L, 0L)))
+  }
+
+  test("gapFillLocf: per-key spine, carried totals, gap flags") {
+    import graft.operators.EventOps
+    // u: day 10 (two events, 100+200 cents) … day 13 (50 cents):
+    // days 11/12 materialize as gaps carrying 300
+    // w: single day → one row, no gaps (spine is per KEY, not global)
+    def at(day: Long, off: Long) = new Timestamp((day * 86400 + off) * 1000L)
+    val ev = Seq(
+      ("u", at(10, 1), 1L, 1.00), ("u", at(10, 2), 2L, 2.00),
+      ("u", at(13, 3), 3L, 0.50),
+      ("w", at(20, 4), 4L, 9.00)).toDF("k", "ts", "event_id", "v")
+    val out = EventOps.gapFillLocf(ev, "k", "ts", "v")
+      .as[(String, Long, Long, Option[Long], Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out === Map(
+      ("u", 10L) -> ((2L, Some(300L), 300L, false)),
+      ("u", 11L) -> ((0L, None, 300L, true)),
+      ("u", 12L) -> ((0L, None, 300L, true)),
+      ("u", 13L) -> ((1L, Some(50L), 50L, false)),
+      ("w", 20L) -> ((1L, Some(900L), 900L, false))))
+  }
+
+  test("sprtBinary: first crossing each way, continue case, bucketed cumulative") {
+    import graft.operators.EventOps
+    // synthetic grid: +100 per success, −100 per failure, bounds ±250
+    def run(flags: Seq[Boolean], bucket: Long = 10L) = {
+      val rows = flags.zipWithIndex.map { case (f, i) =>
+        (new Timestamp(i * 5000L + (i / 2) * 10000L), i.toLong, f)
+      }.toDF("ts", "event_id", "ok")
+      EventOps.sprtBinary(rows, "ts", "event_id", col("ok"),
+          a6 = 100L, b6 = -100L, up6 = 250L, lo6 = -250L,
+          bucketSeconds = bucket)
+        .as[(Long, Long, Long, Option[Long], String)].collect().head
+    }
+    // S S S F: crosses +250 at n=3 (llr 300); final llr back to 200.
+    // bucketSeconds = 10 splits the 4 trials across buckets, so the
+    // two-phase offsets are load-bearing, not decorative
+    assert(run(Seq(true, true, true, false)) ===
+      ((4L, 3L, 200L, Some(3L), "accept_h1")))
+    // F F F: crosses −250 at n=3
+    assert(run(Seq(false, false, false)) ===
+      ((3L, 0L, -300L, Some(3L), "accept_h0")))
+    // S F S F: oscillates inside the bounds → continue, no decision n
+    assert(run(Seq(true, false, true, false)) ===
+      ((4L, 2L, 0L, None, "continue")))
+  }
+
+  test("twap: trapezoid weighting, half-up rounding, span-0 fallback, bucket split") {
+    import graft.operators.EventOps
+    def ev(grp: String, sec: Long, id: Long, v: Double) =
+      (grp, new Timestamp(sec * 1000L), id, v)
+    // g: (0s,1.00)(10s,3.00)(30s,1.00) → 2A = 400·10 + 400·20 = 12000,
+    //    span 30 → 12000/60 = 200 cents — the long middle plateau wins
+    //    (the plain mean of cents is 167)
+    // h: (0s,1.00)(1s,1.01) → 201/2 = 100.5 → half-up → 101
+    // i: single event → twap = its own cents
+    // j: 86399s vs 86401s → DIFFERENT day buckets, both span-0
+    val rows = Seq(
+      ev("g", 0, 1, 1.00), ev("g", 10, 2, 3.00), ev("g", 30, 3, 1.00),
+      ev("h", 0, 4, 1.00), ev("h", 1, 5, 1.01),
+      ev("i", 40, 6, 2.50),
+      ev("j", 86399, 7, 9.00), ev("j", 86401, 8, 4.00))
+      .toDF("grp", "ts", "event_id", "v")
+    val out = EventOps.twap(rows, "grp", "ts", "event_id", "v")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      ("g", 0L) -> ((3L, 30L, 200L)),
+      ("h", 0L) -> ((2L, 1L, 101L)),
+      ("i", 0L) -> ((1L, 0L, 250L)),
+      ("j", 0L) -> ((1L, 0L, 900L)),
+      ("j", 1L) -> ((1L, 0L, 400L))))
+  }
+
   test("clampedBalance: floor resets the fold; windowed cumsum can't") {
     import graft.operators.EventOps
     // u: +5 −8 +3 −1 −4 +7 → bal 5,0,3,2,0,7: final 7, 2 clamps, max 7

@@ -162,6 +162,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(p4(1L) === 0.0 && p4(2L) === 0.0 && p4(3L) === 0.0)
   }
 
+  test("hits: integer max-norm iterations separate hubs from authorities") {
+    import graft.operators.GraphOps
+    // c1 → {s1, s2}, c2 → {s1}: s1 is the stronger authority (two
+    // hubs point at it), c1 the stronger hub (points at both). Three
+    // grid iterations, hand-walked: a₃(s2) = round(1e6·1e6/1625000)
+    // = 615385; h₃(c2) = round(1e6·1e6/1615385) = 619047.
+    val e = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+      .toDF("src", "dst")
+    val out = GraphOps.hits(e, iters = 3)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._2, r._1) -> r._3).toMap
+    assert(out === Map(
+      ("hub", "c1") -> 1000000L, ("hub", "c2") -> 619047L,
+      ("auth", "s1") -> 1000000L, ("auth", "s2") -> 615385L))
+    // symmetric graph: everyone maxes out
+    val sym = Seq(("x", "u"), ("y", "v")).toDF("src", "dst")
+    assert(GraphOps.hits(sym, iters = 2)
+      .select("score6").as[Long].collect().forall(_ === 1000000L))
+  }
+
   test("dbscan: core/border/noise split; isolated pair is noise, not a cluster") {
     import graft.operators.GraphOps
     // triangle a-b-c (all deg ≥ 2 → core, rep a) + pendant d (border)

@@ -367,6 +367,73 @@ class ProfilingSpec extends SparkSpec {
     assert(one.as[(Long, Long, Long)].collect().toSeq === Seq((1L, 1L, 1L)))
   }
 
+  test("woeIv: separating bins get symmetric WOE; midpoint rule keeps tied cells") {
+    // v = 1..8 one row each, label true iff v ≥ 5, 4 bins → two rows
+    // per bin; bins 1-2 all-negative, 3-4 all-positive. Smoothed
+    // shares .5/6 vs 2.5/6 → ln(1/5) = ∓16094 on the 1e4 grid;
+    // iv_part = (1/3)·ln 5 → 536479 on the 1e6 grid, same all bins.
+    val rows = (1L to 8L).map(v => (v, v >= 5L)).toDF("v", "y")
+    val out = Profiling.woeIv(rows, "v", "y", bins = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, 0L, -16094L, 536479L), (2L, 2L, 0L, -16094L, 536479L),
+      (3L, 2L, 2L, 16094L, 536479L), (4L, 2L, 2L, 16094L, 536479L)))
+    // a heavy tied cell straddling the boundary: v=1 ×5 then v=2 ×3,
+    // 2 bins — the MIDPOINT rule bins the big cell where most of it
+    // lives (bin 1); the endpoint rule would strand bin 1 empty
+    val ties = (Seq.fill(5)((1L, false)) ++ Seq.fill(3)((2L, true)))
+      .toDF("v", "y")
+    val b = Profiling.woeIv(ties, "v", "y", bins = 2)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(b === Map(1L -> 5L, 2L -> 3L))
+  }
+
+  test("didEstimate: hand-computed 2×2 cells cancel level and trend") {
+    // ctrl pre [10,20] → 15; ctrl post [30] → 30 (trend +15)
+    // treat pre [20] → 20; treat post [50,60] → 55 (trend +35)
+    // DiD = 35 − 15 = 20 → 200000 on the 1e4 grid
+    val rows = Seq((0, false, 10L), (0, false, 20L), (0, true, 30L),
+      (1, false, 20L), (1, true, 50L), (1, true, 60L))
+      .toDF("arm", "post", "v")
+    val out = Profiling.didEstimate(rows, "arm", "post", "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(out === ((2L, 1L, 1L, 2L,
+      150000L, 300000L, 200000L, 550000L, 200000L)))
+  }
+
+  test("cuped: perfect covariate explains the whole arm gap, ρ² = 1") {
+    // y = 2x exactly → θ = 2, var_reduction = 1; the raw means differ
+    // (4 vs 6) but the ADJUSTED means agree at 5 — the covariate, not
+    // the arm, carried the difference
+    val rows = Seq((0L, 1L, 2L), (0L, 3L, 6L), (1L, 2L, 4L),
+      (1L, 4L, 8L)).toDF("variant", "x", "y")
+    val out = Profiling.cuped(rows, "variant", "x", "y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out === Map(
+      0L -> ((2L, 40000L, 50000L, 20000L, 10000L)),
+      1L -> ((2L, 60000L, 50000L, 20000L, 10000L))))
+  }
+
+  test("quantileNormalize: nearest-rank corpus mapping; single group is identity") {
+    // corpus = {1,2,3,4,5}; A = [1,5] (m=2), B = [2,3,4] (m=3)
+    // A: r1 → ⌈5/2⌉=3 → 3;  r2 → 5 → 5
+    // B: r1 → ⌈5/3⌉=2 → 2;  r2 → ⌈10/3⌉=4 → 4;  r3 → 5 → 5
+    val rows = Seq(("A", 1L, 10L), ("A", 5L, 11L), ("B", 2L, 12L),
+      ("B", 3L, 13L), ("B", 4L, 14L)).toDF("g", "v", "id")
+    val out = Profiling.quantileNormalize(rows, "g", "v", "id")
+      .select("id", "qnorm").as[(Long, Long)].collect().toMap
+    assert(out === Map(10L -> 3L, 11L -> 5L, 12L -> 2L, 13L -> 4L,
+      14L -> 5L))
+    // one group: the map is the identity (each rank maps to itself)
+    val one = Seq(("A", 7L, 1L), ("A", 2L, 2L), ("A", 7L, 3L))
+      .toDF("g", "v", "id")
+    val idm = Profiling.quantileNormalize(one, "g", "v", "id")
+      .select("v", "qnorm").as[(Long, Long)].collect()
+    assert(idm.forall { case (v, q) => v === q })
+  }
+
   test("itemCosine: minCo floor, both directions, windowed top-k tie-break") {
     import graft.operators.Itemsets
     // b1{x,y} b2{x,y} b3{x,z} b4{y} → n: x3 y3 z1; co: (x,y)=2, (x,z)=1

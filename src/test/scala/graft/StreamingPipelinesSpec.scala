@@ -1180,4 +1180,40 @@ class StreamingPipelinesSpec extends SparkSpec {
       === canon(graft.operators.Scd.scd2Build(hist0, "k", "snap_ts",
         Seq("seg"))))
   }
+
+  test("skyline store: streamed ≡ batch, dominated cells pruned, replay absorbed") {
+    val store = java.nio.file.Files.createTempDirectory("skystore").toFile
+    store.delete()
+    val body = Pipelines.skylineIngestStream("u", "t",
+      "file:" + store.getAbsolutePath)
+    def sky() = Pipelines
+      .skylineReport(spark, "file:" + store.getAbsolutePath)
+      .as[(Long, Long, Long)].collect().toSet
+    // batch 0: (10,3)×2 and (5,1) — both on the front
+    val b0 = Seq((10L, 3L), (10L, 3L), (5L, 1L)).toDF("u", "t")
+    body(b0, 0L)
+    assert(sky() === Set((10L, 3L, 2L), (5L, 1L, 1L)))
+    // batch 1: (8,2) joins the front, (10,3) recurs and accumulates,
+    // (4,7) is dominated by (5,1) → pruned at APPEND time
+    val b1 = Seq((8L, 2L), (4L, 7L), (10L, 3L)).toDF("u", "t")
+    body(b1, 1L)
+    assert(sky() === Set((10L, 3L, 3L), (8L, 2L, 1L), (5L, 1L, 1L)))
+    // the pruned cell never reached the store
+    val stored = spark.read.parquet("file:" + store.getAbsolutePath)
+      .select("u", "t").distinct().as[(Long, Long)].collect().toSet
+    assert(!stored.contains((4L, 7L)))
+    // redelivery of batch 1 (same batch_id, identical rows) → no change
+    body(b1, 1L)
+    assert(sky() === Set((10L, 3L, 3L), (8L, 2L, 1L), (5L, 1L, 1L)))
+    // streamed ≡ batch skyline over everything ever ingested
+    val batchSky = graft.operators.Profiling
+      .skyline2d(b0.unionAll(b1), "u", "t")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sky() === batchSky)
+    // a later batch can still dominate OLD front cells at read time:
+    // (11,1) beats (10,3) and (8,2) outright, and (5,1) via the
+    // t-tie with strictly larger u — the whole front collapses to it
+    body(Seq((11L, 1L)).toDF("u", "t"), 2L)
+    assert(sky() === Set((11L, 1L, 1L)))
+  }
 }
