@@ -137,6 +137,194 @@ object EventOps {
       .drop("c_le", "c_lt")
   }
 
+  /** Holt linear (double-exponential) smoothing + h-step forecast per
+    * group, α = 0.3 / β = 0.2 as EXACT rational constants: the
+    * level/trend recursion l' = (3y + 7(l+b))/10,
+    * b' = (2(l'−l) + 8b)/10 runs on the 1e-4 integer grid with
+    * round-half-up FLOOR division (floorDiv, matching SQL's `//` on
+    * negative trends — truncating division would round negative
+    * trends toward zero and diverge from the oracle). The recursion
+    * is sequential per group over the zero-filled day spine
+    * (time-bounded, not corpus-bounded), so it folds driver-side in
+    * BigInt — the KM/BPE bounded-collect discipline — and the oracle
+    * replays it as a per-group RECURSIVE CTE. Groups with fewer than
+    * 2 days are skipped (no trend to initialize).
+    * Returns one row per (group, horizon 1..h):
+    * (grp, h, level4, trend4, forecast4). */
+  def holtForecast(events: DataFrame, tsCol: String, typeCol: String,
+                   horizon: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events.select(col(typeCol).as("grp"),
+      floor(unix_timestamp(col(tsCol)) / 86400L).as("d"))
+    val span = days.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = days.select(col("grp")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("grp"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val series = spine
+      .join(days.groupBy("grp", "d").agg(count(lit(1)).as("y")),
+        Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
+      .orderBy("grp", "d")
+      .collect()  // groups × day span — bounded model state
+      .groupBy(_.getString(0))
+    def fdiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a % b != 0 && a.signum != b.signum) q - 1 else q
+    }
+    val out = series.toSeq.sortBy(_._1).flatMap { case (g, rows) =>
+      val ys = rows.sortBy(_.getLong(1)).map(r => BigInt(r.getLong(2)))
+      if (ys.length < 2) Seq.empty
+      else {
+        var l = ys(0) * 10000
+        var b = (ys(1) - ys(0)) * 10000
+        ys.drop(1).foreach { y =>
+          val l2 = fdiv(6 * y * 10000 + 14 * (l + b) + 10, 20)
+          b = fdiv(4 * (l2 - l) + 16 * b + 10, 20)
+          l = l2
+        }
+        (1 to horizon).map(h =>
+          (g, h.toLong, l.toLong, b.toLong, (l + h * b).toLong))
+      }
+    }
+    out.toDF("grp", "h", "level4", "trend4", "forecast4")
+  }
+
+  /** Hampel outlier filter over a daily series per group: each day is
+    * judged against the MEDIAN of its ±3-day window, flagged when
+    * |y − med| exceeds 4.4478·MAD (3σ via the 1.4826 normal-MAD
+    * constant, pre-rounded onto the 1e-4 grid so the comparison is
+    * pure integers) — the robust despiking standard, immune to the
+    * outliers that poison a rolling mean/σ rule. Window medians are
+    * LOWER medians ((n+1) div 2 of the sorted window, deterministic
+    * for even edge windows); a zero-MAD window (flat neighborhood)
+    * flags ANY deviation. The window array (≤ 7 values) is collected
+    * per row and the median/MAD arithmetic runs in codegen HOFs over
+    * it — one group-partitioned window, no self-joins.
+    * Returns (grp, d, y, med, mad, is_outlier). */
+  def hampelFilter(events: DataFrame, tsCol: String,
+                   typeCol: String): DataFrame = {
+    val days = events.select(col(typeCol).as("grp"),
+      floor(unix_timestamp(col(tsCol)) / 86400L).as("d"))
+    val span = days.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = days.select(col("grp")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("grp"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val series = spine
+      .join(days.groupBy("grp", "d").agg(count(lit(1)).as("y")),
+        Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    series
+      .withColumn("arr", sort_array(collect_list(col("y")).over(w)))
+      .withColumn("med", element_at(col("arr"),
+        ((size(col("arr")) + 1) / 2).cast("int")))
+      .withColumn("mad", element_at(
+        sort_array(transform(col("arr"),
+          v => abs(v - col("med")))),
+        ((size(col("arr")) + 1) / 2).cast("int")))
+      .select(col("grp"), col("d"), col("y"), col("med"), col("mad"),
+        (abs(col("y") - col("med")) * 10000L > lit(44478L) * col("mad"))
+          .as("is_outlier"))
+  }
+
+  /** Markov-chain conversion attribution (removal effects — the
+    * data-driven alternative to first/last-touch): user event streams
+    * split into journeys at each conversion; transitions
+    * START → touchpoints → (CONV | NULL) form a Markov chain, and a
+    * channel's credit is how much the START→CONV absorption
+    * probability DROPS when that channel is removed (redirected to
+    * NULL, i.e. its absorption value pinned to 0) — a channel that
+    * only appears on paths that convert anyway gets little credit, a
+    * bottleneck channel gets a lot.
+    *
+    * Exactness: the transition census is distributed and exact; the
+    * absorption fixpoint runs `iters` rounds on a 1e-8 integer grid
+    * with round-half-up per state, a(s)' = (2·(Σ_t n(s→t)·a(t) +
+    * n(s→CONV)·10⁸) + rs) div (2·rs) — pure integer arithmetic over
+    * the CHANNEL-SIZED matrix (collected driver-side: bounded model
+    * state, the BPE-census discipline), replayed by the oracle as a
+    * per-scenario chained-CTE ladder. One scenario per channel plus
+    * the base chain.
+    *
+    * Scale: journeys and transitions are two windows over
+    * user-partitioned streams + one census; everything after is
+    * channels² driver math. Returns one row per channel:
+    * (channel, base_conv8, removed_conv8, removal_effect8, share6). */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        tieCol: String, typeCol: String, convType: String,
+                        iters: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("tie"))
+    val base = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("et"))
+      .withColumn("jid", coalesce(sum(
+        when(col("et") === convType, 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy(col("u"), col("jid"))
+      .orderBy(col("ts"), col("tie"))
+    val tr = base
+      .withColumn("prev", lag(col("et"), 1).over(wj))
+      .withColumn("src", coalesce(col("prev"), lit("START")))
+      .withColumn("dst", when(col("et") === convType, lit("CONV"))
+        .otherwise(col("et")))
+      .select(col("u"), col("jid"), col("src"), col("dst"))
+    // journeys that never convert end in NULL: the last event of a
+    // jid whose dst isn't CONV emits one terminal transition
+    val wl = Window.partitionBy(col("u"), col("jid"))
+      .orderBy(col("ts").desc, col("tie").desc)
+    val tails = base
+      .withColumn("rn", row_number().over(wl))
+      .where(col("rn") === 1 && col("et") =!= convType)
+      .select(col("et").as("src"), lit("NULL").as("dst"))
+    val census = tr.select(col("src"), col("dst"))
+      .unionByName(tails)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect()  // channels² cells — bounded model state
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap
+    val channels = census.keysIterator.flatMap { case (s, d) => Seq(s, d) }
+      .filter(x => x != "START" && x != "CONV" && x != "NULL")
+      .toSeq.distinct.sorted
+    val states = "START" +: channels
+    val rowSum = states.map(s =>
+      s -> census.collect { case ((a, _), n) if a == s => n }.sum).toMap
+    def absorb(removed: Option[String]): Long = {
+      // BigInt: n·a(t) is count × 1e8 — past long range at web-scale
+      // transition counts; the oracle's HUGEINT arithmetic matches
+      var a = states.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to iters) {
+        a = states.map { s =>
+          val rs = BigInt(rowSum(s))
+          if (rs == 0) s -> BigInt(0)
+          else {
+            val acc = census.iterator.collect {
+              case ((x, t), n) if x == s =>
+                if (t == "CONV") BigInt(n) * 100000000L
+                else if (t == "NULL" || removed.contains(t)) BigInt(0)
+                else BigInt(n) * a.getOrElse(t, BigInt(0))
+            }.sum
+            s -> (2 * acc + rs) / (2 * rs)
+          }
+        }.toMap
+      }
+      a("START").toLong
+    }
+    val baseConv = absorb(None)
+    val rows = channels.map { c =>
+      val rem = absorb(Some(c))
+      (c, baseConv, rem, baseConv - rem)
+    }
+    val reSum = rows.map(_._4).sum
+    rows.map { case (c, b, r, re) =>
+      (c, b, r, re,
+        if (reSum > 0) (2L * re * 1000000L + reSum) / (2L * reSum) else 0L)
+    }.toDF("channel", "base_conv8", "removed_conv8", "removal_effect8",
+      "share6")
+  }
+
   /** Log-rank test (Mantel '66): do two groups' right-censored
     * survival curves differ — the significance companion to
     * [[kaplanMeier]] (two KM curves can LOOK apart and still be

@@ -1765,6 +1765,211 @@ object Windows {
       .orderBy(col("event_type"), col("bkt"))
   }
 
+  /** Holt linear forecast of daily event volume per type (see
+    * [[graft.operators.EventOps.holtForecast]], α=0.3 β=0.2, 7-day
+    * horizon): the level+trend smoother on the exact 1e-4 grid with
+    * floor-division round-half-up — the oracle replays the zero-filled
+    * spine and EVERY recursion step as a per-group RECURSIVE CTE, so a
+    * hash match proves the driver fold equals the sequential
+    * recurrence, negative trends included. */
+  val q299 = {
+    // exact FLOOR division by 20 in SQL: DuckDB's `//` truncates
+    // toward zero, which disagrees with floorDiv on the negative
+    // numerators a falling trend produces — subtract the non-negative
+    // remainder first, then the division is exact
+    def fd(num: String) =
+      s"(($num) - ((($num) % 20) + 20) % 20) // 20"
+    GQuery("q299_holt_forecast",
+    s"""WITH RECURSIVE dd AS (
+      |  SELECT event_type AS grp,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |sp AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+      |  CAST(max(d) AS BIGINT) AS d1 FROM dd),
+      |gs AS (SELECT DISTINCT grp FROM dd),
+      |spine AS (
+      |  SELECT grp, unnest(generate_series(d0, d1)) AS d
+      |  FROM gs CROSS JOIN sp),
+      |ser AS (
+      |  SELECT spine.grp, spine.d, COALESCE(c.y, 0) AS y,
+      |    CAST(row_number() OVER (PARTITION BY spine.grp
+      |      ORDER BY spine.d) - 1 AS BIGINT) AS i
+      |  FROM spine LEFT JOIN (
+      |    SELECT grp, d, CAST(count(*) AS BIGINT) AS y
+      |    FROM dd GROUP BY 1, 2) c
+      |    ON c.grp = spine.grp AND c.d = spine.d),
+      |mx AS (SELECT grp, CAST(max(i) AS BIGINT) AS t FROM ser GROUP BY 1),
+      |walk(grp, i, l, b) AS (
+      |  SELECT grp, CAST(1 AS BIGINT), CAST(l1 AS HUGEINT),
+      |    CAST(${fd("4 * (l1 - l0) + 16 * b0 + 10")} AS HUGEINT)
+      |  FROM (
+      |    SELECT a.grp, a.y * 10000 AS l0, (b1.y - a.y) * 10000 AS b0,
+      |      ${fd("""6 * b1.y * 10000
+      |        + 14 * (a.y * 10000 + (b1.y - a.y) * 10000) + 10""")} AS l1
+      |    FROM ser a JOIN ser b1 ON b1.grp = a.grp AND b1.i = 1
+      |    WHERE a.i = 0)
+      |  UNION ALL
+      |  SELECT grp, i, CAST(l2 AS HUGEINT),
+      |    CAST(${fd("4 * (l2 - l_old) + 16 * b_old + 10")} AS HUGEINT)
+      |  FROM (
+      |    SELECT w.grp, w.i + 1 AS i,
+      |      ${fd("6 * y.y * 10000 + 14 * (w.l + w.b) + 10")} AS l2,
+      |      w.l AS l_old, w.b AS b_old
+      |    FROM walk w JOIN ser y ON y.grp = w.grp AND y.i = w.i + 1)),
+      |fin AS (
+      |  SELECT w.grp, w.l, w.b FROM walk w
+      |  JOIN mx ON mx.grp = w.grp AND w.i = mx.t)
+      |SELECT grp, CAST(h AS BIGINT) AS h, CAST(l AS BIGINT) AS level4,
+      |  CAST(b AS BIGINT) AS trend4,
+      |  CAST(l + h * b AS BIGINT) AS forecast4
+      |FROM fin CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h)
+      |ORDER BY grp, h""".stripMargin) { (s, dir) =>
+      graft.operators.EventOps.holtForecast(Tables.events(s, dir),
+          "ts", "event_type", horizon = 7)
+        .orderBy(col("grp"), col("h"))
+    }
+  }
+
+  /** Hampel despiking of daily event volume per type (see
+    * [[graft.operators.EventOps.hampelFilter]]): each day judged
+    * against its ±3-day window's lower median with the grid-snapped
+    * 4.4478·MAD threshold — the robust anomaly flag a rolling mean/σ
+    * rule gets poisoned on. The oracle replays the zero-filled spine,
+    * the windowed sorted arrays, both lower medians, and the integer
+    * threshold compare. */
+  val q300 = GQuery("q300_hampel_filter",
+    """WITH dd AS (
+      |  SELECT event_type AS grp,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |sp AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+      |  CAST(max(d) AS BIGINT) AS d1 FROM dd),
+      |gs AS (SELECT DISTINCT grp FROM dd),
+      |spine AS (
+      |  SELECT grp, unnest(generate_series(d0, d1)) AS d
+      |  FROM gs CROSS JOIN sp),
+      |ser AS (
+      |  SELECT spine.grp, spine.d, COALESCE(c.y, 0) AS y
+      |  FROM spine LEFT JOIN (
+      |    SELECT grp, d, CAST(count(*) AS BIGINT) AS y
+      |    FROM dd GROUP BY 1, 2) c
+      |    ON c.grp = spine.grp AND c.d = spine.d),
+      |win AS (
+      |  SELECT grp, d, y,
+      |    list_sort(list(y) OVER (PARTITION BY grp ORDER BY d
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+      |  FROM ser),
+      |m AS (
+      |  SELECT grp, d, y, arr,
+      |    arr[(len(arr) + 1) // 2] AS med
+      |  FROM win),
+      |md AS (
+      |  SELECT grp, d, y, med,
+      |    list_sort(list_transform(arr, v -> abs(v - med)))
+      |      [(len(arr) + 1) // 2] AS mad
+      |  FROM m)
+      |SELECT grp, d, y, CAST(med AS BIGINT) AS med,
+      |  CAST(mad AS BIGINT) AS mad,
+      |  (abs(y - med) * 10000 > 44478 * mad) AS is_outlier
+      |FROM md ORDER BY grp, d""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.hampelFilter(Tables.events(s, dir),
+        "ts", "event_type")
+      .orderBy(col("grp"), col("d"))
+  }
+
+  /** Markov removal-effect attribution (see
+    * [[graft.operators.EventOps.markovAttribution]]): journeys →
+    * transition chain → how much START→CONV absorption drops when
+    * each channel is removed — the data-driven credit q178's
+    * first/last-touch heuristics cannot give. The oracle replays the
+    * journey split, the transition census, and EVERY grid fixpoint
+    * iteration of all five scenarios (base + one per channel) as a
+    * generated chained-CTE ladder in exact HUGEINT arithmetic. */
+  val q298 = {
+    val Channels = Seq("click", "error", "signup", "view")
+    val Iters = 20
+    def ladder(tag: String, removed: Option[String]): String = {
+      val a0 =
+        s"a${tag}_0 AS MATERIALIZED (SELECT s, CAST(0 AS HUGEINT) AS a FROM sts)"
+      val its = (1 to Iters).map { i =>
+        val prev = s"a${tag}_${i - 1}"
+        val remFilter =
+          removed.map(r => s" AND cn.dst <> '$r'").getOrElse("")
+        s"""a${tag}_$i AS MATERIALIZED (
+           |  SELECT rs.s,
+           |    CAST((2 * (COALESCE(x.acc, 0)
+           |        + COALESCE(cv.n, 0) * 100000000) + rs.rs)
+           |      // (2 * rs.rs) AS HUGEINT) AS a
+           |  FROM rs
+           |  LEFT JOIN (
+           |    SELECT cn.src AS s, sum(CAST(cn.n AS HUGEINT) * p.a) AS acc
+           |    FROM cn JOIN $prev p ON p.s = cn.dst
+           |    WHERE cn.dst NOT IN ('CONV', 'NULL')$remFilter
+           |    GROUP BY cn.src) x ON x.s = rs.s
+           |  LEFT JOIN (SELECT src AS s, n FROM cn WHERE dst = 'CONV') cv
+           |    ON cv.s = rs.s)""".stripMargin
+      }
+      (a0 +: its).mkString(",\n")
+    }
+    val scenarios = ladder("b", None) + ",\n" +
+      Channels.zipWithIndex.map { case (c, i) =>
+        ladder(s"c$i", Some(c))
+      }.mkString(",\n")
+    val resRows = Channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT a FROM ab_$Iters WHERE s = 'START') AS base,
+         |  (SELECT a FROM ac${i}_$Iters WHERE s = 'START') AS rem"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    GQuery("q298_markov_attribution",
+      s"""WITH b AS (
+         |  SELECT user_id AS u, ts, event_id AS tie, event_type AS et,
+         |    COALESCE(CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS jid
+         |  FROM events),
+         |tr AS (
+         |  SELECT COALESCE(lag(et) OVER w, 'START') AS src,
+         |    CASE WHEN et = 'purchase' THEN 'CONV' ELSE et END AS dst
+         |  FROM b WINDOW w AS (PARTITION BY u, jid ORDER BY ts, tie)),
+         |tl AS (
+         |  SELECT et AS src, 'NULL' AS dst FROM (
+         |    SELECT et, row_number() OVER (PARTITION BY u, jid
+         |      ORDER BY ts DESC, tie DESC) AS rn FROM b)
+         |  WHERE rn = 1 AND et <> 'purchase'),
+         |cn AS MATERIALIZED (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT src, dst FROM tr UNION ALL SELECT src, dst FROM tl)
+         |  GROUP BY 1, 2),
+         |rs AS MATERIALIZED (SELECT src AS s, CAST(sum(n) AS BIGINT) AS rs
+         |       FROM cn GROUP BY 1),
+         |sts AS MATERIALIZED (
+         |  SELECT 'START' AS s
+         |  UNION ALL
+         |  SELECT unnest([${Channels.map("'" + _ + "'").mkString(", ")}])),
+         |$scenarios,
+         |res AS (
+         |  $resRows),
+         |tot AS (SELECT CAST(sum(base - rem) AS HUGEINT) AS resum
+         |        FROM res)
+         |SELECT channel, CAST(base AS BIGINT) AS base_conv8,
+         |  CAST(rem AS BIGINT) AS removed_conv8,
+         |  CAST(base - rem AS BIGINT) AS removal_effect8,
+         |  CASE WHEN resum > 0
+         |    THEN CAST((2 * (base - rem) * 1000000 + resum)
+         |      // (2 * resum) AS BIGINT)
+         |    ELSE 0 END AS share6
+         |FROM res CROSS JOIN tot ORDER BY channel""".stripMargin) {
+      (s, dir) =>
+      graft.operators.EventOps.markovAttribution(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", "purchase",
+          iters = Iters)
+        .orderBy(col("channel"))
+    }
+  }
+
   /** Log-rank comparison of repeat-purchase survival between the
     * md5-coin arms (see [[graft.operators.EventOps.logRank]]): are
     * the two arms' time-to-next-purchase curves the same — the
@@ -1895,5 +2100,5 @@ object Windows {
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
       q235, q240, q244, q247, q264, q277, q280, q282, q288, q293, q294,
-      q296)
+      q296, q298, q299, q300)
 }

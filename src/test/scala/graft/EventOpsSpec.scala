@@ -318,6 +318,77 @@ class EventOpsSpec extends SparkSpec {
       "s" -> ((2L, 2L, 4L, 4L))))
   }
 
+  test("markovAttribution: removal effects — bottleneck credited, dead-end not") {
+    import graft.operators.EventOps
+    // u1: view → purchase; u2: view → click (no conversion);
+    // u3: purchase cold. Chain: a(click)=0, a(view)=½,
+    // a(START) = (2·½ + 1)/3 = ⅔ → 66666667 on the 1e8 grid.
+    // Remove view → only the cold path converts: a = ⅓. Remove click
+    // (a dead end that never feeds CONV) → nothing changes: RE = 0.
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "click"),
+      (3L, 1L, "purchase")).map { case (u, t, e) =>
+      (u, new Timestamp(t * 1000L), u * 10 + t, e)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.markovAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      "click" -> ((66666667L, 66666667L, 0L, 0L)),
+      "view" -> ((66666667L, 33333333L, 33333334L, 1000000L))))
+  }
+
+  test("holtForecast: perfect lines recovered exactly, zero-fill, neg trend") {
+    import graft.operators.EventOps
+    def ev(g: String, day: Long, k: Int, base: Long) =
+      (0 until k).map(i =>
+        (g, new Timestamp((day * 86400 + base + i) * 1000L), day * 100 + i))
+    // a: 2,4,6 per day — a perfect +2/day line → level 6e4, trend 2e4
+    // b: only day 1 (count 3) — days 0 and 2 ZERO-FILLED from the spine
+    val rows = (ev("a", 0, 2, 1) ++ ev("a", 1, 4, 1) ++ ev("a", 2, 6, 1)
+      ++ ev("b", 1, 3, 2)).toDF("grp", "ts", "eid")
+    val out = EventOps.holtForecast(rows, "ts", "grp", horizon = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("a", 1L)) === ((60000L, 20000L, 80000L)))
+    assert(out(("a", 2L)) === ((60000L, 20000L, 100000L)))
+    // hand-walked zero-filled series 0,3,0: l₂ 42000, b₂ 26400
+    assert(out(("b", 1L)) === ((42000L, 26400L, 68400L)))
+    // a falling perfect line 6,4,2: trend −2e4 (exercises the FLOOR
+    // division on negative numerators), forecast crosses zero at h=2
+    val fall = (ev("f", 0, 6, 1) ++ ev("f", 1, 4, 1) ++ ev("f", 2, 2, 1))
+      .toDF("grp", "ts", "eid")
+    val f = EventOps.holtForecast(fall, "ts", "grp", horizon = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(f(1L) === ((20000L, -20000L, 0L)))
+    assert(f(2L) === ((20000L, -20000L, -20000L)))
+  }
+
+  test("hampelFilter: spike flagged against robust window stats, normal day not") {
+    import graft.operators.EventOps
+    def ev(day: Long, k: Int) = (0 until k).map(i =>
+      ("g", new Timestamp((day * 86400 + i) * 1000L)))
+    // 5,5,5,50,5,5,5,5,5 — the day-3 spike towers over med 5 / mad 0
+    val rows = (0 to 8).flatMap(d => ev(d, if (d == 3) 50 else 5))
+      .toDF("grp", "ts")
+    val out = EventOps.hampelFilter(rows, "ts", "grp")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(3L) === ((50L, 5L, 0L, true)))   // spike flagged
+    assert(out(0L) === ((5L, 5L, 0L, false)))   // edge window, no flag
+    assert(out(6L) === ((5L, 5L, 0L, false)))   // spike left the window
+    // healthy variation: full window has mad 1 → |y−med| = 1 passes
+    val varied = Seq(4, 5, 6, 5, 4, 5, 6).zipWithIndex
+      .flatMap { case (k, d) => ev(d.toLong, k) }.toDF("grp", "ts")
+    val v = EventOps.hampelFilter(varied, "ts", "grp")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._4, r._5, r._6))).toMap
+    assert(v(3L) === ((5L, 1L, false)))
+  }
+
   test("logRank: hand-computed O−E and variance; identical groups → z = 0") {
     import graft.operators.EventOps
     // A: (1,ev)(2,cens)(3,ev); B: (1,ev)(3,ev)(3,cens)
