@@ -111,8 +111,10 @@ object GraphOps {
       // truncate before the max: the nested aggregate would otherwise
       // re-evaluate the whole upstream half-step chain TWICE per
       // half-step (once under the max, once under the join) —
-      // doubling work every iteration (measured 9.5 s → ~1 s at sf0.1)
-      val raw = raw0.localCheckpoint(true)
+      // doubling work every iteration (measured 9.5 s → ~1 s at sf0.1).
+      // LAZY checkpoint: the max aggregate materializes it, the join
+      // then reuses the cached blocks — half the jobs of eager mode
+      val raw = raw0.localCheckpoint()
       val mx = raw.agg(max(col("sr")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("id"),
@@ -277,7 +279,10 @@ object GraphOps {
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionAll(next).localCheckpoint()
+        // no checkpoint here: visited is a shallow union of ≤hops
+        // ALREADY-materialized frontier frames — re-checkpointing it
+        // would re-scan all of visited every hop (O(V·hops) total)
+        visited = visited.unionAll(next)
         frontier = next.select(col("id"))
         hop += 1
         if (hop > maxHops) done = true
