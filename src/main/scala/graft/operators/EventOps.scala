@@ -137,6 +137,70 @@ object EventOps {
       .drop("c_le", "c_lt")
   }
 
+  /** Sequence-pattern census (the MATCH_RECOGNIZE-shaped workload):
+    * each key's event stream collapses to an ordered single-character
+    * string (one initial per event type), and a regex counts
+    * non-overlapping pattern occurrences per key — "view, then a
+    * click, then a purchase, with no intervening purchase" is
+    * `v[^p]*c[^p]*p`. The string build is one keyed aggregate
+    * (array_sort ∘ collect_list ∘ array_join, all codegen); the match
+    * count is one scalar regexp over a per-key string bounded by that
+    * key's event count.
+    * Returns per key: (key, seq_len, n_matches). */
+  def sequencePatternCensus(events: DataFrame, keyCol: String,
+                            tsCol: String, tieCol: String,
+                            typeCol: String, pattern: String): DataFrame =
+    events
+      .select(col(keyCol).as("k"),
+        struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+          substring(col(typeCol), 1, 1).as("ch")).as("st"))
+      .groupBy(col("k"))
+      .agg(array_join(transform(array_sort(collect_list(col("st"))),
+        x => x.getField("ch")), "").as("seq"))
+      .select(col("k").as(keyCol),
+        length(col("seq")).cast("long").as("seq_len"),
+        regexp_count(col("seq"), lit(pattern)).cast("long")
+          .as("n_matches"))
+
+  /** Delta-method confidence interval for a RATIO metric per variant
+    * (revenue per event, CTR, items per order): the naive per-user
+    * mean-of-ratios is biased and the pooled ratio Σy/Σx has no
+    * per-row variance, so the standard readout linearizes:
+    * Var(R) ≈ (σ²_y − 2R·cov + R²σ²_x) / (n·x̄²) over per-user (x, y)
+    * pairs. Moments are exact 128-bit integer sums; R, the standard
+    * error, and the ±1.96 interval are one fixed double shape over
+    * them. Returns one row per variant:
+    * (variant, n_users, ratio4, se6, ci_lo4, ci_hi4). */
+  def ratioDeltaCi(users: DataFrame, variantCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    users.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+        sum((col(xCol) * col(xCol)).cast(dec)).as("sxx"),
+        sum((col(yCol) * col(yCol)).cast(dec)).as("syy"),
+        sum((col(xCol) * col(yCol)).cast(dec)).as("sxy"))
+      .withColumn("r", col("sy").cast("double") / col("sx"))
+      .withColumn("mx", col("sx").cast("double") / col("n"))
+      .withColumn("vy", (col("syy").cast("double")
+        - col("sy").cast("double") * col("sy") / col("n")) / col("n"))
+      .withColumn("vx", (col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx") / col("n")) / col("n"))
+      .withColumn("cxy", (col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy") / col("n")) / col("n"))
+      .withColumn("se", sqrt((col("vy")
+        - lit(2.0) * col("r") * col("cxy")
+        + col("r") * col("r") * col("vx"))
+        / (col("n") * col("mx") * col("mx"))))
+      .select(col("variant"), col("n").as("n_users"),
+        round(lit(1e4) * col("r")).cast("long").as("ratio4"),
+        round(lit(1e6) * col("se")).cast("long").as("se6"),
+        round(lit(1e4) * (col("r") - lit(1.96) * col("se"))).cast("long")
+          .as("ci_lo4"),
+        round(lit(1e4) * (col("r") + lit(1.96) * col("se"))).cast("long")
+          .as("ci_hi4"))
+  }
+
   /** Holt linear (double-exponential) smoothing + h-step forecast per
     * group, α = 0.3 / β = 0.2 as EXACT rational constants: the
     * level/trend recursion l' = (3y + 7(l+b))/10,

@@ -1765,6 +1765,90 @@ object Windows {
       .orderBy(col("event_type"), col("bkt"))
   }
 
+  /** Per-user funnel-pattern census (see
+    * [[graft.operators.EventOps.sequencePatternCensus]]): how many
+    * times each user ran view → … → click → … → purchase with no
+    * intervening purchase — the MATCH_RECOGNIZE-shaped sequence
+    * question, answered by one ordered string build per user and a
+    * regex count. The oracle rebuilds the ordered initial string with
+    * string_agg and counts with its own regex engine — a hash match
+    * pins the two engines' non-overlapping match semantics to each
+    * other on this pattern. */
+  val q301 = GQuery("q301_sequence_pattern",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+      |      AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT)
+      |    AS n_matches
+      |FROM s ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.sequencePatternCensus(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", "v[^p]*c[^p]*p")
+      .orderBy(col("user_id"))
+  }
+
+  /** Delta-method CI for purchase-cents-per-event between the md5-coin
+    * arms (see [[graft.operators.EventOps.ratioDeltaCi]]): the pooled
+    * ratio Σy/Σx with its linearized standard error — the correct
+    * readout for a ratio metric, where mean-of-per-user-ratios is
+    * biased; on a hash coin the intervals should overlap (a perpetual
+    * A/A). The oracle replays the per-user sums, the 128-bit moments,
+    * and the one delta-method expression. */
+  val q302 = GQuery("q302_ratio_delta_ci",
+    """WITH a AS (
+      |  SELECT user_id,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |u AS (
+      |  SELECT a.variant, e.user_id,
+      |    CAST(count(*) AS BIGINT) AS x,
+      |    CAST(COALESCE(sum(CASE WHEN e.event_type = 'purchase'
+      |      THEN CAST(round(e.value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |      AS y
+      |  FROM events e JOIN a USING (user_id)
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM u GROUP BY 1),
+      |d AS (
+      |  SELECT variant, n,
+      |    CAST(sy AS DOUBLE) / sx AS r,
+      |    CAST(sx AS DOUBLE) / n AS mx,
+      |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n AS vy,
+      |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n AS vx,
+      |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n AS cxy
+      |  FROM g),
+      |e AS (
+      |  SELECT variant, n, r,
+      |    sqrt((vy - 2.0 * r * cxy + r * r * vx) / (n * mx * mx)) AS se
+      |  FROM d)
+      |SELECT variant, n AS n_users,
+      |  CAST(round(1e4 * r) AS BIGINT) AS ratio4,
+      |  CAST(round(1e6 * se) AS BIGINT) AS se6,
+      |  CAST(round(1e4 * (r - 1.96 * se)) AS BIGINT) AS ci_lo4,
+      |  CAST(round(1e4 * (r + 1.96 * se)) AS BIGINT) AS ci_hi4
+      |FROM e ORDER BY variant""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val assign = ev.select(col("user_id")).distinct()
+      .withColumn("variant",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+          16, 10).cast("long"), lit(2L)))
+    val u = ev.join(assign, "user_id")
+      .groupBy(col("variant"), col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L)).as("y"))
+    graft.operators.EventOps.ratioDeltaCi(u, "variant", "x", "y")
+      .orderBy(col("variant"))
+  }
+
   /** Holt linear forecast of daily event volume per type (see
     * [[graft.operators.EventOps.holtForecast]], α=0.3 β=0.2, 7-day
     * horizon): the level+trend smoother on the exact 1e-4 grid with
@@ -2100,5 +2184,5 @@ object Windows {
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
       q235, q240, q244, q247, q264, q277, q280, q282, q288, q293, q294,
-      q296, q298, q299, q300)
+      q296, q298, q299, q300, q301, q302)
 }

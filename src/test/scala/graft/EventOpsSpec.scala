@@ -318,6 +318,43 @@ class EventOpsSpec extends SparkSpec {
       "s" -> ((2L, 2L, 4L, 4L))))
   }
 
+  test("sequencePatternCensus: ordered rebuild, non-overlap count, purchase fence") {
+    import graft.operators.EventOps
+    // u: v c p v v c p e → two non-overlapping funnel runs
+    // w: c v p → click BEFORE view: no match
+    // x: v p c p → the first purchase fences the [^p]* gap: no match
+    // rows arrive SHUFFLED — the collect_list sort must restore order
+    val mk = Seq(
+      ("u", 7L, "purchase"), ("u", 1L, "view"), ("u", 4L, "view"),
+      ("u", 2L, "click"), ("u", 8L, "error"), ("u", 3L, "purchase"),
+      ("u", 6L, "click"), ("u", 5L, "view"),
+      ("w", 1L, "click"), ("w", 2L, "view"), ("w", 3L, "purchase"),
+      ("x", 1L, "view"), ("x", 2L, "purchase"), ("x", 3L, "click"),
+      ("x", 4L, "purchase")).map { case (u, t, e) =>
+      (u, new Timestamp(t * 1000L), t, e)
+    }.toDF("k", "ts", "tie", "et")
+    val out = EventOps.sequencePatternCensus(mk, "k", "ts", "tie", "et",
+        "v[^p]*c[^p]*p")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map("u" -> ((8L, 2L)), "w" -> ((3L, 0L)),
+      "x" -> ((4L, 0L))))
+  }
+
+  test("ratioDeltaCi: pooled ratio with linearized variance; zero-var collapses") {
+    import graft.operators.EventOps
+    // variant 0: (x,y) = (2,4), (4,4) → R = 8/6 = 1.3̅; only x varies,
+    // so Var(R) = R²σ²x/(n·x̄²) = (16/9)/18 → se = .31427
+    val rows = Seq((0L, 2L, 4L), (0L, 4L, 4L), (1L, 3L, 6L), (1L, 3L, 6L))
+      .toDF("variant", "x", "y")
+    val out = EventOps.ratioDeltaCi(rows, "variant", "x", "y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(0L) === ((2L, 13333L, 314270L, 7174L, 19493L)))
+    // identical users → zero variance → the interval collapses on R = 2
+    assert(out(1L) === ((2L, 20000L, 0L, 20000L, 20000L)))
+  }
+
   test("markovAttribution: removal effects — bottleneck credited, dead-end not") {
     import graft.operators.EventOps
     // u1: view → purchase; u2: view → click (no conversion);
