@@ -836,93 +836,87 @@ object Dedup {
     * so "keep one per cluster" is `where(id === cluster_rep)`. Docs in no
     * pair are their own singleton cluster.
     *
-    * Algorithm: iterative min-label propagation (the hash-min step of
-    * the MapReduce connected-components family): each round every vertex
-    * takes the min of its own label and its neighbors' labels — one
-    * equi-join + one aggregate per round, converging in O(cluster
-    * diameter) rounds (near-dup clusters are dense, so 2-4 in practice;
-    * `maxIters` bounds pathological chains). The driver loop only checks
-    * a convergence COUNT per round — cluster state never leaves the
-    * executors. */
+    * Algorithm: alternating large-star / small-star EDGE REWIRING
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Unlike label propagation — whose round count is bound by
+    * the diameter of the label PLATEAUS that form mid-run (measured: 27
+    * rounds on the sf0.1 name-edit chain, with pointer jumping) — each
+    * rewiring round strictly flattens the graph toward a star forest
+    * rooted at component minima, converging in O(log n) rounds in
+    * practice (O(log² n) proven) REGARDLESS of chain shape. Each round
+    * is two groupBy+join+dedup passes over the CURRENT edge set, which
+    * only shrinks/flattens; the driver loop sees one boolean fixpoint
+    * probe per round — edge state never leaves the executors. The
+    * iteration runs over the PAIR-GRAPH edges only (docs with a
+    * near-dup — a small derived set even at full scale); the corpus is
+    * touched once at the end. */
   def dupClusters(docs: DataFrame, idCol: String,
                   pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // The pair graph may be an expensive pipeline (e.g. jaccardPairs) —
-    // materialize it ONCE; every iteration joins against this copy. The
-    // iteration runs over the PAIR-GRAPH VERTICES only (docs that have a
-    // near-dup — a small derived set even at full scale), so each round
-    // is one join + one aggregate on a frame the size of the dup
-    // population, not the corpus; the corpus is touched once at the end.
-    // localCheckpoint (not just persist) on every iterative frame: it
-    // TRUNCATES the logical plan, which otherwise doubles per round
-    // (labels feeds both the propagation join and the self-label union)
-    // and drives optimizer time exponential. On a multi-node cluster the
-    // durable variant is checkpoint(dir) — same shape, fault-tolerant.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    // init rep(v) = min(v ∪ neighbors): the first hash-min propagation
-    // round folded into one aggregate over the symmetric edge list (every
-    // vertex appears as src). Dense near-dup clusters (cliques) converge
-    // here already, so the loop usually runs once just to confirm.
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("rep"))
+    // materialize it ONCE. localCheckpoint (not just persist) on every
+    // iterative frame: it TRUNCATES the logical plan, which otherwise
+    // doubles per round and drives optimizer time exponential. On a
+    // multi-node cluster the durable variant is checkpoint(dir) — same
+    // shape, fault-tolerant. Canonical orientation: src = the LARGER
+    // endpoint (ids need only be orderable — string entity keys
+    // included); self-pairs drop (no-op edges).
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint(true)
     var it = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && it < maxIters) {
-      // min over neighbors' labels ∪ own label: one shuffle join on the
-      // edge list plus a union with the self-labels, folded by one
-      // map-side-partial min aggregate (vs join + agg + second update
-      // join in the naive form).
-      val prop = edges
-        .join(labels.select(col("id").as("dst"), col("rep").as("rep_d")), "dst")
-        .select(col("src").as("id"), col("rep_d").as("rep"))
-      val hop = prop.unionByName(labels)
-        .groupBy(col("id"))
-        .agg(min(col("rep")).as("rep"))
-      // pointer jumping: rep(v) ← min(rep(v), rep(rep(v))) — one more
-      // keyed join per round, and the propagation distance SQUARES
-      // instead of growing by one hop, so convergence is O(log
-      // diameter) rounds. Long sparse chains (an entity-resolution
-      // name graph, a boilerplate path) would otherwise need
-      // diameter-many rounds and silently under-merge at the
-      // iteration cap — exactly the q192 failure mode at sf0.1.
-      // (measured on the q192 name graph at sf0.1: 27 rounds with or
-      // without a second jump — once a region agrees on a LOCAL min,
-      // every label points at the plateau's own min and jumps are
-      // no-ops; only boundary edges advance, so convergence is
-      // plateau-diameter-bound. The jump still collapses the long
-      // label CHAINS that form before plateaus agree — removing it
-      // regresses past the 20-round cap — but an O(log) guarantee
-      // would need edge-rewiring CC (large-star/small-star), noted as
-      // the next step if entity graphs grow pathological.)
-      val next = hop
-        .join(hop.select(col("id").as("rep"), col("rep").as("rep2")),
-          Seq("rep"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+      // large-star(u): m = min({u} ∪ Γ(u)); every STRICTLY LARGER
+      // neighbor v > u rewires to (v, m). Runs over the symmetric view
+      // so each endpoint plays the center role once. Output edges keep
+      // the big→small orientation (v > u ≥ m).
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
         .localCheckpoint(true)
-      // exact fixpoint probe, type-agnostic (ids need only be
-      // orderable, not summable — string entity keys included): one
-      // label-sized keyed join, take(1)-bounded, instead of the old
-      // sum(rep) monotone probe that required numeric ids
-      converged = next
-        .join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
-        .where(col("rep") =!= col("prev"))
-        .isEmpty
-      labels = next
+      // small-star(u): over big→small edges, m = min(N(u) ∪ {u}) =
+      // min(N(u)); every smaller neighbor v ≠ m plus u itself rewires
+      // to m. Orientation is preserved (everything emitted is > m).
+      val ssMin = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val withM = ls.join(ssMin, "src")
+      val ss = withM
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(withM.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      // exact fixpoint probe: a full round that leaves the edge SET
+      // unchanged means both phases are at their fixpoint — the edge
+      // set is a star forest rooted at component minima. Two
+      // take(1)-bounded anti-joins (sets are distinct, so mutual
+      // containment = equality), type-agnostic.
+      converged = ss.join(edges, Seq("src", "dst"), "left_anti").isEmpty &&
+        edges.join(ss, Seq("src", "dst"), "left_anti").isEmpty
+      edges = ss
       it += 1
     }
     if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
       System.err.println(s"[dupClusters] converged=$converged rounds=$it")
-    // hitting the cap un-converged means components are silently
+    // hitting the cap un-converged means components may be silently
     // UNDER-merged (the q192 failure mode on a long name-edit chain) —
     // that is a wrong answer, not a degraded one; fail loud instead
     require(converged,
       s"dupClusters hit maxIters=$maxIters before converging — " +
-        "raise maxIters (pointer jumping makes rounds O(log diameter))")
-    // singletons (no pair) are their own cluster
+        "raise maxIters (edge rewiring makes rounds O(log n) on any " +
+        "chain shape)")
+    // the converged star forest IS the labeling: (v, componentMin) for
+    // every non-root vertex; roots and singletons label themselves
+    val labels = edges.select(col("src").as("id"), col("dst").as("rep"))
     docs.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("rep"), col(idCol)).as("cluster_rep"))

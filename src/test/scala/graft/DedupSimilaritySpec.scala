@@ -204,7 +204,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.contains((1L, 4L)))    // identical docs always collide
   }
 
-  test("dupClusters: min-label propagation spans chains, singletons keep themselves") {
+  test("dupClusters: min-label spans chains, singletons keep themselves") {
     import graft.operators.Dedup
     // chain 1-2, 2-3, 3-4 (diameter 3 forces multiple rounds); 5-6 pair; 7 alone
     val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
@@ -213,6 +213,35 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(out === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dupClusters: 1000-link chain converges within 12 rewiring rounds") {
+    import graft.operators.Dedup
+    // The pathological shape for label propagation: a single path of
+    // 1001 vertices (diameter 1000). Pointer-jump hash-min needed 27+
+    // plateau-bound rounds on a far SHORTER chain at sf0.1 (q192);
+    // large-star/small-star must flatten this in O(log n) — the
+    // maxIters=12 cap IS the gate (dupClusters fails loud past it).
+    // Edges deliberately reversed + shuffled so convergence can't rely
+    // on a lucky orientation.
+    val ids = (0L to 1000L).map(Tuple1(_)).toDF("doc_id")
+    val chain = (0L until 1000L).map(i =>
+      if (i % 2 == 0) (i + 1, i) else (i, i + 1))
+    val pairs = scala.util.Random.shuffle(chain).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, "doc_id", pairs, maxIters = 12)
+    assert(out.where(col("cluster_rep") =!= 0L).isEmpty)
+    assert(out.count() === 1001L)
+  }
+
+  test("dupClusters: string keys cluster to the lexicographic min") {
+    import graft.operators.Dedup
+    val ids = Seq("ann", "bob", "cid", "dee", "eve").map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq(("dee", "cid"), ("bob", "cid"), ("eve", "dee"))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, "doc_id", pairs)
+      .orderBy("doc_id").as[(String, String)].collect().toSeq
+    assert(out === Seq("ann" -> "ann", "bob" -> "bob", "cid" -> "bob",
+      "dee" -> "bob", "eve" -> "bob"))
   }
 
   test("contaminationFlags: docs sharing a benchmark n-gram get flagged, others not") {
