@@ -33,7 +33,14 @@ object Bench {
     // min reflects the plan's steady-state cost, not the interference.
     // Round 1 showed two passes can still both be contaminated
     // (q22 measured 15 s vs 1.3 s steady-state), so default is three.
-    def pass(): Map[String, Double] = Registry.all.map { q =>
+    // Optional local-iteration filter, same contract as Verify's
+    // (driver never sets this): SPARK_GRAFT_ONLY=q290,q297 → time only
+    // those queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = Registry.all
+      .filter(q => only.forall(_.exists(q.name.startsWith)))
+    def pass(): Map[String, Double] = selected.map { q =>
       val t0 = System.nanoTime()
       q.name -> (try { exec(q.name); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -41,7 +48,7 @@ object Bench {
     }.toMap
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val passes = (1 to nPasses).map(_ => pass())
-    val results = Registry.all.sortBy(_.name).map { q =>
+    val results = selected.sortBy(_.name).map { q =>
       val ts = passes.map(_(q.name))
       q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }

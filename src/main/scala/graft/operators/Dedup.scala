@@ -202,7 +202,19 @@ object Dedup {
     * shingle is corpus-frequent). */
   def containmentPairsFromSets(sets: DataFrame,
                                minContainment: Double = 0.9,
-                               maxDocFreq: Option[Int] = Some(10000)): DataFrame = {
+                               maxDocFreq: Option[Int] = Some(10000)): DataFrame =
+    containmentPairsFromSetsManaged(sets, minContainment, maxDocFreq)._1
+
+  /** [[containmentPairsFromSets]] with an explicit cache lifecycle
+    * (the [[editDistancePairsManaged]] convention): the df-capped
+    * branch persists its candidate frame — the returned `release`
+    * thunk drops it once the pairs are consumed; the unmanaged
+    * wrapper leaves it pinned for the session (fine for one-shot
+    * jobs, not for long-running sessions). */
+  def containmentPairsFromSetsManaged(sets: DataFrame,
+                                      minContainment: Double = 0.9,
+                                      maxDocFreq: Option[Int] = Some(10000))
+      : (DataFrame, () => Unit) = {
     val ex0 = sets.select(col("id"), explode(col("shset")).as("s"))
     // (id_a < id_b, EXACT inter, sz_a, sz_b) -> both ordered directions.
     def emitBoth(pairs: DataFrame): DataFrame =
@@ -220,9 +232,10 @@ object Dedup {
           .join(ex0.select(col("id").as("id_b"), col("s")), "s")
           .where(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-        emitBoth(shared
+        (emitBoth(shared
           .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b"))
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")),
+          () => ())
       case Some(maxDf) =>
         // Frequency-capped candidates with exact verification — the
         // jaccardPairsFromSets structure, but the upper bound is taken
@@ -266,7 +279,8 @@ object Dedup {
           .select(col("id_a"), col("id_b"),
             size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
             size(col("set_a")).as("sz_a"), size(col("set_b")).as("sz_b"))
-        emitBoth(exact.unionByName(verified))
+        (emitBoth(exact.unionByName(verified)),
+          () => { bound.unpersist(); () })
     }
   }
 
@@ -281,7 +295,11 @@ object Dedup {
     * (⌊(t₄·sz + 9999)/10⁴⌋) — a float `ceil(0.7·10) = ceil(7.000…01)`
     * would shorten a prefix and silently break completeness. */
   private[graft] def prefixCandidates(sets: DataFrame,
-                                      minJaccard: Double): DataFrame = {
+                                      minJaccard: Double): DataFrame =
+    prefixCandidatesManaged(sets, minJaccard)._1
+
+  private[graft] def prefixCandidatesManaged(sets: DataFrame,
+      minJaccard: Double): (DataFrame, () => Unit) = {
     val t4 = math.round(minJaccard * 10000).toInt
     val ex = sets.select(col("id"), explode(col("shset")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -299,13 +317,15 @@ object Dedup {
       .where(col("rn") <= prefLen)
       .select(col("id"), col("s"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pref.select(col("id").as("id_a"), col("s"), col("sz").as("sz_a"))
+    val cand = pref
+      .select(col("id").as("id_a"), col("s"), col("sz").as("sz_a"))
       .join(pref.select(col("id").as("id_b"), col("s"),
         col("sz").as("sz_b")), "s")
       .where(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")) * 10000 >=
           lit(t4.toLong) * greatest(col("sz_a"), col("sz_b")))
       .select("id_a", "id_b").distinct()
+    (cand, () => { pref.unpersist(); () })
   }
 
   /** PPJoin-style prefix-filtered exact set-similarity join
@@ -322,8 +342,18 @@ object Dedup {
     * for exact-threshold Jaccard where the df-cap variant trades
     * completeness and banding trades exactness. */
   def jaccardPairsPrefixFromSets(sets: DataFrame,
-                                 minJaccard: Double = 0.8): DataFrame = {
-    prefixCandidates(sets, minJaccard)
+                                 minJaccard: Double = 0.8): DataFrame =
+    jaccardPairsPrefixFromSetsManaged(sets, minJaccard)._1
+
+  /** [[jaccardPairsPrefixFromSets]] with an explicit cache lifecycle
+    * (the [[editDistancePairsManaged]] convention): the ranked prefix
+    * index is persisted to feed both self-join sides — `release`
+    * drops it once the pairs are consumed; the unmanaged wrapper
+    * leaves it pinned for the session. */
+  def jaccardPairsPrefixFromSetsManaged(sets: DataFrame,
+      minJaccard: Double = 0.8): (DataFrame, () => Unit) = {
+    val (cand, release) = prefixCandidatesManaged(sets, minJaccard)
+    val pairs = cand
       .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -334,6 +364,7 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 4).as("jaccard"))
+    (pairs, release)
   }
 
   /** MOSS-style winnowing pairing (Schleimer/Wilkerson/Aiken): the

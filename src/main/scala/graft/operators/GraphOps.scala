@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-signal operators over pair graphs (the near-dup pair graph,
@@ -151,7 +151,13 @@ object GraphOps {
     * border join — all keyed on vertices of the DUP population;
     * `vertices` (the corpus) is touched once at the end.
     * Returns per vertex: (id, role ∈ core|border|noise, cluster_rep —
-    * null for noise). */
+    * null for noise).
+    *
+    * Cache lifecycle: the core vertex set is persisted with NO release
+    * path (the [[graft.operators.Dedup.jaccardPairs]] contract) — it
+    * feeds the core-pair filter, the CC loop, and the border
+    * anti-join; one-shot jobs drop it with the session, long-running
+    * sessions should `spark.catalog.clearCache()` between runs. */
   def dbscan(vertices: DataFrame, pairs: DataFrame,
              minPts: Long): DataFrame = {
     require(minPts >= 1, "minPts must be >= 1")
@@ -252,43 +258,109 @@ object GraphOps {
     * [[graft.operators.Dedup.dupClusters]] lineage discipline), so
     * deep traversals never re-execute earlier rounds.
     * Returns (id, hop) for every vertex within `maxHops` of a seed —
-    * unreachable vertices are simply absent.
+    * unreachable vertices are simply absent. `stride = 2` expands two
+    * layers per round over a precomputed 2-hop edge list (exact
+    * min-hops either way), halving the sequential round count for
+    * deep traversals on bounded-degree graphs.
     *
     * A bounded SQL oracle replays this as a recursive CTE capped at
     * `hop < maxHops` with min(hop) per vertex — hash-matching it
     * proves the distributed frontier iteration equals the textbook
     * fixpoint. */
-  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int,
+              stride: Int = 1,
+              broadcastFrontier: Boolean = true): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    require(stride == 1 || stride == 2, "stride must be 1 or 2")
     val e = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stride 2: precompute the 2-hop edge list ONCE and expand two BFS
+    // layers per round — min-hop exactness is preserved by taking
+    // min(d) over the 1-hop ∪ 2-hop candidates before the visited
+    // anti-join, and the sequential-round count (the real cost of deep
+    // traversals: per-round job latency dominates frontier work) is
+    // halved. The trade is |e2| ≤ Σ deg(v)² — fine for bounded-degree
+    // graphs (edit-distance neighborhoods, lineage DAGs); keep
+    // stride 1 where hub vertices make the 2-hop closure explode.
+    val e2 =
+      if (stride == 2 && maxHops >= 2)
+        e.select(col("u"), col("v").as("w"))
+          .join(e.select(col("u").as("w"), col("v")), "w")
+          .where(col("u") =!= col("v"))
+          .select("u", "v").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else e
     var visited = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("hop")).localCheckpoint()
     var frontier = visited.select(col("id"))
     var hop = 1
     var done = maxHops == 0
     while (!done) {
-      val next = frontier.select(col("id").as("u"))
-        .join(e, "u")
-        .select(col("v").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), lit(hop.toLong).as("hop"))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+      val two = stride == 2 && hop + 1 <= maxHops
+      // broadcast the frontier: the per-round join then streams the
+      // CACHED edge list map-side instead of re-shuffling it every
+      // hop (the dominant per-round cost — the edge shuffle is
+      // |E|-sized, the frontier is one BFS layer). Frontier layers in
+      // the closure workloads this serves (edit-distance
+      // neighborhoods, lineage DAGs, "within k degrees" audiences)
+      // are bounded; a graph whose layers outgrow the driver should
+      // flip `broadcastFrontier` off and take the shuffle join.
+      def fr(col0: Column): DataFrame = {
+        val f = frontier.select(col0.as("u"))
+        if (broadcastFrontier) broadcast(f) else f
+      }
+      val c1 = e.join(fr(col("id")), "u")
+        .select(col("v").as("id"), lit(1).as("d"))
+      val cand = if (two)
+        c1.unionAll(e2.join(fr(col("id")), "u")
+          .select(col("v").as("id"), lit(2).as("d")))
+      else c1
+      val tc = System.nanoTime()
+      // the visited set rides the same broadcast policy: map-side
+      // anti-join instead of re-shuffling visited (which grows toward
+      // the reachable set) every round
+      val vis = visited.select(col("id"))
+      val next = cand
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .join(if (broadcastFrontier) broadcast(vis) else vis,
+          Seq("id"), "left_anti")
+        .select(col("id"), (lit(hop - 1) + col("d")).cast("long").as("hop"))
+        // LAZY: the layer-count pass right below materializes it (the
+        // hits() renorm trick) — one job per round instead of an eager
+        // checkpoint job plus a count job
+        .localCheckpoint(false)
+      if (sys.env.contains("SPARK_GRAFT_BFS_DEBUG"))
+        System.err.println(f"[bfs] hop=$hop ckpt=${(System.nanoTime() - tc) / 1e9}%.3f")
+      // one cached-frame pass tells us both layers' sizes — no second
+      // expansion job for the emptiness probes
+      val t0 = System.nanoTime()
+      val layerN = next.groupBy(col("hop")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (sys.env.contains("SPARK_GRAFT_BFS_DEBUG"))
+        System.err.println(f"[bfs] hop=$hop layers=$layerN count=${(System.nanoTime() - t0) / 1e9}%.3f")
+      if (layerN.isEmpty) done = true
       else {
         // no checkpoint here: visited is a shallow union of ≤hops
         // ALREADY-materialized frontier frames — re-checkpointing it
         // would re-scan all of visited every hop (O(V·hops) total)
         visited = visited.unionAll(next)
-        frontier = next.select(col("id"))
-        hop += 1
-        if (hop > maxHops) done = true
+        // any vertex at min-hop h+1 must have a neighbor at min-hop h,
+        // so an empty TOP layer in a two-step round (d=1 survivors but
+        // no d=2) proves the traversal complete — no confirming round
+        if (two && !layerN.contains(hop + 1L)) done = true
+        else {
+          val deepest = layerN.keys.max
+          frontier = next.where(col("hop") === deepest).select(col("id"))
+          hop = deepest.toInt + 1
+          if (hop > maxHops) done = true
+        }
       }
     }
     e.unpersist()
+    if (!(e2 eq e)) e2.unpersist()
     visited
   }
 

@@ -1072,7 +1072,15 @@ object Similarity {
     * query-set side; at corpus×corpus scale swap the scorer for
     * [[ivfProbe]] candidates per side and keep the windows + mutual
     * join, which are population-sized, never pair-sized). Singleton
-    * populations surface margin = cos1 − (−1) (no runner-up). */
+    * populations surface margin = cos1 − (−1) (no runner-up).
+    *
+    * Cache lifecycle: the scored A×B frame is persisted with NO
+    * release path (the [[graft.operators.Dedup.jaccardPairs]]
+    * contract) — one-shot jobs drop it with the session; a
+    * long-running session that mines many population pairs should
+    * `spark.catalog.clearCache()` between rounds or consume the
+    * result eagerly and unpersist via the returned plan's cache
+    * entries. */
   def mutualMarginPairs(a: DataFrame, b: DataFrame,
                         idCol: String, vecCol: String): DataFrame = {
     val av = FanOut(a.select(col(idCol).as("id_a"), col(vecCol).as("va")))

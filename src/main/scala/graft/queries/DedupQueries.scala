@@ -1139,9 +1139,12 @@ object DedupQueries {
     def sweep(seed: String): (Long, String) = {
       val b = graft.operators.GraphOps.bfsHops(pairs,
         Seq(seed).toDF("id"), maxHops = 12)
-      val ecc = b.agg(max(col("hop"))).head().getLong(0)
-      (ecc, b.where(col("hop") === ecc).agg(min(col("id"))).head()
-        .getString(0))
+      // one job for (eccentricity, min-id farthest vertex): the
+      // deepest layer's row of a per-layer min, instead of a max-hop
+      // agg followed by a filtered min agg
+      val r = b.groupBy(col("hop")).agg(min(col("id")).as("far"))
+        .orderBy(col("hop").desc).limit(1).head()
+      (r.getLong(0), r.getString(1))
     }
     val (ecc1, seed2) = sweep(seed1)
     val (ecc2, far2) = sweep(seed2)
@@ -2043,9 +2046,45 @@ object DedupQueries {
     graft.operators.GraphOps.assortativity(sharedPairs(s, dir))
   }
 
+  /** Streaming incremental clustering capstone: the q24 near-dup pair
+    * graph is split into three micro-batches (hash of `id_a`) and fed
+    * through [[graft.streaming.Pipelines.clusterIngestStream]] into a
+    * fresh cluster store; the read-out joined back to the corpus must
+    * hash-match the SAME oracle as the batch operator (q51's recursive
+    * CTE, verbatim) — streamed-with-merges ≡ from-scratch CC, proven
+    * by the driver, not just the spec. */
+  val q303 = GQuery("q303_streaming_clusters",
+    s"""WITH RECURSIVE $shingleCtes,
+       |$clusterCtes
+       |SELECT doc_id, cluster_rep,
+       |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+       |FROM cl
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.streaming.Pipelines
+    val store = java.nio.file.Files
+      .createTempDirectory("q303_clstore").toString
+    val ingest = Pipelines.clusterIngestStream(store)()
+    val pairs = sharedPairs(s, dir)
+      .withColumn("__b", pmod(xxhash64(col("id_a")), lit(3L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (0L to 2L).foreach(b =>
+      ingest(pairs.where(col("__b") === b).select("id_a", "id_b"), b))
+    val reps = Pipelines.clusterStoreReps(s, store)
+      .withColumnRenamed("id", "doc_id")
+    pairs.unpersist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
-      q258, q261, q262, q265, q266, q278, q283, q284, q286, q290)
+      q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303)
 }

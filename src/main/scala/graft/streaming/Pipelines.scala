@@ -26,6 +26,32 @@ object Pipelines {
     fs.exists(p)
   }
 
+  /** Recover a torn blue/green swap BEFORE touching a store. Every
+    * swap in this file replaces a live dir via write-aside + two
+    * renames (live→aside, next→live); a crash between the renames
+    * leaves NO live dir while the only surviving complete copies sit
+    * under the aside names — and the retry's unconditional
+    * delete-asides-first would destroy them, silently reinitializing
+    * the store from empty. So: if the live dir is missing but a
+    * candidate copy is complete (`_SUCCESS` present — every candidate
+    * was itself a fully-written Spark parquet dir), promote the FIRST
+    * complete candidate back to the live path; callers order
+    * candidates newest-first where both are valid. No-op when live
+    * exists (normal) or nothing exists (genuinely fresh store). */
+  private[graft] def recoverTornSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      candidates: Seq[org.apache.hadoop.fs.Path]): Unit =
+    if (!fs.exists(live)) {
+      def complete(p: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(p) &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      candidates.find(complete).foreach { p =>
+        require(fs.rename(p, live),
+          s"cannot recover torn swap: $p -> $live")
+      }
+    }
+
   /** Tumbling (or sliding, when `slide` differs) event-time window
     * counts with a watermark: late rows beyond `delay` are dropped —
     * semantics the reference cannot express (it forwards timestamps
@@ -838,7 +864,10 @@ object Pipelines {
     * merge); a re-arrival with a HIGHER weight improves the item's key
     * (min-key merge — monotone), a lower one is ignored. The reservoir
     * dir is replaced per batch via write-aside + two renames, so a
-    * crash leaves the previous complete reservoir readable. `sink`
+    * crash leaves a complete reservoir copy on disk — and the next
+    * batch's open RECOVERS it (promotes the surviving `_next`/`_old`
+    * copy) if the crash landed between the renames, instead of
+    * mistaking the missing live dir for a fresh store. `sink`
     * receives the post-merge reservoir (stratum, id, w4, key10, rn). */
   def weightedSampleAgainstStore(idCol: String, weightCol: String,
                                  stratumCol: String, storePath: String,
@@ -854,6 +883,18 @@ object Pipelines {
           "id", "__w")
         .select("stratum", "id", "w4", "key10")
       val live = s"$storePath/reservoir"
+      // a crash between the two swap renames below leaves no live dir —
+      // recover the surviving complete copy (prefer `_next`: it already
+      // holds the crashed batch's merge; the replayed batch re-merges
+      // idempotently either way) before the reads and deletes, or this
+      // batch would silently restart the reservoir from empty
+      locally {
+        val lp = new org.apache.hadoop.fs.Path(live)
+        val rfs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+        recoverTornSwap(rfs, lp, Seq(
+          new org.apache.hadoop.fs.Path(s"$storePath/reservoir_next"),
+          new org.apache.hadoop.fs.Path(s"$storePath/reservoir_old")))
+      }
       val merged0 =
         if (storeExists(spark, live)) spark.read.parquet(live)
           .select("stratum", "id", "w4", "key10").unionByName(cand)
@@ -901,7 +942,15 @@ object Pipelines {
     * non-decreasing snapshot timestamps across batches; a snapshot
     * older than the key's current state is DROPPED (late data), and
     * within a batch rows fold in `(snapTs)` order. Attribute
-    * comparison is null-safe, matching `scd2Build`. */
+    * comparison is null-safe, matching `scd2Build`. The store enforces
+    * STRICT `(key, snapTs)` uniqueness: a row at a timestamp the key
+    * already has a change for — stored, or earlier in the same batch —
+    * is kept only as an exact replay; if its attributes DIFFER it is
+    * dropped as conflicting (first-writer-wins, with a deterministic
+    * attribute-order tie-break inside a batch), because appending it
+    * would create two change rows at one valid-from and make
+    * [[scd2StoreIntervalsAsOf]]'s `lead` ordering ambiguous —
+    * nondeterministic `valid_to` / zero-length intervals. */
   def scd2IngestStream(keyCol: String, snapCol: String,
                        attrCols: Seq[String], storePath: String,
                        buckets: Int = 64)(
@@ -934,18 +983,29 @@ object Pipelines {
             .unionByName(cur)
         } else batch
       // seed-first at equal timestamps so an exact replay of the stored
-      // change compares equal and appends nothing
+      // change compares equal and appends nothing; attrCols complete
+      // the ordering so equal-ts batch rows fold in a TOTAL
+      // deterministic order
       val wk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("k")).orderBy(col("snap_ts"), col("seed").desc)
+        .partitionBy(col("k"))
+        .orderBy(col("snap_ts") +: col("seed").desc +: attrCols.map(col): _*)
       val changed = attrCols
         .map(a => !(col(a) <=> lag(col(a), 1).over(wk)))
         .reduce(_ || _)
+      // strict (k, snap_ts) uniqueness: a row whose attributes differ
+      // from the key's state AT THE SAME timestamp is a conflicting
+      // restatement — appending it would put two change rows at one
+      // valid_from (ambiguous lead order downstream), so it drops;
+      // only strictly-later timestamps append
+      val prevTs = lag(col("snap_ts"), 1).over(wk)
       // the KNOWLEDGE-time stamp: which micro-batch learned this change
       // (valid time is snap_ts) — the bitemporal axis scd2StoreIntervalsAsOf
       // reads; a replayed batch re-appends nothing, so stamps are stable
       val changes = unioned
         .withColumn("__chg", changed)
-        .where(!col("seed") && col("__chg"))
+        .withColumn("__prev_ts", prevTs)
+        .where(!col("seed") && col("__chg") &&
+          (col("__prev_ts").isNull || col("snap_ts") > col("__prev_ts")))
         .select(col("k") +: col("snap_ts") +: attrCols.map(col) :+
           col("pb"): _*)
         .withColumn("batch_id", lit(batchId))
@@ -978,14 +1038,164 @@ object Pipelines {
   def scd2StoreIntervalsAsOf(spark: org.apache.spark.sql.SparkSession,
                              storePath: String, attrCols: Seq[String],
                              asOfBatch: Long): DataFrame = {
+    // batch_id completes the ordering: ingest enforces strict
+    // (k, snap_ts) uniqueness, but a store written before that
+    // enforcement could carry equal-ts rows — knowledge order is the
+    // deterministic tie-break for them
     val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("valid_from"))
+      .partitionBy(col("k")).orderBy(col("valid_from"), col("batch_id"))
     spark.read.parquet(s"$storePath/data")
       .where(col("batch_id") <= asOfBatch)
       .select(col("k") +: col("snap_ts").as("valid_from") +:
-        attrCols.map(col): _*)
+        attrCols.map(col) :+ col("batch_id"): _*)
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .drop("batch_id")
   }
+
+  // ---- streaming incremental near-dup clustering ----
+
+  /** Streaming cluster maintenance — the incremental form of
+    * [[graft.operators.Dedup.dupClusters]]: near-dup pair edges
+    * `(id_a, id_b)` arrive in micro-batches and fold into a persistent
+    * cluster store whose read-out ([[clusterStoreReps]]) is bit-equal
+    * to a from-scratch batch CC over every edge ingested so far
+    * (spec- and oracle-asserted). This completes the incremental-
+    * corpus story the signature stores started: they answer "is this
+    * content a dup of ANYTHING seen", this maintains "which cluster
+    * is it in" without ever re-clustering history.
+    *
+    * Layout (two row families):
+    *  - `members/data` — a [[DedupStore]]: `(id, cid, pb)` with
+    *    `pb = hash(id) % buckets`, APPEND-ONLY: a vertex's stored cid
+    *    is its component's min id as of the batch that first saw the
+    *    vertex, never rewritten;
+    *  - `merges` — `(cid, parent)` union events: when a later edge
+    *    merges two live clusters, the losing root points at the
+    *    winner. A root loses at most once, so each cid has one parent
+    *    and the structure is a forest whose roots are live cluster
+    *    minima.
+    *
+    * Per-batch cost is batch-bounded: the member read partition-prunes
+    * to the batch's id buckets and semi-joins the broadcast batch; the
+    * CC runs over SUPERNODES (known vertices collapse to their
+    * resolved cid), so its input is edges-in-batch-sized; the merges
+    * table is merge-event-bounded (≤ clusters ever merged, NOT corpus)
+    * and resolution pointer-jumps over it, never over members.
+    * Invariant: every resolved cid is the true min id of its live
+    * component — later winners are computed with plain `least`, which
+    * is what makes the streamed read-out equal batch CC.
+    *
+    * Replay-idempotent: a redelivered batch collapses to self-loop
+    * supernode edges (its vertices are now known and co-clustered), so
+    * it appends no members and no merges. `sink` receives the batch's
+    * vertices with their post-merge cluster_rep. */
+  def clusterIngestStream(storePath: String, buckets: Int = 256)(
+      sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    (batch0: DataFrame, _: Long) => {
+      val spark = batch0.sparkSession
+      DedupStore.openOrInit(spark, storePath, Seq("buckets" -> buckets))
+      val members = s"$storePath/members"
+      val pairs = batch0.select(col("id_a"), col("id_b"))
+        .where(col("id_a").isNotNull && col("id_b").isNotNull &&
+          col("id_a") =!= col("id_b"))
+        .distinct().persist()
+      val verts = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+        .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
+        .persist()
+      val pbs = DedupStore.batchBuckets(verts)
+      val known =
+        if (DedupStore.hasData(spark, members) && pbs.nonEmpty)
+          resolveCids(spark,
+            DedupStore.prunedRead(spark, members, pbs)
+              .join(broadcast(verts.select("id")), Seq("id"), "left_semi")
+              .select(col("id"), col("cid")),
+            storePath)
+            .groupBy(col("id")).agg(min(col("cid")).as("cid"))
+            .persist()
+        else verts.select(col("id"), col("id").as("cid")).limit(0).persist()
+      // supernode edges: known endpoints collapse to their resolved
+      // root; self-loops (both ends already co-clustered — e.g. a
+      // replayed batch) drop out entirely
+      val sedges = pairs
+        .join(known.select(col("id").as("id_a"), col("cid").as("ca")),
+          Seq("id_a"), "left")
+        .join(known.select(col("id").as("id_b"), col("cid").as("cb")),
+          Seq("id_b"), "left")
+        .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+          coalesce(col("cb"), col("id_b")).as("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+      val snodes = sedges.select(col("id_a").as("id"))
+        .unionByName(sedges.select(col("id_b").as("id"))).distinct()
+      // batch-bounded CC: supernode → its component's min (the winner)
+      val comp = graft.operators.Dedup.dupClusters(snodes, "id", sedges)
+        .select(col("id").as("snode"), col("cluster_rep").as("winner"))
+        .persist()
+      // new members: first-seen vertices, stored with the winner cid
+      // their supernode resolved to this batch (supernode = the raw id
+      // for unknown vertices; a lone new vertex pair keeps itself)
+      val newMembers = verts
+        .join(known.select("id"), Seq("id"), "left_anti")
+        .join(comp.withColumnRenamed("snode", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("winner"), col("id")).as("cid"),
+          col("pb"))
+      DedupStore.append(newMembers, members)
+      // merge events: a KNOWN root that lost its minimum points at the
+      // winner; roots that stayed minimal append nothing
+      val merged = known.select(col("cid")).distinct()
+        .join(comp.withColumnRenamed("snode", "cid"), Seq("cid"))
+        .where(col("winner") =!= col("cid"))
+        .select(col("cid"), col("winner").as("parent"))
+      if (!merged.isEmpty)
+        merged.coalesce(1).write.mode("append").parquet(s"$storePath/merges")
+      sink(verts.select("id")
+        .join(known, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cid"), col("id")).as("snode"))
+        .join(comp, Seq("snode"), "left")
+        .select(col("id"),
+          coalesce(col("winner"), col("snode")).as("cluster_rep")))
+      pairs.unpersist(); verts.unpersist(); known.unpersist()
+      comp.unpersist()
+      ()
+    }
+  }
+
+  /** Canonicalize stored cids through the merge forest: pointer-jump
+    * the (small, merge-event-bounded) `merges` table to its roots,
+    * then ONE broadcast join onto the member rows — the member set is
+    * never shuffled by resolution. */
+  private[graft] def resolveCids(spark: org.apache.spark.sql.SparkSession,
+                                 rows: DataFrame,
+                                 storePath: String): DataFrame = {
+    if (!storeExists(spark, s"$storePath/merges")) rows
+    else {
+      var m = spark.read.parquet(s"$storePath/merges")
+        .select("cid", "parent").distinct().localCheckpoint(true)
+      var done = false
+      while (!done) {
+        val m2 = m
+          .join(m.select(col("cid").as("parent"), col("parent").as("gp")),
+            Seq("parent"), "left")
+          .select(col("cid"), coalesce(col("gp"), col("parent")).as("parent"))
+          .localCheckpoint(true)
+        done = m2.join(m, Seq("cid", "parent"), "left_anti").isEmpty
+        m = m2
+      }
+      rows.join(broadcast(m), Seq("cid"), "left")
+        .select(col("id"), coalesce(col("parent"), col("cid")).as("cid"))
+    }
+  }
+
+  /** The store's full cluster map `(id, cluster_rep)` — bit-equal to
+    * [[graft.operators.Dedup.dupClusters]] over every pair ingested so
+    * far, restricted to paired vertices (join your corpus with
+    * `coalesce` for singleton semantics, as the batch operator does). */
+  def clusterStoreReps(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String): DataFrame =
+    resolveCids(spark,
+      spark.read.parquet(s"$storePath/members/data").select("id", "cid"),
+      storePath)
+      .groupBy(col("id")).agg(min(col("cid")).as("cluster_rep"))
 
   /** Stream-static join: enrich a stream against a (broadcastable) batch
     * dimension — the streaming analog of the q03 star join. The static
@@ -1701,6 +1911,17 @@ object Pipelines {
   def histStream(keyCol: String, scoreCol: String, storePath: String)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
+      // writers must heal a torn compaction swap too — an append into
+      // the missing live dir would otherwise recreate it fresh and
+      // strand the full history under `_old` (histWatermark's recovery
+      // would then see a live dir and never fire)
+      locally {
+        val p = new org.apache.hadoop.fs.Path(storePath)
+        val fs = p.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        recoverTornSwap(fs, p,
+          Seq(new org.apache.hadoop.fs.Path(s"${storePath}_old")))
+      }
       batch.select(col(keyCol).as("grp"),
           round(col(scoreCol) * 1e4).cast("long").as("s4"))
         .groupBy("grp", "s4").agg(count(lit(1)).as("n"))
@@ -1734,6 +1955,13 @@ object Pipelines {
                                    storePath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$storePath/_graft_wm")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // every reader resolves the watermark first, so this is the shared
+    // choke point to heal a compaction swap that crashed between its
+    // two renames — without it the next append would recreate the live
+    // dir EMPTY and the retried compaction would then delete `_old`,
+    // the only surviving copy of the store's history
+    recoverTornSwap(fs, new org.apache.hadoop.fs.Path(storePath),
+      Seq(new org.apache.hadoop.fs.Path(s"${storePath}_old")))
     if (!fs.exists(p)) Long.MinValue
     else {
       val in = fs.open(p)
@@ -1761,6 +1989,9 @@ object Pipelines {
     val fs = dir.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(s"${storePath}_compacting")
     val old = new org.apache.hadoop.fs.Path(s"${storePath}_old")
+    // a retry after a crash between the two renames below must restore
+    // `_old` (the only surviving copy) BEFORE these deletes destroy it
+    recoverTornSwap(fs, dir, Seq(old))
     fs.delete(tmp, true); fs.delete(old, true)
     val wm = histWatermark(spark, storePath)
     // valid rows under the CURRENT watermark, replay-absorbed
@@ -1810,6 +2041,16 @@ object Pipelines {
   def basketStream(basketCol: String, itemCol: String, storePath: String)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
+      // heal any family whose compaction swap crashed mid-rename before
+      // appending (same rationale as histStream's recovery)
+      locally {
+        val conf = batch.sparkSession.sessionState.newHadoopConf()
+        Seq("items", "pairs", "baskets").foreach { fam =>
+          val p = new org.apache.hadoop.fs.Path(s"$storePath/$fam")
+          recoverTornSwap(p.getFileSystem(conf), p,
+            Seq(new org.apache.hadoop.fs.Path(s"$storePath/${fam}_old")))
+        }
+      }
       val d = batch.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
         .where(col("__b").isNotNull && col("__i").isNotNull)
         .distinct()
@@ -1885,6 +2126,9 @@ object Pipelines {
       val fs = dir.getFileSystem(conf)
       val tmp = new org.apache.hadoop.fs.Path(s"${path}_compacting")
       val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+      // same torn-swap discipline as histCompact: restore `_old` before
+      // the deletes if the previous compaction crashed mid-swap
+      recoverTornSwap(fs, dir, Seq(old))
       fs.delete(tmp, true); fs.delete(old, true)
       val wm = histWatermark(spark, path)
       val valid = spark.read.parquet(path)

@@ -266,6 +266,64 @@ object Soak {
       }
     }
 
+    // --- leg: graph iteration family at 10× edges ---
+    // the one operator family with ROUND structure: wall must track
+    // edge count (~linear, 3× headroom), and round counts must stay
+    // shape-bound, not size-bound. CC runs on a pure CHAIN — the
+    // adversarial diameter shape where label propagation needed
+    // diameter-many rounds; the edge-rewiring loop must converge
+    // within a FIXED 16-round cap at both sizes (the require inside
+    // dupClusters IS the round gate — a size-dependent round count
+    // fails loud here, not at 100×). BFS/k-core/HITS run on a
+    // ring-with-chords (bounded degree, diameter ≫ hop cap) so their
+    // round counts are cap/fixed-iteration-bound by construction.
+    {
+      import graft.operators.{Dedup, GraphOps}
+      def chain(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("id_a"),
+          (col("id") + 1L).as("id_b"))
+      def ring(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("id_a"),
+          ((col("id") + 1L) % n).as("id_b"))
+          .unionAll(spark.range(n).select(col("id").as("id_a"),
+            ((col("id") + 7L) % n).as("id_b")))
+      def gate(name: String, t1: Double, tN: Double): Unit = {
+        val r = tN / t1
+        println(f"[soak] $name%-28s ${r}%5.1fx for 10x edges")
+        if (r > 30.0) {
+          System.err.println(s"[soak] FAIL super-linear graph op: $name")
+          spark.stop(); sys.exit(1)
+        }
+      }
+      def ccRun(n: Long): Double = time(s"cc_chain n=$n") {
+        val docs = spark.range(n + 1).select(col("id").as("doc_id"))
+        val wrong = Dedup.dupClusters(docs, "doc_id", chain(n), maxIters = 16)
+          .where(col("cluster_rep") =!= 0L).count()
+        require(wrong == 0L, s"cc_chain merged wrong: $wrong")
+      }
+      ccRun(2000) // warm
+      gate("cc_chain", ccRun(2000), ccRun(20000))
+      def bfsRun(n: Long): Double = time(s"bfs_ring n=$n") {
+        GraphOps.bfsHops(ring(n),
+          spark.range(1).select(col("id")), maxHops = 8).count()
+      }
+      bfsRun(30_000) // warm
+      gate("bfs_ring", bfsRun(30_000), bfsRun(300_000))
+      def hitsRun(n: Long): Double = time(s"hits_ring n=$n") {
+        GraphOps.hits(ring(n).select(col("id_a").as("src"),
+          col("id_b").as("dst")), iters = 3).count()
+      }
+      hitsRun(30_000) // warm
+      gate("hits_ring", hitsRun(30_000), hitsRun(300_000))
+      def kcoreRun(n: Long): Double = time(s"kcore_ring n=$n") {
+        // ring+chords is 4-regular → the 3-core is everything and the
+        // 5-core empty; peel at k=5 so rounds exercise full peeling
+        GraphOps.kCore(ring(n), k = 5).count()
+      }
+      kcoreRun(30_000) // warm
+      gate("kcore_ring", kcoreRun(30_000), kcoreRun(300_000))
+    }
+
     println("[soak] OK: no super-linear operator")
     spark.stop()
   }

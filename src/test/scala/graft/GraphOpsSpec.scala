@@ -228,4 +228,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(chain, Seq("a", "b"), 1) ===
       Map("a" -> 0L, "b" -> 0L, "c" -> 1L))
   }
+
+  test("bfsHops stride 2 ≡ stride 1: exact min-hops at odd and even caps") {
+    import graft.operators.GraphOps
+    // chain with shortcuts and a cycle — shapes where a sloppy 2-hop
+    // expansion would overshoot min-hops (a—c reachable in 1 AND 2)
+    val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "e" -> "f", "a" -> "c", "d" -> "b", "x" -> "y")
+    def run(maxHops: Int, stride: Int): Map[String, Long] =
+      GraphOps.bfsHops(pairs.toDF("id_a", "id_b"),
+          Seq("a", "x").toDF("id"), maxHops, stride)
+        .as[(String, Long)].collect().toMap
+    for (cap <- Seq(0, 1, 2, 3, 4, 5))
+      assert(run(cap, 2) === run(cap, 1), s"stride mismatch at cap=$cap")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.streaming.Pipelines
 import graft.streaming.Pipelines.{SessionEvent, SessionOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, floor, row_number}
+import org.apache.spark.sql.functions.{col, floor, row_number, sum}
 import java.sql.Timestamp
 
 /** Event-time streaming semantics: watermark late-data drop, tumbling
@@ -1133,6 +1133,141 @@ class StreamingPipelinesSpec extends SparkSpec {
         _ => () }(b1.toDF("item_id", "w", "src"), 5L)
     }
     assert(e.getMessage.contains("k"))
+  }
+
+  test("clusterIngestStream: streamed cluster reps ≡ batch dupClusters at every batch boundary") {
+    import graft.operators.Dedup
+    val store = java.nio.file.Files.createTempDirectory("clstore").toString
+    val ingest = Pipelines.clusterIngestStream(store)()
+    def repsNow(): Map[Long, Long] =
+      Pipelines.clusterStoreReps(spark, store)
+        .as[(Long, Long)].collect().toMap
+    def batchCc(allPairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val vs = allPairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(Tuple1(_)).toDF("id")
+      Dedup.dupClusters(vs, "id", allPairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+    }
+    // batch 1: two separate clusters {1,2} and {4,5}
+    val b1 = Seq((2L, 1L), (4L, 5L))
+    ingest(b1.toDF("id_a", "id_b"), 0L)
+    assert(repsNow() === batchCc(b1))
+    // batch 2: an edge MERGES the two stored clusters (root 4 loses to 1)
+    val b2 = Seq((2L, 4L))
+    ingest(b2.toDF("id_a", "id_b"), 1L)
+    assert(repsNow() === batchCc(b1 ++ b2))
+    assert(repsNow().values.toSet === Set(1L))
+    // batch 3: a NEW smaller vertex takes over the merged cluster, plus
+    // an unrelated new cluster {8,9}
+    val b3 = Seq((0L, 5L), (9L, 8L))
+    ingest(b3.toDF("id_a", "id_b"), 2L)
+    assert(repsNow() === batchCc(b1 ++ b2 ++ b3))
+    assert(repsNow()(5L) === 0L && repsNow()(2L) === 0L)
+    // replay of batch 2 (at-least-once): absorbed, nothing changes
+    ingest(b2.toDF("id_a", "id_b"), 1L)
+    assert(repsNow() === batchCc(b1 ++ b2 ++ b3))
+    // restart: a fresh closure over the same store continues exactly
+    val ingest2 = Pipelines.clusterIngestStream(store)()
+    val b4 = Seq((7L, 9L))   // extends {8,9} via a chain
+    ingest2(b4.toDF("id_a", "id_b"), 3L)
+    assert(repsNow() === batchCc(b1 ++ b2 ++ b3 ++ b4))
+  }
+
+  test("weightedSampleAgainstStore: a crash between the swap renames recovers the reservoir") {
+    import graft.operators.Sampling
+    val store = java.nio.file.Files.createTempDirectory("wrescrash").toString
+    val k = 3
+    var reservoir: Seq[(String, Long, Int)] = Nil
+    def body = Pipelines.weightedSampleAgainstStore(
+        "item_id", "w", "src", store, k) { r =>
+      reservoir = r.select(col("stratum"), col("id"), col("rn"))
+        .as[(String, Long, Int)].collect().toSeq.sortBy(x => (x._1, x._3))
+    }
+    def expected(rows: Seq[(Long, Double, String)]): Seq[(String, Long, Int)] =
+      rows.map(_._3).distinct.sorted.flatMap { s =>
+        Sampling.weightedTopKSample(
+            rows.filter(_._3 == s).toDF("item_id", "w", "src"),
+            "item_id", "w", k)
+          .select(col("item_id").cast("long"), col("rn"))
+          .as[(Long, Int)].collect().toSeq.sortBy(_._2)
+          .map { case (i, rn) => (s, i, rn) }
+      }
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$store/$s")
+    val b1 = Seq((1L, 1.0, "a"), (2L, 5.0, "a"), (3L, 0.5, "a"),
+      (4L, 2.0, "a"))
+    body(b1.toDF("item_id", "w", "src"), 0L)
+    // crash window A: live moved aside, replacement not yet promoted,
+    // only `_old` survives — the old code's delete-asides-first would
+    // silently restart from empty here
+    assert(fs.rename(p("reservoir"), p("reservoir_old")))
+    val b2 = Seq((5L, 9.0, "a"), (6L, 0.1, "a"))
+    body(b2.toDF("item_id", "w", "src"), 1L)
+    assert(reservoir === expected(b1 ++ b2),
+      "recovery from reservoir_old must keep pre-crash history")
+    // crash window B: the complete `_next` survives instead (newer copy
+    // preferred; re-merging the replayed batch is idempotent)
+    assert(fs.rename(p("reservoir"), p("reservoir_next")))
+    body(b2.toDF("item_id", "w", "src"), 1L)
+    assert(reservoir === expected(b1 ++ b2),
+      "recovery from reservoir_next must keep pre-crash history")
+  }
+
+  test("histCompact: a torn compaction swap heals at the next read, write, or retry") {
+    val store = java.nio.file.Files.createTempDirectory("histcrash").toString + "/hist"
+    val ingest = Pipelines.histStream("grp", "score", store)
+    ingest(Seq(("a", 0.10), ("a", 0.10), ("b", 0.20))
+      .toDF("grp", "score"), 0L)
+    ingest(Seq(("a", 0.30), ("b", 0.20)).toDF("grp", "score"), 1L)
+    Pipelines.histCompact(spark, store, 0L)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mass(): Long = Pipelines.histCells(spark, store)
+      .agg(sum(col("n"))).head().getLong(0)
+    val m = mass()
+    // torn swap: live dir gone, `_old` holds the only complete copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(s"${store}_old")))
+    assert(mass() === m, "a reader heals the torn swap via histWatermark")
+    // torn again — this time a RETRIED compaction must restore before
+    // its deletes instead of destroying the last copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(s"${store}_old")))
+    Pipelines.histCompact(spark, store, 1L)
+    assert(mass() === m, "retried compaction preserves the full mass")
+    // torn before an append: the writer heals first, so the append
+    // lands on the FULL history, not a fresh empty dir
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(s"${store}_old")))
+    ingest(Seq(("c", 0.50)).toDF("grp", "score"), 2L)
+    assert(mass() === m + 1, "append after heal keeps pre-crash history")
+  }
+
+  test("scd2IngestStream: equal-timestamp conflicting restatements drop deterministically") {
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val store = java.nio.file.Files.createTempDirectory("scd2ties").toString
+    val ingest = Pipelines.scd2IngestStream("k", "snap_ts", Seq("seg"), store)()
+    ingest(Seq((1L, d("2020-01-01"), "A")).toDF("k", "snap_ts", "seg"), 0L)
+    // same key, same snap_ts, DIFFERENT attribute: a conflicting
+    // restatement — dropped (stored row wins), not double-appended
+    ingest(Seq((1L, d("2020-01-01"), "B")).toDF("k", "snap_ts", "seg"), 1L)
+    val stored = spark.read.parquet(s"$store/data")
+    assert(stored.count() === 1L)
+    assert(stored.select("seg").head().getString(0) === "A")
+    // within ONE batch: two rows at the same ts with different attrs —
+    // exactly one appends, chosen by the deterministic attr-order
+    // tie-break (first in (snap_ts, attrs) order wins)
+    ingest(Seq((2L, d("2020-02-01"), "D"), (2L, d("2020-02-01"), "C"))
+      .toDF("k", "snap_ts", "seg"), 2L)
+    val k2 = spark.read.parquet(s"$store/data").where(col("k") === 2L)
+    assert(k2.count() === 1L)
+    assert(k2.select("seg").head().getString(0) === "C")
+    // intervals stay unambiguous: one row per (k, valid_from), no
+    // zero-length intervals
+    val iv = Pipelines.scd2StoreIntervals(spark, store, Seq("seg"))
+    assert(iv.count() === 2L)
+    assert(iv.where(col("valid_to") <=> col("valid_from")).isEmpty)
   }
 
   test("scd2IngestStream: change-only store; streamed ≡ batch scd2Build; replay/late/restart") {
