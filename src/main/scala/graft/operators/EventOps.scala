@@ -1541,4 +1541,231 @@ object EventOps {
           col("n_conv"), col("sum_value2"))
     model("first", col("fe")).unionAll(model("last", col("le")))
   }
+
+  /** Maximum drawdown of an integer-valued series: the largest drop
+    * from a running peak — the risk readout every monitoring dashboard
+    * wants for a daily metric ("worst decline from the best day so
+    * far"). Input: one row per `ordCol` step with an exact integer
+    * `valCol` (put floats on a grid first). Returns ONE row:
+    * (max_dd, dd_ord, peak_before) — the deepest drawdown, the first
+    * step it bottomed at (ord tie-break), and the peak it fell from.
+    * A non-decreasing series reports max_dd = 0 at the first step.
+    *
+    * Scale: one running-max window over the series spine (series are
+    * time-grain-sized — days/hours — never event-sized; aggregate to
+    * the grain first) + one order-by-(dd desc) top-1. */
+  def maxDrawdown(series: DataFrame, ordCol: String,
+                  valCol: String): DataFrame = {
+    val w = Window.orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    series
+      .select(col(ordCol).as("ord"), col(valCol).as("v"))
+      .withColumn("peak", max(col("v")).over(w))
+      .select(col("ord"), (col("peak") - col("v")).as("dd"), col("peak"))
+      .orderBy(col("dd").desc, col("ord"))
+      .limit(1)
+      .select(col("dd").as("max_dd"), col("ord").as("dd_ord"),
+        col("peak").as("peak_before"))
+  }
+
+  /** Per-user ordered event-initial k-gram census — the frequent-
+    * subsequence miner's contiguous core (what users DO in windows of
+    * k actions, with support = how many distinct users exhibit the
+    * pattern at least once). Builds each user's event-initial string
+    * ONCE (the [[sequencePatternCensus]] spine), slides a k-window
+    * over it, and counts (occurrences, distinct users) per k-gram.
+    * Scale: the per-user string is that user's event count (bounded
+    * by the session/user grain); the explode is k-gram-count-sized;
+    * the census shuffles on the k-gram key only. */
+  def eventKgrams(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val seqs = events
+      .withColumn("__i", substring(col(typeCol), 1, 1))
+      .groupBy(col(userCol).as("user"))
+      .agg(concat_ws("", array_sort(collect_list(struct(
+        col(tsCol).as("ts"), col(idCol).as("id"), col("__i"))))
+        .getField("__i")).as("seq"))
+    // guard BEFORE sequence(): Spark's sequence(1, 0) descends instead
+    // of being empty, so a too-short string must never reach it
+    seqs.where(length(col("seq")) >= k)
+      .select(col("user"), explode(expr(
+        s"transform(sequence(1, length(seq) - ${k - 1}), " +
+          s"i -> substring(seq, i, $k))")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user")).as("n_users"))
+  }
+
+  /** Holt–Winters ADDITIVE seasonal forecast of daily counts per group
+    * — the level+trend+season completion of [[holtForecast]], on the
+    * same exact 1e-4 integer grid with floor-division round-half-up
+    * (α = 0.3, β = 0.2, γ = 0.3; period m):
+    *   l_t = ⌊(3(y_t − s_{t−m}) + 7(l+b) + 5)/10⌋,
+    *   b_t = ⌊(2(l_t − l) + 8b + 5)/10⌋,
+    *   s_t = ⌊(3(y_t − l_t) + 7s_{t−m} + 5)/10⌋.
+    * Init: l = round-half-up mean of the first period, b = 0,
+    * s_i = y_i − l over that period; groups with fewer than m+1 days
+    * on the spine emit nothing. Forecast h ∈ 1..m:
+    * l + h·b + s_{T−m+h−1}. Like [[holtForecast]], the fold runs on
+    * collected day-grain model state (groups × day span — bounded);
+    * a SQL oracle replays every step as a recursive walk carrying the
+    * rotating m-seasonal queue, so a hash match proves the fold
+    * equals the sequential recurrence, negative residuals included.
+    * Returns (grp, h, level4, trend4, season4, forecast4). */
+  def holtWintersForecast(events: DataFrame, tsCol: String,
+                          typeCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events.select(col(typeCol).as("grp"),
+      floor(unix_timestamp(col(tsCol)) / 86400L).as("d"))
+    val span = days.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = days.select(col("grp")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("grp"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val series = spine
+      .join(days.groupBy("grp", "d").agg(count(lit(1)).as("y")),
+        Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
+      .orderBy("grp", "d")
+      .collect()  // groups × day span — bounded model state
+      .groupBy(_.getString(0))
+    def fdiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a % b != 0 && a.signum != b.signum) q - 1 else q
+    }
+    val m = period
+    val out = series.toSeq.sortBy(_._1).flatMap { case (g, rows) =>
+      val ys = rows.sortBy(_.getLong(1)).map(r => BigInt(r.getLong(2) * 10000L))
+      if (ys.length < m + 1) Seq.empty
+      else {
+        var l = fdiv(2 * ys.take(m).sum + m, 2 * m)
+        var b = BigInt(0)
+        val s = scala.collection.mutable.Queue(
+          ys.take(m).map(_ - l).toSeq: _*)
+        ys.drop(m).foreach { y =>
+          val sOld = s.dequeue()
+          val l2 = fdiv(3 * (y - sOld) + 7 * (l + b) + 5, 10)
+          b = fdiv(2 * (l2 - l) + 8 * b + 5, 10)
+          l = l2
+          s.enqueue(fdiv(3 * (y - l2) + 7 * sOld + 5, 10))
+        }
+        val sv = s.toIndexedSeq
+        (1 to m).map(h => (g, h.toLong, l.toLong, b.toLong,
+          sv(h - 1).toLong, (l + h * b + sv(h - 1)).toLong))
+      }
+    }
+    out.toDF("grp", "h", "level4", "trend4", "season4", "forecast4")
+  }
+
+  /** Seasonal-naive anomaly census: daily counts per group on a
+    * zero-filled spine, residual r = y(d) − y(d − period) (the
+    * same-weekday-last-week baseline that absorbs weekly shape where
+    * [[hampelFilter]]'s ±3-day window would flag every weekend), and a
+    * day is anomalous when |r| exceeds 3× the group's MAD — median
+    * absolute residual, computed exactly as a ×2 integer
+    * ([[Profiling.exactMedian2]]), so the flag is `2|r| > 3·mad2` in
+    * pure integers. Returns per group: (grp, n_res, mad2,
+    * n_anomalies, worst_dev, worst_day) — worst_day is the earliest
+    * day attaining the worst deviation. Spine + lag window + one
+    * rank-median per group; series are day-grain, never event-grain. */
+  def seasonalMadAnomalies(events: DataFrame, grpCol: String,
+                           tsCol: String, period: Int = 7): DataFrame = {
+    require(period >= 1, "period must be >= 1")
+    val days = events.select(col(grpCol).as("grp"),
+      floor(unix_timestamp(col(tsCol)) / 86400L).as("d"))
+    val span = days.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = days.select(col("grp")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("grp"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val series = spine
+      .join(days.groupBy("grp", "d").agg(count(lit(1)).as("y")),
+        Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("d"))
+    val res = series
+      .withColumn("yl", lag(col("y"), period).over(w))
+      .where(col("yl").isNotNull)
+      .select(col("grp"), col("d"), abs(col("y") - col("yl")).as("a"))
+      .persist()
+    val mad = Profiling.exactMedian2(res, "grp", "a")
+      .select(col("grp"), col("median2").as("mad2"))
+    val worst = res.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_res"), max(col("a")).as("worst_dev"))
+    val worstDay = res.join(worst, Seq("grp"))
+      .where(col("a") === col("worst_dev"))
+      .groupBy(col("grp")).agg(min(col("d")).as("worst_day"))
+    val out = res.join(mad, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("mad2")).as("mad2"),
+        sum(when(lit(2) * col("a") > lit(3) * col("mad2"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .join(worst, Seq("grp")).join(worstDay, Seq("grp"))
+      .select(col("grp"), col("n_res"), col("mad2"),
+        col("n_anomalies"), col("worst_dev"), col("worst_day"))
+    out
+  }
+
+  /** Windowed conversion: for every `typeA` event, did a `typeB` event
+    * by the SAME user follow within `windowMicros` (exclusive start,
+    * inclusive end)? The attribution primitive "views that converted
+    * within the hour" — stricter than the ordered funnel (which has no
+    * deadline) and looser than adjacency. Returns per user:
+    * (user, n_a, n_converted). Scale: one semi-join of the user's A
+    * events against their B events keyed on the user — per-user
+    * candidate pairs, never cross-user. */
+  def windowedConversion(events: DataFrame, userCol: String,
+                         tsCol: String, typeCol: String,
+                         typeA: String, typeB: String,
+                         windowMicros: Long): DataFrame = {
+    val a = events.where(col(typeCol) === typeA)
+      .select(col(userCol).as("user"), unix_micros(col(tsCol)).as("ta"))
+    val b = events.where(col(typeCol) === typeB)
+      .select(col(userCol).as("user"), unix_micros(col(tsCol)).as("tb"))
+    val conv = a.join(b,
+        a("user") === b("user") && col("tb") > col("ta") &&
+          col("tb") <= col("ta") + windowMicros,
+        "left_semi")
+      .groupBy(col("user")).agg(count(lit(1)).as("n_converted"))
+    a.groupBy(col("user")).agg(count(lit(1)).as("n_a"))
+      .join(conv, Seq("user"), "left")
+      .select(col("user"), col("n_a"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"))
+  }
+
+  /** Throttle-style event dedup (tolerance dedup): per key, keep the
+    * first event and every event at least `gapMicros` after the LAST
+    * KEPT one — the debounce semantics a "within Δ means duplicate
+    * delivery" contract needs, which a plain lag() CANNOT express
+    * (each decision depends on the previous DECISION, not the
+    * previous row). The per-key recurrence runs inside one
+    * `array_sort ∘ aggregate` higher-order fold (the q282
+    * clamped-balance idiom — whole-stage codegen, no
+    * flatMapGroups), so a SQL oracle can replay it as a per-rank
+    * recursive walk. Returns per key: (n_events, n_kept,
+    * last_kept_us). Per-key arrays are user-grain-sized; a mega-key
+    * would switch to repartition + sortWithinPartitions. */
+  def throttleDedup(events: DataFrame, keyCols: Seq[String],
+                    tsCol: String, idCol: String,
+                    gapMicros: Long): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    events
+      .select(keyCols.map(col) :+ unix_micros(col(tsCol)).as("__us")
+        :+ col(idCol).as("__id"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("__us"), col("__id"))))
+          .as("__evs"))
+      .withColumn("__acc", expr(
+        s"""aggregate(__evs,
+           |  named_struct('last', CAST(-1 AS BIGINT),
+           |               'n', CAST(0 AS BIGINT)),
+           |  (acc, e) -> IF(acc.n = 0L OR e.__us >= acc.last + ${gapMicros}L,
+           |    named_struct('last', e.__us, 'n', acc.n + 1L),
+           |    acc))""".stripMargin))
+      .select(keyCols.map(col) :+ col("n_events") :+
+        col("__acc.n").as("n_kept") :+
+        col("__acc.last").as("last_kept_us"): _*)
+  }
 }

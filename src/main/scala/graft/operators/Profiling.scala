@@ -971,4 +971,161 @@ object Profiling {
           / (col("n").cast("double") * col("t").cast("double")))
           .cast("long").as("gini4"))
   }
+
+  /** Benford's-law published reference masses on the 1e-6 grid —
+    * round(1e6·log10(1 + 1/d)); hard-coded constants (they sum to
+    * exactly 1e6) so both engines compare against the SAME integers
+    * instead of trusting two libm log10 implementations to agree. */
+  private[graft] val benford6: Seq[(String, Long)] = Seq(
+    "1" -> 301030L, "2" -> 176091L, "3" -> 124939L, "4" -> 96910L,
+    "5" -> 79181L, "6" -> 66947L, "7" -> 57992L, "8" -> 51153L,
+    "9" -> 45757L)
+
+  /** Benford first-digit audit of a positive numeric column — the
+    * classic fabricated-data / unit-mixup detector: natural
+    * multi-magnitude quantities (prices, populations, file sizes)
+    * follow P(d) = log10(1 + 1/d); clerically generated or truncated
+    * data does not. Census of the leading digit of ⌊value⌋ with each
+    * digit's observed share and deviation on the 1e-6 grid
+    * (round-half-up integer division — no float ratios). Returns one
+    * row per observed digit: (digit, n, share6, expected6, dev6).
+    * One hash aggregate over the column + a 9-row broadcast. */
+  def benfordDigits(df: DataFrame, numCol: String): DataFrame = {
+    val c = df.where(col(numCol).isNotNull && col(numCol) >= 1)
+      .select(substring(floor(col(numCol)).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("total"))
+    val exp = df.sparkSession.createDataFrame(benford6)
+      .toDF("digit", "expected6")
+    val share6 = expr("(2 * 1000000 * n + total) div (2 * total)")
+    c.join(broadcast(exp), Seq("digit"))
+      .crossJoin(broadcast(t))
+      .select(col("digit"), col("n"), share6.as("share6"),
+        col("expected6"), (share6 - col("expected6")).as("dev6"))
+  }
+
+  /** Referential-integrity census for one foreign key: child row
+    * count, null-key count, and orphan count (non-null keys with no
+    * parent — one left-anti join against the parent's key set). The
+    * dimension side is a key projection, so the anti-join broadcasts
+    * for dimension-sized parents and shuffles key-only frames
+    * otherwise. One row: (fk, n_child, n_null, n_orphan); union
+    * several for the conformance dashboard. */
+  def fkOrphans(name: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame = {
+    val c = child.select(col(childKey).as("k"))
+    val tot = c.agg(count(lit(1)).as("n_child"),
+      coalesce(sum(when(col("k").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null"))
+    val orph = c.where(col("k").isNotNull)
+      .join(parent.select(col(parentKey).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    tot.crossJoin(orph)
+      .select(lit(name).as("fk"), col("n_child"), col("n_null"),
+        col("n_orphan"))
+  }
+
+  /** Tukey-hinge outlier census, all-integer: per group over an
+    * integral value column, the lower/upper hinges (Tukey's halves-
+    * medians, reported ×2 as in [[exactMedian2]]) and the count of
+    * points beyond the 1.5·IQR fences. The fence comparison is cleared
+    * of fractions by multiplying through by 4:
+    * v < loQ − 1.5·IQR  ⟺  4v < 5·lo2 − 3·hi2 (and symmetrically) —
+    * so both engines compare exact integers and no quartile-
+    * interpolation convention can drift (Tukey halves are pinned by
+    * rank arithmetic alone). Lower half = ranks ≤ ⌊(n+1)/2⌋, upper
+    * half = ranks ≥ ⌈(n+1)/2⌉ (both include the median when n is
+    * odd). Returns (grp, n, lo_hinge2, hi_hinge2, n_low, n_high).
+    * Two windows + two keyed aggregates per group. */
+  def tukeyOutliers(df: DataFrame, groupCol: String,
+                    valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("__rnd"))
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(valCol).as("v"))
+      .withColumn("__rnd", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w))
+      .drop("__rnd")
+    val n = ranked.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val withN = ranked.join(n, Seq("grp"))
+    // half sizes: nl = ⌊(n+1)/2⌋; the upper half is the mirror, so its
+    // member at within-half rank j is global rank n − nl + j
+    def halfMedian(flipped: Boolean): DataFrame = {
+      val rr = if (flipped) expr("n - rn + 1") else col("rn")
+      withN
+        .withColumn("hr", rr)
+        .where(expr("hr <= (n + 1) div 2"))
+        .where(expr("((n + 1) div 2) % 2 = 1 AND hr = ((n + 1) div 2 + 1) div 2" +
+          " OR ((n + 1) div 2) % 2 = 0 AND (hr = ((n + 1) div 2) div 2" +
+          " OR hr = ((n + 1) div 2) div 2 + 1)"))
+        .groupBy(col("grp"))
+        .agg((sum(col("v")) *
+          when(expr("max((n + 1) div 2) % 2 = 1"), 2).otherwise(1))
+          .as(if (flipped) "hi2" else "lo2"))
+    }
+    val hinges = halfMedian(false).join(halfMedian(true), Seq("grp"))
+    withN.join(hinges, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        max(col("lo2")).as("lo_hinge2"), max(col("hi2")).as("hi_hinge2"),
+        sum(when(expr("4 * v < 5 * lo2 - 3 * hi2"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(expr("4 * v > 5 * hi2 - 3 * lo2"), 1L).otherwise(0L))
+          .as("n_high"))
+  }
+
+  /** Per-group trimmed mean on the integer grid: drop the lowest and
+    * highest ⌊n·pct/100⌋ values BY RANK, average the rest with
+    * round-half-up integer division (`(2Σ + m) div 2m`). The robust
+    * location estimate that survives the fat tails [[tukeyOutliers]]
+    * counts. Returns (grp, n, n_trimmed, tmean). */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+                  pct: Int = 5): DataFrame = {
+    require(pct >= 0 && pct < 50, "pct must be in [0, 50)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("__rnd"))
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(valCol).as("v"))
+      .withColumn("__rnd", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w))
+      .drop("__rnd")
+    val n = ranked.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    ranked.join(n, Seq("grp"))
+      .where(expr(s"rn > (n * $pct) div 100 AND rn <= n - (n * $pct) div 100"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_trimmed"),
+        expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("tmean"))
+  }
+
+  /** Exact per-group median, division-free: reports `median2` = twice
+    * the textbook median (odd n: 2·middle; even n: the sum of the two
+    * middle values), keeping everything on exact integers — the
+    * interpolation `/2` that makes even-count medians fractional is
+    * left to the consumer's display layer. `percentile_approx` is the
+    * sketch alternative; this is the exact one for grouped grids
+    * (value column must already be integral). One rank window over
+    * the group + a filtered sum. */
+  def exactMedian2(df: DataFrame, groupCol: String,
+                   valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("__rnd"))
+    // __rnd makes the ordering total so rn is deterministic; ties in
+    // v make the middle SUM independent of their order anyway
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(valCol).as("v"))
+      .withColumn("__rnd", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w))
+      .drop("__rnd")
+    val n = ranked.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    ranked.join(n, Seq("grp"))
+      // `div` (integer division) — Spark's `/` on longs returns double
+      .where(expr("(n % 2 = 1 AND rn = (n + 1) div 2) OR " +
+        "(n % 2 = 0 AND (rn = n div 2 OR rn = n div 2 + 1))"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        (sum(col("v")) * when(max(col("n")) % 2 === 1, 2).otherwise(1))
+          .as("median2"))
+  }
 }

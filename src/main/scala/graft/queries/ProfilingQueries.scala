@@ -1672,9 +1672,197 @@ object ProfilingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Benford first-digit audit of `l_extendedprice` (see
+    * [[graft.operators.Profiling.benfordDigits]]): leading-digit
+    * census vs the published log10(1+1/d) masses, shares and
+    * deviations on the 1e-6 grid via round-half-up integer division —
+    * the fabricated-data / unit-mixup detector. Both engines compare
+    * against the SAME hard-coded integer reference masses (no libm
+    * log10 in the hot path on either side). */
+  val q304 = GQuery("q304_benford_digits",
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS digit
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+      |e(digit, expected6) AS (VALUES
+      |  ('1', CAST(301030 AS BIGINT)), ('2', 176091), ('3', 124939),
+      |  ('4', 96910), ('5', 79181), ('6', 66947), ('7', 57992),
+      |  ('8', 51153), ('9', 45757))
+      |SELECT c.digit, c.n,
+      |  CAST((2 * 1000000 * c.n + t.total) // (2 * t.total) AS BIGINT)
+      |    AS share6,
+      |  CAST(e.expected6 AS BIGINT) AS expected6,
+      |  CAST((2 * 1000000 * c.n + t.total) // (2 * t.total)
+      |    - e.expected6 AS BIGINT) AS dev6
+      |FROM c JOIN e USING (digit) CROSS JOIN t
+      |ORDER BY c.digit""".stripMargin) { (s, dir) =>
+    Profiling.benfordDigits(Tables.lineitem(s, dir), "l_extendedprice")
+      .orderBy(col("digit"))
+  }
+
+  /** Exact per-type median of purchase-cents (see
+    * [[graft.operators.Profiling.exactMedian2]]): division-free
+    * `median2` (odd n: 2·middle; even n: sum of the two middle
+    * values) — the exact counterpart of the q38b percentile sketch,
+    * expressible as one rank window in both engines. */
+  val q308 = GQuery("q308_exact_median",
+    """WITH v AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT grp, v,
+      |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM v),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1)
+      |SELECT r.grp, n.n,
+      |  CAST(sum(r.v) * (CASE WHEN n.n % 2 = 1 THEN 2 ELSE 1 END)
+      |    AS BIGINT) AS median2
+      |FROM r JOIN n USING (grp)
+      |WHERE (n % 2 = 1 AND rn = (n + 1) // 2)
+      |   OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1))
+      |GROUP BY r.grp, n.n
+      |ORDER BY r.grp""".stripMargin) { (s, dir) =>
+    Profiling.exactMedian2(
+        Tables.events(s, dir).where(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents")
+      .orderBy(col("grp"))
+  }
+
+  /** Tukey-hinge outlier census of purchase cents per event type (see
+    * [[graft.operators.Profiling.tukeyOutliers]]): hinges as exact ×2
+    * integers, 1.5·IQR fences compared after multiplying through by 4
+    * — box-plot robustness with zero float interpolation; the oracle
+    * replays the identical rank arithmetic. */
+  val q310 = GQuery("q310_tukey_outliers",
+    """WITH v AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT grp, v,
+      |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM v),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |j AS (SELECT r.grp, r.v, r.rn, n.n, (n.n + 1) // 2 AS nl
+      |  FROM r JOIN n USING (grp)),
+      |lo AS (
+      |  SELECT grp, CAST(sum(v) * (CASE WHEN max(nl) % 2 = 1 THEN 2
+      |    ELSE 1 END) AS BIGINT) AS lo2
+      |  FROM j WHERE rn <= nl
+      |    AND (nl % 2 = 1 AND rn = (nl + 1) // 2
+      |      OR nl % 2 = 0 AND (rn = nl // 2 OR rn = nl // 2 + 1))
+      |  GROUP BY 1),
+      |hi AS (
+      |  SELECT grp, CAST(sum(v) * (CASE WHEN max(nl) % 2 = 1 THEN 2
+      |    ELSE 1 END) AS BIGINT) AS hi2
+      |  FROM (SELECT grp, v, n - rn + 1 AS hr, nl FROM j) h
+      |  WHERE hr <= nl
+      |    AND (nl % 2 = 1 AND hr = (nl + 1) // 2
+      |      OR nl % 2 = 0 AND (hr = nl // 2 OR hr = nl // 2 + 1))
+      |  GROUP BY 1)
+      |SELECT j.grp, CAST(max(j.n) AS BIGINT) AS n,
+      |  max(lo.lo2) AS lo_hinge2, max(hi.hi2) AS hi_hinge2,
+      |  CAST(sum(CASE WHEN 4 * j.v < 5 * lo.lo2 - 3 * hi.hi2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN 4 * j.v > 5 * hi.hi2 - 3 * lo.lo2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM j JOIN lo USING (grp) JOIN hi USING (grp)
+      |GROUP BY j.grp
+      |ORDER BY j.grp""".stripMargin) { (s, dir) =>
+    Profiling.tukeyOutliers(
+        Tables.events(s, dir).where(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents")
+      .orderBy(col("grp"))
+  }
+
+  /** 5%-trimmed mean of purchase cents per event type (see
+    * [[graft.operators.Profiling.trimmedMean]]): rank-trimmed,
+    * round-half-up integer mean — the robust location companion to
+    * the q310 fences. */
+  val q311 = GQuery("q311_trimmed_mean",
+    """WITH v AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT grp, v,
+      |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM v),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1)
+      |SELECT r.grp, CAST(max(n.n) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_trimmed,
+      |  CAST((2 * sum(r.v) + count(*)) // (2 * count(*)) AS BIGINT)
+      |    AS tmean
+      |FROM r JOIN n USING (grp)
+      |WHERE r.rn > (n.n * 5) // 100 AND r.rn <= n.n - (n.n * 5) // 100
+      |GROUP BY r.grp
+      |ORDER BY r.grp""".stripMargin) { (s, dir) =>
+    Profiling.trimmedMean(
+        Tables.events(s, dir).where(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", pct = 5)
+      .orderBy(col("grp"))
+  }
+
+  /** Referential-integrity conformance census (see
+    * [[graft.operators.Profiling.fkOrphans]]): child rows, null keys,
+    * and orphans for the schema's four foreign keys — the governance
+    * staple every warehouse load gate runs. */
+  val q314 = GQuery("q314_fk_conformance",
+    """WITH f AS (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk,
+      |    CAST(count(*) AS BIGINT) AS n_child,
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_null,
+      |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS (
+      |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+      |  FROM lineitem l
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(sum(CASE WHEN l_partkey IS NOT NULL AND NOT EXISTS (
+      |      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND NOT EXISTS (
+      |      SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+      |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders o)
+      |SELECT fk, n_child, n_null, n_orphan FROM f
+      |ORDER BY fk""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    Profiling.fkOrphans("lineitem.l_orderkey->orders",
+        li, "l_orderkey", Tables.orders(s, dir), "o_orderkey")
+      .unionByName(Profiling.fkOrphans("lineitem.l_partkey->part",
+        li, "l_partkey", Tables.part(s, dir), "p_partkey"))
+      .unionByName(Profiling.fkOrphans("lineitem.l_suppkey->supplier",
+        li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+      .unionByName(Profiling.fkOrphans("orders.o_custkey->customer",
+        Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .orderBy(col("fk"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
       q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
       q270, q273, q274, q275, q276, q279, q285, q287, q289, q291, q292,
-      q295, q297)
+      q295, q297, q304, q308, q310, q311, q314)
 }

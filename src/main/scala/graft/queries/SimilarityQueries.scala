@@ -1186,8 +1186,79 @@ object SimilarityQueries {
     }
   }
 
+  /** k-NN label accuracy over the embedding space: for 200 query
+    * vectors, the 5 exact cosine neighbors (self excluded) vote on the
+    * label — majority with (count DESC, label) tie-break — and the
+    * census reports per-true-label accuracy on the 1e-4 grid. The
+    * standard embedding-quality probe ("do nearest neighbors share
+    * labels?") with the same bit-identical unrolled-cosine contract as
+    * q31; at corpus scale the brute scorer swaps for [[Similarity
+    * .ivfProbe]] candidates and the vote/census stages are unchanged
+    * (query-set-sized). */
+  val q312 = {
+    val nq = 200
+    GQuery("q312_knn_accuracy",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             label AS truth
+         |           FROM embeddings WHERE vec_id < $nq),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, corpus_id, round($cosSql, 6) AS cosine
+         |  FROM q, c WHERE corpus_id <> query_id),
+         |rk AS (
+         |  SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS rn
+         |  FROM scored),
+         |votes AS (
+         |  SELECT t.query_id, c.label, count(*) AS nv
+         |  FROM rk t JOIN c USING (corpus_id) WHERE t.rn <= 5
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT query_id, label AS pred FROM (
+         |    SELECT query_id, label,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY nv DESC, label) AS r
+         |    FROM votes) WHERE r = 1)
+         |SELECT q.truth, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN p.pred = q.truth THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST((2 * 10000 * sum(CASE WHEN p.pred = q.truth THEN 1
+         |      ELSE 0 END) + count(*)) // (2 * count(*)) AS BIGINT)
+         |    AS acc4
+         |FROM pred p JOIN q USING (query_id)
+         |GROUP BY 1 ORDER BY q.truth""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val knn = Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < nq),
+        idCol = "vec_id", vecCol = "embedding", k = 5, dim = Dim)
+      val votes = knn
+        .join(lbl.withColumnRenamed("vec_id", "corpus_id"), "corpus_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("nv").desc, col("label"))
+      val pred = votes.withColumn("r", row_number().over(w))
+        .where(col("r") === 1)
+        .select(col("query_id"), col("label").as("pred"))
+      pred
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("truth")), "query_id")
+        .groupBy(col("truth"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("truth"), col("n"), col("n_correct"),
+          expr("(2 * 10000 * n_correct + n) div (2 * n)").as("acc4"))
+        .orderBy(col("truth"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
       q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231,
-      q248, q254, q260, q267, q268, q271)
+      q248, q254, q260, q267, q268, q271, q312)
 }

@@ -2179,10 +2179,262 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Maximum drawdown of daily revenue (see
+    * [[graft.operators.EventOps.maxDrawdown]]): the largest drop of
+    * the daily o_totalprice cents total from its running peak, with
+    * the date it bottomed and the peak it fell from — the worst-
+    * decline risk readout, exact on the cents grid. */
+  val q305 = GQuery("q305_max_drawdown",
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT d, rev_c,
+      |  max(rev_c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak
+      |  FROM daily),
+      |x AS (SELECT peak - rev_c AS dd, d, peak FROM p
+      |  ORDER BY dd DESC, d LIMIT 1)
+      |SELECT CAST(dd AS BIGINT) AS max_dd, d AS dd_date,
+      |  CAST(peak AS BIGINT) AS peak_before
+      |FROM x""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    graft.operators.EventOps.maxDrawdown(daily, "d", "rev_c")
+      .withColumnRenamed("dd_ord", "dd_date")
+  }
+
+  /** Frequent behavior trigrams (see
+    * [[graft.operators.EventOps.eventKgrams]]): every 3-action window
+    * of each user's ordered event-initial string, with occurrence and
+    * distinct-user support — the contiguous core of frequent-sequence
+    * mining, on the q301 sequence spine. */
+  val q306 = GQuery("q306_event_trigrams",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+      |      AS seq
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT user_id, substr(seq, CAST(i AS INTEGER), 3) AS gram
+      |  FROM s, unnest(generate_series(1, length(seq) - 2)) AS t(i)
+      |  WHERE length(seq) >= 3)
+      |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM g GROUP BY 1 HAVING count(*) >= 5
+      |ORDER BY gram""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.eventKgrams(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", 3)
+      .where(col("n_occurrences") >= 5)
+      .orderBy(col("gram"))
+  }
+
+  /** Throttle-style tolerance dedup (see
+    * [[graft.operators.EventOps.throttleDedup]]): per (user, type),
+    * keep the first event and every event ≥ 5 minutes after the last
+    * KEPT one — the debounce contract where each decision depends on
+    * the previous DECISION. The Spark side folds the per-key
+    * recurrence in one codegen'd higher-order aggregate; the oracle
+    * replays it as a rank-indexed RECURSIVE walk, so a hash match
+    * proves fold ≡ sequential scan. */
+  val q307 = GQuery("q307_throttle_dedup",
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |n AS (SELECT user_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1, 2),
+      |walk(user_id, event_type, rn, last_us, n_kept) AS (
+      |  SELECT user_id, event_type, rn, us, CAST(1 AS BIGINT)
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.event_type, e.rn,
+      |    CASE WHEN e.us >= w.last_us + 300000000 THEN e.us
+      |      ELSE w.last_us END,
+      |    CASE WHEN e.us >= w.last_us + 300000000 THEN w.n_kept + 1
+      |      ELSE w.n_kept END
+      |  FROM walk w JOIN e ON e.user_id = w.user_id
+      |    AND e.event_type = w.event_type AND e.rn = w.rn + 1),
+      |f AS (
+      |  SELECT user_id, event_type, n_kept,
+      |    CAST(last_us AS BIGINT) AS last_kept_us,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY rn DESC) AS rr
+      |  FROM walk)
+      |SELECT n.user_id, n.event_type, n.n_events, f.n_kept,
+      |  f.last_kept_us
+      |FROM n JOIN f ON f.user_id = n.user_id
+      |  AND f.event_type = n.event_type AND f.rr = 1
+      |ORDER BY n.user_id, n.event_type""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.throttleDedup(Tables.events(s, dir),
+        Seq("user_id", "event_type"), "ts", "event_id", 300000000L)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Deadline conversion (see
+    * [[graft.operators.EventOps.windowedConversion]]): per user, how
+    * many views were followed by a purchase within one hour —
+    * attribution with a deadline, stricter than the ordered funnel.
+    * The oracle is the textbook correlated EXISTS. */
+  val q309 = GQuery("q309_windowed_conversion",
+    """WITH a AS (SELECT user_id AS u, epoch_us(ts) AS ta
+      |  FROM events WHERE event_type = 'view'),
+      |b AS (SELECT user_id AS u, epoch_us(ts) AS tb
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT u FROM a WHERE EXISTS (
+      |  SELECT 1 FROM b WHERE b.u = a.u AND b.tb > a.ta
+      |    AND b.tb <= a.ta + 3600000000)),
+      |na AS (SELECT u, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
+      |nc AS (SELECT u, CAST(count(*) AS BIGINT) AS n_converted
+      |  FROM c GROUP BY 1)
+      |SELECT na.u AS user, na.n_a,
+      |  CAST(coalesce(nc.n_converted, 0) AS BIGINT) AS n_converted
+      |FROM na LEFT JOIN nc USING (u)
+      |ORDER BY na.u""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.windowedConversion(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "view", "purchase", 3600000000L)
+      .orderBy(col("user"))
+  }
+
+  /** Seasonal-naive anomaly census (see
+    * [[graft.operators.EventOps.seasonalMadAnomalies]]): daily volume
+    * per type vs same-weekday-last-week, flagged beyond 3× the exact
+    * integer MAD — the seasonality-aware complement of the q300
+    * Hampel window (which would flag every weekend of a weekly-shaped
+    * series). */
+  val q313 = GQuery("q313_seasonal_mad",
+    """WITH dd AS (
+      |  SELECT event_type AS grp,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |sp AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+      |  CAST(max(d) AS BIGINT) AS d1 FROM dd),
+      |gs AS (SELECT DISTINCT grp FROM dd),
+      |spine AS (SELECT grp, unnest(generate_series(d0, d1)) AS d
+      |  FROM gs CROSS JOIN sp),
+      |ser AS (
+      |  SELECT spine.grp, spine.d, COALESCE(c.y, 0) AS y
+      |  FROM spine LEFT JOIN (
+      |    SELECT grp, d, CAST(count(*) AS BIGINT) AS y
+      |    FROM dd GROUP BY 1, 2) c
+      |    ON c.grp = spine.grp AND c.d = spine.d),
+      |res AS (SELECT grp, d, abs(y - yl) AS a FROM (
+      |  SELECT grp, d, y,
+      |    lag(y, 7) OVER (PARTITION BY grp ORDER BY d) AS yl FROM ser)
+      |  WHERE yl IS NOT NULL),
+      |r2 AS (SELECT grp, a,
+      |  row_number() OVER (PARTITION BY grp ORDER BY a) AS rn FROM res),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_res
+      |  FROM res GROUP BY 1),
+      |mad AS (
+      |  SELECT r2.grp, CAST(sum(r2.a) *
+      |    (CASE WHEN max(n.n_res) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+      |    AS mad2
+      |  FROM r2 JOIN n USING (grp)
+      |  WHERE (n_res % 2 = 1 AND rn = (n_res + 1) // 2)
+      |     OR (n_res % 2 = 0 AND (rn = n_res // 2 OR rn = n_res // 2 + 1))
+      |  GROUP BY 1),
+      |wst AS (SELECT grp, CAST(max(a) AS BIGINT) AS worst_dev
+      |  FROM res GROUP BY 1),
+      |wd AS (SELECT res.grp, CAST(min(res.d) AS BIGINT) AS worst_day
+      |  FROM res JOIN wst ON wst.grp = res.grp AND res.a = wst.worst_dev
+      |  GROUP BY 1)
+      |SELECT n.grp, n.n_res, mad.mad2,
+      |  CAST(sum(CASE WHEN 2 * res.a > 3 * mad.mad2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_anomalies,
+      |  wst.worst_dev, wd.worst_day
+      |FROM res JOIN n USING (grp) JOIN mad USING (grp)
+      |  JOIN wst USING (grp) JOIN wd USING (grp)
+      |GROUP BY n.grp, n.n_res, mad.mad2, wst.worst_dev, wd.worst_day
+      |ORDER BY n.grp""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.seasonalMadAnomalies(Tables.events(s, dir),
+        "event_type", "ts", period = 7)
+      .orderBy(col("grp"))
+  }
+
+  /** Holt–Winters additive seasonal forecast (see
+    * [[graft.operators.EventOps.holtWintersForecast]], period 7): the
+    * level+trend+SEASON completion of q299, every recurrence on the
+    * exact 1e-4 grid. The oracle walks the same recursion with the
+    * rotating 7-seasonal queue carried as columns — floor division
+    * emulated against DuckDB's truncating `//` exactly as in q299. */
+  val q315 = {
+    // exact FLOOR division by 10 on possibly-negative numerators
+    def fd(num: String) =
+      s"((($num) - ((($num) % 10) + 10) % 10) // 10)"
+    val sCols = (1 to 7).map(i => s"s$i").mkString(", ")
+    GQuery("q315_holt_winters",
+    s"""WITH RECURSIVE dd AS (
+      |  SELECT event_type AS grp,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |sp AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+      |  CAST(max(d) AS BIGINT) AS d1 FROM dd),
+      |gs AS (SELECT DISTINCT grp FROM dd),
+      |spine AS (SELECT grp, unnest(generate_series(d0, d1)) AS d
+      |  FROM gs CROSS JOIN sp),
+      |ser AS (
+      |  SELECT spine.grp, spine.d, COALESCE(c.y, 0) AS y,
+      |    CAST(row_number() OVER (PARTITION BY spine.grp
+      |      ORDER BY spine.d) - 1 AS BIGINT) AS i
+      |  FROM spine LEFT JOIN (
+      |    SELECT grp, d, CAST(count(*) AS BIGINT) AS y
+      |    FROM dd GROUP BY 1, 2) c
+      |    ON c.grp = spine.grp AND c.d = spine.d),
+      |mx AS (SELECT grp, CAST(max(i) AS BIGINT) AS t FROM ser GROUP BY 1),
+      |init AS (
+      |  SELECT q.grp, (2 * q.S + 7) // 14 AS l0
+      |  FROM (SELECT grp, sum(y * 10000) AS S FROM ser WHERE i < 7
+      |    GROUP BY 1) q
+      |  JOIN mx ON mx.grp = q.grp AND mx.t >= 7),
+      |s0 AS (
+      |  SELECT ser.grp,
+      |    ${(0 to 6).map(i =>
+            s"max(CASE WHEN ser.i = $i THEN ser.y * 10000 - init.l0 END) AS s${i + 1}")
+            .mkString(",\n      |    ")}
+      |  FROM ser JOIN init USING (grp) WHERE ser.i < 7 GROUP BY 1),
+      |walk(grp, i, l, b, $sCols) AS (
+      |  SELECT init.grp, CAST(6 AS BIGINT), CAST(init.l0 AS HUGEINT),
+      |    CAST(0 AS HUGEINT),
+      |    ${(1 to 7).map(i => s"CAST(s0.s$i AS HUGEINT)").mkString(", ")}
+      |  FROM init JOIN s0 USING (grp)
+      |  UNION ALL
+      |  SELECT grp, i, l2,
+      |    CAST(${fd("2 * (l2 - l_old) + 8 * b_old + 5")} AS HUGEINT),
+      |    s2, s3, s4, s5, s6, s7,
+      |    CAST(${fd("3 * (yv - l2) + 7 * s1_old + 5")} AS HUGEINT)
+      |  FROM (
+      |    SELECT w.grp, w.i + 1 AS i, w.l AS l_old, w.b AS b_old,
+      |      w.s1 AS s1_old, w.s2, w.s3, w.s4, w.s5, w.s6, w.s7,
+      |      y.y * 10000 AS yv,
+      |      CAST(${fd("3 * (y.y * 10000 - w.s1) + 7 * (w.l + w.b) + 5")}
+      |        AS HUGEINT) AS l2
+      |    FROM walk w JOIN ser y ON y.grp = w.grp AND y.i = w.i + 1) q),
+      |fin AS (SELECT w.* FROM walk w
+      |  JOIN mx ON mx.grp = w.grp AND w.i = mx.t),
+      |hh AS (SELECT unnest(generate_series(1, 7)) AS h)
+      |SELECT fin.grp, CAST(hh.h AS BIGINT) AS h,
+      |  CAST(fin.l AS BIGINT) AS level4, CAST(fin.b AS BIGINT) AS trend4,
+      |  CAST(CASE hh.h ${(1 to 7).map(i => s"WHEN $i THEN fin.s$i")
+            .mkString(" ")} END AS BIGINT) AS season4,
+      |  CAST(fin.l + hh.h * fin.b + CASE hh.h ${(1 to 7)
+            .map(i => s"WHEN $i THEN fin.s$i").mkString(" ")} END
+      |    AS BIGINT) AS forecast4
+      |FROM fin CROSS JOIN hh
+      |ORDER BY fin.grp, hh.h""".stripMargin) { (s, dir) =>
+      graft.operators.EventOps.holtWintersForecast(Tables.events(s, dir),
+          "ts", "event_type", period = 7)
+        .orderBy(col("grp"), col("h"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
       q235, q240, q244, q247, q264, q277, q280, q282, q288, q293, q294,
-      q296, q298, q299, q300, q301, q302)
+      q296, q298, q299, q300, q301, q302, q305, q306, q307, q309, q313,
+      q315)
 }

@@ -579,4 +579,175 @@ class EventOpsSpec extends SparkSpec {
       "b" -> (("a", 1L, 1L, 10000L)),
       "c" -> (("a", 2L, 1L, 5000L))))
   }
+
+  test("maxDrawdown: deepest peak-to-trough, first-bottom tie-break, flat series") {
+    // series 10, 14, 9, 12, 6, 6: peak path 10,14,14,14,14,14;
+    // drawdowns 0,0,5,2,8,8 → max 8, first bottomed at ord 5, peak 14
+    val s = Seq((1L, 10L), (2L, 14L), (3L, 9L), (4L, 12L), (5L, 6L),
+      (6L, 6L)).toDF("d", "v")
+    val out = EventOps.maxDrawdown(s, "d", "v")
+      .as[(Long, Long, Long)].head()
+    assert(out === ((8L, 5L, 14L)))
+    // non-decreasing series: zero drawdown at the first step
+    val up = Seq((1L, 3L), (2L, 3L), (3L, 7L)).toDF("d", "v")
+    assert(EventOps.maxDrawdown(up, "d", "v")
+      .as[(Long, Long, Long)].head() === ((0L, 1L, 3L)))
+  }
+
+  test("eventKgrams: sliding windows, occurrence vs user support, short strings drop") {
+    // u1: v c p v  → vcp, cpv ; u2: v c p → vcp ; u3: v c (too short)
+    val rows = Seq(
+      (1L, 1L, ts(1), "view"), (2L, 1L, ts(2), "click"),
+      (3L, 1L, ts(3), "purchase"), (4L, 1L, ts(4), "view"),
+      (5L, 2L, ts(1), "view"), (6L, 2L, ts(2), "click"),
+      (7L, 2L, ts(3), "purchase"),
+      (8L, 3L, ts(1), "view"), (9L, 3L, ts(2), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.eventKgrams(rows, "user_id", "ts", "event_id",
+        "event_type", 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map("vcp" -> ((2L, 2L)), "cpv" -> ((1L, 1L))))
+  }
+
+  test("throttleDedup: decisions chain off the last KEPT event, not the last row") {
+    // gap = 10 s. Events at 0, 4, 8, 12, 25 s:
+    //  keep 0; 4 < 0+10 drop; 8 < 0+10 drop; 12 ≥ 0+10 keep;
+    //  25 ≥ 12+10 keep → 3 kept, last 25 s.
+    // A lag()-based rule would WRONGLY drop 12 (12 − 8 < 10).
+    val rows = Seq(0, 4, 8, 12, 25).zipWithIndex.map { case (sec, i) =>
+      (i.toLong, 1L, ts(sec), "click")
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.throttleDedup(rows, Seq("user_id", "event_type"),
+        "ts", "event_id", 10L * 1000000L)
+      .select("n_events", "n_kept", "last_kept_us")
+      .as[(Long, Long, Long)].head()
+    assert(out === ((5L, 3L, 1704067200000000L + 25L * 1000000L)))
+  }
+
+  test("windowedConversion: deadline inclusive, same-ts excluded, per-user counts") {
+    // window 10 s. u1: views at 0, 30, 50; purchases at 10, 35.
+    //   view@0 → purchase@10 (≤ 0+10, inclusive end) converts
+    //   view@30 → purchase@35 converts; view@50 → nothing
+    // u2: view at 0, purchase at 0 (NOT after) and at 11 (> deadline)
+    val rows = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(30), "view"),
+      (3L, 1L, ts(50), "view"), (4L, 1L, ts(10), "purchase"),
+      (5L, 1L, ts(35), "purchase"),
+      (6L, 2L, ts(0), "view"), (7L, 2L, ts(0), "purchase"),
+      (8L, 2L, ts(11), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.windowedConversion(rows, "user_id", "ts",
+        "event_type", "view", "purchase", 10L * 1000000L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(1L -> ((3L, 2L)), 2L -> ((1L, 0L))))
+  }
+
+  test("exactMedian2: odd doubles the middle, even sums the two middles") {
+    import graft.operators.Profiling
+    val df = Seq(("a", 1L), ("a", 9L), ("a", 4L),            // odd: 2·4
+      ("b", 2L), ("b", 10L), ("b", 6L), ("b", 4L),           // even: 4+6
+      ("c", 7L)).toDF("g", "v")                              // singleton: 2·7
+    val out = Profiling.exactMedian2(df, "g", "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map("a" -> ((3L, 8L)), "b" -> ((4L, 10L)),
+      "c" -> ((1L, 14L))))
+  }
+
+  test("tukeyOutliers: hand hinges on both parities, fence counts") {
+    import graft.operators.Profiling
+    // g "a", n=7 values 1..6,100: nl=4 → lower half ranks 1-4 (1,2,3,4):
+    //   even half → lo2 = 2+3 = 5; upper half (4,5,6,100) → hi2 = 5+6 = 11
+    //   low fence: 4v < 5·5−3·11 = −8 → none; high: 4v > 5·11−3·5 = 40
+    //   → v > 10 → only 100 → n_high = 1
+    val a = Seq(1L, 2L, 3L, 4L, 5L, 6L, 100L).map(("a", _))
+    // g "b", n=4 values 0,10,20,1000: nl=2 → lo half (0,10) lo2=10;
+    //   hi half (20,1000) hi2=1020. low: 4v < 50−3060 <0 → none;
+    //   high: 4v > 5100−30=5070 → v>1267.5 → none
+    val b = Seq(0L, 10L, 20L, 1000L).map(("b", _))
+    val out = Profiling.tukeyOutliers((a ++ b).toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out === Map(
+      "a" -> ((7L, 5L, 11L, 0L, 1L)),
+      "b" -> ((4L, 10L, 1020L, 0L, 0L))))
+  }
+
+  test("trimmedMean: rank trim both tails, round-half-up mean") {
+    import graft.operators.Profiling
+    // n=20 values: 0, 2..19, 5000 → 5% trim drops 1 from each tail
+    // (20·5 div 100 = 1): keep 2..19 → sum 189, mean 189/18 = 10.5 → 11
+    val vs = (Seq(0L) ++ (2L to 19L) ++ Seq(5000L)).map(("a", _))
+    val out = Profiling.trimmedMean(vs.toDF("g", "v"), "g", "v", pct = 5)
+      .as[(String, Long, Long, Long)].head()
+    assert(out === (("a", 20L, 18L, 11L)))
+  }
+
+  test("seasonalMadAnomalies: lag-period residuals, zero-MAD degeneracy, worst day") {
+    // 15 days, weekly-flat 5 events/day except day 9 has 9 events.
+    // Residuals (days 7-14 vs lag-7): all 0 except day 9 → 4.
+    // MAD2 over [0×7, 4] (even 8 → ranks 4,5) = 0 → any nonzero
+    // residual is anomalous: exactly day 9.
+    val base = 19723L  // ts(0) is exactly midnight → day index base
+    val rows = for {
+      d <- 0 to 14
+      k <- 1 to (if (d == 9) 9 else 5)
+    } yield ((d * 100 + k).toLong, 1L, ts(d * 86400), "e")
+    val out = EventOps.seasonalMadAnomalies(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "event_type", "ts", period = 7)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(out === (("e", 8L, 0L, 1L, 4L, base + 9L)))
+  }
+
+  test("holtWintersForecast: hand-computed period-2 recursion with negative seasonal") {
+    // days 0..3, counts 1,3,2,4; m=2 → init l=20000, b=0,
+    // s=[-10000, 10000]; two update steps (worked in comments below):
+    //   i=2: l=23000, b=600, snew=-7900 (floor(-7899.5))
+    //   i=3: l=25520, b=984, snew=11344
+    // forecasts: h1 = 25520+984-7900 = 18604; h2 = 25520+1968+11344.
+    val rows = for {
+      (y, d) <- Seq(1, 3, 2, 4).zipWithIndex
+      k <- 1 to y
+    } yield ((d * 100 + k).toLong, 1L, ts(d * 86400), "g")
+    val out = EventOps.holtWintersForecast(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "ts", "event_type", period = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("g", 1L, 25520L, 984L, -7900L, 18604L),
+      ("g", 2L, 25520L, 984L, 11344L, 38832L)))
+    // fewer than m+1 days → no rows, not a crash
+    val short = Seq((1L, 1L, ts(0), "g"), (2L, 1L, ts(86400), "g"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(EventOps.holtWintersForecast(short, "ts", "event_type",
+      period = 2).isEmpty)
+  }
+
+  test("fkOrphans: null keys counted apart from orphans") {
+    import graft.operators.Profiling
+    val child = Seq(Some(1L), Some(1L), Some(7L), None)
+      .toDF("ck")
+    val parent = Seq(1L, 2L).map(Tuple1(_)).toDF("pk")
+    val out = Profiling.fkOrphans("c->p", child, "ck", parent, "pk")
+      .as[(String, Long, Long, Long)].head()
+    assert(out === (("c->p", 4L, 1L, 1L)))
+  }
+
+  test("benfordDigits: hand census, grid shares, sub-1 and null rows drop") {
+    import graft.operators.Profiling
+    // digits: 1 ×2 (1.5, 19), 2 ×1 (250), 9 ×1 (9e3); 0.4 and null drop
+    val df = Seq(Some(1.5), Some(19.0), Some(250.0), Some(9000.0),
+      Some(0.4), None).toDF("x")
+    val out = Profiling.benfordDigits(df, "x")
+      .select("digit", "n", "share6", "expected6", "dev6")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      "1" -> ((2L, 500000L, 301030L, 198970L)),
+      "2" -> ((1L, 250000L, 176091L, 73909L)),
+      "9" -> ((1L, 250000L, 45757L, 204243L))))
+  }
 }
