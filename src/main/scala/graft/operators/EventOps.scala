@@ -1597,6 +1597,32 @@ object EventOps {
         countDistinct(col("user")).as("n_users"))
   }
 
+  /** Rolling k-day DISTINCT user count (k-day active users per day) —
+    * the metric window functions cannot express (COUNT(DISTINCT) over
+    * a moving frame is unsupported in every engine's window clause)
+    * and sketches only approximate. Exact set semantics via coverage
+    * explosion: a user active on day d is "covered" by the k windows
+    * ending on d..d+k−1, so distinct (user, window) pairs counted per
+    * window ARE the rolling distinct counts. Cost: active (user, day)
+    * pairs × k rows — day-grain × k, independent of raw event volume;
+    * the shuffle keys on the window day. Windows beyond the data span
+    * are dropped. Returns (day, n_users). */
+  def rollingDistinctUsers(events: DataFrame, userCol: String,
+                           tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val act = events.select(col(userCol).as("user"),
+      floor(unix_timestamp(col(tsCol)) / 86400L).as("d")).distinct()
+    val span = act.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    act
+      .select(col("user"),
+        explode(sequence(col("d"), col("d") + (windowDays - 1))).as("w"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .where(col("w") <= col("d1"))
+      .groupBy(col("w").as("day"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Holt–Winters ADDITIVE seasonal forecast of daily counts per group
     * — the level+trend+season completion of [[holtForecast]], on the
     * same exact 1e-4 integer grid with floor-division round-half-up

@@ -1099,6 +1099,34 @@ object Profiling {
         expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("tmean"))
   }
 
+  /** Exact nearest-rank quantiles per group: for each percentile P the
+    * value at rank ⌈n·P/100⌉ — the inversion-free order-statistic
+    * definition (no interpolation, so the reported value is always an
+    * ACTUAL observation and both engines agree in pure integers;
+    * `percentile_approx` is the sketch alternative, q38b). One rank
+    * window + one broadcast of the percentile list. Returns
+    * (grp, p, n, value) — long format, one row per group × P. */
+  def nearestRankQuantiles(df: DataFrame, groupCol: String,
+                           valCol: String,
+                           ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("__rnd"))
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(valCol).as("v"))
+      .withColumn("__rnd", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w))
+      .drop("__rnd")
+    val n = ranked.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val pf = df.sparkSession.createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    ranked.join(n, Seq("grp"))
+      .crossJoin(broadcast(pf))
+      .where(expr("rn = (n * p + 99) div 100"))
+      .select(col("grp"), col("p").cast("long").as("p"), col("n"),
+        col("v").as("value"))
+  }
+
   /** Exact per-group median, division-free: reports `median2` = twice
     * the textbook median (odd n: 2·middle; even n: the sum of the two
     * middle values), keeping everything on exact integers — the

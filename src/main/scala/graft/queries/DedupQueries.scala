@@ -2082,9 +2082,152 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-lingual near-duplicate census: the q24 pair graph rolled up
+    * by the two documents' languages (unordered pair) — off-diagonal
+    * cells are translation/transliteration duplicates, the
+    * contamination class monolingual dedup passes miss entirely. */
+  val q317 = GQuery("q317_crosslingual_dups",
+    s"""WITH $shingleCtes,
+       |$pairCtes
+       |SELECT least(da.lang, db.lang) AS lang_lo,
+       |  greatest(da.lang, db.lang) AS lang_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pr
+       |JOIN documents da ON da.doc_id = pr.id_a
+       |JOIN documents db ON db.doc_id = pr.id_b
+       |GROUP BY 1, 2
+       |ORDER BY lang_lo, lang_hi""".stripMargin) { (s, dir) =>
+    val lang = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    sharedPairs(s, dir)
+      .join(lang.select(col("doc_id").as("id_a"), col("lang").as("la")),
+        Seq("id_a"))
+      .join(lang.select(col("doc_id").as("id_b"), col("lang").as("lb")),
+        Seq("id_b"))
+      .groupBy(least(col("la"), col("lb")).as("lang_lo"),
+        greatest(col("la"), col("lb")).as("lang_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("lang_lo"), col("lang_hi"))
+  }
+
+  /** Dedup token-savings report: per source, corpus tokens before vs
+    * after cluster keep-one (the q51 canonical rule doc_id =
+    * cluster_rep), with the kept share on the 1e-4 grid — the
+    * business readout of the whole near-dup family ("what does dedup
+    * actually save at training time, and in which sources"). */
+  val q318 = GQuery("q318_dedup_savings",
+    s"""WITH RECURSIVE $shingleCtes,
+       |$clusterCtes,
+       |tc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS ntok FROM tok),
+       |j AS (
+       |  SELECT d.source, tc.ntok,
+       |    (cl.doc_id = cl.cluster_rep) AS kept
+       |  FROM documents d JOIN tc USING (doc_id) JOIN cl USING (doc_id))
+       |SELECT source, CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST((2 * 10000 * sum(CASE WHEN kept THEN ntok ELSE 0 END)
+       |    + sum(ntok)) // (2 * sum(ntok)) AS BIGINT) AS kept_share4
+       |FROM j GROUP BY 1
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+    val tc = docs.select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+    tc.join(sharedClusters(s, dir), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("ntok")).as("total_tokens"),
+        sum(when(col("doc_id") === col("cluster_rep"), col("ntok"))
+          .otherwise(0L)).as("kept_tokens"))
+      .select(col("source"), col("total_tokens"), col("kept_tokens"),
+        expr("(2 * 10000 * kept_tokens + total_tokens) div " +
+          "(2 * total_tokens)").as("kept_share4"))
+      .orderBy(col("source"))
+  }
+
+  /** Cluster source-diversity census: multi-doc near-dup clusters
+    * bucketed by (size, distinct sources) — diagonal cells are
+    * within-source mirrors (batch re-crawls), off-diagonal ones are
+    * cross-source syndication, the class where keep-one policies need
+    * a source-priority rule. */
+  val q319 = GQuery("q319_cluster_sources",
+    s"""WITH RECURSIVE $shingleCtes,
+       |$clusterCtes,
+       |cs AS (
+       |  SELECT cl.cluster_rep, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+       |  FROM cl JOIN documents d USING (doc_id)
+       |  GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT n_docs, n_sources, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM cs GROUP BY 1, 2
+       |ORDER BY n_docs, n_sources""".stripMargin) { (s, dir) =>
+    sharedClusters(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .where(col("n_docs") >= 2)
+      .groupBy(col("n_docs"), col("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("n_docs"), col("n_sources"))
+  }
+
+  /** Similarity-band census of the near-dup pair graph: pairs per
+    * 0.05 Jaccard band (band floor on the 1e-4 integer grid — the
+    * two-step round both engines perform identically). The shape
+    * every threshold choice is argued from: a fat band just above
+    * the cut means the threshold is load-bearing; a gap means it is
+    * free. */
+  val q320 = GQuery("q320_jaccard_bands",
+    s"""WITH $shingleCtes,
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j4s AS (
+       |  SELECT CAST(round(round(inter * 1.0 /
+       |      (sa.sz + sb.sz - inter), 4) * 10000) AS BIGINT) AS j4
+       |  FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ)
+       |SELECT (j4 // 500) * 500 AS band_lo4,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM j4s GROUP BY 1
+       |ORDER BY band_lo4""".stripMargin) { (s, dir) =>
+    sharedPairs(s, dir)
+      .select(round(col("jaccard") * 10000).cast("long").as("j4"))
+      .select(expr("(j4 div 500) * 500").as("band_lo4"))
+      .groupBy(col("band_lo4")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("band_lo4"))
+  }
+
+  /** Shingle document-frequency spectrum: shingles bucketed by
+    * power-of-two df (the exact `length(bin(df))` bucket trick from
+    * q203) with shingle and posting mass per bucket — the census every
+    * `maxDocFreq` stop-shingle knob should be argued from (how much
+    * of the inverted index lives in boilerplate-frequency buckets). */
+  val q322 = GQuery("q322_shingle_df_spectrum",
+    s"""WITH $shingleCtes,
+       |df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM ex
+       |  GROUP BY 1)
+       |SELECT CAST(length(bin(df)) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(df) AS BIGINT) AS postings
+       |FROM df GROUP BY 1
+       |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    sharedSets(s, dir)
+      .select(explode(col("shset")).as("s"), col("id"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .groupBy(length(bin(col("df"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("postings"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q51, q52, q53, q59, q60, q68, q78, q79, q82, q86,
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
-      q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303)
+      q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
+      q318, q319, q320, q322)
 }

@@ -1860,9 +1860,33 @@ object ProfilingQueries {
       .orderBy(col("fk"))
   }
 
+  /** Exact nearest-rank P50/P90/P99 of purchase cents per event type
+    * (see [[graft.operators.Profiling.nearestRankQuantiles]]): the
+    * order-statistic tail readout — always an actual observation, so
+    * no interpolation convention can drift between engines. */
+  val q321 = GQuery("q321_nearest_rank_quantiles",
+    """WITH v AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT grp, v,
+      |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM v),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |ps(p) AS (VALUES (CAST(50 AS BIGINT)), (90), (99))
+      |SELECT r.grp, ps.p, n.n, r.v AS value
+      |FROM r JOIN n USING (grp) CROSS JOIN ps
+      |WHERE r.rn = (n.n * ps.p + 99) // 100
+      |ORDER BY r.grp, ps.p""".stripMargin) { (s, dir) =>
+    Profiling.nearestRankQuantiles(
+        Tables.events(s, dir).where(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", Seq(50, 90, 99))
+      .orderBy(col("grp"), col("p"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
       q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
       q270, q273, q274, q275, q276, q279, q285, q287, q289, q291, q292,
-      q295, q297, q304, q308, q310, q311, q314)
+      q295, q297, q304, q308, q310, q311, q314, q321)
 }

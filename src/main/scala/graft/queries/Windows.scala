@@ -2430,11 +2430,32 @@ object Windows {
     }
   }
 
+  /** Rolling 7-day active users (see
+    * [[graft.operators.EventOps.rollingDistinctUsers]]): the exact
+    * moving COUNT(DISTINCT) no window clause can express, via
+    * coverage explosion on the day grain. */
+  val q316 = GQuery("q316_rolling_active_users",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |sp AS (SELECT CAST(max(d) AS BIGINT) AS d1 FROM act),
+      |cover AS (
+      |  SELECT DISTINCT user_id, d + i AS w
+      |  FROM act, unnest(generate_series(0, 6)) AS t(i))
+      |SELECT w AS day, CAST(count(*) AS BIGINT) AS n_users
+      |FROM cover CROSS JOIN sp WHERE w <= d1
+      |GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    graft.operators.EventOps.rollingDistinctUsers(Tables.events(s, dir),
+        "user_id", "ts", windowDays = 7)
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
       q235, q240, q244, q247, q264, q277, q280, q282, q288, q293, q294,
       q296, q298, q299, q300, q301, q302, q305, q306, q307, q309, q313,
-      q315)
+      q315, q316)
 }

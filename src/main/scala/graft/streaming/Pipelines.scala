@@ -1197,6 +1197,53 @@ object Pipelines {
       storePath)
       .groupBy(col("id")).agg(min(col("cid")).as("cluster_rep"))
 
+  /** Compact a [[clusterIngestStream]] store: resolve every member's
+    * cid to its live root ONCE, rewrite `members/data` blue/green
+    * (same bucketed layout — ids don't change, so `pb` doesn't), then
+    * retire the merge forest. Read-out is bit-identical before and
+    * after (spec-asserted) and later batches resolve against an empty
+    * forest until new merges accrue — this is the path-compression
+    * step that keeps resolution pointer-jumping O(merges-since-last-
+    * compaction) over an unbounded ingest life. Crash-ordering: the
+    * member swap completes (with [[recoverTornSwap]] healing) BEFORE
+    * merges are dropped, and resolving an already-resolved member
+    * against a stale forest is a no-op, so every crash window
+    * re-reads correctly. Single-writer discipline as [[compactStore]].
+    * Returns (member rows, merge entries retired). */
+  def clusterCompact(spark: org.apache.spark.sql.SparkSession,
+                     storePath: String): (Long, Long) = {
+    val dataPath = s"$storePath/members/data"
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"${dataPath}_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"${dataPath}_old")
+    recoverTornSwap(fs, dir, Seq(old))
+    fs.delete(tmp, true); fs.delete(old, true)
+    val mergesPath = new org.apache.hadoop.fs.Path(s"$storePath/merges")
+    val nMerges =
+      if (fs.exists(mergesPath))
+        spark.read.parquet(mergesPath.toString).count()
+      else 0L
+    val live = spark.read.parquet(dataPath)
+    // count DISTINCT members: replayed appends can hold one id twice
+    // (with cids that resolve identically) — compaction absorbs them
+    val before = live.select("id").distinct().count()
+    resolveCids(spark, live.select("id", "cid"), storePath)
+      .groupBy(col("id")).agg(min(col("cid")).as("cid"))
+      .join(live.select(col("id"), col("pb")).distinct(), Seq("id"))
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    require(after == before,
+      s"cluster compaction member drift: $before -> $after — aborting")
+    require(fs.rename(dir, old), s"cannot move member store aside: $dir")
+    require(fs.rename(tmp, dir), s"cannot promote compacted members: $tmp")
+    fs.delete(old, true)
+    fs.delete(mergesPath, true)
+    (after, nMerges)
+  }
+
   /** Stream-static join: enrich a stream against a (broadcastable) batch
     * dimension — the streaming analog of the q03 star join. The static
     * side is re-read per micro-batch, so dimension updates are picked up

@@ -736,6 +736,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out === (("c->p", 4L, 1L, 1L)))
   }
 
+  test("nearestRankQuantiles: ceil-rank order statistics, actual observations only") {
+    import graft.operators.Profiling
+    // n=10 values 10..100 by 10: P50 → rank ⌈5⌉ = 5 → 50;
+    // P90 → rank 9 → 90; P99 → rank ⌈9.9⌉ = 10 → 100.
+    // n=3 values 1,2,3: P50 → rank 2 → 2; P90 → rank 3; P99 → rank 3.
+    val df = ((1 to 10).map(i => ("a", i * 10L)) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L))).toDF("g", "v")
+    val out = Profiling.nearestRankQuantiles(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out === Map(
+      ("a", 50L) -> ((10L, 50L)), ("a", 90L) -> ((10L, 90L)),
+      ("a", 99L) -> ((10L, 100L)),
+      ("b", 50L) -> ((3L, 2L)), ("b", 90L) -> ((3L, 3L)),
+      ("b", 99L) -> ((3L, 3L))))
+  }
+
   test("benfordDigits: hand census, grid shares, sub-1 and null rows drop") {
     import graft.operators.Profiling
     // digits: 1 ×2 (1.5, 19), 2 ×1 (250), 9 ×1 (9e3); 0.4 and null drop

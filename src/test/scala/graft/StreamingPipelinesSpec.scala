@@ -1171,6 +1171,16 @@ class StreamingPipelinesSpec extends SparkSpec {
     val b4 = Seq((7L, 9L))   // extends {8,9} via a chain
     ingest2(b4.toDF("id_a", "id_b"), 3L)
     assert(repsNow() === batchCc(b1 ++ b2 ++ b3 ++ b4))
+    // compaction: read-out identical, merge forest retired, and later
+    // batches (including another cross-cluster merge) still exact
+    val expect = repsNow()
+    val (nm, retired) = Pipelines.clusterCompact(spark, store)
+    assert(repsNow() === expect)
+    assert(nm === expect.size.toLong && retired >= 1L)
+    assert(!new java.io.File(s"$store/merges").exists())
+    val b5 = Seq((5L, 7L))   // merges the two remaining clusters
+    ingest2(b5.toDF("id_a", "id_b"), 4L)
+    assert(repsNow() === batchCc(b1 ++ b2 ++ b3 ++ b4 ++ b5))
   }
 
   test("weightedSampleAgainstStore: a crash between the swap renames recovers the reservoir") {
