@@ -2063,7 +2063,7 @@ object DedupQueries {
     import graft.streaming.Pipelines
     val store = java.nio.file.Files
       .createTempDirectory("q303_clstore").toString
-    val ingest = Pipelines.clusterIngestStream(store)()
+    val ingest = Pipelines.clusterIngestStream(store, buckets = 64)()
     val pairs = sharedPairs(s, dir)
       .withColumn("__b", pmod(xxhash64(col("id_a")), lit(3L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1093,17 +1093,30 @@ object Pipelines {
       sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
     (batch0: DataFrame, _: Long) => {
       val spark = batch0.sparkSession
+      val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+      var t0 = System.nanoTime()
+      def lap(what: String): Unit = if (dbg) {
+        System.err.println(
+          f"[clst] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
       DedupStore.openOrInit(spark, storePath, Seq("buckets" -> buckets))
       val members = s"$storePath/members"
+      // localCheckpoint (not persist): the batch frame may be a
+      // DERIVED SLICE of a deep pipeline (q303 feeds a shingle-join
+      // pair graph); without truncation every one of the ~10 actions
+      // below re-plans that whole logical tree — measured 8-10 s of
+      // pure Catalyst time per micro-batch on an 80-edge batch
       val pairs = batch0.select(col("id_a"), col("id_b"))
         .where(col("id_a").isNotNull && col("id_b").isNotNull &&
           col("id_a") =!= col("id_b"))
-        .distinct().persist()
+        .distinct().localCheckpoint(true)
       val verts = pairs.select(col("id_a").as("id"))
         .unionByName(pairs.select(col("id_b").as("id"))).distinct()
         .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
-        .persist()
+        .localCheckpoint(true)
       val pbs = DedupStore.batchBuckets(verts)
+      lap("verts+buckets")
       val known =
         if (DedupStore.hasData(spark, members) && pbs.nonEmpty)
           resolveCids(spark,
@@ -1112,8 +1125,10 @@ object Pipelines {
               .select(col("id"), col("cid")),
             storePath)
             .groupBy(col("id")).agg(min(col("cid")).as("cid"))
-            .persist()
-        else verts.select(col("id"), col("id").as("cid")).limit(0).persist()
+            .localCheckpoint(true)
+        else verts.select(col("id"), col("id").as("cid")).limit(0)
+          .localCheckpoint(true)
+      lap("known-resolve")
       // supernode edges: known endpoints collapse to their resolved
       // root; self-loops (both ends already co-clustered — e.g. a
       // replayed batch) drop out entirely
@@ -1131,6 +1146,7 @@ object Pipelines {
       val comp = graft.operators.Dedup.dupClusters(snodes, "id", sedges)
         .select(col("id").as("snode"), col("cluster_rep").as("winner"))
         .persist()
+      lap("batch-cc")
       // new members: first-seen vertices, stored with the winner cid
       // their supernode resolved to this batch (supernode = the raw id
       // for unknown vertices; a lone new vertex pair keeps itself)
@@ -1140,6 +1156,7 @@ object Pipelines {
         .select(col("id"), coalesce(col("winner"), col("id")).as("cid"),
           col("pb"))
       DedupStore.append(newMembers, members)
+      lap("member-append")
       // merge events: a KNOWN root that lost its minimum points at the
       // winner; roots that stayed minimal append nothing
       val merged = known.select(col("cid")).distinct()
@@ -1148,13 +1165,13 @@ object Pipelines {
         .select(col("cid"), col("winner").as("parent"))
       if (!merged.isEmpty)
         merged.coalesce(1).write.mode("append").parquet(s"$storePath/merges")
+      lap("merges")
       sink(verts.select("id")
         .join(known, Seq("id"), "left")
         .select(col("id"), coalesce(col("cid"), col("id")).as("snode"))
         .join(comp, Seq("snode"), "left")
         .select(col("id"),
           coalesce(col("winner"), col("snode")).as("cluster_rep")))
-      pairs.unpersist(); verts.unpersist(); known.unpersist()
       comp.unpersist()
       ()
     }

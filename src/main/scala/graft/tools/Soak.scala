@@ -266,6 +266,39 @@ object Soak {
       }
     }
 
+    // --- leg: streaming cluster store — per-batch cost vs history ---
+    // a fixed 64-pair batch against a 20k- then 200k-member cluster
+    // store: the member read partition-prunes to the batch's id
+    // buckets and the CC runs on batch-sized supernode edges, so
+    // per-batch time must stay ~flat as the clustered history grows
+    // 10× (the q303 operator's scale contract).
+    {
+      import graft.streaming.Pipelines
+      def mkStore(nPairs: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("soak_clst").toString
+        val seed = spark.range(nPairs.toLong)
+          .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+        Pipelines.clusterIngestStream(dir)()(seed, 0L)
+        dir
+      }
+      val batch = spark.range(64)
+        .select((col("id") * 2 + 9_000_000L).as("id_a"),
+          (col("id") * 2 + 9_000_001L).as("id_b")).cache()
+      batch.count()
+      def runBatch(dir: String): Unit =
+        Pipelines.clusterIngestStream(dir)()(batch, 1L)
+      val small = mkStore(10_000); val big = mkStore(100_000)
+      runBatch(mkStore(10_000)) // warm
+      val tS = time("cluster_batch vs 20k members")(runBatch(small))
+      val tB = time("cluster_batch vs 200k members")(runBatch(big))
+      val r = tB / tS
+      println(f"[soak] cluster_store_batch       ${r}%5.1fx per-batch cost for 10x member growth")
+      if (r > 3.0) {
+        System.err.println("[soak] FAIL member-history-linear cluster batch")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     // --- leg: graph iteration family at 10× edges ---
     // the one operator family with ROUND structure: wall must track
     // edge count (~linear, 3× headroom), and round counts must stay
