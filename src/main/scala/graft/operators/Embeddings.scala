@@ -231,15 +231,24 @@ object Embeddings {
     * rounded scale denominator, and integer checksums of the quantized
     * vector (sum and L1) — order-independent, engine-exact. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8Vec(df, idCol, vecCol)
+      .select(col(idCol),
+        round(col("__maxabs"), 6).as("max_abs"),
+        aggregate(col("q"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+        aggregate(col("q"), lit(0L), (acc, q) => acc + abs(q)).as("q_l1"))
+
+  /** The quantized VECTORS themselves (`q`: array<long> in
+    * [-127, 127], plus the raw `__maxabs`): the serving-side frame —
+    * integer dot products over `q` are exact in any engine, which is
+    * what makes quantization-loss audits (q323) hash-checkable. */
+  def quantizeInt8Vec(df: DataFrame, idCol: String,
+                      vecCol: String): DataFrame =
     FanOut(df.select(col(idCol), col(vecCol).as("__v")))
       .withColumn("__maxabs",
         array_max(transform(col("__v"), x => abs(x.cast("double")))))
       .withColumn("__scale",
         when(col("__maxabs") > 0, lit(127.0) / col("__maxabs")).otherwise(lit(0.0)))
-      .withColumn("__q", transform(col("__v"),
+      .withColumn("q", transform(col("__v"),
         x => floor(x.cast("double") * col("__scale") + lit(0.5)).cast("long")))
-      .select(col(idCol),
-        round(col("__maxabs"), 6).as("max_abs"),
-        aggregate(col("__q"), lit(0L), (acc, q) => acc + q).as("q_sum"),
-        aggregate(col("__q"), lit(0L), (acc, q) => acc + abs(q)).as("q_l1"))
+      .select(col(idCol), col("__maxabs"), col("q"))
 }

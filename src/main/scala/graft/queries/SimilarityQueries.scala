@@ -1257,8 +1257,97 @@ object SimilarityQueries {
     }
   }
 
+  /** Quantization-loss recall audit: for 100 queries, the top-5 by
+    * EXACT float cosine (the q31 contract) vs the top-5 by pure
+    * INTEGER dot product over symmetric-int8 vectors (the q55
+    * transform, exact in both engines) — reported as a recall
+    * histogram (n_hits ∈ 0..5 → query count). The readout every
+    * int8-serving decision needs: how many exact neighbors does the
+    * integer index keep? Integer ranking ties break on corpus_id, so
+    * the whole comparison is hash-exact; at corpus scale both sides
+    * swap brute scoring for IVF candidates unchanged. */
+  val q323 = {
+    val nq = 100
+    GQuery("q323_int8_recall",
+      s"""WITH mx AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |  FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+         |      * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END)
+         |      + 0.5) AS BIGINT)) AS q
+         |  FROM mx),
+         |qq AS (SELECT vec_id AS query_id, q AS qa FROM qv
+         |  WHERE vec_id < $nq),
+         |cc AS (SELECT vec_id AS corpus_id, q AS qb FROM qv),
+         |qdot AS (
+         |  SELECT query_id, corpus_id,
+         |    ${(1 to Dim).map(i => s"qa[$i] * qb[$i]").mkString(" + ")}
+         |      AS dq
+         |  FROM qq, cc WHERE corpus_id <> query_id),
+         |qtop AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dq DESC, corpus_id) AS rn
+         |    FROM qdot) WHERE rn <= 5),
+         |fq AS (SELECT vec_id AS query_id, embedding AS qv2
+         |  FROM embeddings WHERE vec_id < $nq),
+         |fc AS (SELECT vec_id AS corpus_id, embedding AS cv
+         |  FROM embeddings),
+         |ftop AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, corpus_id) AS rn
+         |    FROM (
+         |      SELECT query_id, corpus_id,
+         |        round(${VectorFunctions.cosineSql("qv2", "cv", Dim)}, 6)
+         |          AS cosine
+         |      FROM fq, fc WHERE corpus_id <> query_id))
+         |  WHERE rn <= 5),
+         |hits AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ftop JOIN qtop USING (query_id, corpus_id) GROUP BY 1)
+         |SELECT n_hits, CAST(count(*) AS BIGINT) AS n_queries FROM (
+         |  SELECT f.query_id, coalesce(h.n_hits, 0) AS n_hits
+         |  FROM (SELECT DISTINCT query_id FROM ftop) f
+         |  LEFT JOIN hits h USING (query_id))
+         |GROUP BY 1 ORDER BY n_hits""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = graft.operators.Embeddings
+        .quantizeInt8Vec(emb, "vec_id", "embedding")
+      val qq = qv.where(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"))
+      val cc = qv.select(col("vec_id").as("corpus_id"), col("q").as("qb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("dq").desc, col("corpus_id"))
+      val qtop = cc.join(broadcast(qq), col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          aggregate(zip_with(col("qa"), col("qb"), _ * _),
+            lit(0L), _ + _).as("dq"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select("query_id", "corpus_id")
+      val ftop = Similarity.bruteForceTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < nq),
+          idCol = "vec_id", vecCol = "embedding", k = 5, dim = Dim)
+        .select("query_id", "corpus_id")
+      val hits = ftop.join(qtop, Seq("query_id", "corpus_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      ftop.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .groupBy(col("n_hits")).agg(count(lit(1)).as("n_queries"))
+        .orderBy(col("n_hits"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q31, q31b, q32, q32b, q33, q55, q61, q62, q66, q72, q74, q95, q97,
       q99, q101, q109, q124, q125, q130, q140, q141, q152, q230, q231,
-      q248, q254, q260, q267, q268, q271, q312)
+      q248, q254, q260, q267, q268, q271, q312, q323)
 }

@@ -2451,11 +2451,117 @@ object Windows {
       .orderBy(col("day"))
   }
 
+  /** Dormancy / resurrection census: per-user activity-day gaps — a
+    * gap > 14 days is a resurrection (user went dormant and came
+    * back), a last-activity day more than 14 before the corpus
+    * horizon is dormancy-at-end. One distinct day grain, one lag
+    * window, pure integer day arithmetic — the lifecycle readout
+    * (churned vs resurrected vs active) every retention dashboard
+    * opens with. One row: (n_users, n_resurrected_users,
+    * n_resurrections, n_dormant_at_end). */
+  val q324 = GQuery("q324_dormancy_census",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |mx AS (SELECT CAST(max(d) AS BIGINT) AS dmax FROM act),
+      |g AS (
+      |  SELECT user_id, d,
+      |    d - lag(d) OVER (PARTITION BY user_id ORDER BY d) AS gap
+      |  FROM act),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN gap > 14 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_res,
+      |    CAST(max(d) AS BIGINT) AS last_d
+      |  FROM g GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN n_res >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrected_users,
+      |  CAST(sum(n_res) AS BIGINT) AS n_resurrections,
+      |  CAST(sum(CASE WHEN last_d < dmax - 14 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dormant_at_end
+      |FROM u CROSS JOIN mx""".stripMargin) { (s, dir) =>
+    val act = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400L).as("d"))
+      .distinct()
+    val mx = act.agg(max(col("d")).as("dmax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("d"))
+    act.withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("gap") > 14, 1L).otherwise(0L)).as("n_res"),
+        max(col("d")).as("last_d"))
+      .crossJoin(broadcast(mx))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_res") >= 1, 1L).otherwise(0L))
+          .as("n_resurrected_users"),
+        sum(col("n_res")).as("n_resurrections"),
+        sum(when(col("last_d") < col("dmax") - 14, 1L).otherwise(0L))
+          .as("n_dormant_at_end"))
+  }
+
+  /** Spend-decile mobility matrix: customers ranked into deciles by
+    * order-cents in the FIRST half of the date span vs the SECOND
+    * half (customers active in both), cross-tabulated — the cohort
+    * movement readout behind "are our best buyers stable?". Decile
+    * assignment is ntile(10) over the total order (cents DESC,
+    * custkey), identical floor-based bucket semantics in both
+    * engines. */
+  val q325 = GQuery("q325_decile_mobility",
+    """WITH sp AS (
+      |  SELECT CAST(min(epoch(o_orderdate)) AS BIGINT) AS t0,
+      |    CAST(max(epoch(o_orderdate)) AS BIGINT) AS t1
+      |  FROM orders),
+      |h AS (
+      |  SELECT o_custkey AS c,
+      |    CASE WHEN epoch(o_orderdate) * 2 <= t0 + t1 THEN 1 ELSE 2 END
+      |      AS half,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders CROSS JOIN sp),
+      |s AS (SELECT c, half, CAST(sum(cents) AS BIGINT) AS tot
+      |  FROM h GROUP BY 1, 2),
+      |bot AS (
+      |  SELECT c, half,
+      |    ntile(10) OVER (PARTITION BY half ORDER BY tot DESC, c)
+      |      AS dec
+      |  FROM s),
+      |m AS (
+      |  SELECT a.dec AS dec_a, b.dec AS dec_b
+      |  FROM bot a JOIN bot b ON a.c = b.c AND a.half = 1 AND b.half = 2)
+      |SELECT CAST(dec_a AS BIGINT) AS dec_a, CAST(dec_b AS BIGINT)
+      |  AS dec_b, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM m GROUP BY 1, 2
+      |ORDER BY dec_a, dec_b""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as("c"),
+        unix_timestamp(col("o_orderdate")).as("t"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val sp = o.agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val sums = o.crossJoin(broadcast(sp))
+      .withColumn("half",
+        when(col("t") * 2 <= col("t0") + col("t1"), 1).otherwise(2))
+      .groupBy(col("c"), col("half"))
+      .agg(sum(col("cents")).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("half")).orderBy(col("tot").desc, col("c"))
+    val dec = sums.withColumn("dec", ntile(10).over(w))
+    dec.where(col("half") === 1)
+      .select(col("c"), col("dec").as("dec_a"))
+      .join(dec.where(col("half") === 2)
+        .select(col("c"), col("dec").as("dec_b")), Seq("c"))
+      .groupBy(col("dec_a").cast("long").as("dec_a"),
+        col("dec_b").cast("long").as("dec_b"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("dec_a"), col("dec_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q13, q14, q15, q16, q17, q21, q156, q157, q166, q168, q172, q173,
       q174, q178, q181, q185, q187, q188, q193, q197, q198, q200, q201,
       q203, q205, q213, q214, q218, q222, q223, q226, q227, q229, q234,
       q235, q240, q244, q247, q264, q277, q280, q282, q288, q293, q294,
       q296, q298, q299, q300, q301, q302, q305, q306, q307, q309, q313,
-      q315, q316)
+      q315, q316, q324, q325)
 }
