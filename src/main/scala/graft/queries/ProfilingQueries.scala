@@ -1884,9 +1884,71 @@ object ProfilingQueries {
       .orderBy(col("grp"), col("p"))
   }
 
+  /** Ship lead-time SLA percentiles per order priority: exact
+    * nearest-rank P50/P90/P99 of (l_shipdate − o_orderdate) days —
+    * the [[graft.operators.Profiling.nearestRankQuantiles]] readout
+    * on the relational join, integer day arithmetic end to end. */
+  val q326 = GQuery("q326_leadtime_quantiles",
+    """WITH lt AS (
+      |  SELECT o.o_orderpriority AS grp,
+      |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+      |      AS v
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |r AS (SELECT grp, v,
+      |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM lt),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM lt GROUP BY 1),
+      |ps(p) AS (VALUES (CAST(50 AS BIGINT)), (90), (99))
+      |SELECT r.grp, ps.p, n.n, r.v AS value
+      |FROM r JOIN n USING (grp) CROSS JOIN ps
+      |WHERE r.rn = (n.n * ps.p + 99) // 100
+      |ORDER BY r.grp, ps.p""".stripMargin) { (s, dir) =>
+    val lt = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("days"))
+    Profiling.nearestRankQuantiles(lt, "o_orderpriority", "days",
+        Seq(50, 90, 99))
+      .orderBy(col("grp"), col("p"))
+  }
+
+  /** Supplier-concentration (Herfindahl) band census per part: HHI on
+    * the 1e-4 grid from pure integer quantity sums —
+    * hhi4 = rhu(1e4·Σq²ᵢ / (Σqᵢ)²) — bucketed into 0.1-wide bands.
+    * The market-structure profile of the supply base: band 10 =
+    * single-sourced parts, low bands = well-diversified. */
+  val q327 = GQuery("q327_supplier_hhi",
+    """WITH s AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (SELECT pk, CAST(sum(q) AS BIGINT) AS t,
+      |  CAST(sum(q * q) AS BIGINT) AS sq2 FROM s GROUP BY 1),
+      |h AS (SELECT pk,
+      |  CAST((2 * 10000 * sq2 + t * t) // (2 * t * t) AS BIGINT)
+      |    AS hhi4 FROM p)
+      |SELECT hhi4 // 1000 AS band, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(min(hhi4) AS BIGINT) AS min_hhi4,
+      |  CAST(max(hhi4) AS BIGINT) AS max_hhi4
+      |FROM h GROUP BY 1
+      |ORDER BY band""".stripMargin) { (s, dir) =>
+    val sup = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    sup.groupBy(col("pk"))
+      .agg(sum(col("q")).as("t"), sum(col("q") * col("q")).as("sq2"))
+      .select(expr("(2 * 10000 * sq2 + t * t) div (2 * t * t)")
+        .as("hhi4"))
+      .groupBy(expr("hhi4 div 1000").as("band"))
+      .agg(count(lit(1)).as("n_parts"), min(col("hhi4")).as("min_hhi4"),
+        max(col("hhi4")).as("max_hhi4"))
+      .orderBy(col("band"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
       q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
       q270, q273, q274, q275, q276, q279, q285, q287, q289, q291, q292,
-      q295, q297, q304, q308, q310, q311, q314, q321)
+      q295, q297, q304, q308, q310, q311, q314, q321, q326, q327)
 }
