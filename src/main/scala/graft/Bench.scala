@@ -55,7 +55,27 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = results.count(_._2 < 0)
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 chars of output, so a
+    // 337-query map on one line truncates mid-JSON and `parsed` comes
+    // back null. The COMPLETE line goes to a file (and stderr); stdout
+    // ends with ONE compact line that always fits the tail window —
+    // totals plus the slowest queries, pointing at the full map.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] cannot write $outPath: ${e.getMessage}") }
+    System.err.println(fullLine)
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    if (results.size <= 60)
+      println(fullLine)
+    else
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"slowest":$slow,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

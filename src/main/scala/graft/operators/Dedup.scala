@@ -926,13 +926,24 @@ object Dedup {
         .unionByName(withM.select(col("src"), col("m").as("dst")))
         .distinct()
         .localCheckpoint(true)
-      // exact fixpoint probe: a full round that leaves the edge SET
-      // unchanged means both phases are at their fixpoint — the edge
-      // set is a star forest rooted at component minima. Two
-      // take(1)-bounded anti-joins (sets are distinct, so mutual
-      // containment = equality), type-agnostic.
-      converged = ss.join(edges, Seq("src", "dst"), "left_anti").isEmpty &&
-        edges.join(ss, Seq("src", "dst"), "left_anti").isEmpty
+      // exact fixpoint probe: the edge set is a star forest rooted at
+      // component minima iff every src has exactly ONE out-edge and no
+      // vertex is both a src and a dst (the big→small orientation
+      // already guarantees src > dst, so each star's root is its
+      // component min — both phases leave such a set unchanged, and
+      // Kiveris et al. §3 prove the fixpoints are exactly these star
+      // forests). One vertex-keyed aggregate over the just-
+      // checkpointed frame replaces the former two full-edge-set
+      // anti-joins per round; type-agnostic, and it can fire one round
+      // earlier (the round that FORMS the star forest), which leaves
+      // the labeling unchanged since further rounds are no-ops.
+      val viol = ss.select(col("src").as("v"), lit(1L).as("ns"), lit(0L).as("nd"))
+        .unionByName(
+          ss.select(col("dst").as("v"), lit(0L).as("ns"), lit(1L).as("nd")))
+        .groupBy(col("v"))
+        .agg(sum(col("ns")).as("ns"), sum(col("nd")).as("nd"))
+        .where(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0))
+      converged = viol.isEmpty
       edges = ss
       it += 1
     }

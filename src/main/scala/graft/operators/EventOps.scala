@@ -1695,9 +1695,22 @@ object EventOps {
     * pure integers. Returns per group: (grp, n_res, mad2,
     * n_anomalies, worst_dev, worst_day) — worst_day is the earliest
     * day attaining the worst deviation. Spine + lag window + one
-    * rank-median per group; series are day-grain, never event-grain. */
+    * rank-median per group; series are day-grain, never event-grain.
+    * Pins the residual frame for the session; long-running sessions
+    * should use [[seasonalMadAnomaliesManaged]] and release it once
+    * the output is materialized. */
   def seasonalMadAnomalies(events: DataFrame, grpCol: String,
-                           tsCol: String, period: Int = 7): DataFrame = {
+                           tsCol: String, period: Int = 7): DataFrame =
+    seasonalMadAnomaliesManaged(events, grpCol, tsCol, period)._1
+
+  /** [[seasonalMadAnomalies]] with an explicit cache lifecycle (the
+    * [[graft.operators.Dedup.editDistancePairsManaged]] convention):
+    * the day-grain residual frame feeds three aggregates and is
+    * persisted — the returned `release` thunk drops it once the
+    * census is consumed. */
+  def seasonalMadAnomaliesManaged(events: DataFrame, grpCol: String,
+                                  tsCol: String, period: Int = 7)
+      : (DataFrame, () => Unit) = {
     require(period >= 1, "period must be >= 1")
     val days = events.select(col(grpCol).as("grp"),
       floor(unix_timestamp(col(tsCol)) / 86400L).as("d"))
@@ -1730,7 +1743,7 @@ object EventOps {
       .join(worst, Seq("grp")).join(worstDay, Seq("grp"))
       .select(col("grp"), col("n_res"), col("mad2"),
         col("n_anomalies"), col("worst_dev"), col("worst_day"))
-    out
+    (out, () => { res.unpersist(blocking = false); () })
   }
 
   /** Windowed conversion: for every `typeA` event, did a `typeB` event

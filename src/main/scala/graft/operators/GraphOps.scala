@@ -266,12 +266,61 @@ object GraphOps {
     * A bounded SQL oracle replays this as a recursive CTE capped at
     * `hop < maxHops` with min(hop) per vertex — hash-matching it
     * proves the distributed frontier iteration equals the textbook
-    * fixpoint. */
+    * fixpoint.
+    *
+    * `driverMaxEdges > 0` opts into a HYBRID small-graph path (the
+    * [[graft.streaming.Pipelines]] cluster-ingest cutoff rationale): a
+    * deep traversal costs one sequential Spark job per round — pure
+    * scheduler latency when the graph is small — so below the cutoff
+    * the edge list is collected once and the BFS runs driver-side,
+    * bit-identically (spec-asserted). The default 0 never collects;
+    * callers whose pair graphs are bounded by construction
+    * (dup-population graphs, k-hop neighborhoods) set an explicit
+    * budget, and anything over it falls back to the distributed
+    * frontier iteration unchanged. */
   def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int,
               stride: Int = 1,
-              broadcastFrontier: Boolean = true): DataFrame = {
+              broadcastFrontier: Boolean = true,
+              broadcastVisited: Boolean = false,
+              driverMaxEdges: Int = 0): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     require(stride == 1 || stride == 2, "stride must be 1 or 2")
+    if (driverMaxEdges > 0) {
+      val probe = pairs.select(col("id_a"), col("id_b"))
+        .limit(driverMaxEdges + 1).collect()
+      if (probe.length <= driverMaxEdges) {
+        val spark = pairs.sparkSession
+        val adj = new scala.collection.mutable.HashMap[
+          Any, scala.collection.mutable.LinkedHashSet[Any]]
+        def link(a: Any, b: Any): Unit =
+          adj.getOrElseUpdate(a,
+            scala.collection.mutable.LinkedHashSet.empty[Any]) += b
+        probe.foreach { r => link(r.get(0), r.get(1)); link(r.get(1), r.get(0)) }
+        val hops = new scala.collection.mutable.LinkedHashMap[Any, Long]
+        seeds.select(col("id")).distinct().collect()
+          .foreach(r => hops.update(r.get(0), 0L))
+        var frontier: Seq[Any] = hops.keys.toSeq
+        var h = 1L
+        while (h <= maxHops && frontier.nonEmpty) {
+          val next = scala.collection.mutable.LinkedHashSet.empty[Any]
+          frontier.foreach(u => adj.get(u).foreach(_.foreach { v =>
+            if (!hops.contains(v)) { hops.update(v, h); next += v }
+          }))
+          frontier = next.toSeq
+          h += 1
+        }
+        val idType = seeds.schema("id").dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("hop",
+            org.apache.spark.sql.types.LongType)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            hops.iterator.map { case (v, d) =>
+              org.apache.spark.sql.Row(v, d) }.toSeq, 1),
+          schema)
+      }
+    }
     val e = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -319,13 +368,17 @@ object GraphOps {
           .select(col("v").as("id"), lit(2).as("d")))
       else c1
       val tc = System.nanoTime()
-      // the visited set rides the same broadcast policy: map-side
-      // anti-join instead of re-shuffling visited (which grows toward
-      // the reachable set) every round
+      // visited broadcast is OPT-IN, decoupled from the frontier: a
+      // frontier is one BFS layer (bounded), but visited grows toward
+      // the full reachable component — broadcasting it by default
+      // would be a driver-memory cliff on large graphs. Callers whose
+      // reachable set is bounded by construction (k-hop edit-distance
+      // neighborhoods, dup-population pair graphs) flip
+      // `broadcastVisited` on for the map-side anti-join win.
       val vis = visited.select(col("id"))
       val next = cand
         .groupBy(col("id")).agg(min(col("d")).as("d"))
-        .join(if (broadcastFrontier) broadcast(vis) else vis,
+        .join(if (broadcastVisited) broadcast(vis) else vis,
           Seq("id"), "left_anti")
         .select(col("id"), (lit(hop - 1) + col("d")).cast("long").as("hop"))
         // LAZY: the layer-count pass right below materializes it (the
@@ -522,16 +575,30 @@ object GraphOps {
     *
     * Scale: wedge generation is the exact cost Σ_w d(w)·(d(w)−1)/2 —
     * bounded by per-vertex degrees, the same budget the triangle
-    * counter pays; hub-heavy graphs should pre-cap degrees upstream
-    * (a 10⁶-degree boilerplate hub vouches for nothing anyway). The
+    * counter pays. `maxDegree` is the operator-owned guard (the
+    * [[graft.operators.Dedup.jaccardPairs]] `maxDocFreq` convention):
+    * a vertex whose degree exceeds the cap is dropped from the WEDGE
+    * CENTER role — a 10⁶-degree boilerplate hub vouches for nothing,
+    * and without the cap it alone costs O(d²) wedges. Endpoint
+    * degrees (`deg_a`/`deg_b`, and the Jaccard denominator) stay
+    * exact; only `common` is counted over sub-cap witnesses, so the
+    * score is a lower bound exactly as the df-capped Jaccard is. The
     * existing-edge subtraction is one anti-join; degrees broadcast. */
   def commonNeighborCandidates(pairs: DataFrame,
-                               minCommon: Long = 2L): DataFrame = {
+                               minCommon: Long = 2L,
+                               maxDegree: Option[Long] = Some(10000L))
+      : DataFrame = {
     val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
-    val wedges = adj.select(col("u").as("w"), col("v").as("a"))
-      .join(adj.select(col("u").as("w"), col("v").as("b")), "w")
+    val centers = maxDegree match {
+      case Some(cap) => adj.join(
+        deg.where(col("d") <= cap).select(col("id").as("u")),
+        Seq("u"), "left_semi")
+      case None => adj
+    }
+    val wedges = centers.select(col("u").as("w"), col("v").as("a"))
+      .join(centers.select(col("u").as("w"), col("v").as("b")), "w")
       .where(col("a") < col("b"))
       .groupBy(col("a").as("id_a"), col("b").as("id_b"))
       .agg(count(lit(1)).as("common"))

@@ -1075,10 +1075,15 @@ object DedupQueries {
     val seeds = Tables.customer(s, dir)
       .where(col("c_custkey") % 53 === 0 && length(col("c_name")) >= 4)
       .select(col("c_name").as("id"))
+    // visited broadcast + driver budget: the reachable set is a 4-hop
+    // edit-distance neighborhood of a sampled seed set and the pair
+    // graph is dup-population-sized — bounded by construction, never
+    // corpus-sized
     graft.operators.GraphOps.bfsHops(
         sharedNamePairs(s, dir)
           .select(col("word_a").as("id_a"), col("word_b").as("id_b")),
-        seeds, maxHops = 4)
+        seeds, maxHops = 4, broadcastVisited = true,
+        driverMaxEdges = 500000)
       .select(col("id").as("name"), col("hop"))
       .orderBy(col("name"))
   }
@@ -1137,8 +1142,13 @@ object DedupQueries {
       .select(least(col("id_a"), col("id_b")).as("id"))
       .agg(min(col("id"))).head().getString(0)
     def sweep(seed: String): (Long, String) = {
+      // visited broadcast + driver budget: the sweep runs on the
+      // shared-name pair graph — dup-population-sized, not
+      // corpus-sized; a 12-round sweep is otherwise 12 sequential
+      // jobs of pure scheduler latency
       val b = graft.operators.GraphOps.bfsHops(pairs,
-        Seq(seed).toDF("id"), maxHops = 12)
+        Seq(seed).toDF("id"), maxHops = 12, broadcastVisited = true,
+        driverMaxEdges = 500000)
       // one job for (eccentricity, min-id farthest vertex): the
       // deepest layer's row of a per-layer min, instead of a max-hop
       // agg followed by a filtered min agg
@@ -2063,7 +2073,11 @@ object DedupQueries {
     import graft.streaming.Pipelines
     val store = java.nio.file.Files
       .createTempDirectory("q303_clstore").toString
-    val ingest = Pipelines.clusterIngestStream(store, buckets = 64)()
+    // buckets sized to the fixture corpus (≤ sf0.1's 60k docs): every
+    // append writes one file per TOUCHED bucket dir, so oversizing
+    // buckets turns a small batch into pure file-commit latency; a
+    // 100 TB deployment sizes buckets so a bucket ≈ one executor task
+    val ingest = Pipelines.clusterIngestStream(store, buckets = 16)()
     val pairs = sharedPairs(s, dir)
       .withColumn("__b", pmod(xxhash64(col("id_a")), lit(3L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -237,10 +237,22 @@ object Pipelines {
     def hasData(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
       storeExists(spark, s"$path/data")
 
+    // (path, params) already validated in THIS process — openOrInit
+    // runs once per micro-batch, and re-reading the one-row config
+    // parquet is a whole Spark job of pure latency on the streaming
+    // hot path. Correctness is unchanged: config is write-once, and a
+    // concurrent writer with different params is already outside the
+    // single-writer discipline every store documents.
+    private val validated =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
     /** Config row: write-if-absent, validate-if-present. */
     def openOrInit(spark: org.apache.spark.sql.SparkSession, path: String,
                    params: Seq[(String, Int)]): Unit = {
-      if (!storeExists(spark, s"$path/config")) {
+      val memoKey = path + "|" + params.map(p => s"${p._1}=${p._2}").mkString(",")
+      val haveConfig = storeExists(spark, s"$path/config")
+      if (validated.contains(memoKey) && haveConfig) return
+      if (!haveConfig) {
         val row = org.apache.spark.sql.Row.fromSeq(params.map(_._2))
         val schema = org.apache.spark.sql.types.StructType(params.map {
           case (n, _) => org.apache.spark.sql.types.StructField(
@@ -257,6 +269,8 @@ object Pipelines {
               s"$n stored=${have.getInt(have.fieldIndex(n))} requested=$v" }
               .mkString(", "))
       }
+      validated.add(memoKey)
+      ()
     }
 
     def append(df: DataFrame, path: String): Unit =
@@ -982,30 +996,38 @@ object Pipelines {
             .drop("__cur_ts")
             .unionByName(cur)
         } else batch
-      // seed-first at equal timestamps so an exact replay of the stored
-      // change compares equal and appends nothing; attrCols complete
-      // the ordering so equal-ts batch rows fold in a TOTAL
-      // deterministic order
+      // strict (k, snap_ts) uniqueness resolves FIRST: one row per
+      // (k, snap_ts) survives — the seed (stored state) if present,
+      // else the first batch row in attribute order (first-writer-wins
+      // with a deterministic tie-break). A dropped conflicting
+      // restatement must NOT feed the change-lag chain below: if it
+      // did, a later row restating the dropped attrs would compare
+      // equal to a row that never landed (a real change silently
+      // lost) and a later row restating the kept attrs would compare
+      // different (a spurious append) — breaking streamed ≡ scd2Build.
+      val wts = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"), col("snap_ts"))
+        .orderBy(col("seed").desc +: attrCols.map(col): _*)
+      val kept = unioned
+        .withColumn("__rn", row_number().over(wts))
+        .where(col("__rn") === 1)
+        .drop("__rn")
+      // change detection over KEPT rows only; (k, snap_ts) is unique
+      // now, so ordering by snap_ts alone is total per key and every
+      // lag partner is strictly earlier — an exact replay of the
+      // stored change collapsed into its seed above and appends
+      // nothing
       val wk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("k"))
-        .orderBy(col("snap_ts") +: col("seed").desc +: attrCols.map(col): _*)
+        .partitionBy(col("k")).orderBy(col("snap_ts"))
       val changed = attrCols
         .map(a => !(col(a) <=> lag(col(a), 1).over(wk)))
         .reduce(_ || _)
-      // strict (k, snap_ts) uniqueness: a row whose attributes differ
-      // from the key's state AT THE SAME timestamp is a conflicting
-      // restatement — appending it would put two change rows at one
-      // valid_from (ambiguous lead order downstream), so it drops;
-      // only strictly-later timestamps append
-      val prevTs = lag(col("snap_ts"), 1).over(wk)
       // the KNOWLEDGE-time stamp: which micro-batch learned this change
       // (valid time is snap_ts) — the bitemporal axis scd2StoreIntervalsAsOf
       // reads; a replayed batch re-appends nothing, so stamps are stable
-      val changes = unioned
+      val changes = kept
         .withColumn("__chg", changed)
-        .withColumn("__prev_ts", prevTs)
-        .where(!col("seed") && col("__chg") &&
-          (col("__prev_ts").isNull || col("snap_ts") > col("__prev_ts")))
+        .where(!col("seed") && col("__chg"))
         .select(col("k") +: col("snap_ts") +: attrCols.map(col) :+
           col("pb"): _*)
         .withColumn("batch_id", lit(batchId))
@@ -1078,7 +1100,11 @@ object Pipelines {
     * Per-batch cost is batch-bounded: the member read partition-prunes
     * to the batch's id buckets and semi-joins the broadcast batch; the
     * CC runs over SUPERNODES (known vertices collapse to their
-    * resolved cid), so its input is edges-in-batch-sized; the merges
+    * resolved cid), so its input is edges-in-batch-sized — and below
+    * `driverCcMaxEdges` it is solved by a driver union-find off one
+    * bounded collect (micro-batch latency is job-count-bound, and the
+    * result is broadcast back anyway), with the distributed O(log n)
+    * rewiring CC taking over beyond the cutoff; the merges
     * table is merge-event-bounded (≤ clusters ever merged, NOT corpus)
     * and resolution pointer-jumps over it, never over members.
     * Invariant: every resolved cid is the true min id of its live
@@ -1089,7 +1115,8 @@ object Pipelines {
     * supernode edges (its vertices are now known and co-clustered), so
     * it appends no members and no merges. `sink` receives the batch's
     * vertices with their post-merge cluster_rep. */
-  def clusterIngestStream(storePath: String, buckets: Int = 256)(
+  def clusterIngestStream(storePath: String, buckets: Int = 256,
+                          driverCcMaxEdges: Int = 100000)(
       sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
     (batch0: DataFrame, _: Long) => {
       val spark = batch0.sparkSession
@@ -1140,66 +1167,137 @@ object Pipelines {
         .select(coalesce(col("ca"), col("id_a")).as("id_a"),
           coalesce(col("cb"), col("id_b")).as("id_b"))
         .where(col("id_a") =!= col("id_b"))
-      val snodes = sedges.select(col("id_a").as("id"))
-        .unionByName(sedges.select(col("id_b").as("id"))).distinct()
-      // batch-bounded CC: supernode → its component's min (the winner)
-      val comp = graft.operators.Dedup.dupClusters(snodes, "id", sedges)
-        .select(col("id").as("snode"), col("cluster_rep").as("winner"))
-        .persist()
+      // batch-bounded CC: supernode → its component's min (the winner).
+      // At steady state the supernode edge set is tiny relative to the
+      // batch (known vertices collapse to their resolved roots; a
+      // replayed batch collapses to nothing), and per-micro-batch
+      // latency is dominated by JOB COUNT, not data — so up to
+      // `driverCcMaxEdges` edges the components are solved by a driver
+      // union-find off ONE bounded collect (the [[resolveCids]]
+      // rationale: the result is broadcast-joined right back, so it
+      // had to fit in a broadcast anyway). A larger batch falls back
+      // to the distributed O(log n) edge-rewiring CC unchanged — the
+      // 100 TB path never collects.
+      val probe = sedges.limit(driverCcMaxEdges + 1).collect()
+      val comp: DataFrame =
+        if (probe.length <= driverCcMaxEdges) {
+          // min-rooted union-find: the smaller root adopts the larger,
+          // so every tree's root is its component minimum — exactly
+          // dupClusters' cluster_rep (spec-asserted equal on both paths)
+          val parent = new scala.collection.mutable.HashMap[Any, Any]
+          def find(x: Any): Any = {
+            var r = x
+            while (parent.contains(r)) r = parent(r)
+            var c = x
+            while (parent.contains(c)) {
+              val n = parent(c); parent.update(c, r); c = n
+            }
+            r
+          }
+          def lt(a: Any, b: Any): Boolean =
+            a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+          probe.foreach { row =>
+            val ra = find(row.get(0)); val rb = find(row.get(1))
+            if (ra != rb) {
+              if (lt(ra, rb)) parent.update(rb, ra)
+              else parent.update(ra, rb)
+            }
+          }
+          val vs = scala.collection.mutable.LinkedHashSet.empty[Any]
+          probe.foreach { row => vs += row.get(0); vs += row.get(1) }
+          val idType = pairs.schema("id_a").dataType
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("snode", idType),
+            org.apache.spark.sql.types.StructField("winner", idType)))
+          broadcast(spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              vs.iterator.map(v => org.apache.spark.sql.Row(v, find(v)))
+                .toSeq, 1),
+            schema))
+        } else {
+          val snodes = sedges.select(col("id_a").as("id"))
+            .unionByName(sedges.select(col("id_b").as("id"))).distinct()
+          graft.operators.Dedup.dupClusters(snodes, "id", sedges)
+            .select(col("id").as("snode"), col("cluster_rep").as("winner"))
+        }
       lap("batch-cc")
+      // ONE accumulator frame — (id, pb, kcid, rep) per batch vertex —
+      // materialized once; member append, merge events, and the sink
+      // read-out are all cheap scans of it (formerly three independent
+      // join chains, each re-running the known-resolve + CC reads)
+      val acc = verts
+        .join(known.select(col("id"), col("cid").as("kcid")),
+          Seq("id"), "left")
+        .withColumn("snode", coalesce(col("kcid"), col("id")))
+        .join(comp, Seq("snode"), "left")
+        .select(col("id"), col("pb"), col("kcid"),
+          coalesce(col("winner"), col("snode")).as("rep"))
+        .localCheckpoint(true)
+      lap("acc")
       // new members: first-seen vertices, stored with the winner cid
       // their supernode resolved to this batch (supernode = the raw id
       // for unknown vertices; a lone new vertex pair keeps itself)
-      val newMembers = verts
-        .join(known.select("id"), Seq("id"), "left_anti")
-        .join(comp.withColumnRenamed("snode", "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("winner"), col("id")).as("cid"),
-          col("pb"))
-      DedupStore.append(newMembers, members)
+      DedupStore.append(
+        acc.where(col("kcid").isNull)
+          .select(col("id"), col("rep").as("cid"), col("pb")),
+        members)
       lap("member-append")
       // merge events: a KNOWN root that lost its minimum points at the
       // winner; roots that stayed minimal append nothing
-      val merged = known.select(col("cid")).distinct()
-        .join(comp.withColumnRenamed("snode", "cid"), Seq("cid"))
-        .where(col("winner") =!= col("cid"))
-        .select(col("cid"), col("winner").as("parent"))
+      val merged = acc
+        .where(col("kcid").isNotNull && col("rep") =!= col("kcid"))
+        .select(col("kcid").as("cid"), col("rep").as("parent"))
+        .distinct()
       if (!merged.isEmpty)
         merged.coalesce(1).write.mode("append").parquet(s"$storePath/merges")
       lap("merges")
-      sink(verts.select("id")
-        .join(known, Seq("id"), "left")
-        .select(col("id"), coalesce(col("cid"), col("id")).as("snode"))
-        .join(comp, Seq("snode"), "left")
-        .select(col("id"),
-          coalesce(col("winner"), col("snode")).as("cluster_rep")))
-      comp.unpersist()
+      sink(acc.select(col("id"), col("rep").as("cluster_rep")))
       ()
     }
   }
 
-  /** Canonicalize stored cids through the merge forest: pointer-jump
-    * the (small, merge-event-bounded) `merges` table to its roots,
-    * then ONE broadcast join onto the member rows — the member set is
-    * never shuffled by resolution. */
+  /** Canonicalize stored cids through the merge forest: collect the
+    * (small, merge-event-bounded — a root loses at most once, and
+    * [[clusterCompact]] retires it) `merges` table ONCE, path-compress
+    * to roots driver-side, then ONE broadcast join onto the member
+    * rows — the member set is never shuffled by resolution. The
+    * driver-side fold is scale-neutral: the forest already had to fit
+    * in the broadcast this join ships, and it replaces the former
+    * pointer-jump ladder (one join + checkpoint + emptiness probe per
+    * doubling level) with a single collect — the per-micro-batch job
+    * count is what dominates streaming-ingest latency. */
   private[graft] def resolveCids(spark: org.apache.spark.sql.SparkSession,
                                  rows: DataFrame,
                                  storePath: String): DataFrame = {
     if (!storeExists(spark, s"$storePath/merges")) rows
     else {
-      var m = spark.read.parquet(s"$storePath/merges")
-        .select("cid", "parent").distinct().localCheckpoint(true)
-      var done = false
-      while (!done) {
-        val m2 = m
-          .join(m.select(col("cid").as("parent"), col("parent").as("gp")),
-            Seq("parent"), "left")
-          .select(col("cid"), coalesce(col("gp"), col("parent")).as("parent"))
-          .localCheckpoint(true)
-        done = m2.join(m, Seq("cid", "parent"), "left_anti").isEmpty
-        m = m2
+      val raw = spark.read.parquet(s"$storePath/merges")
+        .select("cid", "parent").distinct()
+      val parent = new scala.collection.mutable.HashMap[Any, Any]
+      raw.collect().foreach(r => parent.update(r.get(0), r.get(1)))
+      if (parent.isEmpty) rows
+      else {
+        def root(x: Any): Any = {
+          var r = x
+          var hops = 0
+          while (parent.contains(r)) {
+            r = parent(r)
+            hops += 1
+            require(hops <= parent.size, s"merge forest cycle at $x")
+          }
+          r
+        }
+        val cidType = rows.schema("cid").dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid", cidType),
+          org.apache.spark.sql.types.StructField("parent", cidType)))
+        val resolved = parent.keysIterator
+          .map(k => org.apache.spark.sql.Row(k, root(k))).toSeq
+        val mdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(resolved, 1), schema)
+        rows.join(broadcast(mdf), Seq("cid"), "left")
+          .select(col("id"), coalesce(col("parent"), col("cid")).as("cid"))
       }
-      rows.join(broadcast(m), Seq("cid"), "left")
-        .select(col("id"), coalesce(col("parent"), col("cid")).as("cid"))
     }
   }
 

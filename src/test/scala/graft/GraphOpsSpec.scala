@@ -127,6 +127,36 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 4L, 1L, 2L, 1L, 500000L)))
   }
 
+  test("commonNeighborCandidates: maxDegree drops the hub from the center role") {
+    // hub 0 linked to 1..1000, plus a square 1-2-3-4-1: uncapped, the
+    // hub alone generates ~500k wedges vouching for every leaf pair;
+    // capped below its degree, only the square's sub-cap centers count
+    val hub = (1L to 1000L).map(i => (0L, i))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val out = graft.operators.GraphOps.commonNeighborCandidates(
+        (hub ++ square).toDF("id_a", "id_b"), minCommon = 2L,
+        maxDegree = Some(100L))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // diagonals share {2,4} / {1,3} — both sub-cap; the hub is every
+    // vertex's neighbor but vouches for nothing. Endpoint degrees stay
+    // EXACT (square corners have degree 3: two square edges + hub), so
+    // jaccard6 = 2/(3+3-2) = .5. No leaf pair (common = {0} only,
+    // capped away) appears.
+    assert(out === Set((1L, 3L, 2L, 3L, 3L, 500000L),
+      (2L, 4L, 2L, 3L, 3L, 500000L)))
+    // cap ABOVE the max degree ≡ uncapped: the hub's wedges return —
+    // every leaf pair shares the hub, and the diagonals now also count
+    // the hub as a third witness
+    val capped = graft.operators.GraphOps.commonNeighborCandidates(
+      (hub ++ square).toDF("id_a", "id_b"), minCommon = 2L,
+      maxDegree = Some(2000L))
+    val uncapped = graft.operators.GraphOps.commonNeighborCandidates(
+      (hub ++ square).toDF("id_a", "id_b"), minCommon = 2L,
+      maxDegree = None)
+    assert(capped.unionAll(uncapped).distinct().count() === uncapped.count())
+    assert(uncapped.count() === capped.count())
+  }
+
   test("assortativity: path and star are perfectly disassortative; regular graph null") {
     def r(pairs: Seq[(Long, Long)]) =
       graft.operators.GraphOps.assortativity(pairs.toDF("id_a", "id_b"))
@@ -241,5 +271,21 @@ class GraphOpsSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap
     for (cap <- Seq(0, 1, 2, 3, 4, 5))
       assert(run(cap, 2) === run(cap, 1), s"stride mismatch at cap=$cap")
+  }
+
+  test("bfsHops driver path ≡ distributed path; over-budget falls back") {
+    import graft.operators.GraphOps
+    val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "e" -> "f", "a" -> "c", "d" -> "b", "x" -> "y")
+    def run(maxHops: Int, budget: Int): Map[String, Long] =
+      GraphOps.bfsHops(pairs.toDF("id_a", "id_b"),
+          Seq("a", "x").toDF("id"), maxHops, driverMaxEdges = budget)
+        .as[(String, Long)].collect().toMap
+    for (cap <- Seq(0, 1, 2, 3, 5)) {
+      val dist = run(cap, 0)              // budget 0 = never collect
+      assert(run(cap, 1000) === dist, s"driver path differs at cap=$cap")
+      // budget BELOW the edge count: must fall back, same answer
+      assert(run(cap, 3) === dist, s"fallback differs at cap=$cap")
+    }
   }
 }

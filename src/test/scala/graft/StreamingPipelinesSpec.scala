@@ -1183,6 +1183,25 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(repsNow() === batchCc(b1 ++ b2 ++ b3 ++ b4 ++ b5))
   }
 
+  test("clusterIngestStream: distributed-CC fallback path ≡ driver union-find path") {
+    // driverCcMaxEdges = 0 forces every batch through the distributed
+    // edge-rewiring CC — the 100 TB path must produce bit-identical
+    // stores to the small-batch driver path the default takes
+    val stores = Seq(0, 100000).map { cutoff =>
+      val store = java.nio.file.Files
+        .createTempDirectory(s"clpath$cutoff").toString
+      val ingest = Pipelines.clusterIngestStream(store,
+        driverCcMaxEdges = cutoff)()
+      ingest(Seq((2L, 1L), (4L, 5L)).toDF("id_a", "id_b"), 0L)
+      ingest(Seq((2L, 4L), (9L, 8L)).toDF("id_a", "id_b"), 1L)
+      ingest(Seq((0L, 5L), (7L, 9L)).toDF("id_a", "id_b"), 2L)
+      Pipelines.clusterStoreReps(spark, store)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(stores(0) === stores(1))
+    assert(stores(0).values.toSet === Set(0L, 7L))
+  }
+
   test("weightedSampleAgainstStore: a crash between the swap renames recovers the reservoir") {
     import graft.operators.Sampling
     val store = java.nio.file.Files.createTempDirectory("wrescrash").toString
@@ -1278,6 +1297,40 @@ class StreamingPipelinesSpec extends SparkSpec {
     val iv = Pipelines.scd2StoreIntervals(spark, store, Seq("seg"))
     assert(iv.count() === 2L)
     assert(iv.where(col("valid_to") <=> col("valid_from")).isEmpty)
+  }
+
+  test("scd2IngestStream: dropped conflict does not poison later rows' change lag") {
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val store = java.nio.file.Files.createTempDirectory("scd2chain").toString
+    val ingest = Pipelines.scd2IngestStream("k", "snap_ts", Seq("seg"), store)()
+    ingest(Seq((1L, d("2020-01-01"), "A"), (2L, d("2020-01-01"), "X"))
+      .toDF("k", "snap_ts", "seg"), 0L)
+    // ONE batch per key: a conflicting restatement at the stored ts
+    // (dropped) followed by a later row. Key 1's later row restates the
+    // DROPPED attrs — a real change vs stored state A, must append.
+    // Key 2's later row restates the CURRENT attrs — no change, must
+    // not append. Lagging over the dropped rows inverts both.
+    ingest(Seq(
+      (1L, d("2020-01-01"), "B"), (1L, d("2020-02-01"), "B"),
+      (2L, d("2020-01-01"), "Y"), (2L, d("2020-02-01"), "X"))
+      .toDF("k", "snap_ts", "seg"), 1L)
+    val stored = spark.read.parquet(s"$store/data")
+      .select("k", "snap_ts", "seg")
+      .as[(Long, Timestamp, String)].collect().sortBy(r => (r._1, r._2.getTime))
+    assert(stored.toSeq === Seq(
+      (1L, d("2020-01-01"), "A"), (1L, d("2020-02-01"), "B"),
+      (2L, d("2020-01-01"), "X")))
+    // streamed ≡ batch scd2Build over the KEPT history
+    val history = Seq(
+      (1L, d("2020-01-01"), "A"), (1L, d("2020-02-01"), "B"),
+      (2L, d("2020-01-01"), "X"), (2L, d("2020-02-01"), "X"))
+      .toDF("k", "snap_ts", "seg")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "seg", "valid_from", "valid_to")
+        .as[(Long, String, Timestamp, Option[Timestamp])]
+        .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(canon(Pipelines.scd2StoreIntervals(spark, store, Seq("seg"))) ===
+      canon(graft.operators.Scd.scd2Build(history, "k", "snap_ts", Seq("seg"))))
   }
 
   test("scd2IngestStream: change-only store; streamed ≡ batch scd2Build; replay/late/restart") {
