@@ -75,7 +75,7 @@ object Bench {
     if (results.size <= 60)
       println(fullLine)
     else
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"slowest":$slow,"queries_file":"$outPath","sf":"$sfDir"}""")
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"queries":$slow,"queries_truncated":true,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -101,11 +101,17 @@ object GraphOps {
     * (id, kind ∈ hub|auth, score6). */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
-    var h = e.select(col("src").as("id")).distinct()
+    // pre-partition the edge list by the iteration's join key ONCE:
+    // localCheckpoint preserves outputPartitioning, so the six
+    // half-step joins reuse the exchange instead of re-shuffling the
+    // (larger) edge side every time — only the vertex-sized score
+    // frame moves per half-step
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val eBySrc = e0.repartition(col("src")).localCheckpoint(true)
+    val eByDst = eBySrc.repartition(col("dst")).localCheckpoint(true)
+    var h = eBySrc.select(col("src").as("id")).distinct()
       .withColumn("s", lit(1000000L))
-    var a = e.select(col("dst").as("id")).distinct()
+    var a = eBySrc.select(col("dst").as("id")).distinct()
       .withColumn("s", lit(0L))
     def renorm(raw0: DataFrame): DataFrame = {
       // truncate before the max: the nested aggregate would otherwise
@@ -121,9 +127,9 @@ object GraphOps {
           expr("(2000000L * sr + mx) div (2L * mx)").as("s"))
     }
     for (_ <- 1 to iters) {
-      a = renorm(e.join(h.select(col("id").as("src"), col("s")), "src")
+      a = renorm(eBySrc.join(h.select(col("id").as("src"), col("s")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("s")).as("sr")))
-      h = renorm(e.join(a.select(col("id").as("dst"), col("s")), "dst")
+      h = renorm(eByDst.join(a.select(col("id").as("dst"), col("s")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("s")).as("sr")))
     }
     h.select(col("id"), lit("hub").as("kind"), col("s").as("score6"))
@@ -613,6 +619,65 @@ object GraphOps {
         round(lit(1e6) * col("common")
           / (col("deg_a") + col("deg_b") - col("common"))).cast("long")
           .as("jaccard6"))
+  }
+
+  /** Recursive-hierarchy rollup (org chart / bill-of-materials): for
+    * every node of a parent-pointer forest, the COUNT and SUM over its
+    * entire subtree (descendants + self). The recursive-CTE workload
+    * ("total headcount under each manager", "exploded BOM cost per
+    * assembly") expressed as a bounded-depth iteration over
+    * AGGREGATES — the BFS shape, but each round folds child
+    * accumulators into parents instead of expanding a frontier:
+    * acc₀(v) = (1, value v); acc₍ₖ₊₁₎(v) = own + Σ acc₍ₖ₎(children) —
+    * after k rounds acc(v) covers descendants within k hops, so the
+    * fixpoint (detected by the total-count aggregate going stable, one
+    * job per round on the lazily-checkpointed frame — counts are
+    * monotone even when values are negative) is the exact subtree
+    * rollup at every node simultaneously.
+    *
+    * Input: (id, parent, value) with parent NULL for roots; value an
+    * exact integer (cents/micros — the engine's grid discipline).
+    * Returns (id, n_subtree, subtree_sum).
+    *
+    * Scale: per round ONE parent-keyed shuffle aggregate + one join of
+    * the node table against it — never more than node-table work, and
+    * rounds = tree depth (org charts and BOMs are depth-bounded by
+    * construction; `maxDepth` turns a parent-pointer CYCLE — where the
+    * count aggregate never stabilizes — into a loud failure instead of
+    * an infinite loop). */
+  def subtreeAggregate(nodes: DataFrame, maxDepth: Int = 32): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val base = nodes.select(col("id"), col("parent"), col("value"))
+      .localCheckpoint(true)
+    var acc = base
+      .select(col("id"), lit(1L).as("n"), col("value").as("s"))
+      .localCheckpoint()
+    var total = acc.agg(sum(col("n"))).head().getLong(0)
+    var done = false
+    var round = 0
+    while (!done && round < maxDepth) {
+      val contrib = acc
+        .join(base.select(col("id"), col("parent")), "id")
+        .where(col("parent").isNotNull)
+        .groupBy(col("parent").as("id"))
+        .agg(sum(col("n")).as("cn"), sum(col("s")).as("cs"))
+      val next = base
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1L) + coalesce(col("cn"), lit(0L))).as("n"),
+          (col("value") + coalesce(col("cs"), lit(0L))).as("s"))
+        .localCheckpoint()
+      val t = next.agg(sum(col("n"))).head().getLong(0)
+      done = t == total
+      total = t
+      acc = next
+      round += 1
+    }
+    require(done,
+      s"subtreeAggregate did not stabilize within maxDepth=$maxDepth " +
+        "rounds — tree deeper than the cap, or a parent-pointer cycle")
+    acc.select(col("id"), col("n").as("n_subtree"),
+      col("s").as("subtree_sum"))
   }
 
   /** Degree assortativity of an undirected pair graph — Newman's r:

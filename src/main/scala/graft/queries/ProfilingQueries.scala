@@ -1946,9 +1946,46 @@ object ProfilingQueries {
       .orderBy(col("band"))
   }
 
+  /** Recursive-hierarchy rollup (VERDICT r8 #8's named gap — a plan
+    * shape the registry lacked: bounded-depth iteration over
+    * AGGREGATES, the org-chart/BOM workload): suppliers form a
+    * parent-pointer forest by decimal prefix (parent = suppkey÷10,
+    * suppkey 0 the root), and every node reports the COUNT and exact
+    * cent SUM of account balances over its whole subtree — computed by
+    * [[graft.operators.GraphOps.subtreeAggregate]]'s child-fold
+    * iteration and replayed by the oracle as a recursive-CTE
+    * transitive closure + group-by-root. */
+  val q328 = GQuery("q328_subtree_rollup",
+    """WITH RECURSIVE sup AS (
+      |  SELECT s_suppkey AS id,
+      |    CASE WHEN s_suppkey = 0 THEN NULL
+      |         ELSE s_suppkey // 10 END AS parent,
+      |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM supplier),
+      |cl AS (
+      |  SELECT id AS root, id AS node FROM sup
+      |  UNION ALL
+      |  SELECT cl.root, s.id FROM cl JOIN sup s ON s.parent = cl.node)
+      |SELECT cl.root AS s_suppkey,
+      |  CAST(count(*) AS BIGINT) AS n_subtree,
+      |  CAST(sum(s.bal_c) AS BIGINT) AS subtree_bal_c
+      |FROM cl JOIN sup s ON s.id = cl.node
+      |GROUP BY 1
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val nodes = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("id"),
+      when(col("s_suppkey") === 0L, lit(null).cast("long"))
+        .otherwise(expr("s_suppkey div 10")).as("parent"),
+      round(col("s_acctbal") * 100).cast("long").as("value"))
+    graft.operators.GraphOps.subtreeAggregate(nodes)
+      .select(col("id").as("s_suppkey"), col("n_subtree"),
+        col("subtree_sum").as("subtree_bal_c"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
       q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
       q270, q273, q274, q275, q276, q279, q285, q287, q289, q291, q292,
-      q295, q297, q304, q308, q310, q311, q314, q321, q326, q327)
+      q295, q297, q304, q308, q310, q311, q314, q321, q326, q327, q328)
 }

@@ -245,6 +245,60 @@ object Relational2 {
       .orderBy(col("seg"), col("tier"))
   }
 
+  /** Stream-stream temporal enrichment (VERDICT r8 #8's second named
+    * gap — [[graft.streaming.Pipelines.PitEnricher]]): the q209
+    * dimension snapshots stream into an scd2 change store one snapshot
+    * date per micro-batch, and orders stream in THREE time-aligned
+    * fact batches, each enriched as-of its own order dates against the
+    * dimension AS KNOWN AT THAT POINT of the stream — the union of the
+    * per-batch enrichments must equal the batch point-in-time join
+    * over the full histories (q210's ASOF oracle shape, rolled up by
+    * order year so the temporal seams are visible). */
+  val q329 = GQuery("q329_streaming_pit_enrich",
+    s"""WITH $scd2Cte
+       |SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       |  coalesce(d.seg, '(none)') AS seg,
+       |  coalesce(d.tier, '(none)') AS tier,
+       |  count(*) AS n_orders,
+       |  round(sum(o.o_totalprice), 2) AS sum_price
+       |FROM orders o ASOF LEFT JOIN scd2 d
+       |  ON o.o_custkey = d.k AND o.o_orderdate >= d.valid_from
+       |GROUP BY 1, 2, 3
+       |ORDER BY yr, seg, tier""".stripMargin) { (s, dir) =>
+    import graft.streaming.Pipelines
+    val store = java.nio.file.Files
+      .createTempDirectory("q329_pitstore").toString
+    val enr = Pipelines.PitEnricher(store, Seq("seg", "tier"), buckets = 16)
+    val snaps = custSnaps(s, dir)
+    val facts = Tables.orders(s, dir).select(
+      col("o_custkey").cast("long").as("ck"),
+      col("o_orderdate"), col("o_totalprice"))
+    val cuts = Seq("1993-01-01", "1995-01-01", "1997-01-01")
+    val enriched = cuts.zipWithIndex.map { case (d0, i) =>
+      enr.ingestDim(
+        snaps.where(col("snap_ts") === to_timestamp(lit(d0))), i.toLong)
+      // time-aligned fact slice: everything before the NEXT dim
+      // snapshot (batch 0 also carries the pre-history orders that
+      // predate the first snapshot → '(none)')
+      val f =
+        if (i == 0) facts.where(col("o_orderdate") < lit(cuts(1)))
+        else if (i + 1 < cuts.length)
+          facts.where(col("o_orderdate") >= lit(d0) &&
+            col("o_orderdate") < lit(cuts(i + 1)))
+        else facts.where(col("o_orderdate") >= lit(d0))
+      // materialize NOW: each batch must be enriched against the store
+      // as of THIS point in the stream, not the final store state
+      enr.enrich(f, "ck", "o_orderdate").localCheckpoint(true)
+    }.reduce(_ unionByName _)
+    enriched
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        coalesce(col("seg"), lit("(none)")).as("seg"),
+        coalesce(col("tier"), lit("(none)")).as("tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("yr"), col("seg"), col("tier"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210)
+    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210, q329)
 }

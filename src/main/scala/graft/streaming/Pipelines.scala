@@ -1074,6 +1074,41 @@ object Pipelines {
       .drop("batch_id")
   }
 
+  /** Stream-stream temporal (as-of) enrichment — the bitemporal
+    * composition the warehouse micro-batch loop runs: dimension
+    * snapshots stream into an [[scd2IngestStream]] change store, and
+    * each FACT micro-batch enriches against the dimension AS KNOWN SO
+    * FAR, as-of each fact's own event time ([[graft.operators.Scd
+    * .pointInTimeJoin]] over [[scd2StoreIntervals]]).
+    *
+    * Delivery contract: within a micro-batch cycle, ingest the dim
+    * slice BEFORE enriching the fact slice (the standard dim-first
+    * discipline), and facts must not run ahead of the dim stream's
+    * event time — a fact enriched before a dim change with
+    * `valid_from ≤ factTs` lands reads the older interval (exactly
+    * what a from-scratch PIT join over the fuller history would NOT
+    * do). When the two streams are time-aligned — every fact batch's
+    * timestamps precede the next dim batch's snapshot ts — the UNION
+    * of per-batch enrichments equals the batch point-in-time join over
+    * the complete histories (spec- and oracle-asserted, q329).
+    *
+    * Scale: the store read partition-prunes nothing here (intervals
+    * need the key's full change history), but the dim is
+    * change-rows-sized — never fact-sized — and the as-of join is the
+    * audited [[graft.operators.AsOfJoin.leftAsOf]] keyed shuffle. */
+  final case class PitEnricher(storePath: String, attrCols: Seq[String],
+                               buckets: Int = 64) {
+    /** Feed one dimension micro-batch (cols: k, snap_ts, attrs). */
+    val ingestDim: (DataFrame, Long) => Unit =
+      scd2IngestStream("k", "snap_ts", attrCols, storePath, buckets)()
+    /** Enrich one fact micro-batch against the store as known now. */
+    def enrich(facts: DataFrame, factKey: String, factTs: String): DataFrame = {
+      val dim = scd2StoreIntervals(facts.sparkSession, storePath, attrCols)
+      graft.operators.Scd.pointInTimeJoin(
+        facts, dim, factKey, "k", factTs, attrCols)
+    }
+  }
+
   // ---- streaming incremental near-dup clustering ----
 
   /** Streaming cluster maintenance — the incremental form of

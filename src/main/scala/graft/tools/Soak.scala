@@ -355,6 +355,18 @@ object Soak {
       }
       kcoreRun(30_000) // warm
       gate("kcore_ring", kcoreRun(30_000), kcoreRun(300_000))
+      // hub-heavy link prediction: an n-leaf star riding a small ring —
+      // without the maxDegree cap the hub alone generates O(n²) wedges
+      // (the boilerplate-hub cliff); with the cap the hub drops from
+      // the center role and wall must track the degree census, not n²
+      def cncRun(n: Long): Double = time(s"cnc_hub n=$n") {
+        val star = spark.range(n).select(lit(0L).as("id_a"),
+          (col("id") + 1L).as("id_b"))
+        GraphOps.commonNeighborCandidates(star.unionAll(ring(1000)),
+          minCommon = 2L, maxDegree = Some(1000L)).count()
+      }
+      cncRun(30_000) // warm
+      gate("cnc_hub", cncRun(30_000), cncRun(300_000))
     }
 
     println("[soak] OK: no super-linear operator")

@@ -273,6 +273,35 @@ class GraphOpsSpec extends SparkSpec {
       assert(run(cap, 2) === run(cap, 1), s"stride mismatch at cap=$cap")
   }
 
+  test("subtreeAggregate: hand-computed rollup, forest, negatives, cycle fails loud") {
+    import graft.operators.GraphOps
+    // tree 1→(2,3), 2→(4,5); separate root 9; values incl. negatives
+    val nodes = Seq(
+      (1L, None, 10L), (2L, Some(1L), -3L), (3L, Some(1L), 5L),
+      (4L, Some(2L), 7L), (5L, Some(2L), 1L), (9L, None, 100L))
+      .toDF("id", "parent", "value")
+    val m = GraphOps.subtreeAggregate(nodes)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m === Map(
+      1L -> ((5L, 20L)),   // 10 - 3 + 5 + 7 + 1
+      2L -> ((3L, 5L)),    // -3 + 7 + 1
+      3L -> ((1L, 5L)), 4L -> ((1L, 7L)), 5L -> ((1L, 1L)),
+      9L -> ((1L, 100L))))
+    // deep chain 0←1←2←…←6 converges within its depth
+    val chain = (0L to 6L).map(i =>
+      (i, if (i == 0) None else Some(i - 1), 1L)).toDF("id", "parent", "value")
+    val c = GraphOps.subtreeAggregate(chain, maxDepth = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(c === (0L to 6L).map(i => i -> (7L - i)).toMap)
+    // a parent-pointer CYCLE must fail loud, not loop or undercount
+    val cyc = Seq((1L, Some(2L), 1L), (2L, Some(1L), 1L))
+      .toDF("id", "parent", "value")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.subtreeAggregate(cyc, maxDepth = 5)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("bfsHops driver path ≡ distributed path; over-budget falls back") {
     import graft.operators.GraphOps
     val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",

@@ -1183,6 +1183,43 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(repsNow() === batchCc(b1 ++ b2 ++ b3 ++ b4 ++ b5))
   }
 
+  test("PitEnricher: time-aligned streamed enrichment ≡ batch point-in-time join") {
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val store = java.nio.file.Files.createTempDirectory("pitenrich").toString
+    val enr = Pipelines.PitEnricher(store, Seq("seg"), buckets = 4)
+    // dim stream: key 1 changes A→B at Feb; key 2 stays X throughout
+    val dim1 = Seq((1L, d("2020-01-01"), "A"), (2L, d("2020-01-01"), "X"))
+    val dim2 = Seq((1L, d("2020-02-01"), "B"), (2L, d("2020-02-01"), "X"))
+    // fact stream, time-aligned: batch 1 strictly before the second
+    // dim snapshot, batch 2 from it onward; one pre-history fact
+    val f1 = Seq((1L, d("2019-12-25"), 5.0), (1L, d("2020-01-10"), 10.0),
+      (2L, d("2020-01-20"), 20.0))
+    val f2 = Seq((1L, d("2020-02-10"), 30.0), (2L, d("2020-03-01"), 40.0))
+    def facts(rows: Seq[(Long, Timestamp, Double)]) =
+      rows.toDF("ck", "ts", "amt")
+    enr.ingestDim(dim1.toDF("k", "snap_ts", "seg"), 0L)
+    val e1 = enr.enrich(facts(f1), "ck", "ts").localCheckpoint(true)
+    enr.ingestDim(dim2.toDF("k", "snap_ts", "seg"), 1L)
+    val e2 = enr.enrich(facts(f2), "ck", "ts").localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("ck"), col("ts"), col("amt"), col("seg"))
+        .as[(Long, Timestamp, Double, Option[String])]
+        .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    // batch equivalent: PIT join of ALL facts against the FULL history
+    val batch = graft.operators.Scd.pointInTimeJoin(
+      facts(f1 ++ f2),
+      graft.operators.Scd.scd2Build(
+        (dim1 ++ dim2).toDF("k", "snap_ts", "seg"),
+        "k", "snap_ts", Seq("seg")),
+      "ck", "k", "ts", Seq("seg"))
+    assert(canon(e1.unionByName(e2)) === canon(batch))
+    // the pre-history fact carries no segment in both worlds
+    assert(canon(e1).head._4 === None)
+    // key 1's post-change fact sees B, its pre-change fact sees A
+    assert(canon(e1.unionByName(e2)).filter(_._1 == 1L).flatMap(_._4)
+      === Seq("A", "B"))
+  }
+
   test("clusterIngestStream: distributed-CC fallback path ≡ driver union-find path") {
     // driverCcMaxEdges = 0 forces every batch through the distributed
     // edge-rewiring CC — the 100 TB path must produce bit-identical
