@@ -271,14 +271,18 @@ object Soak {
     // store: the member read partition-prunes to the batch's id
     // buckets and the CC runs on batch-sized supernode edges, so
     // per-batch time must stay ~flat as the clustered history grows
-    // 10× (the q303 operator's scale contract).
+    // 10× (the q303 operator's scale contract). driverCcMaxEdges = 0
+    // forces the DISTRIBUTED edge-rewiring CC — the 100 TB path is
+    // the one this leg must prove flat; the driver union-find below
+    // the cutoff is the small-batch latency optimization, not the
+    // scale contract.
     {
       import graft.streaming.Pipelines
       def mkStore(nPairs: Int): String = {
         val dir = java.nio.file.Files.createTempDirectory("soak_clst").toString
         val seed = spark.range(nPairs.toLong)
           .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
-        Pipelines.clusterIngestStream(dir)()(seed, 0L)
+        Pipelines.clusterIngestStream(dir, driverCcMaxEdges = 0)()(seed, 0L)
         dir
       }
       val batch = spark.range(64)
@@ -286,7 +290,7 @@ object Soak {
           (col("id") * 2 + 9_000_001L).as("id_b")).cache()
       batch.count()
       def runBatch(dir: String): Unit =
-        Pipelines.clusterIngestStream(dir)()(batch, 1L)
+        Pipelines.clusterIngestStream(dir, driverCcMaxEdges = 0)()(batch, 1L)
       val small = mkStore(10_000); val big = mkStore(100_000)
       runBatch(mkStore(10_000)) // warm
       val tS = time("cluster_batch vs 20k members")(runBatch(small))
