@@ -42,15 +42,18 @@ object GraphOps {
     * table every few rounds exactly like the CC loop
     * ([[Dedup.dupClusters]]) does.
     *
-    * Cache lifecycle: the out-degree frame is persisted (it is joined
-    * once per iteration) and the returned plan references it lazily, so
-    * this function cannot unpersist it. This does NOT leak one copy per
-    * call — Spark's CacheManager dedupes by canonicalized plan, so
+    * Cache lifecycle: the degree-annotated edge list (src, dst, deg)
+    * is persisted (it is joined once per iteration, and caching it
+    * hash-partitioned on src means only the vertex-sized rank table
+    * shuffles per round — InMemoryRelation preserves the join's
+    * outputPartitioning) and the returned plan references it lazily,
+    * so this function cannot unpersist it. This does NOT leak one copy
+    * per call — Spark's CacheManager dedupes by canonicalized plan, so
     * repeated calls over the same `edges` frame share ONE cache entry.
-    * A session thus holds at most one deg-sized entry per distinct edge
-    * list; callers that need zero cache residue (or manage their own
-    * caching of a reused deg) can pass `persistDeg = false`, at the
-    * cost of recomputing the degree groupBy `iters` times.
+    * A session thus holds at most one edge-sized entry per distinct
+    * edge list; callers that need zero cache residue can pass
+    * `persistDeg = false`, at the cost of recomputing the degree join
+    * `iters` times.
     */
   def pageRank(vertices: DataFrame, edges: DataFrame,
                iters: Int = 3, damping: Double = 0.85,
@@ -60,14 +63,15 @@ object GraphOps {
     val v = vertices.select(col("id"))
     val e = edges.select(col("src"), col("dst"))
     val n = v.select(count(lit(1)).as("n"))
-    val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val deg =
+    val edeg0 = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+      "src")
+    val edeg =
       if (persistDeg)
-        deg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else deg0
+        edeg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else edeg0
     var r = v.select(col("id"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
+      val contrib = edeg
         .join(r.select(col("id").as("src"), col("r")), "src")
         .select(col("dst").as("id"),
           round(col("r") / col("deg") * lit(1e6)).cast("long").as("c"))
@@ -231,11 +235,14 @@ object GraphOps {
           .as("r0"),
         col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree-annotated edge list cached once (the pageRank idiom):
+    // per iteration only the vertex-sized rank table shuffles
+    val edeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+        "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var r = base.select(col("id"), col("r0").as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
+      val contrib = edeg
         .join(r.select(col("id").as("src"), col("r")), "src")
         .select(col("dst").as("id"),
           round(col("r") / col("deg") * lit(1e6)).cast("long").as("c"))
