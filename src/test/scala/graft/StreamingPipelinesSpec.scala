@@ -1220,6 +1220,30 @@ class StreamingPipelinesSpec extends SparkSpec {
       === Seq("A", "B"))
   }
 
+  test("PitEnricher: a fact running ahead of the dim stream reads the older state (documented contract)") {
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val store = java.nio.file.Files.createTempDirectory("pitahead").toString
+    val enr = Pipelines.PitEnricher(store, Seq("seg"), buckets = 4)
+    enr.ingestDim(Seq((1L, d("2020-01-01"), "A"))
+      .toDF("k", "snap_ts", "seg"), 0L)
+    // MISALIGNED: this fact's ts is AFTER a dim change that has not
+    // streamed in yet — it reads A (the state as known), which is the
+    // documented dim-first/time-aligned delivery contract, not a bug
+    val early = enr.enrich(
+      Seq((1L, d("2020-03-01"), 1.0)).toDF("ck", "ts", "amt"), "ck", "ts")
+      .select("seg").as[String].collect()
+    assert(early.toSeq === Seq("A"))
+    enr.ingestDim(Seq((1L, d("2020-02-01"), "B"))
+      .toDF("k", "snap_ts", "seg"), 1L)
+    // the same fact enriched AFTER the change arrives reads B — and a
+    // batch PIT join over the full history agrees with the late read,
+    // which is why the alignment precondition matters
+    val late = enr.enrich(
+      Seq((1L, d("2020-03-01"), 1.0)).toDF("ck", "ts", "amt"), "ck", "ts")
+      .select("seg").as[String].collect()
+    assert(late.toSeq === Seq("B"))
+  }
+
   test("clusterIngestStream: distributed-CC fallback path ≡ driver union-find path") {
     // driverCcMaxEdges = 0 forces every batch through the distributed
     // edge-rewiring CC — the 100 TB path must produce bit-identical
