@@ -1256,6 +1256,12 @@ class StreamingPipelinesSpec extends SparkSpec {
       ingest(Seq((2L, 1L), (4L, 5L)).toDF("id_a", "id_b"), 0L)
       ingest(Seq((2L, 4L), (9L, 8L)).toDF("id_a", "id_b"), 1L)
       ingest(Seq((0L, 5L), (7L, 9L)).toDF("id_a", "id_b"), 2L)
+      // replay-idempotence must hold on BOTH CC paths: redelivered
+      // edges collapse to supernode self-loops and append nothing
+      val before = spark.read.parquet(s"$store/members/data").count()
+      ingest(Seq((2L, 4L), (9L, 8L)).toDF("id_a", "id_b"), 1L)
+      assert(spark.read.parquet(s"$store/members/data").count() === before,
+        s"replay appended members on cutoff=$cutoff path")
       Pipelines.clusterStoreReps(spark, store)
         .as[(Long, Long)].collect().toMap
     }
