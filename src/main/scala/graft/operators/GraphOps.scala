@@ -646,15 +646,26 @@ object GraphOps {
     * exact integer (cents/micros — the engine's grid discipline).
     * Returns (id, n_subtree, subtree_sum).
     *
+    * `qtyCol` turns the additive rollup into the EXPLODED
+    * bill-of-materials fold: cost(v) = value(v) + Σ_c qty(c)·cost(c),
+    * i.e. each descendant's value enters multiplied by the PRODUCT of
+    * the edge quantities on the path down to it ("3 axles per truck ×
+    * 5 bolts per axle = 15 bolts of cost"). The convergence probe
+    * stays the UNWEIGHTED descendant count — monotone regardless of
+    * quantity or value signs. Omitted, every qty is 1 and the rollup
+    * is the plain subtree sum.
+    *
     * Scale: per round ONE parent-keyed shuffle aggregate + one join of
     * the node table against it — never more than node-table work, and
     * rounds = tree depth (org charts and BOMs are depth-bounded by
     * construction; `maxDepth` turns a parent-pointer CYCLE — where the
     * count aggregate never stabilizes — into a loud failure instead of
     * an infinite loop). */
-  def subtreeAggregate(nodes: DataFrame, maxDepth: Int = 32): DataFrame = {
+  def subtreeAggregate(nodes: DataFrame, maxDepth: Int = 32,
+                       qtyCol: Option[String] = None): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be >= 1")
-    val base = nodes.select(col("id"), col("parent"), col("value"))
+    val qty = qtyCol.map(col).getOrElse(lit(1L)).as("qty")
+    val base = nodes.select(col("id"), col("parent"), col("value"), qty)
       .localCheckpoint(true)
     var acc = base
       .select(col("id"), lit(1L).as("n"), col("value").as("s"))
@@ -664,10 +675,10 @@ object GraphOps {
     var round = 0
     while (!done && round < maxDepth) {
       val contrib = acc
-        .join(base.select(col("id"), col("parent")), "id")
+        .join(base.select(col("id"), col("parent"), col("qty")), "id")
         .where(col("parent").isNotNull)
         .groupBy(col("parent").as("id"))
-        .agg(sum(col("n")).as("cn"), sum(col("s")).as("cs"))
+        .agg(sum(col("n")).as("cn"), sum(col("qty") * col("s")).as("cs"))
       val next = base
         .join(contrib, Seq("id"), "left")
         .select(col("id"),

@@ -1983,9 +1983,50 @@ object ProfilingQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Exploded bill-of-materials cost (the WEIGHTED face of q328's
+    * rollup): every edge carries a quantity, and a descendant's value
+    * enters its ancestor's total multiplied by the PRODUCT of the
+    * quantities along the path — "3 axles per truck × 5 bolts per
+    * axle" — via [[graft.operators.GraphOps.subtreeAggregate]]'s
+    * `qtyCol` fold. The oracle's recursive CTE carries the running
+    * multiplier down the closure, so the distributed child-fold and
+    * the textbook path-product provably agree. */
+  val q330 = GQuery("q330_bom_explosion",
+    """WITH RECURSIVE sup AS (
+      |  SELECT s_suppkey AS id,
+      |    CASE WHEN s_suppkey = 0 THEN NULL
+      |         ELSE s_suppkey // 10 END AS parent,
+      |    s_suppkey % 3 + 1 AS qty,
+      |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM supplier),
+      |cl AS (
+      |  SELECT id AS root, id AS node, CAST(1 AS BIGINT) AS mult
+      |  FROM sup
+      |  UNION ALL
+      |  SELECT cl.root, s.id, cl.mult * s.qty
+      |  FROM cl JOIN sup s ON s.parent = cl.node)
+      |SELECT cl.root AS s_suppkey,
+      |  CAST(count(*) AS BIGINT) AS n_subtree,
+      |  CAST(sum(cl.mult * s.bal_c) AS BIGINT) AS exploded_cost_c
+      |FROM cl JOIN sup s ON s.id = cl.node
+      |GROUP BY 1
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val nodes = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("id"),
+      when(col("s_suppkey") === 0L, lit(null).cast("long"))
+        .otherwise(expr("s_suppkey div 10")).as("parent"),
+      expr("s_suppkey % 3 + 1").as("qty"),
+      round(col("s_acctbal") * 100).cast("long").as("value"))
+    graft.operators.GraphOps.subtreeAggregate(nodes, qtyCol = Some("qty"))
+      .select(col("id").as("s_suppkey"), col("n_subtree"),
+        col("subtree_sum").as("exploded_cost_c"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
       q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
       q270, q273, q274, q275, q276, q279, q285, q287, q289, q291, q292,
-      q295, q297, q304, q308, q310, q311, q314, q321, q326, q327, q328)
+      q295, q297, q304, q308, q310, q311, q314, q321, q326, q327, q328,
+      q330)
 }

@@ -300,6 +300,17 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.subtreeAggregate(cyc, maxDepth = 5)
     }
     assert(e.getMessage.contains("cycle"))
+    // WEIGHTED (BOM) fold: truck(1) needs 3× axle(2), axle needs
+    // 5× bolt(4) and 1× hub(5) — bolt cost multiplies 3·5 = 15 up at
+    // the truck: 100 + 3·(20 + 5·2 + 1·7) = 100 + 3·37 = 211
+    val bom = Seq(
+      (1L, None, 100L, 1L), (2L, Some(1L), 20L, 3L),
+      (4L, Some(2L), 2L, 5L), (5L, Some(2L), 7L, 1L))
+      .toDF("id", "parent", "value", "qty")
+    val w = GraphOps.subtreeAggregate(bom, qtyCol = Some("qty"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(w === Map(1L -> ((4L, 211L)), 2L -> ((3L, 37L)),
+      4L -> ((1L, 2L)), 5L -> ((1L, 7L))))
   }
 
   test("bfsHops driver path ≡ distributed path; over-budget falls back") {
