@@ -1107,6 +1107,18 @@ object Pipelines {
       graft.operators.Scd.pointInTimeJoin(
         facts, dim, factKey, "k", factTs, attrCols)
     }
+    /** BITEMPORAL replay: enrich as-of the dimension KNOWN after dim
+      * micro-batch `asOfBatch` — reproduces exactly what an enrichment
+      * run at that point of the stream could have seen (the audited
+      *-restatement answer to "what did this report say then"), via
+      * [[scd2StoreIntervalsAsOf]]'s knowledge-time axis. */
+    def enrichAsOfBatch(facts: DataFrame, factKey: String, factTs: String,
+                        asOfBatch: Long): DataFrame = {
+      val dim = scd2StoreIntervalsAsOf(
+        facts.sparkSession, storePath, attrCols, asOfBatch)
+      graft.operators.Scd.pointInTimeJoin(
+        facts, dim, factKey, "k", factTs, attrCols)
+    }
   }
 
   // ---- streaming incremental near-dup clustering ----

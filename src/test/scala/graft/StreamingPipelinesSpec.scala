@@ -1242,6 +1242,13 @@ class StreamingPipelinesSpec extends SparkSpec {
       Seq((1L, d("2020-03-01"), 1.0)).toDF("ck", "ts", "amt"), "ck", "ts")
       .select("seg").as[String].collect()
     assert(late.toSeq === Seq("B"))
+    // bitemporal replay: as-of knowledge batch 0 the change to B is
+    // invisible — the early read is REPRODUCIBLE after the fact
+    val replay = enr.enrichAsOfBatch(
+      Seq((1L, d("2020-03-01"), 1.0)).toDF("ck", "ts", "amt"),
+      "ck", "ts", asOfBatch = 0L)
+      .select("seg").as[String].collect()
+    assert(replay.toSeq === Seq("A"))
   }
 
   test("clusterIngestStream: distributed-CC fallback path ≡ driver union-find path") {
