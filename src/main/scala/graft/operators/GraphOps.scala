@@ -298,10 +298,25 @@ object GraphOps {
               driverMaxEdges: Int = 0): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     require(stride == 1 || stride == 2, "stride must be 1 or 2")
-    if (driverMaxEdges > 0) {
+    // Driver path only when the two frames agree on the id type —
+    // the hops map mixes seed values and pair values, and a mixed
+    // (Integer, Long) map would fail at materialization where the
+    // distributed path coerces through its unions/joins.
+    if (driverMaxEdges > 0 &&
+        seeds.schema("id").dataType == pairs.schema("id_a").dataType) {
       val probe = pairs.select(col("id_a"), col("id_b"))
         .limit(driverMaxEdges + 1).collect()
-      if (probe.length <= driverMaxEdges) {
+      // Seeds share the edge budget: a corpus-sized seed frame with a
+      // small edge list must NOT be collected — over budget falls
+      // back to the distributed frontier loop like an over-budget
+      // edge list does.
+      val seedProbe =
+        if (probe.length <= driverMaxEdges)
+          seeds.select(col("id")).distinct()
+            .limit(driverMaxEdges + 1).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      if (probe.length <= driverMaxEdges &&
+          seedProbe.length <= driverMaxEdges) {
         val spark = pairs.sparkSession
         val adj = new scala.collection.mutable.HashMap[
           Any, scala.collection.mutable.LinkedHashSet[Any]]
@@ -310,8 +325,7 @@ object GraphOps {
             scala.collection.mutable.LinkedHashSet.empty[Any]) += b
         probe.foreach { r => link(r.get(0), r.get(1)); link(r.get(1), r.get(0)) }
         val hops = new scala.collection.mutable.LinkedHashMap[Any, Long]
-        seeds.select(col("id")).distinct().collect()
-          .foreach(r => hops.update(r.get(0), 0L))
+        seedProbe.foreach(r => hops.update(r.get(0), 0L))
         var frontier: Seq[Any] = hops.keys.toSeq
         var h = 1L
         while (h <= maxHops && frontier.nonEmpty) {
@@ -596,10 +610,13 @@ object GraphOps {
     * degrees (`deg_a`/`deg_b`, and the Jaccard denominator) stay
     * exact; only `common` is counted over sub-cap witnesses, so the
     * score is a lower bound exactly as the df-capped Jaccard is. The
-    * existing-edge subtraction is one anti-join; degrees broadcast. */
+    * DEFAULT is uncapped (exact — what the q266 oracle computes);
+    * hub-heavy graphs must opt in to the cap (the Soak cnc_hub leg
+    * does). The existing-edge subtraction is one anti-join; degrees
+    * broadcast. */
   def commonNeighborCandidates(pairs: DataFrame,
                                minCommon: Long = 2L,
-                               maxDegree: Option[Long] = Some(10000L))
+                               maxDegree: Option[Long] = None)
       : DataFrame = {
     val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))

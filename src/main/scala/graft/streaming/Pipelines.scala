@@ -979,22 +979,34 @@ object Pipelines {
         .withColumn("pb", DedupStore.bucketOf(col("k"), buckets))
         .withColumn("seed", lit(false))
       val pbs = DedupStore.batchBuckets(batch)
-      val unioned =
+      // seed rows: the touched keys' FULL stored change history —
+      // bucket-pruned and semi-joined on the broadcast batch keys.
+      // Using the history directly (instead of a groupBy max-struct
+      // "current state" aggregate plus a current-ts guard join) keeps
+      // the whole cycle one keyed window ladder: the late-data guard
+      // becomes a per-key max over the seed rows, and the change-lag
+      // chain is indifferent to the extra seeds — stored rows are
+      // changes by construction (each differs from its predecessor)
+      // and never re-emit, so the first surviving batch row still
+      // chains off the key's latest stored state.
+      val guarded =
         if (DedupStore.hasData(spark, storePath) && pbs.nonEmpty) {
-          // current state of the touched keys only: latest change row
-          val cur = DedupStore.prunedRead(spark, storePath, pbs)
-            .groupBy(col("k"), col("pb"))
-            .agg(max(struct(col("snap_ts") +: attrCols.map(col): _*))
-              .as("m"))
-            .select(col("k") +: col("pb") +: col("m.snap_ts").as("snap_ts") +:
-              attrCols.map(a => col(s"m.$a").as(a)): _*)
+          val hist = DedupStore.prunedRead(spark, storePath, pbs)
+            .join(broadcast(batch.select("k").distinct()),
+              Seq("k"), "left_semi")
+            .select(col("k") +: col("snap_ts") +: attrCols.map(col) :+
+              col("pb"): _*)
             .withColumn("seed", lit(true))
-          // late-data guard: batch rows older than current state drop
-          val curTs = cur.select(col("k"), col("snap_ts").as("__cur_ts"))
-          batch.join(curTs, Seq("k"), "left")
-            .where(col("__cur_ts").isNull || col("snap_ts") >= col("__cur_ts"))
+          // late-data guard: batch rows older than the key's current
+          // state (= latest seed ts) drop
+          val wc = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k"))
+          batch.unionByName(hist)
+            .withColumn("__cur_ts",
+              max(when(col("seed"), col("snap_ts"))).over(wc))
+            .where(col("seed") || col("__cur_ts").isNull ||
+              col("snap_ts") >= col("__cur_ts"))
             .drop("__cur_ts")
-            .unionByName(cur)
         } else batch
       // strict (k, snap_ts) uniqueness resolves FIRST: one row per
       // (k, snap_ts) survives — the seed (stored state) if present,
@@ -1008,7 +1020,7 @@ object Pipelines {
       val wts = org.apache.spark.sql.expressions.Window
         .partitionBy(col("k"), col("snap_ts"))
         .orderBy(col("seed").desc +: attrCols.map(col): _*)
-      val kept = unioned
+      val kept = guarded
         .withColumn("__rn", row_number().over(wts))
         .where(col("__rn") === 1)
         .drop("__rn")
@@ -1032,7 +1044,16 @@ object Pipelines {
           col("pb"): _*)
         .withColumn("batch_id", lit(batchId))
         .persist()
-      if (!changes.isEmpty) DedupStore.append(changes, storePath)
+      // no emptiness probe on the steady-state path: appending an
+      // EMPTY frame to an EXISTING store writes no part files, so the
+      // probe was a whole extra job per micro-batch spent avoiding a
+      // no-op — the append IS the materializing action (it populates
+      // the cache `sink` then reads). Only while the store does NOT
+      // yet exist is emptiness checked first: an empty partitioned
+      // write would create a schema-less `data/` dir and poison the
+      // next batch's read.
+      if (DedupStore.hasData(spark, storePath) || !changes.isEmpty)
+        DedupStore.append(changes, storePath)
       sink(changes)
       changes.unpersist()
       ()
@@ -1092,32 +1113,58 @@ object Pipelines {
     * of per-batch enrichments equals the batch point-in-time join over
     * the complete histories (spec- and oracle-asserted, q329).
     *
-    * Scale: the store read partition-prunes nothing here (intervals
-    * need the key's full change history), but the dim is
-    * change-rows-sized — never fact-sized — and the as-of join is the
-    * audited [[graft.operators.AsOfJoin.leftAsOf]] keyed shuffle. */
+    * Scale: the enrich-side store read follows the [[DedupStore]]
+    * pruning contract — a fact batch derives its keys' `pb` bucket
+    * set driver-side, reads ONLY those partitions (a directory-level
+    * partition filter, plan-asserted), and semi-joins the broadcast
+    * fact keys — so per-batch enrich cost tracks the batch's share of
+    * the dimension, never total dim HISTORY. A key's full change
+    * history lives inside its one `pb` bucket, so the pruned slice
+    * carries every interval the as-of lookup can need (the pruning is
+    * hash-preserving by construction). The as-of join itself is the
+    * audited [[graft.operators.AsOfJoin.leftAsOf]] keyed shuffle, and
+    * the point-in-time lookup needs only each key's `valid_from`
+    * ladder — no `valid_to` lead window on the hot path. */
   final case class PitEnricher(storePath: String, attrCols: Seq[String],
                                buckets: Int = 64) {
     /** Feed one dimension micro-batch (cols: k, snap_ts, attrs). */
     val ingestDim: (DataFrame, Long) => Unit =
       scd2IngestStream("k", "snap_ts", attrCols, storePath, buckets)()
     /** Enrich one fact micro-batch against the store as known now. */
-    def enrich(facts: DataFrame, factKey: String, factTs: String): DataFrame = {
-      val dim = scd2StoreIntervals(facts.sparkSession, storePath, attrCols)
-      graft.operators.Scd.pointInTimeJoin(
-        facts, dim, factKey, "k", factTs, attrCols)
-    }
+    def enrich(facts: DataFrame, factKey: String, factTs: String): DataFrame =
+      enrichAsOfBatch(facts, factKey, factTs, Long.MaxValue)
     /** BITEMPORAL replay: enrich as-of the dimension KNOWN after dim
       * micro-batch `asOfBatch` — reproduces exactly what an enrichment
       * run at that point of the stream could have seen (the audited
       *-restatement answer to "what did this report say then"), via
-      * [[scd2StoreIntervalsAsOf]]'s knowledge-time axis. */
+      * the change store's knowledge-time axis (as
+      * [[scd2StoreIntervalsAsOf]]). */
     def enrichAsOfBatch(facts: DataFrame, factKey: String, factTs: String,
                         asOfBatch: Long): DataFrame = {
-      val dim = scd2StoreIntervalsAsOf(
-        facts.sparkSession, storePath, attrCols, asOfBatch)
       graft.operators.Scd.pointInTimeJoin(
-        facts, dim, factKey, "k", factTs, attrCols)
+        facts, dimSliceFor(facts, factKey, asOfBatch),
+        factKey, "k", factTs, attrCols)
+    }
+    /** The fact batch's slice of the change store: bucket-pruned to
+      * the batch's `pb` set, semi-joined on the broadcast fact keys,
+      * knowledge-filtered to `asOfBatch`. `valid_from` rows only —
+      * [[graft.operators.Scd.pointInTimeJoin]] drops `valid_to`, so
+      * deriving it here would be a pure window-exchange tax. */
+    private def dimSliceFor(facts: DataFrame, factKey: String,
+                            asOfBatch: Long): DataFrame = {
+      val spark = facts.sparkSession
+      // no eager checkpoint: micro-batch latency is job-count-bound,
+      // and re-deriving the batch-sized key distinct inside the main
+      // action is cheaper than a whole materialization job
+      val keys = facts
+        .select(col(factKey).as("k")).where(col("k").isNotNull).distinct()
+        .withColumn("pb", DedupStore.bucketOf(col("k"), buckets))
+      val pbs = DedupStore.batchBuckets(keys)
+      DedupStore.prunedRead(spark, storePath, pbs)
+        .where(col("batch_id") <= asOfBatch)
+        .join(broadcast(keys.select("k")), Seq("k"), "left_semi")
+        .select(col("k") +: col("snap_ts").as("valid_from") +:
+          attrCols.map(col): _*)
     }
   }
 
@@ -1153,7 +1200,13 @@ object Pipelines {
     * result is broadcast back anyway), with the distributed O(log n)
     * rewiring CC taking over beyond the cutoff; the merges
     * table is merge-event-bounded (≤ clusters ever merged, NOT corpus)
-    * and resolution pointer-jumps over it, never over members.
+    * and resolution pointer-jumps over it, never over members — and
+    * `autoCompactMergeFiles` retires the forest automatically once it
+    * crosses the threshold ([[clusterCompactIfNeeded]]: one driver-side
+    * dir listing per batch, a [[clusterCompact]] rewrite only when
+    * triggered), so resolution cost is bounded by merges since the
+    * LAST retirement over an unbounded ingest lifetime (0 disables —
+    * maintenance-cron discipline).
     * Invariant: every resolved cid is the true min id of its live
     * component — later winners are computed with plain `least`, which
     * is what makes the streamed read-out equal batch CC.
@@ -1163,7 +1216,8 @@ object Pipelines {
     * it appends no members and no merges. `sink` receives the batch's
     * vertices with their post-merge cluster_rep. */
   def clusterIngestStream(storePath: String, buckets: Int = 256,
-                          driverCcMaxEdges: Int = 100000)(
+                          driverCcMaxEdges: Int = 100000,
+                          autoCompactMergeFiles: Int = 64)(
       sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
     (batch0: DataFrame, _: Long) => {
       val spark = batch0.sparkSession
@@ -1225,9 +1279,17 @@ object Pipelines {
       // had to fit in a broadcast anyway). A larger batch falls back
       // to the distributed O(log n) edge-rewiring CC unchanged — the
       // 100 TB path never collects.
-      val probe = sedges.limit(driverCcMaxEdges + 1).collect()
+      // `driverCcMaxEdges <= 0` means NEVER collect (the bfsHops
+      // guard): without it a zero budget still ran a limit(1) probe
+      // job every batch, and a fully-collapsed (replayed) batch's
+      // EMPTY supernode edge set satisfied `probe.length <= 0` and
+      // silently took the driver path the setting meant to disable.
+      val probe =
+        if (driverCcMaxEdges > 0)
+          sedges.limit(driverCcMaxEdges + 1).collect()
+        else Array.empty[org.apache.spark.sql.Row]
       val comp: DataFrame =
-        if (probe.length <= driverCcMaxEdges) {
+        if (driverCcMaxEdges > 0 && probe.length <= driverCcMaxEdges) {
           // min-rooted union-find: the smaller root adopts the larger,
           // so every tree's root is its component minimum — exactly
           // dupClusters' cluster_rep (spec-asserted equal on both paths)
@@ -1241,8 +1303,24 @@ object Pipelines {
             }
             r
           }
-          def lt(a: Any, b: Any): Boolean =
-            a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+          // Spark's min()/binary ordering compares strings by UTF-8
+          // bytes; Java String.compareTo is UTF-16 code-unit order —
+          // they diverge on supplementary-plane characters (U+FFFF
+          // sorts above a surrogate pair in UTF-16 but below its
+          // 4-byte UTF-8 encoding), so strings are compared by their
+          // UTF-8 bytes to keep the driver path bit-identical to the
+          // distributed dupClusters minimum.
+          def lt(a: Any, b: Any): Boolean = (a, b) match {
+            case (sa: String, sb: String) =>
+              val ba = sa.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val bb = sb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              var i = 0
+              val n = math.min(ba.length, bb.length)
+              while (i < n && ba(i) == bb(i)) i += 1
+              if (i < n) (ba(i) & 0xff) < (bb(i) & 0xff)
+              else ba.length < bb.length
+            case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+          }
           probe.foreach { row =>
             val ra = find(row.get(0)); val rb = find(row.get(1))
             if (ra != rb) {
@@ -1283,11 +1361,14 @@ object Pipelines {
       lap("acc")
       // new members: first-seen vertices, stored with the winner cid
       // their supernode resolved to this batch (supernode = the raw id
-      // for unknown vertices; a lone new vertex pair keeps itself)
-      DedupStore.append(
-        acc.where(col("kcid").isNull)
-          .select(col("id"), col("rep").as("cid"), col("pb")),
-        members)
+      // for unknown vertices; a lone new vertex pair keeps itself).
+      // Until the store exists an all-known (or empty) batch must NOT
+      // write: an empty partitioned append would create a schema-less
+      // `members/data` dir and poison the next batch's pruned read.
+      val newMembers = acc.where(col("kcid").isNull)
+        .select(col("id"), col("rep").as("cid"), col("pb"))
+      if (DedupStore.hasData(spark, members) || !newMembers.isEmpty)
+        DedupStore.append(newMembers, members)
       lap("member-append")
       // merge events: a KNOWN root that lost its minimum points at the
       // winner; roots that stayed minimal append nothing
@@ -1299,6 +1380,14 @@ object Pipelines {
         merged.coalesce(1).write.mode("append").parquet(s"$storePath/merges")
       lap("merges")
       sink(acc.select(col("id"), col("rep").as("cluster_rep")))
+      // automatic forest retirement: the decision is one driver-side
+      // dir listing (no Spark job while healthy), and the triggered
+      // rewrite keeps resolveCids' per-batch collect bounded by merges
+      // SINCE LAST RETIREMENT over an unbounded ingest lifetime
+      if (autoCompactMergeFiles > 0) {
+        clusterCompactIfNeeded(spark, storePath, autoCompactMergeFiles)
+        lap("auto-compact")
+      }
       ()
     }
   }
@@ -1404,6 +1493,42 @@ object Pipelines {
     fs.delete(old, true)
     fs.delete(mergesPath, true)
     (after, nMerges)
+  }
+
+  /** Outcome of [[clusterCompactIfNeeded]]. `members`/`mergesRetired`
+    * are −1 when the threshold was not crossed (the no-op path runs no
+    * Spark job at all). */
+  final case class ClusterCompactDecision(compacted: Boolean,
+                                          mergeFiles: Long, members: Long,
+                                          mergesRetired: Long)
+
+  /** Merge-forest-growth-triggered policy over [[clusterCompact]] (the
+    * [[compactStoreIfNeeded]] precedent): every batch that merges live
+    * clusters appends exactly ONE file to `merges/`, so the dir's data
+    * file count is a driver-side census of forest growth since the
+    * last retirement — no Spark job to decide, and none runs while the
+    * store is healthy. Crossing `maxMergeFiles` triggers the full
+    * path-compression rewrite: members resolve to live roots and the
+    * forest retires, so [[resolveCids]]' per-batch collect stays
+    * merges-since-last-compaction-bounded over an UNBOUNDED ingest
+    * lifetime instead of growing with total merge history. Same
+    * single-writer discipline as [[clusterCompact]]. */
+  def clusterCompactIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                             storePath: String,
+                             maxMergeFiles: Int = 64): ClusterCompactDecision = {
+    val mergesPath = new org.apache.hadoop.fs.Path(s"$storePath/merges")
+    val fs = mergesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val n =
+      if (!fs.exists(mergesPath)) 0L
+      else fs.listStatus(mergesPath).count { f =>
+        val name = f.getPath.getName
+        f.isFile && !name.startsWith("_") && !name.startsWith(".")
+      }.toLong
+    if (n <= maxMergeFiles) ClusterCompactDecision(compacted = false, n, -1L, -1L)
+    else {
+      val (members, retired) = clusterCompact(spark, storePath)
+      ClusterCompactDecision(compacted = true, n, members, retired)
+    }
   }
 
   /** Stream-static join: enrich a stream against a (broadcastable) batch

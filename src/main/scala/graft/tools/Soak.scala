@@ -205,6 +205,50 @@ object Soak {
       }
     }
 
+    // --- leg: PIT enrichment — per-batch enrich cost vs dim HISTORY ---
+    // a fixed 64-key fact batch enriched against a 20k-key change store
+    // holding 1 vs 10 generations of changes (history 10×, key count
+    // FIXED — isolating exactly the axis the enrich-side read must not
+    // pay for): the read prunes to the batch's key buckets and
+    // semi-joins the fact keys, so per-batch enrich time must stay
+    // ~flat as the dimension's history grows. min-of-2 per store to
+    // keep the tight gate off scheduler jitter.
+    {
+      import graft.streaming.Pipelines
+      val buckets = 1024
+      def mkStore(gens: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("soak_pit").toString
+        val enr = Pipelines.PitEnricher(dir, Seq("seg"), buckets)
+        (0 until gens).foreach { g =>
+          val snap = spark.range(20_000L).select(col("id").as("k"),
+            to_timestamp(lit(f"2020-${g + 1}%02d-01")).as("snap_ts"),
+            concat(lit("seg"), ((col("id") + g) % 7).cast("string"))
+              .as("seg"))
+          enr.ingestDim(snap, g.toLong)
+        }
+        dir
+      }
+      val facts = spark.range(64L).select(col("id").as("ck"),
+        to_timestamp(lit("2020-12-15")).as("ts"), lit(1.0).as("amt"))
+        .cache()
+      facts.count()
+      def runEnrich(dir: String): Long =
+        Pipelines.PitEnricher(dir, Seq("seg"), buckets)
+          .enrich(facts, "ck", "ts").count()
+      val small = mkStore(1); val big = mkStore(10)
+      runEnrich(small); runEnrich(big) // warm
+      val tS = math.min(time("pit_enrich vs 1x history")(runEnrich(small)),
+        time("pit_enrich vs 1x history")(runEnrich(small)))
+      val tB = math.min(time("pit_enrich vs 10x history")(runEnrich(big)),
+        time("pit_enrich vs 10x history")(runEnrich(big)))
+      val r = tB / tS
+      println(f"[soak] pit_enrich_batch         ${r}%5.1fx per-batch enrich cost for 10x dim-history growth")
+      if (r > 1.5) {
+        System.err.println("[soak] FAIL history-linear PIT enrichment")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     // --- leg: streaming weighted reservoir — per-batch cost vs history ---
     // the reservoir's state is ≤ k rows per stratum FOREVER, so a batch
     // against a reservoir that has absorbed 100× more history must cost

@@ -1183,6 +1183,58 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(repsNow() === batchCc(b1 ++ b2 ++ b3 ++ b4 ++ b5))
   }
 
+  test("clusterCompactIfNeeded: healthy forest is a listing-only no-op; crossing the threshold retires it with read-out bit-identical") {
+    import graft.operators.Dedup
+    val store = java.nio.file.Files.createTempDirectory("clauto").toString
+    // auto-compaction OFF so the test drives the policy explicitly
+    val ingest = Pipelines.clusterIngestStream(store,
+      autoCompactMergeFiles = 0)()
+    def repsNow(): Map[Long, Long] =
+      Pipelines.clusterStoreReps(spark, store)
+        .as[(Long, Long)].collect().toMap
+    // three batches, each merging previously-stored clusters → 2 merge
+    // files accrue (batch 1 creates clusters, 2 and 3 each merge)
+    ingest(Seq((2L, 3L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b"), 0L)
+    ingest(Seq((3L, 5L)).toDF("id_a", "id_b"), 1L)
+    ingest(Seq((6L, 8L)).toDF("id_a", "id_b"), 2L)
+    val mergesDir = new java.io.File(s"$store/merges")
+    def mergeFiles(): Long = mergesDir.listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).toLong
+    assert(mergeFiles() === 2L)
+    val expect = repsNow()
+    // healthy: threshold not crossed → no-op, forest untouched
+    val noop = Pipelines.clusterCompactIfNeeded(spark, store,
+      maxMergeFiles = 2)
+    assert(!noop.compacted && noop.mergeFiles === 2L &&
+      noop.members === -1L && mergeFiles() === 2L)
+    assert(repsNow() === expect)
+    // crossed: forest retires, members resolve to live roots, read-out
+    // bit-identical
+    val did = Pipelines.clusterCompactIfNeeded(spark, store,
+      maxMergeFiles = 1)
+    assert(did.compacted && did.mergeFiles === 2L && did.mergesRetired === 2L)
+    assert(!mergesDir.exists())
+    assert(repsNow() === expect)
+
+    // AUTO wiring: with autoCompactMergeFiles = 1, a second merge file
+    // triggers retirement inside the ingest itself — no caller cron
+    val store2 = java.nio.file.Files.createTempDirectory("clauto2").toString
+    val auto = Pipelines.clusterIngestStream(store2,
+      autoCompactMergeFiles = 1)()
+    val b = Seq(Seq((2L, 3L), (5L, 6L), (8L, 9L)), Seq((3L, 5L)),
+      Seq((6L, 8L)))
+    b.zipWithIndex.foreach { case (p, i) => auto(p.toDF("id_a", "id_b"), i.toLong) }
+    // the 2nd merge file crossed the threshold → forest auto-retired
+    assert(!new java.io.File(s"$store2/merges").exists())
+    val all = b.flatten
+    val vs = all.flatMap(p => Seq(p._1, p._2)).distinct.map(Tuple1(_)).toDF("id")
+    val batchCc = Dedup.dupClusters(vs, "id", all.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(Pipelines.clusterStoreReps(spark, store2)
+      .as[(Long, Long)].collect().toMap === batchCc)
+  }
+
   test("PitEnricher: time-aligned streamed enrichment ≡ batch point-in-time join") {
     def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
     val store = java.nio.file.Files.createTempDirectory("pitenrich").toString
@@ -1249,6 +1301,44 @@ class StreamingPipelinesSpec extends SparkSpec {
       "ck", "ts", asOfBatch = 0L)
       .select("seg").as[String].collect()
     assert(replay.toSeq === Seq("A"))
+  }
+
+  test("PitEnricher: the enrich-side store read partition-prunes to the fact batch's buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val store = java.nio.file.Files.createTempDirectory("pitprune").toString
+    val enr = Pipelines.PitEnricher(store, Seq("seg"), buckets = 64)
+    // many keys spread over the buckets, two snapshot generations each
+    // (so the store carries HISTORY, the thing the read must not pay
+    // for wholesale)
+    enr.ingestDim((1L to 400L).map(k => (k, d("2020-01-01"), s"s$k"))
+      .toDF("k", "snap_ts", "seg"), 0L)
+    enr.ingestDim((1L to 400L).map(k => (k, d("2020-02-01"), s"t$k"))
+      .toDF("k", "snap_ts", "seg"), 1L)
+    val dirs = new java.io.File(s"$store/data")
+      .listFiles().count(_.getName.startsWith("pb="))
+    assert(dirs > 16, s"store must spread over many bucket dirs, got $dirs")
+    // a 2-key fact batch touches ≤2 buckets → the store scan must
+    // prune to them (the DedupStore convention, plan-asserted)
+    val facts = Seq((7L, d("2020-03-01"), 1.0), (9L, d("2020-01-15"), 2.0))
+      .toDF("ck", "ts", "amt")
+    val out = enr.enrich(facts, "ck", "ts")
+    val plan = out.queryExecution.sparkPlan
+    val storeScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("pitprune")) => f
+    }
+    assert(storeScans.nonEmpty, s"store scan must appear in the plan:\n$plan")
+    assert(storeScans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "pb"))),
+      s"store scan must carry a pb partition filter:\n$plan")
+    assert(storeScans.forall(_.selectedPartitions.partitionCount <= 2),
+      s"expected ≤2 pruned partitions, got " +
+        storeScans.map(_.selectedPartitions.partitionCount).mkString(","))
+    // semantics unchanged: each fact reads its as-of interval
+    val got = out.select(col("ck"), col("seg")).as[(Long, String)]
+      .collect().toMap
+    assert(got === Map(7L -> "t7", 9L -> "s9"))
   }
 
   test("clusterIngestStream: distributed-CC fallback path ≡ driver union-find path") {
