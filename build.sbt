@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver keeps the last ~2000 chars of MERGED output
+// and JSON-parses the final line. Two sbt behaviors broke that: the
+// logger prefixes forked-run output with [info]/[error], and a
+// trailing "[success] Total time..." line lands AFTER the program's
+// final JSON. Pass run output through raw and drop the success banner
+// so the last line of a bench run is exactly the JSON the parser wants.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

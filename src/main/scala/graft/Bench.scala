@@ -68,14 +68,18 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] cannot write $outPath: ${e.getMessage}") }
-    System.err.println(fullLine)
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // stop BEFORE the final print: Spark shutdown logs to stderr, and
+    // the driver parses the LAST line of merged output — nothing may
+    // land after the JSON (build.sbt passes run output through raw and
+    // suppresses sbt's trailing success banner for the same reason)
+    spark.stop()
     if (results.size <= 60)
       println(fullLine)
     else
       println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"queries":$slow,"queries_truncated":true,"queries_file":"$outPath","sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }

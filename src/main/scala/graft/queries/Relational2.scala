@@ -299,6 +299,58 @@ object Relational2 {
       .orderBy(col("yr"), col("seg"), col("tier"))
   }
 
+  /** Fact×fact stream-stream interval join (VERDICT r9 #8's second
+    * named shape — [[graft.streaming.Pipelines.intervalJoinStreams]]):
+    * view events and click events arrive as two UNBOUNDED watermarked
+    * streams (the fixture file through the real file-stream source,
+    * so the executed plan is the streaming symmetric-hash join, not a
+    * batch range join), and every click within 2 hours of a same-user
+    * view is attributed to it. Unlike q329's fact×dim as-of
+    * enrichment, BOTH sides here are facts with their own event time
+    * and their own watermark — the join state is (delay + interval)
+    * deep per user, never history-deep. Oracle: the equivalent batch
+    * interval self-join. */
+  val q331 = GQuery("q331_stream_stream_interval_join",
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS lag_s
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin) { (s, dir) =>
+    import graft.streaming.Pipelines
+    // the raw fixture schema feeds the file-stream source; ts is then
+    // normalized exactly as Tables.events does (the nanos-fixture
+    // branch reads ts as a raw long)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = Tables.path(dir, "events")
+    val rawSchema = s.read.parquet(path).schema
+    // the file-stream source needs a directory-rooted glob, not a bare
+    // file path ("Option 'basePath' must be a directory")
+    val raw = s.readStream.schema(rawSchema)
+      .option("basePath", dir).parquet(s"$dir/events*.parquet")
+    val ev = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("uid_c"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    Pipelines.runToMemory(
+      Pipelines.intervalJoinStreams(views, clicks,
+          "user_id", "uid_c", "view_ts", "click_ts",
+          delay = "1 hour", within = "2 hours")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+            .as("lag_s")))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210, q329)
+    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210, q329, q331)
 }

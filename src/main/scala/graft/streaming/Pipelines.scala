@@ -70,6 +70,49 @@ object Pipelines {
         col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n"): _*)
   }
 
+  /** Stream-stream event-time INTERVAL join — two UNBOUNDED fact
+    * streams correlated on a key plus a time-range condition
+    * (`rightTs ∈ [leftTs, leftTs + within]`), the fact×fact
+    * complement of [[PitEnricher]]'s fact×dim as-of enrichment.
+    * Both sides carry watermarks, which is what makes the plan's
+    * symmetric-hash join state BOUNDED: a buffered left row is
+    * evicted once the global watermark proves no future right row can
+    * land inside its interval, and a right row older than the
+    * watermark is dropped at ingestion — state is (delay + within)
+    * deep per key, never history-deep (spec-asserted both ways).
+    * Scale: the join shuffles both streams on the equi-key exactly as
+    * a batch equi-join would; the range predicate prunes inside each
+    * key's buffer. Callers pre-rename so no columns collide (the
+    * [[graft.operators.AsOfJoin.leftAsOf]] convention). */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTs: String, rightTs: String,
+                          delay: String, within: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
+  /** Drive a streaming frame to completion through a memory sink and
+    * hand back the materialized result — the query-harness driver for
+    * append-mode streaming plans (the fixture file arrives through
+    * the real file-stream source, so the plan under test is the
+    * streaming one, e.g. StreamingSymmetricHashJoin — not a batch
+    * rewrite). The memory sink is driver-resident by design, so this
+    * is for oracle-gated result sets, not corpus-sized output. */
+  private val memSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  def runToMemory(streamDf: DataFrame): DataFrame = {
+    val spark = streamDf.sparkSession
+    val name = s"graft_mem_sink_${memSinkSeq.incrementAndGet()}"
+    val q = streamDf.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Session windows via the built-in `session_window` (gap-based). */
   def sessionWindowAgg(events: DataFrame, tsCol: String, delay: String,
                        gap: String, keyCol: String): DataFrame =

@@ -327,5 +327,25 @@ class GraphOpsSpec extends SparkSpec {
       // budget BELOW the edge count: must fall back, same answer
       assert(run(cap, 3) === dist, s"fallback differs at cap=$cap")
     }
+    // seeds share the budget: a seed frame BIGGER than driverMaxEdges
+    // must not be collected — tiny edge list or not, the distributed
+    // loop takes over and the answer is unchanged
+    val manySeeds = (Seq("a", "x") ++ (1 to 50).map(i => s"seed$i"))
+      .toDF("id")
+    val tiny = Seq("a" -> "b", "x" -> "y").toDF("id_a", "id_b")
+    val viaDist = GraphOps.bfsHops(tiny, manySeeds, 2, driverMaxEdges = 0)
+      .as[(String, Long)].collect().toMap
+    val viaBudget = GraphOps.bfsHops(tiny, manySeeds, 2, driverMaxEdges = 10)
+      .as[(String, Long)].collect().toMap
+    assert(viaBudget === viaDist)
+    // and mismatched id types skip the driver path instead of failing
+    // at materialization (seeds int, pairs long — distributed coerces)
+    val intSeeds = Seq(1, 3).toDF("id")
+    val longPairs = Seq(1L -> 2L, 3L -> 4L).toDF("id_a", "id_b")
+    val coerced = GraphOps.bfsHops(longPairs, intSeeds, 1,
+        driverMaxEdges = 1000)
+      .select(col("id").cast("long"), col("hop"))
+      .as[(Long, Long)].collect().toMap
+    assert(coerced === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
 }

@@ -38,4 +38,45 @@ class StreamStreamJoinSpec extends SparkSpec {
       assert(rows === Seq(1L))
     } finally q.stop()
   }
+
+  test("intervalJoinStreams: joins across micro-batches; watermark drops late rows (bounded state)") {
+    import graft.streaming.Pipelines
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = Pipelines.intervalJoinStreams(
+      views.toDF().toDF("u", "view_ts"),
+      clicks.toDF().toDF("u_c", "clk_ts"),
+      "u", "u_c", "view_ts", "clk_ts",
+      delay = "10 minutes", within = "5 minutes")
+    val q = joined.select(col("u"), col("view_ts"), col("clk_ts"))
+      .writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two views, no clicks yet — the join must buffer them
+      views.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      // batch 2: a click for view 1 arrives a WHOLE BATCH later but
+      // inside its 5-minute interval → cross-batch pair
+      clicks.addData((1L, ts(3)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT u FROM ivj_out").as[Long].collect().toSeq
+        === Seq(1L))
+      // batch 3: BOTH sides advance far (the global watermark is the
+      // MIN across sources — one side alone would hold it back), so
+      // the watermark passes 10:01 + 5 min + 10 min
+      views.addData((9L, ts(50)))
+      clicks.addData((9L, ts(51))) // also joins: within 5 min of view 9
+      q.processAllAvailable()
+      // batch 4: a click for view 2, inside its interval by EVENT time
+      // but older than the watermark → dropped at ingestion, state for
+      // view 2 already evicted — NO pair (this is what makes the state
+      // bounded at 100 TB: history-deep keys cannot accumulate)
+      clicks.addData((2L, ts(4)))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT u FROM ivj_out ORDER BY u")
+        .as[Long].collect().toSeq
+      assert(all === Seq(1L, 9L), s"late click must be dropped, got $all")
+    } finally q.stop()
+  }
 }

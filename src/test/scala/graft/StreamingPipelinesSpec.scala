@@ -1364,6 +1364,28 @@ class StreamingPipelinesSpec extends SparkSpec {
     }
     assert(stores(0) === stores(1))
     assert(stores(0).values.toSet === Set(0L, 7L))
+
+    // string ids with SUPPLEMENTARY-PLANE characters: Java's
+    // String.compareTo (UTF-16 code units) ranks U+FFFF above a
+    // surrogate pair while Spark's min() (UTF-8 bytes) ranks it below
+    // — the driver union-find must match the distributed minimum, so
+    // the two paths' stores must still be bit-identical here
+    val smiley = "\ud83d\ude00" // U+1F600, UTF-8 F0 9F 98 80
+    val ffff = "\uffff"           // UTF-8 EF BF BF — the true UTF-8 min
+    val sStores = Seq(0, 100000).map { cutoff =>
+      val store = java.nio.file.Files
+        .createTempDirectory(s"clutf$cutoff").toString
+      val ingest = Pipelines.clusterIngestStream(store,
+        driverCcMaxEdges = cutoff)()
+      ingest(Seq((smiley, ffff), ("aa", "bb")).toDF("id_a", "id_b"), 0L)
+      Pipelines.clusterStoreReps(spark, store)
+        .as[(String, String)].collect().toMap
+    }
+    assert(sStores(0) === sStores(1))
+    // the exotic component's rep is the UTF-8 minimum (U+FFFF), which
+    // UTF-16 code-unit comparison would have ranked ABOVE the smiley
+    assert(sStores(0).values.toSet === Set(ffff, "aa"))
+    assert(sStores(0)(smiley) === ffff)
   }
 
   test("weightedSampleAgainstStore: a crash between the swap renames recovers the reservoir") {
