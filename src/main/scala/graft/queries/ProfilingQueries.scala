@@ -2023,10 +2023,77 @@ object ProfilingQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Streaming hierarchy maintenance under reorg churn (the
+    * INCREMENTAL face of q328 — [[graft.streaming.Pipelines
+    * .hierarchyIngestStream]]): the supplier prefix tree streams in as
+    * inserts, then three churn batches hit it — value restatements
+    * (key%7=3 gains 1000), skip-a-level reparents (key%13=4 moves
+    * under its grandparent, SUBTREES ride along), and combined
+    * reparent+restatement events (key%11=7 moves under key/1000 with
+    * value +key%5, overwriting earlier restatements) — each batch
+    * propagating deltas up the post-batch ancestor chains only, never
+    * re-walking the tree. The read-out must equal a from-scratch
+    * recursive-CTE rollup over the FINAL pointer forest, which the
+    * oracle reconstructs with the same CASE logic (later batches win). */
+  val q332 = GQuery("q332_streaming_subtree_maintenance",
+    """WITH RECURSIVE sup AS (
+      |  SELECT s_suppkey AS id,
+      |    CASE WHEN s_suppkey = 0 THEN NULL
+      |         WHEN s_suppkey % 11 = 7 AND s_suppkey >= 2
+      |           THEN s_suppkey // 1000
+      |         WHEN s_suppkey % 13 = 4 AND s_suppkey >= 2
+      |           THEN s_suppkey // 100
+      |         ELSE s_suppkey // 10 END AS parent,
+      |    CAST(round(s_acctbal * 100) AS BIGINT)
+      |      + CASE WHEN s_suppkey % 11 = 7 AND s_suppkey >= 2
+      |             THEN s_suppkey % 5
+      |             WHEN s_suppkey % 7 = 3 THEN 1000
+      |             ELSE 0 END AS bal_c
+      |  FROM supplier),
+      |cl AS (
+      |  SELECT id AS root, id AS node FROM sup
+      |  UNION ALL
+      |  SELECT cl.root, s.id FROM cl JOIN sup s ON s.parent = cl.node)
+      |SELECT cl.root AS s_suppkey,
+      |  CAST(count(*) AS BIGINT) AS n_subtree,
+      |  CAST(sum(s.bal_c) AS BIGINT) AS subtree_bal_c
+      |FROM cl JOIN sup s ON s.id = cl.node
+      |GROUP BY 1
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    import graft.streaming.Pipelines
+    val store = java.nio.file.Files
+      .createTempDirectory("q332_hier").toString
+    val ingest = Pipelines.hierarchyIngestStream(store, buckets = 32)()
+    val sup = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("id"),
+      when(col("s_suppkey") === 0L, lit(null).cast("long"))
+        .otherwise(expr("s_suppkey div 10")).as("parent"),
+      round(col("s_acctbal") * 100).cast("long").as("value"))
+    // batch 0: the whole forest as inserts
+    ingest(sup, 0L)
+    // batch 1: value restatements
+    ingest(sup.where(expr("id % 7 = 3"))
+      .select(col("id"), col("parent"),
+        (col("value") + 1000L).as("value")), 1L)
+    // batch 2: skip-a-level reparents (events carry the current value)
+    ingest(sup.where(expr("id % 13 = 4 and id >= 2"))
+      .select(col("id"), expr("id div 100").as("parent"),
+        (col("value") + when(expr("id % 7 = 3"), 1000L).otherwise(0L))
+          .as("value")), 2L)
+    // batch 3: reparent + restatement in ONE event (latest wins)
+    ingest(sup.where(expr("id % 11 = 7 and id >= 2"))
+      .select(col("id"), expr("id div 1000").as("parent"),
+        (col("value") + expr("id % 5")).as("value")), 3L)
+    Pipelines.hierStoreAggregates(s, store)
+      .select(col("id").as("s_suppkey"), col("n_subtree"),
+        col("subtree_sum").as("subtree_bal_c"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q179, q180, q182, q183, q184, q194, q195, q196, q208, q211, q212,
       q215, q217, q221, q224, q228, q238, q243, q249, q259, q269,
       q270, q273, q274, q275, q276, q279, q285, q287, q289, q291, q292,
       q295, q297, q304, q308, q310, q311, q314, q321, q326, q327, q328,
-      q330)
+      q330, q332)
 }

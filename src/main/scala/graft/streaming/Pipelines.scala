@@ -1211,6 +1211,200 @@ object Pipelines {
     }
   }
 
+  // ---- streaming incremental hierarchy maintenance ----
+
+  /** Streaming hierarchy maintenance — the incremental form of
+    * [[graft.operators.GraphOps.subtreeAggregate]]: upsert events
+    * `(id, parent, value)` (insert / reparent / value restatement)
+    * arrive in micro-batches and fold into a persistent store whose
+    * read-out ([[hierStoreAggregates]]) is bit-equal to a from-scratch
+    * batch rollup over the CURRENT pointer forest (spec- and
+    * oracle-asserted, q332). The warehouse shape: an org chart / BOM
+    * under reorg churn, where "headcount under every manager" must
+    * stay current without re-walking the whole tree per change.
+    *
+    * Layout ([[DedupStore]] buckets on both row families):
+    *  - `nodes/data` — `(id, parent, value, pb, batch_id)` APPEND-ONLY
+    *    pointer/value upserts; a node's current row is its max
+    *    `batch_id` (strictly one event per node per batch, enforced).
+    *  - `acc/data`   — `(id, n_subtree, subtree_sum, pb, batch_id)`
+    *    maintained subtree aggregates, same latest-wins read.
+    *
+    * Per-batch algorithm — DELTA PROPAGATION along FINAL-pointer
+    * ancestor chains, no tree recomputation:
+    *  - insert v            → `(+1, +value)` along ancestors-of-self
+    *    of v;
+    *  - value change v by Δ → `(0, +Δ)` along ancestors-of-self of v;
+    *  - reparent v p→p'     → `(−n, −sum)` of v's STORED subtree
+    *    aggregate along ancestors-of-self of p, `(+n, +sum)` along
+    *    ancestors-of-self of p'.
+    * All chains walk the POST-BATCH pointer table (stored latest
+    * overridden by the batch's own events), which makes simultaneous
+    * events compose exactly: an event strictly inside a moved subtree
+    * rides its own chain THROUGH the new position, so moving the
+    * PRE-BATCH stored aggregate is precisely complementary (the same
+    * decomposition argument as bitemporal SCD2 restatements). A
+    * reparent creating a cycle makes its chain never terminate and
+    * fails loud at `maxDepth`. Replay-idempotent: a redelivered batch
+    * sees its own values as current state — no insert, zero value
+    * delta, reparent degenerates to p = p' — and appends zero acc
+    * rows.
+    *
+    * Scale: per batch, reads prune to the touched keys' buckets and
+    * semi-join the broadcast batch; chain frames are
+    * (events × depth)-sized, never corpus-sized; the walk is ≤ depth
+    * rounds of frontier joins (the bfsHops ladder). The store never
+    * scans by parent — child enumeration is exactly what the delta
+    * algebra avoids. */
+  def hierarchyIngestStream(storePath: String, buckets: Int = 64,
+                            maxDepth: Int = 30)(
+      sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    (batch0: DataFrame, batchId: Long) => {
+      val spark = batch0.sparkSession
+      DedupStore.openOrInit(spark, storePath, Seq("buckets" -> buckets))
+      val nodesP = s"$storePath/nodes"
+      val accP = s"$storePath/acc"
+      val ev = batch0.select(col("id"), col("parent"), col("value"))
+        .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
+        .localCheckpoint(true)
+      require(ev.groupBy(col("id")).count().where(col("count") > 1)
+          .limit(1).collect().isEmpty,
+        "hierarchyIngestStream: one event per node per batch")
+      val pbs = DedupStore.batchBuckets(ev)
+      def latest(path: String, cols: Seq[String]): DataFrame = {
+        // current row per touched id: max batch_id wins (batch ids are
+        // unique per id by the one-event rule)
+        val rows = DedupStore.prunedRead(spark, path, pbs)
+          .join(broadcast(ev.select("id")), Seq("id"), "left_semi")
+        rows.groupBy(col("id"))
+          .agg(max(struct(col("batch_id") +: cols.map(col): _*)).as("m"))
+          .select(col("id") +: cols.map(c => col(s"m.$c").as(c)): _*)
+      }
+      val cur =
+        if (DedupStore.hasData(spark, nodesP) && pbs.nonEmpty)
+          latest(nodesP, Seq("parent", "value"))
+            .select(col("id"), col("parent").as("parent_old"),
+              col("value").as("value_old"))
+        else ev.select(col("id"), col("parent").as("parent_old"),
+          col("value").as("value_old")).limit(0)
+      val accCur =
+        if (DedupStore.hasData(spark, accP) && pbs.nonEmpty)
+          latest(accP, Seq("n_subtree", "subtree_sum"))
+        else ev.select(col("id"), lit(0L).as("n_subtree"),
+          lit(0L).as("subtree_sum")).limit(0)
+      val st = ev.join(cur, Seq("id"), "left")
+        .join(accCur, Seq("id"), "left")
+        .localCheckpoint(true)
+      // chain seeds: (start, dn, dsum) — up to three per event
+      val insertSeeds = st.where(col("value_old").isNull)
+        .select(col("id").as("start"), lit(1L).as("dn"),
+          col("value").as("dsum"))
+      val valueSeeds = st.where(col("value_old").isNotNull &&
+          col("value") =!= col("value_old"))
+        .select(col("id").as("start"), lit(0L).as("dn"),
+          (col("value") - col("value_old")).as("dsum"))
+      val repar = st.where(col("value_old").isNotNull &&
+        !(col("parent") <=> col("parent_old")))
+      val reparSeeds = repar
+        .select(col("parent_old").as("start"),
+          (-col("n_subtree")).as("dn"), (-col("subtree_sum")).as("dsum"))
+        .unionByName(repar.select(col("parent").as("start"),
+          col("n_subtree").as("dn"), col("subtree_sum").as("dsum")))
+        .where(col("start").isNotNull)
+      var frontier = insertSeeds.unionByName(valueSeeds)
+        .unionByName(reparSeeds).localCheckpoint(true)
+      // visited stays a lazy union of CHECKPOINTED frontiers — the
+      // union tree is depth-bounded and each leaf is materialized, so
+      // no per-round visited materialization job is needed
+      var visited = frontier
+      var depth = 0
+      var walking = true
+      while (walking) {
+        // bucket derivation doubles as the emptiness probe: pb is
+        // never null, so an empty bucket set means an empty frontier
+        val fids = frontier.select(col("start").as("id")).distinct()
+          .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
+          .localCheckpoint(true)
+        val fpbs = DedupStore.batchBuckets(fids)
+        if (fpbs.isEmpty) walking = false
+        else {
+          depth += 1
+          require(depth <= maxDepth,
+            s"hierarchy deeper than maxDepth=$maxDepth (cycle?)")
+          // parent of each frontier node under POST-BATCH pointers:
+          // the batch's own events override the stored latest
+          val storedParent =
+            if (DedupStore.hasData(spark, nodesP)) {
+              val rows = DedupStore.prunedRead(spark, nodesP, fpbs)
+                .join(broadcast(fids.select("id")), Seq("id"), "left_semi")
+              rows.groupBy(col("id"))
+                .agg(max(struct(col("batch_id"), col("parent"))).as("m"))
+                .select(col("id"), col("m.parent").as("sparent"))
+            } else fids.select(col("id"), lit(null).as("sparent")).limit(0)
+          // an event's parent wins even when it is NULL (reparent to
+          // root) — a coalesce would silently resurrect the stored
+          // pointer there
+          frontier = frontier
+            .join(broadcast(ev.select(col("id").as("start"),
+              col("parent").as("eparent"), lit(true).as("in_ev"))),
+              Seq("start"), "left")
+            .join(broadcast(storedParent.select(col("id").as("start"),
+              col("sparent"))), Seq("start"), "left")
+            .select(when(col("in_ev"), col("eparent"))
+              .otherwise(col("sparent")).as("start"),
+              col("dn"), col("dsum"))
+            .where(col("start").isNotNull)
+            .localCheckpoint(true)
+          visited = visited.unionByName(frontier)
+        }
+      }
+      val delta = visited.groupBy(col("start").as("id"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
+        .where(col("dn") =!= 0L || col("dsum") =!= 0L)
+      // new acc rows: stored (or zero) + delta, only for changed nodes
+      val dpb = delta
+        .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
+        .localCheckpoint(true)
+      val dpbs = DedupStore.batchBuckets(dpb)
+      val accBase =
+        if (DedupStore.hasData(spark, accP) && dpbs.nonEmpty) {
+          val rows = DedupStore.prunedRead(spark, accP, dpbs)
+            .join(broadcast(dpb.select("id")), Seq("id"), "left_semi")
+          rows.groupBy(col("id"))
+            .agg(max(struct(col("batch_id"), col("n_subtree"),
+              col("subtree_sum"))).as("m"))
+            .select(col("id"), col("m.n_subtree").as("bn"),
+              col("m.subtree_sum").as("bs"))
+        } else dpb.select(col("id"), lit(0L).as("bn"), lit(0L).as("bs"))
+          .limit(0)
+      val accNew = dpb.join(accBase, Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("bn"), lit(0L)) + col("dn")).as("n_subtree"),
+          (coalesce(col("bs"), lit(0L)) + col("dsum")).as("subtree_sum"),
+          col("pb"))
+        .withColumn("batch_id", lit(batchId))
+        .persist()
+      if (DedupStore.hasData(spark, accP) || !accNew.isEmpty)
+        DedupStore.append(accNew, accP)
+      DedupStore.append(ev.withColumn("batch_id", lit(batchId)), nodesP)
+      sink(accNew.select(col("id"), col("n_subtree"), col("subtree_sum")))
+      accNew.unpersist()
+      ()
+    }
+  }
+
+  /** The store's full `(id, n_subtree, subtree_sum)` map — bit-equal
+    * to [[graft.operators.GraphOps.subtreeAggregate]] over the current
+    * pointer forest (spec-asserted at every batch boundary). */
+  def hierStoreAggregates(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/acc/data")
+      .groupBy(col("id"))
+      .agg(max(struct(col("batch_id"), col("n_subtree"),
+        col("subtree_sum"))).as("m"))
+      .select(col("id"), col("m.n_subtree").as("n_subtree"),
+        col("m.subtree_sum").as("subtree_sum"))
+
   // ---- streaming incremental near-dup clustering ----
 
   /** Streaming cluster maintenance — the incremental form of

@@ -249,6 +249,47 @@ object Soak {
       }
     }
 
+    // --- leg: hierarchy store — per-batch cost vs tree size ---
+    // a fixed 64-event churn batch (32 value restatements + 32
+    // reparents) against a 20k- vs 200k-node forest: reads prune to
+    // the touched buckets and deltas walk ancestor chains only, so
+    // per-batch time must track the batch, not the corpus. Chains in
+    // the synthetic prefix forest are ≤7 deep at 200k nodes.
+    {
+      import graft.streaming.Pipelines
+      val buckets = 1024
+      def mkStore(nRows: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("soak_hier").toString
+        val nodes = spark.range(nRows.toLong).select(col("id"),
+          when(col("id") === 0L, lit(null).cast("long"))
+            .otherwise(expr("id div 10")).as("parent"),
+          (col("id") % 97).cast("long").as("value"))
+        Pipelines.hierarchyIngestStream(dir, buckets)()(nodes, 0L)
+        dir
+      }
+      val restate = spark.range(32L).select((col("id") * 7L + 3L).as("id"),
+        expr("(id * 7 + 3) div 10").as("parent"),
+        lit(500L).as("value"))
+      val repar = spark.range(32L).select((col("id") * 11L + 350L).as("id"),
+        expr("(id * 11 + 350) div 100").as("parent"),
+        ((col("id") * 11L + 350L) % 97).cast("long").as("value"))
+      val batch = restate.unionByName(repar).cache(); batch.count()
+      def runBatch(dir: String, bid: Long): Unit =
+        Pipelines.hierarchyIngestStream(dir, buckets)()(batch, bid)
+      val small = mkStore(20_000); val big = mkStore(200_000)
+      runBatch(small, 1L); runBatch(big, 1L) // apply once (warm)
+      // the timed run is an exact REPLAY (absorbed: zero deltas) —
+      // isolating the read/walk path that must not scale with corpus
+      val tS = time("hier_batch vs 20k nodes")(runBatch(small, 1L))
+      val tB = time("hier_batch vs 200k nodes")(runBatch(big, 1L))
+      val r = tB / tS
+      println(f"[soak] hier_store_batch         ${r}%5.1fx per-batch cost for 10x tree growth")
+      if (r > 3.0) {
+        System.err.println("[soak] FAIL corpus-size-linear hierarchy batch")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     // --- leg: streaming weighted reservoir — per-batch cost vs history ---
     // the reservoir's state is ≤ k rows per stratum FOREVER, so a batch
     // against a reservoir that has absorbed 100× more history must cost

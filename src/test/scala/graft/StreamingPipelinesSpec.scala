@@ -1235,6 +1235,70 @@ class StreamingPipelinesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap === batchCc)
   }
 
+  test("hierarchyIngestStream: streamed subtree aggregates ≡ batch rollup at every boundary; replay absorbed; cycle fails loud") {
+    import graft.operators.GraphOps
+    val store = java.nio.file.Files.createTempDirectory("hierstore").toString
+    val ingest = Pipelines.hierarchyIngestStream(store, buckets = 8)()
+    def aggNow(): Map[Long, (Long, Long)] =
+      Pipelines.hierStoreAggregates(spark, store)
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, n, s) => i -> (n, s) }.toMap
+    def batchAgg(nodes: Seq[(Long, Option[Long], Long)]): Map[Long, (Long, Long)] =
+      GraphOps.subtreeAggregate(nodes.toDF("id", "parent", "value"))
+        .select(col("id"), col("n_subtree"), col("subtree_sum"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, n, s) => i -> (n, s) }.toMap
+    // batch 0: pure inserts — 0(10){1(1){3(3){5(5)},4(4)},2(2)}
+    val t0: Seq[(Long, Option[Long], Long)] = Seq(
+      (0L, None, 10L), (1L, Some(0L), 1L), (2L, Some(0L), 2L),
+      (3L, Some(1L), 3L), (4L, Some(1L), 4L), (5L, Some(3L), 5L))
+    def df(rows: Seq[(Long, Option[Long], Long)]) =
+      rows.toDF("id", "parent", "value")
+    ingest(df(t0), 0L)
+    assert(aggNow() === batchAgg(t0))
+    assert(aggNow()(0L) === ((6L, 25L)))
+    // batch 1: value restatement deep in the tree propagates up
+    ingest(df(Seq((4L, Some(1L), 7L))), 1L)
+    val t1 = t0.map { case (4L, p, _) => (4L, p, 7L); case r => r }
+    assert(aggNow() === batchAgg(t1))
+    assert(aggNow()(0L) === ((6L, 28L)))
+    // batch 2: reparent a SUBTREE (3 carries 5 along): 1 loses, 2 gains
+    ingest(df(Seq((3L, Some(2L), 3L))), 2L)
+    val t2 = t1.map { case (3L, _, v) => (3L, Some(2L), v); case r => r }
+    assert(aggNow() === batchAgg(t2))
+    assert(aggNow()(1L) === ((2L, 8L)) && aggNow()(2L) === ((3L, 10L)))
+    // batch 3: SIMULTANEOUS insert + reparent + value change with
+    // overlapping chains — the delta algebra must compose exactly
+    ingest(df(Seq((6L, Some(5L), 6L), (4L, Some(0L), 7L),
+      (2L, Some(0L), 20L))), 3L)
+    val t3 = t2.map {
+      case (4L, _, v) => (4L, Some(0L), v)
+      case (2L, p, _) => (2L, p, 20L)
+      case r => r
+    } :+ ((6L, Some(5L): Option[Long], 6L))
+    assert(aggNow() === batchAgg(t3))
+    assert(aggNow()(0L) === ((7L, 52L)))
+    // replay of batch 3 (at-least-once): absorbed, nothing changes
+    val accRows = spark.read.parquet(s"$store/acc/data").count()
+    ingest(df(Seq((6L, Some(5L), 6L), (4L, Some(0L), 7L),
+      (2L, Some(0L), 20L))), 3L)
+    assert(spark.read.parquet(s"$store/acc/data").count() === accRows,
+      "replayed batch must append zero acc rows")
+    assert(aggNow() === batchAgg(t3))
+    // restart: a fresh closure over the same store continues exactly,
+    // and a reparent UNDER OWN DESCENDANT fails loud (cycle)
+    val ingest2 = Pipelines.hierarchyIngestStream(store, buckets = 8)()
+    val e = intercept[Exception] {
+      ingest2(df(Seq((0L, Some(5L), 10L))), 4L)
+    }
+    assert(e.getMessage.contains("maxDepth"))
+    // duplicate ids in one batch fail loud
+    val dup = intercept[Exception] {
+      ingest2(df(Seq((9L, Some(0L), 1L), (9L, Some(1L), 2L))), 5L)
+    }
+    assert(dup.getMessage.contains("one event per node"))
+  }
+
   test("PitEnricher: time-aligned streamed enrichment ≡ batch point-in-time join") {
     def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
     val store = java.nio.file.Files.createTempDirectory("pitenrich").toString
