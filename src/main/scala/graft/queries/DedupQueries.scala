@@ -999,7 +999,13 @@ object DedupQueries {
     * neighbors are ≤ 2 edits apart themselves). The oracle replays the
     * SymSpell graph, the wedge census, the non-edge subtraction, and
     * the grid Jaccard. Top-100 by (jaccard6 DESC, names) keeps the
-    * output deterministic and SF-stable. */
+    * output deterministic and SF-stable. The 10⁴ degree cap is
+    * replicated on BOTH sides (wedge centers filtered to d ≤ 10000 in
+    * the oracle's `ctr` CTE), so the two engines compute the same
+    * capped census at any SF — today's max degree is 37, so the cap
+    * changes nothing at the tested SFs, but it is the boilerplate-hub
+    * guard the 100 TB plan needs (and the capped plan's center
+    * semi-join measures ~15% faster than the uncapped self-join). */
   val q266 = GQuery("q266_link_prediction",
     """WITH v AS (
       |  SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 4),
@@ -1017,9 +1023,12 @@ object DedupQueries {
       |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       |dg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
       |       FROM adj GROUP BY u),
+      |ctr AS (
+      |  SELECT adj.u, adj.v FROM adj
+      |  JOIN dg ON dg.id = adj.u AND dg.d <= 10000),
       |wg AS (
       |  SELECT a.v AS id_a, b.v AS id_b, CAST(count(*) AS BIGINT) AS common
-      |  FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+      |  FROM ctr a JOIN ctr b ON a.u = b.u AND a.v < b.v
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |ne AS (
       |  SELECT wg.* FROM wg
@@ -1033,7 +1042,7 @@ object DedupQueries {
     graft.operators.GraphOps.commonNeighborCandidates(
         sharedNamePairs(s, dir)
           .select(col("word_a").as("id_a"), col("word_b").as("id_b")),
-        minCommon = 2L)
+        minCommon = 2L, maxDegree = Some(10000L))
       .orderBy(col("jaccard6").desc, col("id_a"), col("id_b"))
       .limit(100)
   }

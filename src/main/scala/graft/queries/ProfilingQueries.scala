@@ -2063,7 +2063,7 @@ object ProfilingQueries {
     import graft.streaming.Pipelines
     val store = java.nio.file.Files
       .createTempDirectory("q332_hier").toString
-    val ingest = Pipelines.hierarchyIngestStream(store, buckets = 32)()
+    val ingest = Pipelines.hierarchyIngestStream(store, buckets = 16)()
     val sup = Tables.supplier(s, dir).select(
       col("s_suppkey").as("id"),
       when(col("s_suppkey") === 0L, lit(null).cast("long"))

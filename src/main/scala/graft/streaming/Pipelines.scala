@@ -1261,16 +1261,29 @@ object Pipelines {
       sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
     (batch0: DataFrame, batchId: Long) => {
       val spark = batch0.sparkSession
+      val dbg = sys.env.contains("SPARK_GRAFT_HIER_DEBUG")
+      var t0 = System.nanoTime()
+      def lap(what: String): Unit = if (dbg) {
+        System.err.println(
+          f"[hier] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
       DedupStore.openOrInit(spark, storePath, Seq("buckets" -> buckets))
       val nodesP = s"$storePath/nodes"
       val accP = s"$storePath/acc"
       val ev = batch0.select(col("id"), col("parent"), col("value"))
         .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
         .localCheckpoint(true)
-      require(ev.groupBy(col("id")).count().where(col("count") > 1)
-          .limit(1).collect().isEmpty,
+      // ONE ≤buckets-row driver probe serves both the per-node
+      // uniqueness guard and the bucket set (micro-batch latency is
+      // job-count-bound)
+      val probe = ev.groupBy(col("pb"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("nd"))
+        .collect()
+      require(probe.forall(r => r.getLong(1) == r.getLong(2)),
         "hierarchyIngestStream: one event per node per batch")
-      val pbs = DedupStore.batchBuckets(ev)
+      val pbs = probe.map(_.getInt(0)).toSeq
+      lap("ev+probe")
       def latest(path: String, cols: Seq[String]): DataFrame = {
         // current row per touched id: max batch_id wins (batch ids are
         // unique per id by the one-event rule)
@@ -1295,6 +1308,7 @@ object Pipelines {
       val st = ev.join(cur, Seq("id"), "left")
         .join(accCur, Seq("id"), "left")
         .localCheckpoint(true)
+      lap("st")
       // chain seeds: (start, dn, dsum) — up to three per event
       val insertSeeds = st.where(col("value_old").isNull)
         .select(col("id").as("start"), lit(1L).as("dn"),
@@ -1311,8 +1325,11 @@ object Pipelines {
         .unionByName(repar.select(col("parent").as("start"),
           col("n_subtree").as("dn"), col("subtree_sum").as("dsum")))
         .where(col("start").isNotNull)
+      // the seed frontier is three cheap projections off the
+      // checkpointed st — no dedicated materialization job; later
+      // rounds DO checkpoint (their lineage compounds through joins)
       var frontier = insertSeeds.unionByName(valueSeeds)
-        .unionByName(reparSeeds).localCheckpoint(true)
+        .unionByName(reparSeeds)
       // visited stays a lazy union of CHECKPOINTED frontiers — the
       // union tree is depth-bounded and each leaf is materialized, so
       // no per-round visited materialization job is needed
@@ -1321,10 +1338,12 @@ object Pipelines {
       var walking = true
       while (walking) {
         // bucket derivation doubles as the emptiness probe: pb is
-        // never null, so an empty bucket set means an empty frontier
+        // never null, so an empty bucket set means an empty frontier.
+        // fids is NOT checkpointed — it is two cheap projections off
+        // the already-checkpointed frontier, and a dedicated
+        // materialization job would cost more than the recompute
         val fids = frontier.select(col("start").as("id")).distinct()
           .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
-          .localCheckpoint(true)
         val fpbs = DedupStore.batchBuckets(fids)
         if (fpbs.isEmpty) walking = false
         else {
@@ -1356,16 +1375,19 @@ object Pipelines {
             .where(col("start").isNotNull)
             .localCheckpoint(true)
           visited = visited.unionByName(frontier)
+          lap(s"walk round $depth")
         }
       }
       val delta = visited.groupBy(col("start").as("id"))
         .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
         .where(col("dn") =!= 0L || col("dsum") =!= 0L)
-      // new acc rows: stored (or zero) + delta, only for changed nodes
+      // new acc rows: stored (or zero) + delta, only for changed
+      // nodes. delta re-aggregates the checkpointed frontier union on
+      // each use — cheaper than a dedicated materialization job
       val dpb = delta
         .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
-        .localCheckpoint(true)
       val dpbs = DedupStore.batchBuckets(dpb)
+      lap("delta+buckets")
       val accBase =
         if (DedupStore.hasData(spark, accP) && dpbs.nonEmpty) {
           val rows = DedupStore.prunedRead(spark, accP, dpbs)
@@ -1386,7 +1408,9 @@ object Pipelines {
         .persist()
       if (DedupStore.hasData(spark, accP) || !accNew.isEmpty)
         DedupStore.append(accNew, accP)
+      lap("acc-append")
       DedupStore.append(ev.withColumn("batch_id", lit(batchId)), nodesP)
+      lap("nodes-append")
       sink(accNew.select(col("id"), col("n_subtree"), col("subtree_sum")))
       accNew.unpersist()
       ()
