@@ -351,6 +351,83 @@ object Relational2 {
       .orderBy(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** View ABANDONMENT via the left-outer stream-stream interval join
+    * (the state-timeout-emission face of q331): a view with no
+    * same-user click inside its 2-hour window emits exactly one
+    * null-padded row once the watermark proves no click can still
+    * land — the streaming "never converted" report. Both sides
+    * restrict to views older than the flush horizon — computed from
+    * each stream's own max event time, because the watermark is the
+    * MIN across sources of (max seen − delay): horizon =
+    * min(max view ts, max click ts) − delay − interval − a 10-minute
+    * margin. The restriction is applied to the OUTPUT, never to the
+    * view stream itself: pre-filtering the views would lower their
+    * side's watermark by the very margin being enforced and
+    * recursively strand the last window's unmatched views in state
+    * (measured: 7 views silently unadjudicated at sf0.01). */
+  val q333 = GQuery("q333_stream_view_abandonment",
+    """WITH h AS (
+      |  SELECT least(
+      |      max(ts) FILTER (WHERE event_type = 'view'),
+      |      max(ts) FILTER (WHERE event_type = 'click'))
+      |    - INTERVAL 3 HOUR - INTERVAL 10 MINUTE AS cut
+      |  FROM events),
+      |j AS (
+      |  SELECT v.event_id AS view_id, v.user_id,
+      |    count(c.event_id) AS n_clicks
+      |  FROM events v
+      |  LEFT JOIN events c
+      |    ON v.user_id = c.user_id AND c.event_type = 'click'
+      |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+      |  WHERE v.event_type = 'view' AND v.ts < (SELECT cut FROM h)
+      |  GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_abandoned
+      |FROM j WHERE n_clicks = 0
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import graft.streaming.Pipelines
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = Tables.path(dir, "events")
+    val rawSchema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(rawSchema)
+      .option("basePath", dir).parquet(s"$dir/events*.parquet")
+    val norm: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
+    val ev = norm(raw)
+    // flush horizon, computed batch-side (deterministic)
+    val cut = norm(s.read.parquet(path))
+      .agg(least(
+        max(when(col("event_type") === "view", col("ts"))),
+        max(when(col("event_type") === "click", col("ts")))))
+      .head().getTimestamp(0).toInstant.minusSeconds(3 * 3600 + 600)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("uid_c"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    Pipelines.runToMemory(
+      Pipelines.intervalJoinStreams(views, clicks,
+          "user_id", "uid_c", "view_ts", "click_ts",
+          delay = "1 hour", within = "2 hours",
+          joinType = "left_outer")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("view_ts")))
+      .where(col("view_ts") < lit(java.sql.Timestamp.from(cut)))
+      .groupBy(col("view_id")).agg(
+        first(col("user_id")).as("user_id"),
+        count(col("click_id")).as("n_clicks"))
+      .where(col("n_clicks") === 0L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_abandoned"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210, q329, q331)
+    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210, q329, q331, q333)
 }

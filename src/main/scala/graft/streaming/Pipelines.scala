@@ -83,16 +83,27 @@ object Pipelines {
     * Scale: the join shuffles both streams on the equi-key exactly as
     * a batch equi-join would; the range predicate prunes inside each
     * key's buffer. Callers pre-rename so no columns collide (the
-    * [[graft.operators.AsOfJoin.leftAsOf]] convention). */
+    * [[graft.operators.AsOfJoin.leftAsOf]] convention).
+    *
+    * `joinType = "left_outer"` adds the STATE-TIMEOUT EMISSION shape:
+    * a left row that found no partner emits null-padded exactly once,
+    * when the watermark proves its interval can no longer be hit —
+    * so unmatched results are themselves watermark-gated, and a left
+    * row younger than `maxEventTime − delay − within` at stream end
+    * is still buffered, not yet reported unmatched. Callers comparing
+    * against full-knowledge batch semantics must restrict to rows
+    * older than that flush horizon (q333 does, on both sides). */
   def intervalJoinStreams(left: DataFrame, right: DataFrame,
                           leftKey: String, rightKey: String,
                           leftTs: String, rightTs: String,
-                          delay: String, within: String): DataFrame =
+                          delay: String, within: String,
+                          joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, delay)
       .join(right.withWatermark(rightTs, delay),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+        joinType)
 
   /** Drive a streaming frame to completion through a memory sink and
     * hand back the materialized result — the query-harness driver for

@@ -79,4 +79,44 @@ class StreamStreamJoinSpec extends SparkSpec {
       assert(all === Seq(1L, 9L), s"late click must be dropped, got $all")
     } finally q.stop()
   }
+
+  test("intervalJoinStreams left_outer: unmatched rows null-emit exactly once, watermark-gated") {
+    import graft.streaming.Pipelines
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = Pipelines.intervalJoinStreams(
+      views.toDF().toDF("u", "view_ts"),
+      clicks.toDF().toDF("u_c", "clk_ts"),
+      "u", "u_c", "view_ts", "clk_ts",
+      delay = "10 minutes", within = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.select(col("u"), col("view_ts"), col("clk_ts"))
+      .writeStream.format("memory").queryName("ivjo_out")
+      .outputMode("append").start()
+    def rows() = spark
+      .sql("SELECT u, clk_ts IS NULL FROM ivjo_out ORDER BY u")
+      .as[(Long, Boolean)].collect().toSeq
+    try {
+      // batch 1: view 1 will match, view 2 never will
+      views.addData((1L, ts(0)), (2L, ts(1)))
+      clicks.addData((1L, ts(3)))
+      q.processAllAvailable()
+      // view 2's window is still open — NO null row yet (emitting it
+      // now could be contradicted by a click in the next batch)
+      assert(rows() === Seq((1L, false)))
+      // batch 2: both sides advance past view 2's window + delay —
+      // the no-longer-matchable view 2 null-emits exactly once
+      views.addData((9L, ts(40)))
+      clicks.addData((9L, ts(41)))
+      q.processAllAvailable()
+      assert(rows() === Seq((1L, false), (2L, true), (9L, false)))
+      // batch 3: more watermark advance must NOT re-emit view 2
+      views.addData((8L, ts(55)))
+      clicks.addData((8L, ts(56)))
+      q.processAllAvailable()
+      assert(rows() === Seq((1L, false), (2L, true), (8L, false),
+        (9L, false)))
+    } finally q.stop()
+  }
 }
