@@ -1440,6 +1440,51 @@ object Pipelines {
       .select(col("id"), col("m.n_subtree").as("n_subtree"),
         col("m.subtree_sum").as("subtree_sum"))
 
+  /** Compact a [[hierarchyIngestStream]] store: both row families are
+    * latest-wins (a node's current row is its max `batch_id`), so
+    * superseded versions are dead weight that grows with CHURN — this
+    * rewrites `nodes/data` and `acc/data` blue/green keeping only each
+    * id's latest row (surviving `batch_id`s preserved, so replayed old
+    * batches still absorb; same bucketed layout — ids don't move, so
+    * `pb` doesn't). Read-out is bit-identical before and after
+    * (spec-asserted); crash windows heal via [[recoverTornSwap]] as in
+    * every store swap. Returns (live nodes, rows retired). */
+  def hierCompact(spark: org.apache.spark.sql.SparkSession,
+                  storePath: String): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    var live = 0L
+    var retired = 0L
+    Seq("nodes" -> Seq("parent", "value"),
+        "acc" -> Seq("n_subtree", "subtree_sum")).foreach {
+      case (fam, cols) =>
+        val dataPath = s"$storePath/$fam/data"
+        val dir = new org.apache.hadoop.fs.Path(dataPath)
+        val fs = dir.getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(s"${dataPath}_compacting")
+        val old = new org.apache.hadoop.fs.Path(s"${dataPath}_old")
+        recoverTornSwap(fs, dir, Seq(old))
+        fs.delete(tmp, true); fs.delete(old, true)
+        val rows = spark.read.parquet(dataPath)
+        val nBefore = rows.count()
+        val latest = rows.groupBy(col("id"), col("pb"))
+          .agg(max(struct(col("batch_id") +: cols.map(col): _*)).as("m"))
+          .select(col("id") +: cols.map(c => col(s"m.$c").as(c)) :+
+            col("m.batch_id").as("batch_id") :+ col("pb"): _*)
+        latest.repartition(col("pb")).write.mode("overwrite")
+          .partitionBy("pb").parquet(tmp.toString)
+        val nAfter = spark.read.parquet(tmp.toString).count()
+        val nIds = rows.select("id").distinct().count()
+        require(nAfter == nIds,
+          s"hier compaction drift in $fam: $nIds live ids, $nAfter rows")
+        require(fs.rename(dir, old), s"cannot move $fam aside: $dir")
+        require(fs.rename(tmp, dir), s"cannot promote compacted $fam: $tmp")
+        fs.delete(old, true)
+        if (fam == "nodes") live = nAfter
+        retired += nBefore - nAfter
+    }
+    (live, retired)
+  }
+
   // ---- streaming incremental near-dup clustering ----
 
   /** Streaming cluster maintenance — the incremental form of

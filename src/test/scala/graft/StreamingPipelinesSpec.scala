@@ -1285,6 +1285,19 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/acc/data").count() === accRows,
       "replayed batch must append zero acc rows")
     assert(aggNow() === batchAgg(t3))
+    // compaction: superseded versions retire, read-out bit-identical,
+    // replayed old batches STILL absorb (surviving batch_ids kept)
+    val (live, retiredRows) = Pipelines.hierCompact(spark, store)
+    assert(live === 7L && retiredRows >= 1L)
+    assert(spark.read.parquet(s"$store/nodes/data").count() === 7L)
+    assert(spark.read.parquet(s"$store/acc/data").count() === 7L)
+    assert(aggNow() === batchAgg(t3))
+    val accRows2 = spark.read.parquet(s"$store/acc/data").count()
+    ingest(df(Seq((6L, Some(5L), 6L), (4L, Some(0L), 7L),
+      (2L, Some(0L), 20L))), 3L)
+    assert(spark.read.parquet(s"$store/acc/data").count() === accRows2,
+      "replay after compaction must append zero acc rows")
+    assert(aggNow() === batchAgg(t3))
     // restart: a fresh closure over the same store continues exactly,
     // and a reparent UNDER OWN DESCENDANT fails loud (cycle)
     val ingest2 = Pipelines.hierarchyIngestStream(store, buckets = 8)()
@@ -1297,6 +1310,10 @@ class StreamingPipelinesSpec extends SparkSpec {
       ingest2(df(Seq((9L, Some(0L), 1L), (9L, Some(1L), 2L))), 5L)
     }
     assert(dup.getMessage.contains("one event per node"))
+    // and post-compaction churn still folds exactly: move 4 back
+    ingest2(df(Seq((4L, Some(1L), 7L))), 6L)
+    val t4 = t3.map { case (4L, _, v) => (4L, Some(1L), v); case r => r }
+    assert(aggNow() === batchAgg(t4))
   }
 
   test("PitEnricher: time-aligned streamed enrichment ≡ batch point-in-time join") {
