@@ -119,4 +119,52 @@ class StreamStreamJoinSpec extends SparkSpec {
         (9L, false)))
     } finally q.stop()
   }
+
+  test("intervalJoinStreams property: time-ordered random batches ≡ in-memory interval join") {
+    import graft.streaming.Pipelines
+    implicit val sc = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(min: Int) = new Timestamp(base + min * 60000L)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(2000L + seed)
+      def gen() = (1 to 40)
+        .map(_ => (rnd.nextInt(5).toLong + 1L, rnd.nextInt(120)))
+        .sortBy(_._2)
+      val ls = gen(); val rs = gen()
+      val expected = (for {
+        (lu, lt) <- ls
+        (ru, rt) <- rs
+        if lu == ru && rt >= lt && rt <= lt + 5
+      } yield (lu, lt, rt)).sorted
+      val lStream = MemoryStream[(Long, Timestamp)]
+      val rStream = MemoryStream[(Long, Timestamp)]
+      val joined = Pipelines.intervalJoinStreams(
+        lStream.toDF().toDF("u", "l_ts"),
+        rStream.toDF().toDF("u_r", "r_ts"),
+        "u", "u_r", "l_ts", "r_ts",
+        delay = "3 hours", within = "5 minutes")
+      val q = joined.select(col("u"), col("l_ts"), col("r_ts"))
+        .writeStream.format("memory").queryName(s"ivjp_$seed")
+        .outputMode("append").start()
+      try {
+        // four time-ordered micro-batch slices per side — pairs must
+        // form across slice boundaries exactly as in one batch
+        for (k <- 0 until 4) {
+          val lo = k * 30; val hi = lo + 30
+          lStream.addData(ls.filter(e => e._2 >= lo && e._2 < hi)
+            .map { case (u, m) => (u, at(m)) }: _*)
+          rStream.addData(rs.filter(e => e._2 >= lo && e._2 < hi)
+            .map { case (u, m) => (u, at(m)) }: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.sql(s"SELECT u, l_ts, r_ts FROM ivjp_$seed")
+          .as[(Long, Timestamp, Timestamp)].collect()
+          .map { case (u, l, r) =>
+            (u, ((l.getTime - base) / 60000L).toInt,
+              ((r.getTime - base) / 60000L).toInt) }
+          .sorted.toSeq
+        assert(got === expected, s"seed=$seed diverged")
+      } finally q.stop()
+    }
+  }
 }

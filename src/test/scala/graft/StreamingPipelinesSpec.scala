@@ -1316,6 +1316,63 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(aggNow() === batchAgg(t4))
   }
 
+  test("hierarchyIngestStream property: random forests + random churn ≡ batch rollup at every boundary") {
+    import graft.operators.GraphOps
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(1000L + seed)
+      val store = java.nio.file.Files
+        .createTempDirectory(s"hierprop$seed").toString
+      val ingest = Pipelines.hierarchyIngestStream(store, buckets = 8)()
+      // model: id -> (parent, value); acyclic by construction (parent
+      // strictly smaller than child, the prefix-forest trick)
+      var model = (0 until 20).map { i =>
+        i.toLong -> (if (i == 0) None
+                     else Some(rnd.nextInt(i).toLong),
+                     rnd.nextInt(1000).toLong - 500L)
+      }.toMap
+      var nextId = 20L
+      def df(rows: Seq[(Long, Option[Long], Long)]) =
+        rows.toDF("id", "parent", "value")
+      def check(): Unit = {
+        val nodes = model.toSeq.map { case (i, (p, v)) => (i, p, v) }
+        val batch = GraphOps.subtreeAggregate(df(nodes))
+          .select(col("id"), col("n_subtree"), col("subtree_sum"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        val streamed = Pipelines.hierStoreAggregates(spark, store)
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(streamed === batch, s"seed=$seed diverged")
+      }
+      ingest(df(model.toSeq.map { case (i, (p, v)) => (i, p, v) }), 0L)
+      check()
+      for (b <- 1 to 4) {
+        // each batch: a few inserts + reparents/value changes on
+        // DISTINCT existing nodes (the one-event-per-node contract)
+        val inserts = (0 until rnd.nextInt(3)).map { _ =>
+          val id = nextId; nextId += 1
+          // parent = any EXISTING node (new id exceeds all → acyclic)
+          val ex = model.keys.toSeq.sorted
+          val ev = (id, Some(ex(rnd.nextInt(ex.size))),
+            rnd.nextInt(1000).toLong - 500L)
+          model += id -> (ev._2, ev._3); ev
+        }
+        val touched = rnd.shuffle(model.keys.filter(_ > 0).toSeq)
+          .take(rnd.nextInt(5) + 1)
+          .filterNot(i => inserts.exists(_._1 == i))
+        val updates = touched.map { i =>
+          // parent = an existing STRICTLY SMALLER node → acyclic
+          val cand = model.keys.filter(_ < i).toSeq.sorted
+          val p = Some(cand(rnd.nextInt(cand.size)))
+          val v = rnd.nextInt(1000).toLong - 500L
+          model += i -> (p, v); (i, p, v)
+        }
+        val evs = inserts ++ updates
+        if (evs.nonEmpty) { ingest(df(evs), b.toLong); check() }
+      }
+    }
+  }
+
   test("PitEnricher: time-aligned streamed enrichment ≡ batch point-in-time join") {
     def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
     val store = java.nio.file.Files.createTempDirectory("pitenrich").toString
