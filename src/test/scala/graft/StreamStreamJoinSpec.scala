@@ -120,6 +120,44 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreams: join state stays watermark-bounded over a long stream") {
+    import graft.streaming.Pipelines
+    implicit val sc = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(min: Int) = new Timestamp(base + min * 60000L)
+    val lStream = MemoryStream[(Long, Timestamp)]
+    val rStream = MemoryStream[(Long, Timestamp)]
+    val joined = Pipelines.intervalJoinStreams(
+      lStream.toDF().toDF("u", "l_ts"),
+      rStream.toDF().toDF("u_r", "r_ts"),
+      "u", "u_r", "l_ts", "r_ts",
+      delay = "10 minutes", within = "5 minutes")
+    val q = joined.select(col("u"))
+      .writeStream.format("memory").queryName("ivjs_out")
+      .outputMode("append").start()
+    try {
+      // 20 batches × 50 rows/side, event time advancing 10 min/batch:
+      // 2000 rows enter the join, but the watermark retires anything
+      // older than ~(delay + interval) — state must stay a small
+      // multiple of one batch, NOT grow with the stream
+      var fed = 0L
+      for (b <- 0 until 20) {
+        val rows = (0 until 50).map(i =>
+          ((i % 7).toLong, at(b * 10 + (i % 10))))
+        lStream.addData(rows: _*)
+        rStream.addData(rows: _*)
+        fed += 2 * rows.size
+        q.processAllAvailable()
+      }
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty, "join must report state metrics")
+      val rowsInState = state.map(_.numRowsTotal).sum
+      assert(rowsInState < fed / 4,
+        s"state must be watermark-bounded: $rowsInState of $fed fed")
+      assert(rowsInState > 0L)
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams property: time-ordered random batches ≡ in-memory interval join") {
     import graft.streaming.Pipelines
     implicit val sc = spark.sqlContext
