@@ -1261,6 +1261,12 @@ object Pipelines {
     * delta, reparent degenerates to p = p' — and appends zero acc
     * rows.
     *
+    * Contract: strictly one event per node per batch (enforced), and
+    * an event's `parent` must be null (root), an already-stored node,
+    * or a node inserted in the same batch — a dangling parent id
+    * silently terminates its chain at the gap, which is not a defined
+    * hierarchy.
+    *
     * Scale: per batch, reads prune to the touched keys' buckets and
     * semi-join the broadcast batch; chain frames are
     * (events × depth)-sized, never corpus-sized; the walk is ≤ depth
