@@ -428,6 +428,68 @@ object Relational2 {
       .orderBy(col("user_id"))
   }
 
+  /** CHAINED STATEFUL OPERATORS in one streaming query (the round's
+    * third streaming plan shape): the q331 stream-stream interval
+    * join feeds a tumbling-window aggregation INSIDE the same
+    * streaming plan — daily attributed-pair counts, append mode, so
+    * the window agg consumes the watermark PROPAGATED through the
+    * join's state horizon and each day emits exactly once when
+    * adjudicated. Both sides restrict to days whose window END
+    * precedes the flush horizon (min of the two streams' max event
+    * times − delay − interval − a 1-hour margin for the join's
+    * watermark hold-back), applied to the OUTPUT per the q333
+    * lesson. */
+  val q334 = GQuery("q334_stream_attribution_daily",
+    """WITH h AS (
+      |  SELECT least(
+      |      max(ts) FILTER (WHERE event_type = 'view'),
+      |      max(ts) FILTER (WHERE event_type = 'click'))
+      |    - INTERVAL 4 HOUR AS cut
+      |  FROM events)
+      |SELECT date_trunc('day', v.ts) AS day, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+      |WHERE date_trunc('day', v.ts) + INTERVAL 1 DAY <= (SELECT cut FROM h)
+      |GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    import graft.streaming.Pipelines
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = Tables.path(dir, "events")
+    val rawSchema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(rawSchema)
+      .option("basePath", dir).parquet(s"$dir/events*.parquet")
+    val norm: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
+    val ev = norm(raw)
+    val cut = norm(s.read.parquet(path))
+      .agg(least(
+        max(when(col("event_type") === "view", col("ts"))),
+        max(when(col("event_type") === "click", col("ts")))))
+      .head().getTimestamp(0).toInstant.minusSeconds(4 * 3600)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("uid_c"), col("ts").as("click_ts"))
+    val daily = Pipelines.intervalJoinStreams(views, clicks,
+        "user_id", "uid_c", "view_ts", "click_ts",
+        delay = "1 hour", within = "2 hours")
+      .groupBy(window(col("view_ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("w.start").as("day"), col("w.end").as("day_end"),
+        col("n_pairs"))
+    Pipelines.runToMemory(daily)
+      .where(col("day_end") <= lit(java.sql.Timestamp.from(cut)))
+      .select(col("day"), col("n_pairs"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210, q329, q331, q333)
+    Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210, q329, q331, q333,
+      q334)
 }

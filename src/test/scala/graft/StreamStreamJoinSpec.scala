@@ -158,6 +158,48 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful operators: interval join → window agg emits each window once, after the propagated watermark") {
+    import graft.streaming.Pipelines
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val daily = Pipelines.intervalJoinStreams(
+        views.toDF().toDF("u", "view_ts"),
+        clicks.toDF().toDF("u_c", "clk_ts"),
+        "u", "u_c", "view_ts", "clk_ts",
+        delay = "10 minutes", within = "5 minutes")
+      .groupBy(window(col("view_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("h"), col("n"))
+    val q = daily.writeStream.format("memory").queryName("csj_out")
+      .outputMode("append").start()
+    def rows() = spark.sql("SELECT h, n FROM csj_out ORDER BY h")
+      .as[(Timestamp, Long)].collect().toSeq
+    try {
+      // hour 10:00 gets two pairs, across two micro-batches
+      views.addData((1L, ts(0)), (2L, ts(10)))
+      clicks.addData((1L, ts(2)))
+      q.processAllAvailable()
+      assert(rows() === Nil,
+        "open window must not emit before the watermark closes it")
+      clicks.addData((2L, ts(12)))
+      q.processAllAvailable()
+      assert(rows() === Nil)
+      // advance BOTH streams well past hour 10:00 + join horizon +
+      // delay — the 10:00 window closes with BOTH pairs, exactly once
+      views.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      clicks.addData((9L, Timestamp.valueOf("2024-01-01 13:01:00")))
+      q.processAllAvailable()
+      assert(rows() === Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 2L)))
+      // further advance must not re-emit the closed window
+      views.addData((8L, Timestamp.valueOf("2024-01-01 16:00:00")))
+      clicks.addData((8L, Timestamp.valueOf("2024-01-01 16:01:00")))
+      q.processAllAvailable()
+      val r = rows()
+      assert(r.count(_._1 == Timestamp.valueOf("2024-01-01 10:00:00")) === 1)
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams property: time-ordered random batches ≡ in-memory interval join") {
     import graft.streaming.Pipelines
     implicit val sc = spark.sqlContext
