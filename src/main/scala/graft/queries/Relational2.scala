@@ -310,6 +310,30 @@ object Relational2 {
     * and their own watermark — the join state is (delay + interval)
     * deep per user, never history-deep. Oracle: the equivalent batch
     * interval self-join. */
+  /** The events fixture through the REAL file-stream source, plus the
+    * ts normalization both read paths share (exactly what
+    * [[graft.Tables.events]] does batch-side — the nanos-generation
+    * fixture reads ts as a raw long). The source needs a
+    * directory-rooted glob, not a bare file path ("Option 'basePath'
+    * must be a directory"). Shared by q331/q333/q334. */
+  private def eventsStreamed(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = Tables.path(dir, "events")
+    val rawSchema = s.read.parquet(path).schema
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
+    (norm(s.readStream.schema(rawSchema)
+        .option("basePath", dir).parquet(s"$dir/events*.parquet")),
+      norm(s.read.parquet(path)))
+  }
+
   val q331 = GQuery("q331_stream_stream_interval_join",
     """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
       |  CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS lag_s
@@ -319,22 +343,7 @@ object Relational2 {
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
       |ORDER BY v.user_id, view_id, click_id""".stripMargin) { (s, dir) =>
     import graft.streaming.Pipelines
-    // the raw fixture schema feeds the file-stream source; ts is then
-    // normalized exactly as Tables.events does (the nanos-fixture
-    // branch reads ts as a raw long)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = Tables.path(dir, "events")
-    val rawSchema = s.read.parquet(path).schema
-    // the file-stream source needs a directory-rooted glob, not a bare
-    // file path ("Option 'basePath' must be a directory")
-    val raw = s.readStream.schema(rawSchema)
-      .option("basePath", dir).parquet(s"$dir/events*.parquet")
-    val ev = rawSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw.withColumn("ts",
-        col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    val (ev, _) = eventsStreamed(s, dir)
     val views = ev.where(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -386,21 +395,9 @@ object Relational2 {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
     import graft.streaming.Pipelines
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = Tables.path(dir, "events")
-    val rawSchema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(rawSchema)
-      .option("basePath", dir).parquet(s"$dir/events*.parquet")
-    val norm: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
-      rawSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      }
-    val ev = norm(raw)
+    val (ev, evBatch) = eventsStreamed(s, dir)
     // flush horizon, computed batch-side (deterministic)
-    val cut = norm(s.read.parquet(path))
+    val cut = evBatch
       .agg(least(
         max(when(col("event_type") === "view", col("ts"))),
         max(when(col("event_type") === "click", col("ts")))))
@@ -454,20 +451,8 @@ object Relational2 {
       |WHERE date_trunc('day', v.ts) + INTERVAL 1 DAY <= (SELECT cut FROM h)
       |GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
     import graft.streaming.Pipelines
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = Tables.path(dir, "events")
-    val rawSchema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(rawSchema)
-      .option("basePath", dir).parquet(s"$dir/events*.parquet")
-    val norm: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
-      rawSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      }
-    val ev = norm(raw)
-    val cut = norm(s.read.parquet(path))
+    val (ev, evBatch) = eventsStreamed(s, dir)
+    val cut = evBatch
       .agg(least(
         max(when(col("event_type") === "view", col("ts"))),
         max(when(col("event_type") === "click", col("ts")))))
