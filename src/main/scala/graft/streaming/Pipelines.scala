@@ -1301,27 +1301,38 @@ object Pipelines {
         "hierarchyIngestStream: one event per node per batch")
       val pbs = probe.map(_.getInt(0)).toSeq
       lap("ev+probe")
-      def latest(path: String, cols: Seq[String]): DataFrame = {
+      // ONE relation snapshot per family per batch: every
+      // spark.read.parquet builds a fresh file index (a listing job),
+      // and the chain walk below would otherwise re-list nodes/ every
+      // round. The batch's own appends happen only at the END, so a
+      // single snapshot is consistent for the whole batch.
+      val nodesRel =
+        if (DedupStore.hasData(spark, nodesP))
+          Some(spark.read.parquet(s"$nodesP/data"))
+        else None
+      val accRel =
+        if (DedupStore.hasData(spark, accP))
+          Some(spark.read.parquet(s"$accP/data"))
+        else None
+      def latest(rel: DataFrame, cols: Seq[String]): DataFrame = {
         // current row per touched id: max batch_id wins (batch ids are
         // unique per id by the one-event rule)
-        val rows = DedupStore.prunedRead(spark, path, pbs)
+        val rows = rel.where(col("pb").isin(pbs: _*))
           .join(broadcast(ev.select("id")), Seq("id"), "left_semi")
         rows.groupBy(col("id"))
           .agg(max(struct(col("batch_id") +: cols.map(col): _*)).as("m"))
           .select(col("id") +: cols.map(c => col(s"m.$c").as(c)): _*)
       }
-      val cur =
-        if (DedupStore.hasData(spark, nodesP) && pbs.nonEmpty)
-          latest(nodesP, Seq("parent", "value"))
-            .select(col("id"), col("parent").as("parent_old"),
-              col("value").as("value_old"))
-        else ev.select(col("id"), col("parent").as("parent_old"),
-          col("value").as("value_old")).limit(0)
-      val accCur =
-        if (DedupStore.hasData(spark, accP) && pbs.nonEmpty)
-          latest(accP, Seq("n_subtree", "subtree_sum"))
-        else ev.select(col("id"), lit(0L).as("n_subtree"),
-          lit(0L).as("subtree_sum")).limit(0)
+      val cur = nodesRel.filter(_ => pbs.nonEmpty)
+        .map(rel => latest(rel, Seq("parent", "value"))
+          .select(col("id"), col("parent").as("parent_old"),
+            col("value").as("value_old")))
+        .getOrElse(ev.select(col("id"), col("parent").as("parent_old"),
+          col("value").as("value_old")).limit(0))
+      val accCur = accRel.filter(_ => pbs.nonEmpty)
+        .map(rel => latest(rel, Seq("n_subtree", "subtree_sum")))
+        .getOrElse(ev.select(col("id"), lit(0L).as("n_subtree"),
+          lit(0L).as("subtree_sum")).limit(0))
       val st = ev.join(cur, Seq("id"), "left")
         .join(accCur, Seq("id"), "left")
         .localCheckpoint(true)
@@ -1369,14 +1380,14 @@ object Pipelines {
             s"hierarchy deeper than maxDepth=$maxDepth (cycle?)")
           // parent of each frontier node under POST-BATCH pointers:
           // the batch's own events override the stored latest
-          val storedParent =
-            if (DedupStore.hasData(spark, nodesP)) {
-              val rows = DedupStore.prunedRead(spark, nodesP, fpbs)
+          val storedParent = nodesRel.map { rel =>
+              val rows = rel.where(col("pb").isin(fpbs: _*))
                 .join(broadcast(fids.select("id")), Seq("id"), "left_semi")
               rows.groupBy(col("id"))
                 .agg(max(struct(col("batch_id"), col("parent"))).as("m"))
                 .select(col("id"), col("m.parent").as("sparent"))
-            } else fids.select(col("id"), lit(null).as("sparent")).limit(0)
+            }.getOrElse(
+              fids.select(col("id"), lit(null).as("sparent")).limit(0))
           // an event's parent wins even when it is NULL (reparent to
           // root) — a coalesce would silently resurrect the stored
           // pointer there
@@ -1405,17 +1416,16 @@ object Pipelines {
         .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
       val dpbs = DedupStore.batchBuckets(dpb)
       lap("delta+buckets")
-      val accBase =
-        if (DedupStore.hasData(spark, accP) && dpbs.nonEmpty) {
-          val rows = DedupStore.prunedRead(spark, accP, dpbs)
+      val accBase = accRel.filter(_ => dpbs.nonEmpty).map { rel =>
+          val rows = rel.where(col("pb").isin(dpbs: _*))
             .join(broadcast(dpb.select("id")), Seq("id"), "left_semi")
           rows.groupBy(col("id"))
             .agg(max(struct(col("batch_id"), col("n_subtree"),
               col("subtree_sum"))).as("m"))
             .select(col("id"), col("m.n_subtree").as("bn"),
               col("m.subtree_sum").as("bs"))
-        } else dpb.select(col("id"), lit(0L).as("bn"), lit(0L).as("bs"))
-          .limit(0)
+        }.getOrElse(dpb.select(col("id"), lit(0L).as("bn"),
+          lit(0L).as("bs")).limit(0))
       val accNew = dpb.join(accBase, Seq("id"), "left")
         .select(col("id"),
           (coalesce(col("bn"), lit(0L)) + col("dn")).as("n_subtree"),
