@@ -1256,27 +1256,54 @@ object Pipelines {
     * PRE-BATCH stored aggregate is precisely complementary (the same
     * decomposition argument as bitemporal SCD2 restatements). A
     * reparent creating a cycle makes its chain never terminate and
-    * fails loud at `maxDepth`. Replay-idempotent: a redelivered batch
-    * sees its own values as current state — no insert, zero value
-    * delta, reparent degenerates to p = p' — and appends zero acc
-    * rows.
+    * fails loud at `maxDepth`. Replay-safe UNDER AT-LEAST-ONCE
+    * delivery, including the torn-write window: acc is written FIRST,
+    * and every batch begins by probing the acc store for its own
+    * `batch_id` (parquet footer stats prune the probe to at most the
+    * one matching append). A hit means a prior attempt of THIS batch
+    * already applied its deltas — whether it then crashed before the
+    * nodes append (torn) or completed (plain redelivery) — so the
+    * replay skips delta derivation entirely and only (re)completes
+    * the nodes append, which is idempotent under the latest-wins
+    * read (duplicate rows share the max `batch_id` struct). Without
+    * the probe, a torn replay would recompute the deltas against the
+    * stale nodes AND base them on the crashed attempt's acc rows —
+    * applying them twice.
     *
     * Contract: strictly one event per node per batch (enforced), and
     * an event's `parent` must be null (root), an already-stored node,
-    * or a node inserted in the same batch — a dangling parent id
-    * silently terminates its chain at the gap, which is not a defined
-    * hierarchy.
+    * or a node inserted in the same batch — a DANGLING parent id
+    * fails loud (`raise_error` inside the chain walk, so the guard
+    * costs zero extra jobs), like the cycle and uniqueness guards;
+    * silently crediting a delta to a nonexistent node would emit a
+    * phantom id from [[hierStoreAggregates]].
     *
     * Scale: per batch, reads prune to the touched keys' buckets and
     * semi-join the broadcast batch; chain frames are
     * (events × depth)-sized, never corpus-sized; the walk is ≤ depth
     * rounds of frontier joins (the bfsHops ladder). The store never
     * scans by parent — child enumeration is exactly what the delta
-    * algebra avoids. */
+    * algebra avoids. Superseded versions retire automatically:
+    * `autoCompactFilesPerDir` (0 disables) triggers [[hierCompact]]
+    * off one driver-side listing per batch
+    * ([[hierCompactIfNeeded]]) once some `pb` dir accumulates that
+    * many files, bounding store growth under unbounded churn. */
   def hierarchyIngestStream(storePath: String, buckets: Int = 64,
-                            maxDepth: Int = 30)(
-      sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit = {
-    (batch0: DataFrame, batchId: Long) => {
+                            maxDepth: Int = 30,
+                            autoCompactFilesPerDir: Int = 16)(
+      sink: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit =
+    (batch0: DataFrame, batchId: Long) =>
+      hierarchyFoldBatch(batch0, batchId, storePath, buckets, maxDepth,
+        autoCompactFilesPerDir, sink)
+
+  /** One [[hierarchyIngestStream]] micro-batch (a method so the
+    * empty-batch and replay paths can return early). */
+  private def hierarchyFoldBatch(batch0: DataFrame, batchId: Long,
+                                 storePath: String, buckets: Int,
+                                 maxDepth: Int,
+                                 autoCompactFilesPerDir: Int,
+                                 sink: DataFrame => Unit): Unit = {
+    {
       val spark = batch0.sparkSession
       val dbg = sys.env.contains("SPARK_GRAFT_HIER_DEBUG")
       var t0 = System.nanoTime()
@@ -1301,6 +1328,17 @@ object Pipelines {
         "hierarchyIngestStream: one event per node per batch")
       val pbs = probe.map(_.getInt(0)).toSeq
       lap("ev+probe")
+      val emptyOut = ev.select(col("id"), lit(0L).as("n_subtree"),
+        lit(0L).as("subtree_sum")).limit(0)
+      if (pbs.isEmpty) {
+        // An EMPTY micro-batch (foreachBatch can deliver one) folds to
+        // nothing and must APPEND nothing: appending a zero-row frame
+        // to a FRESH store would create a schema-less data dir holding
+        // only _SUCCESS, poisoning every later read with 'Unable to
+        // infer schema'.
+        sink(emptyOut)
+        return
+      }
       // ONE relation snapshot per family per batch: every
       // spark.read.parquet builds a fresh file index (a listing job),
       // and the chain walk below would otherwise re-list nodes/ every
@@ -1314,6 +1352,21 @@ object Pipelines {
         if (DedupStore.hasData(spark, accP))
           Some(spark.read.parquet(s"$accP/data"))
         else None
+      // REPLAY / TORN-WRITE probe (see the scaladoc): did a prior
+      // attempt of THIS batch already complete its acc append? The
+      // scan filters on batch_id, which parquet footer stats prune to
+      // at most the one matching append's files — ancestors land in
+      // arbitrary buckets, so this cannot prune on pb. Acc-first write
+      // order + this probe makes the crash window between the two
+      // appends safe: the replay only completes the nodes append.
+      val replayed = accRel.exists(rel =>
+        !rel.where(col("batch_id") === lit(batchId)).isEmpty)
+      if (replayed) {
+        DedupStore.append(ev.withColumn("batch_id", lit(batchId)), nodesP)
+        lap("nodes-append (replay)")
+        sink(emptyOut)
+        return
+      }
       def latest(rel: DataFrame, cols: Seq[String]): DataFrame = {
         // current row per touched id: max batch_id wins (batch ids are
         // unique per id by the one-event rule)
@@ -1385,20 +1438,30 @@ object Pipelines {
                 .join(broadcast(fids.select("id")), Seq("id"), "left_semi")
               rows.groupBy(col("id"))
                 .agg(max(struct(col("batch_id"), col("parent"))).as("m"))
-                .select(col("id"), col("m.parent").as("sparent"))
+                .select(col("id"), col("m.parent").as("sparent"),
+                  lit(true).as("in_store"))
             }.getOrElse(
-              fids.select(col("id"), lit(null).as("sparent")).limit(0))
+              fids.select(col("id"), lit(null).as("sparent"),
+                lit(true).as("in_store")).limit(0))
           // an event's parent wins even when it is NULL (reparent to
           // root) — a coalesce would silently resurrect the stored
-          // pointer there
+          // pointer there. A frontier id with NEITHER an event NOR a
+          // stored row is a dangling parent reference: fail loud (the
+          // raise_error rides this round's checkpoint job, so the
+          // guard is free), instead of crediting its delta to a node
+          // that does not exist. Fires before any append, so a failed
+          // batch writes nothing.
           frontier = frontier
             .join(broadcast(ev.select(col("id").as("start"),
               col("parent").as("eparent"), lit(true).as("in_ev"))),
               Seq("start"), "left")
             .join(broadcast(storedParent.select(col("id").as("start"),
-              col("sparent"))), Seq("start"), "left")
+              col("sparent"), col("in_store"))), Seq("start"), "left")
             .select(when(col("in_ev"), col("eparent"))
-              .otherwise(col("sparent")).as("start"),
+              .when(col("in_store"), col("sparent"))
+              .otherwise(raise_error(concat(
+                lit("hierarchyIngestStream: dangling parent id "),
+                col("start").cast("string")))).as("start"),
               col("dn"), col("dsum"))
             .where(col("start").isNotNull)
             .localCheckpoint(true)
@@ -1440,6 +1503,10 @@ object Pipelines {
       lap("nodes-append")
       sink(accNew.select(col("id"), col("n_subtree"), col("subtree_sum")))
       accNew.unpersist()
+      if (autoCompactFilesPerDir > 0) {
+        hierCompactIfNeeded(spark, storePath, autoCompactFilesPerDir)
+        lap("auto-compact")
+      }
       ()
     }
   }
@@ -1476,6 +1543,10 @@ object Pipelines {
         val dataPath = s"$storePath/$fam/data"
         val dir = new org.apache.hadoop.fs.Path(dataPath)
         val fs = dir.getFileSystem(conf)
+        if (!fs.exists(dir)) {
+          // a family that never received an append (e.g. acc after
+          // only no-op batches) has nothing to retire
+        } else {
         val tmp = new org.apache.hadoop.fs.Path(s"${dataPath}_compacting")
         val old = new org.apache.hadoop.fs.Path(s"${dataPath}_old")
         recoverTornSwap(fs, dir, Seq(old))
@@ -1497,8 +1568,50 @@ object Pipelines {
         fs.delete(old, true)
         if (fam == "nodes") live = nAfter
         retired += nBefore - nAfter
+        }
     }
     (live, retired)
+  }
+
+  /** Outcome of [[hierCompactIfNeeded]]. `live`/`retired` are −1 when
+    * the threshold was not crossed (the no-op path runs no Spark job
+    * and touches no file). */
+  final case class HierCompactDecision(compacted: Boolean,
+                                       maxFilesPerDir: Long,
+                                       live: Long, retired: Long)
+
+  /** File-count-triggered retirement policy over [[hierCompact]] (the
+    * [[compactStoreIfNeeded]] / [[clusterCompactIfNeeded]] precedent):
+    * each batch's append leaves one data file per touched `pb` dir in
+    * `nodes/data` and `acc/data`, so the max per-dir file count is a
+    * driver-side census of superseded-version growth since the last
+    * retirement — no Spark job to decide, and none runs while the
+    * store is healthy. Wired into every [[hierarchyIngestStream]]
+    * batch (`autoCompactFilesPerDir`); also callable from a
+    * maintenance cron. Same single-writer discipline as
+    * [[hierCompact]]. */
+  def hierCompactIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String,
+                          maxFilesPerDir: Int = 16): HierCompactDecision = {
+    val conf = spark.sessionState.newHadoopConf()
+    val maxPer = Seq("nodes", "acc").map { fam =>
+      val data = new org.apache.hadoop.fs.Path(s"$storePath/$fam/data")
+      val fs = data.getFileSystem(conf)
+      if (!fs.exists(data)) 0L
+      else fs.listStatus(data).filter(_.isDirectory).foldLeft(0L) {
+        (acc, d) =>
+          math.max(acc, fs.listStatus(d.getPath).count { f =>
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }.toLong)
+      }
+    }.max
+    if (maxPer <= maxFilesPerDir)
+      HierCompactDecision(compacted = false, maxPer, -1L, -1L)
+    else {
+      val (live, retired) = hierCompact(spark, storePath)
+      HierCompactDecision(compacted = true, maxPer, live, retired)
+    }
   }
 
   // ---- streaming incremental near-dup clustering ----

@@ -1373,6 +1373,156 @@ class StreamingPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("hierarchyIngestStream: empty first batch appends nothing (no schema-less poison dir); torn acc-first crash replays exactly once; dangling parent fails loud") {
+    import graft.operators.GraphOps
+    import graft.streaming.Pipelines.DedupStore
+    val store = java.nio.file.Files.createTempDirectory("hiertorn").toString
+    val ingest = Pipelines.hierarchyIngestStream(store, buckets = 8)()
+    def df(rows: Seq[(Long, Option[Long], Long)]) =
+      rows.toDF("id", "parent", "value")
+    def aggNow(): Map[Long, (Long, Long)] =
+      Pipelines.hierStoreAggregates(spark, store)
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, n, s) => i -> (n, s) }.toMap
+    def batchAgg(nodes: Seq[(Long, Option[Long], Long)]): Map[Long, (Long, Long)] =
+      GraphOps.subtreeAggregate(nodes.toDF("id", "parent", "value"))
+        .select(col("id"), col("n_subtree"), col("subtree_sum"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, n, s) => i -> (n, s) }.toMap
+    // EMPTY first micro-batch: nothing may be appended — a zero-row
+    // append to a fresh store would leave a schema-less data dir that
+    // poisons every later read
+    ingest(df(Seq.empty), 0L)
+    assert(!DedupStore.hasData(spark, s"$store/nodes"))
+    assert(!DedupStore.hasData(spark, s"$store/acc"))
+    assert(!new java.io.File(s"$store/nodes/data").exists(),
+      "empty batch must not create the nodes data dir at all")
+    // the store still works after the empty batch
+    val t0: Seq[(Long, Option[Long], Long)] = Seq(
+      (0L, None, 10L), (1L, Some(0L), 1L), (2L, Some(0L), 2L),
+      (3L, Some(1L), 3L), (4L, Some(1L), 4L), (5L, Some(3L), 5L))
+    ingest(df(t0), 1L)
+    assert(aggNow() === batchAgg(t0))
+    // an empty MID-stream batch is also a no-op
+    val accRows0 = spark.read.parquet(s"$store/acc/data").count()
+    ingest(df(Seq.empty), 2L)
+    assert(spark.read.parquet(s"$store/acc/data").count() === accRows0)
+    assert(aggNow() === batchAgg(t0))
+    // TORN WRITE: simulate a crash between the acc append and the
+    // nodes append — batch 3 restates node 4's value 4→7 (Δ=+3 along
+    // 4,1,0); hand-append exactly the acc rows that crashed attempt
+    // committed, leave nodes stale
+    val tornAcc = Seq((4L, 1L, 7L), (1L, 4L, 16L), (0L, 6L, 28L))
+      .toDF("id", "n_subtree", "subtree_sum")
+      .withColumn("pb", DedupStore.bucketOf(col("id"), 8))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(3L))
+    DedupStore.append(tornAcc, s"$store/acc")
+    val accRowsTorn = spark.read.parquet(s"$store/acc/data").count()
+    assert(accRowsTorn === accRows0 + 3)
+    // the at-least-once replay of batch 3: must DETECT the applied
+    // deltas (skip derivation — no doubled acc rows) and complete the
+    // nodes append
+    ingest(df(Seq((4L, Some(1L), 7L))), 3L)
+    assert(spark.read.parquet(s"$store/acc/data").count() === accRowsTorn,
+      "torn replay must not re-derive deltas (they would apply twice)")
+    val t1 = t0.map { case (4L, p, _) => (4L, p, 7L); case r => r }
+    assert(aggNow() === batchAgg(t1))
+    // nodes append completed: node 4's latest stored value is 7
+    val n4 = spark.read.parquet(s"$store/nodes/data")
+      .where(col("id") === 4L)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(col("batch_id"), col("value"))))
+      .head().getStruct(0)
+    assert(n4.getLong(0) === 3L && n4.getLong(1) === 7L)
+    // a LATER batch folds correctly on top of the healed store
+    ingest(df(Seq((2L, Some(0L), 20L))), 4L)
+    val t2 = t1.map { case (2L, p, _) => (2L, p, 20L); case r => r }
+    assert(aggNow() === batchAgg(t2))
+    // DANGLING parent: fails loud (no phantom acc row), nothing appended
+    val accRows2 = spark.read.parquet(s"$store/acc/data").count()
+    val e = intercept[Exception] {
+      ingest(df(Seq((9L, Some(99L), 1L))), 5L)
+    }
+    assert(e.getMessage.contains("dangling parent id") ||
+      e.getCause != null && e.getCause.getMessage.contains("dangling parent id"),
+      s"got: ${e.getMessage}")
+    assert(spark.read.parquet(s"$store/acc/data").count() === accRows2,
+      "failed batch must append nothing")
+    assert(aggNow() === batchAgg(t2))
+    // dangling parent on a FRESH store (first batch) also fails loud
+    val store2 = java.nio.file.Files.createTempDirectory("hierdangle").toString
+    val ingestF = Pipelines.hierarchyIngestStream(store2, buckets = 8)()
+    intercept[Exception] {
+      ingestF(df(Seq((1L, Some(5L), 1L))), 0L)
+    }
+    assert(!DedupStore.hasData(spark, s"$store2/nodes"))
+  }
+
+  test("hierCompactIfNeeded: healthy store is a byte-level no-op; past threshold retires superseded versions with bit-identical read-out; auto-wired into ingestion") {
+    import graft.operators.GraphOps
+    val store = java.nio.file.Files.createTempDirectory("hierauto").toString
+    // threshold high enough that nothing triggers during ingestion
+    val ingest = Pipelines.hierarchyIngestStream(store, buckets = 4,
+      autoCompactFilesPerDir = 100)()
+    def df(rows: Seq[(Long, Option[Long], Long)]) =
+      rows.toDF("id", "parent", "value")
+    def aggNow(): Map[Long, (Long, Long)] =
+      Pipelines.hierStoreAggregates(spark, store)
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, n, s) => i -> (n, s) }.toMap
+    val t0: Seq[(Long, Option[Long], Long)] = Seq(
+      (0L, None, 10L), (1L, Some(0L), 1L), (2L, Some(0L), 2L),
+      (3L, Some(1L), 3L))
+    ingest(df(t0), 0L)
+    // churn the same node repeatedly — superseded versions pile up
+    for (b <- 1 to 5)
+      ingest(df(Seq((3L, Some(1L), 3L + b))), b.toLong)
+    val before = aggNow()
+    def fileCensus(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    // healthy: below threshold → no-op, not a single file touched
+    val census0 = fileCensus()
+    val noop = Pipelines.hierCompactIfNeeded(spark, store,
+      maxFilesPerDir = 100)
+    assert(!noop.compacted && noop.live === -1L)
+    assert(fileCensus() === census0, "no-op path must touch no file")
+    // past threshold: retirement, read-out bit-identical
+    val did = Pipelines.hierCompactIfNeeded(spark, store, maxFilesPerDir = 1)
+    assert(did.compacted && did.retired >= 1L)
+    assert(aggNow() === before)
+    assert(spark.read.parquet(s"$store/acc/data").count() === 4L)
+    // AUTO wiring: a tight threshold keeps the store compacted as it
+    // ingests — after the final batch the store holds exactly one row
+    // per live id in both families
+    val store2 = java.nio.file.Files.createTempDirectory("hierauto2").toString
+    val ingest2 = Pipelines.hierarchyIngestStream(store2, buckets = 4,
+      autoCompactFilesPerDir = 1)()
+    ingest2(df(t0), 0L)
+    var model = t0
+    for (b <- 1 to 4) {
+      ingest2(df(Seq((3L, Some(1L), 30L + b))), b.toLong)
+      model = model.map { case (3L, p, _) => (3L, p, 30L + b); case r => r }
+    }
+    val expect = GraphOps.subtreeAggregate(df(model))
+      .select(col("id"), col("n_subtree"), col("subtree_sum"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, n, s) => i -> (n, s) }.toMap
+    assert(Pipelines.hierStoreAggregates(spark, store2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, n, s) => i -> (n, s) }.toMap === expect)
+    assert(spark.read.parquet(s"$store2/acc/data").count() === 4L,
+      "auto-compaction must keep exactly one live acc row per id")
+    assert(spark.read.parquet(s"$store2/nodes/data").count() === 4L)
+    // replay of the final batch is still absorbed post-auto-compaction
+    val accRows = spark.read.parquet(s"$store2/acc/data").count()
+    ingest2(df(Seq((3L, Some(1L), 34L))), 4L)
+    assert(spark.read.parquet(s"$store2/acc/data").count() === accRows)
+  }
+
   test("PitEnricher: time-aligned streamed enrichment ≡ batch point-in-time join") {
     def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
     val store = java.nio.file.Files.createTempDirectory("pitenrich").toString
