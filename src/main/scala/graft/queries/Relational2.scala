@@ -474,7 +474,89 @@ object Relational2 {
       .orderBy(col("day"))
   }
 
+  /** UNMATCHED TRAFFIC on both sides via the FULL-OUTER stream-stream
+    * interval join — the remaining face of the state-timeout-emission
+    * contract after q331 (inner) and q333 (left_outer): views that
+    * never converted AND clicks that never attributed each emit
+    * exactly one null-padded row when the watermark adjudicates them,
+    * from the SAME symmetric-hash join state. A click is unmatched
+    * when no same-user view preceded it by ≤ 2 hours. Both sides
+    * restrict to rows older than the flush horizon, applied to the
+    * OUTPUT per the q333 lesson (pre-filtering a stream lowers its
+    * own watermark and strands the last window's state). Oracle: two
+    * full-knowledge NOT EXISTS anti-joins, one per side. */
+  val q335 = GQuery("q335_stream_unmatched_traffic",
+    """WITH h AS (
+      |  SELECT least(
+      |      max(ts) FILTER (WHERE event_type = 'view'),
+      |      max(ts) FILTER (WHERE event_type = 'click'))
+      |    - INTERVAL 3 HOUR - INTERVAL 10 MINUTE AS cut
+      |  FROM events),
+      |uv AS (
+      |  SELECT v.user_id FROM events v
+      |  WHERE v.event_type = 'view' AND v.ts < (SELECT cut FROM h)
+      |    AND NOT EXISTS (SELECT 1 FROM events c
+      |      WHERE c.event_type = 'click' AND c.user_id = v.user_id
+      |        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR)),
+      |uc AS (
+      |  SELECT c.user_id FROM events c
+      |  WHERE c.event_type = 'click' AND c.ts < (SELECT cut FROM h)
+      |    AND NOT EXISTS (SELECT 1 FROM events v
+      |      WHERE v.event_type = 'view' AND v.user_id = c.user_id
+      |        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR))
+      |SELECT user_id, 'view' AS side,
+      |  CAST(count(*) AS BIGINT) AS n_unmatched
+      |FROM uv GROUP BY 1
+      |UNION ALL
+      |SELECT user_id, 'click' AS side,
+      |  CAST(count(*) AS BIGINT) AS n_unmatched
+      |FROM uc GROUP BY 1
+      |ORDER BY user_id, side""".stripMargin) { (s, dir) =>
+    import graft.streaming.Pipelines
+    val (ev, evBatch) = eventsStreamed(s, dir)
+    val cut = evBatch
+      .agg(least(
+        max(when(col("event_type") === "view", col("ts"))),
+        max(when(col("event_type") === "click", col("ts")))))
+      .head().getTimestamp(0).toInstant.minusSeconds(3 * 3600 + 600)
+    val cutTs = lit(java.sql.Timestamp.from(cut))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("uid_c"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val out = Pipelines.runToMemory(
+      Pipelines.intervalJoinStreams(views, clicks,
+          "user_id", "uid_c", "view_ts", "click_ts",
+          delay = "1 hour", within = "2 hours",
+          joinType = "full_outer")
+        .select(col("user_id"), col("uid_c"), col("view_id"),
+          col("click_id"), col("view_ts"), col("click_ts")))
+    // view side: a view row (matched rows + its possible null-padded
+    // timeout row) with zero attributed clicks, adjudicated and old
+    // enough
+    val unViews = out.where(col("view_id").isNotNull &&
+        col("view_ts") < cutTs)
+      .groupBy(col("view_id")).agg(
+        first(col("user_id")).as("user_id"),
+        count(col("click_id")).as("n_clicks"))
+      .where(col("n_clicks") === 0L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_unmatched"))
+      .select(col("user_id"), lit("view").as("side"), col("n_unmatched"))
+    // click side: an unmatched click emits exactly one view-null row
+    val unClicks = out.where(col("view_id").isNull &&
+        col("click_ts") < cutTs)
+      .groupBy(col("uid_c"))
+      .agg(count(lit(1)).as("n_unmatched"))
+      .select(col("uid_c").as("user_id"), lit("click").as("side"),
+        col("n_unmatched"))
+    unViews.unionByName(unClicks)
+      .orderBy(col("user_id"), col("side"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q38, q38b, q39, q40, q41, q42, q46, q209, q210, q329, q331, q333,
-      q334)
+      q334, q335)
 }

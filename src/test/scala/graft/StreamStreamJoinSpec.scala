@@ -120,6 +120,51 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreams full_outer: BOTH sides null-emit exactly once, watermark-gated") {
+    import graft.streaming.Pipelines
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = Pipelines.intervalJoinStreams(
+      views.toDF().toDF("u", "view_ts"),
+      clicks.toDF().toDF("u_c", "clk_ts"),
+      "u", "u_c", "view_ts", "clk_ts",
+      delay = "10 minutes", within = "5 minutes",
+      joinType = "full_outer")
+    val q = joined.select(col("u"), col("u_c"), col("view_ts"), col("clk_ts"))
+      .writeStream.format("memory").queryName("ivjf_out")
+      .outputMode("append").start()
+    // (key, isUnmatchedView, isUnmatchedClick) — key from whichever
+    // side is present
+    def rows() = spark
+      .sql("""SELECT coalesce(u, u_c), clk_ts IS NULL, view_ts IS NULL
+             |FROM ivjf_out ORDER BY 1, 2, 3""".stripMargin)
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    try {
+      // batch 1: view 1 matches click 1; view 2 never converts;
+      // click 3 has no view at all (a click with NO preceding view)
+      views.addData((1L, ts(0)), (2L, ts(1)))
+      clicks.addData((1L, ts(3)), (3L, ts(2)))
+      q.processAllAvailable()
+      // windows still open on both sides — only the match emits
+      assert(rows() === Seq((1L, false, false)))
+      // batch 2: both watermarks advance far past every window — the
+      // unconverted VIEW null-emits AND the orphan CLICK null-emits,
+      // each exactly once, from the same join state
+      views.addData((9L, ts(40)))
+      clicks.addData((9L, ts(41)))
+      q.processAllAvailable()
+      assert(rows() === Seq((1L, false, false), (2L, true, false),
+        (3L, false, true), (9L, false, false)))
+      // batch 3: further advance re-emits NOTHING
+      views.addData((8L, ts(55)))
+      clicks.addData((8L, ts(56)))
+      q.processAllAvailable()
+      assert(rows() === Seq((1L, false, false), (2L, true, false),
+        (3L, false, true), (8L, false, false), (9L, false, false)))
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams: join state stays watermark-bounded over a long stream") {
     import graft.streaming.Pipelines
     implicit val sc = spark.sqlContext
