@@ -2514,10 +2514,194 @@ object TextQueries {
       .orderBy(col("factor"))
   }
 
+  /** The q336/q337 unigram-LM training-replay chain. The whole
+    * training ([[graft.operators.UnigramLm]]) is deterministic —
+    * integer counts everywhere, one grid-snapped `ln` per cost — so
+    * the oracle replays it: substring seed census, then per EM round a
+    * 12-step Viterbi DP (chained MATERIALIZED CTEs, one per position,
+    * each keeping the argmin by (cost, previ) — the same tie-break as
+    * the Scala fold) plus a 12-step backtrack emitting the pieces on
+    * each word's best path. `passName` tags the CTE family; `words`
+    * is the word table (must expose `tok`); `costs` the piece-cost
+    * table for the pass. */
+  private val ulmL = 12  // maxWordLen: DP positions per pass
+  private val ulmP = 4   // maxPieceLen
+  private def ulmFwdCtes(pass: String, words: String,
+                         costs: String): Seq[String] = {
+    val f0 = bpeCte(s"f0$pass",
+      s"""
+         |  SELECT tok, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS previ,
+         |    CAST(0 AS BIGINT) AS np
+         |  FROM $words""".stripMargin, mat = false)
+    val steps = (1 to ulmL).map { j =>
+      bpeCte(s"f$j$pass",
+        s"""
+           |  SELECT * FROM f${j - 1}$pass
+           |  UNION ALL
+           |  SELECT tok, pos, cost, previ, np FROM (
+           |    SELECT f.tok, $j AS pos,
+           |      f.cost + coalesce(v.cost, 10000000) AS cost,
+           |      f.pos AS previ, f.np + 1 AS np,
+           |      row_number() OVER (PARTITION BY f.tok
+           |        ORDER BY f.cost + coalesce(v.cost, 10000000), f.pos)
+           |        AS rn
+           |    FROM f${j - 1}$pass f
+           |    LEFT JOIN $costs v
+           |      ON v.piece = substr(f.tok, f.pos + 1, $j - f.pos)
+           |    WHERE length(f.tok) >= $j
+           |      AND f.pos BETWEEN $j - $ulmP AND $j - 1
+           |      AND (v.piece IS NOT NULL OR $j - f.pos = 1))
+           |  WHERE rn = 1""".stripMargin)
+    }
+    f0 +: steps
+  }
+  private def ulmEmCtes(round: Int): Seq[String] = {
+    val pass = s"x$round"
+    val fwd = ulmFwdCtes(pass, "ucen", s"uc${round - 1}")
+    val t0 = bpeCte(s"t0$pass",
+      s"SELECT tok, length(tok) AS pos FROM ucen", mat = false)
+    val back = (1 to ulmL).map { k =>
+      bpeCte(s"t$k$pass",
+        s"""
+           |  SELECT b.tok, f.previ AS pos,
+           |    substr(b.tok, f.previ + 1, b.pos - f.previ) AS piece
+           |  FROM t${k - 1}$pass b
+           |  JOIN f$ulmL$pass f ON f.tok = b.tok AND f.pos = b.pos
+           |  WHERE b.pos > 0""".stripMargin)
+    }
+    val union = (1 to ulmL).map(k => s"SELECT tok, piece FROM t$k$pass")
+      .mkString("\n    UNION ALL ")
+    val up = bpeCte(s"up$round",
+      s"""
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS vcnt FROM (
+         |    $union) p JOIN ucen USING (tok) GROUP BY piece""".stripMargin)
+    val uv = bpeCte(s"uv$round",
+      s"""
+         |  SELECT s.piece,
+         |    CASE WHEN length(s.piece) = 1
+         |         THEN greatest(coalesce(n.vcnt, 0), 1)
+         |         ELSE n.vcnt END AS ecnt
+         |  FROM uv${round - 1} s LEFT JOIN up$round n USING (piece)
+         |  WHERE length(s.piece) = 1 OR coalesce(n.vcnt, 0) >= 1""".stripMargin)
+    val uc = bpeCte(s"uc$round",
+      s"""
+         |  SELECT piece, CAST(floor(1000 * ln(
+         |      (SELECT CAST(sum(ecnt) AS DOUBLE) FROM uv$round) / ecnt)
+         |    + 0.5) AS BIGINT) AS cost
+         |  FROM uv$round""".stripMargin)
+    fwd ++ (t0 +: back) ++ Seq(up, uv, uc)
+  }
+  private def ulmTrainCtes(nIter: Int): Seq[String] = {
+    val head = Seq(
+      bpeCte("tok",
+        """
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents""".stripMargin, mat = false),
+      bpeCte("ucen",
+        s"""
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(ws) AS tok FROM tok) t
+           |  WHERE length(tok) BETWEEN 1 AND $ulmL
+           |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT ${1 << 20}""".stripMargin),
+      bpeCte("usub",
+        s"""
+           |  SELECT substr(tok, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS scnt
+           |  FROM ucen, range(1, ${ulmL + 1}) r(i), range(1, ${ulmP + 1}) q(l)
+           |  WHERE i + l <= length(tok) + 1
+           |  GROUP BY 1""".stripMargin),
+      bpeCte("uv0",
+        s"""
+           |  SELECT piece, scnt AS ecnt FROM usub WHERE length(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, scnt FROM (
+           |    SELECT piece, scnt FROM usub WHERE length(piece) >= 2
+           |    ORDER BY scnt DESC, piece LIMIT 500)""".stripMargin),
+      bpeCte("uc0",
+        """
+          |  SELECT piece, CAST(floor(1000 * ln(
+          |      (SELECT CAST(sum(ecnt) AS DOUBLE) FROM uv0) / ecnt)
+          |    + 0.5) AS BIGINT) AS cost
+          |  FROM uv0""".stripMargin))
+    head ++ (1 to nIter).flatMap(ulmEmCtes)
+  }
+
+  /** Unigram-LM (SentencePiece-family) tokenizer training (see
+    * [[graft.operators.UnigramLm.train]]): seed substring census →
+    * 2 rounds of hard Viterbi EM → grid-snapped integer-millinat piece
+    * costs. The oracle replays the ENTIRE training — seed, both EM
+    * rounds (12-position Viterbi DP + backtrack each), cost snapping —
+    * in chained MATERIALIZED CTEs; `UnigramLmSpec` additionally proves
+    * the Viterbi law against brute-force enumeration. */
+  val q336 = GQuery("q336_unigram_lm_train",
+    "WITH " + ulmTrainCtes(2).mkString(",\n") + """
+      |SELECT CAST(row_number() OVER (ORDER BY v.ecnt DESC, v.piece)
+      |    AS BIGINT) AS rank,
+      |  v.piece, CAST(v.ecnt AS BIGINT) AS cnt, c.cost AS cost_millinats
+      |FROM uv2 v JOIN uc2 c USING (piece)
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    graft.operators.UnigramLm.train(sharedToks(s, dir))
+      .orderBy(col("rank"))
+  }
+
+  /** The trained unigram-LM APPLIED corpus-wide (see
+    * [[graft.operators.UnigramLm.segmentStats]]): per-source word /
+    * piece counts and chars-per-piece compression — the q113 statistic
+    * under the OTHER tokenizer family. The oracle extends the q336
+    * replay with one more Viterbi pass over the distinct-word list
+    * (words beyond 12 cps: head by DP, tail as single cps), then joins
+    * the per-word piece counts back onto the token stream. */
+  val q337 = {
+    val applyCtes = Seq(
+      bpeCte("uawh",
+        s"""
+           |  SELECT tok, substr(tok, 1, $ulmL) AS head,
+           |    greatest(length(tok) - $ulmL, 0) AS tail
+           |  FROM (SELECT DISTINCT unnest(ws) AS tok FROM tok)""".stripMargin),
+      bpeCte("uhw", "SELECT DISTINCT head AS tok FROM uawh")) ++
+      ulmFwdCtes("ap", "uhw", "uc2") ++ Seq(
+      bpeCte("uwn",
+        s"""
+           |  SELECT a.tok, f.np + a.tail AS n_sub
+           |  FROM uawh a JOIN f${ulmL}ap f
+           |    ON f.tok = a.head AND f.pos = length(a.head)""".stripMargin),
+      bpeCte("udoc",
+        """
+          |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |    CAST(sum(s.n_sub) AS BIGINT) AS n_pieces
+          |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+          |  JOIN uwn s USING (tok) GROUP BY t.doc_id""".stripMargin))
+    GQuery("q337_unigram_lm_tokenize",
+      "WITH " + (ulmTrainCtes(2) ++ applyCtes).mkString(",\n") + """
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(j.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(j.n_pieces) AS BIGINT) AS n_pieces,
+        |  round(CAST(sum(d.n_chars) AS DOUBLE)
+        |    / CAST(sum(j.n_pieces) AS DOUBLE), 4) AS chars_per_piece
+        |FROM udoc j JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val toks = sharedToks(s, dir)
+      val cost = graft.operators.UnigramLm.costMap(
+        graft.operators.UnigramLm.train(toks))
+      graft.operators.UnigramLm.segmentStats(toks, cost)
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("source"), col("n_chars")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          round(sum(col("n_chars")).cast("double")
+            / sum(col("n_pieces")).cast("double"), 4)
+            .as("chars_per_piece"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
-      q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281)
+      q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281,
+      q336, q337)
 }
