@@ -52,6 +52,33 @@ object Pipelines {
       }
     }
 
+  /** Driver-side census of the `pb` values flowing through a plan —
+    * filled by a SET accumulator evaluated inside an ALREADY-RUNNING
+    * materialization job, so deriving a frontier's bucket set costs
+    * zero extra Spark jobs (a distinct+collect action per use
+    * otherwise). Set semantics make task retries and speculation
+    * idempotent; the value is ≤ `buckets` ints — legal driver state. */
+  private[graft] class PbSetAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Int, Set[Int]] {
+    private val s = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def isZero: Boolean = s.isEmpty
+    override def copy(): PbSetAccumulator = {
+      val c = new PbSetAccumulator
+      s.forEach(v => c.s.add(v))
+      c
+    }
+    override def reset(): Unit = s.clear()
+    override def add(v: Int): Unit = s.add(v)
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Int, Set[Int]]): Unit =
+      o.value.foreach(s.add)
+    override def value: Set[Int] = {
+      val b = Set.newBuilder[Int]
+      s.forEach(v => b += v)
+      b.result()
+    }
+  }
+
   /** Tumbling (or sliding, when `slide` differs) event-time window
     * counts with a watermark: late rows beyond `delay` are dropped —
     * semantics the reference cannot express (it forwards timestamps
@@ -1406,68 +1433,82 @@ object Pipelines {
         .unionByName(repar.select(col("parent").as("start"),
           col("n_subtree").as("dn"), col("subtree_sum").as("dsum")))
         .where(col("start").isNotNull)
-      // the seed frontier is three cheap projections off the
-      // checkpointed st — no dedicated materialization job; later
-      // rounds DO checkpoint (their lineage compounds through joins)
-      var frontier = insertSeeds.unionByName(valueSeeds)
-        .unionByName(reparSeeds)
+      // every frontier (the seeds included) is checkpointed WITH its
+      // bucket column, and a set accumulator evaluated inside that
+      // same checkpoint job harvests the round's bucket set — the
+      // bucket probe AND the emptiness check cost ZERO extra jobs
+      // (previously a distinct+collect action per round, the dominant
+      // share of the micro-batch job ladder). Downstream reads use
+      // the materialized rows, so the census is exact and evaluated
+      // once.
+      def checkpointWithPbs(df: DataFrame): (DataFrame, Seq[Int]) = {
+        val acc = new PbSetAccumulator
+        spark.sparkContext.register(acc, "hier-frontier-pbs")
+        val harvest = udf { (pb: java.lang.Integer) =>
+          if (pb != null) acc.add(pb.toInt)
+          pb
+        }
+        val out = df
+          .withColumn("pb",
+            harvest(DedupStore.bucketOf(col("start"), buckets)))
+          .localCheckpoint(true)
+        (out, acc.value.toSeq.sorted)
+      }
+      var (frontier, fpbs) = checkpointWithPbs(
+        insertSeeds.unionByName(valueSeeds).unionByName(reparSeeds))
       // visited stays a lazy union of CHECKPOINTED frontiers — the
       // union tree is depth-bounded and each leaf is materialized, so
       // no per-round visited materialization job is needed
       var visited = frontier
+      val allPbs = scala.collection.mutable.SortedSet.empty[Int]
+      allPbs ++= fpbs
       var depth = 0
-      var walking = true
-      while (walking) {
-        // bucket derivation doubles as the emptiness probe: pb is
-        // never null, so an empty bucket set means an empty frontier.
-        // fids is NOT checkpointed — it is two cheap projections off
-        // the already-checkpointed frontier, and a dedicated
-        // materialization job would cost more than the recompute
-        val fids = frontier.select(col("start").as("id")).distinct()
-          .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
-        val fpbs = DedupStore.batchBuckets(fids)
-        if (fpbs.isEmpty) walking = false
-        else {
-          depth += 1
-          require(depth <= maxDepth,
-            s"hierarchy deeper than maxDepth=$maxDepth (cycle?)")
-          // parent of each frontier node under POST-BATCH pointers:
-          // the batch's own events override the stored latest
-          val storedParent = nodesRel.map { rel =>
-              val rows = rel.where(col("pb").isin(fpbs: _*))
-                .join(broadcast(fids.select("id")), Seq("id"), "left_semi")
-              rows.groupBy(col("id"))
-                .agg(max(struct(col("batch_id"), col("parent"))).as("m"))
-                .select(col("id"), col("m.parent").as("sparent"),
-                  lit(true).as("in_store"))
-            }.getOrElse(
-              fids.select(col("id"), lit(null).as("sparent"),
-                lit(true).as("in_store")).limit(0))
-          // an event's parent wins even when it is NULL (reparent to
-          // root) — a coalesce would silently resurrect the stored
-          // pointer there. A frontier id with NEITHER an event NOR a
-          // stored row is a dangling parent reference: fail loud (the
-          // raise_error rides this round's checkpoint job, so the
-          // guard is free), instead of crediting its delta to a node
-          // that does not exist. Fires before any append, so a failed
-          // batch writes nothing.
-          frontier = frontier
-            .join(broadcast(ev.select(col("id").as("start"),
-              col("parent").as("eparent"), lit(true).as("in_ev"))),
-              Seq("start"), "left")
-            .join(broadcast(storedParent.select(col("id").as("start"),
-              col("sparent"), col("in_store"))), Seq("start"), "left")
-            .select(when(col("in_ev"), col("eparent"))
-              .when(col("in_store"), col("sparent"))
-              .otherwise(raise_error(concat(
-                lit("hierarchyIngestStream: dangling parent id "),
-                col("start").cast("string")))).as("start"),
-              col("dn"), col("dsum"))
-            .where(col("start").isNotNull)
-            .localCheckpoint(true)
-          visited = visited.unionByName(frontier)
-          lap(s"walk round $depth")
-        }
+      while (fpbs.nonEmpty) {
+        depth += 1
+        require(depth <= maxDepth,
+          s"hierarchy deeper than maxDepth=$maxDepth (cycle?)")
+        // parent of each frontier node under POST-BATCH pointers: the
+        // batch's own events override the stored latest. The semi-join
+        // broadcasts the checkpointed frontier directly — duplicates
+        // are harmless to a semi-join and a distinct would add an
+        // exchange (and its query-stage job) per round.
+        val storedParent = nodesRel.map { rel =>
+            val rows = rel.where(col("pb").isin(fpbs: _*))
+              .join(broadcast(frontier.select(col("start").as("id"))),
+                Seq("id"), "left_semi")
+            rows.groupBy(col("id"))
+              .agg(max(struct(col("batch_id"), col("parent"))).as("m"))
+              .select(col("id"), col("m.parent").as("sparent"),
+                lit(true).as("in_store"))
+          }.getOrElse(
+            ev.select(col("id"), lit(null).as("sparent"),
+              lit(true).as("in_store")).limit(0))
+        // an event's parent wins even when it is NULL (reparent to
+        // root) — a coalesce would silently resurrect the stored
+        // pointer there. A frontier id with NEITHER an event NOR a
+        // stored row is a dangling parent reference: fail loud (the
+        // raise_error rides this round's checkpoint job, so the
+        // guard is free), instead of crediting its delta to a node
+        // that does not exist. Fires before any append, so a failed
+        // batch writes nothing.
+        val (next, npbs) = checkpointWithPbs(frontier
+          .join(broadcast(ev.select(col("id").as("start"),
+            col("parent").as("eparent"), lit(true).as("in_ev"))),
+            Seq("start"), "left")
+          .join(broadcast(storedParent.select(col("id").as("start"),
+            col("sparent"), col("in_store"))), Seq("start"), "left")
+          .select(when(col("in_ev"), col("eparent"))
+            .when(col("in_store"), col("sparent"))
+            .otherwise(raise_error(concat(
+              lit("hierarchyIngestStream: dangling parent id "),
+              col("start").cast("string")))).as("start"),
+            col("dn"), col("dsum"))
+          .where(col("start").isNotNull))
+        frontier = next
+        fpbs = npbs
+        allPbs ++= fpbs
+        visited = visited.unionByName(frontier)
+        lap(s"walk round $depth")
       }
       val delta = visited.groupBy(col("start").as("id"))
         .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
@@ -1477,7 +1518,10 @@ object Pipelines {
       // each use — cheaper than a dedicated materialization job
       val dpb = delta
         .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
-      val dpbs = DedupStore.batchBuckets(dpb)
+      // the touched ids are exactly the harvested frontiers, so their
+      // bucket union is a sound (slightly wide when some deltas cancel
+      // to zero) pruning set — no dedicated distinct+collect job
+      val dpbs = allPbs.toSeq
       lap("delta+buckets")
       val accBase = accRel.filter(_ => dpbs.nonEmpty).map { rel =>
           val rows = rel.where(col("pb").isin(dpbs: _*))

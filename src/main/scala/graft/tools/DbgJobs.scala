@@ -17,9 +17,14 @@ object DbgJobs {
     val spark = GraftSession.local(32, "dbg-jobs")
     spark.sparkContext.setLogLevel("ERROR")
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val callsites = sys.env.contains("SPARK_GRAFT_DBG_CALLSITES")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        n.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val k = n.incrementAndGet()
+        if (callsites)
+          System.err.println(s"[job#$k] stages=${j.stageInfos.size} " +
+            j.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | "))
+      }
     })
     // warm
     graft.queries.Registry.byName(name).run(spark, dir)
