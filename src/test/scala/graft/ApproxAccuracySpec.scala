@@ -19,28 +19,35 @@ class ApproxAccuracySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q10b: HLL distinct counts within ±5% of exact, per group") {
-    val joined = Tables.lineitem(spark, dir)
+    // run the REGISTERED query (not an inline re-implementation), so a
+    // driver change to q10b's estimator or its rsd is caught here even
+    // though the oracle gate can't see inside the estimate
+    val approx = graft.queries.Registry.byName("q10b_approx_distinct")
+      .run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_n_part")).toMap
+    val exact = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
-      .collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      val exact = r.getAs[Long]("exact").toDouble
-      val approx = r.getAs[Long]("approx").toDouble
-      val relErr = math.abs(approx - exact) / exact
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("exact")).toMap
+    assert(approx.nonEmpty && approx.keySet === exact.keySet)
+    approx.foreach { case (grp, a) =>
+      val e = exact(grp).toDouble
+      val relErr = math.abs(a - e) / e
       assert(relErr <= 0.05,
-        s"HLL estimate $approx vs exact $exact (rel err $relErr) for ${r.get(0)}")
+        s"HLL estimate $a vs exact $e (rel err $relErr) for $grp")
     }
   }
 
   test("q38b: approx_percentile within 2% rank tolerance of the target, per group") {
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_totalprice").cast("double").as("v"))
-    val approx = orders.groupBy(col("o_orderpriority"))
-      .agg(expr("approx_percentile(v, 0.5, 10000)").as("a50"),
-        expr("approx_percentile(v, 0.9, 10000)").as("a90"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the registered query's own sketch answers (rounded to 3dp there —
+    // far inside the 2% rank tolerance)
+    val approx = graft.queries.Registry.byName("q38b_approx_percentiles")
+      .run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Number]("p50").doubleValue(),
+          r.getAs[Number]("p90").doubleValue())).toMap
     assert(approx.nonEmpty)
     // rank-space check: the fraction of group values ≤ the sketch's
     // answer must sit within ±2% of the requested quantile (accuracy
