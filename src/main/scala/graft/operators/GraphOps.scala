@@ -86,6 +86,50 @@ object GraphOps {
       .select(col("id"), (col("r") / col("n")).as("p"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, LPA) over a symmetrized edge list — communities emerge
+    * from plurality voting with no parameter but the round count:
+    * every vertex starts as its own label; each round it adopts the
+    * label held by MOST of its neighbors, ties to the SMALLEST label,
+    * all vertices updating simultaneously from the PREVIOUS round's
+    * labels (the synchronous variant — deterministic, replayable in
+    * SQL, unlike the literature's randomized asynchronous sweep; the
+    * known cost is possible two-coloring oscillation on bipartite
+    * structure, which fixed `iters` bounds). Isolated vertices keep
+    * their own label. The near-dup clustering ([[Dedup.dupClusters]])
+    * answers "connected at all"; LPA answers the finer "densely
+    * connected to WHICH side" — a bridge edge between two triangles
+    * does not merge them here.
+    *
+    * Scale: per round ONE edge⋈label join shuffled on the edge key,
+    * one (vertex, label) count, and one per-vertex argmax window —
+    * all keyed, nothing corpus-crossing; labels localCheckpoint per
+    * round (lineage truncation, the [[pageRank]] discipline). Returns
+    * (id, community). */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val v = vertices.select(col("id"))
+    val e = edges.select(col("src"), col("dst"))
+    var labels = v.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val best = votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+            .orderBy(col("c").desc, col("lbl").asc)))
+        .where(col("rn") === 1)
+        .select(col("src").as("id"), col("lbl").as("nlbl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg, '99) over a DIRECTED edge
     * list — src vertices accumulate HUB scores ("points at the good
     * stuff"), dst vertices AUTHORITY scores ("pointed at by good

@@ -708,6 +708,51 @@ object DedupQueries {
     }
   }
 
+  /** Community detection by synchronous label propagation (see
+    * [[graft.operators.GraphOps.labelPropagation]]) over the
+    * symmetrized near-dup pair graph — the finer sibling of q51's
+    * connected components: CC merges everything reachable (one bridge
+    * edge fuses two dense groups), LPA's plurality vote keeps densely
+    * connected sides apart. Fully deterministic (synchronous update,
+    * ties to the smallest label, fixed 3 rounds), so the oracle
+    * replays every round as chained CTEs: a (vertex, neighbor-label)
+    * count, a per-vertex argmax with the same (count DESC, label ASC)
+    * tie-break, and a coalesce for isolated vertices. */
+  val q338 = {
+    val Iters = 3
+    def iterCtes(i: Int): String =
+      s"""v$i AS (
+         |  SELECT ed.src AS id, l.lbl AS lbl, count(*) AS c
+         |  FROM ed JOIN l${i - 1} l ON l.id = ed.dst
+         |  GROUP BY 1, 2),
+         |m$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$i) WHERE rn = 1),
+         |l$i AS (
+         |  SELECT p.id, coalesce(m$i.lbl, p.lbl) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN m$i USING (id))""".stripMargin
+    GQuery("q338_label_propagation",
+      s"""WITH $shingleCtes,
+         |$pairCtes,
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+         |${(1 to Iters).map(iterCtes).mkString(",\n")}
+         |SELECT id AS doc_id, lbl AS community
+         |FROM l$Iters ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = sharedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.GraphOps.labelPropagation(
+          Tables.documents(s, dir).select(col("doc_id").as("id")),
+          edges, iters = Iters)
+        .select(col("id").as("doc_id"), col("community"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Capstone curation v4 — the fourth-session stack composed under
     * ONE end-to-end oracle: canonical-by-quality near-dup dedup (q78
     * rule) → quality-weighted Bernoulli resample at 1/2 (q102's
@@ -2252,5 +2297,5 @@ object DedupQueries {
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
-      q318, q319, q320, q322)
+      q318, q319, q320, q322, q338)
 }

@@ -48,6 +48,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(ranks(4)(4L) == (1 - 0.85) / 4)
   }
 
+  test("labelPropagation: two bridged triangles stay separate communities; synchronous rounds hand-computed; isolated keeps own label") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3—4; isolated 7
+    val vertices = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    def lp(iters: Int): Map[Long, Long] =
+      GraphOps.labelPropagation(vertices, edges, iters)
+        .as[(Long, Long)].collect().toMap
+    // round 1 from own-id labels (plurality of neighbor labels,
+    // ties → min): 1 sees {2,3}→2; 2 sees {1,3}→1; 3 sees {1,2,4}→1;
+    // 4 sees {3,5,6}→3; 5 sees {4,6}→4; 6 sees {4,5}→4; 7 isolated
+    assert(lp(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L, 7L -> 7L))
+    // after 3 synchronous rounds the triangles have settled on one
+    // label each — and the bridge did NOT merge them (CC would)
+    val got = lp(3)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L, 7L -> 7L))
+    assert(lp(3) === got, "label propagation must be deterministic")
+  }
+
   test("smoothScores: hand-computed integer rounds; isolated vertex untouched") {
     val scores = Seq((1L, 1.0), (2L, 0.0), (3L, 0.5)).toDF("id", "score")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
