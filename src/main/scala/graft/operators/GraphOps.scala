@@ -130,6 +130,46 @@ object GraphOps {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** Newman modularity of a vertex partition, in EXACT integers —
+    * Q = Σ_c [L_c/m − (d_c/2m)²] rescaled by 4m² so every term is a
+    * BIGINT: per community, `q_4m2_part = E2·intra_dir − d_c²` with
+    * E2 the symmetrized (directed) edge-row count, `intra_dir` the
+    * directed rows whose endpoints share the community, and `d_c` the
+    * community's degree sum; Q = Σ parts / E2². No float touches the
+    * computation, so an oracle replays it bit-for-bit. Headroom:
+    * d_c² ≤ E2² needs E2 < 2³¹·√2 ≈ 3·10⁹ directed rows — past that,
+    * lift to 128-bit decimal.
+    *
+    * Scale: two broadcast-joined label lookups on the edge list (or
+    * shuffled joins when labels outgrow a broadcast), one keyed count
+    * each, one 1-row edge count — nothing corpus-crossing. `labels`
+    * is (id, community); `edges` the symmetrized (src, dst) list.
+    * Returns (community, n_members, d_c, intra_dir, q_4m2_part, e2)
+    * — isolated vertices appear as zero-contribution singletons. */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("community"))
+    val e = edges.select(col("src"), col("dst"))
+    val e2 = e.agg(count(lit(1)).as("e2"))
+    val dg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val cm = l.join(dg, Seq("id"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_c"))
+    val intra = e
+      .join(l.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(l.select(col("id").as("dst"), col("community").as("cb")), "dst")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_dir"))
+    cm.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(e2))
+      .select(col("community"), col("n_members"), col("d_c"),
+        coalesce(col("intra_dir"), lit(0L)).as("intra_dir"),
+        (col("e2") * coalesce(col("intra_dir"), lit(0L))
+          - col("d_c") * col("d_c")).as("q_4m2_part"),
+        col("e2"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg, '99) over a DIRECTED edge
     * list — src vertices accumulate HUB scores ("points at the good
     * stuff"), dst vertices AUTHORITY scores ("pointed at by good

@@ -753,6 +753,70 @@ object DedupQueries {
     }
   }
 
+  /** Partition-quality audit: Newman MODULARITY of the q338 LPA
+    * communities, in EXACT integers — the standard "are these
+    * communities denser than chance" score, without a single float:
+    * Q = Σ_c [L_c/m − (d_c/2m)²] over undirected intra-edge counts
+    * L_c, community degree sums d_c, and edge count m scales to
+    * 4m²·Q = Σ_c [E2·intra_c − d_c²] with E2 = 2m the DIRECTED row
+    * count and intra_c the directed intra-community rows — every term
+    * a BIGINT both engines compute identically. Per-community
+    * contributions ORDER BY community, plus the E2 scale so a reader
+    * can recover Q. Isolated vertices are their own zero-contribution
+    * communities. */
+  val q339 = {
+    val Iters = 3
+    def iterCtes(i: Int): String =
+      s"""v$i AS (
+         |  SELECT ed.src AS id, l.lbl AS lbl, count(*) AS c
+         |  FROM ed JOIN l${i - 1} l ON l.id = ed.dst
+         |  GROUP BY 1, 2),
+         |m$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$i) WHERE rn = 1),
+         |l$i AS (
+         |  SELECT p.id, coalesce(m$i.lbl, p.lbl) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN m$i USING (id))""".stripMargin
+    GQuery("q339_lpa_modularity",
+      s"""WITH $shingleCtes,
+         |$pairCtes,
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+         |${(1 to Iters).map(iterCtes).mkString(",\n")},
+         |e2 AS (SELECT count(*) AS e2 FROM ed),
+         |dg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+         |cm AS (
+         |  SELECT l.lbl AS community,
+         |    CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(coalesce(dg.deg, 0)) AS BIGINT) AS d_c
+         |  FROM l$Iters l LEFT JOIN dg USING (id) GROUP BY 1),
+         |intra AS (
+         |  SELECT a.lbl AS community, CAST(count(*) AS BIGINT) AS intra_dir
+         |  FROM ed JOIN l$Iters a ON a.id = ed.src
+         |          JOIN l$Iters b ON b.id = ed.dst
+         |  WHERE a.lbl = b.lbl GROUP BY 1)
+         |SELECT cm.community, cm.n_members, cm.d_c,
+         |  CAST(coalesce(i.intra_dir, 0) AS BIGINT) AS intra_dir,
+         |  CAST((SELECT e2 FROM e2) * coalesce(i.intra_dir, 0)
+         |    - cm.d_c * cm.d_c AS BIGINT) AS q_4m2_part,
+         |  CAST((SELECT e2 FROM e2) AS BIGINT) AS e2
+         |FROM cm LEFT JOIN intra i USING (community)
+         |ORDER BY community""".stripMargin) { (s, dir) =>
+      val pairs = sharedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint()
+      val labels = graft.operators.GraphOps.labelPropagation(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        edges, iters = Iters)
+      graft.operators.GraphOps.modularity(labels, edges)
+        .orderBy(col("community"))
+    }
+  }
+
   /** Capstone curation v4 — the fourth-session stack composed under
     * ONE end-to-end oracle: canonical-by-quality near-dup dedup (q78
     * rule) → quality-weighted Bernoulli resample at 1/2 (q102's
@@ -2297,5 +2361,5 @@ object DedupQueries {
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
-      q318, q319, q320, q322, q338)
+      q318, q319, q320, q322, q338, q339)
 }

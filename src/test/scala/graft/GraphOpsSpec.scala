@@ -71,6 +71,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(lp(3) === got, "label propagation must be deterministic")
   }
 
+  test("modularity: hand-computed integer parts on the bridged triangles; isolated is a zero singleton") {
+    // same fixture as the LPA test: m = 7 undirected edges, E2 = 14
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L).toDF("id", "community")
+    val got = GraphOps.modularity(labels, edges)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // c1: degrees 2+2+3 = 7, intra 3 undirected = 6 directed →
+    //   part = 14·6 − 7² = 35; c3 symmetric; c7 isolated → 0
+    assert(got.toSeq === Seq(
+      (1L, 3L, 7L, 6L, 35L, 14L),
+      (3L, 3L, 7L, 6L, 35L, 14L),
+      (7L, 1L, 0L, 0L, 0L, 14L)))
+    // Q = Σ parts / E2² = 70/196 ≈ 0.357 — denser than chance, as a
+    // two-community split of bridged triangles should be
+    assert(got.map(_._5).sum.toDouble / (14.0 * 14.0) > 0.3)
+  }
+
   test("smoothScores: hand-computed integer rounds; isolated vertex untouched") {
     val scores = Seq((1L, 1.0), (2L, 0.0), (3L, 0.5)).toDF("id", "score")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
