@@ -157,6 +157,101 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** WordPiece merge induction (Schuster & Nakajima 2012, the third
+    * production tokenizer family next to BPE and [[UnigramLm]]) — the
+    * BPE loop with the LIKELIHOOD argmax: each round fuses the pair
+    * maximizing `count(l,r) / (count(l)·count(r))` (the pair whose
+    * co-occurrence most exceeds chance) instead of raw frequency.
+    * Scores are grid-snapped to integer millinats
+    * (`floor(1000·ln(c/(sl·sr)) + 0.5)`, the [[UnigramLm]] move) with
+    * ties (score DESC, then (l, r) ASC) so an oracle replays every
+    * round bit-for-bit. Symbol counts update incrementally at each
+    * fuse site exactly like the pair counts (l and r each lose the
+    * fused occurrences, lr gains them; l = r loses twice).
+    *
+    * Same scale posture as [[trainMergesFromTokens]]: ONE corpus-sized
+    * census shuffle, then a driver loop over vocabulary-bounded state.
+    * Returns (rank, left, right, pair_count, score_m). */
+  def trainWordpieceFromTokens(toks: DataFrame, nMerges: Int,
+                               minPairCount: Long = 2L,
+                               maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = toks.sparkSession
+    def symbols(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val census: Array[(Array[String], Long)] = toks
+      .select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (symbols(r.getString(0)) :+ "</w>", r.getLong(1)))
+    val seqs = census.map(_._1.toBuffer)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val syms = scala.collection.mutable.HashMap.empty[String, Long]
+    def bump(k: (String, String), d: Long): Unit = {
+      val n = counts.getOrElse(k, 0L) + d
+      if (n <= 0L) counts.remove(k) else counts(k) = n
+    }
+    def bumpSym(s: String, d: Long): Unit = {
+      val n = syms.getOrElse(s, 0L) + d
+      if (n <= 0L) syms.remove(s) else syms(s) = n
+    }
+    {
+      var i = 0
+      while (i < seqs.length) {
+        val s = seqs(i); val c = census(i)._2
+        var j = 0
+        while (j < s.length) {
+          bumpSym(s(j), c)
+          if (j < s.length - 1) bump((s(j), s(j + 1)), c)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    def scoreM(l: String, r: String, c: Long): Long =
+      math.floor(1000.0 * math.log(
+        c.toDouble / (syms(l).toDouble * syms(r).toDouble)) + 0.5).toLong
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val cand = counts.iterator.filter(_._2 >= minPairCount).map {
+        case ((l, r), c) => (l, r, c, scoreM(l, r, c))
+      }.toSeq
+      if (cand.isEmpty) exhausted = true
+      else {
+        val (l, r, c, sm) = cand.minBy { case (a, b, _, s) => (-s, a, b) }
+        merges += ((rank, l, r, c, sm))
+        val lr = l + r
+        var i = 0
+        while (i < seqs.length) {
+          val s = seqs(i); val cw = census(i)._2
+          var j = 0
+          while (j < s.length - 1) {
+            if (s(j) == l && s(j + 1) == r) {   // greedy left-to-right
+              bump((l, r), -cw)
+              if (j > 0) { bump((s(j - 1), l), -cw); bump((s(j - 1), lr), cw) }
+              if (j + 2 < s.length) {
+                bump((r, s(j + 2)), -cw); bump((lr, s(j + 2)), cw)
+              }
+              bumpSym(l, -cw); bumpSym(r, -cw); bumpSym(lr, cw)
+              s(j) = lr
+              s.remove(j + 1)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count", "score_m")
+  }
+
   /** Apply a trained merge table to text: tokenize, segment each word,
     * replay the merges in rank order (greedy left-to-right, the same
     * [[fuse]] fold as training), and emit per-document subword counts.

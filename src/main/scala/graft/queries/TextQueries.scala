@@ -2514,6 +2514,86 @@ object TextQueries {
       .orderBy(col("factor"))
   }
 
+  /** WordPiece merge induction (see
+    * [[graft.operators.Bpe.trainWordpieceFromTokens]]) — the third
+    * tokenizer family: the q83 BPE chain with the LIKELIHOOD argmax
+    * (fuse the pair maximizing count(l,r)/(count(l)·count(r)),
+    * grid-snapped to integer millinats, ties (l, r) ASC). The oracle
+    * replays all rounds: per iteration the same double-delimiter pair
+    * census as q83 PLUS a symbol census off the same segmentation,
+    * the snapped-score argmax, and the replace. Early stop (no pair
+    * ≥ 2) falls out of the empty LIMIT 1 + no-op LEFT JOIN as in
+    * q83. */
+  val q340 = {
+    val N = 40
+    val S = bpeS
+    def wpCtes(n: Int): Seq[String] = {
+      val head = Seq(
+        bpeCte("tok",
+          """
+            |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            |  FROM documents""".stripMargin, mat = false),
+        bpeCte("cen",
+          s"""
+             |  SELECT tok, count(*) AS cnt FROM (SELECT unnest(ws) AS tok FROM tok) t
+             |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT ${1 << 20}""".stripMargin),
+        bpeCte("it0",
+          s"""
+             |  SELECT tok, cnt,
+             |    array_to_string([$S || c || $S for c in string_split(tok, '')], '')
+             |      || $S || '</w>' || $S AS seg
+             |  FROM cen""".stripMargin))
+      val iters = (0 until n).flatMap { k =>
+        Seq(
+          bpeCte(s"pairs$k",
+            s"""
+               |  SELECT u.l AS l, u.r AS r, sum(cnt) AS c FROM (
+               |    SELECT cnt, unnest([{'l': sg[i], 'r': sg[i + 1]}
+               |                        for i in range(1, len(sg))]) AS u
+               |    FROM (SELECT cnt, string_split(trim(seg, $S), $S || $S) AS sg
+               |          FROM it$k))
+               |  GROUP BY 1, 2""".stripMargin),
+          bpeCte(s"syms$k",
+            s"""
+               |  SELECT u AS s, sum(cnt) AS sc FROM (
+               |    SELECT cnt, unnest(string_split(trim(seg, $S), $S || $S)) AS u
+               |    FROM it$k)
+               |  GROUP BY 1""".stripMargin),
+          bpeCte(s"best$k",
+            s"""
+               |  SELECT $k AS rank, l, r, c,
+               |    CAST(floor(1000 * ln(CAST(c AS DOUBLE)
+               |      / (CAST(sl.sc AS DOUBLE) * CAST(sr.sc AS DOUBLE)))
+               |      + 0.5) AS BIGINT) AS sm
+               |  FROM pairs$k p JOIN syms$k sl ON sl.s = p.l
+               |                 JOIN syms$k sr ON sr.s = p.r
+               |  WHERE c >= 2
+               |  ORDER BY sm DESC, l, r LIMIT 1""".stripMargin),
+          bpeCte(s"it${k + 1}",
+            s"""
+               |  SELECT tok, cnt,
+               |    CASE WHEN b.l IS NULL THEN seg
+               |         ELSE replace(seg, $S || b.l || $S || $S || b.r || $S,
+               |                      $S || b.l || b.r || $S) END AS seg
+               |  FROM it$k LEFT JOIN best$k b ON TRUE""".stripMargin))
+      }
+      head ++ iters
+    }
+    val union = (0 until N)
+      .map(k => s"SELECT rank, l, r, c, sm FROM best$k")
+      .mkString("\nUNION ALL\n")
+    GQuery("q340_wordpiece_merges",
+      "WITH " + wpCtes(N).mkString(",\n") +
+        s"""
+           |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+           |  CAST(c AS BIGINT) AS pair_count, sm AS score_m
+           |FROM ($union) ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.operators.Bpe.trainWordpieceFromTokens(sharedToks(s, dir),
+          nMerges = N)
+        .orderBy(col("rank"))
+    }
+  }
+
   /** The q336/q337 unigram-LM training-replay chain. The whole
     * training ([[graft.operators.UnigramLm]]) is deterministic —
     * integer counts everywhere, one grid-snapped `ln` per cost — so
@@ -2703,5 +2783,5 @@ object TextQueries {
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
       q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281,
-      q336, q337)
+      q336, q337, q340)
 }

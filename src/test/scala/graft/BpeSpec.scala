@@ -30,6 +30,32 @@ class BpeSpec extends SparkSpec {
       (4, "lo", "w", 7L)))
   }
 
+  test("trainWordpiece: likelihood argmax diverges from BPE's frequency argmax; snapped-score ties break (l, r) asc; symbol counts track fuses") {
+    // "ab"×5, "a"×20, "b"×20, "xy"×3 — symbols a:25 b:25 x:3 y:3 </w>:48
+    // scores c/(sl·sr): (x,y) 3/9 = .333 beats every frequent pair,
+    // while BPE's count argmax would take (b,</w>) at 25
+    val docs = Seq(
+      (1L, Seq.fill(5)("ab").mkString(" ")),
+      (2L, Seq.fill(20)("a").mkString(" ")),
+      (3L, Seq.fill(20)("b").mkString(" ")),
+      (4L, Seq.fill(3)("xy").mkString(" "))).toDF("doc_id", "text")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val wp = Bpe.trainWordpieceFromTokens(toks, nMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    // round 2: (b,</w>) 25/(25·48) and (xy,</w>) 3/(3·48) are EXACTLY
+    // 1/48 both — equal snapped scores, so (l,r) asc picks "b";
+    // round 3: </w> still 48? no — after fusing b</w> its census is 23,
+    // so (xy,</w>) 1/23 beats (a,</w>) 20/(25·23)
+    assert(wp.toSeq === Seq(
+      (0, "x", "y", 3L), (1, "b", "</w>", 25L), (2, "xy", "</w>", 3L)))
+    val bpe = Bpe.trainMergesFromTokens(toks, nMerges = 1)
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    assert(bpe.head === (("b", "</w>")),
+      "BPE's frequency argmax must differ from WordPiece's likelihood argmax here")
+  }
+
   test("trainMerges stops early when no pair reaches minPairCount") {
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val got = Bpe.trainMerges(tiny, "doc_id", "text",
