@@ -35,6 +35,23 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(col(keyCol), 100) < testPct, "test").otherwise("train"))
 
+  /** GROUP-AWARE train/test split — the leakage-safe form: the split
+    * hashes a GROUP key (e.g. the near-dup cluster rep from
+    * [[Dedup.dupClusters]]), so every member of a group lands in the
+    * SAME split. A per-document split leaks: two near-duplicates can
+    * straddle train and test, and the model is then evaluated on
+    * paraphrases of its training data — the evaluation-contamination
+    * failure the decontamination family (q52/q53) guards against at
+    * the corpus boundary, applied here to the corpus's own split.
+    * Pure map over a frame already carrying the group column; rows
+    * with a NULL group key fall back to their own `keyCol` (a null
+    * group means "ungrouped", not "all in one bucket"). */
+  def groupTrainTestSplit(df: DataFrame, groupCol: String, keyCol: String,
+                          testPct: Int): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(coalesce(col(groupCol), col(keyCol)), 100) < testPct,
+        "test").otherwise("train"))
+
   /** Temperature (α) mixture reweighting — the multilingual-pretraining
     * sampling scheme (sampling distribution p_s ∝ n_s^α flattens the
     * head, lifts the tail for α < 1). Data-driven two-pass shape:

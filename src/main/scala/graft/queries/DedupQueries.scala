@@ -817,6 +817,36 @@ object DedupQueries {
     }
   }
 
+  /** LEAKAGE-SAFE train/test split (see
+    * [[graft.operators.Sampling.groupTrainTestSplit]]): the split
+    * hashes the near-dup CLUSTER REP, so no cluster straddles train
+    * and test — the q45 doc-hash split would evaluate the model on
+    * paraphrases of its own training data. Per (lang, split): doc and
+    * cluster counts; by construction (split is a function of the
+    * rep) a cluster never spans splits — `SamplingSpec` asserts the
+    * law directly and shows the doc-level split DOES leak on the same
+    * clusters. */
+  val q341 = GQuery("q341_group_split",
+    s"""WITH RECURSIVE $shingleCtes,
+       |$clusterCtes
+       |SELECT d.lang,
+       |  CASE WHEN ${graft.operators.Sampling.hashBucketSql(
+            "cl.cluster_rep", 100)} < 10
+       |       THEN 'test' ELSE 'train' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cl.cluster_rep) AS BIGINT) AS n_clusters
+       |FROM documents d JOIN cl USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.groupTrainTestSplit(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+          .join(sharedClusters(s, dir), Seq("doc_id")),
+        "cluster_rep", "doc_id", testPct = 10)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_rep")).as("n_clusters"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Capstone curation v4 — the fourth-session stack composed under
     * ONE end-to-end oracle: canonical-by-quality near-dup dedup (q78
     * rule) → quality-weighted Bernoulli resample at 1/2 (q102's
@@ -2361,5 +2391,5 @@ object DedupQueries {
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
-      q318, q319, q320, q322, q338, q339)
+      q318, q319, q320, q322, q338, q339, q341)
 }

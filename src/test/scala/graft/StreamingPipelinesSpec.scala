@@ -1316,7 +1316,7 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(aggNow() === batchAgg(t4))
   }
 
-  test("hierarchyIngestStream property: random forests + random churn ≡ batch rollup at every boundary") {
+  test("hierarchyIngestStream property: random forests + random churn + random replays/empty batches ≡ batch rollup at every boundary") {
     import graft.operators.GraphOps
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(1000L + seed)
@@ -1369,6 +1369,21 @@ class StreamingPipelinesSpec extends SparkSpec {
         }
         val evs = inserts ++ updates
         if (evs.nonEmpty) { ingest(df(evs), b.toLong); check() }
+        // at-least-once delivery: replay the SAME batch sometimes —
+        // must be absorbed exactly (acc row count unchanged, read-out
+        // still ≡ batch)
+        if (evs.nonEmpty && rnd.nextBoolean()) {
+          val accRows = spark.read.parquet(s"$store/acc/data").count()
+          ingest(df(evs), b.toLong)
+          assert(spark.read.parquet(s"$store/acc/data").count() === accRows,
+            s"seed=$seed batch=$b replay appended acc rows")
+          check()
+        }
+        // foreachBatch can deliver an empty batch anywhere — a no-op
+        if (rnd.nextInt(3) == 0) {
+          ingest(df(Seq.empty), 100L + b)
+          check()
+        }
       }
     }
   }

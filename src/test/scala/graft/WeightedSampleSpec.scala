@@ -15,6 +15,40 @@ class WeightedSampleSpec extends SparkSpec {
 
   private val uniform = (1L to 2000L).map(_ -> 1.0)
 
+  test("groupTrainTestSplit: no group straddles splits; the doc-level split DOES leak on the same groups; null group falls back to own key") {
+    // one 20-member near-dup cluster (rep 1), one 10-member (rep 100),
+    // and two ungrouped docs (null rep)
+    val docs = ((1L to 20L).map(i => (i, Option(1L))) ++
+      (100L to 109L).map(i => (i, Option(100L))) ++
+      Seq((500L, None: Option[Long]), (501L, None: Option[Long])))
+      .toDF("doc_id", "cluster_rep")
+    val grouped = Sampling.groupTrainTestSplit(
+        docs, "cluster_rep", "doc_id", testPct = 30)
+      .as[(Long, Option[Long], String)].collect()
+    // leakage law: within a group the split is CONSTANT
+    grouped.filter(_._2.isDefined).groupBy(_._2.get).foreach {
+      case (rep, rows) =>
+        assert(rows.map(_._3).distinct.length === 1,
+          s"group $rep straddles splits")
+    }
+    // the doc-level split leaks on the very same data: some member of
+    // the 20-doc cluster lands on each side (md5 buckets of 1..20 are
+    // not all on one side of 30)
+    val docLevel = Sampling.trainTestSplit(docs, "doc_id", 30)
+      .as[(Long, Option[Long], String)].collect()
+    val c1 = docLevel.filter(_._2.contains(1L)).map(_._3).distinct
+    assert(c1.length === 2,
+      "fixture must demonstrate the doc-level leak (both splits present)")
+    // ungrouped docs split by their own key, not all-one-bucket
+    val ung = grouped.filter(_._2.isEmpty)
+    assert(ung.map(_._3).toSet.subsetOf(Set("train", "test")))
+    // determinism
+    val again = Sampling.groupTrainTestSplit(
+        docs, "cluster_rep", "doc_id", testPct = 30)
+      .as[(Long, Option[Long], String)].collect()
+    assert(again.sortBy(_._1).toSeq === grouped.sortBy(_._1).toSeq)
+  }
+
   test("uniform weights keep ≈ the target fraction, deterministically") {
     val k = flags(uniform, 1, 2)
     val k2 = flags(uniform, 1, 2)
