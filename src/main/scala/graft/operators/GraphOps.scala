@@ -170,6 +170,67 @@ object GraphOps {
         col("e2"))
   }
 
+  /** One SYNCHRONOUS greedy modularity-refinement sweep (the Louvain
+    * phase-1 move step, Blondel et al. 2008, in its deterministic
+    * distributed form): every vertex simultaneously evaluates moving
+    * to each NEIGHBOR community against the CURRENT partition and
+    * takes the move with the largest modularity gain if positive
+    * (ties → smallest community label). The gain is exact integer
+    * arithmetic on the [[modularity]] 4m² scale: moving v from a to b
+    * changes 4m²·Q by `2·E2·(k_vb − k_va) + 2·d_v·(D_a − D_b) −
+    * 2·d_v²` with k_vc = directed rows v→c, d_v = v's degree, D_c =
+    * community degree sums — every term a BIGINT, so an oracle
+    * replays the sweep bit-for-bit. Serial Louvain is
+    * visit-order-dependent (not replayable, not distributed); the
+    * synchronous sweep is the LPA-shaped form — simultaneous moves
+    * may overshoot on pathological ties, which bounded sweep counts
+    * accept (the q342 fixture's single sweep strictly improves Q, and
+    * the spec asserts the per-move gain adds up exactly).
+    *
+    * Scale: one edge⋈label join for k_vc, two keyed aggregates (d_v,
+    * D_c), a per-vertex argmax window — nothing corpus-crossing.
+    * Returns the refined (id, community). */
+  def modularityRefineRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("community"))
+    val e = edges.select(col("src"), col("dst"))
+    val e2 = e.agg(count(lit(1)).as("e2"))
+    val dg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val dC = l.join(dg, Seq("id"), "left")
+      .groupBy(col("community"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"))
+    val kvc = e
+      .join(l.select(col("id").as("dst"), col("community").as("cb")), "dst")
+      .groupBy(col("src").as("id"), col("cb"))
+      .agg(count(lit(1)).as("k"))
+    val base = l.select(col("id"), col("community").as("a"))
+      .join(dg, Seq("id"), "left")
+      .select(col("id"), col("a"), coalesce(col("deg"), lit(0L)).as("dv"))
+      .join(dC.select(col("community").as("a"), col("dsum").as("da")), "a")
+    val withKva = base
+      .join(kvc.select(col("id"), col("cb").as("a"), col("k").as("kva")),
+        Seq("id", "a"), "left")
+      .select(col("id"), col("a"), col("dv"), col("da"),
+        coalesce(col("kva"), lit(0L)).as("kva"))
+    val cand = withKva
+      .join(kvc.select(col("id"), col("cb").as("b"), col("k").as("kvb")),
+        Seq("id"))
+      .where(col("b") =!= col("a"))
+      .join(dC.select(col("community").as("b"), col("dsum").as("db")), "b")
+      .crossJoin(broadcast(e2))
+      .select(col("id"), col("b"),
+        (lit(2L) * col("e2") * (col("kvb") - col("kva"))
+          + lit(2L) * col("dv") * (col("da") - col("db"))
+          - lit(2L) * col("dv") * col("dv")).as("gain"))
+    val best = cand
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("gain").desc, col("b").asc)))
+      .where(col("rn") === 1 && col("gain") > 0L)
+      .select(col("id"), col("b"))
+    l.join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("b"), col("community")).as("community"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg, '99) over a DIRECTED edge
     * list — src vertices accumulate HUB scores ("points at the good
     * stuff"), dst vertices AUTHORITY scores ("pointed at by good

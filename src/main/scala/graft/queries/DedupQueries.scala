@@ -718,8 +718,11 @@ object DedupQueries {
     * replays every round as chained CTEs: a (vertex, neighbor-label)
     * count, a per-vertex argmax with the same (count DESC, label ASC)
     * tie-break, and a coalesce for isolated vertices. */
-  val q338 = {
-    val Iters = 3
+  /** Shared oracle CTE suffix over [[pairCtes]]: the symmetrized edge
+    * list + `iters` synchronous LPA rounds -> `l{iters}(id, lbl)`.
+    * One definition serves q338/q339/q342 so the vote semantics
+    * cannot drift between oracles. */
+  private def lpaCtes(iters: Int): String = {
     def iterCtes(i: Int): String =
       s"""v$i AS (
          |  SELECT ed.src AS id, l.lbl AS lbl, count(*) AS c
@@ -730,16 +733,46 @@ object DedupQueries {
          |    SELECT id, lbl, row_number() OVER (PARTITION BY id
          |      ORDER BY c DESC, lbl ASC) AS rn
          |    FROM v$i) WHERE rn = 1),
-         |l$i AS (
+         |l$i AS MATERIALIZED (
          |  SELECT p.id, coalesce(m$i.lbl, p.lbl) AS lbl
          |  FROM l${i - 1} p LEFT JOIN m$i USING (id))""".stripMargin
+    s"""ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
+       |       UNION ALL SELECT id_b, id_a FROM pr),
+       |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |${(1 to iters).map(iterCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** The q339/q342 modularity-census tail over a label CTE `lt` (and
+    * the `ed` edge list): per-community (n_members, d_c, intra_dir,
+    * q_4m2_part, e2) — [[graft.operators.GraphOps.modularity]]'s
+    * exact-integer contract rendered in SQL. */
+  private def modularityCensusSql(lt: String): String =
+    s"""e2t AS (SELECT count(*) AS e2 FROM ed),
+       |dgt AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+       |cmt AS (
+       |  SELECT l.lbl AS community,
+       |    CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(coalesce(dgt.deg, 0)) AS BIGINT) AS d_c
+       |  FROM $lt l LEFT JOIN dgt USING (id) GROUP BY 1),
+       |int AS (
+       |  SELECT a.lbl AS community, CAST(count(*) AS BIGINT) AS intra_dir
+       |  FROM ed JOIN $lt a ON a.id = ed.src
+       |          JOIN $lt b2 ON b2.id = ed.dst
+       |  WHERE a.lbl = b2.lbl GROUP BY 1)
+       |SELECT cmt.community, cmt.n_members, cmt.d_c,
+       |  CAST(coalesce(i.intra_dir, 0) AS BIGINT) AS intra_dir,
+       |  CAST((SELECT e2 FROM e2t) * coalesce(i.intra_dir, 0)
+       |    - cmt.d_c * cmt.d_c AS BIGINT) AS q_4m2_part,
+       |  CAST((SELECT e2 FROM e2t) AS BIGINT) AS e2
+       |FROM cmt LEFT JOIN int i USING (community)
+       |ORDER BY community""".stripMargin
+
+  val q338 = {
+    val Iters = 3
     GQuery("q338_label_propagation",
       s"""WITH $shingleCtes,
          |$pairCtes,
-         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
-         |       UNION ALL SELECT id_b, id_a FROM pr),
-         |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
-         |${(1 to Iters).map(iterCtes).mkString(",\n")}
+         |${lpaCtes(Iters)}
          |SELECT id AS doc_id, lbl AS community
          |FROM l$Iters ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val pairs = sharedPairs(s, dir)
@@ -766,45 +799,11 @@ object DedupQueries {
     * communities. */
   val q339 = {
     val Iters = 3
-    def iterCtes(i: Int): String =
-      s"""v$i AS (
-         |  SELECT ed.src AS id, l.lbl AS lbl, count(*) AS c
-         |  FROM ed JOIN l${i - 1} l ON l.id = ed.dst
-         |  GROUP BY 1, 2),
-         |m$i AS (
-         |  SELECT id, lbl FROM (
-         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
-         |      ORDER BY c DESC, lbl ASC) AS rn
-         |    FROM v$i) WHERE rn = 1),
-         |l$i AS (
-         |  SELECT p.id, coalesce(m$i.lbl, p.lbl) AS lbl
-         |  FROM l${i - 1} p LEFT JOIN m$i USING (id))""".stripMargin
     GQuery("q339_lpa_modularity",
       s"""WITH $shingleCtes,
          |$pairCtes,
-         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
-         |       UNION ALL SELECT id_b, id_a FROM pr),
-         |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
-         |${(1 to Iters).map(iterCtes).mkString(",\n")},
-         |e2 AS (SELECT count(*) AS e2 FROM ed),
-         |dg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
-         |cm AS (
-         |  SELECT l.lbl AS community,
-         |    CAST(count(*) AS BIGINT) AS n_members,
-         |    CAST(sum(coalesce(dg.deg, 0)) AS BIGINT) AS d_c
-         |  FROM l$Iters l LEFT JOIN dg USING (id) GROUP BY 1),
-         |intra AS (
-         |  SELECT a.lbl AS community, CAST(count(*) AS BIGINT) AS intra_dir
-         |  FROM ed JOIN l$Iters a ON a.id = ed.src
-         |          JOIN l$Iters b ON b.id = ed.dst
-         |  WHERE a.lbl = b.lbl GROUP BY 1)
-         |SELECT cm.community, cm.n_members, cm.d_c,
-         |  CAST(coalesce(i.intra_dir, 0) AS BIGINT) AS intra_dir,
-         |  CAST((SELECT e2 FROM e2) * coalesce(i.intra_dir, 0)
-         |    - cm.d_c * cm.d_c AS BIGINT) AS q_4m2_part,
-         |  CAST((SELECT e2 FROM e2) AS BIGINT) AS e2
-         |FROM cm LEFT JOIN intra i USING (community)
-         |ORDER BY community""".stripMargin) { (s, dir) =>
+         |${lpaCtes(Iters)},
+         |${modularityCensusSql(s"l$Iters")}""".stripMargin) { (s, dir) =>
       val pairs = sharedPairs(s, dir)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -813,6 +812,72 @@ object DedupQueries {
         Tables.documents(s, dir).select(col("doc_id").as("id")),
         edges, iters = Iters)
       graft.operators.GraphOps.modularity(labels, edges)
+        .orderBy(col("community"))
+    }
+  }
+
+  /** One greedy modularity-refinement sweep over the LPA partition
+    * (see [[graft.operators.GraphOps.modularityRefineRound]] — the
+    * synchronous Louvain phase-1 move step): every vertex evaluates
+    * moving to each neighbor community with the EXACT integer gain
+    * `2·E2·(k_vb − k_va) + 2·d_v·(D_a − D_b) − 2·d_v²` on the q339
+    * 4m² scale, takes the best strictly-positive move (ties → smallest
+    * label), all simultaneously. Output: the refined partition's
+    * modularity census (the q339 shape), so the oracle proves both
+    * the move selection AND the resulting Q parts. */
+  val q342 = {
+    val Iters = 3
+    GQuery("q342_modularity_refine",
+      s"""WITH $shingleCtes,
+         |$pairCtes,
+         |${lpaCtes(Iters)},
+         |e2r AS MATERIALIZED (SELECT count(*) AS e2 FROM ed),
+         |dgr AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+         |dcr AS MATERIALIZED (
+         |  SELECT l.lbl AS community,
+         |    CAST(sum(coalesce(dgr.deg, 0)) AS BIGINT) AS dsum
+         |  FROM l$Iters l LEFT JOIN dgr USING (id) GROUP BY 1),
+         |kvc AS MATERIALIZED (
+         |  SELECT ed.src AS id, b.lbl AS cb, CAST(count(*) AS BIGINT) AS k
+         |  FROM ed JOIN l$Iters b ON b.id = ed.dst GROUP BY 1, 2),
+         |base AS (
+         |  SELECT l.id, l.lbl AS a,
+         |    CAST(coalesce(dgr.deg, 0) AS BIGINT) AS dv,
+         |    dca.dsum AS da, CAST(coalesce(kv.k, 0) AS BIGINT) AS kva
+         |  FROM l$Iters l LEFT JOIN dgr USING (id)
+         |  JOIN dcr dca ON dca.community = l.lbl
+         |  LEFT JOIN kvc kv ON kv.id = l.id AND kv.cb = l.lbl),
+         |cand AS (
+         |  SELECT base.id, kvc.cb AS b,
+         |    2 * (SELECT e2 FROM e2r) * (kvc.k - base.kva)
+         |      + 2 * base.dv * (base.da - dcb.dsum)
+         |      - 2 * base.dv * base.dv AS gain
+         |  FROM base JOIN kvc ON kvc.id = base.id AND kvc.cb <> base.a
+         |  JOIN dcr dcb ON dcb.community = kvc.cb),
+         |mv AS (
+         |  SELECT id, b FROM (
+         |    SELECT id, b, gain, row_number() OVER (PARTITION BY id
+         |      ORDER BY gain DESC, b ASC) AS rn
+         |    FROM cand) WHERE rn = 1 AND gain > 0),
+         |lref AS MATERIALIZED (
+         |  SELECT l.id, coalesce(mv.b, l.lbl) AS lbl
+         |  FROM l$Iters l LEFT JOIN mv USING (id)),
+         |${modularityCensusSql("lref")}""".stripMargin) { (s, dir) =>
+      val pairs = sharedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint()
+      val labels = graft.operators.GraphOps.labelPropagation(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        edges, iters = Iters)
+      // fence the sweep's lineage: modularity() looks labels up TWICE
+      // (src and dst side), and an unfenced refinement DAG would be
+      // recomputed — and re-analyzed — once per lookup (the
+      // foreachBatch lineage lesson, SCALE.md)
+      val refined = graft.operators.GraphOps
+        .modularityRefineRound(labels, edges)
+        .localCheckpoint()
+      graft.operators.GraphOps.modularity(refined, edges)
         .orderBy(col("community"))
     }
   }
@@ -2391,5 +2456,5 @@ object DedupQueries {
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
-      q318, q319, q320, q322, q338, q339, q341)
+      q318, q319, q320, q322, q338, q339, q341, q342)
 }

@@ -92,6 +92,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.map(_._5).sum.toDouble / (14.0 * 14.0) > 0.3)
   }
 
+  test("modularityRefineRound: hand-computed gain moves the mislabeled bridge vertex; gain adds exactly to the Q-part delta; settled partition is a fixpoint") {
+    // bridged triangles; v4 deliberately mislabeled into community 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    val bad = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L).toDF("id", "community")
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.modularity(labels, edges)
+        .agg(sum(col("q_4m2_part"))).head().getLong(0)
+    val before = q(bad)
+    val refined = GraphOps.modularityRefineRound(bad, edges)
+    val got = refined.as[(Long, Long)].collect().toMap
+    // v4: a=1, k_4,c5=2, k_4,c1=1, d=3, D_1=10, D_5=4, E2=14 →
+    // gain = 2·14·(2−1) + 2·3·(10−4) − 2·9 = 46 > 0 → move to 5;
+    // v5/v6 would LOSE by moving (−32) and stay; c1's triangle stays
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // the move's exact gain equals the Q-part delta: 24 → 70
+    assert(before === 24L && q(refined) === 70L)
+    assert(q(refined) - before === 46L)
+    // a settled partition is a fixpoint of the sweep
+    val again = GraphOps.modularityRefineRound(refined, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
   test("smoothScores: hand-computed integer rounds; isolated vertex untouched") {
     val scores = Seq((1L, 1.0), (2L, 0.0), (3L, 0.5)).toDF("id", "score")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
