@@ -210,9 +210,13 @@ object Bpe {
         i += 1
       }
     }
+    // grid snap with the boundary guard ([[UnigramLm.snapMillinat]]):
+    // a score landing within 1e-9 of the floor(+0.5) cut aborts loud —
+    // a sub-ulp ln() difference between engines would flip the snapped
+    // value and hence a merge argmax, so the model would not replay
     def scoreM(l: String, r: String, c: Long): Long =
-      math.floor(1000.0 * math.log(
-        c.toDouble / (syms(l).toDouble * syms(r).toDouble)) + 0.5).toLong
+      UnigramLm.snapMillinat(
+        c.toDouble / (syms(l).toDouble * syms(r).toDouble))
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
     var rank = 0

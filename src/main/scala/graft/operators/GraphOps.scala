@@ -180,7 +180,11 @@ object GraphOps {
     * changes 4m²·Q by `2·E2·(k_vb − k_va) + 2·d_v·(D_a − D_b) −
     * 2·d_v²` with k_vc = directed rows v→c, d_v = v's degree, D_c =
     * community degree sums — every term a BIGINT, so an oracle
-    * replays the sweep bit-for-bit. Serial Louvain is
+    * replays the sweep bit-for-bit. Headroom is TIGHTER than
+    * [[modularity]]'s: the first term approaches 2·E2² on hub-heavy
+    * graphs (k_vc ≤ d_v ≤ E2), so BIGINT holds only to
+    * E2 < 2³¹ ≈ 2.1·10⁹ directed rows — past ~1e9 lift the gain
+    * arithmetic to DECIMAL(38,0). Serial Louvain is
     * visit-order-dependent (not replayable, not distributed); the
     * synchronous sweep is the LPA-shaped form — simultaneous moves
     * may overshoot on pathological ties, which bounded sweep counts

@@ -54,6 +54,27 @@ object UnigramLm {
   private def cps(w: String): Array[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
+  /** Snap `1000·ln(x)` to the integer millinat grid —
+    * `floor(1000·ln(x) + 0.5)` — FAILING LOUD when the value lands
+    * within 1e-9 of the grid cut (fractional part of 1000·ln(x)
+    * within 1e-9 of 0.5): there a sub-ulp ln() disagreement between
+    * engines flips the floor, silently reordering an argmax/merge
+    * downstream. The scaladoc contract that sub-ulp ln drift is
+    * absorbed holds only AWAY from the cut, so boundary-exact values
+    * abort training with a diagnosable message instead of producing
+    * an engine-dependent model. Shared by [[snapCosts]] and
+    * [[Bpe.trainWordpieceFromTokens]]'s score snap (and mirrored by
+    * the q336/q340 oracles' `floor(1000 * ln(..) + 0.5)`). */
+  def snapMillinat(x: Double): Long = {
+    val y = 1000.0 * math.log(x)
+    val f = y - math.floor(y)
+    require(math.abs(f - 0.5) >= 1e-9,
+      f"millinat grid boundary: 1000*ln($x) = $y lands within 1e-9 of " +
+        "the floor(+0.5) cut; the snap is not replayable across engines " +
+        "here - perturb the census (minPairCount/maxVocab) or widen the grid")
+    math.floor(y + 0.5).toLong
+  }
+
   /** Minimum-cost segmentation of `word` under `cost` (integer
     * millinats): returns (total cost, pieces). Pieces are ≤
     * `maxPieceLen` code points; an unknown single cp costs
@@ -103,7 +124,7 @@ object UnigramLm {
       : Map[String, Long] = {
     val tot = v.values.sum.toDouble
     v.iterator.map { case (p, c) =>
-      p -> math.floor(1000.0 * math.log(tot / c) + 0.5).toLong
+      p -> snapMillinat(tot / c)
     }.toMap
   }
 

@@ -1290,12 +1290,15 @@ object Pipelines {
     * one matching append). A hit means a prior attempt of THIS batch
     * already applied its deltas — whether it then crashed before the
     * nodes append (torn) or completed (plain redelivery) — so the
-    * replay skips delta derivation entirely and only (re)completes
-    * the nodes append, which is idempotent under the latest-wins
-    * read (duplicate rows share the max `batch_id` struct). Without
-    * the probe, a torn replay would recompute the deltas against the
-    * stale nodes AND base them on the crashed attempt's acc rows —
-    * applying them twice.
+    * replay skips delta derivation entirely, completes the nodes
+    * append only if ITS batch_id probe comes back empty (a plain
+    * redelivery appends nothing, so repeated replays cannot grow the
+    * store), and re-emits the batch's recovered acc rows to the
+    * change-feed sink (a first attempt that crashed between the acc
+    * append and sink() would otherwise drop that batch's output
+    * forever). Without the probe, a torn replay would recompute the
+    * deltas against the stale nodes AND base them on the crashed
+    * attempt's acc rows — applying them twice.
     *
     * Contract: strictly one event per node per batch (enforced), and
     * an event's `parent` must be null (root), an already-stored node,
@@ -1389,9 +1392,26 @@ object Pipelines {
       val replayed = accRel.exists(rel =>
         !rel.where(col("batch_id") === lit(batchId)).isEmpty)
       if (replayed) {
-        DedupStore.append(ev.withColumn("batch_id", lit(batchId)), nodesP)
-        lap("nodes-append (replay)")
-        sink(emptyOut)
+        // TORN vs PLAIN redelivery: the same footer-pruned batch_id
+        // probe against nodes/ tells which. Torn (acc landed, nodes
+        // did not) → complete the nodes append; plain (both landed) →
+        // append nothing, or repeated replays grow the store without
+        // bound when auto-compaction is off.
+        val nodesDone = nodesRel.exists(rel =>
+          !rel.where(col("batch_id") === lit(batchId)).isEmpty)
+        if (!nodesDone) {
+          DedupStore.append(ev.withColumn("batch_id", lit(batchId)), nodesP)
+          lap("nodes-append (replay)")
+        }
+        // The change feed must still carry this batch's aggregate rows:
+        // if the FIRST attempt crashed between the acc append and
+        // sink(), an empty replay frame would silently drop the batch's
+        // output forever even though the rows sit recovered in the acc
+        // store. Re-emitting on every redelivery is the at-least-once
+        // contract downstream sinks already absorb (latest-wins /
+        // batch_id-keyed), exactly like the store appends themselves.
+        sink(accRel.get.where(col("batch_id") === lit(batchId))
+          .select(col("id"), col("n_subtree"), col("subtree_sum")))
         return
       }
       def latest(rel: DataFrame, cols: Seq[String]): DataFrame = {

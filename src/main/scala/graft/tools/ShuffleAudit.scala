@@ -58,6 +58,10 @@ object ShuffleAudit {
     val totW = rows.map(_._3).sum
     val totR = rows.map(_._2).sum
     println(f"[shuffleaudit] TOTAL write=${mb(totW)}%.1f MB read=${mb(totR)}%.1f MB over ${rows.size} queries")
+    // full roster so `RegistryReport --check` can hold this artifact
+    // to registry lockstep (the r11 q342 drift class)
+    println(s"[shuffleaudit] audited (${rows.size}): " +
+      rows.map(_._1).sorted.mkString(", "))
     val bad = rows.filter(_._3 > maxShuffleGb * 1e9)
     if (bad.nonEmpty) {
       System.err.println(s"[shuffleaudit] FAIL over-budget: " +

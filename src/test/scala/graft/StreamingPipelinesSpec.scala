@@ -1278,12 +1278,27 @@ class StreamingPipelinesSpec extends SparkSpec {
     } :+ ((6L, Some(5L): Option[Long], 6L))
     assert(aggNow() === batchAgg(t3))
     assert(aggNow()(0L) === ((7L, 52L)))
-    // replay of batch 3 (at-least-once): absorbed, nothing changes
+    // replay of batch 3 (at-least-once): absorbed, nothing changes —
+    // NEITHER row family may grow (a plain redelivery re-appending
+    // nodes rows would grow the store without bound when
+    // auto-compaction is off), and the change feed re-emits the
+    // batch's recovered aggregate rows (not an empty frame)
     val accRows = spark.read.parquet(s"$store/acc/data").count()
-    ingest(df(Seq((6L, Some(5L), 6L), (4L, Some(0L), 7L),
+    val nodeRows = spark.read.parquet(s"$store/nodes/data").count()
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ingestRec = Pipelines.hierarchyIngestStream(store, buckets = 8)(
+      out => sunk ++= out.as[(Long, Long, Long)].collect())
+    ingestRec(df(Seq((6L, Some(5L), 6L), (4L, Some(0L), 7L),
       (2L, Some(0L), 20L))), 3L)
     assert(spark.read.parquet(s"$store/acc/data").count() === accRows,
       "replayed batch must append zero acc rows")
+    assert(spark.read.parquet(s"$store/nodes/data").count() === nodeRows,
+      "plain redelivery must append zero nodes rows")
+    assert(sunk.nonEmpty && sunk.map(_._1).toSet ===
+      spark.read.parquet(s"$store/acc/data")
+        .where(col("batch_id") === 3L)
+        .select(col("id")).as[Long].collect().toSet,
+      "replay must re-emit the batch's recovered acc rows to the sink")
     assert(aggNow() === batchAgg(t3))
     // compaction: superseded versions retire, read-out bit-identical,
     // replayed old batches STILL absorb (surviving batch_ids kept)
@@ -1435,11 +1450,20 @@ class StreamingPipelinesSpec extends SparkSpec {
     val accRowsTorn = spark.read.parquet(s"$store/acc/data").count()
     assert(accRowsTorn === accRows0 + 3)
     // the at-least-once replay of batch 3: must DETECT the applied
-    // deltas (skip derivation — no doubled acc rows) and complete the
-    // nodes append
-    ingest(df(Seq((4L, Some(1L), 7L))), 3L)
+    // deltas (skip derivation — no doubled acc rows), complete the
+    // nodes append, and re-emit the RECOVERED acc rows to the sink —
+    // the first attempt crashed before sink() ever ran, so an empty
+    // replay frame would drop the batch's change-feed output forever
+    val tornSunk =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ingestT = Pipelines.hierarchyIngestStream(store, buckets = 8)(
+      out => tornSunk ++= out.as[(Long, Long, Long)].collect())
+    ingestT(df(Seq((4L, Some(1L), 7L))), 3L)
     assert(spark.read.parquet(s"$store/acc/data").count() === accRowsTorn,
       "torn replay must not re-derive deltas (they would apply twice)")
+    assert(tornSunk.sortBy(_._1) ===
+      Seq((0L, 6L, 28L), (1L, 4L, 16L), (4L, 1L, 7L)),
+      "torn replay must sink the recovered rows, not an empty frame")
     val t1 = t0.map { case (4L, p, _) => (4L, p, 7L); case r => r }
     assert(aggNow() === batchAgg(t1))
     // nodes append completed: node 4's latest stored value is 7

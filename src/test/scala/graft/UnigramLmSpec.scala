@@ -106,4 +106,19 @@ class UnigramLmSpec extends SparkSpec {
     assert(got(2L) === ((2L, np("world") + np("a" * 16))))
     assert(np("a" * 16) === UnigramLm.viterbi("a" * 12, cost, 4)._2.size + 4L)
   }
+
+  test("snapMillinat: boundary-exact values fail loud, grid interior snaps") {
+    // interior: ln disagreement between engines is sub-ulp, absorbed
+    assert(UnigramLm.snapMillinat(1.0) === 0L)       // floor(0 + 0.5) = 0
+    assert(UnigramLm.snapMillinat(math.E) === 1000L)
+    assert(UnigramLm.snapMillinat(2.0) === 693L)
+    // boundary: 1000·ln(x) lands within 1e-9 of frac 0.5, where a
+    // sub-ulp ln() difference flips the floor — must abort, not emit
+    // an engine-dependent value (the q336/q340 replayability guard)
+    val boundary = math.exp(0.0005) // 1000·ln(x) ≈ 0.5 exactly
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.snapMillinat(boundary)
+    }
+    assert(e.getMessage.contains("millinat grid boundary"))
+  }
 }
