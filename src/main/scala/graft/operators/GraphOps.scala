@@ -194,14 +194,41 @@ object GraphOps {
     * Scale: one edge⋈label join for k_vc, two keyed aggregates (d_v,
     * D_c), a per-vertex argmax window — nothing corpus-crossing.
     * Returns the refined (id, community). */
-  def modularityRefineRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+  def modularityRefineRound(labels: DataFrame, edges: DataFrame): DataFrame =
+    refineRoundImpl(labels, edges, selfLoops = false, swapGuard = false)
+
+  /** The generalized sweep behind [[modularityRefineRound]] (which
+    * keeps `selfLoops = swapGuard = false` so its plan — and the q342
+    * oracle replaying it — is untouched) and [[louvain]] (both true).
+    *
+    *  - `selfLoops`: credit each vertex's self-loop rows s_v in the
+    *    gain — `2·E2·(k_vb − k_va + s_v) + 2·d_v·(D_a − D_b) −
+    *    2·d_v²`. Derivation: moving v from a to b shifts intra rows
+    *    by −(2·(k_va − s_v) + s_v) on a and +(2·k_vb + s_v) on b (the
+    *    self-loops travel WITH v), and k_va as counted by the kvc
+    *    join includes s_v, hence the +s_v correction. On loop-free
+    *    graphs s_v ≡ 0 and the formula degrades to q342's; after
+    *    [[coarsen]] self-loops carry the intra-community weight and
+    *    the term is load-bearing.
+    *  - `swapGuard`: the Lu–Halappanavar–Kalyanaraman (2015) parallel-
+    *    Louvain minimum-label heuristic — a vertex alone in its
+    *    community may move into another SINGLETON community only
+    *    toward the smaller label. Synchronous simultaneous moves
+    *    otherwise make two adjacent singletons (an isolated near-dup
+    *    pair — the most common component shape in a dup graph) swap
+    *    labels forever without ever merging.
+    */
+  private def refineRoundImpl(labels: DataFrame, edges: DataFrame,
+                              selfLoops: Boolean,
+                              swapGuard: Boolean): DataFrame = {
     val l = labels.select(col("id"), col("community"))
     val e = edges.select(col("src"), col("dst"))
     val e2 = e.agg(count(lit(1)).as("e2"))
     val dg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val dC = l.join(dg, Seq("id"), "left")
       .groupBy(col("community"))
-      .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"),
+        count(lit(1)).as("nmem"))
     val kvc = e
       .join(l.select(col("id").as("dst"), col("community").as("cb")), "dst")
       .groupBy(col("src").as("id"), col("cb"))
@@ -209,20 +236,35 @@ object GraphOps {
     val base = l.select(col("id"), col("community").as("a"))
       .join(dg, Seq("id"), "left")
       .select(col("id"), col("a"), coalesce(col("deg"), lit(0L)).as("dv"))
-      .join(dC.select(col("community").as("a"), col("dsum").as("da")), "a")
-    val withKva = base
+      .join(dC.select(col("community").as("a"), col("dsum").as("da"),
+        col("nmem").as("na")), "a")
+    val withKva0 = base
       .join(kvc.select(col("id"), col("cb").as("a"), col("k").as("kva")),
         Seq("id", "a"), "left")
-      .select(col("id"), col("a"), col("dv"), col("da"),
+      .select(col("id"), col("a"), col("dv"), col("da"), col("na"),
         coalesce(col("kva"), lit(0L)).as("kva"))
-    val cand = withKva
+    val withKva =
+      if (!selfLoops) withKva0.withColumn("sv", lit(0L))
+      else {
+        val slf = e.where(col("src") === col("dst"))
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("sv"))
+        withKva0.join(slf, Seq("id"), "left")
+          .withColumn("sv", coalesce(col("sv"), lit(0L)))
+      }
+    val cand0 = withKva
       .join(kvc.select(col("id"), col("cb").as("b"), col("k").as("kvb")),
         Seq("id"))
       .where(col("b") =!= col("a"))
-      .join(dC.select(col("community").as("b"), col("dsum").as("db")), "b")
+      .join(dC.select(col("community").as("b"), col("dsum").as("db"),
+        col("nmem").as("nb")), "b")
+    val cand1 =
+      if (!swapGuard) cand0
+      else cand0.where(!(col("na") === 1L && col("nb") === 1L &&
+        col("b") > col("a")))
+    val cand = cand1
       .crossJoin(broadcast(e2))
       .select(col("id"), col("b"),
-        (lit(2L) * col("e2") * (col("kvb") - col("kva"))
+        (lit(2L) * col("e2") * (col("kvb") - col("kva") + col("sv"))
           + lit(2L) * col("dv") * (col("da") - col("db"))
           - lit(2L) * col("dv") * col("dv")).as("gain"))
     val best = cand
@@ -233,6 +275,69 @@ object GraphOps {
       .select(col("id"), col("b"))
     l.join(best, Seq("id"), "left")
       .select(col("id"), coalesce(col("b"), col("community")).as("community"))
+  }
+
+  /** Phase-2 Louvain coarsening: map every edge ROW endpoint-wise onto
+    * its community — communities become vertices, intra-community rows
+    * become self-loops, and edge WEIGHT stays represented as row
+    * multiplicity, so the exact-integer count-based refine/modularity
+    * algebra is automatically weight-correct on the coarse multigraph
+    * (E2, degree sums and intra counts are all preserved: the coarse
+    * partition-of-supervertices scores the SAME 4m²·Q parts as the
+    * composed partition on the original graph — spec-asserted). One
+    * edge-keyed join per endpoint, nothing corpus-crossing. */
+  def coarsen(labels: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .join(labels.select(col("id").as("src"), col("community").as("csrc")),
+        "src")
+      .join(labels.select(col("id").as("dst"), col("community").as("cdst")),
+        "dst")
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+
+  /** Full Louvain (Blondel et al. 2008), distributed and
+    * oracle-replayable: `levels` alternations of phase 1 — `
+    * sweepsPerLevel` synchronous exact-integer refinement sweeps
+    * ([[refineRoundImpl]] with the self-loop term and the
+    * singleton-swap guard), starting from singletons — with phase 2,
+    * [[coarsen]]. Returns the ORIGINAL ids mapped to their final
+    * community (id, community).
+    *
+    * Fixed sweep counts instead of run-to-quiescence keep the job
+    * ladder deterministic; a settled partition is a fixpoint of the
+    * sweep (spec-asserted), so extra sweeps are semantically free.
+    * Synchronous simultaneous moves may overshoot on pathological
+    * ties (the q342 caveat) — bounded sweeps accept that; the spec
+    * asserts modularity is non-decreasing across levels on the
+    * fixture and the q343 oracle scores the final partition exactly.
+    *
+    * Scale: each sweep is the q342 shape (one edge⋈label join, keyed
+    * aggregates, a per-vertex argmax window); coarsening is two
+    * edge-keyed joins; every level's graph is no larger than the
+    * last. Labels and coarse edges localCheckpoint per step (lineage
+    * truncation — the [[pageRank]] discipline); on a multi-node
+    * cluster use durable checkpointing. Gain headroom as documented
+    * on [[modularityRefineRound]]: BIGINT to E2 ≈ 2·10⁹ directed
+    * rows, lift to DECIMAL(38,0) past ~1e9. */
+  def louvain(vertices: DataFrame, edges: DataFrame, levels: Int = 2,
+              sweepsPerLevel: Int = 2): DataFrame = {
+    require(levels >= 1 && sweepsPerLevel >= 1,
+      "levels and sweepsPerLevel must be >= 1")
+    var mapping = vertices.select(col("id"), col("id").as("community"))
+    var g = edges.select(col("src"), col("dst"))
+    for (lvl <- 1 to levels) {
+      var labels = mapping.select(col("community").as("id")).distinct()
+        .select(col("id"), col("id").as("community"))
+      for (_ <- 1 to sweepsPerLevel)
+        labels = refineRoundImpl(labels, g, selfLoops = true,
+          swapGuard = true).localCheckpoint()
+      mapping = mapping
+        .join(labels.select(col("id").as("community"),
+          col("community").as("nc")), Seq("community"))
+        .select(col("id"), col("nc").as("community"))
+        .localCheckpoint()
+      if (lvl < levels) g = coarsen(labels, g).localCheckpoint()
+    }
+    mapping
   }
 
   /** HITS hubs-and-authorities (Kleinberg, '99) over a DIRECTED edge

@@ -882,6 +882,104 @@ object DedupQueries {
     }
   }
 
+  /** One oracle-replay Louvain sweep (the
+    * [[graft.operators.GraphOps.louvain]] refine round: q342's gain
+    * PLUS the self-loop term `+ s_v` — load-bearing on coarse graphs,
+    * identically zero before coarsening — and the
+    * Lu–Halappanavar–Kalyanaraman singleton-swap guard) over edge CTE
+    * `ed` and label CTE `lin(id, community)`, emitting `lout`. CTE
+    * names are suffixed with `tag` so sweeps chain. */
+  private def louvainSweepCtes(tag: String, ed: String, lin: String,
+                               lout: String): String =
+    s"""e2$tag AS (SELECT count(*) AS e2 FROM $ed),
+       |dg$tag AS MATERIALIZED (
+       |  SELECT src AS id, count(*) AS deg FROM $ed GROUP BY 1),
+       |dc$tag AS MATERIALIZED (
+       |  SELECT l.community AS community,
+       |    CAST(sum(coalesce(dg.deg, 0)) AS BIGINT) AS dsum,
+       |    CAST(count(*) AS BIGINT) AS nmem
+       |  FROM $lin l LEFT JOIN dg$tag dg USING (id) GROUP BY 1),
+       |kvc$tag AS MATERIALIZED (
+       |  SELECT e.src AS id, b.community AS cb, CAST(count(*) AS BIGINT) AS k
+       |  FROM $ed e JOIN $lin b ON b.id = e.dst GROUP BY 1, 2),
+       |slf$tag AS MATERIALIZED (
+       |  SELECT src AS id, CAST(count(*) AS BIGINT) AS sv
+       |  FROM $ed WHERE src = dst GROUP BY 1),
+       |base$tag AS (
+       |  SELECT l.id, l.community AS a,
+       |    CAST(coalesce(dg.deg, 0) AS BIGINT) AS dv,
+       |    dca.dsum AS da, dca.nmem AS na,
+       |    CAST(coalesce(kv.k, 0) AS BIGINT) AS kva,
+       |    CAST(coalesce(s.sv, 0) AS BIGINT) AS sv
+       |  FROM $lin l LEFT JOIN dg$tag dg USING (id)
+       |  JOIN dc$tag dca ON dca.community = l.community
+       |  LEFT JOIN kvc$tag kv ON kv.id = l.id AND kv.cb = l.community
+       |  LEFT JOIN slf$tag s ON s.id = l.id),
+       |cand$tag AS (
+       |  SELECT base.id, kvc.cb AS b,
+       |    2 * (SELECT e2 FROM e2$tag) * (kvc.k - base.kva + base.sv)
+       |      + 2 * base.dv * (base.da - dcb.dsum)
+       |      - 2 * base.dv * base.dv AS gain
+       |  FROM base$tag base
+       |  JOIN kvc$tag kvc ON kvc.id = base.id AND kvc.cb <> base.a
+       |  JOIN dc$tag dcb ON dcb.community = kvc.cb
+       |  WHERE NOT (base.na = 1 AND dcb.nmem = 1 AND kvc.cb > base.a)),
+       |mv$tag AS (
+       |  SELECT id, b FROM (
+       |    SELECT id, b, gain, row_number() OVER (PARTITION BY id
+       |      ORDER BY gain DESC, b ASC) AS rn
+       |    FROM cand$tag) WHERE rn = 1 AND gain > 0),
+       |$lout AS MATERIALIZED (
+       |  SELECT l.id, coalesce(mv.b, l.community) AS community
+       |  FROM $lin l LEFT JOIN mv$tag mv USING (id))""".stripMargin
+
+  /** FULL Louvain over the near-dup pair graph (see
+    * [[graft.operators.GraphOps.louvain]]): from singletons, two
+    * synchronous exact-integer refinement sweeps (phase 1), coarsen
+    * communities to supervertices with weight as row multiplicity
+    * (phase 2 — intra rows become self-loops, where the sweep's
+    * `+ s_v` gain term becomes load-bearing), two more sweeps on the
+    * coarse multigraph, compose. Output: the q339-shape modularity
+    * census of the FINAL composed partition on the ORIGINAL graph, so
+    * the oracle proves every move at both levels AND the resulting Q
+    * parts. The singleton-swap guard (cand's NOT(na=1 AND nmem=1 AND
+    * b>a)) is what lets isolated near-dup PAIRS — the most common
+    * component in a dup graph — merge instead of label-swapping
+    * forever under synchronous moves. */
+  val q343 = {
+    GQuery("q343_louvain_communities",
+      s"""WITH $shingleCtes,
+         |$pairCtes,
+         |ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |lv0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, doc_id AS community FROM documents),
+         |${louvainSweepCtes("s1", "ed", "lv0", "lv1")},
+         |${louvainSweepCtes("s2", "ed", "lv1", "lv2")},
+         |ed2 AS MATERIALIZED (
+         |  SELECT a.community AS src, b.community AS dst
+         |  FROM ed e JOIN lv2 a ON a.id = e.src JOIN lv2 b ON b.id = e.dst),
+         |cl0 AS MATERIALIZED (
+         |  SELECT DISTINCT community AS id, community AS community FROM lv2),
+         |${louvainSweepCtes("s3", "ed2", "cl0", "cl1")},
+         |${louvainSweepCtes("s4", "ed2", "cl1", "cl2")},
+         |fin AS MATERIALIZED (
+         |  SELECT m.id, c.community AS lbl
+         |  FROM lv2 m JOIN cl2 c ON c.id = m.community),
+         |${modularityCensusSql("fin")}""".stripMargin) { (s, dir) =>
+      val pairs = sharedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint()
+      val labels = graft.operators.GraphOps.louvain(
+          Tables.documents(s, dir).select(col("doc_id").as("id")),
+          edges, levels = 2, sweepsPerLevel = 2)
+        .localCheckpoint()
+      graft.operators.GraphOps.modularity(labels, edges)
+        .orderBy(col("community"))
+    }
+  }
+
   /** LEAKAGE-SAFE train/test split (see
     * [[graft.operators.Sampling.groupTrainTestSplit]]): the split
     * hashes the near-dup CLUSTER REP, so no cluster straddles train
@@ -2456,5 +2554,5 @@ object DedupQueries {
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
-      q318, q319, q320, q322, q338, q339, q341, q342)
+      q318, q319, q320, q322, q338, q339, q341, q342, q343)
 }

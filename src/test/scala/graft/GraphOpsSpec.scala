@@ -120,6 +120,64 @@ class GraphOpsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("louvain: swap guard merges the isolated pair, two levels recover both triangles, Q non-decreasing, coarsening preserves exact Q parts") {
+    // bridged triangles (1-2-3, 4-5-6, bridge 3-4) + isolated pair
+    // (8,9) + isolated vertex 7; E2 = 16 directed rows
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L), (8L, 9L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    val verts = (1L to 9L).toDF("id")
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.modularity(labels, edges)
+        .agg(sum(col("q_4m2_part"))).head().getLong(0)
+    // LEVEL 1 (two synchronous sweeps from singletons, hand-traced):
+    // sweep 1 merges v2,v3 into c1 and the PAIR into c8 (v9→c8 allowed,
+    // v8→c9 blocked by the singleton-swap guard — without it they swap
+    // labels forever and never merge); sweep 2 pulls v5 into c3 while
+    // v6 overshoots to the just-vacated c4 (synchronous overshoot,
+    // accepted)
+    val l1 = GraphOps.louvain(verts, edges, levels = 1, sweepsPerLevel = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l1 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 4L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
+    // LEVEL 2 coarsens and the supervertex {6} folds into {4,5}:
+    // the final partition is the ideal one
+    val l2df = GraphOps.louvain(verts, edges, levels = 2, sweepsPerLevel = 2)
+    val l2 = l2df.as[(Long, Long)].collect().toMap
+    assert(l2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
+    // modularity non-decreasing across levels, exact 4m² parts:
+    // singletons −36 → level 1: 78 → level 2: 122
+    val singles = verts.select(col("id"), col("id").as("community"))
+    val q0 = q(singles); val q1 = q(l1.toSeq.toDF("id", "community"))
+    val q2 = q(l2df)
+    assert(q0 === -36L && q1 === 78L && q2 === 122L)
+    assert(q0 <= q1 && q1 <= q2)
+    // a third level is a no-op: the partition is a cross-level fixpoint
+    val l3 = GraphOps.louvain(verts, edges, levels = 3, sweepsPerLevel = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l3 === l2)
+    // and the final partition is a fixpoint of the plain sweep too
+    val again = GraphOps.modularityRefineRound(l2df, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(again === l2)
+    // COARSENING LAW: the coarse multigraph (communities as vertices,
+    // weight as row multiplicity, intra rows as self-loops) scores
+    // the SAME exact Q parts as the composed partition on the
+    // original graph — E2, degree sums and intra counts all preserved
+    val l1df = l1.toSeq.toDF("id", "community")
+    val coarse = GraphOps.coarsen(l1df, edges)
+    val coarseLabels = l1df.select(col("community").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+    def parts(m: org.apache.spark.sql.DataFrame) =
+      m.select(col("community"), col("d_c"), col("intra_dir"),
+        col("q_4m2_part"), col("e2"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(parts(GraphOps.modularity(coarseLabels, coarse)) ===
+      parts(GraphOps.modularity(l1df, edges)))
+  }
+
   test("smoothScores: hand-computed integer rounds; isolated vertex untouched") {
     val scores = Seq((1L, 1.0), (2L, 0.0), (3L, 0.5)).toDF("id", "score")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
