@@ -256,6 +256,93 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_count", "score_m")
   }
 
+  private def cps(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** The vocabulary a trained WordPiece SHIPS, derived from
+    * [[trainWordpieceFromTokens]]'s merge table: every single code
+    * point of the training census plus every merge product with the
+    * `</w>` end-of-word marker stripped. Production WordPiece vocabs
+    * distinguish word-initial from continuation pieces; our trainer is
+    * position-free, so the stripped form serves both (the standard
+    * suffix-agnostic simplification — the `##` distinction is applied
+    * at SEGMENTATION time by [[greedyPieces]], not stored). The char
+    * census is distributed (explode code points over the
+    * `limit(maxVocab)` word census — the same cap as training) and the
+    * collected set is vocabulary-sized. */
+  def wordpieceVocab(toks: DataFrame, merges: Seq[(String, String)],
+                     maxVocab: Int = 1 << 20): Set[String] = {
+    val cpUdf = udf((w: String) => cps(w))
+    val chars = toks.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(maxVocab)
+      .select(explode(cpUdf(col("tok"))).as("p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val products = merges.iterator
+      .map { case (l, r) => (l + r).replace("</w>", "") }
+      .filter(_.nonEmpty).toSet
+    chars ++ products
+  }
+
+  /** Greedy longest-match-first WordPiece segmentation (Schuster &
+    * Nakajima 2012 — the PRODUCTION apply face, NOT merge replay:
+    * BPE applies by replaying merges in rank order, WordPiece matches
+    * the longest vocab piece at each position; the two DIVERGE on the
+    * same vocab, spec-demonstrated). Pieces after the first carry the
+    * `##` continuation prefix. Returns None — the whole word maps to
+    * `[UNK]` — when some position matches nothing (vocab pieces
+    * longer than `maxPieceLen` code points are never matched, by
+    * contract mirrored in the oracle). */
+  def greedyPieces(word: String, vocab: Set[String],
+                   maxPieceLen: Int = 12): Option[List[String]] = {
+    val s = cps(word)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      var l = math.min(maxPieceLen, s.length - i)
+      var found = -1
+      while (l >= 1 && found < 0) {
+        if (vocab.contains(s.slice(i, i + l).mkString)) found = l
+        l -= 1
+      }
+      if (found < 0) return None
+      val raw = s.slice(i, i + found).mkString
+      out += (if (i == 0) raw else "##" + raw)
+      i += found
+    }
+    Some(out.toList)
+  }
+
+  /** Corpus-wide WordPiece piece census under [[greedyPieces]]:
+    * (piece, n_occ) with `##`-prefixed continuations, words longer
+    * than `maxWordLen` code points or with an unmatched position
+    * contributing one `[UNK]` per OCCURRENCE (the production
+    * max_input_chars_per_word rule). Segmentation runs once per
+    * DISTINCT word with the vocab broadcast ([[applyMergesViaVocab]]
+    * shape) — the corpus contributes one census shuffle and the
+    * output aggregate is piece-keyed (vocabulary-bounded). */
+  def wordpiecePieceCensus(toks: DataFrame, vocab: Set[String],
+                           maxPieceLen: Int = 12,
+                           maxWordLen: Int = 16): DataFrame = {
+    val spark = toks.sparkSession
+    val bc = spark.sparkContext.broadcast(vocab)
+    val mpl = maxPieceLen
+    val mwl = maxWordLen
+    val segUdf = udf { (w: String) =>
+      if (w.codePointCount(0, w.length) > mwl) null
+      else greedyPieces(w, bc.value, mpl).map(_.toArray).orNull
+    }
+    toks.where(size(col("ws")) >= 1)
+      .select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("pieces", segUdf(col("tok")))
+      .select(explode(when(col("pieces").isNull,
+        array(lit("[UNK]"))).otherwise(col("pieces"))).as("piece"),
+        col("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("n_occ"))
+  }
+
   /** Apply a trained merge table to text: tokenize, segment each word,
     * replay the merges in rank order (greedy left-to-right, the same
     * [[fuse]] fold as training), and emit per-document subword counts.

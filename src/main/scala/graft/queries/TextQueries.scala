@@ -2524,10 +2524,12 @@ object TextQueries {
     * the snapped-score argmax, and the replace. Early stop (no pair
     * ≥ 2) falls out of the empty LIMIT 1 + no-op LEFT JOIN as in
     * q83. */
-  val q340 = {
-    val N = 40
+  /** The q340 WordPiece training-replay chain (census → n ×
+    * (pairs, syms, best, it) MATERIALIZED CTEs) — shared with q344,
+    * which extends it with the greedy-apply chain. */
+  private def wpTrainCtes(n: Int): Seq[String] = {
     val S = bpeS
-    def wpCtes(n: Int): Seq[String] = {
+    locally {
       val head = Seq(
         bpeCte("tok",
           """
@@ -2579,11 +2581,15 @@ object TextQueries {
       }
       head ++ iters
     }
+  }
+
+  val q340 = {
+    val N = 40
     val union = (0 until N)
       .map(k => s"SELECT rank, l, r, c, sm FROM best$k")
       .mkString("\nUNION ALL\n")
     GQuery("q340_wordpiece_merges",
-      "WITH " + wpCtes(N).mkString(",\n") +
+      "WITH " + wpTrainCtes(N).mkString(",\n") +
         s"""
            |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
            |  CAST(c AS BIGINT) AS pair_count, sm AS score_m
@@ -2591,6 +2597,95 @@ object TextQueries {
       graft.operators.Bpe.trainWordpieceFromTokens(sharedToks(s, dir),
           nMerges = N)
         .orderBy(col("rank"))
+    }
+  }
+
+  /** The trained WordPiece APPLIED the production way (see
+    * [[graft.operators.Bpe.greedyPieces]]): greedy longest-match-first
+    * segmentation of every distinct word against the shipped vocab
+    * (census code points + `</w>`-stripped merge products), `##`
+    * continuation prefixes, whole word → `[UNK]` when a position
+    * matches nothing or the word exceeds 16 code points. NOT merge
+    * replay — that is BPE's apply (q113); the two segmentations
+    * diverge on the same vocab (`BpeSpec`). Output: the top-100
+    * occurrence-weighted piece census. The oracle extends the q340
+    * training replay with the vocab CTE and one greedy-match step CTE
+    * per position (each step consumes ≥ 1 code point, so 16 steps
+    * cover every non-UNK word). */
+  val q344 = {
+    val N = 40       // merges, = q340
+    val MaxW = 16    // max_input_chars_per_word
+    val MaxP = 12    // longest piece ever matched, both engines
+    val union = (0 until N)
+      .map(k => s"SELECT l, r FROM best$k")
+      .mkString("\nUNION ALL\n")
+    val steps = (1 to MaxW).flatMap { k =>
+      Seq(
+        bpeCte(s"b$k",
+          s"""
+             |  SELECT a.tok, a.pos, max(r.l) AS l
+             |  FROM (SELECT tok, pos FROM g${k - 1}
+             |        WHERE ok AND pos < length(tok)) a
+             |  JOIN range(1, ${MaxP + 1}) r(l)
+             |    ON a.pos + r.l <= length(a.tok)
+             |  JOIN wpv v ON v.piece = substr(a.tok, a.pos + 1, r.l)
+             |  GROUP BY 1, 2""".stripMargin),
+        bpeCte(s"p$k",
+          s"""
+             |  SELECT tok, pos, substr(tok, pos + 1, l) AS raw FROM b$k""".stripMargin),
+        bpeCte(s"g$k",
+          s"""
+             |  SELECT g.tok,
+             |    CASE WHEN b.l IS NULL THEN g.pos ELSE g.pos + b.l END AS pos,
+             |    g.ok AND (b.l IS NOT NULL OR g.pos >= length(g.tok)) AS ok
+             |  FROM g${k - 1} g LEFT JOIN b$k b USING (tok)""".stripMargin))
+    }
+    val pieceUnion = (1 to MaxW).map(k => s"SELECT tok, pos, raw FROM p$k")
+      .mkString("\n    UNION ALL ")
+    GQuery("q344_wordpiece_tokenize",
+      "WITH " + (wpTrainCtes(N) ++ Seq(
+        bpeCte("wpv",
+          s"""
+             |  SELECT DISTINCT piece FROM (
+             |    SELECT replace(l || r, '</w>', '') AS piece FROM ($union)
+             |    UNION ALL
+             |    SELECT unnest(string_split(tok, '')) FROM cen)
+             |  WHERE piece <> ''""".stripMargin),
+        bpeCte("wcnt",
+          """
+            |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+            |  FROM (SELECT unnest(ws) AS tok FROM tok) t GROUP BY 1""".stripMargin),
+        bpeCte("g0",
+          s"""
+             |  SELECT tok, 0 AS pos, length(tok) <= $MaxW AS ok FROM wcnt""".stripMargin)) ++
+        steps ++ Seq(
+        bpeCte("segok", s"SELECT tok FROM g$MaxW WHERE ok"),
+        bpeCte("census",
+          s"""
+             |  SELECT CASE WHEN p.pos = 0 THEN p.raw
+             |              ELSE '##' || p.raw END AS piece,
+             |    CAST(sum(w.c) AS BIGINT) AS n_occ
+             |  FROM ($pieceUnion) p
+             |  JOIN segok USING (tok) JOIN wcnt w USING (tok)
+             |  GROUP BY 1
+             |  UNION ALL
+             |  SELECT '[UNK]' AS piece, CAST(sum(w.c) AS BIGINT) AS n_occ
+             |  FROM g$MaxW g JOIN wcnt w USING (tok)
+             |  WHERE NOT g.ok HAVING count(*) > 0""".stripMargin)))
+        .mkString(",\n") +
+        """
+          |SELECT piece, n_occ FROM census
+          |ORDER BY n_occ DESC, piece LIMIT 100""".stripMargin) { (s, dir) =>
+      val toks = sharedToks(s, dir)
+      val merges = graft.operators.Bpe
+        .trainWordpieceFromTokens(toks, nMerges = N)
+        .orderBy(col("rank"))
+        .select(col("left"), col("right"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val vocab = graft.operators.Bpe.wordpieceVocab(toks, merges)
+      graft.operators.Bpe.wordpiecePieceCensus(toks, vocab,
+          maxPieceLen = MaxP, maxWordLen = MaxW)
+        .orderBy(col("n_occ").desc, col("piece")).limit(100)
     }
   }
 
@@ -2783,5 +2878,5 @@ object TextQueries {
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
       q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281,
-      q336, q337, q340)
+      q336, q337, q340, q344)
 }

@@ -193,4 +193,50 @@ class BpeSpec extends SparkSpec {
     assert(viaVocab.toSeq === direct.toSeq)
     toks.unpersist(blocking = false)
   }
+
+  test("greedyPieces: longest-match-first with ## continuations; DIVERGES from merge replay on the same vocab; UNK on unmatched") {
+    // vocab {a, b, c, ab, bc}: greedy takes the longest PREFIX 'ab'
+    // then '##c'; merge replay of the single merge (b, c) fuses from
+    // the inside out → [a, bc]. Same vocab, different segmentations —
+    // why WordPiece needs its own apply face instead of q113's.
+    val vocab = Set("a", "b", "c", "ab", "bc")
+    assert(Bpe.greedyPieces("abc", vocab) ===
+      Some(List("ab", "##c")))
+    val replayed = Seq("a", "b", "c") // init cps
+    val fused = { // greedy left-to-right fuse of (b, c), BPE's apply
+      val buf = scala.collection.mutable.ListBuffer(replayed: _*)
+      var i = 0
+      while (i < buf.length - 1) {
+        if (buf(i) == "b" && buf(i + 1) == "c") {
+          buf(i) = "bc"; buf.remove(i + 1)
+        }
+        i += 1
+      }
+      buf.toList
+    }
+    assert(fused === List("a", "bc"))
+    assert(Bpe.greedyPieces("abc", vocab).get.map(_.stripPrefix("##"))
+      !== fused, "the two apply faces must diverge on this vocab")
+    // unmatched position → None (the whole word is [UNK])
+    assert(Bpe.greedyPieces("axc", vocab) === None)
+    // non-BMP code point: matching is code-point-based, not UTF-16
+    assert(Bpe.greedyPieces("a😀b", vocab + "😀") ===
+      Some(List("a", "##😀", "##b")))
+  }
+
+  test("wordpiecePieceCensus ≡ driver greedy per word; long words and stuck words weight [UNK] per occurrence") {
+    val docs = Seq(
+      (1L, "abc abc ab zz"),                    // zz: 'z' not in vocab
+      (2L, "abc " + "a" * 20)).toDF("doc_id", "text") // 20 cps → UNK
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "c</w>"))
+    val vocab = Bpe.wordpieceVocab(toks, merges)
+    // census chars {a,b,c,z} + stripped products {ab, abc}
+    assert(vocab === Set("a", "b", "c", "z", "ab", "abc"))
+    val got = Bpe.wordpiecePieceCensus(toks, vocab, maxWordLen = 16)
+      .as[(String, Long)].collect().toMap
+    // abc ×3 → 'abc'; ab ×1 → 'ab'; zz → z, ##z; a*20 → [UNK] once
+    assert(got === Map("abc" -> 3L, "ab" -> 1L, "z" -> 1L, "##z" -> 1L,
+      "[UNK]" -> 1L))
+  }
 }
