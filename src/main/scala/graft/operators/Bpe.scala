@@ -91,15 +91,56 @@ object Bpe {
     // code-POINT segmentation (matching applyMerges' substr semantics) —
     // split("") would cut UTF-16 surrogate pairs in half and emit
     // malformed symbols for non-BMP text (emoji, CJK extensions)
-    def symbols(w: String): Array[String] =
-      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-    val census: Array[(Array[String], Long)] = toks
-      .select(explode(col("ws")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok"))
-      .limit(maxVocab)
-      .collect()
-      .map(r => (symbols(r.getString(0)) :+ "</w>", r.getLong(1)))
+    val census = collectCensus(toks, maxVocab,
+      w => cps(w) :+ "</w>")
+    val merges = freqMergeLoop(census, nMerges, minPairCount)
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** BYTE-LEVEL BPE training (the GPT-2 / Radford et al. 2019
+    * alphabet): symbols are UTF-8 BYTES — rendered as uppercase hex
+    * pairs so every symbol is a plain ASCII string both engines build
+    * identically (`hex()` in DuckDB, `%02X` here) — plus the `</w>`
+    * end-of-word marker. 256 base symbols cover EVERY input losslessly
+    * (no UNK ever, multilingual-safe): a code point never seen in
+    * training still decomposes into trained byte merges or raw bytes,
+    * where a fixed code-point vocabulary would need `[UNK]`
+    * (spec-demonstrated on a non-BMP emoji). Same census discipline,
+    * merge loop and determinism contract as [[trainMergesFromTokens]].
+    * Returns (rank, left, right, pair_count) over hex-pair strings. */
+  def trainByteMergesFromTokens(toks: DataFrame, nMerges: Int,
+                                minPairCount: Long = 2L,
+                                maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = toks.sparkSession
+    val census = collectCensus(toks, maxVocab,
+      w => byteSyms(w) :+ "</w>")
+    val merges = freqMergeLoop(census, nMerges, minPairCount)
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "pair_count")
+  }
+
+  private def byteSyms(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X")
+
+  private def collectCensus(toks: DataFrame, maxVocab: Int,
+                            symbols: String => Array[String])
+      : Array[(Array[String], Long)] = toks
+    .select(explode(col("ws")).as("tok"))
+    .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    .orderBy(col("cnt").desc, col("tok"))
+    .limit(maxVocab)
+    .collect()
+    .map(r => (symbols(r.getString(0)), r.getLong(1)))
+
+  /** The frequency-argmax merge loop shared by the code-point and
+    * byte-level trainers: incremental pair counts, deterministic
+    * (count DESC, (l, r) ASC) argmax, greedy left-to-right fuse. */
+  private def freqMergeLoop(census: Array[(Array[String], Long)],
+                            nMerges: Int, minPairCount: Long)
+      : Seq[(Int, String, String, Long)] = {
     val seqs = census.map(_._1.toBuffer)
     // INCREMENTAL pair counts (the production-trainer design): built
     // once, then each merge touches only the pairs around its own fuse
@@ -153,8 +194,7 @@ object Bpe {
         }
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    merges.toSeq
   }
 
   /** WordPiece merge induction (Schuster & Nakajima 2012, the third
@@ -380,6 +420,45 @@ object Bpe {
       .select(col("id"), explode(col("ws")).as("tok"))
     var seg = words.select(col("tok")).distinct()
       .withColumn("seg", initSeq(col("tok")))
+    merges.grouped(checkpointEvery).foreach { batch =>
+      val segN = batch.foldLeft(col("seg")) {
+        case (acc, (l, r)) => fuse(acc, l, r)
+      }
+      seg = seg.withColumn("seg", segN).localCheckpoint()
+    }
+    val subc = seg.select(col("tok"), size(col("seg")).as("n_sub"))
+    words.join(broadcast(subc), Seq("tok"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub").cast("long")).as("n_subwords"))
+  }
+
+  /** Initial BYTE-LEVEL segmentation: each UTF-8 byte a hex-pair
+    * symbol (`hex()` of the word — codegen'd, no UDF), `</w>`
+    * appended. Mirrors [[byteSyms]] and the oracle's
+    * `substr(hex(tok), 2i−1, 2)` comprehension. */
+  private def initByteSeq(word: Column): Column = {
+    val hx = hex(encode(word, "UTF-8"))
+    concat(
+      transform(sequence(lit(1), (length(hx) / lit(2)).cast("int")),
+        i => hx.substr(i * 2 - 1, lit(2))),
+      array(lit("</w>")))
+  }
+
+  /** [[applyMergesViaVocab]] for a [[trainByteMergesFromTokens]] merge
+    * table: the same vocabulary-path discipline (merge chain fused
+    * once per DISTINCT word, lineage truncated per batch, per-word
+    * subword counts broadcast back, the corpus never shuffles) over
+    * the byte alphabet. Total over ANY input — an unseen code point
+    * just stays as its raw bytes ([[trainByteMergesFromTokens]]'s
+    * no-UNK guarantee). */
+  def applyByteMergesViaVocab(toks: DataFrame, merges: Seq[(String, String)],
+                              checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val words = toks.where(size(col("ws")) >= 1)
+      .select(col("id"), explode(col("ws")).as("tok"))
+    var seg = words.select(col("tok")).distinct()
+      .withColumn("seg", initByteSeq(col("tok")))
     merges.grouped(checkpointEvery).foreach { batch =>
       val segN = batch.foldLeft(col("seg")) {
         case (acc, (l, r)) => fuse(acc, l, r)

@@ -594,10 +594,28 @@ object TextQueries {
   private val bpeS = "chr(31)"
   private def bpeCte(name: String, body: String, mat: Boolean = true): String =
     s"$name AS ${if (mat) "MATERIALIZED " else ""}($body)"
-  private def bpeTrainCtes(n: Int): Seq[String] = {
+  private def bpeTrainCtes(n: Int, byteLevel: Boolean = false): Seq[String] = {
     val S = bpeS
     def cte(name: String, body: String, mat: Boolean = true) =
       bpeCte(name, body, mat)
+    // initial segmentation: one symbol per code point (string_split)
+    // or, byte-level, one UPPERCASE HEX PAIR per UTF-8 byte — hex()
+    // hexes the VARCHAR's UTF-8 encoding in both engines, so the
+    // symbol streams match graft.operators.Bpe's %02X rendering
+    val it0Body =
+      if (byteLevel)
+        s"""
+           |  SELECT tok, cnt,
+           |    array_to_string([$S || substr(hx, 2 * i - 1, 2) || $S
+           |                     for i in range(1, len(hx) // 2 + 1)], '')
+           |      || $S || '</w>' || $S AS seg
+           |  FROM (SELECT tok, cnt, hex(tok) AS hx FROM cen)""".stripMargin
+      else
+        s"""
+           |  SELECT tok, cnt,
+           |    array_to_string([$S || c || $S for c in string_split(tok, '')], '')
+           |      || $S || '</w>' || $S AS seg
+           |  FROM cen""".stripMargin
     val head = Seq(
       cte("tok",
         """
@@ -607,12 +625,7 @@ object TextQueries {
         s"""
            |  SELECT tok, count(*) AS cnt FROM (SELECT unnest(ws) AS tok FROM tok) t
            |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT ${1 << 20}""".stripMargin),
-      cte("it0",
-        s"""
-           |  SELECT tok, cnt,
-           |    array_to_string([$S || c || $S for c in string_split(tok, '')], '')
-           |      || $S || '</w>' || $S AS seg
-           |  FROM cen""".stripMargin))
+      cte("it0", it0Body))
     val iters = (0 until n).flatMap { k =>
       Seq(
         cte(s"pairs$k",
@@ -716,6 +729,106 @@ object TextQueries {
           round(sum(col("n_chars")).cast("double")
             / sum(col("n_subwords")).cast("double"), 4)
             .as("chars_per_subword"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** BYTE-LEVEL BPE merge induction (see
+    * [[graft.operators.Bpe.trainByteMergesFromTokens]] — the GPT-2
+    * alphabet): the q83 chain over UTF-8 BYTES rendered as uppercase
+    * hex pairs (`hex()` both engines), 256 base symbols so every
+    * input is covered with no UNK ever. The oracle is the q83 replay
+    * with the hex-comprehension it0. */
+  val q345 = {
+    val N = 50
+    val union = (0 until N)
+      .map(k => s"SELECT rank, l, r, c FROM best$k").mkString("\nUNION ALL\n")
+    GQuery("q345_byte_bpe_merges",
+      "WITH " + bpeTrainCtes(N, byteLevel = true).mkString(",\n") +
+        s"""
+           |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+           |  CAST(c AS BIGINT) AS pair_count
+           |FROM ($union) ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.operators.Bpe.trainByteMergesFromTokens(sharedToks(s, dir),
+          nMerges = N)
+        .orderBy(col("rank"))
+    }
+  }
+
+  /** The byte-level tokenizer APPLIED corpus-wide (see
+    * [[graft.operators.Bpe.applyByteMergesViaVocab]]): per-source
+    * word / subword counts and bytes-per-subword compression — q113's
+    * statistic under the byte alphabet (the denominator counts UTF-8
+    * BYTES via the hex length, not characters: the compression a
+    * byte-level tokenizer is actually judged by). Same oracle shape:
+    * the q345 training replay + the 50-step apply chain over the
+    * distinct-word list, with the hex it0. */
+  val q346 = {
+    val N = 50
+    val S = bpeS
+    val apply0 = bpeCte("ap0", s"""
+      |  SELECT tok,
+      |    array_to_string([$S || substr(hx, 2 * i - 1, 2) || $S
+      |                     for i in range(1, len(hx) // 2 + 1)], '')
+      |      || $S || '</w>' || $S AS seg
+      |  FROM (SELECT tok, hex(tok) AS hx
+      |        FROM (SELECT DISTINCT unnest(ws) AS tok FROM tok))""".stripMargin)
+    val applyIters = (0 until N).map { k =>
+      bpeCte(s"ap${k + 1}", s"""
+        |  SELECT tok,
+        |    CASE WHEN b.l IS NULL THEN seg
+        |         ELSE replace(seg, $S || b.l || $S || $S || b.r || $S,
+        |                      $S || b.l || b.r || $S) END AS seg
+        |  FROM ap$k LEFT JOIN best$k b ON TRUE""".stripMargin)
+    }
+    val tail = Seq(
+      bpeCte("subc", s"""
+        |  SELECT tok,
+        |    CAST(len(string_split(trim(seg, $S), $S || $S)) AS BIGINT) AS n_sub,
+        |    CAST(len(hex(tok)) // 2 AS BIGINT) AS n_bytes
+        |  FROM ap$N""".stripMargin),
+      bpeCte("docsub", """
+        |  SELECT t.doc_id, count(*) AS n_words, sum(s.n_sub) AS n_subwords,
+        |    sum(s.n_bytes) AS n_bytes
+        |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+        |  JOIN subc s USING (tok)
+        |  GROUP BY t.doc_id""".stripMargin))
+    GQuery("q346_byte_bpe_tokenize",
+      "WITH " + (bpeTrainCtes(N, byteLevel = true) ++ (apply0 +: applyIters)
+        ++ tail).mkString(",\n") + s"""
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(j.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(j.n_subwords) AS BIGINT) AS n_subwords,
+        |  CAST(sum(j.n_bytes) AS BIGINT) AS n_word_bytes,
+        |  round(CAST(sum(j.n_bytes) AS DOUBLE)
+        |    / CAST(sum(j.n_subwords) AS DOUBLE), 4) AS bytes_per_subword
+        |FROM docsub j JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = sharedToks(s, dir)
+      val merges = graft.operators.Bpe
+        .trainByteMergesFromTokens(toks, nMerges = N)
+        .orderBy(col("rank"))
+        .select(col("left"), col("right")).as[(String, String)]
+        .collect().toSeq
+      val bytesUdf = udf((w: String) =>
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+      val wordBytes = toks.where(size(col("ws")) >= 1)
+        .select(col("id"), explode(col("ws")).as("tok"))
+        .groupBy(col("id"))
+        .agg(sum(bytesUdf(col("tok"))).as("n_bytes"))
+      graft.operators.Bpe.applyByteMergesViaVocab(toks, merges)
+        .join(wordBytes, Seq("id"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"),
+          sum(col("n_bytes")).as("n_word_bytes"),
+          round(sum(col("n_bytes")).cast("double")
+            / sum(col("n_subwords")).cast("double"), 4)
+            .as("bytes_per_subword"))
         .orderBy(col("source"))
     }
   }
@@ -2878,5 +2991,5 @@ object TextQueries {
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
       q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281,
-      q336, q337, q340, q344)
+      q336, q337, q340, q344, q345, q346)
 }

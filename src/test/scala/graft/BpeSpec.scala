@@ -239,4 +239,53 @@ class BpeSpec extends SparkSpec {
     assert(got === Map("abc" -> 3L, "ab" -> 1L, "z" -> 1L, "##z" -> 1L,
       "[UNK]" -> 1L))
   }
+
+  test("byte-level BPE: apply ≡ driver merge replay; unseen non-BMP emoji segments losslessly where a code-point vocab needs UNK") {
+    val trainDocs = Seq((1L, "abab abab cd"), (2L, "abab cd cd"))
+      .toDF("doc_id", "text")
+    val toks = TextStats.tokenized(trainDocs, "doc_id", "text")
+    val merges = Bpe.trainByteMergesFromTokens(toks, nMerges = 6)
+      .orderBy("rank")
+      .select(col("left"), col("right")).as[(String, String)].collect().toSeq
+    assert(merges.nonEmpty)
+    // every merge side is hex pairs and/or the </w> marker
+    assert(merges.forall { case (l, r) =>
+      (l + r).replace("</w>", "").matches("[0-9A-F]*") })
+    def byteSyms(w: String): List[String] =
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02X").toList :+ "</w>"
+    // driver replay of the greedy left-to-right fuse (applyMerges law)
+    def replay(w: String): List[String] =
+      merges.foldLeft(byteSyms(w)) { case (seq, (l, r)) =>
+        val buf = scala.collection.mutable.ListBuffer(seq: _*)
+        var i = 0
+        while (i < buf.length - 1) {
+          if (buf(i) == l && buf(i + 1) == r) {
+            buf(i) = l + r; buf.remove(i + 1)
+          }
+          i += 1
+        }
+        buf.toList
+      }
+    // apply to a corpus with a word the trainer NEVER saw, containing
+    // a non-BMP code point: segmentation is TOTAL — no UNK path exists
+    val applyDocs = Seq((9L, "abab 😀x")).toDF("doc_id", "text")
+    val atoks = TextStats.tokenized(applyDocs, "doc_id", "text")
+    val got = Bpe.applyByteMergesViaVocab(atoks, merges)
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((9L, 2L,
+      (replay("abab").size + replay("😀x").size).toLong)))
+    // LOSSLESSNESS: the emoji word's pieces concatenate back to its
+    // exact UTF-8 hex — nothing was dropped or replaced
+    val em = replay("😀x")
+    assert(em.mkString.replace("</w>", "") ===
+      "😀x".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02X").mkString)
+    // the CODE-POINT vocabulary induced from the same training census
+    // has no symbol for the emoji — a fixed-vocab code-point tokenizer
+    // (q344's greedy face) maps the whole word to [UNK]
+    val cpVocab = Bpe.wordpieceVocab(toks, Nil)
+    assert(!cpVocab.contains("😀"))
+    assert(Bpe.greedyPieces("😀x", cpVocab) === None)
+  }
 }
