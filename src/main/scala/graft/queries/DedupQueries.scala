@@ -2407,6 +2407,46 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming leakage-safe split capstone (see
+    * [[graft.streaming.Pipelines.splitAgainstStore]]): the q303 drive
+    * — near-dup pairs folded through `clusterIngestStream` in three
+    * micro-batches — then every document split against the store's
+    * CURRENT cluster reps. Must hash-match the SAME oracle as the
+    * batch `groupTrainTestSplit` (q341's SQL, verbatim shape):
+    * streamed-with-merges split ≡ from-scratch clustered split, proven
+    * by the driver. Docs arriving after their cluster keep the
+    * cluster's split; merge restatements reproduce exactly what a
+    * batch re-split would do. */
+  val q347 = GQuery("q347_streaming_group_split",
+    s"""WITH RECURSIVE $shingleCtes,
+       |$clusterCtes
+       |SELECT d.lang,
+       |  CASE WHEN ${graft.operators.Sampling.hashBucketSql(
+            "cl.cluster_rep", 100)} < 10
+       |       THEN 'test' ELSE 'train' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cl.cluster_rep) AS BIGINT) AS n_clusters
+       |FROM documents d JOIN cl USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, dir) =>
+    import graft.streaming.Pipelines
+    val store = java.nio.file.Files
+      .createTempDirectory("q347_clstore").toString
+    val ingest = Pipelines.clusterIngestStream(store, buckets = 16)()
+    val pairs = sharedPairs(s, dir)
+      .withColumn("__b", pmod(xxhash64(col("id_a")), lit(3L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (0L to 2L).foreach(b =>
+      ingest(pairs.where(col("__b") === b).select("id_a", "id_b"), b))
+    pairs.unpersist()
+    Pipelines.splitAgainstStore(s, store,
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", testPct = 10, buckets = 16)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_rep")).as("n_clusters"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Cross-lingual near-duplicate census: the q24 pair graph rolled up
     * by the two documents' languages (unordered pair) — off-diagonal
     * cells are translation/transliteration duplicates, the
@@ -2554,5 +2594,5 @@ object DedupQueries {
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
-      q318, q319, q320, q322, q338, q339, q341, q342, q343)
+      q318, q319, q320, q322, q338, q339, q341, q342, q343, q347)
 }

@@ -1958,6 +1958,51 @@ object Pipelines {
       storePath)
       .groupBy(col("id")).agg(min(col("cid")).as("cluster_rep"))
 
+  /** Leakage-safe train/test split AGAINST the streaming cluster
+    * store — the incremental face of
+    * [[graft.operators.Sampling.groupTrainTestSplit]] (q341): in a
+    * live ingest, a document arriving AFTER its near-dup cluster was
+    * assigned must land in the SAME split or evaluation leakage
+    * returns. Resolves each doc's CURRENT cluster rep from a
+    * [[clusterIngestStream]] store (bucket-pruned member read,
+    * broadcast semi-join on the batch ids, merge-forest resolution —
+    * the [[clusterStoreReps]] path restricted to the batch) and splits
+    * on the rep; unclustered docs fall back to their own id, exactly
+    * the batch operator's null-group rule.
+    *
+    * Consistency contract (spec-asserted at every batch boundary):
+    * streamed ≡ batch `groupTrainTestSplit` over all edges ingested so
+    * far. A cluster MERGE restates the losing side's split to the
+    * winner's on the next read — reps are component minima, so the
+    * winner's members never move — which is precisely what re-running
+    * the batch split would do; at any instant no cluster straddles
+    * train and test. Replay-idempotent because the underlying store
+    * is. Returns `docs` + (cluster_rep, split). */
+  def splitAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String, docs: DataFrame,
+                        idCol: String, testPct: Int,
+                        buckets: Int = 256): DataFrame = {
+    val members = s"$storePath/members"
+    val ids = docs.select(col(idCol).as("id")).distinct()
+      .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
+      .localCheckpoint(true)
+    val pbs = DedupStore.batchBuckets(ids)
+    val reps =
+      if (DedupStore.hasData(spark, members) && pbs.nonEmpty)
+        resolveCids(spark,
+          DedupStore.prunedRead(spark, members, pbs)
+            .join(broadcast(ids.select("id")), Seq("id"), "left_semi")
+            .select(col("id"), col("cid")),
+          storePath)
+          .groupBy(col("id")).agg(min(col("cid")).as("cluster_rep"))
+      else ids.select(col("id"), col("id").as("cluster_rep")).limit(0)
+    graft.operators.Sampling.groupTrainTestSplit(
+        docs.join(reps.withColumnRenamed("id", idCol), Seq(idCol), "left"),
+        "cluster_rep", idCol, testPct)
+      .withColumn("cluster_rep",
+        coalesce(col("cluster_rep"), col(idCol)))
+  }
+
   /** Compact a [[clusterIngestStream]] store: resolve every member's
     * cid to its live root ONCE, rewrite `members/data` blue/green
     * (same bucketed layout — ids don't change, so `pb` doesn't), then

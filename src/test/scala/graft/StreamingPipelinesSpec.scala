@@ -1668,6 +1668,56 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(got === Map(7L -> "t7", 9L -> "s9"))
   }
 
+  test("splitAgainstStore: streamed ≡ batch groupTrainTestSplit at every boundary; cross-batch consistency; merge restatement; replay idempotent") {
+    import graft.operators.{Dedup, Sampling}
+    val store = java.nio.file.Files.createTempDirectory("splstore").toString
+    val ingest = Pipelines.clusterIngestStream(store, buckets = 8)()
+    val docs = (0L to 9L).map(Tuple1(_)).toDF("doc_id")
+    val Pct = 50
+    def streamed(): Map[Long, (Long, String)] =
+      Pipelines.splitAgainstStore(spark, store, docs, "doc_id", Pct,
+        buckets = 8)
+        .select(col("doc_id"), col("cluster_rep"), col("split"))
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    def batch(allPairs: Seq[(Long, Long)]): Map[Long, (Long, String)] =
+      Sampling.groupTrainTestSplit(
+        docs.join(Dedup.dupClusters(docs, "doc_id",
+          allPairs.toDF("id_a", "id_b")), Seq("doc_id")),
+        "cluster_rep", "doc_id", Pct)
+        .select(col("doc_id"), col("cluster_rep"), col("split"))
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // empty store: every doc is its own group (the batch null-group
+    // rule), streamed ≡ batch over zero edges
+    assert(streamed() === batch(Seq.empty))
+    // both splits actually occur at 50% on these ids (fixture sanity)
+    assert(streamed().values.map(_._2).toSet === Set("train", "test"))
+    // batch 1: cluster {1,2}
+    val b1 = Seq((1L, 2L))
+    ingest(b1.toDF("id_a", "id_b"), 0L)
+    assert(streamed() === batch(b1))
+    // CROSS-BATCH CONSISTENCY: doc 3 joins the cluster a batch later
+    // and must land in the EARLIER members' split (rep stays 1)
+    val b2 = Seq((2L, 3L), (5L, 6L))
+    ingest(b2.toDF("id_a", "id_b"), 1L)
+    val s2 = streamed()
+    assert(s2(3L) === s2(1L) && s2(3L) === s2(2L))
+    assert(s2 === batch(b1 ++ b2))
+    // MERGE RESTATEMENT: edge (0,1) merges {0} into {1,2,3} and the
+    // new rep 0 restates the whole cluster to 0's split — exactly
+    // what re-running the batch split does; no cluster straddles
+    val b3 = Seq((0L, 1L))
+    ingest(b3.toDF("id_a", "id_b"), 2L)
+    val s3 = streamed()
+    assert(s3 === batch(b1 ++ b2 ++ b3))
+    assert(Seq(0L, 1L, 2L, 3L).map(s3(_)).toSet.size === 1,
+      "merged cluster must not straddle the split")
+    // REPLAY IDEMPOTENCE: redelivering batch 2 changes nothing
+    ingest(b2.toDF("id_a", "id_b"), 1L)
+    assert(streamed() === s3)
+  }
+
   test("clusterIngestStream: distributed-CC fallback path ≡ driver union-find path") {
     // driverCcMaxEdges = 0 forces every batch through the distributed
     // edge-rewiring CC — the 100 TB path must produce bit-identical
