@@ -38,6 +38,34 @@ class QualityClassifierSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q89 REGISTERED path: scores every document, pred = prob >= 0.5, recovers the cascade (AUC)") {
+    // the registry-path gate the r11 verdict asked for: execute the
+    // REGISTERED query via byName (not a re-implementation), so a
+    // regression in q89's own wiring — features, labels, memoization,
+    // column contract — fails this suite even though the query is
+    // rows-only for the DuckDB oracle
+    val out = graft.queries.Registry.byName("q89_quality_classifier")
+      .run(spark, docsDir).cache()
+    val nDocs = Tables.documents(spark, docsDir).count()
+    assert(out.count() === nDocs, "every document must be scored")
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "label_keep", "prob_keep", "pred_keep"))
+    assert(out.where(col("pred_keep") =!= (col("prob_keep") >= 0.5))
+      .isEmpty, "pred_keep must be the 0.5 prob threshold")
+    assert(out.where(col("prob_keep") < 0 || col("prob_keep") > 1)
+      .isEmpty, "probabilities must be in [0, 1]")
+    val probs = out.select(col("label_keep").cast("int"), col("prob_keep"))
+      .as[(Int, Double)].collect()
+    val pos = probs.filter(_._1 == 1).map(_._2)
+    val neg = probs.filter(_._1 == 0).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val auc = wins / (pos.length.toLong * neg.length)
+    assert(auc > 0.9, s"registered-path AUC $auc")
+    out.unpersist()
+  }
+
   test("training and scoring are deterministic") {
     val a = scored().select("doc_id", "prob_keep")
       .as[(Long, Double)].collect().toMap
