@@ -383,6 +383,38 @@ object Bpe {
       .groupBy(col("piece")).agg(sum(col("c")).as("n_occ"))
   }
 
+  /** Corpus-wide WordPiece segmentation stats under [[greedyPieces]]:
+    * per-doc `(id, n_words, n_pieces, n_unk_words)` — UNK words (too
+    * long or unmatched) contribute zero pieces and count in
+    * `n_unk_words`, so compression ratios read over the SEGMENTED
+    * mass. Same shape as [[UnigramLm.segmentStats]]: one Viterbi-free
+    * greedy pass per DISTINCT word with the vocab broadcast, the
+    * corpus never shuffles for tokenization, the per-doc aggregate is
+    * the only exchange. */
+  def wordpieceSegmentStats(toks: DataFrame, vocab: Set[String],
+                            maxPieceLen: Int = 12,
+                            maxWordLen: Int = 16): DataFrame = {
+    val spark = toks.sparkSession
+    val bc = spark.sparkContext.broadcast(vocab)
+    val mpl = maxPieceLen
+    val mwl = maxWordLen
+    val nPieces = udf { (w: String) =>
+      if (w.codePointCount(0, w.length) > mwl) null
+      else greedyPieces(w, bc.value, mpl)
+        .map(p => java.lang.Long.valueOf(p.size.toLong)).orNull
+    }
+    val words = toks.where(size(col("ws")) >= 1)
+      .select(col("id"), explode(col("ws")).as("tok"))
+    val wn = words.select(col("tok")).distinct()
+      .withColumn("n_sub", nPieces(col("tok")))
+    words.join(broadcast(wn), Seq("tok"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), lit(0L))).as("n_pieces"),
+        sum(when(col("n_sub").isNull, 1L).otherwise(0L))
+          .as("n_unk_words"))
+  }
+
   /** Apply a trained merge table to text: tokenize, segment each word,
     * replay the merges in rank order (greedy left-to-right, the same
     * [[fuse]] fold as training), and emit per-document subword counts.

@@ -2725,21 +2725,29 @@ object TextQueries {
     * training replay with the vocab CTE and one greedy-match step CTE
     * per position (each step consumes ≥ 1 code point, so 16 steps
     * cover every non-UNK word). */
-  val q344 = {
-    val N = 40       // merges, = q340
-    val MaxW = 16    // max_input_chars_per_word
-    val MaxP = 12    // longest piece ever matched, both engines
-    val union = (0 until N)
+  private val wpN = 40     // WordPiece merges, = q340
+  private val wpMaxW = 16  // max_input_chars_per_word
+  private val wpMaxP = 12  // longest piece ever matched, both engines
+
+  /** The greedy WordPiece APPLY chain over a [[wpTrainCtes]] prefix:
+    * shipped-vocab CTE (`wpv`), word counts (`wcnt`), one
+    * longest-match step CTE per position (each consumes ≥ 1 code
+    * point), fully-segmented words (`segok`), decorated piece rows
+    * (`wpp` — `##` continuations), and per-word piece counts
+    * (`uwn2`). Shared by q344 (piece census) and q348 (per-source
+    * compression). */
+  private def wpApplyCtes(n: Int): Seq[String] = {
+    val union = (0 until n)
       .map(k => s"SELECT l, r FROM best$k")
       .mkString("\nUNION ALL\n")
-    val steps = (1 to MaxW).flatMap { k =>
+    val steps = (1 to wpMaxW).flatMap { k =>
       Seq(
         bpeCte(s"b$k",
           s"""
              |  SELECT a.tok, a.pos, max(r.l) AS l
              |  FROM (SELECT tok, pos FROM g${k - 1}
              |        WHERE ok AND pos < length(tok)) a
-             |  JOIN range(1, ${MaxP + 1}) r(l)
+             |  JOIN range(1, ${wpMaxP + 1}) r(l)
              |    ON a.pos + r.l <= length(a.tok)
              |  JOIN wpv v ON v.piece = substr(a.tok, a.pos + 1, r.l)
              |  GROUP BY 1, 2""".stripMargin),
@@ -2753,37 +2761,48 @@ object TextQueries {
              |    g.ok AND (b.l IS NOT NULL OR g.pos >= length(g.tok)) AS ok
              |  FROM g${k - 1} g LEFT JOIN b$k b USING (tok)""".stripMargin))
     }
-    val pieceUnion = (1 to MaxW).map(k => s"SELECT tok, pos, raw FROM p$k")
+    val pieceUnion = (1 to wpMaxW).map(k => s"SELECT tok, pos, raw FROM p$k")
       .mkString("\n    UNION ALL ")
+    Seq(
+      bpeCte("wpv",
+        s"""
+           |  SELECT DISTINCT piece FROM (
+           |    SELECT replace(l || r, '</w>', '') AS piece FROM ($union)
+           |    UNION ALL
+           |    SELECT unnest(string_split(tok, '')) FROM cen)
+           |  WHERE piece <> ''""".stripMargin),
+      bpeCte("wcnt",
+        """
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+          |  FROM (SELECT unnest(ws) AS tok FROM tok) t GROUP BY 1""".stripMargin),
+      bpeCte("g0",
+        s"""
+           |  SELECT tok, 0 AS pos, length(tok) <= $wpMaxW AS ok FROM wcnt""".stripMargin)) ++
+      steps ++ Seq(
+      bpeCte("segok", s"SELECT tok FROM g$wpMaxW WHERE ok"),
+      bpeCte("wpp",
+        s"""
+           |  SELECT tok, pos,
+           |    CASE WHEN pos = 0 THEN raw ELSE '##' || raw END AS piece
+           |  FROM ($pieceUnion)""".stripMargin),
+      bpeCte("uwn2",
+        """
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS n_sub
+          |  FROM wpp JOIN segok USING (tok) GROUP BY tok""".stripMargin))
+  }
+
+  val q344 = {
     GQuery("q344_wordpiece_tokenize",
-      "WITH " + (wpTrainCtes(N) ++ Seq(
-        bpeCte("wpv",
-          s"""
-             |  SELECT DISTINCT piece FROM (
-             |    SELECT replace(l || r, '</w>', '') AS piece FROM ($union)
-             |    UNION ALL
-             |    SELECT unnest(string_split(tok, '')) FROM cen)
-             |  WHERE piece <> ''""".stripMargin),
-        bpeCte("wcnt",
-          """
-            |  SELECT tok, CAST(count(*) AS BIGINT) AS c
-            |  FROM (SELECT unnest(ws) AS tok FROM tok) t GROUP BY 1""".stripMargin),
-        bpeCte("g0",
-          s"""
-             |  SELECT tok, 0 AS pos, length(tok) <= $MaxW AS ok FROM wcnt""".stripMargin)) ++
-        steps ++ Seq(
-        bpeCte("segok", s"SELECT tok FROM g$MaxW WHERE ok"),
+      "WITH " + (wpTrainCtes(wpN) ++ wpApplyCtes(wpN) ++ Seq(
         bpeCte("census",
           s"""
-             |  SELECT CASE WHEN p.pos = 0 THEN p.raw
-             |              ELSE '##' || p.raw END AS piece,
-             |    CAST(sum(w.c) AS BIGINT) AS n_occ
-             |  FROM ($pieceUnion) p
+             |  SELECT p.piece, CAST(sum(w.c) AS BIGINT) AS n_occ
+             |  FROM wpp p
              |  JOIN segok USING (tok) JOIN wcnt w USING (tok)
              |  GROUP BY 1
              |  UNION ALL
              |  SELECT '[UNK]' AS piece, CAST(sum(w.c) AS BIGINT) AS n_occ
-             |  FROM g$MaxW g JOIN wcnt w USING (tok)
+             |  FROM g$wpMaxW g JOIN wcnt w USING (tok)
              |  WHERE NOT g.ok HAVING count(*) > 0""".stripMargin)))
         .mkString(",\n") +
         """
@@ -2791,14 +2810,68 @@ object TextQueries {
           |ORDER BY n_occ DESC, piece LIMIT 100""".stripMargin) { (s, dir) =>
       val toks = sharedToks(s, dir)
       val merges = graft.operators.Bpe
-        .trainWordpieceFromTokens(toks, nMerges = N)
+        .trainWordpieceFromTokens(toks, nMerges = wpN)
         .orderBy(col("rank"))
         .select(col("left"), col("right"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       val vocab = graft.operators.Bpe.wordpieceVocab(toks, merges)
       graft.operators.Bpe.wordpiecePieceCensus(toks, vocab,
-          maxPieceLen = MaxP, maxWordLen = MaxW)
+          maxPieceLen = wpMaxP, maxWordLen = wpMaxW)
         .orderBy(col("n_occ").desc, col("piece")).limit(100)
+    }
+  }
+
+  /** The WordPiece tokenizer's per-source compression readout (see
+    * [[graft.operators.Bpe.wordpieceSegmentStats]]): word / piece /
+    * UNK-word counts and chars-per-piece — the q113/q337 statistic
+    * under the THIRD tokenizer family, completing the train+apply
+    * symmetry across BPE, unigram-LM and WordPiece. UNK words
+    * contribute zero pieces (ratios read over the segmented mass).
+    * The oracle is the q344 chain's per-word piece counts LEFT-joined
+    * back onto the token stream. */
+  val q348 = {
+    GQuery("q348_wordpiece_compression",
+      "WITH " + (wpTrainCtes(wpN) ++ wpApplyCtes(wpN) ++ Seq(
+        bpeCte("docsub2",
+          """
+            |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            |    CAST(sum(coalesce(s.n_sub, 0)) AS BIGINT) AS n_pieces,
+            |    CAST(sum(CASE WHEN s.n_sub IS NULL THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS n_unk
+            |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+            |  LEFT JOIN uwn2 s USING (tok)
+            |  GROUP BY t.doc_id""".stripMargin)))
+        .mkString(",\n") +
+        """
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(j.n_words) AS BIGINT) AS n_words,
+          |  CAST(sum(j.n_pieces) AS BIGINT) AS n_pieces,
+          |  CAST(sum(j.n_unk) AS BIGINT) AS n_unk_words,
+          |  round(CAST(sum(d.n_chars) AS DOUBLE)
+          |    / CAST(sum(j.n_pieces) AS DOUBLE), 4) AS chars_per_piece
+          |FROM docsub2 j JOIN documents d USING (doc_id)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val toks = sharedToks(s, dir)
+      val merges = graft.operators.Bpe
+        .trainWordpieceFromTokens(toks, nMerges = wpN)
+        .orderBy(col("rank"))
+        .select(col("left"), col("right"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val vocab = graft.operators.Bpe.wordpieceVocab(toks, merges)
+      graft.operators.Bpe.wordpieceSegmentStats(toks, vocab,
+          maxPieceLen = wpMaxP, maxWordLen = wpMaxW)
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("source"), col("n_chars")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_unk_words")).as("n_unk_words"),
+          round(sum(col("n_chars")).cast("double")
+            / sum(col("n_pieces")).cast("double"), 4)
+            .as("chars_per_piece"))
+        .orderBy(col("source"))
     }
   }
 
@@ -2991,5 +3064,5 @@ object TextQueries {
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
       q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281,
-      q336, q337, q340, q344, q345, q346)
+      q336, q337, q340, q344, q345, q346, q348)
 }

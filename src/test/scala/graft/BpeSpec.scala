@@ -238,6 +238,14 @@ class BpeSpec extends SparkSpec {
     // abc ×3 → 'abc'; ab ×1 → 'ab'; zz → z, ##z; a*20 → [UNK] once
     assert(got === Map("abc" -> 3L, "ab" -> 1L, "z" -> 1L, "##z" -> 1L,
       "[UNK]" -> 1L))
+    // the per-doc stats face over the same fixture: UNK words count in
+    // n_unk_words and contribute zero pieces
+    val stats = Bpe.wordpieceSegmentStats(toks, vocab, maxWordLen = 16)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(stats === Map(
+      1L -> ((4L, 5L, 0L)),   // abc abc ab zz → 1+1+1+2 pieces
+      2L -> ((2L, 1L, 1L))))  // abc + the 20-cp UNK word
   }
 
   test("byte-level BPE: apply ≡ driver merge replay; unseen non-BMP emoji segments losslessly where a code-point vocab needs UNK") {
