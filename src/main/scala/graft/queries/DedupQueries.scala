@@ -980,6 +980,62 @@ object DedupQueries {
     }
   }
 
+  /** Louvain + the LEIDEN CONNECTIVITY GUARANTEE (see
+    * [[graft.operators.GraphOps.repairCommunityConnectivity]]): the
+    * q343 two-level Louvain partition, then every community split
+    * into its connected parts (Louvain can strand a community's
+    * halves when a bridge vertex moves out — Traag et al. 2019;
+    * splitting a disconnected community ALWAYS raises Q by exactly
+    * 2·D_1·D_2 on the 4m² scale). Labels canonicalize to component
+    * minima. The oracle extends the q343 replay with a recursive-CTE
+    * CC over the INTRA-community edge subset (the q51 reach shape) and
+    * scores the repaired partition with the q339 census. */
+  val q349 = {
+    GQuery("q349_louvain_connected",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$pairCtes,
+         |ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |lv0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, doc_id AS community FROM documents),
+         |${louvainSweepCtes("s1", "ed", "lv0", "lv1")},
+         |${louvainSweepCtes("s2", "ed", "lv1", "lv2")},
+         |ed2 AS MATERIALIZED (
+         |  SELECT a.community AS src, b.community AS dst
+         |  FROM ed e JOIN lv2 a ON a.id = e.src JOIN lv2 b ON b.id = e.dst),
+         |cl0 AS MATERIALIZED (
+         |  SELECT DISTINCT community AS id, community AS community FROM lv2),
+         |${louvainSweepCtes("s3", "ed2", "cl0", "cl1")},
+         |${louvainSweepCtes("s4", "ed2", "cl1", "cl2")},
+         |fin AS MATERIALIZED (
+         |  SELECT m.id, c.community AS lbl
+         |  FROM lv2 m JOIN cl2 c ON c.id = m.community),
+         |intra AS MATERIALIZED (
+         |  SELECT e.src AS u, e.dst AS v
+         |  FROM ed e JOIN fin a ON a.id = e.src JOIN fin b ON b.id = e.dst
+         |  WHERE a.lbl = b.lbl AND e.src <> e.dst),
+         |reach2(id, rep) AS (
+         |  SELECT id, id FROM fin
+         |  UNION
+         |  SELECT i.u, r.rep FROM intra i JOIN reach2 r ON i.v = r.id),
+         |rl AS MATERIALIZED (
+         |  SELECT id, min(rep) AS lbl FROM reach2 GROUP BY id),
+         |${modularityCensusSql("rl")}""".stripMargin) { (s, dir) =>
+      val pairs = sharedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint()
+      val labels = graft.operators.GraphOps.louvain(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        edges, levels = 2, sweepsPerLevel = 2)
+      val repaired = graft.operators.GraphOps
+        .repairCommunityConnectivity(labels, edges)
+        .localCheckpoint()
+      graft.operators.GraphOps.modularity(repaired, edges)
+        .orderBy(col("community"))
+    }
+  }
+
   /** LEAKAGE-SAFE train/test split (see
     * [[graft.operators.Sampling.groupTrainTestSplit]]): the split
     * hashes the near-dup CLUSTER REP, so no cluster straddles train
@@ -2594,5 +2650,5 @@ object DedupQueries {
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
-      q318, q319, q320, q322, q338, q339, q341, q342, q343, q347)
+      q318, q319, q320, q322, q338, q339, q341, q342, q343, q347, q349)
 }

@@ -178,6 +178,37 @@ class GraphOpsSpec extends SparkSpec {
       parts(GraphOps.modularity(l1df, edges)))
   }
 
+  test("repairCommunityConnectivity: disconnected community splits with exact Q gain 2·D1·D2; connected partitions keep their member sets") {
+    // two triangles with NO connecting edge, plus a pair; E2 = 14
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (8L, 9L))
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    // community 1 is internally DISCONNECTED (both triangles), the
+    // Louvain failure mode Leiden repairs
+    val bad = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 8L -> 8L, 9L -> 8L).toDF("id", "community")
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.modularity(labels, edges)
+        .agg(sum(col("q_4m2_part"))).head().getLong(0)
+    val repaired = GraphOps.repairCommunityConnectivity(bad, edges)
+      .localCheckpoint()
+    val got = repaired.as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 6L -> 4L, 8L -> 8L, 9L -> 8L))
+    // exact Q gain from the split: D1 = D2 = 6 → Δ(4m²Q) = 2·6·6 = 72
+    assert(q(repaired) - q(bad) === 72L)
+    // a CONNECTED partition keeps its member sets (labels canonicalize
+    // to component minima)
+    def sets(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.as[(Long, Long)].collect().groupBy(_._2)
+        .values.map(_.map(_._1).toSet).toSet
+    val again = GraphOps.repairCommunityConnectivity(repaired, edges)
+    assert(sets(again) === sets(repaired))
+    assert(again.as[(Long, Long)].collect().toMap === got,
+      "already-canonical labels are a fixpoint")
+  }
+
   test("smoothScores: hand-computed integer rounds; isolated vertex untouched") {
     val scores = Seq((1L, 1.0), (2L, 0.0), (3L, 0.5)).toDF("id", "score")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
