@@ -220,11 +220,19 @@ object GraphOps {
     */
   private def refineRoundImpl(labels: DataFrame, edges: DataFrame,
                               selfLoops: Boolean,
-                              swapGuard: Boolean): DataFrame = {
+                              swapGuard: Boolean,
+                              pre: Option[(DataFrame, Long, DataFrame)] =
+                                None): DataFrame = {
     val l = labels.select(col("id"), col("community"))
     val e = edges.select(col("src"), col("dst"))
     val e2 = e.agg(count(lit(1)).as("e2"))
-    val dg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // `pre` ((degrees, E2, self-loop census)) hoists the LEVEL-CONSTANT
+    // inputs out of the sweep: all three depend only on the edge list,
+    // and recomputing the EDGE-SIZED degree aggregate once per sweep is
+    // the kind of cost that dominates at 10^12 edge rows. None (the
+    // q342 path) computes them inline — plan unchanged.
+    val dg = pre.map(_._1).getOrElse(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     val dC = l.join(dg, Seq("id"), "left")
       .groupBy(col("community"))
       .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"),
@@ -246,8 +254,9 @@ object GraphOps {
     val withKva =
       if (!selfLoops) withKva0.withColumn("sv", lit(0L))
       else {
-        val slf = e.where(col("src") === col("dst"))
-          .groupBy(col("src").as("id")).agg(count(lit(1)).as("sv"))
+        val slf = pre.map(_._3).getOrElse(
+          e.where(col("src") === col("dst"))
+            .groupBy(col("src").as("id")).agg(count(lit(1)).as("sv")))
         withKva0.join(slf, Seq("id"), "left")
           .withColumn("sv", coalesce(col("sv"), lit(0L)))
       }
@@ -261,12 +270,17 @@ object GraphOps {
       if (!swapGuard) cand0
       else cand0.where(!(col("na") === 1L && col("nb") === 1L &&
         col("b") > col("a")))
-    val cand = cand1
-      .crossJoin(broadcast(e2))
-      .select(col("id"), col("b"),
-        (lit(2L) * col("e2") * (col("kvb") - col("kva") + col("sv"))
-          + lit(2L) * col("dv") * (col("da") - col("db"))
-          - lit(2L) * col("dv") * col("dv")).as("gain"))
+    val gainOf: Column => Column = e2c =>
+      (lit(2L) * e2c * (col("kvb") - col("kva") + col("sv"))
+        + lit(2L) * col("dv") * (col("da") - col("db"))
+        - lit(2L) * col("dv") * col("dv")).as("gain")
+    val cand = pre match {
+      case Some((_, e2v, _)) =>
+        cand1.select(col("id"), col("b"), gainOf(lit(e2v)))
+      case None =>
+        cand1.crossJoin(broadcast(e2))
+          .select(col("id"), col("b"), gainOf(col("e2")))
+    }
     val best = cand
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
@@ -327,9 +341,18 @@ object GraphOps {
     for (lvl <- 1 to levels) {
       var labels = mapping.select(col("community").as("id")).distinct()
         .select(col("id"), col("id").as("community"))
+      // level-constant inputs, computed ONCE per level: degrees and
+      // the self-loop census are edge-sized aggregates (the heaviest
+      // work in a sweep at web scale), E2 a single count
+      val dg = g.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint()
+      val slf = g.where(col("src") === col("dst"))
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("sv"))
+        .localCheckpoint()
+      val e2v = g.count()
       for (_ <- 1 to sweepsPerLevel)
         labels = refineRoundImpl(labels, g, selfLoops = true,
-          swapGuard = true).localCheckpoint()
+          swapGuard = true, pre = Some((dg, e2v, slf))).localCheckpoint()
       mapping = mapping
         .join(labels.select(col("id").as("community"),
           col("community").as("nc")), Seq("community"))
