@@ -112,8 +112,18 @@ object Dedup {
     * frequent — near-identical docs always share rare shingles unless
     * the whole corpus is near-identical. */
   def jaccardPairsFromSets(sets: DataFrame, minJaccard: Double = 0.8,
-                           maxDocFreq: Option[Int] = Some(10000)): DataFrame = {
+                           maxDocFreq: Option[Int] = Some(10000),
+                           withInter: Boolean = false): DataFrame = {
     val ex0 = sets.select(col("id"), explode(col("shset")).as("s"))
+    // `withInter` appends the exact shared-shingle count — the natural
+    // integer EDGE WEIGHT for downstream weighted graph algorithms
+    // ([[GraphOps.louvainWeighted]]); both branches already hold it.
+    def out(base: DataFrame): DataFrame = {
+      val cols = Seq(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard")) ++
+        (if (withInter) Seq(col("inter").cast("long").as("inter")) else Nil)
+      base.select(cols: _*)
+    }
     maxDocFreq match {
       case None =>
         // Exact count-based path: shared-shingle counts ARE the
@@ -124,13 +134,12 @@ object Dedup {
           .where(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b")
           .agg(count(lit(1)).as("inter"))
-        shared
+        out(shared
           .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
           .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
           .withColumn("jaccard",
             col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-          .where(col("jaccard") >= minJaccard)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .where(col("jaccard") >= minJaccard))
       case Some(maxDf) =>
         // Frequency-capped candidate generation with EXACT output scores.
         // true_inter = rare_inter + |freq_a ∩ freq_b|, so whenever either
@@ -168,7 +177,7 @@ object Dedup {
         // (output-sized, not candidate-sized).
         val ubInter = col("inter_rare") + least(col("nf_a"), col("nf_b"))
         val ubJ = ubInter.cast("double") / (col("sz_a") + col("sz_b") - ubInter)
-        scored
+        out(scored
           .where(ubJ >= minJaccard)
           .select("id_a", "id_b")
           .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
@@ -176,8 +185,7 @@ object Dedup {
           .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
           .withColumn("jaccard", col("inter").cast("double") /
             (size(col("set_a")) + size(col("set_b")) - col("inter")))
-          .where(col("jaccard") >= minJaccard)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .where(col("jaccard") >= minJaccard))
     }
   }
 

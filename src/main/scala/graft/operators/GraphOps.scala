@@ -170,6 +170,40 @@ object GraphOps {
         col("e2"))
   }
 
+  /** [[modularity]] for an integer-weighted symmetrized edge list
+    * `(src, dst, w)` — Newman's weighted Q with m, degrees and intra
+    * counts replaced by weight sums: on the 4W² scale (E2 = Σw over
+    * directed rows), `q_4w2_part = E2·intra_w − d_c²` with d_c the
+    * community's weighted degree sum and intra_w the directed
+    * intra-community weight. All BIGINT (headroom: Σw < 2³¹·√2 ≈
+    * 3·10⁹ — past that, lift to 128-bit decimal), so an oracle replays
+    * it bit-for-bit. Same shape as the unweighted census: two label
+    * lookups on the edge list, keyed sums, one 1-row total. Returns
+    * (community, n_members, d_c, intra_w, q_4w2_part, e2). */
+  def modularityWeighted(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("community"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val e2 = e.agg(coalesce(sum(col("w")), lit(0L)).as("e2"))
+    val dg = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg"))
+    val cm = l.join(dg, Seq("id"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_c"))
+    val intra = e
+      .join(l.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(l.select(col("id").as("dst"), col("community").as("cb")), "dst")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(sum(col("w")).as("intra_w"))
+    cm.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(e2))
+      .select(col("community"), col("n_members"), col("d_c"),
+        coalesce(col("intra_w"), lit(0L)).as("intra_w"),
+        (col("e2") * coalesce(col("intra_w"), lit(0L))
+          - col("d_c") * col("d_c")).as("q_4w2_part"),
+        col("e2"))
+  }
+
   /** One SYNCHRONOUS greedy modularity-refinement sweep (the Louvain
     * phase-1 move step, Blondel et al. 2008, in its deterministic
     * distributed form): every vertex simultaneously evaluates moving
@@ -222,17 +256,27 @@ object GraphOps {
                               selfLoops: Boolean,
                               swapGuard: Boolean,
                               pre: Option[(DataFrame, Long, DataFrame)] =
-                                None): DataFrame = {
+                                None,
+                              weighted: Boolean = false): DataFrame = {
     val l = labels.select(col("id"), col("community"))
-    val e = edges.select(col("src"), col("dst"))
-    val e2 = e.agg(count(lit(1)).as("e2"))
+    val e =
+      if (weighted) edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      else edges.select(col("src"), col("dst"))
+    // Weighted mode: every occurrence count becomes a weight SUM — the
+    // gain algebra is unchanged (k, d_v, D_c, s_v, E2 are all weighted
+    // sums of BIGINTs), so integer edge weights keep the sweep exactly
+    // replayable. Unweighted call sites keep count(1) aggregates so
+    // their plans (and the q342/q343 oracles) are byte-identical.
+    def occ: Column = if (weighted) sum(col("w")) else count(lit(1))
+    val e2 = e.agg(occ.as("e2"))
     // `pre` ((degrees, E2, self-loop census)) hoists the LEVEL-CONSTANT
     // inputs out of the sweep: all three depend only on the edge list,
     // and recomputing the EDGE-SIZED degree aggregate once per sweep is
     // the kind of cost that dominates at 10^12 edge rows. None (the
     // q342 path) computes them inline — plan unchanged.
     val dg = pre.map(_._1).getOrElse(
-      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+      e.groupBy(col("src").as("id")).agg(occ.as("deg")))
     val dC = l.join(dg, Seq("id"), "left")
       .groupBy(col("community"))
       .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"),
@@ -240,7 +284,7 @@ object GraphOps {
     val kvc = e
       .join(l.select(col("id").as("dst"), col("community").as("cb")), "dst")
       .groupBy(col("src").as("id"), col("cb"))
-      .agg(count(lit(1)).as("k"))
+      .agg(occ.as("k"))
     val base = l.select(col("id"), col("community").as("a"))
       .join(dg, Seq("id"), "left")
       .select(col("id"), col("a"), coalesce(col("deg"), lit(0L)).as("dv"))
@@ -256,7 +300,7 @@ object GraphOps {
       else {
         val slf = pre.map(_._3).getOrElse(
           e.where(col("src") === col("dst"))
-            .groupBy(col("src").as("id")).agg(count(lit(1)).as("sv")))
+            .groupBy(col("src").as("id")).agg(occ.as("sv")))
         withKva0.join(slf, Seq("id"), "left")
           .withColumn("sv", coalesce(col("sv"), lit(0L)))
       }
@@ -308,6 +352,23 @@ object GraphOps {
         "dst")
       .select(col("csrc").as("src"), col("cdst").as("dst"))
 
+  /** [[coarsen]] for an integer-weighted edge list `(src, dst, w)`:
+    * endpoints map onto communities and PARALLEL rows collapse with
+    * their weights SUMMED — the coarse graph is (communities touched)²-
+    * bounded instead of edge-row-bounded, and every weighted aggregate
+    * (E2, degrees, k_vc, self-loops) is preserved exactly, so the
+    * coarse partition scores the same 4W²·Q parts as the composed
+    * partition on the original graph (spec-asserted). Two edge-keyed
+    * joins + one keyed sum. */
+  def coarsenWeighted(labels: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("w"))
+      .join(labels.select(col("id").as("src"), col("community").as("csrc")),
+        "src")
+      .join(labels.select(col("id").as("dst"), col("community").as("cdst")),
+        "dst")
+      .groupBy(col("csrc").as("src"), col("cdst").as("dst"))
+      .agg(sum(col("w")).as("w"))
+
   /** Full Louvain (Blondel et al. 2008), distributed and
     * oracle-replayable: `levels` alternations of phase 1 — `
     * sweepsPerLevel` synchronous exact-integer refinement sweeps
@@ -333,32 +394,65 @@ object GraphOps {
     * on [[modularityRefineRound]]: BIGINT to E2 ≈ 2·10⁹ directed
     * rows, lift to DECIMAL(38,0) past ~1e9. */
   def louvain(vertices: DataFrame, edges: DataFrame, levels: Int = 2,
-              sweepsPerLevel: Int = 2): DataFrame = {
+              sweepsPerLevel: Int = 2): DataFrame =
+    louvainImpl(vertices, edges, levels, sweepsPerLevel, weighted = false)
+
+  /** WEIGHTED full Louvain over an integer-weighted symmetrized edge
+    * list `(src, dst, w)` — the near-dup graph is naturally weighted
+    * (shared-shingle counts, co-occurrence counts), and weight changes
+    * the partition: a vertex tied to community A by one heavy edge
+    * belongs with A even when MORE (light) edges point at B. Same
+    * exact-integer algebra as [[louvain]] with every occurrence count
+    * replaced by a weight SUM (E2 = Σw over directed rows, weighted
+    * degrees/k_vc/self-loops), so the sweeps stay oracle-replayable
+    * bit-for-bit. Coarsening ([[coarsenWeighted]]) SUMS weights onto
+    * community endpoints instead of keeping row multiplicity — the
+    * coarse graph is community²-bounded rows rather than edge-bounded.
+    * Headroom: the gain term approaches 2·E2² — with E2 now Σw, BIGINT
+    * holds to Σw ≈ 2·10⁹; lift to DECIMAL(38,0) past ~1e9 total
+    * weight. Returns (id, community) over the ORIGINAL ids. */
+  def louvainWeighted(vertices: DataFrame, edges: DataFrame,
+                      levels: Int = 2, sweepsPerLevel: Int = 2): DataFrame =
+    louvainImpl(vertices, edges, levels, sweepsPerLevel, weighted = true)
+
+  private def louvainImpl(vertices: DataFrame, edges: DataFrame,
+                          levels: Int, sweepsPerLevel: Int,
+                          weighted: Boolean): DataFrame = {
     require(levels >= 1 && sweepsPerLevel >= 1,
       "levels and sweepsPerLevel must be >= 1")
     var mapping = vertices.select(col("id"), col("id").as("community"))
-    var g = edges.select(col("src"), col("dst"))
+    var g =
+      if (weighted) edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      else edges.select(col("src"), col("dst"))
+    def occ: Column = if (weighted) sum(col("w")) else count(lit(1))
     for (lvl <- 1 to levels) {
       var labels = mapping.select(col("community").as("id")).distinct()
         .select(col("id"), col("id").as("community"))
       // level-constant inputs, computed ONCE per level: degrees and
       // the self-loop census are edge-sized aggregates (the heaviest
-      // work in a sweep at web scale), E2 a single count
+      // work in a sweep at web scale), E2 a single count (weight sum)
       val dg = g.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("deg")).localCheckpoint()
+        .agg(occ.as("deg")).localCheckpoint()
       val slf = g.where(col("src") === col("dst"))
-        .groupBy(col("src").as("id")).agg(count(lit(1)).as("sv"))
+        .groupBy(col("src").as("id")).agg(occ.as("sv"))
         .localCheckpoint()
-      val e2v = g.count()
+      val e2v =
+        if (weighted)
+          g.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+        else g.count()
       for (_ <- 1 to sweepsPerLevel)
         labels = refineRoundImpl(labels, g, selfLoops = true,
-          swapGuard = true, pre = Some((dg, e2v, slf))).localCheckpoint()
+          swapGuard = true, pre = Some((dg, e2v, slf)),
+          weighted = weighted).localCheckpoint()
       mapping = mapping
         .join(labels.select(col("id").as("community"),
           col("community").as("nc")), Seq("community"))
         .select(col("id"), col("nc").as("community"))
         .localCheckpoint()
-      if (lvl < levels) g = coarsen(labels, g).localCheckpoint()
+      if (lvl < levels)
+        g = (if (weighted) coarsenWeighted(labels, g)
+             else coarsen(labels, g)).localCheckpoint()
     }
     mapping
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -504,6 +504,158 @@ object TextStats {
         round(col("d_observed") + col("f1").cast("double")
           * (col("f1") - lit(1L)) / (lit(2.0) * (col("f2") + lit(1L))))
           .cast("long"))
+  }
+
+  /** Zipf rank-frequency fit per group: OLS slope of ln(freq) on
+    * ln(rank) over the ranked token census — the classic corpus
+    * sanity diagnostic (natural text slopes ≈ −1; a slope collapsing
+    * toward 0 flags boilerplate/template floods, a super-steep one
+    * flags vocabulary collapse). Deterministic: rank = row_number by
+    * (freq DESC, token ASC); both logs snapped to the 1e4 nat grid as
+    * integers; then the exact-integer-sufficient-stats OLS of
+    * [[Profiling.groupLinFit]] (slope6 / intercept / r2_4 grids).
+    * Restricted to tokens with freq ≥ `minCount` and rank ≤ `maxRank`
+    * — the frequent regime where Zipf is linear AND what bounds the
+    * per-group ranking window (the census shuffle dominates; the
+    * window sees only the ≥ minCount survivors, Zipf-bounded ≪ vocab).
+    * Returns (grp, n, slope6, intercept, r2_4). */
+  def zipfFit(toks: DataFrame, groups: DataFrame, groupCol: String,
+              minCount: Long = 5L, maxRank: Long = 500L): DataFrame = {
+    val cen = toks.join(groups, "id")
+      .select(col(groupCol).as("grp"), explode(col("ws")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+    val xy = cen
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("freq").desc, col("tok").asc)))
+      .where(col("rank") <= maxRank)
+      .select(col("grp"),
+        round(lit(1e4) * log(col("rank"))).cast("long").as("x"),
+        round(lit(1e4) * log(col("freq"))).cast("long").as("y"))
+    Profiling.groupLinFit(xy, "grp", "x", "y")
+  }
+
+  /** Heaps'-law vocabulary-growth fit per group: V(N) ≈ K·N^β, read
+    * as the OLS slope of ln(cumulative distinct types) on
+    * ln(cumulative tokens) sampled at id-bucket checkpoints — β ≈
+    * 0.7–0.8 for natural text; β near 1 means the stream never stops
+    * minting types (ids/hashes/noise), β near 0 a template loop. The
+    * growth curve is computed WITHOUT per-doc windows: a type's first
+    * occurrence is one keyed min (grp, tok → min id), token mass and
+    * new-type counts aggregate per (grp, id-bucket of width
+    * `bucketWidth`), and the prefix sums run over BUCKET rows only
+    * (the two-phase prefix-sum discipline — the window partition is
+    * docs/bucketWidth-bounded, never corpus rows; at 100 TB size the
+    * bucket so the per-group bucket count stays ~1e5). Checkpoints
+    * snap to the 1e4 nat grid; fit via [[Profiling.groupLinFit]].
+    * Returns (grp, n, slope6, intercept, r2_4) — n = checkpoint
+    * count. */
+  def heapsFit(toks: DataFrame, groups: DataFrame, groupCol: String,
+               bucketWidth: Long = 64L): DataFrame = {
+    val stream = toks.join(groups, "id")
+      .select(col(groupCol).as("grp"), col("id"), explode(col("ws")).as("tok"))
+    val bkt: Column => Column = idc =>
+      floor(idc / lit(bucketWidth.toDouble)).cast("long")
+    val tk = stream.groupBy(col("grp"), bkt(col("id")).as("b"))
+      .agg(count(lit(1)).as("ntok"))
+    val nv = stream.groupBy(col("grp"), col("tok"))
+      .agg(min(col("id")).as("fid"))
+      .groupBy(col("grp"), bkt(col("fid")).as("b"))
+      .agg(count(lit(1)).as("ntypes"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xy = tk.join(nv, Seq("grp", "b"), "left")
+      .select(col("grp"), col("b"), col("ntok"),
+        coalesce(col("ntypes"), lit(0L)).as("ntypes"))
+      .select(col("grp"),
+        sum(col("ntok")).over(w).as("cum_tok"),
+        sum(col("ntypes")).over(w).as("cum_types"))
+      .where(col("cum_tok") > 0L)
+      .select(col("grp"),
+        round(lit(1e4) * log(col("cum_tok"))).cast("long").as("x"),
+        round(lit(1e4) * log(col("cum_types"))).cast("long").as("y"))
+    Profiling.groupLinFit(xy, "grp", "x", "y")
+  }
+
+  /** Vocabulary coverage curve per group: the share of token mass
+    * covered by the top 2^k most frequent types, k = 0..`maxLog2` —
+    * the readout that sizes a tokenizer/embedding vocab ("16k types
+    * cover 97% of this source"). Rank = (freq DESC, token ASC);
+    * cumulative mass via the per-group ranked prefix sum (the q113
+    * vocabulary-build window — vocab-sized, Heaps-sublinear in the
+    * corpus); share on the exact 1e-4 integer grid (the `div` idiom,
+    * no float division). Emits one row per (group, k) with
+    * rank 2^k ≤ vocab size. Returns
+    * (grp, k, vocab_at_k, cum_tokens, total_tokens, coverage4). */
+  def vocabCoverageCurve(toks: DataFrame, groups: DataFrame,
+                         groupCol: String, maxLog2: Int = 14): DataFrame = {
+    require(maxLog2 >= 0 && maxLog2 <= 30, "maxLog2 out of range")
+    val cen = toks.join(groups, "id")
+      .select(col(groupCol).as("grp"), explode(col("ws")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("freq").desc, col("tok").asc)
+    val tot = cen.groupBy("grp").agg(sum(col("freq")).as("total_tokens"))
+    cen
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where((0 to maxLog2).map(k => col("rank") === lit(1L << k))
+        .reduce(_ || _))
+      .join(broadcast(tot), "grp")
+      .select(col("grp"),
+        round(log(2.0, col("rank"))).cast("int").as("k"),
+        col("rank").as("vocab_at_k"), col("cum_tokens"),
+        col("total_tokens"),
+        expr("(2 * 10000 * cum_tokens + total_tokens) div " +
+          "(2 * total_tokens)").as("coverage4"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between group token
+    * distributions over the corpus-global top-`vocabSize` vocabulary,
+    * add-one smoothed — the SYMMETRIC bounded companion to
+    * [[groupTokenKl]] (which scores each group against the corpus
+    * margin): the domain-mixing planner's distance matrix ("how far
+    * apart are these two sources in token space"). Smoothing over the
+    * fixed top-K term space keeps every log finite for BOTH sides;
+    * per-term contributions snap to the 1e7 nat grid as integers
+    * before the order-free sum (the [[groupTokenKl]] part idiom).
+    * JSD is in nats, ≤ ln 2 ≈ 0.693; jsd7 = round(1e7·JSD).
+    *
+    * Scale: one (group, token) census; the top-K vocab is a
+    * TakeOrdered broadcast; the pair matrix is (groups² × K) rows —
+    * groups is a handful of sources, never corpus-sized. Returns
+    * (grp_a, grp_b, n_terms, jsd7) for grp_a < grp_b. */
+  def jsDivergencePairs(toks: DataFrame, groups: DataFrame,
+                        groupCol: String,
+                        vocabSize: Int = 1024): DataFrame = {
+    val sw = toks.join(groups, "id")
+      .select(col(groupCol).as("grp"), explode(col("ws")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val vocab = sw.groupBy("tok").agg(sum(col("c")).as("gc"))
+      .orderBy(col("gc").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"))
+    val grps = sw.select(col("grp")).distinct()
+    val cells = grps.crossJoin(broadcast(vocab))
+      .join(sw, Seq("grp", "tok"), "left")
+      .select(col("grp"), col("tok"), coalesce(col("c"), lit(0L)).as("c"))
+    val ns = cells.groupBy("grp").agg(sum(col("c")).as("n"))
+    val p = cells.join(broadcast(ns), "grp")
+      .select(col("grp"), col("tok"),
+        ((col("c") + lit(1.0)) / (col("n") + lit(vocabSize.toLong)))
+          .as("p"))
+    val pa = p.select(col("grp").as("grp_a"), col("tok"), col("p").as("pa"))
+    val pb = p.select(col("grp").as("grp_b"), col("tok"), col("p").as("pb"))
+    pa.join(pb, Seq("tok"))
+      .where(col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        round(lit(1e7) * lit(0.5) *
+          (col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+            + col("pb") * log(lit(2.0) * col("pb")
+              / (col("pa") + col("pb"))))).cast("long").as("t7"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("t7")).as("jsd7"))
   }
 
   /** Per-group PII-pattern census — the MEASUREMENT face of

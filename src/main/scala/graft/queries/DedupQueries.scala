@@ -83,6 +83,31 @@ object DedupQueries {
        |  JOIN sz sb ON sb.doc_id = id_b
        |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ)""".stripMargin
 
+  /** [[pairCtes]] with the exact shared-shingle count kept as the
+    * integer edge WEIGHT -> `prw(id_a, id_b, w)` — the input to the
+    * weighted-graph family (q350). */
+  private val pairCtesW =
+    s"""sharedw AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prw AS (
+       |  SELECT id_a, id_b, CAST(inter AS BIGINT) AS w FROM sharedw
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $MinJ)""".stripMargin
+
+  /** The shingle-set pair graph WITH the exact intersection count as
+    * edge weight (see [[graft.operators.Dedup.jaccardPairsFromSets]]'s
+    * `withInter`) — q350's weighted input; the shingle index itself is
+    * shared with the whole q24 family through [[sharedSets]]. */
+  private[queries] def sharedWeightedPairs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Dedup
+      .jaccardPairsFromSets(sharedSets(s, dir), MinJ, withInter = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** [[pairCtes]] + the recursive cluster map -> `cl(doc_id,
     * cluster_rep)`; requires `WITH RECURSIVE`. One definition serves
     * q51/q78/q88 so the cluster semantics cannot drift between
@@ -1032,6 +1057,131 @@ object DedupQueries {
         .repairCommunityConnectivity(labels, edges)
         .localCheckpoint()
       graft.operators.GraphOps.modularity(repaired, edges)
+        .orderBy(col("community"))
+    }
+  }
+
+  /** [[louvainSweepCtes]] with every occurrence count replaced by a
+    * weight SUM — the [[graft.operators.GraphOps.louvainWeighted]]
+    * sweep over an integer-weighted edge CTE `ed(src, dst, w)`. Gain
+    * algebra identical (all terms weighted BIGINT sums). */
+  private def louvainSweepCtesW(tag: String, ed: String, lin: String,
+                                lout: String): String =
+    s"""e2$tag AS (SELECT CAST(sum(w) AS BIGINT) AS e2 FROM $ed),
+       |dg$tag AS MATERIALIZED (
+       |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS deg FROM $ed GROUP BY 1),
+       |dc$tag AS MATERIALIZED (
+       |  SELECT l.community AS community,
+       |    CAST(sum(coalesce(dg.deg, 0)) AS BIGINT) AS dsum,
+       |    CAST(count(*) AS BIGINT) AS nmem
+       |  FROM $lin l LEFT JOIN dg$tag dg USING (id) GROUP BY 1),
+       |kvc$tag AS MATERIALIZED (
+       |  SELECT e.src AS id, b.community AS cb, CAST(sum(e.w) AS BIGINT) AS k
+       |  FROM $ed e JOIN $lin b ON b.id = e.dst GROUP BY 1, 2),
+       |slf$tag AS MATERIALIZED (
+       |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS sv
+       |  FROM $ed WHERE src = dst GROUP BY 1),
+       |base$tag AS (
+       |  SELECT l.id, l.community AS a,
+       |    CAST(coalesce(dg.deg, 0) AS BIGINT) AS dv,
+       |    dca.dsum AS da, dca.nmem AS na,
+       |    CAST(coalesce(kv.k, 0) AS BIGINT) AS kva,
+       |    CAST(coalesce(s.sv, 0) AS BIGINT) AS sv
+       |  FROM $lin l LEFT JOIN dg$tag dg USING (id)
+       |  JOIN dc$tag dca ON dca.community = l.community
+       |  LEFT JOIN kvc$tag kv ON kv.id = l.id AND kv.cb = l.community
+       |  LEFT JOIN slf$tag s ON s.id = l.id),
+       |cand$tag AS (
+       |  SELECT base.id, kvc.cb AS b,
+       |    2 * (SELECT e2 FROM e2$tag) * (kvc.k - base.kva + base.sv)
+       |      + 2 * base.dv * (base.da - dcb.dsum)
+       |      - 2 * base.dv * base.dv AS gain
+       |  FROM base$tag base
+       |  JOIN kvc$tag kvc ON kvc.id = base.id AND kvc.cb <> base.a
+       |  JOIN dc$tag dcb ON dcb.community = kvc.cb
+       |  WHERE NOT (base.na = 1 AND dcb.nmem = 1 AND kvc.cb > base.a)),
+       |mv$tag AS (
+       |  SELECT id, b FROM (
+       |    SELECT id, b, gain, row_number() OVER (PARTITION BY id
+       |      ORDER BY gain DESC, b ASC) AS rn
+       |    FROM cand$tag) WHERE rn = 1 AND gain > 0),
+       |$lout AS MATERIALIZED (
+       |  SELECT l.id, coalesce(mv.b, l.community) AS community
+       |  FROM $lin l LEFT JOIN mv$tag mv USING (id))""".stripMargin
+
+  /** The WEIGHTED modularity-census tail
+    * ([[graft.operators.GraphOps.modularityWeighted]]'s contract in
+    * SQL) over a label CTE `lt(id, lbl)` and a weighted edge CTE
+    * `ed(src, dst, w)`: per-community (n_members, d_c, intra_w,
+    * q_4w2_part, e2) with every count a weight sum. */
+  private def modularityCensusWSql(lt: String, ed: String): String =
+    s"""e2t AS (SELECT CAST(sum(w) AS BIGINT) AS e2 FROM $ed),
+       |dgt AS MATERIALIZED (
+       |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS deg FROM $ed GROUP BY 1),
+       |cmt AS (
+       |  SELECT l.lbl AS community,
+       |    CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(coalesce(dgt.deg, 0)) AS BIGINT) AS d_c
+       |  FROM $lt l LEFT JOIN dgt USING (id) GROUP BY 1),
+       |intw AS (
+       |  SELECT a.lbl AS community, CAST(sum(e.w) AS BIGINT) AS intra_w
+       |  FROM $ed e JOIN $lt a ON a.id = e.src
+       |             JOIN $lt b2 ON b2.id = e.dst
+       |  WHERE a.lbl = b2.lbl GROUP BY 1)
+       |SELECT cmt.community, cmt.n_members, cmt.d_c,
+       |  CAST(coalesce(i.intra_w, 0) AS BIGINT) AS intra_w,
+       |  CAST((SELECT e2 FROM e2t) * coalesce(i.intra_w, 0)
+       |    - cmt.d_c * cmt.d_c AS BIGINT) AS q_4w2_part,
+       |  CAST((SELECT e2 FROM e2t) AS BIGINT) AS e2
+       |FROM cmt LEFT JOIN intw i USING (community)
+       |ORDER BY community""".stripMargin
+
+  /** WEIGHTED full Louvain (see
+    * [[graft.operators.GraphOps.louvainWeighted]]) over the near-dup
+    * pair graph with the exact shared-shingle count as the integer
+    * edge weight — the dup graph is naturally weighted, and weight
+    * changes the partition: a doc tied to one cluster by a HEAVY
+    * near-identity edge belongs with it even when more (light) edges
+    * point elsewhere. Two weighted sweeps, weight-summing coarsening
+    * (parallel coarse rows collapse — the coarse graph is
+    * communities²-bounded, not edge-bounded), two more sweeps,
+    * compose. Output: the weighted modularity census of the final
+    * partition on the original graph — every move at both levels AND
+    * the resulting 4W²·Q parts replayed in exact integers. */
+  val q350 = {
+    GQuery("q350_louvain_weighted",
+      s"""WITH $shingleCtes,
+         |$pairCtesW,
+         |edw AS MATERIALIZED (SELECT id_a AS src, id_b AS dst, w FROM prw
+         |       UNION ALL SELECT id_b, id_a, w FROM prw),
+         |lw0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, doc_id AS community FROM documents),
+         |${louvainSweepCtesW("w1", "edw", "lw0", "lw1")},
+         |${louvainSweepCtesW("w2", "edw", "lw1", "lw2")},
+         |ed2w AS MATERIALIZED (
+         |  SELECT a.community AS src, b.community AS dst,
+         |    CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM edw e JOIN lw2 a ON a.id = e.src JOIN lw2 b ON b.id = e.dst
+         |  GROUP BY 1, 2),
+         |cw0 AS MATERIALIZED (
+         |  SELECT DISTINCT community AS id, community AS community FROM lw2),
+         |${louvainSweepCtesW("w3", "ed2w", "cw0", "cw1")},
+         |${louvainSweepCtesW("w4", "ed2w", "cw1", "cw2")},
+         |finw AS MATERIALIZED (
+         |  SELECT m.id, c.community AS lbl
+         |  FROM lw2 m JOIN cw2 c ON c.id = m.community),
+         |${modularityCensusWSql("finw", "edw")}""".stripMargin) { (s, dir) =>
+      val pairs = sharedWeightedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("inter").as("w"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+          col("inter").as("w")))
+        .localCheckpoint()
+      val labels = graft.operators.GraphOps.louvainWeighted(
+          Tables.documents(s, dir).select(col("doc_id").as("id")),
+          edges, levels = 2, sweepsPerLevel = 2)
+        .localCheckpoint()
+      graft.operators.GraphOps.modularityWeighted(labels, edges)
         .orderBy(col("community"))
     }
   }
@@ -2650,5 +2800,6 @@ object DedupQueries {
       q88, q91, q94, q96, q100, q108, q134, q135, q136, q137, q138, q143, q145,
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
-      q318, q319, q320, q322, q338, q339, q341, q342, q343, q347, q349)
+      q318, q319, q320, q322, q338, q339, q341, q342, q343, q347, q349,
+      q350)
 }

@@ -3058,11 +3058,219 @@ object TextQueries {
     }
   }
 
+  /** The [[graft.operators.Profiling.groupLinFit]] OLS tail rendered
+    * in SQL over a sufficient-stats CTE `s(grp, n, sx, sy, sxx, sxy,
+    * syy)` — the q194 assembly, shared by the corpus-law fits
+    * (q351/q352) so the slope/intercept/r² grids cannot drift between
+    * oracles. */
+  private def olsTailSql(keyAs: String): String =
+    s"""SELECT grp AS $keyAs, CAST(n AS BIGINT) AS n,
+       |  CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope6,
+       |  CAST(round((CAST(sy AS DOUBLE)
+       |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE)) AS BIGINT) AS intercept,
+       |  CAST(CASE WHEN n * syy - sy * sy > 0 THEN
+       |    round(1e4 * CAST(n * sxy - sx * sy AS DOUBLE)
+       |      * CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+       |         * CAST(n * syy - sy * sy AS DOUBLE)))
+       |    ELSE 10000 END AS BIGINT) AS r2_4
+       |FROM s WHERE n * sxx - sx * sx > 0
+       |ORDER BY $keyAs""".stripMargin
+
+  private val olsSumsSql: String =
+    """s AS (
+      |  SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      |  FROM xy GROUP BY grp)""".stripMargin
+
+  /** Zipf rank-frequency fit per source (see
+    * [[graft.operators.TextStats.zipfFit]]): OLS slope of ln freq on
+    * ln rank over the top-500 ranked token census (freq ≥ 5) — the
+    * corpus-law diagnostic (natural text ≈ −1; boilerplate floods
+    * flatten it). Exact-integer sufficient stats over 1e4-nat-grid
+    * points; the oracle replays census, rank, grid and the q194 OLS
+    * assembly. */
+  val q351 = GQuery("q351_zipf_fit",
+    s"""WITH $tokCte,
+       |cen AS (
+       |  SELECT d.source AS grp, t.tok, count(*) AS freq
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY 1, 2 HAVING count(*) >= 5),
+       |xy AS (
+       |  SELECT grp,
+       |    CAST(round(1e4 * ln(rank)) AS BIGINT) AS x,
+       |    CAST(round(1e4 * ln(freq)) AS BIGINT) AS y
+       |  FROM (SELECT grp, freq,
+       |          row_number() OVER (PARTITION BY grp
+       |            ORDER BY freq DESC, tok ASC) AS rank
+       |        FROM cen)
+       |  WHERE rank <= 500),
+       |$olsSumsSql
+       |${olsTailSql("source")}""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.zipfFit(
+        sharedToks(s, dir),
+        Tables.documents(s, dir).select(col("doc_id").as("id"),
+          col("source")),
+        "source", minCount = 5L, maxRank = 500L)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit per source (see
+    * [[graft.operators.TextStats.heapsFit]]): V(N) ≈ K·N^β read as
+    * the OLS slope of ln cumulative types on ln cumulative tokens at
+    * doc-id-bucket checkpoints (width 64) — β near 1 flags a stream
+    * minting types forever (ids/noise), β near 0 a template loop. No
+    * per-doc windows: first occurrences are a keyed min, prefix sums
+    * run over BUCKET rows. The oracle replays buckets, cumsums, grid
+    * and the q194 OLS assembly. */
+  val q352 = GQuery("q352_heaps_fit",
+    s"""WITH $tokCte,
+       |st AS (
+       |  SELECT d.source AS grp, t.doc_id, t.tok
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+       |  JOIN documents d USING (doc_id)),
+       |tk AS (
+       |  SELECT grp, doc_id // 64 AS b, count(*) AS ntok
+       |  FROM st GROUP BY 1, 2),
+       |nv AS (
+       |  SELECT grp, fid // 64 AS b, count(*) AS ntypes
+       |  FROM (SELECT grp, tok, min(doc_id) AS fid FROM st GROUP BY 1, 2)
+       |  GROUP BY 1, 2),
+       |cm AS (
+       |  SELECT tk.grp, tk.b, tk.ntok, coalesce(nv.ntypes, 0) AS ntypes
+       |  FROM tk LEFT JOIN nv ON nv.grp = tk.grp AND nv.b = tk.b),
+       |xy AS (
+       |  SELECT grp,
+       |    CAST(round(1e4 * ln(cum_tok)) AS BIGINT) AS x,
+       |    CAST(round(1e4 * ln(cum_types)) AS BIGINT) AS y
+       |  FROM (SELECT grp,
+       |          sum(ntok) OVER (PARTITION BY grp ORDER BY b
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS cum_tok,
+       |          sum(ntypes) OVER (PARTITION BY grp ORDER BY b
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS cum_types
+       |        FROM cm)
+       |  WHERE cum_tok > 0),
+       |$olsSumsSql
+       |${olsTailSql("source")}""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.heapsFit(
+        sharedToks(s, dir),
+        Tables.documents(s, dir).select(col("doc_id").as("id"),
+          col("source")),
+        "source", bucketWidth = 64L)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary coverage curve per source (see
+    * [[graft.operators.TextStats.vocabCoverageCurve]]): token-mass
+    * share of the top 2^k types, k = 0..14 — the readout that sizes a
+    * tokenizer/embedding vocabulary per domain. Exact 1e-4 integer
+    * shares (the q318 `div` idiom); one row per (source, k) with
+    * 2^k ≤ vocab. */
+  val q353 = {
+    val MaxLog2 = 14
+    val rankList = (0 to MaxLog2).map(k => (1L << k).toString)
+      .mkString("(", ", ", ")")
+    GQuery("q353_vocab_coverage",
+      s"""WITH $tokCte,
+         |cen AS (
+         |  SELECT d.source AS grp, t.tok, count(*) AS freq
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT grp, freq,
+         |    row_number() OVER (PARTITION BY grp
+         |      ORDER BY freq DESC, tok ASC) AS rank,
+         |    sum(freq) OVER (PARTITION BY grp
+         |      ORDER BY freq DESC, tok ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM cen),
+         |tot AS (SELECT grp, sum(freq) AS total_tokens FROM cen GROUP BY grp)
+         |SELECT rk.grp AS source, CAST(round(log2(rank)) AS INT) AS k,
+         |  CAST(rank AS BIGINT) AS vocab_at_k,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  CAST((2 * 10000 * cum_tokens + total_tokens)
+         |    // (2 * total_tokens) AS BIGINT) AS coverage4
+         |FROM rk JOIN tot USING (grp)
+         |WHERE rank IN $rankList
+         |ORDER BY source, k""".stripMargin) { (s, dir) =>
+      graft.operators.TextStats.vocabCoverageCurve(
+          sharedToks(s, dir),
+          Tables.documents(s, dir).select(col("doc_id").as("id"),
+            col("source")),
+          "source", maxLog2 = MaxLog2)
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"), col("k"))
+    }
+  }
+
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions (see
+    * [[graft.operators.TextStats.jsDivergencePairs]]): add-one
+    * smoothed over the corpus-global top-1024 vocabulary — the
+    * symmetric bounded distance matrix the domain-mixing planner
+    * reads, beside q216's group-vs-corpus KL. Per-term contributions
+    * snap to the 1e7 nat grid before the order-free integer sum. */
+  val q354 = {
+    val K = 1024
+    GQuery("q354_source_jsd",
+      s"""WITH $tokCte,
+         |sw AS (
+         |  SELECT d.source AS grp, t.tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2),
+         |gv AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, sum(c) AS gc FROM sw GROUP BY tok
+         |    ORDER BY gc DESC, tok ASC LIMIT $K)),
+         |gs AS (SELECT DISTINCT grp FROM sw),
+         |cells AS (
+         |  SELECT gs.grp, gv.tok, coalesce(sw.c, 0) AS c
+         |  FROM gs CROSS JOIN gv
+         |  LEFT JOIN sw ON sw.grp = gs.grp AND sw.tok = gv.tok),
+         |ns AS (SELECT grp, sum(c) AS n FROM cells GROUP BY grp),
+         |p AS (
+         |  SELECT cells.grp, cells.tok,
+         |    (cells.c + 1.0) / (ns.n + $K) AS p
+         |  FROM cells JOIN ns USING (grp)),
+         |pr AS (
+         |  SELECT a.grp AS grp_a, b.grp AS grp_b,
+         |    CAST(round(1e7 * 0.5
+         |      * (a.p * ln(2.0 * a.p / (a.p + b.p))
+         |        + b.p * ln(2.0 * b.p / (a.p + b.p)))) AS BIGINT) AS t7
+         |  FROM p a JOIN p b ON a.tok = b.tok AND a.grp < b.grp)
+         |SELECT grp_a AS source_a, grp_b AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(t7) AS BIGINT) AS jsd7
+         |FROM pr GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) {
+      (s, dir) =>
+      graft.operators.TextStats.jsDivergencePairs(
+          sharedToks(s, dir),
+          Tables.documents(s, dir).select(col("doc_id").as("id"),
+            col("source")),
+          "source", vocabSize = K)
+        .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+          col("n_terms"), col("jsd7"))
+        .orderBy(col("source_a"), col("source_b"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
       q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281,
-      q336, q337, q340, q344, q345, q346, q348)
+      q336, q337, q340, q344, q345, q346, q348, q351, q352, q353, q354)
 }

@@ -209,6 +209,67 @@ class GraphOpsSpec extends SparkSpec {
       "already-canonical labels are a fixpoint")
   }
 
+  test("louvainWeighted: weight flips the partition vs unweighted on the same topology; exact weighted Q parts; w=1 degrades to unweighted; weighted coarsening preserves exact parts") {
+    // topology: 1—2, 1—3, 3—4, 3—5, 4—5. Weighted: the 1—2 and 1—3
+    // edges carry weight 10, the rest weight 1 — v3 is tied to v1 by
+    // ONE heavy near-identity edge and to {4,5} by TWO light edges.
+    val verts = (1L to 5L).toDF("id")
+    val wpairs = Seq((1L, 2L, 10L), (1L, 3L, 10L), (3L, 4L, 1L),
+      (3L, 5L, 1L), (4L, 5L, 1L))
+    val wedges = wpairs.toDF("src", "dst", "w")
+      .unionAll(wpairs.map(t => (t._2, t._1, t._3)).toDF("src", "dst", "w"))
+    val edges = wedges.select(col("src"), col("dst"))
+    // hand-traced (sweep 1: v2→c1, v3→c1 [gain 440 beats 44 to the
+    // light side], v4→c3, v5→c4; sweep 2: v5→c3): {1,2,3} + {4,5}
+    val lw = GraphOps.louvainWeighted(verts, wedges,
+      levels = 1, sweepsPerLevel = 2).as[(Long, Long)].collect().toMap
+    assert(lw === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L))
+    // UNWEIGHTED on the same topology: v3's two light edges outvote
+    // the single heavy one (sweep 2 gain +6 toward c3) → {1,2} + {3,4,5}
+    val lu = GraphOps.louvain(verts, edges,
+      levels = 1, sweepsPerLevel = 2).as[(Long, Long)].collect().toMap
+    assert(lu === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // weighted modularity, hand-computed on the 4W² scale: E2 = 46;
+    // c1: d_c = 42, intra_w = 40 → 46·40 − 42² = 76; c3: d_c = 4,
+    // intra_w = 2 → 46·2 − 16 = 76
+    val lwDf = lw.toSeq.toDF("id", "community")
+    val mw = GraphOps.modularityWeighted(lwDf, wedges)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(mw.toSeq === Seq((1L, 3L, 42L, 40L, 76L, 46L),
+      (3L, 2L, 4L, 2L, 76L, 46L)))
+    // a second level is a fixpoint (both coarse supervertices lose
+    // −152 by merging)
+    val lw2 = GraphOps.louvainWeighted(verts, wedges,
+      levels = 2, sweepsPerLevel = 2).as[(Long, Long)].collect().toMap
+    assert(lw2 === lw)
+    // w = 1 degrades exactly to the unweighted algorithm + census
+    val ones = edges.withColumn("w", lit(1L))
+    val lw1 = GraphOps.louvainWeighted(verts, ones,
+      levels = 1, sweepsPerLevel = 2).as[(Long, Long)].collect().toMap
+    assert(lw1 === lu)
+    val luDf = lu.toSeq.toDF("id", "community")
+    val uw = GraphOps.modularity(luDf, edges)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val w1 = GraphOps.modularityWeighted(luDf, ones)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(w1 === uw)
+    // WEIGHTED COARSENING LAW: weight-summing coarsening preserves the
+    // exact 4W² parts of the composed partition (n_members excluded —
+    // supervertices are singletons)
+    def parts(m: org.apache.spark.sql.DataFrame) =
+      m.select(col("community"), col("d_c"), col("intra_w"),
+        col("q_4w2_part"), col("e2"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val coarse = GraphOps.coarsenWeighted(lwDf, wedges)
+    val coarseLabels = lwDf.select(col("community").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+    assert(parts(GraphOps.modularityWeighted(coarseLabels, coarse)) ===
+      parts(GraphOps.modularityWeighted(lwDf, wedges)))
+    // the coarse graph collapsed parallel rows: 4 rows (two self-loops
+    // + the two directed inter rows), not E2-many
+    assert(coarse.count() === 4L)
+  }
+
   test("smoothScores: hand-computed integer rounds; isolated vertex untouched") {
     val scores = Seq((1L, 1.0), (2L, 0.0), (3L, 0.5)).toDF("id", "score")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")

@@ -241,6 +241,94 @@ class TextStatsSpec extends SparkSpec {
     assert(g1 > 0 && g2 > 0) // both groups genuinely diverge from the mix
   }
 
+  test("zipfFit: exact-power-law census fits slope −1; minCount and maxRank filter; points match the hand grid") {
+    // freq = 12/rank exactly (12, 6, 4, 3) → ln freq = ln 12 − ln rank:
+    // slope −1 up to the 1e4 grid snap; "z" (freq 1) is dropped by
+    // minCount = 2
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d") ++ Seq("z")
+    val docs = Seq((1L, words.mkString(" "), "g"))
+      .toDF("doc_id", "text", "src")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val groups = docs.select(col("doc_id").as("id"), col("src"))
+    val got = TextStats.zipfFit(toks, groups, "src", minCount = 2L,
+        maxRank = 500L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // the same points through the same OLS — pins the census/rank/
+    // filter logic; OLS itself is q194-oracle-gated
+    def snap(v: Double): Long = math.rint(1e4 * math.log(v)).toLong
+    val pts = Seq((1, 12), (2, 6), (3, 4), (4, 3))
+      .map { case (r, f) => ("g", snap(r), snap(f)) }
+      .toDF("grp", "x", "y")
+    val want = graft.operators.Profiling.groupLinFit(pts, "grp", "x", "y")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.head._2 === 4L, "z must fall below minCount")
+    // slope6 within one grid snap of the exact −1e6 power law
+    assert(math.abs(got.head._3 + 1000000L) < 200L)
+    assert(got.head._5 >= 9999L, "r² ≈ 1 on an exact power law")
+  }
+
+  test("heapsFit: bucketed growth checkpoints hand-computed; first occurrences counted once") {
+    // bucketWidth 4 → docs 0–3 are bucket 0 (7 tokens, new types
+    // a,b,c), docs 4–7 bucket 1 (5 tokens, new types d,e; a/b repeat)
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "a a"), (3L, "b"),
+      (4L, "d d"), (5L, "a"), (6L, "e"), (7L, "b"))
+      .toDF("doc_id", "text").withColumn("src", lit("g"))
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val groups = docs.select(col("doc_id").as("id"), col("src"))
+    val got = TextStats.heapsFit(toks, groups, "src", bucketWidth = 4L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    def snap(v: Double): Long = math.rint(1e4 * math.log(v)).toLong
+    val pts = Seq((7, 3), (12, 5))
+      .map { case (n, v) => ("g", snap(n), snap(v)) }
+      .toDF("grp", "x", "y")
+    val want = graft.operators.Profiling.groupLinFit(pts, "grp", "x", "y")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.head._2 === 2L && got.head._5 === 10000L,
+      "two checkpoints fit exactly")
+  }
+
+  test("vocabCoverageCurve: exact shares at power-of-two ranks; ties break by token") {
+    // census a:5 b:3 c:1 d:1 (total 10); ranks c=3, d=4 by token asc
+    val docs = Seq((1L, "a a a a a b b b c d"))
+      .toDF("doc_id", "text").withColumn("src", lit("g"))
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val groups = docs.select(col("doc_id").as("id"), col("src"))
+    val got = TextStats.vocabCoverageCurve(toks, groups, "src", maxLog2 = 2)
+      .orderBy(col("k"))
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("g", 0, 1L, 5L, 10L, 5000L),
+      ("g", 1, 2L, 8L, 10L, 8000L),
+      ("g", 2, 4L, 10L, 10L, 10000L)))
+  }
+
+  test("jsDivergencePairs: identical distributions score zero; hand-computed divergence on a mirrored pair; symmetric in group order") {
+    val docs = Seq(
+      (1L, "a b", "g1"), (2L, "a b", "g2"), (3L, "a a", "g3"),
+      (4L, "b b", "g4")).toDF("doc_id", "text", "src")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val groups = docs.select(col("doc_id").as("id"), col("src"))
+    val got = TextStats.jsDivergencePairs(toks, groups, "src", vocabSize = 2)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // g1 ≡ g2 → exact zero (pa = pb per term, ln 1 = 0)
+    assert(got(("g1", "g2")) === ((2L, 0L)))
+    // g3 = {a:2}, g4 = {b:2}, smoothing K = 2: p = (2+1)/4 vs (0+1)/4
+    // per term → t7 = round(5e6·(0.75·ln 1.5 + 0.25·ln 0.5)) each side
+    val t7 = math.rint(5e6 *
+      (0.75 * math.log(2.0 * 0.75 / 1.0) +
+        0.25 * math.log(2.0 * 0.25 / 1.0))).toLong
+    assert(got(("g3", "g4")) === ((2L, 2 * t7)))
+    assert(t7 > 0L)
+    // the mirrored pairs against g1 are symmetric: JSD(g1,g3) = JSD(g1,g4)
+    assert(got(("g1", "g3"))._2 === got(("g1", "g4"))._2)
+    assert(got.size === 6, "all unordered pairs emitted")
+  }
+
   test("textRank: adjacency dedup, self-pair drop, isolated teleport floor") {
     // "x x y" → self-pair (x,x) dropped, edge x—y kept once; "z" isolated.
     // Symmetric 2-cycle holds r = 1 forever → p = 1/3 each;
