@@ -107,16 +107,34 @@ object GraphOps {
     * round (lineage truncation, the [[pageRank]] discipline). Returns
     * (id, community). */
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
-                       iters: Int = 3): DataFrame = {
+                       iters: Int = 3): DataFrame =
+    labelPropagationImpl(vertices, edges, iters, weighted = false)
+
+  /** WEIGHTED synchronous label propagation over an integer-weighted
+    * symmetrized edge list `(src, dst, w)`: each round a vertex adopts
+    * the label with the largest incident WEIGHT SUM (ties → smallest
+    * label) — one heavy near-identity edge outvotes several light
+    * ones, which is the right call on a similarity-weighted dup graph.
+    * Same determinism/scale contract as [[labelPropagation]]; w = 1
+    * degrades to it exactly (spec-asserted). */
+  def labelPropagationWeighted(vertices: DataFrame, edges: DataFrame,
+                               iters: Int = 3): DataFrame =
+    labelPropagationImpl(vertices, edges, iters, weighted = true)
+
+  private def labelPropagationImpl(vertices: DataFrame, edges: DataFrame,
+                                   iters: Int, weighted: Boolean): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val v = vertices.select(col("id"))
-    val e = edges.select(col("src"), col("dst"))
+    val e =
+      if (weighted) edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      else edges.select(col("src"), col("dst"))
     var labels = v.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
       val votes = e
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
+        .agg((if (weighted) sum(col("w")) else count(lit(1))).as("c"))
       val best = votes
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("src"))

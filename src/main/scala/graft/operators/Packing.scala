@@ -170,6 +170,46 @@ object Packing {
     if (keepStart) out else out.drop("__start")
   }
 
+  /** Padding-waste census: what a fixed-`batchRows` training loader
+    * pads, under arrival-order batching vs length-bucketed batching
+    * (sort by length DESC, cut every `batchRows` docs — the standard
+    * bucketing trick). Each batch pads every row to the batch max, so
+    * padded = Σ_b count_b·max_b; the report emits one row per strategy
+    * with the exact waste share on the 1e-4 grid — the readout that
+    * justifies (or kills) adding a bucketing stage to a loader.
+    *
+    * Scale: batch assignment is [[packByOrder]] with unit weights —
+    * the two-phase range-partitioned prefix sum, never a
+    * single-partition window; per-batch aggregates are keyed. Returns
+    * (strategy, n_docs, n_batches, total_tokens, padded_tokens,
+    * waste_share4) for strategies 'arrival' and 'length_bucketed'. */
+  def paddingWasteReport(df: DataFrame, idCol: String, tokenCol: String,
+                         batchRows: Long, parts: Int = 32): DataFrame = {
+    require(batchRows > 0, "batchRows must be positive")
+    def report(name: String, ord: Column): DataFrame =
+      packByOrder(
+          df.select(col(idCol), col(tokenCol).cast("long").as("__len"))
+            .withColumn("__one", lit(1L))
+            .withColumn("__ord", ord),
+          idCol, "__one", "__ord", batchRows, parts)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("nb"), max(col("__len")).as("mx"),
+          sum(col("__len")).as("st"))
+        .agg(sum(col("nb")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("st")).as("total_tokens"),
+          sum(col("nb") * col("mx")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_docs"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          expr("(2 * 10000 * (padded_tokens - total_tokens) " +
+            "+ padded_tokens) div (2 * padded_tokens)").as("waste_share4"))
+    // packByOrder sorts (__ord DESC, id ASC): a constant key yields
+    // pure arrival (id) order; the length key yields longest-first —
+    // exactly how bucketing loaders sort
+    report("arrival", lit(0L))
+      .unionAll(report("length_bucketed", col("__len")))
+  }
+
   /** DuckDB SQL fragment computing the same shard id with a sequential
     * window (`exprs` must use the same idCol/tokenCol names). */
   def shardIdSql(idCol: String, tokenCol: String, maxTokens: Long): String =

@@ -1186,6 +1186,115 @@ object DedupQueries {
     }
   }
 
+  /** [[lpaCtes]] with WEIGHTED votes over the weighted edge CTE
+    * `edw(src, dst, w)` — the
+    * [[graft.operators.GraphOps.labelPropagationWeighted]] rounds:
+    * label score = incident weight sum, ties → smallest label. Emits
+    * `llw{iters}(id, lbl)`. */
+  private def lpaCtesW(iters: Int): String = {
+    def iterCtes(i: Int): String =
+      s"""vlw$i AS (
+         |  SELECT ed.src AS id, l.lbl AS lbl, CAST(sum(ed.w) AS BIGINT) AS c
+         |  FROM edw ed JOIN llw${i - 1} l ON l.id = ed.dst
+         |  GROUP BY 1, 2),
+         |mlw$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM vlw$i) WHERE rn = 1),
+         |llw$i AS MATERIALIZED (
+         |  SELECT p.id, coalesce(mlw$i.lbl, p.lbl) AS lbl
+         |  FROM llw${i - 1} p LEFT JOIN mlw$i USING (id))""".stripMargin
+    s"""edw AS MATERIALIZED (SELECT id_a AS src, id_b AS dst, w FROM prw
+       |       UNION ALL SELECT id_b, id_a, w FROM prw),
+       |llw0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |${(1 to iters).map(iterCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** WEIGHTED label propagation (see
+    * [[graft.operators.GraphOps.labelPropagationWeighted]]) over the
+    * shingle-count-weighted near-dup graph: the q338 plurality vote
+    * with weight-sum scores — one heavy near-identity edge outvotes
+    * several light ones, the right call on a similarity-weighted dup
+    * graph. The oracle replays every weighted round. */
+  val q355 = {
+    val Iters = 3
+    GQuery("q355_lpa_weighted",
+      s"""WITH $shingleCtes,
+         |$pairCtesW,
+         |${lpaCtesW(Iters)}
+         |SELECT id AS doc_id, lbl AS community
+         |FROM llw$Iters ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = sharedWeightedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("inter").as("w"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+          col("inter").as("w")))
+      graft.operators.GraphOps.labelPropagationWeighted(
+          Tables.documents(s, dir).select(col("doc_id").as("id")),
+          edges, iters = Iters)
+        .select(col("id").as("doc_id"), col("community"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** WEIGHTED Louvain + the Leiden connectivity guarantee: the q350
+    * weighted partition, then every community split into its
+    * connected parts
+    * ([[graft.operators.GraphOps.repairCommunityConnectivity]] —
+    * connectivity is weight-blind, so the repair composes unchanged)
+    * and scored with the weighted census. Completes the weighted
+    * family's symmetry with q349. */
+  val q356 = {
+    GQuery("q356_louvain_weighted_connected",
+      s"""WITH RECURSIVE $shingleCtes,
+         |$pairCtesW,
+         |edw AS MATERIALIZED (SELECT id_a AS src, id_b AS dst, w FROM prw
+         |       UNION ALL SELECT id_b, id_a, w FROM prw),
+         |lw0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, doc_id AS community FROM documents),
+         |${louvainSweepCtesW("w1", "edw", "lw0", "lw1")},
+         |${louvainSweepCtesW("w2", "edw", "lw1", "lw2")},
+         |ed2w AS MATERIALIZED (
+         |  SELECT a.community AS src, b.community AS dst,
+         |    CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM edw e JOIN lw2 a ON a.id = e.src JOIN lw2 b ON b.id = e.dst
+         |  GROUP BY 1, 2),
+         |cw0 AS MATERIALIZED (
+         |  SELECT DISTINCT community AS id, community AS community FROM lw2),
+         |${louvainSweepCtesW("w3", "ed2w", "cw0", "cw1")},
+         |${louvainSweepCtesW("w4", "ed2w", "cw1", "cw2")},
+         |finw AS MATERIALIZED (
+         |  SELECT m.id, c.community AS lbl
+         |  FROM lw2 m JOIN cw2 c ON c.id = m.community),
+         |intra2 AS MATERIALIZED (
+         |  SELECT e.src AS u, e.dst AS v
+         |  FROM edw e JOIN finw a ON a.id = e.src JOIN finw b ON b.id = e.dst
+         |  WHERE a.lbl = b.lbl AND e.src <> e.dst),
+         |reach3(id, rep) AS (
+         |  SELECT id, id FROM finw
+         |  UNION
+         |  SELECT i.u, r.rep FROM intra2 i JOIN reach3 r ON i.v = r.id),
+         |rlw AS MATERIALIZED (
+         |  SELECT id, min(rep) AS lbl FROM reach3 GROUP BY id),
+         |${modularityCensusWSql("rlw", "edw")}""".stripMargin) { (s, dir) =>
+      val pairs = sharedWeightedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("inter").as("w"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+          col("inter").as("w")))
+        .localCheckpoint()
+      val labels = graft.operators.GraphOps.louvainWeighted(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        edges, levels = 2, sweepsPerLevel = 2)
+      val repaired = graft.operators.GraphOps
+        .repairCommunityConnectivity(labels, edges)
+        .localCheckpoint()
+      graft.operators.GraphOps.modularityWeighted(repaired, edges)
+        .orderBy(col("community"))
+    }
+  }
+
   /** LEAKAGE-SAFE train/test split (see
     * [[graft.operators.Sampling.groupTrainTestSplit]]): the split
     * hashes the near-dup CLUSTER REP, so no cluster straddles train
@@ -2801,5 +2910,5 @@ object DedupQueries {
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
       q318, q319, q320, q322, q338, q339, q341, q342, q343, q347, q349,
-      q350)
+      q350, q355, q356)
 }

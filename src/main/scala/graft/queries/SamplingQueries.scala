@@ -917,7 +917,56 @@ object SamplingQueries {
       .orderBy(col("stratum"))
   }
 
+  /** Padding-waste census (see
+    * [[graft.operators.Packing.paddingWasteReport]]): what a
+    * fixed-64-row training loader pads under arrival-order batching
+    * vs length-bucketed (longest-first) batching — the readout that
+    * justifies a bucketing stage. Batch assignment is the two-phase
+    * prefix-sum rank (never a single-partition window); the oracle
+    * replays it with sequential row_number windows and the exact
+    * `//`-grid waste share. */
+  val q357 = {
+    val B = 64
+    GQuery("q357_padding_waste",
+      s"""WITH tl AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS ntok
+         |  FROM documents),
+         |lb AS (
+         |  SELECT ntok,
+         |    (row_number() OVER (ORDER BY ntok DESC, doc_id) - 1) // $B
+         |      AS batch
+         |  FROM tl),
+         |ar AS (
+         |  SELECT ntok,
+         |    (row_number() OVER (ORDER BY doc_id) - 1) // $B AS batch
+         |  FROM tl),
+         |ab AS (
+         |  SELECT 'arrival' AS strategy, batch, count(*) AS nb,
+         |    max(ntok) AS mx, sum(ntok) AS st
+         |  FROM ar GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'length_bucketed', batch, count(*), max(ntok), sum(ntok)
+         |  FROM lb GROUP BY 2)
+         |SELECT strategy, CAST(sum(nb) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_batches,
+         |  CAST(sum(st) AS BIGINT) AS total_tokens,
+         |  CAST(sum(nb * mx) AS BIGINT) AS padded_tokens,
+         |  CAST((2 * 10000 * (sum(nb * mx) - sum(st)) + sum(nb * mx))
+         |    // (2 * sum(nb * mx)) AS BIGINT) AS waste_share4
+         |FROM ab GROUP BY strategy ORDER BY strategy""".stripMargin) {
+      (s, dir) =>
+      import graft.functions.TextFunctions
+      graft.operators.Packing.paddingWasteReport(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("ntok")),
+          "doc_id", "ntok", batchRows = B.toLong)
+        .orderBy(col("strategy"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q49, q50, q57, q63, q64, q65, q70, q75, q77, q80, q87, q92,
-      q102, q106, q142, q144, q147, q149, q154, q155, q165, q233)
+      q102, q106, q142, q144, q147, q149, q154, q155, q165, q233, q357)
 }

@@ -209,6 +209,26 @@ class GraphOpsSpec extends SparkSpec {
       "already-canonical labels are a fixpoint")
   }
 
+  test("labelPropagationWeighted: one heavy edge outvotes two light ones; unweighted tie falls to the smallest label; w=1 degrades to unweighted") {
+    // v3's neighbors: 9 (weight 3), 4 and 5 (weight 1 each)
+    val verts = Seq(3L, 4L, 5L, 9L).toDF("id")
+    val wpairs = Seq((3L, 9L, 3L), (3L, 4L, 1L), (3L, 5L, 1L))
+    val wedges = wpairs.toDF("src", "dst", "w")
+      .unionAll(wpairs.map(t => (t._2, t._1, t._3)).toDF("src", "dst", "w"))
+    val wgot = GraphOps.labelPropagationWeighted(verts, wedges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(wgot(3L) === 9L, "weight-sum plurality: 3 beats 1+1 ties")
+    val ugot = GraphOps.labelPropagation(verts,
+        wedges.select(col("src"), col("dst")), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(ugot(3L) === 4L, "unweighted three-way tie -> smallest label")
+    val onesGot = GraphOps.labelPropagationWeighted(verts,
+        wedges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+        iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(onesGot === ugot)
+  }
+
   test("louvainWeighted: weight flips the partition vs unweighted on the same topology; exact weighted Q parts; w=1 degrades to unweighted; weighted coarsening preserves exact parts") {
     // topology: 1—2, 1—3, 3—4, 3—5, 4—5. Weighted: the 1—2 and 1—3
     // edges carry weight 10, the rest weight 1 — v3 is tied to v1 by

@@ -112,4 +112,24 @@ class PackingSpec extends SparkSpec {
     assert(got == expect)
     packed.unpersist()
   }
+
+  test("paddingWasteReport: hand-computed waste under both strategies; bucketing never pads more") {
+    // lengths by id order: 10, 1, 10, 1, 8; batches of 2.
+    // arrival:  {10,1} {10,1} {8}  → padded 20+20+8 = 48, waste 18
+    // bucketed (len DESC, id): {10,10} {8,1} {1} → padded 20+16+1 = 37,
+    // waste 7
+    val docs = Seq((1L, 10L), (2L, 1L), (3L, 10L), (4L, 1L), (5L, 8L))
+      .toDF("doc_id", "ntok")
+    val got = Packing.paddingWasteReport(docs, "doc_id", "ntok",
+        batchRows = 2L)
+      .orderBy(col("strategy"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // waste_share4 exact grid: (2·1e4·18 + 48) div 96 = 3750;
+    // (2·1e4·7 + 37) div 74 = 1892
+    assert(got === Seq(
+      ("arrival", 5L, 3L, 30L, 48L, 3750L),
+      ("length_bucketed", 5L, 3L, 30L, 37L, 1892L)))
+    assert(got(1)._5 <= got(0)._5,
+      "bucketing can only reduce padded tokens at equal batch rows")
+  }
 }
