@@ -831,6 +831,73 @@ object TextStats {
       .drop("__s")
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the production n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    * form), one rung above [[bigramLogProbFromTokens]]'s add-one
+    * interpolation: p(w2|w1) = (max(c(w1w2) − D, 0) + D·N₁₊(w1·)·
+    * p_cont(w2)) / c(w1·) with the CONTINUATION probability
+    * p_cont(w2) = (N₁₊(·w2) + 1) / (T + V) — how many distinct
+    * contexts w2 follows, not how often it occurs, which is exactly
+    * what demotes "Francisco" (frequent, one context). Add-one on the
+    * continuation and a p_cont fallback for unseen left contexts keep
+    * every log finite. All statistics are TYPE counts off the bigram
+    * census (cl = Σ_w2 c(w1w2), N₁₊ row counts, T = census rows,
+    * V = unigram vocab), so the whole model is integer-derived and
+    * replayable; per-position log-probs snap to the 1e-4 grid before
+    * the order-free per-doc sum.
+    *
+    * Scale contract identical to [[bigramLogProbFromTokens]]: the
+    * bigram census (and the left/right type tables derived FROM the
+    * truncated census, so the oracle replays truncation) broadcast;
+    * the corpus shuffles only for the per-doc aggregate. Returns
+    * (id, n_bigrams, avg_logprob_kn). */
+  def knBigramLogProbFromTokens(toks0: DataFrame, discount: Double = 0.75,
+                                maxVocab: Int = 1 << 20): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    graft.plans.WordNgrams.register(toks0.sparkSession)
+    val toks = toks0.select(col("id"), explode(col("ws")).as("tok"))
+    val vocabV = toks.select(col("tok")).distinct().count()
+    val bigrams = toks0
+      .where(size(col("ws")) >= 2)
+      .select(col("id"), explode(
+        call_function(graft.plans.WordNgrams.fnName,
+          col("ws"), lit(2), lit(1))).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val biCensusFull = bigrams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    val biCensus =
+      (if (vocabV.toDouble * vocabV.toDouble <= maxVocab) biCensusFull
+       else {
+         logger.warn(s"KN LM: bigram census may exceed maxVocab $maxVocab " +
+           "— keeping the top (count DESC, bigram ASC) entries; truncated " +
+           "bigrams take the continuation floor")
+         biCensusFull.orderBy(col("cb").desc, col("g")).limit(maxVocab)
+       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val typesT = biCensus.count()
+    val lf = biCensus
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cl"), count(lit(1)).as("n1p"))
+    val rc = biCensus
+      .groupBy(substring_index(col("g"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("nc"))
+    val pcont = (coalesce(col("nc"), lit(0L)) + lit(1.0)) /
+      lit((typesT + vocabV).toDouble)
+    val pkn = when(col("cl").isNull, pcont)
+      .otherwise((greatest(coalesce(col("cb"), lit(0L)) - lit(discount),
+        lit(0.0)) + lit(discount) * col("n1p") * pcont) / col("cl"))
+    val out = bigrams
+      .join(broadcast(biCensus), Seq("g"), "left_outer")
+      .join(broadcast(lf), Seq("w1"), "left_outer")
+      .join(broadcast(rc), Seq("w2"), "left_outer")
+      .withColumn("lq", round(log(pkn) * 1e4).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lq")).as("__s"))
+      .withColumn("avg_logprob_kn",
+        round(col("__s") / (col("n_bigrams") * 1e4), 4))
+      .drop("__s")
+    out
+  }
+
   /** First-failing-rule quality cascade — the Gopher-style rule stack
     * over [[repetitionStats]] signals: token-count bounds, minimum
     * distinct-token fraction, maximum top-bigram fraction. Emits every

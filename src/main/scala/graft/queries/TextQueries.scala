@@ -1413,6 +1413,60 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (see
+    * [[graft.operators.TextStats.knBigramLogProbFromTokens]]): the
+    * production n-gram smoothing beside q90's add-one interpolation —
+    * absolute discount D = 0.75 with the CONTINUATION-probability
+    * backoff (distinct contexts, not raw frequency — the statistic
+    * that demotes "Francisco"). Every model statistic is a type count
+    * off the (contractually truncated) bigram census, so the oracle
+    * replays the model exactly; p_cont carries add-one over (T + V)
+    * and unseen left contexts fall back to p_cont, keeping every log
+    * finite. */
+  val q358 = GQuery("q358_kn_logprob",
+    s"""WITH $tokCte,
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tok),
+       |totv AS (SELECT count(DISTINCT tok) AS v FROM tk),
+       |big AS (
+       |  SELECT doc_id,
+       |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+       |  FROM tok WHERE len(ws) >= 2),
+       |cenb AS (SELECT g, count(*) AS cb FROM big GROUP BY g),
+       |cenb_lm AS (SELECT g, cb FROM cenb
+       |            ORDER BY cb DESC, g LIMIT ${1 << 20}),
+       |lf AS (
+       |  SELECT split_part(g, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cl,
+       |    CAST(count(*) AS BIGINT) AS n1p
+       |  FROM cenb_lm GROUP BY 1),
+       |rc AS (
+       |  SELECT split_part(g, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS nc
+       |  FROM cenb_lm GROUP BY 1),
+       |tt AS (SELECT count(*) AS t FROM cenb_lm),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(
+       |      CASE WHEN lf.cl IS NULL
+       |        THEN (coalesce(rc.nc, 0) + 1.0) / (t + v)
+       |        ELSE (greatest(coalesce(cb.cb, 0) - 0.75, 0)
+       |              + 0.75 * lf.n1p
+       |                * ((coalesce(rc.nc, 0) + 1.0) / (t + v)))
+       |             / lf.cl END) * 10000) AS BIGINT) AS lq
+       |  FROM (SELECT doc_id, g, split_part(g, ' ', 1) AS w1,
+       |          split_part(g, ' ', 2) AS w2 FROM big) b
+       |  LEFT JOIN cenb_lm cb USING (g)
+       |  LEFT JOIN lf ON lf.w1 = b.w1
+       |  LEFT JOIN rc ON rc.w2 = b.w2
+       |  CROSS JOIN tt CROSS JOIN totv)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(sum(lq) / (count(*) * 10000.0), 4) AS avg_logprob_kn
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextStats.knBigramLogProbFromTokens(sharedToks(s, dir),
+        discount = 0.75)
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        col("avg_logprob_kn"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source type-token ratio (lexical diversity / Heaps-law point):
     * distinct tokens vs occurrences per source — the vocabulary-richness
     * column of a data card. Word-count shape: one (source, tok)-keyed
@@ -3272,5 +3326,6 @@ object TextQueries {
       q105b, q107, q111, q113, q114, q115, q117, q118, q126, q127, q139,
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
       q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281,
-      q336, q337, q340, q344, q345, q346, q348, q351, q352, q353, q354)
+      q336, q337, q340, q344, q345, q346, q348, q351, q352, q353, q354,
+      q358)
 }

@@ -329,6 +329,34 @@ class TextStatsSpec extends SparkSpec {
     assert(got.size === 6, "all unordered pairs emitted")
   }
 
+  test("knBigramLogProb: hand-computed interpolated Kneser-Ney scores; continuation stats are type counts") {
+    // corpus: "a b a b" + "a c" → bigram census {ab:2, ba:1, ac:1};
+    // V = 3 unigram types, T = 3 bigram types;
+    // lf: a → (cl 3, n1p 2), b → (cl 1, n1p 1);
+    // rc: a/b/c → nc 1 each → p_cont = (1+1)/(3+3) = 1/3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val toks = TextStats.tokenized(docs, "doc_id", "text")
+    val got = TextStats.knBigramLogProbFromTokens(toks, discount = 0.75)
+      .orderBy(col("id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val pc = 2.0 / 6.0
+    def lq(pkn: Double): Long = math.rint(math.log(pkn) * 1e4).toLong
+    val ab = lq((math.max(2 - 0.75, 0) + 0.75 * 2 * pc) / 3.0) // c(ab)=2, cl(a)=3
+    val ba = lq((math.max(1 - 0.75, 0) + 0.75 * 1 * pc) / 1.0) // = ln 0.5
+    val ac = lq((math.max(1 - 0.75, 0) + 0.75 * 2 * pc) / 3.0)
+    def avg(s: Long, n: Long): Double =
+      BigDecimal(s.toDouble / (n * 1e4))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, 3L, avg(2 * ab + ba, 3)),
+      (2L, 1L, avg(ac, 1))))
+    assert(ba === -6931L, "(0.25 + 0.25)/1 = 0.5 exactly")
+    // KN's signature: "b a" (frequent continuation either way here)
+    // scores above "a c" despite equal raw bigram counts — the left
+    // context's mass differs
+    assert(ba > ac)
+  }
+
   test("textRank: adjacency dedup, self-pair drop, isolated teleport floor") {
     // "x x y" → self-pair (x,x) dropped, edge x—y kept once; "z" isolated.
     // Symmetric 2-cycle holds r = 1 forever → p = 1/3 each;
