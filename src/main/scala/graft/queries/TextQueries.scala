@@ -3320,6 +3320,133 @@ object TextQueries {
     }
   }
 
+  /** OLS sums + fit as named CTEs over an xy CTE — the q351/q352
+    * assembly packaged for composition (capstone v11 runs TWO fits in
+    * one statement). Emits `s$tag` and `fit$tag(grp, n, slope6,
+    * intercept, r2_4)`. */
+  private def olsFitCte(xy: String, tag: String): String =
+    s"""s$tag AS (
+       |  SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+       |  FROM $xy GROUP BY grp),
+       |fit$tag AS (
+       |  SELECT grp, CAST(n AS BIGINT) AS n,
+       |    CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope6,
+       |    CAST(CASE WHEN n * syy - sy * sy > 0 THEN
+       |      round(1e4 * CAST(n * sxy - sx * sy AS DOUBLE)
+       |        * CAST(n * sxy - sx * sy AS DOUBLE)
+       |        / (CAST(n * sxx - sx * sx AS DOUBLE)
+       |           * CAST(n * syy - sy * sy AS DOUBLE)))
+       |      ELSE 10000 END AS BIGINT) AS r2_4
+       |  FROM s$tag WHERE n * sxx - sx * sx > 0)""".stripMargin
+
+  /** CAPSTONE v11 — the corpus-laws data card: per source, the Zipf
+    * rank-frequency slope (q351), the Heaps vocabulary-growth slope
+    * (q352), top-16-type coverage (q353's k = 4 point, 10000 when the
+    * vocab is smaller than 16), and exact token/type totals — the
+    * one-page statistical-health readout of every text source,
+    * composed from the round's new operators under ONE oracle. A
+    * source whose Zipf slope collapses toward 0, whose Heaps slope
+    * nears 1, or whose top-16 coverage craters is a template flood /
+    * id stream / noise feed respectively — this card is where those
+    * alarms land first. */
+  val q359 = GQuery("q359_corpus_laws_card",
+    s"""WITH $tokCte,
+       |tkx AS (
+       |  SELECT d.source AS grp, t.doc_id, t.tok
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM tok) t
+       |  JOIN documents d USING (doc_id)),
+       |cen AS (
+       |  SELECT grp, tok, count(*) AS freq FROM tkx GROUP BY 1, 2),
+       |zxy AS (
+       |  SELECT grp,
+       |    CAST(round(1e4 * ln(rank)) AS BIGINT) AS x,
+       |    CAST(round(1e4 * ln(freq)) AS BIGINT) AS y
+       |  FROM (SELECT grp, freq,
+       |          row_number() OVER (PARTITION BY grp
+       |            ORDER BY freq DESC, tok ASC) AS rank
+       |        FROM cen WHERE freq >= 5)
+       |  WHERE rank <= 500),
+       |${olsFitCte("zxy", "z")},
+       |htk AS (
+       |  SELECT grp, doc_id // 64 AS b, count(*) AS ntok
+       |  FROM tkx GROUP BY 1, 2),
+       |hnv AS (
+       |  SELECT grp, fid // 64 AS b, count(*) AS ntypes
+       |  FROM (SELECT grp, tok, min(doc_id) AS fid FROM tkx GROUP BY 1, 2)
+       |  GROUP BY 1, 2),
+       |hxy AS (
+       |  SELECT grp,
+       |    CAST(round(1e4 * ln(cum_tok)) AS BIGINT) AS x,
+       |    CAST(round(1e4 * ln(cum_types)) AS BIGINT) AS y
+       |  FROM (SELECT tk.grp,
+       |          sum(tk.ntok) OVER (PARTITION BY tk.grp ORDER BY tk.b
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS cum_tok,
+       |          sum(coalesce(nv.ntypes, 0)) OVER (PARTITION BY tk.grp
+       |            ORDER BY tk.b
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS cum_types
+       |        FROM htk tk LEFT JOIN hnv nv
+       |          ON nv.grp = tk.grp AND nv.b = tk.b)
+       |  WHERE cum_tok > 0),
+       |${olsFitCte("hxy", "h")},
+       |tots AS (
+       |  SELECT grp, CAST(sum(freq) AS BIGINT) AS total_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab
+       |  FROM cen GROUP BY grp),
+       |cov AS (
+       |  SELECT grp,
+       |    CAST((2 * 10000 * cum_tokens + total) // (2 * total) AS BIGINT)
+       |      AS top16_coverage4
+       |  FROM (SELECT grp, freq,
+       |          row_number() OVER (PARTITION BY grp
+       |            ORDER BY freq DESC, tok ASC) AS rank,
+       |          sum(freq) OVER (PARTITION BY grp
+       |            ORDER BY freq DESC, tok ASC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS cum_tokens,
+       |          sum(freq) OVER (PARTITION BY grp) AS total
+       |        FROM cen)
+       |  WHERE rank = 16)
+       |SELECT z.grp AS source,
+       |  z.slope6 AS zipf_slope6, z.r2_4 AS zipf_r2_4,
+       |  h.slope6 AS heaps_slope6,
+       |  coalesce(cov.top16_coverage4, 10000) AS top16_coverage4,
+       |  t.total_tokens, t.vocab
+       |FROM fitz z
+       |JOIN fith h USING (grp)
+       |JOIN tots t USING (grp)
+       |LEFT JOIN cov USING (grp)
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val toks = sharedToks(s, dir)
+    val groups = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("source"))
+    val z = graft.operators.TextStats.zipfFit(toks, groups, "source",
+        minCount = 5L, maxRank = 500L)
+      .select(col("grp"), col("slope6").as("zipf_slope6"),
+        col("r2_4").as("zipf_r2_4"))
+    val h = graft.operators.TextStats.heapsFit(toks, groups, "source",
+        bucketWidth = 64L)
+      .select(col("grp"), col("slope6").as("heaps_slope6"))
+    val c = graft.operators.TextStats.vocabCoverageCurve(toks, groups,
+        "source", maxLog2 = 4)
+      .where(col("k") === 4)
+      .select(col("grp"), col("coverage4").as("top16_coverage4"))
+    val t = graft.operators.TextStats.vocabRichness(toks, groups, "source")
+      .select(col("grp"), col("n_tokens").as("total_tokens"),
+        col("d_observed").as("vocab"))
+    z.join(h, Seq("grp")).join(t, Seq("grp"))
+      .join(c, Seq("grp"), "left")
+      .select(col("grp").as("source"), col("zipf_slope6"),
+        col("zipf_r2_4"), col("heaps_slope6"),
+        coalesce(col("top16_coverage4"), lit(10000L))
+          .as("top16_coverage4"),
+        col("total_tokens"), col("vocab"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q27, q28, q29, q30, q43, q54, q56, q58, q58b, q67, q69, q71, q73,
       q76, q81, q83, q84, q85, q89, q90, q93, q98, q103, q104, q104b, q105,
@@ -3327,5 +3454,5 @@ object TextQueries {
       q160, q161, q162, q163, q164, q169, q170, q171, q176, q177, q202,
       q207, q216, q219, q220, q225, q236, q239, q242, q250, q272, q281,
       q336, q337, q340, q344, q345, q346, q348, q351, q352, q353, q354,
-      q358)
+      q358, q359)
 }
