@@ -733,6 +733,56 @@ object DedupQueries {
     }
   }
 
+  /** WEIGHTED duplication centrality (see
+    * [[graft.operators.GraphOps.pageRankWeighted]]): q100's PageRank
+    * with each doc's mass split across its near-dup edges
+    * proportionally to the exact shared-shingle weight — centrality
+    * flows toward the STRONGEST duplicates. Completes the weighted
+    * family (LPA q355, Louvain q350/q356, modularity, PageRank). The
+    * oracle replays the 1e-6-grid iterations with the weighted
+    * contribution. */
+  val q360 = {
+    val Damping = 0.85
+    val Iters = 3
+    def iterCtes(i: Int): String = {
+      val prev = s"rw${i - 1}"
+      s"""cw$i AS (
+         |  SELECT ed.dst AS id,
+         |    sum(CAST(round($prev.r * ed.w / dgw.wdeg * 1e6) AS BIGINT)) AS s
+         |  FROM edw ed JOIN dgw USING (src) JOIN $prev ON $prev.id = ed.src
+         |  GROUP BY ed.dst),
+         |rw$i AS (
+         |  SELECT d.doc_id AS id,
+         |    ${1 - Damping} +
+         |      $Damping * (CAST(coalesce(cw$i.s, 0) AS DOUBLE) / 1e6) AS r
+         |  FROM documents d LEFT JOIN cw$i ON cw$i.id = d.doc_id)""".stripMargin
+    }
+    GQuery("q360_weighted_pagerank",
+      s"""WITH $shingleCtes,
+         |$pairCtesW,
+         |edw AS (SELECT id_a AS src, id_b AS dst, w FROM prw
+         |        UNION ALL SELECT id_b, id_a, w FROM prw),
+         |dgw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+         |        FROM edw GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |rw0 AS (SELECT doc_id AS id, 1.0 AS r FROM documents),
+         |${(1 to Iters).map(iterCtes).mkString(",\n")}
+         |SELECT id AS doc_id, r / (SELECT n FROM nn) AS pagerank
+         |FROM rw$Iters
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = sharedWeightedPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("inter").as("w"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+          col("inter").as("w")))
+      graft.operators.GraphOps.pageRankWeighted(
+          Tables.documents(s, dir).select(col("doc_id").as("id")),
+          edges, iters = Iters, damping = Damping)
+        .select(col("id").as("doc_id"), col("p").as("pagerank"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Community detection by synchronous label propagation (see
     * [[graft.operators.GraphOps.labelPropagation]]) over the
     * symmetrized near-dup pair graph — the finer sibling of q51's
@@ -2910,5 +2960,5 @@ object DedupQueries {
       q146, q148, q150, q151, q153, q158, q159, q186, q191, q192, q237, q257,
       q258, q261, q262, q265, q266, q278, q283, q284, q286, q290, q303, q317,
       q318, q319, q320, q322, q338, q339, q341, q342, q343, q347, q349,
-      q350, q355, q356)
+      q350, q355, q356, q360)
 }

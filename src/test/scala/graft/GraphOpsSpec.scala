@@ -209,6 +209,30 @@ class GraphOpsSpec extends SparkSpec {
       "already-canonical labels are a fixpoint")
   }
 
+  test("pageRankWeighted: mass follows weight; w=1 equals unweighted bit-for-bit; hand-computed one-iteration split") {
+    // star: 1 — 2 (weight 3), 1 — 3 (weight 1); v1's mass splits 3:1
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val wpairs = Seq((1L, 2L, 3L), (1L, 3L, 1L))
+    val wedges = wpairs.toDF("src", "dst", "w")
+      .unionAll(wpairs.map(t => (t._2, t._1, t._3)).toDF("src", "dst", "w"))
+    val p = GraphOps.pageRankWeighted(verts, wedges, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    // r0 = 1 each; contributions to v2: 1·3/4 = 0.75, to v3: 0.25,
+    // to v1: 1 + 1 = 2 (each leaf sends all mass); p = (0.15 + 0.85·s)/3
+    assert(math.abs(p(2L) - (0.15 + 0.85 * 0.75) / 3) < 1e-9)
+    assert(math.abs(p(3L) - (0.15 + 0.85 * 0.25) / 3) < 1e-9)
+    assert(math.abs(p(1L) - (0.15 + 0.85 * 2.0) / 3) < 1e-9)
+    assert(p(2L) > p(3L), "the heavy edge carries more centrality")
+    // w = 1 ≡ unweighted, bit-for-bit (same grid, same float ops)
+    val ones = wedges.select(col("src"), col("dst")).withColumn("w", lit(1L))
+    val pw = GraphOps.pageRankWeighted(verts, ones, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val pu = GraphOps.pageRank(verts,
+        wedges.select(col("src"), col("dst")), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pw === pu)
+  }
+
   test("labelPropagationWeighted: one heavy edge outvotes two light ones; unweighted tie falls to the smallest label; w=1 degrades to unweighted") {
     // v3's neighbors: 9 (weight 3), 4 and 5 (weight 1 each)
     val verts = Seq(3L, 4L, 5L, 9L).toDF("id")
