@@ -140,12 +140,41 @@ object Pipelines {
     * rewrite). The memory sink is driver-resident by design, so this
     * is for oracle-gated result sets, not corpus-sized output. */
   private val memSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** State-store partition count for streaming plans driven through
+    * [[runToMemory]]. A stateful operator creates one state-store
+    * instance PER SHUFFLE PARTITION per internal store (a symmetric
+    * hash join keeps four stores per partition), and every micro-batch
+    * commits every instance — a delta file write + fsync each, even
+    * when the batch touched nothing. Sizing state partitions to the
+    * CORE count (the batch default) therefore multiplies pure
+    * commit latency: measured on q331 at sf0.1, 32 partitions spend
+    * ~45 s cumulative in `commitTimeMs` per batch vs ~2 s at 8
+    * (25x — concurrent tiny fsyncs contend), 6.9 s → 2.8 s wall.
+    * State partitioning is a pure physical choice: outputs are
+    * identical (hash-verified), so this is conf, not semantics.
+    * Production tuning: size to state VOLUME (state bytes per
+    * partition in the 64-256 MB band), not executor count — set the
+    * env for a cluster run. Default 8 keeps one store instance per
+    * core at the bench's lower core count and bounds commit fan-out. */
+  private def streamStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8").toInt
+
   def runToMemory(streamDf: DataFrame): DataFrame = {
     val spark = streamDf.sparkSession
     val name = s"graft_mem_sink_${memSinkSeq.incrementAndGet()}"
-    val q = streamDf.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // shuffle.partitions is read at stream start and pinned into the
+    // checkpoint as the state-partition count; set it for the stream
+    // only and restore for the batch plans around it (restored after
+    // stop so the stream thread never races a narrower window)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamStatePartitions.toString)
+    try {
+      val q = streamDf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out
