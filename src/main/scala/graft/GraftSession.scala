@@ -12,8 +12,21 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Extra confs from SPARK_GRAFT_CONF ("k=v;k=v") — the cluster/bench
+    * parameterization seam (and the local A/B-experiment hook): applied
+    * LAST so they override the baked defaults below. */
+  private def extraConf(b: SparkSession.Builder): SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k.trim, v.trim)
+      }
+  }
+
   /** Apply graft's standard configuration to any builder. */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+  def configure(b0: SparkSession.Builder): SparkSession.Builder = {
+   val b = b0
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -32,6 +45,8 @@ object GraftSession {
     .config("spark.sql.warehouse.dir",
       sys.props.getOrElse("graft.warehouse.dir", "file:/tmp/graft-warehouse"))
     .config("spark.ui.enabled", "false")
+   extraConf(b)
+  }
 
   /** Local session with `cores` threads; shuffle partitions sized to the
     * core count (not the 200 default, which just fragments small data —

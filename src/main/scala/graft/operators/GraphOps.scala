@@ -317,9 +317,10 @@ object GraphOps {
   private def refineRoundImpl(labels: DataFrame, edges: DataFrame,
                               selfLoops: Boolean,
                               swapGuard: Boolean,
-                              pre: Option[(DataFrame, Long, DataFrame)] =
-                                None,
+                              pre: Option[(DataFrame, Long)] = None,
                               weighted: Boolean = false): DataFrame = {
+    require(!selfLoops || pre.isDefined,
+      "selfLoops sweeps must pass the fused (deg, sv) census via pre")
     val l = labels.select(col("id"), col("community"))
     val e =
       if (weighted) edges.select(col("src"), col("dst"),
@@ -328,18 +329,24 @@ object GraphOps {
     // Weighted mode: every occurrence count becomes a weight SUM — the
     // gain algebra is unchanged (k, d_v, D_c, s_v, E2 are all weighted
     // sums of BIGINTs), so integer edge weights keep the sweep exactly
-    // replayable. Unweighted call sites keep count(1) aggregates so
-    // their plans (and the q342/q343 oracles) are byte-identical.
+    // replayable. Unweighted call sites keep count(1) aggregates.
     def occ: Column = if (weighted) sum(col("w")) else count(lit(1))
     val e2 = e.agg(occ.as("e2"))
-    // `pre` ((degrees, E2, self-loop census)) hoists the LEVEL-CONSTANT
-    // inputs out of the sweep: all three depend only on the edge list,
-    // and recomputing the EDGE-SIZED degree aggregate once per sweep is
-    // the kind of cost that dominates at 10^12 edge rows. None (the
-    // q342 path) computes them inline — plan unchanged.
+    // `pre` ((degrees ⊕ self-loop census, E2)) hoists the LEVEL-
+    // CONSTANT inputs out of the sweep: both depend only on the edge
+    // list, and recomputing the EDGE-SIZED degree aggregate once per
+    // sweep is the kind of cost that dominates at 10^12 edge rows.
+    // None (the q342 path) computes the degree census inline.
     val dg = pre.map(_._1).getOrElse(
       e.groupBy(col("src").as("id")).agg(occ.as("deg")))
-    val dC = l.join(dg, Seq("id"), "left")
+    // kvc and dC each feed two joins; the static plan duplicates their
+    // subtrees (40 Exchanges in one sweep), but AQE's runtime stage
+    // cache dedupes canonically-equal exchanges, so the edge-sized kvc
+    // shuffle executes ONCE per sweep already — measured: inserting
+    // explicit localCheckpoint reuse points here ADDED jobs (q342
+    // 49 → 53) by splitting pipelined stages into materializations.
+    // Leave sharing to the stage cache.
+    val dC = l.join(dg.select(col("id"), col("deg")), Seq("id"), "left")
       .groupBy(col("community"))
       .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"),
         count(lit(1)).as("nmem"))
@@ -347,25 +354,19 @@ object GraphOps {
       .join(l.select(col("id").as("dst"), col("community").as("cb")), "dst")
       .groupBy(col("src").as("id"), col("cb"))
       .agg(occ.as("k"))
+    // dv (and sv when the census carries it) ride the SAME dg join —
+    // the separate self-loop join the previous shape paid is folded in
     val base = l.select(col("id"), col("community").as("a"))
       .join(dg, Seq("id"), "left")
-      .select(col("id"), col("a"), coalesce(col("deg"), lit(0L)).as("dv"))
+      .select(col("id"), col("a"), coalesce(col("deg"), lit(0L)).as("dv"),
+        (if (selfLoops) coalesce(col("sv"), lit(0L)) else lit(0L)).as("sv"))
       .join(dC.select(col("community").as("a"), col("dsum").as("da"),
         col("nmem").as("na")), "a")
-    val withKva0 = base
+    val withKva = base
       .join(kvc.select(col("id"), col("cb").as("a"), col("k").as("kva")),
         Seq("id", "a"), "left")
       .select(col("id"), col("a"), col("dv"), col("da"), col("na"),
-        coalesce(col("kva"), lit(0L)).as("kva"))
-    val withKva =
-      if (!selfLoops) withKva0.withColumn("sv", lit(0L))
-      else {
-        val slf = pre.map(_._3).getOrElse(
-          e.where(col("src") === col("dst"))
-            .groupBy(col("src").as("id")).agg(occ.as("sv")))
-        withKva0.join(slf, Seq("id"), "left")
-          .withColumn("sv", coalesce(col("sv"), lit(0L)))
-      }
+        col("sv"), coalesce(col("kva"), lit(0L)).as("kva"))
     val cand0 = withKva
       .join(kvc.select(col("id"), col("cb").as("b"), col("k").as("kvb")),
         Seq("id"))
@@ -381,7 +382,7 @@ object GraphOps {
         + lit(2L) * col("dv") * (col("da") - col("db"))
         - lit(2L) * col("dv") * col("dv")).as("gain")
     val cand = pre match {
-      case Some((_, e2v, _)) =>
+      case Some((_, e2v)) =>
         cand1.select(col("id"), col("b"), gainOf(lit(e2v)))
       case None =>
         cand1.crossJoin(broadcast(e2))
@@ -491,21 +492,22 @@ object GraphOps {
     for (lvl <- 1 to levels) {
       var labels = mapping.select(col("community").as("id")).distinct()
         .select(col("id"), col("id").as("community"))
-      // level-constant inputs, computed ONCE per level: degrees and
-      // the self-loop census are edge-sized aggregates (the heaviest
-      // work in a sweep at web scale), E2 a single count (weight sum)
-      val dg = g.groupBy(col("src").as("id"))
-        .agg(occ.as("deg")).localCheckpoint()
-      val slf = g.where(col("src") === col("dst"))
-        .groupBy(col("src").as("id")).agg(occ.as("sv"))
-        .localCheckpoint()
-      val e2v =
+      // level-constant inputs, computed ONCE per level in ONE edge
+      // pass: degrees and the self-loop census fuse into a single
+      // src-keyed aggregate (they were two separate edge-sized passes
+      // + two checkpoints + an extra per-sweep join), and E2 = Σ deg
+      // comes off the vertex-sized census instead of a third edge scan
+      val svOcc: Column =
         if (weighted)
-          g.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
-        else g.count()
+          sum(when(col("src") === col("dst"), col("w")).otherwise(lit(0L)))
+        else sum(when(col("src") === col("dst"), lit(1L)).otherwise(lit(0L)))
+      val dg = g.groupBy(col("src").as("id"))
+        .agg(occ.as("deg"), svOcc.as("sv")).localCheckpoint()
+      val e2v = dg.agg(coalesce(sum(col("deg")), lit(0L)))
+        .first().getLong(0)
       for (_ <- 1 to sweepsPerLevel)
         labels = refineRoundImpl(labels, g, selfLoops = true,
-          swapGuard = true, pre = Some((dg, e2v, slf)),
+          swapGuard = true, pre = Some((dg, e2v)),
           weighted = weighted).localCheckpoint()
       mapping = mapping
         .join(labels.select(col("id").as("community"),
