@@ -24,8 +24,33 @@ object Tables {
     * Fan-out belongs at the OPERATOR level, directly under the
     * explode/score pipelines whose scan-stage compute dwarfs the scan
     * (shingling, simhash, cosine) — which is where it is applied. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  /** Schema memo per (session, path): every bare `read.parquet(path)`
+    * CALL runs a footer schema-inference job at plan-build time, and
+    * the registry's queries load these ten tables thousands of times
+    * per bench run — identical footers re-read every time. Passing the
+    * memoized StructType via `.schema(...)` skips that job; the scan
+    * itself (pushdown, pruning) is unchanged. Weak session keys so a
+    * stopped session's entries are collectible. */
+  private val schemaCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        org.apache.spark.sql.types.StructType]]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = path(dir, name)
+    val perSession = schemaCache.synchronized {
+      var m = schemaCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          org.apache.spark.sql.types.StructType]()
+        schemaCache.put(spark, m)
+      }
+      m
+    }
+    val schema =
+      perSession.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(p)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

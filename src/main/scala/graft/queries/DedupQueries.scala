@@ -24,13 +24,15 @@ object DedupQueries {
     * at 100 TB and reading them back. */
   private[queries] def sharedSets(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
-    Dedup.shingleSetsFromTokens(TextQueries.sharedToks(s, dir), N)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Materialized(s, s"sets:$dir") {
+      Dedup.shingleSetsFromTokens(TextQueries.sharedToks(s, dir), N)
+    }
 
   private[queries] def sharedPairs(s: org.apache.spark.sql.SparkSession,
                                    dir: String): org.apache.spark.sql.DataFrame =
-    Dedup.jaccardPairsFromSets(sharedSets(s, dir), MinJ)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Materialized(s, s"pairs:$dir") {
+      Dedup.jaccardPairsFromSets(sharedSets(s, dir), MinJ)
+    }
 
   /** The MinHash signature table (q25): like [[sharedPairs]], persisted
     * with plan-identical construction so repeated materializations in one
@@ -38,8 +40,9 @@ object DedupQueries {
     * writes once per corpus and reuses for every banding/query pass. */
   private[queries] def sharedSigs(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
-    Dedup.minhashSignaturesFromSets(sharedSets(s, dir), K)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Materialized(s, s"sigs:$dir") {
+      Dedup.minhashSignaturesFromSets(sharedSets(s, dir), K)
+    }
 
   /** The near-dup cluster map shared by q51 and the q63 capstone.
     * [[graft.operators.Dedup.dupClusters]] is EAGER (its label-
@@ -55,7 +58,7 @@ object DedupQueries {
                                       dir: String): org.apache.spark.sql.DataFrame =
     clusterCache.get(s, dir) {
       Dedup.dupClusters(Tables.documents(s, dir), "doc_id", sharedPairs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Shared oracle CTEs: tokenized docs + distinct shingle sets. */
@@ -104,9 +107,10 @@ object DedupQueries {
   private[queries] def sharedWeightedPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.Dedup
-      .jaccardPairsFromSets(sharedSets(s, dir), MinJ, withInter = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Materialized(s, s"wpairs:$dir") {
+      graft.operators.Dedup
+        .jaccardPairsFromSets(sharedSets(s, dir), MinJ, withInter = true)
+    }
 
   /** [[pairCtes]] + the recursive cluster map -> `cl(doc_id,
     * cluster_rep)`; requires `WITH RECURSIVE`. One definition serves
@@ -1491,8 +1495,9 @@ object DedupQueries {
     * expensive stage of both). */
   private[queries] def sharedNamePairs(s: org.apache.spark.sql.SparkSession,
                                        dir: String): org.apache.spark.sql.DataFrame =
-    Dedup.editDistancePairs(Tables.customer(s, dir), "c_name", minLen = 4)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Materialized(s, s"namepairs:$dir") {
+      Dedup.editDistancePairs(Tables.customer(s, dir), "c_name", minLen = 4)
+    }
 
   val q135 = GQuery("q135_fuzzy_name_pairs",
     """WITH v AS (
@@ -2474,9 +2479,9 @@ object DedupQueries {
       // FOUR plan branches (two self-join sides + two size maps) — the
       // same caller-owns-the-index contract as jaccardPairsFromSets
       val sets = Dedup.shingleSetsFromTokens(corpus, N)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       Dedup.containmentPairsFromSets(sets, 0.9)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Duplication-attribution matrix (see

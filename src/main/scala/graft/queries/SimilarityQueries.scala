@@ -128,7 +128,7 @@ object SimilarityQueries {
           "vec_id", "embedding", nlist = 16, iters = 3)
         val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir),
             "vec_id", "embedding", cents)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         (cents, assigned)
       }
 
@@ -354,7 +354,7 @@ object SimilarityQueries {
         "vec_id", "embedding", dim = Dim, m = 8, ksub = 16, iters = 3)
       val enc = Similarity.pqEncode(Tables.embeddings(s, dir),
           "vec_id", "embedding", books)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       (books, enc)
     }
 

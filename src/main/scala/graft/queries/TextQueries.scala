@@ -156,8 +156,10 @@ object TextQueries {
     * per corpus and deriving every downstream operator from it. */
   private[queries] def sharedToks(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.TextStats.tokenized(Tables.documents(s, dir), "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Materialized(s, s"toks:$dir") {
+      graft.operators.TextStats.tokenized(
+        Tables.documents(s, dir), "doc_id", "text")
+    }
 
   /** Gopher-style repetition quality signals (see
     * [[graft.operators.TextStats.repetitionStats]]). */
@@ -1192,7 +1194,7 @@ object TextQueries {
             col("frac_distinct") >= 0.35 && col("top_bigram_frac") <= 0.1)
       graft.operators.QualityClassifier
         .bernoulliNb(f, "doc_id", Seq("x1", "x2", "x3", "x4"), "label_keep")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Capstone curation v7 — the MODEL-in-the-loop capstone that
@@ -1321,16 +1323,17 @@ object TextQueries {
         DedupQueries.sharedSets(s, dir),
         DedupQueries.sharedSets(s, dir).where(col("id") % 97 === 0))
       .select(col("id").as("doc_id"), col("frac_contaminated"))
-    // persisted: the five-way join is the feature-store table both q85
-    // and the classifier read; plan-identical construction → one cached
-    // copy per session (narrow: 8 columns per doc)
-    docs.select(col("doc_id"),
-        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
-      .join(rep, Seq("doc_id"), "left")
-      .join(lm, Seq("doc_id"), "left")
-      .join(dc, Seq("doc_id"), "left")
-      .join(cf, Seq("doc_id"), "left")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized once per session: the five-way join is the
+    // feature-store table both q85 and the classifier read (narrow:
+    // 8 columns per doc); consumers reference the checkpoint leaf
+    Materialized(s, s"qualityFeatures:$dir") {
+      docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+        .join(rep, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .join(dc, Seq("doc_id"), "left")
+        .join(cf, Seq("doc_id"), "left")
+    }
   }
 
   /** Learned quality classifier (see
