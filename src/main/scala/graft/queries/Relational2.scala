@@ -321,7 +321,10 @@ object Relational2 {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = Tables.path(dir, "events")
-    val rawSchema = s.read.parquet(path).schema
+    // session-memoized footer read (Tables.load) — a bare
+    // read.parquet(path).schema here paid a schema-inference job per
+    // streaming query construction
+    val rawSchema = Tables.load(s, dir, "events").schema
     def norm(df: org.apache.spark.sql.DataFrame) =
       rawSchema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -331,7 +334,7 @@ object Relational2 {
       }
     (norm(s.readStream.schema(rawSchema)
         .option("basePath", dir).parquet(s"$dir/events*.parquet")),
-      norm(s.read.parquet(path)))
+      Tables.events(s, dir))
   }
 
   val q331 = GQuery("q331_stream_stream_interval_join",
