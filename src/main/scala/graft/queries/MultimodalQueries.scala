@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries on real driver data. q34/q35 run the
@@ -17,6 +18,52 @@ object MultimodalQueries {
   /** SQL for the integer value of md5 hex chars [i, i+1] (1-based). */
   private def hexPair(h: String, i: Int): String =
     s"(${hexv(s"substr($h, $i, 1)")} * 16 + ${hexv(s"substr($h, ${i + 1}, 1)")})"
+
+  /** Session-shared image dHash frame `(id, dhash)`: q120, q123, q129
+    * and q133 all generate the IDENTICAL PNG corpus (seed = doc_id mod
+    * 50, w = 9+seed%23, h = 8+(seed*7)%24, default gradient) and
+    * pixel-decode it to the same dHash — previously four independent
+    * full decode passes per bench run. One [[Materialized]] frame (the
+    * change-3 pattern from this round's notes) decodes once per
+    * session; every consumer reads the scan leaf. Contents are
+    * byte-identical to each query's inline frame — same generation,
+    * same codec — so the oracle replays are untouched. */
+  private def imgDhashShared(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"imgdhash50:$dir") {
+      import s.implicits._
+      val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seed = id % 50
+          (id, Multimodal.encodePng(
+            (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
+        })
+        .toDF("doc_id", "blob")
+      Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
+        .select(col("id"), col("dhash"))
+    }
+
+  /** Session-shared video signature frame `(id, vsig)`: q131 and q133
+    * generate the IDENTICAL ISO-BMFF corpus (seed = doc_id mod 40 ×
+    * two variants) and walk the same sample tables — shared the same
+    * way as [[imgDhashShared]]. */
+  private def vidSigShared(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"vidsig40:$dir") {
+      import s.implicits._
+      val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seed = id % 40
+          val v = (id / 40) % 2
+          (id, Multimodal.encodeMp4Sampled(
+            width = 320, height = 240,
+            nFrames = (70 + (seed * 11) % 160).toInt,
+            keyEvery = (1 + seed % 5).toInt,
+            trackTimescale = 12000, delta1 = 300, delta2 = 364,
+            uniformSize = 0, seed = seed * 2 + v))
+        })
+        .toDF("doc_id", "blob")
+      Multimodal.decodeVideoSigPartitions(blobs, "blob", "doc_id")
+        .select(col("id"), col("vsig"))
+    }
 
   /** Blob metadata extraction: byte length, checksum, pseudo-dimensions
     * derived from the checksum (the FakeCodec contract). */
@@ -357,19 +404,10 @@ object MultimodalQueries {
       |SELECT doc_id, dhash,
       |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_copies
       |FROM dh ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val seed = id % 50
-        (id, Multimodal.encodePng(
-          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
-      })
-      .toDF("doc_id", "blob")
-    // persisted: the census join reads the hashed frame twice, and the
-    // pixel decode is the expensive child — decode once, not per branch
-    val hashed = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
+    // session-shared decoded frame (imgDhashShared): decode once per
+    // session, every branch reads the materialized scan leaf
+    val hashed = imgDhashShared(s, dir)
       .select(col("id").as("doc_id"), col("dhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hash census join, not a window: the heavy-hitter hash (a viral
     // duplicate image) must partial-aggregate map-side, not pile onto
     // one window task.
@@ -581,19 +619,10 @@ object MultimodalQueries {
       |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
       |    AS kept_tokens
       |FROM verdicts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    import s.implicits._
     import graft.functions.TextFunctions
     val docs = Tables.documents(s, dir)
-    val blobs = docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val seed = id % 50
-        (id, Multimodal.encodePng(
-          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
-      })
-      .toDF("doc_id", "blob")
-    val hashed = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
+    val hashed = imgDhashShared(s, dir)
       .select(col("id").as("doc_id"), col("dhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = hashed.groupBy(col("dhash")).agg(min(col("doc_id")).as("keep_id"))
     val scored = docs.select(col("doc_id"), col("source"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -738,15 +767,7 @@ object MultimodalQueries {
       |  CAST(greatest(max(n) - 8, 0) AS BIGINT) AS n_overflow
       |FROM gr GROUP BY dhash HAVING max(n) >= 2
       |ORDER BY dhash""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val seed = id % 50
-        (id, Multimodal.encodePng(
-          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
-      })
-      .toDF("doc_id", "blob")
-    val sigs = Multimodal.decodeImageHashPartitions(blobs, "blob", "doc_id")
+    val sigs = imgDhashShared(s, dir)
       .select(col("id"), col("dhash").as("simhash64"))
     graft.operators.Dedup.hammingDupGroups(sigs, maxMembers = 8)
       .select(col("simhash64").as("dhash"), col("rep_id"), col("n_members"),
@@ -799,22 +820,8 @@ object MultimodalQueries {
       |       WHERE da.doc_id < db.doc_id AND cp.hamming <= 8)
       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
       |FROM pr ORDER BY id_a, id_b LIMIT 200""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val blobs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val seed = id % 40
-        val v = (id / 40) % 2
-        (id, Multimodal.encodeMp4Sampled(
-          width = 320, height = 240,
-          nFrames = (70 + (seed * 11) % 160).toInt,
-          keyEvery = (1 + seed % 5).toInt,
-          trackTimescale = 12000, delta1 = 300, delta2 = 364,
-          uniformSize = 0, seed = seed * 2 + v))
-      })
-      .toDF("doc_id", "blob")
-    val sigs = Multimodal.decodeVideoSigPartitions(blobs, "blob", "doc_id")
+    val sigs = vidSigShared(s, dir)
       .select(col("id"), col("vsig").as("simhash64"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.operators.Dedup.hammingNearDupsCollapsed(sigs, maxHamming = 8)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id_a"), col("id_b")).limit(200)
@@ -944,32 +951,12 @@ object MultimodalQueries {
       |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
       |    AS kept_tokens
       |FROM verdicts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    import s.implicits._
     import graft.functions.TextFunctions
     val docs = Tables.documents(s, dir)
-    val imgBlobs = docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val seed = id % 50
-        (id, Multimodal.encodePng(
-          (9 + seed % 23).toInt, (8 + (seed * 7) % 24).toInt, seed = seed))
-      }).toDF("doc_id", "blob")
-    val vidBlobs = docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val seed = id % 40
-        val v = (id / 40) % 2
-        (id, Multimodal.encodeMp4Sampled(
-          width = 320, height = 240,
-          nFrames = (70 + (seed * 11) % 160).toInt,
-          keyEvery = (1 + seed % 5).toInt,
-          trackTimescale = 12000, delta1 = 300, delta2 = 364,
-          uniformSize = 0, seed = seed * 2 + v))
-      }).toDF("doc_id", "blob")
-    val imgHashed = Multimodal.decodeImageHashPartitions(imgBlobs, "blob", "doc_id")
+    val imgHashed = imgDhashShared(s, dir)
       .select(col("id").as("doc_id"), col("dhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vidSigs = Multimodal.decodeVideoSigPartitions(vidBlobs, "blob", "doc_id")
+    val vidSigs = vidSigShared(s, dir)
       .select(col("id").as("doc_id"), col("vsig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val icanon = imgHashed.groupBy(col("dhash"))
       .agg(min(col("doc_id")).as("keep_img"))
     val vcanon = vidSigs.groupBy(col("vsig"))
