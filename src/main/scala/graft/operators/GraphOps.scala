@@ -1081,6 +1081,50 @@ object GraphOps {
                                maxDegree: Option[Long] = None)
       : DataFrame = {
     val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    if (und.schema("u").dataType !=
+        org.apache.spark.sql.types.StringType)
+      return cncCore(und, minCommon, maxDegree)
+    // STRING vertex ids: the census shuffles and hash-aggregates
+    // Σ deg² wedge rows keyed by TWO strings (~40 B/row on name
+    // graphs). Encode vertices to longs first — one vertex-sized
+    // dedup + two edge joins (broadcast at small scale, edge-keyed at
+    // large) — run the whole census on (long, long) keys, decode the
+    // few surviving candidates at the end. Wedge rows dominate edges
+    // whenever the census is worth running, so trading two edge joins
+    // for ~4× narrower census keys wins. The id map is pinned with an
+    // eager localCheckpoint: monotonically_increasing_id is stable
+    // once materialized (block loss fails loud instead of silently
+    // remapping), and ids never reach the output.
+    val ids = und.select(col("u").as("name"))
+      .unionAll(und.select(col("v").as("name")))
+      .distinct()
+      .withColumn("vid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val undI = und
+      .join(ids.select(col("name").as("u"), col("vid").as("ui")), "u")
+      .join(ids.select(col("name").as("v"), col("vid").as("vi")), "v")
+      .select(col("ui").as("u"), col("vi").as("v"))
+    // the census canonicalizes pairs by VID order; restore the
+    // caller-visible (original-type) order on decode so rows are
+    // bit-identical to the un-encoded path
+    val outI = cncCore(undI, minCommon, maxDegree)
+    outI
+      .join(ids.select(col("vid").as("id_a"), col("name").as("na")), "id_a")
+      .join(ids.select(col("vid").as("id_b"), col("name").as("nb")), "id_b")
+      .select(
+        least(col("na"), col("nb")).as("id_a"),
+        greatest(col("na"), col("nb")).as("id_b"),
+        col("common"),
+        when(col("na") <= col("nb"), col("deg_a")).otherwise(col("deg_b"))
+          .as("deg_a"),
+        when(col("na") <= col("nb"), col("deg_b")).otherwise(col("deg_a"))
+          .as("deg_b"),
+        col("jaccard6"))
+  }
+
+  /** [[commonNeighborCandidates]] census body, id-type agnostic. */
+  private def cncCore(und: DataFrame, minCommon: Long,
+                      maxDegree: Option[Long]): DataFrame = {
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
     val centers = maxDegree match {
