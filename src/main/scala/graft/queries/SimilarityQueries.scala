@@ -33,11 +33,7 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT query_id, corpus_id, cosine, rn FROM rk WHERE rn <= $K
        |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
-    Similarity.bruteForceTopK(
-        corpus = emb, queries = emb.filter(col("vec_id") < NQueries),
-        idCol = "vec_id", vecCol = "embedding", k = K, dim = Dim)
-      .orderBy(col("query_id"), col("rn"))
+    sharedExact(s, dir).orderBy(col("query_id"), col("rn"))
   }.copy(headline = true)
 
   val q32 = {
@@ -120,6 +116,20 @@ object SimilarityQueries {
     * session-local equivalent of the stored index. */
   private val ivfCache = new SessionCache[
     (Array[(Int, Array[Double])], org.apache.spark.sql.DataFrame)]
+
+  /** Session-shared exact brute-force top-k pool `(query_id,
+    * corpus_id, cosine, rn)` — q31's output and the ground-truth side
+    * of every recall audit (q109, q140, q230): one identical
+    * `bruteForceTopK(emb, vec_id < NQueries, k = K)` frame, computed
+    * once per session (the round's localCheckpoint-leaf pattern). */
+  private def sharedExact(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"bruteExact:$dir") {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < NQueries),
+        idCol = "vec_id", vecCol = "embedding", k = K, dim = Dim)
+    }
 
   private def sharedIvf(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[(Int, Array[Double])], org.apache.spark.sql.DataFrame) =
@@ -477,9 +487,7 @@ object SimilarityQueries {
       k = K, nprobe = 4, refine = 50)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < NQueries)
-    val exact = Similarity.bruteForceTopK(emb, queries,
-        "vec_id", "embedding", k = K, dim = Dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = sharedExact(s, dir)
     val (cents, assigned) = sharedIvf(s, dir)
     val (books, enc) = sharedPq(s, dir)
     Seq(
@@ -610,9 +618,7 @@ object SimilarityQueries {
        |FROM m ORDER BY query_id""".stripMargin) { (s, dir) =>
     import graft.operators.Search
     val emb = Tables.embeddings(s, dir)
-    val ranked = Similarity.bruteForceTopK(
-      corpus = emb, queries = emb.filter(col("vec_id") < NQueries),
-      idCol = "vec_id", vecCol = "embedding", k = K, dim = Dim)
+    val ranked = sharedExact(s, dir)
     val lab = emb.select(col("vec_id"), col("label"))
     val rel = lab.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("label"))
@@ -820,9 +826,7 @@ object SimilarityQueries {
          |ORDER BY method, query_id""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < NQueries)
-      val exact = Similarity.bruteForceTopK(emb, queries,
-          "vec_id", "embedding", k = K, dim = Dim)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = sharedExact(s, dir)
       val out = Ls.map { l =>
         val cut = (df: org.apache.spark.sql.DataFrame) =>
           df.withColumn("embedding", slice(col("embedding"), 1, l))
