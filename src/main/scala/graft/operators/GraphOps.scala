@@ -586,7 +586,7 @@ object GraphOps {
       // doubling work every iteration (measured 9.5 s → ~1 s at sf0.1).
       // LAZY checkpoint: the max aggregate materializes it, the join
       // then reuses the cached blocks — half the jobs of eager mode
-      val raw = raw0.localCheckpoint()
+      val raw = raw0.localCheckpoint(false)
       val mx = raw.agg(max(col("sr")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("id"),
@@ -1026,8 +1026,11 @@ object GraphOps {
     * are the adversarial case). */
   def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // LAZY checkpoints: the count() right below materializes the
+    // frame inside its own job (no-arg localCheckpoint is EAGER and
+    // was paying a dedicated job per round on top of the count)
     var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var n = edges.count()
     var converged = false
     var round = 0
@@ -1039,7 +1042,7 @@ object GraphOps {
       val next = edges
         .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val m = next.count()
       converged = m == n
       edges = next
@@ -1192,7 +1195,7 @@ object GraphOps {
       .localCheckpoint(true)
     var acc = base
       .select(col("id"), lit(1L).as("n"), col("value").as("s"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var total = acc.agg(sum(col("n"))).head().getLong(0)
     var done = false
     var round = 0
@@ -1207,7 +1210,7 @@ object GraphOps {
         .select(col("id"),
           (lit(1L) + coalesce(col("cn"), lit(0L))).as("n"),
           (col("value") + coalesce(col("cs"), lit(0L))).as("s"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val t = next.agg(sum(col("n"))).head().getLong(0)
       done = t == total
       total = t

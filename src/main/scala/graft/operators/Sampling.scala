@@ -526,9 +526,15 @@ object Sampling {
     require(k >= 1, "k must be >= 1")
     val spark = elems.sparkSession
     import spark.implicits._
+    // LAZY checkpoints throughout the chain: each round's census
+    // collect materializes the round's `remaining` and the argmax in
+    // ONE job, and the anti-join then reuses the cached blocks — half
+    // the jobs of eager mode (the hits() renorm trick; measured there
+    // and re-measured here: q286 census+checkpoint jobs fuse 2 → 1
+    // per round).
     var remaining = elems
       .select(col(idCol).cast("long").as("id"), col(elemCol).as("s"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var cum = 0L
     var step = 1
     var exhausted = false
@@ -545,7 +551,7 @@ object Sampling {
         picks += ((step.toLong, id, gain, cum))
         val cov = remaining.where(col("id") === id).select(col("s"))
         remaining = remaining.join(cov, Seq("s"), "left_anti")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         step += 1
       }
     }
