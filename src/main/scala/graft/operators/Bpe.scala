@@ -456,7 +456,12 @@ object Bpe {
       val segN = batch.foldLeft(col("seg")) {
         case (acc, (l, r)) => fuse(acc, l, r)
       }
-      seg = seg.withColumn("seg", segN).localCheckpoint()
+      // LAZY checkpoint: plan truncation (the point of the per-batch
+      // fence — bounded expression depth) happens at wrap time either
+      // way; eager additionally paid one materialization JOB per
+      // batch, when the single downstream subword-count job can fold
+      // the whole narrow chain in one pass
+      seg = seg.withColumn("seg", segN).localCheckpoint(false)
     }
     val subc = seg.select(col("tok"), size(col("seg")).as("n_sub"))
     words.join(broadcast(subc), Seq("tok"))
@@ -495,7 +500,12 @@ object Bpe {
       val segN = batch.foldLeft(col("seg")) {
         case (acc, (l, r)) => fuse(acc, l, r)
       }
-      seg = seg.withColumn("seg", segN).localCheckpoint()
+      // LAZY checkpoint: plan truncation (the point of the per-batch
+      // fence — bounded expression depth) happens at wrap time either
+      // way; eager additionally paid one materialization JOB per
+      // batch, when the single downstream subword-count job can fold
+      // the whole narrow chain in one pass
+      seg = seg.withColumn("seg", segN).localCheckpoint(false)
     }
     val subc = seg.select(col("tok"), size(col("seg")).as("n_sub"))
     words.join(broadcast(subc), Seq("tok"))

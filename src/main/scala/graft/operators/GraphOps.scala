@@ -502,9 +502,9 @@ object GraphOps {
           sum(when(col("src") === col("dst"), col("w")).otherwise(lit(0L)))
         else sum(when(col("src") === col("dst"), lit(1L)).otherwise(lit(0L)))
       val dg = g.groupBy(col("src").as("id"))
-        .agg(occ.as("deg"), svOcc.as("sv")).localCheckpoint()
+        .agg(occ.as("deg"), svOcc.as("sv")).localCheckpoint(false)
       val e2v = dg.agg(coalesce(sum(col("deg")), lit(0L)))
-        .first().getLong(0)
+        .first().getLong(0)   // materializes the lazy census in-job
       for (_ <- 1 to sweepsPerLevel)
         labels = refineRoundImpl(labels, g, selfLoops = true,
           swapGuard = true, pre = Some((dg, e2v)),
