@@ -933,7 +933,10 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionByName(withM.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint(true)
+        // LAZY: the fixpoint probe right below aggregates the whole
+        // frame, so it materializes the checkpoint inside its own job
+        // — eager paid a dedicated job per round on top of the probe
+        .localCheckpoint(false)
       // exact fixpoint probe: the edge set is a star forest rooted at
       // component minima iff every src has exactly ONE out-edge and no
       // vertex is both a src and a dst (the big→small orientation
