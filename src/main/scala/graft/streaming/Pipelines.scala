@@ -1376,7 +1376,9 @@ object Pipelines {
       val accP = s"$storePath/acc"
       val ev = batch0.select(col("id"), col("parent"), col("value"))
         .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
-        .localCheckpoint(true)
+        // LAZY: the uniqueness/bucket probe right below aggregates the
+        // whole frame, materializing the checkpoint inside its own job
+        .localCheckpoint(false)
       // ONE ≤buckets-row driver probe serves both the per-node
       // uniqueness guard and the bucket set (micro-batch latency is
       // job-count-bound)
@@ -1781,7 +1783,10 @@ object Pipelines {
       val verts = pairs.select(col("id_a").as("id"))
         .unionByName(pairs.select(col("id_b").as("id"))).distinct()
         .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
-        .localCheckpoint(true)
+        // LAZY: batchBuckets' distinct-collect materializes it in-job
+        // (pairs above stays EAGER — its parent can be a deep derived
+        // pipeline and is read by both union legs)
+        .localCheckpoint(false)
       val pbs = DedupStore.batchBuckets(verts)
       lap("verts+buckets")
       val known =
@@ -2014,7 +2019,8 @@ object Pipelines {
     val members = s"$storePath/members"
     val ids = docs.select(col(idCol).as("id")).distinct()
       .withColumn("pb", DedupStore.bucketOf(col("id"), buckets))
-      .localCheckpoint(true)
+      // LAZY: batchBuckets' distinct-collect materializes it in-job
+      .localCheckpoint(false)
     val pbs = DedupStore.batchBuckets(ids)
     val reps =
       if (DedupStore.hasData(spark, members) && pbs.nonEmpty)
